@@ -1,0 +1,264 @@
+package graft
+
+/** DuckDB oracle SQL for every SQL-expressible query key in
+  * [[SparkEntry.queries]]. Each statement is generated from
+  * [[SparkEntry.Params]] — the same constants the Spark plans use — and
+  * mirrors the Spark expression tree step for step (double widening,
+  * empty-token filtering, rounding before ranking; SURVEY.md §6).
+  */
+object OracleSql {
+  import SparkEntry.Params._
+
+  private val P = 1000000007L
+
+  /** Whitespace tokens with empties filtered (matches TextAnalysis.tokens). */
+  private def toks(text: String = "text") =
+    s"list_filter(string_split_regex($text, '\\s+'), x -> x <> '')"
+
+  /** 60-bit md5 token hash (matches Dedup.hash60). */
+  private def hash60(s: String) = s"('0x' || substr(md5($s), 1, 15))::BIGINT"
+
+  private def dotd(a: String, b: String) =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  private def l2sq(a: String, b: String) =
+    s"list_sum(list_transform(list_zip(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])), x -> (x[1]-x[2])*(x[1]-x[2])))"
+
+  private def cosine(a: String, b: String) =
+    s"${dotd(a, b)} / (sqrt(${dotd(a, a)}) * sqrt(${dotd(b, b)}))"
+
+  /** Distinct word k-shingles (matches Dedup.shingles). */
+  private def shingles(text: String = "text") =
+    s"""list_distinct(list_transform(range(1, len(${toks(text)}) - $ShingleK + 2),
+       |  i -> array_to_string(list_slice(${toks(text)}, i, i + $ShingleK - 1), ' ')))""".stripMargin
+
+  /** MinHash signature literal [sig_0, …] (matches Dedup.minhashSignature). */
+  private def minhashSig(sh: String): String =
+    (0 until NumHashes).map { j =>
+      val a = 1L + 2L * j
+      val b = 7919L * (j + 1) % P
+      s"list_min(list_transform($sh, s -> (((${hash60("s")} % $P) * $a + $b) % $P)))"
+    }.mkString("[", ", ", "]")
+
+  val all: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q03_typed_project" ->
+      """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q04_embedding_cast" ->
+      s"""SELECT vec_id,
+         |  round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+         |  round(sqrt(${dotd("embedding", "embedding")}), 6) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q05_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${toks()}) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), x -> x <> '')) AS INT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q06_token_cost" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(nt) AS DOUBLE) * 0.10 / 1000000.0, 6) AS cost_ada_v2_usd,
+         |  round(CAST(sum(nt) AS DOUBLE) * 0.02 / 1000000.0, 6) AS cost_v3_small_usd
+         |FROM (SELECT len(${toks()}) AS nt FROM documents)""".stripMargin,
+
+    "q07_sample_export" ->
+      s"""SELECT doc_id, lang, source, n_chars
+         |FROM documents ORDER BY doc_id LIMIT $SampleN""".stripMargin,
+
+    "q08_order_by" ->
+      """SELECT vec_id, label,
+        |  CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS idx
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q09_ivf_build" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c),
+         |ranked AS (
+         |  SELECT vec_id, centroid_id, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |  FROM scored)
+         |SELECT vec_id, centroid_id, dist FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q12_knn_exact_dot" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+         |SELECT v.vec_id, v.label, round(${dotd("v.embedding", "q.qv")}, 6) AS score
+         |FROM embeddings v, q
+         |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin,
+
+    "q12b_knn_exact_cosine" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+         |SELECT v.vec_id, v.label, round(${cosine("v.embedding", "q.qv")}, 6) AS score
+         |FROM embeddings v, q
+         |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin,
+
+    "q12c_ivf_search" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0),
+         |probed AS (
+         |  SELECT centroid_id FROM (
+         |    SELECT c.centroid_id, round(${l2sq("c.c_emb", "q.qv")}, 6) AS cdist
+         |    FROM cents c, q
+         |    ORDER BY cdist, centroid_id LIMIT $NProbe)),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1)
+         |SELECT v.vec_id, round(${dotd("v.embedding", "q.qv")}, 6) AS score
+         |FROM assigned a
+         |JOIN probed p ON a.centroid_id = p.centroid_id
+         |JOIN embeddings v ON v.vec_id = a.vec_id, q
+         |ORDER BY score DESC, v.vec_id LIMIT $K""".stripMargin,
+
+    "q13_dedup_exact" ->
+      """SELECT sha256(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q14_minhash_lsh" -> {
+      val numBands = NumHashes / RowsPerBand
+      val bandIds = (0 until numBands).mkString("[", ", ", "]")
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ${minhashSig("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingles()} AS sh FROM documents)
+         |  WHERE len(sh) > 0),
+         |banded AS (
+         |  SELECT doc_id, sig, t.band_id,
+         |    array_to_string(list_slice(sig, t.band_id * $RowsPerBand + 1, t.band_id * $RowsPerBand + $RowsPerBand), '_') AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest($bandIds) AS band_id) t),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sig_a, r.sig AS sig_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+         |SELECT a, b,
+         |  round(CAST(list_sum(list_transform(list_zip(sig_a, sig_b), x -> CAST(x[1] = x[2] AS INT))) AS DOUBLE) / $NumHashes.0, 6) AS est_jaccard
+         |FROM cand
+         |WHERE round(CAST(list_sum(list_transform(list_zip(sig_a, sig_b), x -> CAST(x[1] = x[2] AS INT))) AS DOUBLE) / $NumHashes.0, 6) >= $MinEstJaccard
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "q14b_simhash" -> {
+      val bits = 32
+      val votes = (0 until bits)
+        .map(i => s"CAST(sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$i")
+        .mkString(",\n    ")
+      val combine = (0 until bits)
+        .map(i => s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, ${hash60("t.tok")} AS h
+         |  FROM documents, unnest(${toks()}) AS t(tok)),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($combine AS BIGINT) AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin
+    },
+
+    "q14c_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, lang, source, ${shingles()} AS sh FROM documents),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b,
+         |    CAST(len(list_intersect(l.sh, r.sh)) AS INT) AS inter,
+         |    CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS INT) AS uni
+         |  FROM sh l JOIN sh r
+         |    ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id)
+         |SELECT a, b, round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
+         |FROM pairs WHERE uni > 0 AND round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) > 0.0
+         |ORDER BY a, b""".stripMargin,
+
+    "q15_cosine_pairs" ->
+      s"""SELECT l.vec_id AS a, r.vec_id AS b, l.label AS label,
+         |  round(${cosine("l.embedding", "r.embedding")}, 6) AS cos
+         |FROM embeddings l JOIN embeddings r
+         |  ON l.label = r.label AND l.vec_id < r.vec_id
+         |WHERE round(${cosine("l.embedding", "r.embedding")}, 6) >= $CosineThreshold
+         |ORDER BY a, b""".stripMargin,
+
+    "q16_quality_score" ->
+      s"""SELECT doc_id, n_chars,
+         |  CAST(len(${toks()}) AS INT) AS n_tokens,
+         |  round(CAST(len(list_filter(regexp_extract_all(text, '[.,;:!?]'), x -> x <> '')) AS DOUBLE)
+         |    / CAST(greatest(len(${toks()}), 1) AS DOUBLE), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(${toks()}, t -> t IN ('the','a','and','of','to','in','is','it'))) AS DOUBLE)
+         |    / CAST(greatest(len(${toks()}), 1) AS DOUBLE), 6) AS stopword_ratio,
+         |  round(CAST(n_chars AS DOUBLE) / CAST(greatest(len(${toks()}), 1) AS DOUBLE), 6) AS mean_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q16b_lang_id" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(${toks("lower(text)")}, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+      val en = hits(Seq("the", "and", "of", "to", "is"))
+      val es = hits(Seq("el", "la", "de", "que", "y"))
+      val fr = hits(Seq("le", "la", "de", "et", "les"))
+      val de = hits(Seq("der", "die", "und", "das", "ist"))
+      s"""WITH scoredl AS (
+         |  SELECT doc_id, lang, $en AS en, $es AS es, $fr AS fr, $de AS de
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+         |       WHEN de = greatest(en, es, fr, de) THEN 'de'
+         |       WHEN en = greatest(en, es, fr, de) THEN 'en'
+         |       WHEN es = greatest(en, es, fr, de) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM scoredl ORDER BY doc_id""".stripMargin
+    },
+
+    "q16c_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(${toks()}, t -> ${hash60("t")} % $P)),
+         |    (acc, x) -> (acc * 31 + x) % $P) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_events_rollup" ->
+      """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 6) AS sum_value,
+        |  round(avg(value), 6) AS avg_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, hour""".stripMargin,
+
+    "q17b_sessionize" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, value, ts,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+         |  FROM events),
+         |flagged AS (
+         |  SELECT user_id, value, ts,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR date_diff('second', prev_ts, ts) > ${SessionGapMin * 60} THEN 1
+         |         ELSE 0 END AS new_session
+         |  FROM marked),
+         |sess AS (
+         |  SELECT user_id, value,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+         |  FROM flagged)
+         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value
+         |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+  )
+}

@@ -1,13 +1,86 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each query key proves. Oracle SQL strings live in
+  * [[OracleSql]] and are generated from the same constants as the Spark
+  * plans so the two sides cannot drift.
+  */
 object SparkEntry {
+
+  // Shared parameters between Spark queries and oracle SQL.
+  object Params {
+    val K = 20            // top-k (reference Program.cs:221: KNNSearch(v, 20))
+    val QueryVecId = 0L   // reference searches with sampleVectors[0] (Program.cs:210)
+    val IvfStep = 25      // deterministic centroid stride (SURVEY.md §4)
+    val NProbe = 4
+    val SampleN = 100     // reference JSON head dump size (Program.cs:102)
+    val ShingleK = 3
+    val NumHashes = 12
+    val RowsPerBand = 2
+    val MinEstJaccard = 0.5
+    val CosineThreshold = 0.15
+    val SessionGapMin = 30
+  }
+  import Params._
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    Knn.topKDot(emb, Knn.queryVector(emb, QueryVecId), K)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_project" -> ((s, d) => Scan.scanProject(Tables.documents(s, d))),
+    "q02_metadata" -> ((s, d) => Metadata.describe(s, d)),
+    "q03_typed_project" -> ((s, d) => Scan.typedProject(s, Tables.embeddings(s, d))),
+    "q04_embedding_cast" -> ((s, d) => Scan.embeddingCast(Tables.embeddings(s, d))),
+    "q05_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "q06_token_cost" -> ((s, d) => TextAnalysis.tokenCost(Tables.documents(s, d))),
+    "q07_sample_export" -> ((s, d) => Scan.sampleExport(Tables.documents(s, d), SampleN)),
+    "q08_order_by" -> ((s, d) => Scan.globalIndex(Tables.embeddings(s, d))),
+    "q09_ivf_build" -> ((s, d) => Ivf.build(Tables.embeddings(s, d), IvfStep)),
+    "q10_index_roundtrip" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+      Ivf.save(emb, IvfStep, path)
+      val (postings, _) = Ivf.load(s, path)
+      postings.groupBy("centroid_id").agg(count(lit(1)).as("n_vectors")).orderBy("centroid_id")
+    }),
+    "q12_knn_exact_dot" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.topKDot(emb, Knn.queryVector(emb, QueryVecId), K)
+    }),
+    "q12b_knn_exact_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.topKCosine(emb, Knn.queryVector(emb, QueryVecId), K)
+    }),
+    "q12c_ivf_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ivf.searchInline(emb, IvfStep, Knn.queryVector(emb, QueryVecId), NProbe, K)
+    }),
+    "q13_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "q14_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), ShingleK, NumHashes, RowsPerBand, MinEstJaccard)),
+    "q14b_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
+    "q14c_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), ShingleK)),
+    "q15_cosine_pairs" -> ((s, d) => Dedup.cosinePairs(Tables.embeddings(s, d), CosineThreshold)),
+    "q16_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q16b_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q16c_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "q17_events_rollup" -> ((s, d) => Events.rollup(Tables.events(s, d))),
+    "q17b_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d), SessionGapMin)),
+    "q18_multimodal" -> ((s, d) => graft.multimodal.Multimodal.featurePipeline(s, Tables.documents(s, d)))
+  )
+
+  /** DuckDB-equivalent SQL per query key; keys absent here (q02, q10,
+    * q18) are non-SQL-expressible (footer metadata / index file I/O /
+    * binary feature plumbing) → driver records a rows-only check. */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

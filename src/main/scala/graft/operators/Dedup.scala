@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.operators.TextAnalysis.tokens
+
+/** Deduplication family for LLM training corpora — exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard, and blocked embedding-cosine near-dup.
+  *
+  * Design rule (SURVEY.md §4/§5): no operator here ever materializes an
+  * all-pairs comparison. Every candidate-pair generator is an equi-join on
+  * a derived key (content hash, LSH band bucket, simhash band, blocking
+  * key), so the physical plan is a shuffle/broadcast hash join — never
+  * CartesianProduct (asserted in PlanSpec).
+  */
+object Dedup {
+
+  /** Portable 60-bit token hash: first 15 hex chars of md5, as a signed
+    * long — computable identically in Spark (`conv`) and ANSI-ish SQL
+    * engines (hex cast). Base primitive for minhash/simhash/fingerprint. */
+  def hash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup: group by full-content hash, keep the lowest doc_id
+    * (hash shuffle with map-side partial agg; scale-safe by
+    * construction). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
+      .orderBy("content_hash")
+
+  /** Word k-shingles of a document (distinct, as the set for Jaccard /
+    * MinHash). */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    array_distinct(
+      filter(
+        transform(ts, (_, i) => when(i <= n - k, concat_ws(" ", slice(ts, i + 1, lit(k))))),
+        s => s.isNotNull))
+  }
+
+  /** MinHash signature: for permutation j, min over shingles of
+    * (a_j * h(s) + b_j) mod p — all integer arithmetic mod 1e9+7 to stay
+    * overflow-free in any 64-bit engine. */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val p = 1000000007L
+    val hs = shingles(text, k)
+    val sigs = (0 until numHashes).map { j =>
+      val a = 1L + 2L * j // odd multipliers, deterministic "seed"
+      val b = 7919L * (j + 1) % p
+      array_min(transform(hs, s => pmod(pmod(hash60(s), lit(p)) * lit(a) + lit(b), lit(p))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash-LSH near-dup candidates: signature → bands of `rowsPerBand`
+    * → explode to (band_id, band_key) → self-equi-join on the bucket.
+    * The join key is (band_id, band_hash): a hash-distributed shuffle
+    * join; candidate pairs are verified with the full signature estimate.
+    * Returns candidate pairs with their estimated Jaccard.
+    */
+  def minhashLsh(docs: DataFrame, k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
+                 minEstJaccard: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sig = docs
+      .select(col("doc_id"), minhashSignature(col("text"), k, numHashes).as("sig"))
+      .where(size(shingles(col("text"), k)) > 0)
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band_id"),
+          concat_ws("_", transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), _.cast("string"))).as("band_key"))
+      }: _*)).as("band"))
+      .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_key"))
+    val l = banded.select(col("band_id"), col("band_key"), col("doc_id").as("a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band_id"), col("band_key"), col("doc_id").as("b"), col("sig").as("sig_b"))
+    val cand = l.join(r, Seq("band_id", "band_key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / lit(numHashes.toDouble), 6))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select("a", "b", "est_jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** SimHash (64→60-bit): per token-hash bit position, sum +1/-1 votes
+    * weighted by token frequency; bit set where the vote is positive.
+    * Computed by exploding tokens and aggregating bit votes — a single
+    * map + partial-agg shuffle on doc_id, no per-row 60-iteration UDF. */
+  def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), hash60(col("t")).as("h"))
+    val bitVotes = (0 until bits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")
+    }
+    val voted = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val sh = (0 until bits).map { i =>
+      when(col(s"v$i") > 0, lit(1L) * lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), sh.as("simhash")).orderBy("doc_id")
+  }
+
+  /** N-gram Jaccard similarity for candidate pairs sharing a blocking key
+    * (equi-join on (lang, source) — deterministic, never all-pairs).
+    * Exact set Jaccard over k-shingles. */
+  def ngramJaccard(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val withSh = docs.select(col("doc_id"), col("lang"), col("source"),
+      shingles(col("text"), k).as("sh"))
+    val l = withSh.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
+    val r = withSh.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
+    l.join(r, Seq("lang", "source"))
+      .where(col("a") < col("b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("uni") > 0)
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni").cast("double"), 6))
+      .where(col("jaccard") > minJaccard)
+      .select("a", "b", "jaccard")
+      .orderBy("a", "b")
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking key (label):
+    * equi-join on the block, cosine in codegen, threshold filter. The
+    * blocking key bounds each bucket; AQE skew-join splits outliers. */
+  def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val l = vectors.select(col("label"), col("vec_id").as("a"), col("embedding").as("emb_a"))
+    val r = vectors.select(col("label"), col("vec_id").as("b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("label"))
+      .where(col("a") < col("b"))
+      .withColumn("cos", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("label"), col("cos"))
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor index — the
+  * cluster-shaped re-expression of the reference's HNSW build/save/load/
+  * search (reference Program.cs:125-263).
+  *
+  * An HNSW graph is a single in-memory pointer structure fed by a
+  * driver-side ConcurrentBag (Program.cs:26) — it caps at driver RAM and
+  * cannot be built distributed. The Spark-native equivalent capability
+  * (approximate top-k with tunable recall) is IVF:
+  *
+  *  - build: assign every vector to its nearest centroid — a broadcast
+  *    join against k centroids (kB-scale broadcast), map-only, no shuffle
+  *    of the big side;
+  *  - persist: posting lists written as parquet PARTITIONED BY centroid_id
+  *    (the on-disk index; Program.cs:231-244's SerializeGraph);
+  *  - load: plain parquet read of the partitioned layout
+  *    (Program.cs:246-263's DeserializeGraph);
+  *  - search: probe the nprobe nearest centroids, then exact-rerank only
+  *    within probed partitions — partition pruning turns the 100 TB scan
+  *    into an nprobe/k fraction of it.
+  *
+  * Centroid selection is deterministic (every `step`-th vector) so the
+  * whole pipeline is oracle-checkable; swapping in Lloyd-iteration
+  * refinement (a groupBy-avg loop over the same assignment op) changes
+  * recall, not plan shape.
+  */
+object Ivf {
+
+  /** Deterministic centroids: vectors with vec_id % step == 0;
+    * centroid_id = vec_id / step. */
+  def centroids(vectors: DataFrame, step: Int): DataFrame =
+    vectors.filter(pmod(col("vec_id"), lit(step.toLong)) === 0)
+      .select((col("vec_id") / step).cast("long").as("centroid_id"),
+        col("embedding").as("c_emb"))
+
+  /** Nearest-centroid assignment: broadcast the (small) centroid set,
+    * score all k per vector in codegen, keep rank-1 by (rounded dist,
+    * centroid_id). Rounding before ranking keeps the choice identical
+    * across engines (SURVEY.md §6). */
+  def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        round(l2Sq(col("embedding"), col("c_emb")), 6).as("dist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("dist"))
+  }
+
+  /** Build the assignment table (q09). */
+  def build(vectors: DataFrame, step: Int): DataFrame =
+    assign(vectors, centroids(vectors, step)).orderBy("vec_id")
+
+  /** Persist the index: posting lists partitioned by centroid_id +
+    * a centroids table (the serialized "graph"). */
+  def save(vectors: DataFrame, step: Int, path: String): Unit = {
+    val cents = centroids(vectors, step)
+    assign(vectors, cents)
+      .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/postings")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index. Partition pruning on centroid_id applies to
+    * any filter a search pushes down. */
+  def load(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/centroids"))
+
+  /** ANN search: probe the `nprobe` nearest centroids to the query, exact
+    * dot-product rerank within probed buckets only. `query` is a 1-row
+    * frame with column `qv`. */
+  def search(postings: DataFrame, cents: DataFrame, query: DataFrame,
+             nprobe: Int, k: Int): DataFrame = {
+    val probed = cents.crossJoin(broadcast(query))
+      .select(col("centroid_id"), round(l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
+      .orderBy(col("cdist"), col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    postings
+      .join(broadcast(probed), "centroid_id")
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        round(dot(col("embedding"), col("qv")), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** In-memory search without persist (for the oracle-checked query key):
+    * same plan, postings = assignment joined back to vectors. */
+  def searchInline(vectors: DataFrame, step: Int, query: DataFrame,
+                   nprobe: Int, k: Int): DataFrame = {
+    val cents = centroids(vectors, step)
+    val postings = assign(vectors, cents)
+      .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+    search(postings, cents, query, nprobe, k)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Scan / projection / ordering / sampling operators.
+  *
+  * The reference reads parquet row-group by row-group into typed records
+  * (reference Program.cs:43-99), exports a head sample to JSON
+  * (Program.cs:102-103) and sorts everything in driver memory
+  * (Program.cs:106-107). Here every step stays distributed: the scan is
+  * column-pruned by Catalyst, the sample is `ORDER BY key LIMIT n`
+  * (TakeOrderedAndProject), and the global index is computed with a
+  * range-partitioned two-phase ranking instead of a single-partition sort.
+  */
+object Scan {
+
+  /** Typed row for the projection path (reference DbPedia.cs:3-11). */
+  final case class EmbeddingRow(vec_id: Long, label: Int, dim: Int)
+
+  /** Grouped profile of the documents corpus — the Spark shape of the
+    * reference's per-file scan loop + running counters (Program.cs:43-99):
+    * partial aggregation map-side, shuffle carries only (lang, source)
+    * partials. */
+  def scanProject(docs: DataFrame): DataFrame =
+    docs.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(avg("n_chars"), 6).as("avg_chars"))
+      .orderBy("lang", "source")
+
+  /** Column projection into a typed Dataset (reference Program.cs:72-90).
+    * Only (vec_id, label, embedding-length) reach the scan — ReadSchema is
+    * pruned to 3 columns. */
+  def typedProject(spark: SparkSession, vectors: DataFrame): DataFrame = {
+    import spark.implicits._
+    vectors
+      .select(col("vec_id"), col("label"), size(col("embedding")).as("dim"))
+      .as[EmbeddingRow]
+      .toDF()
+      .orderBy("vec_id")
+  }
+
+  /** Embedding widening cast float[]→double[] (reference Program.cs:87
+    * casts the other way) plus a checksum of the cast result. */
+  def embeddingCast(vectors: DataFrame): DataFrame =
+    vectors
+      .withColumn("emb_d", toDoubleArray(col("embedding")))
+      .select(
+        col("vec_id"),
+        round(element_at(col("emb_d"), 1), 6).as("e0"),
+        round(norm(col("emb_d")), 6).as("l2_norm"))
+      .orderBy("vec_id")
+
+  /** First-n sample by key (reference Program.cs:102-103 JSON head dump).
+    * TakeOrderedAndProject — bounded memory at any scale. */
+  def sampleExport(docs: DataFrame, n: Int): DataFrame =
+    docs.select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+      .limit(n)
+
+  /** Deterministic contiguous global index by key — the reference's
+    * "enforce order as index input" (Program.cs:106-107), distributed.
+    *
+    * Single-partition `row_number() OVER (ORDER BY key)` would serialize
+    * 100 TB through one task. Instead: range-partition by key, rank within
+    * each partition (parallel window), then add broadcast per-partition
+    * offsets computed from a tiny count-by-partition aggregate.
+    */
+  def globalIndex(vectors: DataFrame): DataFrame = {
+    val parted = vectors
+      .repartitionByRange(col("vec_id"))
+      .select(col("vec_id"), col("label"), spark_partition_id().as("pid"))
+    val localRank = parted.withColumn(
+      "local_idx",
+      row_number().over(Window.partitionBy("pid").orderBy("vec_id")).cast("long") - 1L)
+    // Per-partition row counts: tiny (one row per partition) → prefix sums
+    // on the driver → broadcast join back.
+    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .orderBy("pid")
+    val w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val withOffset = offsets.withColumn("offset", coalesce(sum("cnt").over(w), lit(0L)))
+      .select("pid", "offset")
+    localRank.join(broadcast(withOffset), "pid")
+      .select(col("vec_id"), col("label"), (col("local_idx") + col("offset")).as("idx"))
+      .orderBy("vec_id")
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents corpus: tokenization,
+  * token-cost accounting, quality scoring, language ID, fingerprinting.
+  *
+  * The reference tokenizes with cl100k_base per row during load and sums
+  * token counts + API cost on the driver (reference Program.cs:40,80,
+  * 111-116). Here tokenization is a codegen'd column expression (no UDF,
+  * no external tokenizer dependency — a whitespace/BPE-ish regex proxy)
+  * and the rollup is a partial-aggregated 1-row result: at 100 TB the
+  * shuffle carries one partial sum per task, nothing else.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties filtered — Spark `split` drops
+    * trailing empty strings while other engines keep them, so the filter
+    * makes the count engine-portable (SURVEY.md §6). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or a single
+    * non-space symbol — deterministic and regex-expressible in any engine,
+    * standing in for cl100k_base (Program.cs:40; real BPE needs the vocab
+    * file, out of scope offline). */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)), t => t =!= ""))
+
+  /** Per-document token counts (reference Program.cs:80,88). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Corpus rollup + embedding-API cost at the reference's two price
+    * points (Program.cs:111-116: $0.10 and $0.02 per 1M tokens). */
+  def tokenCost(docs: DataFrame): DataFrame =
+    docs.select(size(tokens(col("text"))).as("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(sum("n_tokens") * lit(0.10) / lit(1000000.0), 6).as("cost_ada_v2_usd"),
+        round(sum("n_tokens") * lit(0.02) / lit(1000000.0), 6).as("cost_v3_small_usd"))
+
+  /** Heuristic quality score: length, punctuation density, stopword hit
+    * ratio, mean token length — the standard LLM-corpus filters, all as
+    * codegen'd expressions. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val nTokens = size(tokens(col("text")))
+    val nPunct = size(filter(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)), t => t =!= ""))
+    val stopHits = size(filter(tokens(col("text")),
+      t => t.isin("the", "a", "and", "of", "to", "in", "is", "it")))
+    docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      nTokens.as("n_tokens"),
+      round(nPunct.cast("double") / greatest(nTokens, lit(1)).cast("double"), 6).as("punct_ratio"),
+      round(stopHits.cast("double") / greatest(nTokens, lit(1)).cast("double"), 6).as("stopword_ratio"),
+      round(col("n_chars").cast("double") / greatest(nTokens, lit(1)).cast("double"), 6).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram-heuristic language ID: score each candidate language by
+    * stopword hits and pick the argmax (deterministic tiebreak on
+    * language code). Expressible as a CASE cascade, so oracle-checkable. */
+  def langId(docs: DataFrame): DataFrame = {
+    def hits(words: Seq[String]): Column =
+      size(filter(tokens(lower(col("text"))), t => t.isin(words: _*)))
+    val en = hits(Seq("the", "and", "of", "to", "is"))
+    val es = hits(Seq("el", "la", "de", "que", "y"))
+    val fr = hits(Seq("le", "la", "de", "et", "les"))
+    val de = hits(Seq("der", "die", "und", "das", "ist"))
+    val best = greatest(en, es, fr, de)
+    docs.select(
+      col("doc_id"),
+      col("lang"),
+      when(best === 0, "und")
+        .when(de === best, "de")
+        .when(en === best, "en")
+        .when(es === best, "es")
+        .otherwise("fr").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Polynomial rolling-hash fingerprint of the token stream:
+    * fp = sum_i h(token_i) * 31^(n-1-i) mod 1e9+7, with h = first 15 hex
+    * chars of md5 — pure integer arithmetic, portable across engines.
+    * Modulus 1e9+7 keeps every intermediate < 2^35, so no engine hits
+    * 64-bit overflow (DuckDB raises on overflow rather than wrapping). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val p = lit(1000000007L)
+    val fp = aggregate(
+      tokens(col("text")),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), p), p))
+    docs.select(col("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
+  }
+}
