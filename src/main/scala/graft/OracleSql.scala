@@ -32,7 +32,7 @@ object OracleSql {
     s"""list_distinct(list_transform(range(1, len(${toks(text)}) - $ShingleK + 2),
        |  i -> array_to_string(list_slice(${toks(text)}, i, i + $ShingleK - 1), ' ')))""".stripMargin
 
-  /** MinHash signature literal [sig_0, …] (matches Dedup.minhashSignature). */
+  /** MinHash signature literal [sig_0, …] (matches Dedup.minhashSignatures). */
   private def minhashSig(sh: String): String =
     (0 until NumHashes).map { j =>
       val a = 1L + 2L * j

@@ -30,10 +30,15 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
       .orderBy("content_hash")
 
-  /** Word k-shingles of a document (distinct, as the set for Jaccard /
-    * MinHash). */
-  def shingles(text: Column, k: Int): Column = {
-    val ts = tokens(text)
+  /** Word k-shingles over a PRE-MATERIALIZED tokens array column.
+    *
+    * `ts` must be a plain column attribute, not an inline `split(...)`
+    * expression: higher-order functions (transform/filter) are not
+    * whole-stage-codegen'd, and in interpreted eval the lambda body's
+    * references to `ts` are re-evaluated once per array element — an
+    * inline regex split there turns shingling O(n²) per document
+    * (measured 10× slower at sf0.1). */
+  def shinglesOf(ts: Column, k: Int): Column = {
     val n = size(ts)
     array_distinct(
       filter(
@@ -41,18 +46,47 @@ object Dedup {
         s => s.isNotNull))
   }
 
-  /** MinHash signature: for permutation j, min over shingles of
-    * (a_j * h(s) + b_j) mod p — all integer arithmetic mod 1e9+7 to stay
-    * overflow-free in any 64-bit engine. */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+  /** Word k-shingles of a document (distinct, as the set for Jaccard /
+    * MinHash). Convenience single-column form; hot paths should use
+    * [[shingleRows]] instead (see [[shinglesOf]] for why). */
+  def shingles(text: Column, k: Int): Column = shinglesOf(tokens(text), k)
+
+  /** (doc_id, extra…, shingle) rows: tokens materialized into a column
+    * once per doc, then the distinct shingle set exploded. The shared
+    * scale-shape entry point for every shingle-based dedup operator —
+    * narrow, no shuffle. */
+  def shingleRows(docs: DataFrame, k: Int, extra: String*): DataFrame = {
+    val keep = col("doc_id") +: extra.map(col)
+    docs.select(keep :+ tokens(col("text")).as("__ts"): _*)
+      .select(keep :+ explode(shinglesOf(col("__ts"), k)).as("s"): _*)
+  }
+
+  /** MinHash signatures as a DataFrame: explode the shingle set once,
+    * hash each shingle ONCE (md5 → 60-bit → mod p), then one
+    * groupBy(doc_id) with `numHashes` min-aggregates — for permutation
+    * j, sig_j = min over shingles of (a_j * h(s) + b_j) mod p, all
+    * integer arithmetic mod 1e9+7 to stay overflow-free in any 64-bit
+    * engine.
+    *
+    * This is the scale shape for distributed MinHash: per-shingle work
+    * is a narrow map, the only shuffle is the partial-agg exchange on
+    * doc_id, and the md5 is computed once per shingle instead of once
+    * per (shingle × permutation × consumer). (A previous column-
+    * expression formulation duplicated the tokenize+md5 subtree 12×
+    * per join side and was ~50× slower.) Docs with no shingles drop
+    * out naturally (no exploded rows). */
+  def minhashSignatures(docs: DataFrame, k: Int, numHashes: Int): DataFrame = {
     val p = 1000000007L
-    val hs = shingles(text, k)
-    val sigs = (0 until numHashes).map { j =>
+    val exploded = shingleRows(docs, k)
+      .select(col("doc_id"), pmod(hash60(col("s")), lit(p)).as("h"))
+    val aggs = (0 until numHashes).map { j =>
       val a = 1L + 2L * j // odd multipliers, deterministic "seed"
       val b = 7919L * (j + 1) % p
-      array_min(transform(hs, s => pmod(pmod(hash60(s), lit(p)) * lit(a) + lit(b), lit(p))))
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"mh$j")
     }
-    array(sigs: _*)
+    exploded.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
   }
 
   /** MinHash-LSH near-dup candidates: signature → bands of `rowsPerBand`
@@ -64,9 +98,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame, k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
                  minEstJaccard: Double = 0.5): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sig = docs
-      .select(col("doc_id"), minhashSignature(col("text"), k, numHashes).as("sig"))
-      .where(size(shingles(col("text"), k)) > 0)
+    val sig = minhashSignatures(docs, k, numHashes)
     val banded = sig.select(
       col("doc_id"), col("sig"),
       explode(array((0 until numBands).map { b =>
@@ -108,17 +140,27 @@ object Dedup {
 
   /** N-gram Jaccard similarity for candidate pairs sharing a blocking key
     * (equi-join on (lang, source) — deterministic, never all-pairs).
-    * Exact set Jaccard over k-shingles. */
+    * Exact set Jaccard over k-shingles, computed as an inverted-index
+    * join: explode distinct shingles, self-equi-join on
+    * (lang, source, shingle), and count matches per (a, b) pair — the
+    * count IS |A ∩ B| because shingle sets are distinct. |A ∪ B| =
+    * |A| + |B| − |A ∩ B| from per-doc shingle counts. No array
+    * intersect/union is ever evaluated per pair (the array formulation
+    * rebuilds a hash set per candidate pair and was ~20× slower), and
+    * only pairs sharing ≥1 shingle are produced — exactly the
+    * jaccard > 0 output set. */
   def ngramJaccard(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val withSh = docs.select(col("doc_id"), col("lang"), col("source"),
-      shingles(col("text"), k).as("sh"))
-    val l = withSh.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
-    val r = withSh.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
-    l.join(r, Seq("lang", "source"))
+    val ex = shingleRows(docs, k, "lang", "source")
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val l = ex.select(col("lang"), col("source"), col("doc_id").as("a"), col("s"))
+    val r = ex.select(col("lang"), col("source"), col("doc_id").as("b"), col("s"))
+    val inter = l.join(r, Seq("lang", "source", "s"))
       .where(col("a") < col("b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("uni") > 0)
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("n_b")), "b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni").cast("double"), 6))
       .where(col("jaccard") > minJaccard)
       .select("a", "b", "jaccard")
