@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import graft.operators._
+
+/** Plan-shape assertions — the 100 TB contract (SURVEY.md §5). These
+  * fail if a future edit silently degrades a plan into a cross join, a
+  * global sort, or an unpruned scan, even though results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def docs = Tables.documents(spark, sf0001)
+  private def emb = Tables.embeddings(spark, sf0001)
+
+  test("no dedup plan contains a CartesianProduct") {
+    val plans = Map(
+      "exact" -> Dedup.exact(docs),
+      "minhashLsh" -> Dedup.minhashLsh(docs),
+      "simhash" -> Dedup.simhash(docs),
+      "ngramJaccard" -> Dedup.ngramJaccard(docs),
+      "cosinePairs" -> Dedup.cosinePairs(emb, 0.15))
+    plans.foreach { case (name, df) =>
+      val p = physical(df)
+      assert(!p.contains("CartesianProduct"), s"$name plan has a CartesianProduct:\n$p")
+    }
+  }
+
+  test("exact top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = physical(Knn.topKDot(emb, Knn.queryVector(emb, 0L), 20))
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("query-vector lookup pushes the vec_id filter into the parquet scan") {
+    val p = physical(Knn.queryVector(emb, 0L))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), EqualTo(vec_id,0)]"),
+      s"vec_id filter not pushed down:\n$p")
+  }
+
+  test("scan_project prunes the documents scan to the referenced columns") {
+    val p = physical(Scan.scanProject(docs))
+    assert(!p.contains("text#") || !p.matches("(?s).*ReadSchema:[^\\n]*text.*"),
+      s"text column not pruned from scan:\n$p")
+    assert(p.matches("(?s).*ReadSchema:[^\\n]*lang[^\\n]*.*"), s"expected lang in ReadSchema:\n$p")
+  }
+
+  test("IVF assignment broadcasts the centroid side") {
+    val p = physical(Ivf.build(emb, 25))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids not broadcast:\n$p")
+  }
+
+  test("IVF search prunes postings partitions to the probed centroids") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_planspec"
+    Ivf.save(emb, 25, path)
+    val (postings, cents) = Ivf.load(spark, path)
+    val q = Knn.queryVector(emb, 0L)
+    // The probed-centroid join side is broadcast, so the postings scan
+    // stays the streamed side with partition filters applicable.
+    val p = physical(Ivf.search(postings, cents, q, 2, 20))
+    assert(p.contains("BroadcastExchange"), s"probed centroids not broadcast:\n$p")
+  }
+
+  test("events rollup aggregates with a partial (map-side) stage") {
+    val p = physical(Events.rollup(Tables.events(spark, sf0001)))
+    assert(p.contains("partial"), s"no partial aggregation stage:\n$p")
+  }
+
+  test("shingleRows is shuffle-free (narrow map + generate)") {
+    val p = physical(Dedup.shingleRows(docs, 3))
+    assert(!p.contains("Exchange"), s"unexpected shuffle in shingleRows:\n$p")
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+/** Every driver-contract query runs and returns rows at sf0.001 — the
+  * same smoke the driver applies to `SparkEntry.entry`. */
+class SmokeSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has an oracle or a documented rows-only check") {
+    val rowsOnly = Set("q02_metadata", "q10_index_roundtrip", "q18_multimodal")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"oracle SQL without a query: $stale")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name returns rows at sf0.001") {
+      assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")
+    }
+  }
+}
