@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming twins of the batch event analytics
+  * (graft.operators.Events) — same aggregation logic declared over a
+  * `readStream` source (SURVEY.md §2 row 17).
+  *
+  * Scale shape: the hourly rollup is a watermarked tumbling-window agg —
+  * state is bounded to windows newer than the watermark, partial
+  * aggregation applies before the exchange exactly as in batch.
+  * Sessionization keeps explicit per-user state via
+  * `flatMapGroupsWithState`; state is one (lastTs, seq) pair per user,
+  * shuffled once on user_id.
+  */
+object EventsStream {
+
+  /** Hourly tumbling-window rollup per event_type. Shared shape with
+    * Events.rollup; distinct-user counting is approximate here because
+    * exact distinct aggregation is unsupported over unbounded streams. */
+  def rollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("sum_value"),
+        round(avg("value"), 6).as("avg_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+
+  /** Open a parquet directory as a stream with watermarked event time. */
+  def readEvents(spark: SparkSession, path: String, watermark: String = "2 hours"): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path).withWatermark("ts", watermark)
+  }
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(lastTsMs: Long, seq: Long)
+  case class Session(user_id: Long, session_seq: Long, n_events: Long, sum_value: Double)
+
+  /** Per-user sessionization with explicit state: events within
+    * `gapMinutes` of the previous event share a session. Each batch
+    * emits the sessions it completed or extended (Update semantics);
+    * state carries only (last event time, session counter) per user. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            val seq = if (st.lastTsMs == Long.MinValue || t - st.lastTsMs > gapMs) st.seq + 1 else st.seq
+            st = SessionState(t, seq)
+            val (n, s) = out.getOrElse(seq, (0L, 0.0))
+            out(seq) = (n + 1, s + e.value)
+          }
+          state.update(st)
+          out.toSeq.sortBy(_._1).map { case (seq, (n, s)) => Session(userId, seq, n, s) }.iterator
+      }
+  }
+}
