@@ -237,7 +237,7 @@ object OracleSql {
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  round(sum(value), 6) AS sum_value,
-        |  round(avg(value), 6) AS avg_value,
+        |  round(round(sum(value), 6) / count(*), 6) AS avg_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, hour""".stripMargin,

@@ -24,8 +24,14 @@ object Events {
       .agg(
         count(lit(1)).as("n_events"),
         round(sum("value"), 6).as("sum_value"),
-        round(avg("value"), 6).as("avg_value"),
         countDistinct("user_id").as("n_users"))
+      // avg derived from the ROUNDED sum: engines disagree on raw-double
+      // avg at exact 6-dp ties (sum/count = x.xxxxxx5) because their
+      // accumulation orders differ; dividing the identical rounded sum
+      // makes the quotient bit-identical everywhere (SURVEY.md §6).
+      .withColumn("avg_value", round(col("sum_value") / col("n_events"), 6))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("sum_value"), col("avg_value"), col("n_users"))
       .orderBy("event_type", "hour")
 
   /** Sessionize: split each user's event stream at gaps > `gapMinutes`,

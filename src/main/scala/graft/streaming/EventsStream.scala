@@ -26,8 +26,9 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 6).as("sum_value"),
-        round(avg("value"), 6).as("avg_value"))
+        round(sum("value"), 6).as("sum_value"))
+      // avg from the rounded sum — see Events.rollup for why.
+      .withColumn("avg_value", round(col("sum_value") / col("n_events"), 6))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
