@@ -44,6 +44,12 @@ def mat_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 fails = []
+# A query that THREW in Verify leaves no result dir — that must fail the
+# gate, not silently drop out of the loop.
+for name in sorted(oracle):
+    if not os.path.isdir(os.path.join(out_dir, name)):
+        print(f"{name:24s} NO RESULT DIR (query failed in Verify)")
+        fails.append(name)
 for name in sorted(os.listdir(out_dir)):
     path = os.path.join(out_dir, name)
     if not os.path.isdir(path):

@@ -3,9 +3,14 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns as pure Column
-  * expressions (`zip_with`/`aggregate`/`transform`) — whole-stage
-  * codegen'd, no UDFs, no row-by-row driver work.
+/** Vector math over `array<float>` embedding columns.
+  *
+  * The hot kernels (`dot`, `l2Sq`) are native codegen'd Catalyst
+  * expressions ([[DotProduct]]/[[L2Squared]]) — a tight Java loop inside
+  * whole-stage codegen. The equivalent higher-order-function
+  * formulations are kept as `*Hof` for differential tests: HOFs are
+  * CodegenFallback (interpreted), which costs ~3× on similarity joins
+  * that evaluate millions of pairs.
   *
   * Replaces the reference's scalar loops (reference Program.cs:87 cast,
   * HNSW.Net DotProductDistance at Program.cs:207-227): at 100 TB the
@@ -21,15 +26,23 @@ object VectorFunctions {
     * Program.cs:87, direction reversed). */
   def toDoubleArray(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Dot product, double accumulation, left-to-right. */
-  def dot(a: Column, b: Column): Column =
+  import org.apache.spark.sql.graftbridge.SqlBridge.{column => toCol, expression => expr}
+
+  /** Dot product, double accumulation, left-to-right (codegen'd). */
+  def dot(a: Column, b: Column): Column = toCol(DotProduct(expr(a), expr(b)))
+
+  /** Squared L2 distance (codegen'd). */
+  def l2Sq(a: Column, b: Column): Column = toCol(L2Squared(expr(a), expr(b)))
+
+  /** Interpreted HOF twin of [[dot]] — differential-test baseline. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Squared L2 distance. */
-  def l2Sq(a: Column, b: Column): Column =
+  /** Interpreted HOF twin of [[l2Sq]] — differential-test baseline. */
+  def l2SqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")
