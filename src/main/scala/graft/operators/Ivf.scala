@@ -57,6 +57,31 @@ object Ivf {
   def build(vectors: DataFrame, step: Int): DataFrame =
     assign(vectors, centroids(vectors, step)).orderBy("vec_id")
 
+  /** Lloyd k-means refinement of an initial centroid set: `iters` rounds
+    * of nearest-centroid assignment followed by per-centroid mean.
+    *
+    * Scale shape per round: assignment is the same map-only broadcast
+    * join as [[assign]]; the mean is a posexplode to (centroid, dim)
+    * keys with map-side partial aggregation, so the exchange carries at
+    * most partitions × k × d partial states — never n × d rows. Clusters
+    * that lose every vector drop out (standard empty-cluster handling),
+    * so the result may have fewer centroids than the input. */
+  def refineCentroids(vectors: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val assigned = assign(vectors, cents)
+        .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos").agg(avg("v").as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), _.getField("m").cast("float")).as("c_emb"))
+    }
+    cents
+  }
+
   /** Persist the index: posting lists partitioned by centroid_id +
     * a centroids table (the serialized "graph"). */
   def save(vectors: DataFrame, step: Int, path: String): Unit = {

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.sum
 import graft.operators.{Ivf, Knn}
 
 /** IVF approximate search quality + index persistence roundtrip. */
@@ -16,6 +17,28 @@ class IvfSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val recall = (exact intersect approx).size.toDouble / K
     assert(recall >= 0.9, s"recall@$K = $recall (exact=$exact approx=$approx)")
+  }
+
+  test("Lloyd refinement keeps recall@20 >= 0.9 and tightens assignments") {
+    val q = Knn.queryVector(emb, QueryVecId)
+    val init = Ivf.centroids(emb, IvfStep)
+    val refined = Ivf.refineCentroids(emb, init, iters = 2)
+    assert(refined.count() > 0 && refined.count() <= init.count())
+    val exact = Knn.topKDot(emb, q, K).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // Refined centroids re-shape cells, so the neighborhood can spread
+    // over more of them; recall at a fixed nprobe is not monotone in
+    // refinement. Probe 2× to hold the quality bar.
+    val approx = Ivf.search(
+      Ivf.assign(emb, refined).join(emb.select("vec_id", "embedding"), "vec_id"),
+      refined, q, NProbe * 2, K).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / K
+    assert(recall >= 0.9, s"refined recall@$K (nprobe=${NProbe * 2}) = $recall")
+    // Refinement must not increase total within-cluster distance.
+    def cost(c: org.apache.spark.sql.DataFrame): Double =
+      Ivf.assign(emb, c).agg(sum("dist")).collect().head.getDouble(0)
+    assert(cost(refined) <= cost(init))
   }
 
   test("persisted index roundtrips: postings cover every vector exactly once") {
