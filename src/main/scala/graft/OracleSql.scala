@@ -196,6 +196,27 @@ object OracleSql {
          |WHERE round(${cosine("l.embedding", "r.embedding")}, 6) >= $CosineThreshold
          |ORDER BY a, b""".stripMargin,
 
+    "q15b_cosine_lsh" -> {
+      val planes = graft.operators.Dedup.hyperplanes(NPlanes, 64)
+      // Dyadic k/1024 components → BigDecimal prints the exact double.
+      def arr(h: Seq[Double]) =
+        h.map(v => BigDecimal(v).underlying.toPlainString).mkString("[", ", ", "]::DOUBLE[]")
+      val bucket = planes.zipWithIndex.map { case (h, j) =>
+        s"(CASE WHEN ${dotd("embedding", arr(h))} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH bucketed AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotd("embedding", "embedding")}) AS nrm,
+         |    CAST($bucket AS BIGINT) AS bucket
+         |  FROM embeddings)
+         |SELECT l.vec_id AS a, r.vec_id AS b, l.bucket AS bucket,
+         |  round(${dotd("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6) AS cos
+         |FROM bucketed l JOIN bucketed r
+         |  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |WHERE round(${dotd("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6) >= $CosineThreshold
+         |ORDER BY a, b""".stripMargin
+    },
+
     "q16_quality_score" ->
       s"""SELECT doc_id, n_chars,
          |  CAST(len(${toks()}) AS INT) AS n_tokens,
@@ -259,6 +280,59 @@ object OracleSql {
          |  FROM flagged)
          |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
          |  CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value
-         |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+         |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q19_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |views AS (
+        |  SELECT user_id, ts, max(value) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  round(p.value, 6) AS value,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  round(v.view_value, 6) AS view_value,
+        |  date_diff('second', v.ts, p.ts) AS secs_since_view
+        |FROM purchases p
+        |ASOF JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q20_pricing_summary" ->
+      """WITH priced AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS disc_price,
+        |    CAST(l_tax AS DECIMAL(12,2)) AS tax
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+        |charged AS (
+        |  SELECT *, disc_price * (CAST(1 AS DECIMAL(12,2)) + tax) AS charge FROM priced),
+        |aggd AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    round(CAST(sum(qty) AS DOUBLE), 6) AS sum_qty,
+        |    round(CAST(sum(price) AS DOUBLE), 6) AS sum_base_price,
+        |    round(CAST(sum(disc_price) AS DOUBLE), 6) AS sum_disc_price,
+        |    round(CAST(sum(charge) AS DOUBLE), 6) AS sum_charge,
+        |    CAST(count(*) AS BIGINT) AS count_order
+        |  FROM charged GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+        |  sum_charge, count_order,
+        |  round(sum_qty / count_order, 6) AS avg_qty,
+        |  round(sum_base_price / count_order, 6) AS avg_price
+        |FROM aggd ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q21_revenue_by_nation" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
   )
 }

@@ -25,6 +25,7 @@ object SparkEntry {
     val MinEstJaccard = 0.5
     val CosineThreshold = 0.15
     val SessionGapMin = 30
+    val NPlanes = 8
   }
   import Params._
 
@@ -71,12 +72,17 @@ object SparkEntry {
     "q14b_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q14c_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), ShingleK)),
     "q15_cosine_pairs" -> ((s, d) => Dedup.cosinePairs(Tables.embeddings(s, d), CosineThreshold)),
+    "q15b_cosine_lsh" -> ((s, d) => Dedup.cosineLsh(Tables.embeddings(s, d), NPlanes, CosineThreshold)),
     "q16_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q16b_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q16c_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q17_events_rollup" -> ((s, d) => Events.rollup(Tables.events(s, d))),
     "q17b_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d), SessionGapMin)),
-    "q18_multimodal" -> ((s, d) => graft.multimodal.Multimodal.featurePipeline(s, Tables.documents(s, d)))
+    "q18_multimodal" -> ((s, d) => graft.multimodal.Multimodal.featurePipeline(s, Tables.documents(s, d))),
+    "q19_asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
+    "q20_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
+    "q21_revenue_by_nation" -> ((s, d) => Analytics.revenueByNation(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d)))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q10,

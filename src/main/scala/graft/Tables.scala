@@ -31,4 +31,6 @@ object Tables {
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
 }

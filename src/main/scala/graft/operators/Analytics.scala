@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-shaped tables — the generic
+  * OLAP surface of the engine (scan → filter-pushdown → join → partial
+  * agg → top-n), exercised on lineitem/orders/customer/nation.
+  *
+  * Float determinism (SURVEY.md §6): money sums run over DECIMAL(12,2)
+  * — double sums of ~1e8 magnitude carry absolute error far above the
+  * 6-dp oracle hash, and accumulation order differs per engine. Decimal
+  * aggregation is exact in both Spark and DuckDB; the exact sum casts
+  * to an identical double on both sides. decimal(12,2) products stay
+  * within precision 38, so Spark never truncates scale.
+  */
+object Analytics {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private val one = lit(1).cast("decimal(12,2)")
+
+  /** TPC-H Q1-shape pricing summary: codegen'd arithmetic, map-side
+    * partial agg on a 4-value group key, shipdate filter pushed to the
+    * parquet scan. */
+  def pricingSummary(lineitem: DataFrame, shipBefore: String = "1998-09-02"): DataFrame = {
+    val discPrice = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    val charge = discPrice * (one + dec(col("l_tax")))
+    lineitem
+      .filter(col("l_shipdate") <= lit(shipBefore))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(dec(col("l_quantity"))).cast("double"), 6).as("sum_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double"), 6).as("sum_base_price"),
+        round(sum(discPrice).cast("double"), 6).as("sum_disc_price"),
+        round(sum(charge).cast("double"), 6).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price", round(col("sum_base_price") / col("count_order"), 6))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Revenue per nation since a date (TPC-H Q5 shape): lineitem⋈orders
+    * shuffle join on the fact keys, nation broadcast (a true dimension —
+    * 25 rows at any scale), orderdate filter pushed down. Customer joins
+    * by shuffle: it grows with SF, so it must NOT be broadcast. */
+  def revenueByNation(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, since: String = "1995-01-01"): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit(since)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(rev).cast("double"), 6).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+}

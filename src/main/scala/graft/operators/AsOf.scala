@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join — an operator Spark has no native
+  * form of, composed from existing ops per SURVEY.md §4 preference (a):
+  * no range join, no cross join, no custom physical operator needed.
+  *
+  * For each left row, find the right row with the greatest
+  * `ts <= left.ts` within the same key group (DuckDB/kdb ASOF JOIN
+  * semantics, `ON l.key = r.key AND l.ts >= r.ts`).
+  *
+  * Implementation: union both sides (right rows carry their payload in
+  * one struct so a match is always a CONSISTENT right row, never a
+  * column-wise mix), then a running `last(ignoreNulls)` over a
+  * (key, ts, side) window — right rows order before left rows at equal
+  * ts, giving the `>=` bound. One shuffle on the key columns; window
+  * state is a single struct per group. At 100 TB this is the same
+  * sort-merge shape as sessionization; skewed keys split via AQE.
+  */
+object AsOf {
+
+  /** Generic as-of join. `rightCols` are carried from the matched right
+    * row as `asof_<name>`; the matched right timestamp arrives as
+    * `asof_ts` (NULL when no right row precedes the left row). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val payload = struct(col(tsCol).as("ts") +: rightCols.map(col): _*)
+    val r = right.select(keys.map(col) :+ col(tsCol) :+ payload.as("__asof"): _*)
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__asof", lit(null).cast(r.schema("__asof").dataType))
+      .withColumn("__side", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__match", last(col("__asof"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .drop("__asof", "__side")
+      .withColumn("asof_ts", col("__match.ts"))
+      .withColumns(rightCols.map(c => s"asof_$c" -> col(s"__match.$c")).toMap)
+      .drop("__match")
+  }
+
+  /** q19: purchase→view attribution — each purchase joined as-of to the
+    * user's most recent view at-or-before the purchase. Right side is
+    * pre-deduplicated per (user_id, ts) so ties are deterministic in
+    * every engine. Inner semantics (unattributed purchases dropped). */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    def secs(c: Column) = c.cast("timestamp").cast("long")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = events.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+    asofJoin(purchases, views, Seq("user_id"), "ts", Seq("view_value"))
+      .where(col("asof_ts").isNotNull)
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        round(col("value"), 6).as("value"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        round(col("asof_view_value"), 6).as("view_value"),
+        (secs(col("ts")) - secs(col("asof_ts"))).as("secs_since_view"))
+      .orderBy("event_id")
+  }
+}

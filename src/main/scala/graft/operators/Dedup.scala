@@ -167,6 +167,53 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Deterministic pseudo-random hyperplane for sign-LSH: component t of
+    * the flattened (plane, dim) index via an LCG, quantized to dyadic
+    * rationals k/1024 ∈ [-1, 1) so the decimal literal round-trips to the
+    * exact same double in every engine (the oracle SQL embeds these as
+    * literals). */
+  def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { i =>
+        val t = j.toLong * dim + i
+        val v = (1664525L * t + 1013904223L) % 4294967296L
+        ((v % 2048L) - 1024L).toDouble / 1024.0
+      }
+    }
+
+  /** Sign-LSH bucket id: bit j set when dot(v, hyperplane_j) >= 0.
+    * Random-hyperplane LSH preserves cosine similarity (collision
+    * probability 1 − θ/π per bit). */
+  def lshBucket(emb: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (h, j) =>
+      when(dot(emb, array(h.map(lit): _*)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-dup via sign-LSH buckets — the 100 TB path
+    * for q15's capability WITHOUT any label blocking key: bucket on
+    * hyperplane signs (map-only), equi-join on the bucket, exact cosine
+    * verify inside buckets only. Near-identical vectors share all sign
+    * bits, so true near-dups collide; the bucket count (2^nPlanes) caps
+    * per-bucket pair fan-out. */
+  def cosineLsh(vectors: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val withBucket = vectors.select(
+      col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val l = withBucket.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = withBucket.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("a") < col("b"))
+      .withColumn("cos",
+        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("bucket"), col("cos"))
+      .orderBy("a", "b")
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (label):
     * equi-join on the block, cosine in codegen, threshold filter. The
     * blocking key bounds each bucket; AQE skew-join splits outliers. */

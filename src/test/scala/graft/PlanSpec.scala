@@ -68,6 +68,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), s"no partial aggregation stage:\n$p")
   }
 
+  test("as-of join and LSH cosine have no CartesianProduct") {
+    val asof = physical(AsOf.purchaseAttribution(Tables.events(spark, sf0001)))
+    assert(!asof.contains("CartesianProduct"), s"asof:\n$asof")
+    val lsh = physical(Dedup.cosineLsh(emb, 8, 0.15))
+    assert(!lsh.contains("CartesianProduct"), s"lsh:\n$lsh")
+  }
+
+  test("revenue-by-nation broadcasts the nation dimension and pushes the date filter") {
+    val df = Analytics.revenueByNation(
+      Tables.lineitem(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.customer(spark, sf0001), Tables.nation(spark, sf0001))
+    val p = physical(df)
+    assert(p.contains("BroadcastHashJoin"), s"nation not broadcast:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate.*"),
+      s"orderdate filter not pushed:\n$p")
+  }
+
+  test("pricing summary pushes the shipdate filter into the lineitem scan") {
+    val p = physical(Analytics.pricingSummary(Tables.lineitem(spark, sf0001)))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThanOrEqual\\(l_shipdate.*"),
+      s"shipdate filter not pushed:\n$p")
+  }
+
   test("shingleRows is shuffle-free (narrow map + generate)") {
     val p = physical(Dedup.shingleRows(docs, 3))
     assert(!p.contains("Exchange"), s"unexpected shuffle in shingleRows:\n$p")
