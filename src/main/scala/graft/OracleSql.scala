@@ -197,23 +197,32 @@ object OracleSql {
          |ORDER BY a, b""".stripMargin,
 
     "q15b_cosine_lsh" -> {
-      val planes = graft.operators.Dedup.hyperplanes(NPlanes, 64)
+      val all = graft.operators.Dedup.hyperplanes(NPlanes * NTables, 64)
       // Dyadic k/1024 components → BigDecimal prints the exact double.
       def arr(h: Seq[Double]) =
         h.map(v => BigDecimal(v).underlying.toPlainString).mkString("[", ", ", "]::DOUBLE[]")
-      val bucket = planes.zipWithIndex.map { case (h, j) =>
-        s"(CASE WHEN ${dotd("embedding", arr(h))} >= 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+      def bucket(t: Int) =
+        all.slice(t * NPlanes, (t + 1) * NPlanes).zipWithIndex.map { case (h, j) =>
+          s"(CASE WHEN ${dotd("embedding", arr(h))} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      val bucketCols = (0 until NTables).map(t => s"CAST(${bucket(t)} AS BIGINT) AS b$t").mkString(",\n    ")
+      val unions = (0 until NTables).map(t =>
+        s"SELECT l.vec_id AS a, r.vec_id AS b FROM bucketed l JOIN bucketed r ON l.b$t = r.b$t AND l.vec_id < r.vec_id")
+        .mkString("\n  UNION\n  ")
       s"""WITH bucketed AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(${dotd("embedding", "embedding")}) AS nrm,
-         |    CAST($bucket AS BIGINT) AS bucket
-         |  FROM embeddings)
-         |SELECT l.vec_id AS a, r.vec_id AS b, l.bucket AS bucket,
-         |  round(${dotd("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6) AS cos
-         |FROM bucketed l JOIN bucketed r
-         |  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-         |WHERE round(${dotd("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6) >= $CosineThreshold
+         |  SELECT vec_id,
+         |    $bucketCols
+         |  FROM embeddings),
+         |cand AS (
+         |  $unions),
+         |normed AS (
+         |  SELECT vec_id, embedding, sqrt(${dotd("embedding", "embedding")}) AS nrm FROM embeddings)
+         |SELECT c.a, c.b,
+         |  round(${dotd("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) AS cos
+         |FROM cand c
+         |JOIN normed va ON va.vec_id = c.a
+         |JOIN normed vb ON vb.vec_id = c.b
+         |WHERE round(${dotd("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) >= $CosineThreshold
          |ORDER BY a, b""".stripMargin
     },
 

@@ -26,6 +26,7 @@ object SparkEntry {
     val CosineThreshold = 0.15
     val SessionGapMin = 30
     val NPlanes = 8
+    val NTables = 4
   }
   import Params._
 
@@ -72,7 +73,8 @@ object SparkEntry {
     "q14b_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q14c_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), ShingleK)),
     "q15_cosine_pairs" -> ((s, d) => Dedup.cosinePairs(Tables.embeddings(s, d), CosineThreshold)),
-    "q15b_cosine_lsh" -> ((s, d) => Dedup.cosineLsh(Tables.embeddings(s, d), NPlanes, CosineThreshold)),
+    "q15b_cosine_lsh" -> ((s, d) =>
+      Dedup.cosineLsh(Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold)),
     "q16_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q16b_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q16c_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(Tables.documents(s, d))),

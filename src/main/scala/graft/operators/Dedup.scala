@@ -189,28 +189,41 @@ object Dedup {
       when(dot(emb, array(h.map(lit): _*)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Embedding-cosine near-dup via sign-LSH buckets — the 100 TB path
-    * for q15's capability WITHOUT any label blocking key: bucket on
-    * hyperplane signs (map-only), equi-join on the bucket, exact cosine
-    * verify inside buckets only. Near-identical vectors share all sign
-    * bits, so true near-dups collide; the bucket count (2^nPlanes) caps
-    * per-bucket pair fan-out. */
-  def cosineLsh(vectors: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {
-    val planes = hyperplanes(nPlanes, 64)
-    val withBucket = vectors.select(
-      col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
-      lshBucket(col("embedding"), planes).as("bucket"))
-    val l = withBucket.select(col("bucket"), col("vec_id").as("a"),
-      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val r = withBucket.select(col("bucket"), col("vec_id").as("b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    l.join(r, Seq("bucket"))
-      .where(col("a") < col("b"))
+  /** Embedding-cosine near-dup via multi-table sign-LSH — the 100 TB
+    * path for q15's capability WITHOUT any label blocking key.
+    *
+    * Amplification: `nTables` independent hash tables of `nPlanes` sign
+    * bits each. A pair is a candidate when it collides in ANY table
+    * (P[candidate] = 1 − (1 − p^k)^L with p = 1 − θ/π), which rescues
+    * the recall a single k-bit table throws away. Pipeline: bucket ids
+    * are a narrow map; per-table bucket equi-joins produce (a, b)
+    * candidates; union + distinct dedups across tables; exact cosine
+    * verification runs once per surviving pair after joining the
+    * embeddings back by id — candidate pairs never drag the arrays
+    * through the union/distinct shuffle. */
+  def cosineLsh(vectors: DataFrame, nPlanes: Int, nTables: Int, threshold: Double,
+                dim: Int = 64): DataFrame = {
+    val all = hyperplanes(nPlanes * nTables, dim)
+    val bucketCols = (0 until nTables).map { t =>
+      lshBucket(col("embedding"), all.slice(t * nPlanes, (t + 1) * nPlanes)).as(s"b$t")
+    }
+    val withB = vectors.select(col("vec_id") +: bucketCols: _*)
+    val cand = (0 until nTables).map { t =>
+      val l = withB.select(col(s"b$t").as("bk"), col("vec_id").as("a"))
+      val r = withB.select(col(s"b$t").as("bk"), col("vec_id").as("b"))
+      l.join(r, "bk").where(col("a") < col("b")).select("a", "b")
+    }.reduce(_ union _).distinct()
+    val withNorm = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    cand
+      .join(withNorm.select(col("vec_id").as("a"), col("embedding").as("emb_a"),
+        col("nrm").as("nrm_a")), "a")
+      .join(withNorm.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
+        col("nrm").as("nrm_b")), "b")
       .withColumn("cos",
         round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
       .where(col("cos") >= threshold)
-      .select(col("a"), col("b"), col("bucket"), col("cos"))
+      .select(col("a"), col("b"), col("cos"))
       .orderBy("a", "b")
   }
 

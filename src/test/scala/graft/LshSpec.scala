@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.VectorFunctions
+
+/** Quality guarantees of the multi-table sign-LSH near-dup operator on
+  * constructed data with known ground truth. */
+class LshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 64
+
+  /** 100 random unit vectors + a perturbed near-dup for 30 of them.
+    * σ=0.02 per component → ‖noise‖≈0.16 → cos ≈ 0.987; at 8 bits ×
+    * 4 tables the expected pair-collision probability is ≈0.99.
+    * Deterministic seed. */
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0 until 100).map(i => (i.toLong, unit()))
+    val dups = (0 until 30).map { i =>
+      val src = base(i)._2
+      val noisy = src.map(x => x + (rnd.nextGaussian() * 0.02).toFloat)
+      val n = math.sqrt(noisy.map(x => x * x.toDouble).sum)
+      (1000L + i, noisy.map(x => (x / n).toFloat))
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("multi-table LSH finds >= 80% of planted near-dup pairs") {
+    val found = Dedup.cosineLsh(corpus, nPlanes = 8, nTables = 4, threshold = 0.9, dim = dim)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 30).map(i => (i.toLong, 1000L + i)).toSet
+    val recall = (planted intersect found).size.toDouble / planted.size
+    assert(recall >= 0.8, s"recall = $recall over ${planted.size} planted pairs")
+  }
+
+  test("every reported pair really exceeds the threshold (no false positives)") {
+    val rows = Dedup.cosineLsh(corpus, 8, 4, 0.9, dim).collect()
+    assert(rows.nonEmpty)
+    // Recompute cosine exactly for each reported pair.
+    val byId = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { r =>
+      val (a, b, cos) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (va, vb) = (byId(a), byId(b))
+      val d = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val exact = d / (math.sqrt(va.map(x => x.toDouble * x).sum) * math.sqrt(vb.map(x => x.toDouble * x).sum))
+      assert(math.abs(exact - cos) < 1e-5, s"pair ($a,$b): reported $cos vs exact $exact")
+      assert(cos >= 0.9)
+    }
+  }
+
+  test("single-table vs multi-table: amplification strictly widens the candidate set") {
+    val single = Dedup.cosineLsh(corpus, 8, 1, 0.9, dim).count()
+    val multi = Dedup.cosineLsh(corpus, 8, 4, 0.9, dim).count()
+    assert(multi >= single)
+  }
+
+  test("LSH output is a subset of the exact blocked pair set by value") {
+    // Exact pairs via the norms-precomputed formulation on a single
+    // block (test-only cross join is acceptable at 130 rows).
+    val exact = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        VectorFunctions.norm(col("embedding")).as("na"))
+      .crossJoin(corpus.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        VectorFunctions.norm(col("embedding")).as("nb")))
+      .where(col("a") < col("b"))
+      .withColumn("cos", round(VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .where(col("cos") >= 0.9)
+      .select("a", "b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.cosineLsh(corpus, 8, 4, 0.9, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(exact), s"LSH reported pairs not in exact set: ${lsh -- exact}")
+  }
+}

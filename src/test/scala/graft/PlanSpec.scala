@@ -71,7 +71,7 @@ class PlanSpec extends SparkSpec {
   test("as-of join and LSH cosine have no CartesianProduct") {
     val asof = physical(AsOf.purchaseAttribution(Tables.events(spark, sf0001)))
     assert(!asof.contains("CartesianProduct"), s"asof:\n$asof")
-    val lsh = physical(Dedup.cosineLsh(emb, 8, 0.15))
+    val lsh = physical(Dedup.cosineLsh(emb, 8, 4, 0.15))
     assert(!lsh.contains("CartesianProduct"), s"lsh:\n$lsh")
   }
 
