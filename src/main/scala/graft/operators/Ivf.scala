@@ -88,6 +88,11 @@ object Ivf {
     val cents = centroids(vectors, step)
     assign(vectors, cents)
       .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+      // Cluster rows by centroid before the partitioned write: without
+      // this every task writes a sliver into every centroid dir —
+      // tasks × centroids small files (the classic partitionBy
+      // anti-pattern). After it, each centroid dir gets one file.
+      .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/postings")
     cents.write.mode("overwrite").parquet(s"$path/centroids")

@@ -68,21 +68,25 @@ object TextAnalysis {
     * stopword hits and pick the argmax (deterministic tiebreak on
     * language code). Expressible as a CASE cascade, so oracle-checkable. */
   def langId(docs: DataFrame): DataFrame = {
+    // Tokenize ONCE into a column; the four per-language counts then
+    // filter a cheap attribute instead of re-running lower+regex-split
+    // per language (4× the scan's heaviest expression otherwise).
     def hits(words: Seq[String]): Column =
-      size(filter(tokens(lower(col("text"))), t => t.isin(words: _*)))
+      size(filter(col("__toks"), t => t.isin(words: _*)))
     val en = hits(Seq("the", "and", "of", "to", "is"))
     val es = hits(Seq("el", "la", "de", "que", "y"))
     val fr = hits(Seq("le", "la", "de", "et", "les"))
     val de = hits(Seq("der", "die", "und", "das", "ist"))
     val best = greatest(en, es, fr, de)
-    docs.select(
-      col("doc_id"),
-      col("lang"),
-      when(best === 0, "und")
-        .when(de === best, "de")
-        .when(en === best, "en")
-        .when(es === best, "es")
-        .otherwise("fr").as("lang_pred"))
+    docs.select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("__toks"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        when(best === 0, "und")
+          .when(de === best, "de")
+          .when(en === best, "en")
+          .when(es === best, "es")
+          .otherwise("fr").as("lang_pred"))
       .orderBy("doc_id")
   }
 

@@ -39,6 +39,13 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(path).withWatermark("ts", watermark)
   }
 
+  /** Streaming exact dedup twin of Dedup.exact: drop rows whose key was
+    * already seen within the watermark horizon. State is bounded — keys
+    * older than the watermark are evicted, which is the only dedup
+    * contract that survives an unbounded stream. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(lastTsMs: Long, seq: Long)
   case class Session(user_id: Long, session_seq: Long, n_events: Long, sum_value: Double)

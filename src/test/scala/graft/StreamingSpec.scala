@@ -33,6 +33,19 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streaming dedup drops duplicates within the watermark") {
+    val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft_events_dup_src"
+    val events = Tables.events(spark, sf0001)
+    events.union(events).coalesce(1).write.mode("overwrite").parquet(dupDir)
+    val deduped = EventsStream.dedupEvents(
+      spark.readStream.schema(spark.read.parquet(dupDir).schema).parquet(dupDir))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_sink").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_sink").count() === events.count())
+  }
+
   test("stateful streaming sessionization matches the batch sessionize") {
     import spark.implicits._
     val events = spark.readStream
