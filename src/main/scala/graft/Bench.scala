@@ -32,16 +32,28 @@ object Bench {
       case "events" => Tables.events(spark, sfDir).count() // nanos-ts handling
       case t        => Tables.load(spark, sfDir, t).count()
     }
+    // Best-of-N per query (default 2): single-shot timings swing ±50%
+    // from JIT/GC/page-cache noise in a shared JVM; the minimum is the
+    // standard stable estimator.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     var failed = List.empty[String]
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) {
+              failed ::= name
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            }
+            None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
