@@ -83,6 +83,46 @@ object Multimodal {
     }
   }
 
+  /** Resize: metadata-transforming payload op. The byte transform is a
+    * STUB (deterministic truncation/padding standing in for a pixel
+    * resample); the real content — schema preservation, narrow map, new
+    * dimensions flowing through metadata — is what a production decode
+    * swap inherits. */
+  def resize(spark: SparkSession, media: DataFrame, newW: Int, newH: Int): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      // real impl: per-partition codec context, then per-row resample
+      rows.map { r =>
+        val targetLen = math.max(1, (r.payload.length.toLong * (newW.toLong * newH) /
+          math.max(r.width.toLong * r.height, 1L)).toInt)
+        val out = java.util.Arrays.copyOf(r.payload, targetLen)
+        r.copy(width = newW, height = newH, payload = out)
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling: one video row → every-nth-frame rows. The frame
+    * split is a STUB (fixed-size payload chunks standing in for
+    * container demux); the real content is the generator shape — a
+    * narrow per-row explode whose output count is payload-proportional,
+    * never a shuffle. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, everyNth: Int,
+                   frameBytes: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .filter((r: MediaRecord) => r.media_type == "video")
+      .flatMap { r =>
+        val nFrames = math.max(r.payload.length / frameBytes, 1)
+        (0 until nFrames by everyNth).map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          (r.doc_id, f, until - from,
+            java.util.Arrays.copyOfRange(r.payload, from, math.max(until, from)))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_bytes", "frame")
+  }
+
   /** End-to-end pipeline for the q18 rows-only check: media synthesis →
     * batch featurize → per-media-type rollup (deterministic output). */
   def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {

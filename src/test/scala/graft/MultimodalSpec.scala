@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: schema, partition-safe batch shape, and the
+  * metadata contracts a real decoder swap must preserve. */
+class MultimodalSpec extends SparkSpec {
+
+  private def media = Multimodal.toMediaTable(Tables.documents(spark, sf0001))
+
+  test("media table schema: binary payload + typed metadata") {
+    val s = media.schema
+    assert(s("payload").dataType.typeName === "binary")
+    assert(Seq("doc_id", "media_type", "format", "width", "height")
+      .forall(s.fieldNames.contains))
+  }
+
+  test("feature extraction emits fixed-width vectors, one row per input") {
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.count() === media.count())
+    val dims = feats.select(size(col("feature")).as("d")).distinct().collect()
+    assert(dims.map(_.getInt(0)).toSeq === Seq(Multimodal.FeatureDim))
+  }
+
+  test("resize updates dimensions and scales payload proportionally") {
+    val resized = Multimodal.resize(spark, media, 32, 32)
+    assert(resized.count() === media.count())
+    val dims = resized.select("width", "height").distinct().collect()
+    assert(dims.length === 1 && dims.head.getInt(0) === 32 && dims.head.getInt(1) === 32)
+    // Payload must shrink when the target raster is smaller than source.
+    val shrunk = resized.select(sum(length(col("payload")))).collect().head.getLong(0)
+    val orig = media.select(sum(length(col("payload")))).collect().head.getLong(0)
+    assert(shrunk < orig)
+  }
+
+  test("frame sampling explodes only videos, every nth frame, payload-bounded") {
+    val frames = Multimodal.sampleFrames(spark, media, everyNth = 2)
+    assert(frames.count() > 0)
+    val nVideos = media.where(col("media_type") === "video").count()
+    assert(frames.select("doc_id").distinct().count() === nVideos)
+    // frame indices step by 2 starting at 0
+    val idx = frames.select("frame_idx").distinct().collect().map(_.getInt(0))
+    assert(idx.forall(_ % 2 == 0))
+    val maxBytes = frames.select(max(length(col("frame")))).collect().head.getInt(0)
+    assert(maxBytes <= 64)
+  }
+}
