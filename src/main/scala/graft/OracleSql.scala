@@ -342,6 +342,33 @@ object OracleSql {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q22_top_docs_per_group" ->
+      s"""SELECT lang, source, rnk, doc_id, n_chars FROM (
+         |  SELECT lang, source, doc_id, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= $TopKPerGroup ORDER BY lang, source, rnk""".stripMargin,
+
+    "q23_length_histogram" ->
+      s"""SELECT lang, CAST(floor(n_chars / $HistWidth) * $HistWidth AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "q24_running_value" ->
+      """SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |  round(value, 6) AS value,
+        |  round(sum(value) OVER w_cum, 6) AS cum_value,
+        |  round(avg(value) OVER w_3, 6) AS avg3_value
+        |FROM events
+        |WINDOW
+        |  w_cum AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_3 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 }

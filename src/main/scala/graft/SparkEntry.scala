@@ -27,6 +27,8 @@ object SparkEntry {
     val SessionGapMin = 30
     val NPlanes = 8
     val NTables = 4
+    val TopKPerGroup = 3
+    val HistWidth = 50
   }
   import Params._
 
@@ -84,7 +86,10 @@ object SparkEntry {
     "q19_asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
     "q20_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "q21_revenue_by_nation" -> ((s, d) => Analytics.revenueByNation(
-      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d)))
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q22_top_docs_per_group" -> ((s, d) => Analytics.topDocsPerGroup(Tables.documents(s, d), TopKPerGroup)),
+    "q23_length_histogram" -> ((s, d) => Analytics.lengthHistogram(Tables.documents(s, d), HistWidth)),
+    "q24_running_value" -> ((s, d) => Analytics.runningValue(Tables.events(s, d)))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q10,

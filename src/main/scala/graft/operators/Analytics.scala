@@ -39,6 +39,52 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Grouped top-k: the k best documents by quality proxy per
+    * (lang, source) group — rank window inside each group, filter
+    * rank <= k. The window shuffles once on the group key; with a
+    * high-cardinality group key this is the scalable form of
+    * "top-k per key" (a global sort would be wrong and a per-key
+    * collect would be worse). Deterministic tiebreak on doc_id. */
+  def topDocsPerGroup(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("lang"), col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "source", "rnk")
+  }
+
+  /** Fixed-width histogram of document lengths per language:
+    * bucket = floor(n_chars / width) * width. Pure integer binning —
+    * engine-portable, no quantile-algorithm coupling — and a single
+    * partial-agg shuffle on (lang, bucket). */
+  def lengthHistogram(docs: DataFrame, width: Int): DataFrame =
+    docs.select(col("lang"),
+        (floor(col("n_chars") / width) * width).cast("long").as("bucket"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "bucket")
+
+  /** Per-user running aggregates over the event stream: cumulative
+    * value sum and 3-event moving average, ordered by time with an
+    * event_id tiebreak (events can share a timestamp — without the
+    * tiebreak frame contents are engine-dependent). One shuffle on
+    * user_id; frames are bounded (rows-between), so state is O(frame). */
+  def runningValue(events: DataFrame): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val last3 = byUser.rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+    events.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("cum_value", round(sum("value").over(byUser), 6))
+      .withColumn("avg3_value", round(avg("value").over(last3), 6))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        round(col("value"), 6).as("value"), col("cum_value"), col("avg3_value"))
+      .orderBy("event_id")
+  }
+
   /** Revenue per nation since a date (TPC-H Q5 shape): lineitem⋈orders
     * shuffle join on the fact keys, nation broadcast (a true dimension —
     * 25 rows at any scale), orderdate filter pushed down. Customer joins
