@@ -46,10 +46,19 @@ object Analytics {
     * "top-k per key" (a global sort would be wrong and a per-key
     * collect would be worse). Deterministic tiebreak on doc_id. */
   def topDocsPerGroup(docs: DataFrame, k: Int): DataFrame = {
+    // Pre-prune through the custom GroupedTopK operator (bounded
+    // per-partition heaps BEFORE the exchange — graft.plans), then rank
+    // the ≤k survivors per group. The compound order includes the
+    // doc_id tiebreak, so the pruned set is exactly the rows the window
+    // formulation would keep; ranking them reproduces rnk = 1..k.
+    val pruned = graft.plans.GroupedTopK.topK(
+      docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      Seq(col("lang"), col("source")),
+      Seq(col("n_chars").desc, col("doc_id").asc), k)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang", "source")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
-    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    pruned
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("lang"), col("source"), col("rnk"), col("doc_id"), col("n_chars"))

@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.SqlBridge
+
+import scala.collection.mutable
+
+/** Grouped top-k as a first-class operator — SURVEY.md §4 preference
+  * (c): custom LogicalPlan + Strategy + physical operators.
+  *
+  * The composable formulation (`row_number() OVER (PARTITION BY key
+  * ORDER BY ord) <= k`) shuffles EVERY row to its key's reducer before
+  * any pruning: at 100 TB the exchange carries the full table. This
+  * operator plans as
+  *
+  *   GroupedTopKFinalExec            ⟵ exact per-key top-k
+  *     └─ Exchange (hash on key)     ⟵ inserted by EnsureRequirements
+  *        └─ GroupedTopKPartialExec  ⟵ per-partition per-key bounded heaps
+  *
+  * so the shuffle carries at most k rows per (key, upstream partition)
+  * — the same partial/final contract as aggregation, applied to top-k.
+  * Correctness: the global top-k of a key is a subset of the union of
+  * its per-partition top-ks, so partial pruning never drops a result
+  * row.
+  */
+case class GroupedTopK(groupExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
+                       child: LogicalPlan) extends UnaryNode {
+  require(k > 0)
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopK =
+    copy(child = newChild)
+}
+
+/** Shared per-key bounded-heap pass: emits at most k rows per group key
+  * from its input iterator (exact when the input holds every row of a
+  * key, partial otherwise). */
+private[plans] object TopKByKey {
+  def prune(iter: Iterator[InternalRow], groupExprs: Seq[Expression],
+            order: Seq[SortOrder], k: Int, output: Seq[Attribute]): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(groupExprs, output)
+    // "least" in this ordering = best (head of the reversed heap = worst kept)
+    val ord = new LazilyGeneratedOrdering(order, output)
+    val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+    iter.foreach { row =>
+      val key = keyProj(row)
+      val heap = heaps.getOrElseUpdate(key.copy(),
+        mutable.PriorityQueue.empty[InternalRow](ord)) // max-heap: head = worst
+      if (heap.size < k) heap.enqueue(row.copy())
+      else if (ord.compare(row, heap.head) < 0) {
+        heap.dequeue()
+        heap.enqueue(row.copy())
+      }
+    }
+    heaps.valuesIterator.flatMap(_.dequeueAll.iterator)
+  }
+}
+
+case class GroupedTopKPartialExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
+                                  k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Capture only serializable fields — the closure must not drag the
+    // SparkPlan node itself to the executors.
+    val (g, o, kk, out) = (groupExprs, order, k, output)
+    child.execute().mapPartitions(TopKByKey.prune(_, g, o, kk, out))
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKPartialExec =
+    copy(child = newChild)
+}
+
+case class GroupedTopKFinalExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
+                                k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  // EnsureRequirements inserts the hash exchange on the group key here.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, o, kk, out) = (groupExprs, order, k, output)
+    child.execute().mapPartitions(TopKByKey.prune(_, g, o, kk, out))
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKFinalExec =
+    copy(child = newChild)
+}
+
+object GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopK(g, o, k, child) =>
+      GroupedTopKFinalExec(g, o, k,
+        GroupedTopKPartialExec(g, o, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object GroupedTopK {
+  /** DataFrame-level entry: top `k` rows per `groupCols` group under
+    * the compound `orders` (e.g. `col("n_chars").desc, col("doc_id")`;
+    * include a unique tiebreak for deterministic results). Registers
+    * the planning strategy on the session idempotently. */
+  def topK(df: DataFrame, groupCols: Seq[Column], orders: Seq[Column], k: Int): DataFrame = {
+    val spark = SparkSession.active
+    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    val child = SqlBridge.analyzedPlan(df)
+    val sortOrders = orders.map(o => SqlBridge.eagerExpression(o) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    })
+    SqlBridge.ofRows(spark,
+      GroupedTopK(groupCols.map(SqlBridge.eagerExpression), sortOrders, k, child))
+  }
+}
