@@ -369,6 +369,13 @@ object OracleSql {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |  w_3 AS (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q25_doc_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang, source""".stripMargin
   )
 }

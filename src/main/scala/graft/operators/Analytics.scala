@@ -76,6 +76,19 @@ object Analytics {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "bucket")
 
+  /** Hierarchical rollup of the documents corpus over (lang, source)
+    * with grouping-set subtotals. Null grouping markers are coalesced
+    * to an 'ALL' sentinel so the output is total-order sortable and
+    * engine-portable (NULL sort position differs per engine). */
+  def docRollup(docs: DataFrame): DataFrame =
+    docs.rollup("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("total_chars"))
+      .orderBy("lang", "source")
+
   /** Per-user running aggregates over the event stream: cumulative
     * value sum and 3-event moving average, ordered by time with an
     * event_id tiebreak (events can share a timestamp — without the

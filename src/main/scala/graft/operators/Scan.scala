@@ -62,6 +62,13 @@ object Scan {
       .orderBy("doc_id")
       .limit(n)
 
+  /** Materialized JSON head-sample export (the reference's
+    * `dbPediaRecords.Take(100)` → JSON file, Program.cs:102-103):
+    * TakeOrderedAndProject bounds memory, a single output file is
+    * intentional — the sample is n rows by contract, never big. */
+  def exportJson(docs: DataFrame, n: Int, path: String): Unit =
+    sampleExport(docs, n).coalesce(1).write.mode("overwrite").json(path)
+
   /** Deterministic contiguous global index by key — the reference's
     * "enforce order as index input" (Program.cs:106-107), distributed.
     *

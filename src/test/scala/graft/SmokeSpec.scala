@@ -16,6 +16,18 @@ class SmokeSpec extends SparkSpec {
     assert(stale.isEmpty, s"oracle SQL without a query: $stale")
   }
 
+  test("exportJson writes exactly the n-row head sample") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_json_export"
+    operators.Scan.exportJson(Tables.documents(spark, sf0001), 10, path)
+    val back = spark.read.json(path)
+    assert(back.count() === 10)
+    val ids = back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val expected = Tables.documents(spark, sf0001)
+      .orderBy("doc_id").limit(10).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === expected)
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name returns rows at sf0.001") {
       assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")
