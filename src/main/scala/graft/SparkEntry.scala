@@ -90,7 +90,8 @@ object SparkEntry {
     "q22_top_docs_per_group" -> ((s, d) => Analytics.topDocsPerGroup(Tables.documents(s, d), TopKPerGroup)),
     "q23_length_histogram" -> ((s, d) => Analytics.lengthHistogram(Tables.documents(s, d), HistWidth)),
     "q24_running_value" -> ((s, d) => Analytics.runningValue(Tables.events(s, d))),
-    "q25_doc_rollup" -> ((s, d) => Analytics.docRollup(Tables.documents(s, d)))
+    "q25_doc_rollup" -> ((s, d) => Analytics.docRollup(Tables.documents(s, d))),
+    "q26_props_stats" -> ((s, d) => Events.propsStats(Tables.events(s, d)))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q10,

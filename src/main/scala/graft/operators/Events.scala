@@ -34,6 +34,25 @@ object Events {
         col("sum_value"), col("avg_value"), col("n_users"))
       .orderBy("event_type", "hour")
 
+  /** Semi-structured props parsing: the events `props` column is a JSON
+    * payload; parse it with an explicit schema (`from_json` — schema'd
+    * parse beats per-field `get_json_object` re-parsing when extracting
+    * multiple fields) and aggregate the extracted field per event_type.
+    * Integer-only outputs — no cross-engine float concerns. */
+  def propsStats(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Sessionize: split each user's event stream at gaps > `gapMinutes`,
     * emit per-session aggregates. Classic two-window pattern: lag to mark
     * session starts, running sum to assign session ids. */
