@@ -384,6 +384,19 @@ object OracleSql {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q27_supplier_region_revenue" ->
+      """SELECT r_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_type LIKE '%PROMO%'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
   )
 }

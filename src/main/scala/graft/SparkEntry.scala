@@ -91,7 +91,10 @@ object SparkEntry {
     "q23_length_histogram" -> ((s, d) => Analytics.lengthHistogram(Tables.documents(s, d), HistWidth)),
     "q24_running_value" -> ((s, d) => Analytics.runningValue(Tables.events(s, d))),
     "q25_doc_rollup" -> ((s, d) => Analytics.docRollup(Tables.documents(s, d))),
-    "q26_props_stats" -> ((s, d) => Events.propsStats(Tables.events(s, d)))
+    "q26_props_stats" -> ((s, d) => Events.propsStats(Tables.events(s, d))),
+    "q27_supplier_region_revenue" -> ((s, d) => Analytics.supplierRegionRevenue(
+      Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d),
+      Tables.nation(s, d), Tables.region(s, d)))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q10,

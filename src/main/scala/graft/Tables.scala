@@ -33,4 +33,7 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
 }

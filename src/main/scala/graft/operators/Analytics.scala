@@ -76,6 +76,29 @@ object Analytics {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "bucket")
 
+  /** Revenue by supplier region/nation for a part family (TPC-H Q9
+    * flavor) — exercises the full star: lineitem ⋈ part (filtered,
+    * broadcast after pushdown) ⋈ supplier ⋈ nation ⋈ region (broadcast
+    * dims). The part filter prunes at the parquet scan BEFORE the
+    * broadcast, so the build side ships only matching parts. */
+  def supplierRegionRevenue(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
+                            nation: DataFrame, region: DataFrame,
+                            partType: String = "PROMO"): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    lineitem
+      .join(broadcast(part.filter(col("p_type").contains(partType))
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(rev).cast("double"), 6).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** Hierarchical rollup of the documents corpus over (lang, source)
     * with grouping-set subtotals. Null grouping markers are coalesced
     * to an 'ALL' sentinel so the output is total-order sortable and
