@@ -15,20 +15,26 @@ import scala.collection.mutable
 /** Grouped top-k as a first-class operator — SURVEY.md §4 preference
   * (c): custom LogicalPlan + Strategy + physical operators.
   *
-  * The composable formulation (`row_number() OVER (PARTITION BY key
-  * ORDER BY ord) <= k`) shuffles EVERY row to its key's reducer before
-  * any pruning: at 100 TB the exchange carries the full table. This
-  * operator plans as
-  *
   *   GroupedTopKFinalExec            ⟵ exact per-key top-k
   *     └─ Exchange (hash on key)     ⟵ inserted by EnsureRequirements
   *        └─ GroupedTopKPartialExec  ⟵ per-partition per-key bounded heaps
   *
-  * so the shuffle carries at most k rows per (key, upstream partition)
-  * — the same partial/final contract as aggregation, applied to top-k.
+  * The shuffle carries at most k rows per (key, upstream partition) —
+  * the partial/final aggregation contract applied to top-k.
   * Correctness: the global top-k of a key is a subset of the union of
   * its per-partition top-ks, so partial pruning never drops a result
   * row.
+  *
+  * Honesty note: since 3.5 Spark's own `InferWindowGroupLimit` gives
+  * the `row_number() <= k` window formulation the same partial/final
+  * prune (WindowGroupLimit Partial below the exchange), so this
+  * operator is NOT a throughput win over a well-planned window query.
+  * What it adds: (a) the full custom-operator ladder in one place —
+  * logical node, planning strategy, distribution-driven exchange
+  * insertion, partial/final execs — and (b) a heap-only path with no
+  * per-partition sort and no rank column when callers only need the
+  * top-k ROWS (WindowGroupLimit still sorts each partition and
+  * evaluates the window function).
   */
 case class GroupedTopK(groupExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
                        child: LogicalPlan) extends UnaryNode {
