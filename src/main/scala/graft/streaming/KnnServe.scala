@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.VectorFunctions.dot
+
+/** Streaming KNN serving: answer a stream of query vectors against a
+  * static corpus, micro-batch at a time.
+  *
+  * Per-query top-k needs a rank, which Structured Streaming forbids
+  * over an unbounded stream — `foreachBatch` is the supported shape:
+  * each micro-batch is a normal DataFrame, so the exact batch KNN plan
+  * (query rows broadcast, codegen'd `vector_dot` scores, rank-limited
+  * per query — Spark plans the rank filter with a partial
+  * WindowGroupLimit) runs unchanged per batch against the static
+  * corpus. This is the Spark-native answer to "online ANN serving":
+  * micro-batched exact (or IVF-probed) search, not a resident
+  * point-query index.
+  */
+object KnnServe {
+
+  /** Start serving `queries` (streaming frame with `query_id`, `qv`)
+    * against `corpus` (static frame with `vec_id`, `embedding`).
+    * `sink` receives the (query_id, vec_id, score) top-k rows of each
+    * micro-batch. */
+  def serve(queries: DataFrame, corpus: DataFrame, k: Int)
+           (sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scored = corpus
+          .crossJoin(broadcast(batch.select(col("query_id"), col("qv"))))
+          .select(col("query_id"), col("vec_id"),
+            round(dot(col("embedding"), col("qv")), 6).as("score"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("vec_id").asc)
+        sink(scored.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= k).drop("rnk"))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -41,6 +41,20 @@ class IvfSpec extends SparkSpec {
     assert(cost(refined) <= cost(init))
   }
 
+  test("recall@20 is monotone in nprobe and reaches 1.0 at full probe") {
+    val q = Knn.queryVector(emb, QueryVecId)
+    val exact = Knn.topKDot(emb, q, K).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val nCents = Ivf.centroids(emb, IvfStep).count().toInt
+    val recalls = Seq(1, 2, NProbe, nCents).map { np =>
+      val got = Ivf.searchInline(emb, IvfStep, q, np, K).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      (exact intersect got).size.toDouble / K
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in nprobe: $recalls")
+    assert(recalls.last == 1.0, s"full probe must be exact: ${recalls.last}")
+  }
+
   test("persisted index roundtrips: postings cover every vector exactly once") {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_spec"
     Ivf.save(emb, IvfStep, path)

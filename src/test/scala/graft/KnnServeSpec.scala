@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Knn
+import graft.streaming.KnnServe
+
+/** Streamed KNN answers must equal the batch KNN for the same query
+  * vectors. */
+class KnnServeSpec extends SparkSpec {
+
+  test("foreachBatch KNN serving == batch exact KNN per query") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    // Stage a 3-query stream: query vectors 0, 7, 13 from the corpus.
+    val qdir = s"${System.getProperty("java.io.tmpdir")}/graft_knn_queries"
+    corpus.where(col("vec_id").isin(0L, 7L, 13L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .coalesce(1).write.mode("overwrite").parquet(qdir)
+    val queries = spark.readStream
+      .schema(spark.read.parquet(qdir).schema).parquet(qdir)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = KnnServe.serve(queries, corpus, k = 5) { topk =>
+      results ++= topk.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    q.awaitTermination(120000)
+
+    Seq(0L, 7L, 13L).foreach { qid =>
+      val streamed = results.filter(_._1 == qid).map(t => (t._2, t._3)).toSet
+      val batch = Knn.topKDot(corpus,
+          Knn.queryVector(corpus, qid), 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+      assert(streamed === batch, s"query $qid: streamed != batch")
+    }
+  }
+}
