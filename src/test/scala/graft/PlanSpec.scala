@@ -57,10 +57,15 @@ class PlanSpec extends SparkSpec {
     Ivf.save(emb, 25, path)
     val (postings, cents) = Ivf.load(spark, path)
     val q = Knn.queryVector(emb, 0L)
-    // The probed-centroid join side is broadcast, so the postings scan
-    // stays the streamed side with partition filters applicable.
-    val p = physical(Ivf.search(postings, cents, q, 2, 20))
+    // The probed-centroid join side is broadcast, and dynamic partition
+    // pruning must reach the postings scan — at 100 TB this is the
+    // difference between reading nprobe partitions and the whole index.
+    val df = Ivf.search(postings, cents, q, 2, 20)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastExchange"), s"probed centroids not broadcast:\n$p")
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the postings scan:\n$p")
   }
 
   test("events rollup aggregates with a partial (map-side) stage") {
