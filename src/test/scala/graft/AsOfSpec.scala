@@ -1,0 +1,61 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+/** Unit-level semantics of the generic as-of join: DuckDB/kdb
+  * `l.key = r.key AND l.ts >= r.ts` with the greatest matching r.ts. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("matches most recent at-or-before right row per key; null when none") {
+    val left = Seq(
+      (1L, ts(100), "l-a"), // after r@50 and r@100 → r@100 (>= is inclusive)
+      (1L, ts(99), "l-b"),  // between r@50 and r@100 → r@50
+      (1L, ts(10), "l-c"),  // before all right rows → NULL
+      (2L, ts(500), "l-d"), // key 2: only r@400 → r@400
+      (3L, ts(500), "l-e")  // key 3: no right rows at all → NULL
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(50), "r-50"),
+      (1L, ts(100), "r-100"),
+      (2L, ts(400), "r-400")
+    ).toDF("k", "t", "payload")
+
+    val got = AsOf.asofJoin(left, right, Seq("k"), "t", Seq("payload"))
+      .select(col("tag"), col("asof_payload"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+
+    assert(got("l-a") === Some("r-100"))
+    assert(got("l-b") === Some("r-50"))
+    assert(got("l-c") === None)
+    assert(got("l-d") === Some("r-400"))
+    assert(got("l-e") === None)
+  }
+
+  test("matched right payload is row-consistent (never a column-wise mix)") {
+    val left = Seq((1L, ts(100), "l")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(50), "x", 111L),
+      (1L, ts(90), "y", 222L)
+    ).toDF("k", "t", "s", "n")
+    val row = AsOf.asofJoin(left, right, Seq("k"), "t", Seq("s", "n"))
+      .select("asof_s", "asof_n").collect().head
+    // Both payload columns must come from the SAME right row (t=90).
+    assert(row.getString(0) === "y" && row.getLong(1) === 222L)
+  }
+
+  test("every left row survives exactly once (left-join multiplicity)") {
+    val events = Tables.events(spark, sf0001)
+    val left = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val right = events.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("value").as("v"))
+    val joined = AsOf.asofJoin(left, right, Seq("user_id"), "ts", Seq("v"))
+    assert(joined.count() === left.count())
+    assert(joined.select("event_id").distinct().count() === left.count())
+  }
+}
