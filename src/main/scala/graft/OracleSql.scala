@@ -386,6 +386,38 @@ object OracleSql {
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q28_corpus_prep" -> {
+      val numBands = NumHashes / RowsPerBand
+      val bandIds = (0 until numBands).mkString("[", ", ", "]")
+      s"""WITH keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |kept AS (
+         |  SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+         |sigs AS (
+         |  SELECT doc_id, ${minhashSig("sh")} AS sig
+         |  FROM (SELECT doc_id, ${shingles()} AS sh FROM kept)
+         |  WHERE len(sh) > 0),
+         |banded AS (
+         |  SELECT doc_id, sig, t.band_id,
+         |    array_to_string(list_slice(sig, t.band_id * $RowsPerBand + 1, t.band_id * $RowsPerBand + $RowsPerBand), '_') AS band_key
+         |  FROM sigs CROSS JOIN (SELECT unnest($bandIds) AS band_id) t),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sig_a, r.sig AS sig_b
+         |  FROM banded l JOIN banded r
+         |    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+         |dropped AS (
+         |  SELECT DISTINCT b FROM cand
+         |  WHERE round(CAST(list_sum(list_transform(list_zip(sig_a, sig_b), x -> CAST(x[1] = x[2] AS INT))) AS DOUBLE) / $NumHashes.0, 6) >= $MinEstJaccard),
+         |final AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    CAST(len(${toks()}) AS INT) AS n_tokens
+         |  FROM kept WHERE doc_id NOT IN (SELECT b FROM dropped))
+         |SELECT doc_id, lang, source, n_chars, n_tokens FROM final
+         |WHERE n_tokens >= $MinTokens
+         |  AND CAST(n_chars AS DOUBLE) / n_tokens <= $MaxMeanTokenLen
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q27_supplier_region_revenue" ->
       """SELECT r_name, n_name,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -29,6 +29,8 @@ object SparkEntry {
     val NTables = 4
     val TopKPerGroup = 3
     val HistWidth = 50
+    val MinTokens = 5
+    val MaxMeanTokenLen = 15.0
   }
   import Params._
 
@@ -94,7 +96,10 @@ object SparkEntry {
     "q26_props_stats" -> ((s, d) => Events.propsStats(Tables.events(s, d))),
     "q27_supplier_region_revenue" -> ((s, d) => Analytics.supplierRegionRevenue(
       Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d),
-      Tables.nation(s, d), Tables.region(s, d)))
+      Tables.nation(s, d), Tables.region(s, d))),
+    "q28_corpus_prep" -> ((s, d) => CorpusPipeline.prepare(
+      Tables.documents(s, d), ShingleK, NumHashes, RowsPerBand, MinEstJaccard,
+      MinTokens, MaxMeanTokenLen))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q10,

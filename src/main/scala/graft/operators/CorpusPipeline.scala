@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis.tokens
+
+/** End-to-end LLM corpus preparation — the composition a training-data
+  * pipeline actually runs, built from the library's own operators:
+  *
+  *   1. exact dedup: keep the lowest doc_id per content hash
+  *   2. near-dup removal: MinHash-LSH pairs over the survivors, drop
+  *      the higher doc_id of each pair
+  *   3. quality gate: minimum token count, bounded mean token length
+  *
+  * Everything stays one declarative plan: the stages are joins/filters
+  * Catalyst pipelines together (anti-join for removal — never a
+  * collected id list on the driver), so the whole prep runs as a
+  * handful of hash-shuffle stages regardless of corpus size.
+  */
+object CorpusPipeline {
+
+  def prepare(docs: DataFrame, k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
+              minEstJaccard: Double = 0.5, minTokens: Int = 5,
+              maxMeanTokenLen: Double = 15.0): DataFrame = {
+    val keepers = docs
+      .groupBy(sha2(col("text"), 256).as("h")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val kept = docs.join(keepers, "doc_id")
+    val nearDropped = Dedup
+      .minhashLsh(kept, k, numHashes, rowsPerBand, minEstJaccard)
+      .select(col("b").as("doc_id")).distinct()
+    kept
+      .join(nearDropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .where(col("n_tokens") >= minTokens &&
+        col("n_chars").cast("double") / col("n_tokens") <= maxMeanTokenLen)
+      .orderBy("doc_id")
+  }
+}
