@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -40,18 +39,23 @@ object Ivf {
         col("embedding").as("c_emb"))
 
   /** Nearest-centroid assignment: broadcast the (small) centroid set,
-    * score all k per vector in codegen, keep rank-1 by (rounded dist,
-    * centroid_id). Rounding before ranking keeps the choice identical
+    * score all k per vector in codegen, keep the argmin by (rounded
+    * dist, centroid_id) via `min(struct(dist, centroid_id))` — struct
+    * ordering is lexicographic, so this is exactly the rank-1 row of a
+    * (dist, centroid_id) sort, but as a partial-aggregable min: the
+    * map side collapses each vector's k candidates to one struct
+    * before any exchange, where a window formulation would sort whole
+    * partitions. Rounding before ranking keeps the choice identical
     * across engines (SURVEY.md §6). */
-  def assign(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        round(l2Sq(col("embedding"), col("c_emb")), 6).as("dist"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("dist"))
-  }
+  def assign(vectors: DataFrame, cents: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(round(l2Sq(col("embedding"), col("c_emb")), 6).as("dist"),
+          col("centroid_id")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min("dc").as("dc"))
+      .select(col("vec_id"), col("dc.centroid_id").as("centroid_id"),
+        col("dc.dist").as("dist"))
 
   /** Build the assignment table (q09). */
   def build(vectors: DataFrame, step: Int): DataFrame =
