@@ -127,6 +127,32 @@ object Ivf {
       .limit(k)
   }
 
+  /** Batched ANN search: many query vectors at once — the cluster
+    * shape for offline inference (per-query driver loops don't scale;
+    * one plan answers the whole query table). `queries` columns:
+    * (query_id, qv).
+    *
+    * Per-query nprobe-centroid selection and per-query top-k both run
+    * through [[graft.plans.GroupedTopK]] — bounded heaps per query_id
+    * before the exchange, no sort, no rank column. Postings join on
+    * centroid_id only touches probed cells per query. */
+  def searchBatch(postings: DataFrame, cents: DataFrame, queries: DataFrame,
+                  nprobe: Int, k: Int): DataFrame = {
+    import graft.plans.GroupedTopK
+    val qc = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        round(l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
+    val probed = GroupedTopK.topK(qc, Seq(col("query_id")),
+        Seq(col("cdist").asc, col("centroid_id").asc), nprobe)
+      .select("query_id", "qv", "centroid_id")
+    val scored = postings.join(probed, "centroid_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qv")), 6).as("score"))
+    GroupedTopK.topK(scored, Seq(col("query_id")),
+        Seq(col("score").desc, col("vec_id").asc), k)
+      .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+  }
+
   /** In-memory search without persist (for the oracle-checked query key):
     * same plan, postings = assignment joined back to vectors. */
   def searchInline(vectors: DataFrame, step: Int, query: DataFrame,

@@ -55,6 +55,24 @@ class IvfSpec extends SparkSpec {
     assert(recalls.last == 1.0, s"full probe must be exact: ${recalls.last}")
   }
 
+  test("batched search == per-query single search for every query") {
+    import org.apache.spark.sql.functions.col
+    val cents = Ivf.centroids(emb, IvfStep)
+    val postings = Ivf.assign(emb, cents)
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+    val qids = Seq(0L, 7L, 13L)
+    val queries = emb.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batched = Ivf.searchBatch(postings, cents, queries, NProbe, K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    qids.foreach { qid =>
+      val single = Ivf.search(postings, cents, Knn.queryVector(emb, qid), NProbe, K)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batched(qid) === single, s"query $qid: batched != single")
+    }
+  }
+
   test("persisted index roundtrips: postings cover every vector exactly once") {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_spec"
     Ivf.save(emb, IvfStep, path)
