@@ -97,6 +97,70 @@ abstract class FloatVectorFold extends BinaryExpression {
     })
 }
 
+/** Fused cosine similarity: one array traversal accumulates a·b, a·a
+  * and b·b simultaneously, then dot/(√aa·√bb) — bit-identical to the
+  * three-expression formulation (each accumulator sums in the same
+  * left-to-right order; the final scalar math is the same IEEE ops)
+  * but one pass over the vectors instead of three. NULL semantics match
+  * [[FloatVectorFold]]. */
+case class CosineSim(left: Expression, right: Expression) extends FloatVectorFold {
+  override def prettyName: String = "vector_cosine"
+  // combine/combineCode are unused: eval and codegen are overridden to
+  // carry three accumulators.
+  override protected def combine(x: Double, y: Double): Double = x * y
+  override protected def combineCode(acc: String, x: String, y: String): String =
+    s"$acc + $x * $y"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    val lDouble = left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    val rDouble = right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    var dot = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val x = if (lDouble) xs.getDouble(i) else xs.getFloat(i).toDouble
+      val y = if (rDouble) ys.getDouble(i) else ys.getFloat(i).toDouble
+      dot += x * y; aa += x * x; bb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val d = ctx.freshName("dotAcc"); val aa = ctx.freshName("aa"); val bb = ctx.freshName("bb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      def getter(arr: String, e: Expression): String =
+        e.dataType.asInstanceOf[ArrayType].elementType match {
+          case DoubleType => s"$arr.getDouble($i)"
+          case _          => s"(double) $arr.getFloat($i)"
+        }
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $d = 0.0; double $aa = 0.0; double $bb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $x = ${getter(a, left)};
+         |    final double $y = ${getter(b, right)};
+         |    $d += $x * $y; $aa += $x * $x; $bb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $d / (Math.sqrt($aa) * Math.sqrt($bb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Σ aᵢ·bᵢ with double accumulation. */
 case class DotProduct(left: Expression, right: Expression) extends FloatVectorFold {
   override def prettyName: String = "vector_dot"

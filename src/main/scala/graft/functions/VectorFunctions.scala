@@ -53,5 +53,10 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (codegen'd; bit-identical to
+    * dot/(norm·norm) — see [[CosineSim]]). */
+  def cosine(a: Column, b: Column): Column = toCol(CosineSim(expr(a), expr(b)))
+
+  /** Three-pass formulation — differential-test baseline for [[cosine]]. */
+  def cosineUnfused(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }

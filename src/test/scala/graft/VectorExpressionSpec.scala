@@ -67,6 +67,16 @@ class VectorExpressionSpec extends SparkSpec {
     assert(rows(2).isNullAt(0) && rows(3).isNullAt(0))
   }
 
+  test("fused cosine == three-pass dot/(norm*norm) bit-exactly") {
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val mismatches = emb.crossJoin(broadcast(q)).select(
+        cosine(col("embedding"), col("qv")).as("fused"),
+        cosineUnfused(col("embedding"), col("qv")).as("unfused"))
+      .where(col("fused") =!= col("unfused"))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("double-element and mixed float/double arrays are accepted") {
     val df = Seq((Array(1f, 2f), Array(0.5, 0.25))).toDF("f", "d")
     val row = df.select(
