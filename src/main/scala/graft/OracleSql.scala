@@ -418,6 +418,14 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q29_corpus_split" ->
+      s"""SELECT CASE WHEN ${hash60("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
+         |            THEN 'train' ELSE 'eval' END AS split,
+         |  lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
     "q27_supplier_region_revenue" ->
       """SELECT r_name, n_name,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

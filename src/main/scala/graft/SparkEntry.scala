@@ -31,6 +31,7 @@ object SparkEntry {
     val HistWidth = 50
     val MinTokens = 5
     val MaxMeanTokenLen = 15.0
+    val TrainPct = 90
   }
   import Params._
 
@@ -99,7 +100,8 @@ object SparkEntry {
       Tables.nation(s, d), Tables.region(s, d))),
     "q28_corpus_prep" -> ((s, d) => CorpusPipeline.prepare(
       Tables.documents(s, d), ShingleK, NumHashes, RowsPerBand, MinEstJaccard,
-      MinTokens, MaxMeanTokenLen))
+      MinTokens, MaxMeanTokenLen)),
+    "q29_corpus_split" -> ((s, d) => CorpusPipeline.hashSplit(Tables.documents(s, d), TrainPct))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q10,

@@ -19,6 +19,20 @@ import graft.operators.TextAnalysis.tokens
   */
 object CorpusPipeline {
 
+  /** Deterministic train/eval split: a document's split is a pure
+    * function of its id (md5-derived bucket in [0,100)), so the
+    * assignment is stable across runs, engines, and corpus growth —
+    * never `rand()`, which would leak eval docs into training on every
+    * re-run. Returns per-(split, lang) counts for audit. */
+  def hashSplit(docs: DataFrame, trainPct: Int = 90): DataFrame =
+    docs
+      .select(col("lang"), col("n_chars"),
+        when(pmod(Dedup.hash60(col("doc_id").cast("string")), lit(100L)) < trainPct, "train")
+          .otherwise("eval").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("split", "lang")
+
   def prepare(docs: DataFrame, k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
               minEstJaccard: Double = 0.5, minTokens: Int = 5,
               maxMeanTokenLen: Double = 15.0): DataFrame = {
