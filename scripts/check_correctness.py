@@ -32,7 +32,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def norm_cell(v):
     import numpy as np
     if isinstance(v, (float,)) or (hasattr(v, "dtype") and "float" in str(getattr(v, "dtype", ""))):
-        return f"{float(v):.6f}"
+        # + 0.0 canonicalizes -0.0 (DuckDB round can emit -0.0 where
+        # Spark's BigDecimal round emits +0.0 — same value, different text)
+        return f"{float(v) + 0.0:.6f}"
     if hasattr(v, "item"):
         v = v.item()
     return str(v)
@@ -45,8 +47,10 @@ def mat_hash(df: pd.DataFrame) -> str:
 
 fails = []
 # A query that THREW in Verify leaves no result dir — that must fail the
-# gate, not silently drop out of the loop.
-for name in sorted(oracle):
+# gate, not silently drop out of the loop. Rows-only queries are not in
+# oracle_sql.json, so check them from the explicit list.
+ROWS_ONLY = {"q02_metadata", "q10_index_roundtrip", "q18_multimodal"}
+for name in sorted(set(oracle) | ROWS_ONLY):
     if not os.path.isdir(os.path.join(out_dir, name)):
         print(f"{name:24s} NO RESULT DIR (query failed in Verify)")
         fails.append(name)

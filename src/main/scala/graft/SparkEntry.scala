@@ -55,7 +55,10 @@ object SparkEntry {
     "q09_ivf_build" -> ((s, d) => Ivf.build(Tables.embeddings(s, d), IvfStep)),
     "q10_index_roundtrip" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+      // Path keyed by sf dir + process so concurrent Verify/Bench runs
+      // can't clobber each other's index between save and load.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
+        s"${Integer.toHexString(d.hashCode)}_${ProcessHandle.current.pid}"
       Ivf.save(emb, IvfStep, path)
       val (postings, _) = Ivf.load(s, path)
       postings.groupBy("centroid_id").agg(count(lit(1)).as("n_vectors")).orderBy("centroid_id")

@@ -21,13 +21,18 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read nanos as long and convert to a microsecond timestamp
-    * (integer `div`, no double round-trip — ns epoch values exceed 2^53). */
+    * default; read nanos as long and convert to a microsecond timestamp.
+    * Conversion is FLOOR division via pmod (no double round-trip — ns
+    * epoch values exceed 2^53; plain `div` truncates toward zero, which
+    * would round pre-1970 timestamps the wrong way vs engines that
+    * floor-convert natively). Note the nanosAsLong conf is a session
+    * setting this loader requires. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

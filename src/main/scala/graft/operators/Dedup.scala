@@ -106,13 +106,19 @@ object Dedup {
           concat_ws("_", transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), _.cast("string"))).as("band_key"))
       }: _*)).as("band"))
       .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_key"))
-    val l = banded.select(col("band_id"), col("band_key"), col("doc_id").as("a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band_id"), col("band_key"), col("doc_id").as("b"), col("sig").as("sig_b"))
+    // Candidates carry only (a, b) ids through the union/distinct
+    // exchange — a pair colliding in several bands would otherwise drag
+    // both 12-long signature arrays through the shuffle once per band.
+    // Signatures rejoin by id for the verification step.
+    val l = banded.select(col("band_id"), col("band_key"), col("doc_id").as("a"))
+    val r = banded.select(col("band_id"), col("band_key"), col("doc_id").as("b"))
     val cand = l.join(r, Seq("band_id", "band_key"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
+      .select(col("a"), col("b"))
       .distinct()
     cand
+      .join(sig.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sig.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / lit(numHashes.toDouble), 6))
@@ -207,7 +213,12 @@ object Dedup {
     val bucketCols = (0 until nTables).map { t =>
       lshBucket(col("embedding"), all.slice(t * nPlanes, (t + 1) * nPlanes)).as(s"b$t")
     }
-    val withB = vectors.select(col("vec_id") +: bucketCols: _*)
+    // Vectors whose length differs from `dim` are EXCLUDED up front: a
+    // mismatched dot() is NULL, which would silently collapse every such
+    // row into bucket 0 of every table and degrade the join to all-pairs
+    // — the one failure mode this operator exists to prevent.
+    val sized = vectors.where(size(col("embedding")) === dim)
+    val withB = sized.select(col("vec_id") +: bucketCols: _*)
     val cand = (0 until nTables).map { t =>
       val l = withB.select(col(s"b$t").as("bk"), col("vec_id").as("a"))
       val r = withB.select(col(s"b$t").as("bk"), col("vec_id").as("b"))

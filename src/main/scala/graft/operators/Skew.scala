@@ -22,7 +22,15 @@ object Skew {
     * reproducible; the small side is replicated `salts` times via a
     * literal-array explode (no shuffle of its own). Row multiplicity is
     * preserved exactly — every big row matches exactly the one salted
-    * copy of each small match. */
+    * copy of each small match.
+    *
+    * Limitation: rows that are BIT-IDENTICAL in every column share a
+    * salt (their content cannot deterministically distinguish them), so
+    * a hot key consisting of exact duplicate rows still lands in one
+    * task. If that is the skew shape, add a distinguishing column
+    * upstream (ingest offset, file+row position) — trading determinism
+    * for `monotonically_increasing_id()` here would make replays
+    * non-reproducible. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
     val saltedBig = big.withColumn(

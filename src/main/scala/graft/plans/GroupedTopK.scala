@@ -55,9 +55,14 @@ private[plans] object TopKByKey {
     val ord = new LazilyGeneratedOrdering(order, output)
     val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
     iter.foreach { row =>
-      val key = keyProj(row)
-      val heap = heaps.getOrElseUpdate(key.copy(),
-        mutable.PriorityQueue.empty[InternalRow](ord)) // max-heap: head = worst
+      val key = keyProj(row) // transient buffer — copied only on insert
+      val heap = heaps.get(key) match {
+        case Some(h) => h
+        case None =>
+          val h = mutable.PriorityQueue.empty[InternalRow](ord) // max-heap: head = worst
+          heaps.put(key.copy(), h)
+          h
+      }
       if (heap.size < k) heap.enqueue(row.copy())
       else if (ord.compare(row, heap.head) < 0) {
         heap.dequeue()
@@ -110,10 +115,16 @@ object GroupedTopK {
     * include a unique tiebreak for deterministic results). Registers
     * the planning strategy on the session idempotently. */
   def topK(df: DataFrame, groupCols: Seq[Column], orders: Seq[Column], k: Int): DataFrame = {
-    val spark = SparkSession.active
-    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    // The DataFrame's OWN session, not the thread-local active one —
+    // in a multi-session JVM the strategy must land on the session
+    // that will plan this frame. Registration is synchronized: the
+    // extraStrategies read-modify-write is not atomic.
+    val spark = df.sparkSession
+    GroupedTopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    }
     val child = SqlBridge.analyzedPlan(df)
     val sortOrders = orders.map(o => SqlBridge.eagerExpression(o) match {
       case so: SortOrder => so

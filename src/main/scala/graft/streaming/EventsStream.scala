@@ -53,7 +53,15 @@ object EventsStream {
   /** Per-user sessionization with explicit state: events within
     * `gapMinutes` of the previous event share a session. Each batch
     * emits the sessions it completed or extended (Update semantics);
-    * state carries only (last event time, session counter) per user. */
+    * state carries only (last event time, session counter) per user.
+    *
+    * Ordering contract: events are sorted within a batch, but an event
+    * arriving in a LATER batch with an earlier timestamp than state has
+    * already advanced past is late data — it is DROPPED (the same
+    * decision a watermark makes), never applied, because rewinding
+    * lastTs would corrupt the gap computation for every subsequent
+    * on-time event. Pair the source with `withWatermark` to bound how
+    * late data can be before it reaches this operator at all. */
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
@@ -67,10 +75,12 @@ object EventsStream {
           val out = scala.collection.mutable.Map.empty[Long, (Long, Double)]
           sorted.foreach { e =>
             val t = e.ts.getTime
-            val seq = if (st.lastTsMs == Long.MinValue || t - st.lastTsMs > gapMs) st.seq + 1 else st.seq
-            st = SessionState(t, seq)
-            val (n, s) = out.getOrElse(seq, (0L, 0.0))
-            out(seq) = (n + 1, s + e.value)
+            if (st.lastTsMs == Long.MinValue || t >= st.lastTsMs) {
+              val seq = if (st.lastTsMs == Long.MinValue || t - st.lastTsMs > gapMs) st.seq + 1 else st.seq
+              st = SessionState(t, seq)
+              val (n, s) = out.getOrElse(seq, (0L, 0.0))
+              out(seq) = (n + 1, s + e.value)
+            } // else: late event from a previous batch — dropped (see doc)
           }
           state.update(st)
           out.toSeq.sortBy(_._1).map { case (seq, (n, s)) => Session(userId, seq, n, s) }.iterator
