@@ -15,8 +15,10 @@ import graft.functions.{DotProduct, L2Squared}
   *  - `GraftExtensions.register(spark)` on a live session (tests, REPL).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.FuseCosine)
+  }
 }
 
 object GraftExtensions {
@@ -30,9 +32,14 @@ object GraftExtensions {
     (FunctionIdentifier("vector_l2sq"), info("vector_l2sq", classOf[L2Squared]),
       (args: Seq[Expression]) => L2Squared(args(0), args(1))))
 
-  /** Register into an existing session's function registry. */
-  def register(spark: SparkSession): Unit =
+  /** Register into an existing session: SQL functions + the cosine
+    * fusion optimizer rule. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseCosine))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FuseCosine
+  }
 }

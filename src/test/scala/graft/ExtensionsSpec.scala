@@ -22,6 +22,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.forall(_.getDouble(2) === 0.0))
   }
 
+  test("FuseCosine rewrites three-pass cosine into the fused expression") {
+    GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val unfused = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        VectorFunctions.cosineUnfused(col("embedding"), col("qv")).as("c"))
+    val optimized = unfused.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vector_cosine"),
+      s"cosine not fused in optimized plan:\n$optimized")
+    // Results identical to the directly-fused column.
+    val direct = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorFunctions.cosine(col("embedding"), col("qv")).as("c"))
+    assert(unfused.orderBy("vec_id").collect().toSeq ===
+      direct.orderBy("vec_id").collect().toSeq)
+  }
+
   test("extension class injects every function triple") {
     // The injectFunction route needs a fresh session build; here we
     // assert the class wires the same triples register() uses.
