@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+import graft.functions.{CentroidSet, NearestCentroid}
+import org.apache.spark.sql.graftbridge.SqlBridge
 
 /** IVF (inverted-file) approximate-nearest-neighbor index — the
   * cluster-shaped re-expression of the reference's HNSW build/save/load/
@@ -13,9 +15,9 @@ import graft.functions.VectorFunctions._
   * cannot be built distributed. The Spark-native equivalent capability
   * (approximate top-k with tunable recall) is IVF:
   *
-  *  - build: assign every vector to its nearest centroid — a broadcast
-  *    join against k centroids (kB-scale broadcast), map-only, no shuffle
-  *    of the big side;
+  *  - build: assign every vector to its nearest centroid — a single
+  *    narrow codegen'd argmin over a broadcast centroid set
+  *    ([[graft.functions.NearestCentroid]]), zero shuffles;
   *  - persist: posting lists written as parquet PARTITIONED BY centroid_id
   *    (the on-disk index; Program.cs:231-244's SerializeGraph);
   *  - load: plain parquet read of the partitioned layout
@@ -38,22 +40,45 @@ object Ivf {
       .select((col("vec_id") / step).cast("long").as("centroid_id"),
         col("embedding").as("c_emb"))
 
-  /** Nearest-centroid assignment: broadcast the (small) centroid set,
-    * score all k per vector in codegen, keep the argmin by (rounded
-    * dist, centroid_id) via `min(struct(dist, centroid_id))` — struct
-    * ordering is lexicographic, so this is exactly the rank-1 row of a
-    * (dist, centroid_id) sort, but as a partial-aggregable min: the
-    * map side collapses each vector's k candidates to one struct
-    * before any exchange, where a window formulation would sort whole
-    * partitions. Rounding before ranking keeps the choice identical
-    * across engines (SURVEY.md §6). */
+  /** Collect a centroid frame to a broadcast-ready [[CentroidSet]].
+    * Centroids are k ≪ n by construction (the reference's HNSW graph is
+    * likewise driver-resident, Program.cs:125-204); collecting them is
+    * the standard distributed-k-means shape. Float components widen to
+    * double here, once, instead of per comparison. */
+  def collectCentroids(cents: DataFrame): CentroidSet = {
+    val rows = cents
+      .select(col("centroid_id").cast("long"), col("c_emb"))
+      .collect()
+      .sortBy(_.getLong(0))
+    CentroidSet(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray))
+  }
+
+  /** Map-only argmin column over a broadcast centroid set: returns
+    * struct(centroid_id, dist) — see [[NearestCentroid]] for the exact
+    * tie-break/rounding contract (identical to the former
+    * `min(struct(round(l2sq), centroid_id))` join formulation, so
+    * oracle hashes are unchanged). */
+  private def nearest(vectors: DataFrame, cs: CentroidSet) =
+    SqlBridge.column(NearestCentroid(
+      SqlBridge.expression(col("embedding")),
+      vectors.sparkSession.sparkContext.broadcast(cs)))
+
+  /** Nearest-centroid assignment — one narrow pass, ZERO shuffles.
+    *
+    * The round-2 formulation (crossJoin(broadcast(cents)) →
+    * min(struct)) still paid a full groupBy(vec_id) exchange of n rows
+    * to collapse each vector's k candidates. At 100 TB that exchange IS
+    * the job; folding the whole argmin into one codegen'd expression
+    * over the broadcast centroids makes assignment scan-speed. */
   def assign(vectors: DataFrame, cents: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(cents))
-      .select(col("vec_id"),
-        struct(round(l2Sq(col("embedding"), col("c_emb")), 6).as("dist"),
-          col("centroid_id")).as("dc"))
-      .groupBy("vec_id")
-      .agg(min("dc").as("dc"))
+    vectors
+      .select(col("vec_id"), nearest(vectors, collectCentroids(cents)).as("dc"))
       .select(col("vec_id"), col("dc.centroid_id").as("centroid_id"),
         col("dc.dist").as("dist"))
 
@@ -73,8 +98,12 @@ object Ivf {
   def refineCentroids(vectors: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     var cents = init
     for (_ <- 0 until iters) {
-      val assigned = assign(vectors, cents)
-        .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+      // Assignment is a narrow expression, so the embedding rides along
+      // in the same pass — no join-back (the round-2 formulation paid
+      // one exchange for the argmin plus one for this join, per round).
+      val assigned = vectors.select(
+        nearest(vectors, collectCentroids(cents)).getField("centroid_id").as("centroid_id"),
+        col("embedding"))
       cents = assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("centroid_id", "pos").agg(avg("v").as("m"))
@@ -90,8 +119,12 @@ object Ivf {
     * a centroids table (the serialized "graph"). */
   def save(vectors: DataFrame, step: Int, path: String): Unit = {
     val cents = centroids(vectors, step)
-    assign(vectors, cents)
-      .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+    // scan → map (argmin) → repartition(centroid_id) → write: EXACTLY
+    // one shuffle, and it is the one the layout requires. The embedding
+    // rides the same narrow pass (no join-back).
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        nearest(vectors, collectCentroids(cents)).getField("centroid_id").as("centroid_id"))
       // Cluster rows by centroid before the partitioned write: without
       // this every task writes a sliver into every centroid dir —
       // tasks × centroids small files (the classic partitionBy
@@ -158,8 +191,10 @@ object Ivf {
   def searchInline(vectors: DataFrame, step: Int, query: DataFrame,
                    nprobe: Int, k: Int): DataFrame = {
     val cents = centroids(vectors, step)
-    val postings = assign(vectors, cents)
-      .join(vectors.select(col("vec_id"), col("embedding")), "vec_id")
+    // Narrow inline postings: the only exchange left in the whole query
+    // is the final top-k (TakeOrderedAndProject).
+    val postings = vectors.select(col("vec_id"), col("embedding"),
+      nearest(vectors, collectCentroids(cents)).getField("centroid_id").as("centroid_id"))
     search(postings, cents, query, nprobe, k)
   }
 }

@@ -46,10 +46,27 @@ class PlanSpec extends SparkSpec {
     assert(p.matches("(?s).*ReadSchema:[^\\n]*lang[^\\n]*.*"), s"expected lang in ReadSchema:\n$p")
   }
 
-  test("IVF assignment broadcasts the centroid side") {
+  test("IVF assignment is map-only: zero exchanges before the output sort") {
+    // build = scan → project(nearest_centroid) → orderBy. The ONLY
+    // exchange allowed is the range partition feeding the contractual
+    // output sort; any other Exchange means assignment regressed to a
+    // join/groupBy formulation (two full-data shuffles at 100 TB).
     val p = physical(Ivf.build(emb, 25))
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"centroids not broadcast:\n$p")
+    assert(p.contains("nearest_centroid"), s"argmin expression missing:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one Exchange (output sort), got:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"assignment shuffled on a hash key (join/groupBy regression):\n$p")
+  }
+
+  test("IVF inline search plans no exchange except the final top-k") {
+    // searchInline = narrow postings (scan → project) ⨝ broadcast probed
+    // centroids → TakeOrderedAndProject. No hash exchange anywhere.
+    val df = Ivf.searchInline(emb, 25, Knn.queryVector(emb, 0L), 2, 20)
+    val p = physical(df)
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"inline IVF search shuffled the postings side:\n$p")
   }
 
   test("IVF search prunes postings partitions to the probed centroids") {
