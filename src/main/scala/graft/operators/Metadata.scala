@@ -1,9 +1,11 @@
 package graft.operators
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import scala.jdk.CollectionConverters._
 
@@ -12,11 +14,13 @@ import scala.jdk.CollectionConverters._
   * counterpart of the reference's FileMetaData walk (reference
   * Program.cs:51-63).
   *
-  * This reads FOOTERS ONLY (a few kB per file), never data pages. The
-  * per-table listing is driver-side because it is one row per table; for
-  * a 100 TB lake with millions of files the same footer read runs inside
-  * `spark.read.parquet(...).inputFiles` parallelized over a Dataset of
-  * paths — the operator below keeps that shape behind one function.
+  * This reads FOOTERS ONLY (a few kB per file), never data pages — and
+  * it reads them ON THE EXECUTORS: the file list is a Dataset and the
+  * footer walk runs inside `mapPartitions`, so a million-file lake
+  * introspects at cluster parallelism instead of serializing footer
+  * I/O through the driver. For a directory table the path list comes
+  * from `spark.read.parquet(dir).inputFiles` (driver lists, executors
+  * read).
   */
 object Metadata {
 
@@ -28,8 +32,10 @@ object Metadata {
       columns: String,
       created_by: String)
 
-  def describeFile(spark: SparkSession, table: String, file: String): TableMeta = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  /** Footer walk for one file. Pure function of (path, conf) — safe on
+    * driver or executor; the engine paths below always run it inside a
+    * task. */
+  private def readFooter(table: String, file: String, conf: Configuration): TableMeta = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
     try {
       val fm = reader.getFooter.getFileMetaData
@@ -48,12 +54,23 @@ object Metadata {
     } finally reader.close()
   }
 
-  /** One row per testdata table: footer-level stats. */
-  def describe(spark: SparkSession, dir: String): DataFrame = {
+  /** Distributed footer introspection: one output row per (label, file).
+    * The Configuration is built once per PARTITION (it is not
+    * serializable and costs ~ms to construct); footers stream through
+    * it. The TaskContext guard is a live assertion that this loop can
+    * never silently regress to driver-side execution. */
+  def describeFiles(spark: SparkSession, files: Seq[(String, String)]): Dataset[TableMeta] = {
     import spark.implicits._
-    graft.Tables.all
-      .map(t => describeFile(spark, t, s"$dir/$t.parquet"))
+    files.toDS().mapPartitions { it =>
+      require(TaskContext.get() != null, "footer reads must run inside a task")
+      val conf = new Configuration()
+      it.map { case (table, file) => readFooter(table, file, conf) }
+    }
+  }
+
+  /** One row per testdata table: footer-level stats, read on executors. */
+  def describe(spark: SparkSession, dir: String): DataFrame =
+    describeFiles(spark, graft.Tables.all.map(t => (t, s"$dir/$t.parquet")))
       .toDF()
       .orderBy("table")
-  }
 }
