@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,24 +11,28 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, decoded/featurized batch-wise on
   * the executors.
   *
-  * The Spark-side shape is the real deliverable — schema (binary payload
-  * + struct metadata), partition-safe batch iteration (`mapPartitions`
-  * over a typed Dataset, one decoder init per partition, never per row),
-  * and a fixed-width feature vector output ready for the
-  * similarity-search operators (graft.operators.Knn / Ivf).
+  * The Spark-side shape — schema (binary payload + struct metadata),
+  * partition-safe batch iteration (`mapPartitions` over a typed Dataset,
+  * per-partition decoder state, never per row), and a fixed-width
+  * feature vector output ready for the similarity-search operators
+  * (graft.operators.Knn / Ivf) — is shared by every media type.
   *
-  * The decode step itself is STUBBED: this container ships no image/audio
-  * codecs, so [[decodeStub]] derives a deterministic fake feature vector
-  * from the payload bytes (byte histogram moments). Swapping in a real
-  * decoder changes only the body of `decodeStub`; every schema,
-  * partitioning and batching decision stays identical.
+  * The IMAGE path is REAL end to end: `toMediaTable` synthesizes valid
+  * PNG payloads (deterministic gradient rasters keyed by doc_id),
+  * [[decode]] decodes them with `javax.imageio` (in the JDK — no
+  * external codecs needed) into pixel-luminance features, and [[resize]]
+  * resamples through a Graphics2D raster scale and re-encodes. Audio and
+  * video payloads remain synthetic byte blobs with the decode branch
+  * falling back to byte-histogram features — the container ships no
+  * audio/video codecs; swapping a real demuxer in changes only that
+  * branch, as the image path demonstrates.
   */
 object Multimodal {
 
   final case class MediaRecord(
       doc_id: Long,
       media_type: String, // image | audio | video
-      format: String,     // fake container format tag
+      format: String,     // png for images (real); container tag otherwise
       width: Int,
       height: Int,
       payload: Array[Byte])
@@ -34,78 +42,154 @@ object Multimodal {
       media_type: String,
       n_bytes: Int,
       mean_byte: Double,
+      decoded_w: Int, // from the actual decode for images; -1 otherwise
+      decoded_h: Int,
       feature: Array[Float])
 
   private val MediaTypes = Array("image", "audio", "video")
-  private val Formats = Array("png", "jpeg", "wav", "mp4")
   val FeatureDim = 8
 
-  /** Synthesize a media table from the documents corpus: the text bytes
-    * stand in for an encoded payload; metadata is derived
-    * deterministically from doc_id. In production this column comes
-    * straight off parquet (binary + struct read natively by the
-    * vectorized reader). */
-  def toMediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(lit(MediaTypes), (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      element_at(lit(Formats), (pmod(col("doc_id"), lit(4)) + 1).cast("int")).as("format"),
-      (pmod(col("doc_id"), lit(64)) * 16 + 16).cast("int").as("width"),
-      (pmod(col("doc_id"), lit(48)) * 16 + 16).cast("int").as("height"),
-      encode(col("text"), "UTF-8").as("payload"))
-
-  /** STUB decoder — deterministic byte-histogram "features" standing in
-    * for a real image/audio decode (??? in spirit; see class doc). */
-  private[multimodal] def decodeStub(r: MediaRecord): MediaFeatures = {
-    val bytes = r.payload
-    val n = math.max(bytes.length, 1)
-    val mean = bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
-    val feature = new Array[Float](FeatureDim)
-    var i = 0
-    while (i < bytes.length) {
-      feature((bytes(i) & 0xff) % FeatureDim) += 1.0f
-      i += 1
-    }
-    var j = 0
-    while (j < FeatureDim) { feature(j) /= n.toFloat; j += 1 }
-    MediaFeatures(r.doc_id, r.media_type, bytes.length,
-      math.rint(mean * 1e6) / 1e6, feature)
+  /** Deterministic RGB for pixel (x, y) of doc `docId` — a smooth
+    * gradient so the PNGs stay small and encode fast at any SF. */
+  private def pixel(docId: Long, x: Int, y: Int): Int = {
+    val r = ((x * 7 + docId) % 256).toInt
+    val g = ((y * 5 + docId * 3) % 256).toInt
+    val b = ((x + y + docId * 5) % 256).toInt
+    (r << 16) | (g << 8) | b
   }
 
-  /** Batch feature extraction: typed mapPartitions so a real decoder is
+  private def encodePng(docId: Long, w: Int, h: Int, buf: ByteArrayOutputStream): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(docId, x, y)); x += 1 }
+      y += 1
+    }
+    buf.reset()
+    ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** Synthesize a media table from the documents corpus. Image rows get
+    * REAL PNG payloads (encoded on the executors, one reusable buffer
+    * per partition); audio/video rows carry the text bytes as an opaque
+    * stand-in payload. In production this column comes straight off
+    * parquet (binary + struct read natively by the vectorized reader). */
+  def toMediaTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val buf = new ByteArrayOutputStream(8192) // per-partition encoder state
+        rows.map { case (docId, text) =>
+          MediaTypes((docId % 3).toInt) match {
+            case "image" =>
+              val w = ((docId % 16) * 8 + 24).toInt
+              val h = ((docId % 12) * 8 + 24).toInt
+              MediaRecord(docId, "image", "png", w, h, encodePng(docId, w, h, buf))
+            case "audio" =>
+              MediaRecord(docId, "audio", "wav",
+                ((docId % 64) * 16 + 16).toInt, 1, text.getBytes("UTF-8"))
+            case _ =>
+              MediaRecord(docId, "video", "mp4",
+                ((docId % 64) * 16 + 16).toInt, ((docId % 48) * 16 + 16).toInt,
+                text.getBytes("UTF-8"))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Byte-level payload stats shared by every branch. */
+  private def meanByte(bytes: Array[Byte]): Double = {
+    val n = math.max(bytes.length, 1)
+    val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    math.rint(sum.toDouble / n * 1e6) / 1e6
+  }
+
+  /** Decode one record. PNG → real `javax.imageio` decode to a
+    * normalized FeatureDim-bin luminance histogram + decoded dims;
+    * other formats → byte-histogram features (documented synthetic
+    * fallback — no audio/video codec in the JDK). */
+  private[multimodal] def decode(r: MediaRecord): MediaFeatures = {
+    val bytes = r.payload
+    if (r.format == "png") {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val w = img.getWidth
+      val h = img.getHeight
+      val feature = new Array[Float](FeatureDim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          feature(lum * FeatureDim / 256) += 1.0f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w * h).toFloat
+      var j = 0
+      while (j < FeatureDim) { feature(j) /= n; j += 1 }
+      MediaFeatures(r.doc_id, r.media_type, bytes.length, meanByte(bytes), w, h, feature)
+    } else {
+      val feature = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < bytes.length) {
+        feature((bytes(i) & 0xff) % FeatureDim) += 1.0f
+        i += 1
+      }
+      val n = math.max(bytes.length, 1).toFloat
+      var j = 0
+      while (j < FeatureDim) { feature(j) /= n; j += 1 }
+      MediaFeatures(r.doc_id, r.media_type, bytes.length, meanByte(bytes), -1, -1, feature)
+    }
+  }
+
+  /** Batch feature extraction: typed mapPartitions so decoder state is
     * initialized once per partition and rows stream through it — the
     * Spark equivalent of a batched Pandas-UDF decode. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { rows =>
-      // real impl: val decoder = Codec.open(...) — once per partition
-      rows.map(decodeStub)
-    }
+    media.as[MediaRecord].mapPartitions(rows => rows.map(decode))
   }
 
-  /** Resize: metadata-transforming payload op. The byte transform is a
-    * STUB (deterministic truncation/padding standing in for a pixel
-    * resample); the real content — schema preservation, narrow map, new
-    * dimensions flowing through metadata — is what a production decode
-    * swap inherits. */
+  /** Resize. PNG payloads are REALLY resampled: decode → Graphics2D
+    * raster scale to (newW, newH) → re-encode. Non-image payloads fall
+    * back to proportional byte truncation (synthetic, as documented) so
+    * the metadata/payload contract — new dims flow through metadata,
+    * payload size tracks the raster — holds for every type. */
   def resize(spark: SparkSession, media: DataFrame, newW: Int, newH: Int): DataFrame = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
-      // real impl: per-partition codec context, then per-row resample
+      val buf = new ByteArrayOutputStream(8192)
       rows.map { r =>
-        val targetLen = math.max(1, (r.payload.length.toLong * (newW.toLong * newH) /
-          math.max(r.width.toLong * r.height, 1L)).toInt)
-        val out = java.util.Arrays.copyOf(r.payload, targetLen)
-        r.copy(width = newW, height = newH, payload = out)
+        if (r.format == "png") {
+          val src = ImageIO.read(new ByteArrayInputStream(r.payload))
+          val dst = new BufferedImage(newW, newH, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try g.drawImage(src, 0, 0, newW, newH, null)
+          finally g.dispose()
+          buf.reset()
+          ImageIO.write(dst, "png", buf)
+          r.copy(width = newW, height = newH, payload = buf.toByteArray)
+        } else {
+          val targetLen = math.max(1, (r.payload.length.toLong * (newW.toLong * newH) /
+            math.max(r.width.toLong * r.height, 1L)).toInt)
+          val out = java.util.Arrays.copyOf(r.payload, targetLen)
+          r.copy(width = newW, height = newH, payload = out)
+        }
       }
     }.toDF()
   }
 
   /** Frame sampling: one video row → every-nth-frame rows. The frame
-    * split is a STUB (fixed-size payload chunks standing in for
-    * container demux); the real content is the generator shape — a
-    * narrow per-row explode whose output count is payload-proportional,
-    * never a shuffle. */
+    * split is SYNTHETIC (fixed-size payload chunks standing in for
+    * container demux — no video codec in the JDK); the real content is
+    * the generator shape — a narrow per-row explode whose output count
+    * is payload-proportional, never a shuffle. */
   def sampleFrames(spark: SparkSession, media: DataFrame, everyNth: Int,
                    frameBytes: Int = 64): DataFrame = {
     import spark.implicits._

@@ -23,6 +23,39 @@ class MultimodalSpec extends SparkSpec {
     assert(dims.map(_.getInt(0)).toSeq === Seq(Multimodal.FeatureDim))
   }
 
+  test("PNG payloads really decode: dims match metadata, histogram sums to 1") {
+    val feats = Multimodal.extractFeatures(spark,
+      media.where(col("media_type") === "image"))
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    // javax.imageio round-trip: the decoded raster must report exactly
+    // the dimensions the metadata promised.
+    val metaDims = media.where(col("media_type") === "image")
+      .select("doc_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    rows.foreach { f =>
+      assert((f.decoded_w, f.decoded_h) === metaDims(f.doc_id),
+        s"doc ${f.doc_id}: decoded dims != metadata dims")
+    }
+    // Luminance histogram is normalized over all pixels.
+    rows.foreach { f =>
+      assert(math.abs(f.feature.map(_.toDouble).sum - 1.0) < 1e-3)
+    }
+  }
+
+  test("non-image rows use the byte fallback (decoded dims = -1)") {
+    val feats = Multimodal.extractFeatures(spark,
+      media.where(col("media_type") =!= "image"))
+    assert(feats.collect().forall(f => f.decoded_w == -1 && f.decoded_h == -1))
+  }
+
+  test("resize really resamples PNGs (decoded dims follow the new raster)") {
+    val resized = Multimodal.resize(spark, media.where(col("media_type") === "image"), 20, 12)
+    val feats = Multimodal.extractFeatures(spark, resized).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(f => f.decoded_w == 20 && f.decoded_h == 12))
+  }
+
   test("resize updates dimensions and scales payload proportionally") {
     val resized = Multimodal.resize(spark, media, 32, 32)
     assert(resized.count() === media.count())
