@@ -49,6 +49,7 @@ object SparkEntry {
     "q03_typed_project" -> ((s, d) => Scan.typedProject(s, Tables.embeddings(s, d))),
     "q04_embedding_cast" -> ((s, d) => Scan.embeddingCast(Tables.embeddings(s, d))),
     "q05_token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "q05b_bpe" -> ((s, d) => TextAnalysis.bpeCorpusTokens(Tables.documents(s, d))),
     "q06_token_cost" -> ((s, d) => TextAnalysis.tokenCost(Tables.documents(s, d))),
     "q07_sample_export" -> ((s, d) => Scan.sampleExport(Tables.documents(s, d), SampleN)),
     "q08_order_by" -> ((s, d) => Scan.globalIndex(Tables.embeddings(s, d))),
@@ -107,8 +108,9 @@ object SparkEntry {
     "q29_corpus_split" -> ((s, d) => CorpusPipeline.hashSplit(Tables.documents(s, d), TrainPct))
   )
 
-  /** DuckDB-equivalent SQL per query key; keys absent here (q02, q10,
-    * q18) are non-SQL-expressible (footer metadata / index file I/O /
-    * binary feature plumbing) → driver records a rows-only check. */
+  /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
+    * q10, q18) are non-SQL-expressible (footer metadata / trained-vocab
+    * BPE / index file I/O / binary feature plumbing) → driver records a
+    * rows-only check. */
   def oracleSql: Map[String, String] = OracleSql.all
 }

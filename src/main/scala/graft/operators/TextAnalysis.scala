@@ -28,6 +28,29 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(filter(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)), t => t =!= ""))
 
+  /** Per-document REAL byte-level BPE token count (reference
+    * Program.cs:40,80's cl100k_base SharpToken call, re-expressed):
+    * merge table trained once on a BOUNDED deterministic sample
+    * (driver-side, fixed cost at any corpus scale — exactly like any
+    * tokenizer training step), broadcast to executors, then one
+    * codegen'd [[graft.functions.BpeCount]] expression per row — no
+    * UDF, no shuffle. See [[graft.functions.Bpe]] for why the vocab is
+    * corpus-trained rather than OpenAI's shipped cl100k table (no
+    * egress; mechanics are identical and the real vocab is a drop-in
+    * constructor argument). */
+  def bpeCorpusTokens(docs: DataFrame, numMerges: Int = 256, sampleN: Int = 512): DataFrame = {
+    import graft.functions.{Bpe, BpeCount}
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    val sample = docs.orderBy("doc_id").limit(sampleN)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val bc = docs.sparkSession.sparkContext.broadcast(Bpe.learn(sample, numMerges))
+    docs.select(
+      col("doc_id"),
+      SqlBridge.column(BpeCount(SqlBridge.expression(col("text")), bc)).as("n_bpe_real"),
+      size(tokens(col("text"))).as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document token counts (reference Program.cs:80,88). */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+import graft.operators.TextAnalysis
+
+/** Byte-level BPE: merge-loop fixtures against hand-computed token
+  * counts, learner determinism, and the distributed operator shape. */
+class BpeSpec extends SparkSpec {
+
+  private def piece(s: String): Array[String] = s.map(String.valueOf).toArray
+
+  test("merge loop applies ranks lowest-first (hand-computed fixtures)") {
+    // Rank order deliberately exercises precedence: "he" must merge
+    // before "ll" even when "ll" appears earlier in the string.
+    val r = Bpe.Ranks(Map(
+      ("h", "e") -> 0,
+      ("l", "l") -> 1,
+      ("he", "ll") -> 2,
+      ("hell", "o") -> 3))
+    // hello: h e l l o → he l l o → he ll o → hell o → hello
+    assert(Bpe.encodeCount(piece("hello"), r) === 1)
+    // hell: h e l l → he l l → he ll → hell
+    assert(Bpe.encodeCount(piece("hell"), r) === 1)
+    // llhe: ll merges, he merges, (he,ll) rank keys don't match "llhe" order
+    assert(Bpe.encodeCount(piece("llhe"), r) === 2)
+    // no applicable merges → one token per byte
+    assert(Bpe.encodeCount(piece("xyz"), r) === 3)
+    // empty / single byte
+    assert(Bpe.encodeCount(piece(""), r) === 0)
+    assert(Bpe.encodeCount(piece("h"), r) === 1)
+  }
+
+  test("cl100k pre-tokenizer splits contractions, digits, space runs") {
+    def pieces(s: String): Seq[String] = {
+      val m = Bpe.Cl100kPattern.matcher(s)
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toSeq
+    }
+    assert(pieces("it's") === Seq("it", "'s"))
+    assert(pieces("I'll go") === Seq("I", "'ll", " go"))
+    // 1-3 digit grouping — the cl100k number rule
+    assert(pieces("12345") === Seq("123", "45"))
+    assert(pieces("hello  world") === Seq("hello", " ", " world"))
+    assert(pieces("a, b") === Seq("a", ",", " b"))
+  }
+
+  test("learner is deterministic and learns frequent pairs first") {
+    val corpus = Seq("aaab aaab aaab", "the the the cat")
+    val r1 = Bpe.learn(corpus, 8)
+    val r2 = Bpe.learn(corpus, 8)
+    assert(r1 === r2)
+    // "aa" dominates the pair counts (2 per "aaab" × 3 + …)
+    assert(r1.ranks.contains(("a", "a")))
+    // Encoding compresses seen words below their byte length.
+    assert(Bpe.encodeCount(piece("aaab"), r1) < 4)
+  }
+
+  test("UTF-8 multibyte text round-trips through the byte-level encoder") {
+    val r = Bpe.learn(Seq("héllo héllo"), 16)
+    // é is 2 UTF-8 bytes; with enough merges the word collapses fully.
+    assert(Bpe.encodeCount(
+      "héllo".getBytes("UTF-8").map(b => String.valueOf((b & 0xff).toChar)), r) >= 1)
+    val n = Bpe.countTokens(org.apache.spark.unsafe.types.UTF8String.fromString("héllo héllo"), r)
+    assert(n >= 2) // two pre-tokens at minimum
+  }
+
+  test("q05b operator: one row per doc, trained-vocab counts <= byte counts") {
+    val docs = Tables.documents(spark, sf0001)
+    val out = TextAnalysis.bpeCorpusTokens(docs)
+    assert(out.count() === docs.count())
+    // BPE can never produce MORE tokens than bytes, and with a trained
+    // vocab it must beat whitespace-token granularity × avg word length.
+    val bad = out.join(docs, "doc_id")
+      .where(col("n_bpe_real") > length(col("text")) + lit(1))
+    assert(bad.count() === 0)
+    // Compression sanity: trained BPE ≤ raw bytes on average, and the
+    // plan is a narrow projection (no shuffle except the output sort).
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("bpe_count"), s"expression missing from plan:\n$p")
+    assert(!p.contains("hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+}
