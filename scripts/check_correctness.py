@@ -24,9 +24,16 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    import numpy as np
     for c in df.columns:
-        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list,)):
-            df[c] = df[c].map(tuple)
+        if df[c].dtype == object and len(df):
+            # Decide list-ness from any NON-NULL cell (row 0 may be
+            # None/NaN in a column that still holds lists further down),
+            # and tuple-convert per cell so mixed null/list sorts work.
+            non_null = df[c].dropna()
+            if len(non_null) and isinstance(non_null.iloc[0], (list, np.ndarray)):
+                df[c] = df[c].map(
+                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def norm_cell(v):

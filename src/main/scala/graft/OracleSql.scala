@@ -212,7 +212,9 @@ object OracleSql {
       s"""WITH bucketed AS (
          |  SELECT vec_id,
          |    $bucketCols
-         |  FROM embeddings),
+         |  -- same exclusion rule as Dedup.cosineLsh: off-dim vectors
+         |  -- never bucket (a mismatched dot is NULL there / an error here)
+         |  FROM embeddings WHERE len(embedding) = 64),
          |cand AS (
          |  $unions),
          |normed AS (

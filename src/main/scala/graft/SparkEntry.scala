@@ -56,10 +56,14 @@ object SparkEntry {
     "q09_ivf_build" -> ((s, d) => Ivf.build(Tables.embeddings(s, d), IvfStep)),
     "q10_index_roundtrip" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      // Path keyed by sf dir + process so concurrent Verify/Bench runs
-      // can't clobber each other's index between save and load.
+      // FIXED path per sf dir: save()'s overwrite mode clobbers the
+      // previous run's index, so repeated Verify/Bench runs reuse one
+      // directory instead of leaking a new tmp dir per process. (The
+      // driver runs Verify and Bench sequentially; the former per-pid
+      // suffix traded unbounded tmp growth for a concurrency case that
+      // doesn't occur.)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
-        s"${Integer.toHexString(d.hashCode)}_${ProcessHandle.current.pid}"
+        Integer.toHexString(d.hashCode)
       Ivf.save(emb, IvfStep, path)
       val (postings, _) = Ivf.load(s, path)
       postings.groupBy("centroid_id").agg(count(lit(1)).as("n_vectors")).orderBy("centroid_id")

@@ -73,21 +73,37 @@ object Scan {
     * "enforce order as index input" (Program.cs:106-107), distributed.
     *
     * Single-partition `row_number() OVER (ORDER BY key)` would serialize
-    * 100 TB through one task. Instead: range-partition by key, rank within
-    * each partition (parallel window), then add broadcast per-partition
-    * offsets computed from a tiny count-by-partition aggregate.
+    * 100 TB through one task. Instead: two-phase ranking over key-range
+    * buckets — rank within each bucket (parallel window), then add
+    * broadcast per-bucket offsets from a tiny count aggregate.
+    *
+    * The bucket is a PURE FUNCTION of the key (uniform spans between the
+    * collected min/max — one tiny agg job at build time), NOT
+    * `repartitionByRange` + `spark_partition_id`: that formulation
+    * samples range boundaries nondeterministically, and referencing the
+    * sampled subtree from both the rank and the offset branch made
+    * correctness depend on exchange reuse deduplicating the two (with
+    * `spark.sql.exchange.reuse=false`, each branch could sample
+    * DIFFERENT boundaries and produce a wrong index). A deterministic
+    * bucket keys both branches identically no matter how the plan is
+    * (re)executed. Near-contiguous keys (ours) bucket uniformly; heavily
+    * clustered keys would skew buckets but never break correctness.
     */
-  def globalIndex(vectors: DataFrame): DataFrame = {
-    val parted = vectors
-      .repartitionByRange(col("vec_id"))
-      .select(col("vec_id"), col("label"), spark_partition_id().as("pid"))
+  def globalIndex(vectors: DataFrame, numBuckets: Int = 32): DataFrame = {
+    val stats = vectors.agg(
+      min(col("vec_id")).as("mn"), max(col("vec_id")).as("mx")).collect()(0)
+    if (stats.isNullAt(0)) return vectors.select(col("vec_id"), col("label"),
+      lit(0L).as("idx")).limit(0)
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    val span = math.max((mx - mn) / numBuckets + 1, 1L)
+    val bucket = ((col("vec_id") - mn) / span).cast("long")
+    val parted = vectors.select(col("vec_id"), col("label"), bucket.as("pid"))
     val localRank = parted.withColumn(
       "local_idx",
       row_number().over(Window.partitionBy("pid").orderBy("vec_id")).cast("long") - 1L)
-    // Per-partition row counts: tiny (one row per partition) → prefix sums
-    // on the driver → broadcast join back.
+    // Per-bucket row counts: tiny (one row per bucket) → prefix sums
+    // via a window → broadcast join back.
     val offsets = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .orderBy("pid")
     val w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     val withOffset = offsets.withColumn("offset", coalesce(sum("cnt").over(w), lit(0L)))
       .select("pid", "offset")

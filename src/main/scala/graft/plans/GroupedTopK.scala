@@ -38,7 +38,13 @@ import scala.collection.mutable
   */
 case class GroupedTopK(groupExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
                        child: LogicalPlan) extends UnaryNode {
-  require(k > 0)
+  require(k > 0, s"GroupedTopK requires k > 0, got $k")
+  // An empty group list would reach ClusteredDistribution(Nil) and die
+  // deep inside EnsureRequirements with an obscure requirement error;
+  // fail at the API boundary instead (global top-k without groups is
+  // `orderBy(...).limit(k)` — TakeOrderedAndProject already optimal).
+  require(groupExprs.nonEmpty,
+    "GroupedTopK requires at least one group expression; for a global top-k use orderBy(...).limit(k)")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopK =
     copy(child = newChild)

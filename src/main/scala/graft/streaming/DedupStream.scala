@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Streaming MinHash near-dup twin of `Dedup.minhashLsh` (SURVEY.md §2
+  * row 14, extended to the stream side like EventsStream twins row 17).
+  *
+  * Shape: signature + band keys are PER-ROW narrow expressions (the
+  * aggregate-free twin of Dedup.minhashSignatures — same hash constants,
+  * same values), bands explode statelessly, and the ONE stateful
+  * operator is `flatMapGroupsWithState` keyed by (band_id, band_key):
+  * state is the first doc_id that claimed the bucket, and every later
+  * arrival in the same bucket emits a candidate pair (keeper, doc).
+  * With event-time timeout + a watermarked source, bucket state evicts
+  * once the watermark passes it — the only near-dup contract that
+  * survives an unbounded stream (same trade as dedupEvents).
+  */
+object DedupStream {
+
+  private val P = 1000000007L
+
+  /** Per-row MinHash signature over a PRE-MATERIALIZED shingle-hash
+    * array column (hash60 % p per distinct shingle): for permutation j,
+    * sig_j = min((a_j·h + b_j) mod p). Value-identical to
+    * Dedup.minhashSignatures (same constants), but computed without a
+    * groupBy so it composes with downstream stateful streaming ops. */
+  def signatureOf(hs: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      val a = 1L + 2L * j
+      val b = 7919L * (j + 1) % P
+      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }: _*)
+
+  /** (doc_id, ts, band_id, band_key) rows for a documents frame (batch
+    * or streaming) — narrow select + one explode, no shuffle. */
+  def bandedDocs(docs: DataFrame, k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    docs
+      .select(col("doc_id"), col("ts"),
+        Dedup.shingles(col("text"), k).as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col("doc_id"), col("ts"),
+        transform(col("__sh"), s => pmod(Dedup.hash60(s), lit(P))).as("__hs"))
+      .select(col("doc_id"), col("ts"), signatureOf(col("__hs"), numHashes).as("__sig"))
+      .select(col("doc_id"), col("ts"),
+        explode(array((0 until numBands).map { b =>
+          struct(lit(b).as("band_id"),
+            concat_ws("_", transform(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand),
+              _.cast("string"))).as("band_key"))
+        }: _*)).as("band"))
+      .select(col("doc_id"), col("ts"), col("band.band_id"), col("band.band_key"))
+  }
+
+  final case class BandPair(a: Long, b: Long, band_id: Int)
+  // public: the state encoder's generated code constructs it reflectively
+  final case class BucketState(keeperId: Long)
+
+  /** Streaming candidate pairs: docs colliding with the bucket's first
+    * claimant (by arrival, doc_id-ordered within a batch). Pairs may
+    * repeat across bands — downstream consumers `distinct` per their
+    * own window, exactly like the batch LSH's union/distinct step. */
+  def nearDupPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 12,
+                   rowsPerBand: Int = 2): Dataset[BandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandedDocs(docs, k, numHashes, rowsPerBand)
+      .select(col("band_id"), col("band_key"), col("doc_id"))
+      .as[(Int, String, Long)]
+      .groupByKey { case (bandId, bandKey, _) => (bandId, bandKey) }
+      .flatMapGroupsWithState[BucketState, BandPair](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case ((bandId, _), it, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ids = it.map(_._3).toArray.sorted
+            var keeper = state.getOption.map(_.keeperId).getOrElse(Long.MaxValue)
+            val out = Iterator.newBuilder[BandPair]
+            ids.foreach { id =>
+              if (id < keeper) { if (keeper != Long.MaxValue) out += BandPair(id, keeper, bandId); keeper = id }
+              else if (id > keeper) out += BandPair(keeper, id, bandId)
+            }
+            state.update(BucketState(keeper))
+            out.result()
+          }
+      }
+  }
+
+  /** Batch twin of [[nearDupPairs]] for differential testing: per
+    * bucket, the min doc_id is the keeper and every other member pairs
+    * with it. */
+  def nearDupPairsBatch(docs: DataFrame, k: Int = 3, numHashes: Int = 12,
+                        rowsPerBand: Int = 2): DataFrame =
+    bandedDocs(docs, k, numHashes, rowsPerBand)
+      .groupBy("band_id", "band_key")
+      .agg(min("doc_id").as("a"), collect_set("doc_id").as("members"))
+      .select(col("a"), explode(col("members")).as("b"), col("band_id"))
+      .where(col("b") =!= col("a"))
+      .select("a", "b", "band_id")
+}

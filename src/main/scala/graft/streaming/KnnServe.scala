@@ -1,10 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.functions.VectorFunctions.dot
+import graft.plans.GroupedTopK
 
 /** Streaming KNN serving: answer a stream of query vectors against a
   * static corpus, micro-batch at a time.
@@ -12,12 +12,12 @@ import graft.functions.VectorFunctions.dot
   * Per-query top-k needs a rank, which Structured Streaming forbids
   * over an unbounded stream — `foreachBatch` is the supported shape:
   * each micro-batch is a normal DataFrame, so the exact batch KNN plan
-  * (query rows broadcast, codegen'd `vector_dot` scores, rank-limited
-  * per query — Spark plans the rank filter with a partial
-  * WindowGroupLimit) runs unchanged per batch against the static
-  * corpus. This is the Spark-native answer to "online ANN serving":
-  * micro-batched exact (or IVF-probed) search, not a resident
-  * point-query index.
+  * (query rows broadcast, codegen'd `vector_dot` scores, per-query
+  * top-k through the same GroupedTopK partial/final heaps as the
+  * batched path, Ivf.searchBatch) runs unchanged per batch against the
+  * static corpus. This is the Spark-native answer to "online ANN
+  * serving": micro-batched exact (or IVF-probed) search, not a
+  * resident point-query index.
   */
 object KnnServe {
 
@@ -33,10 +33,10 @@ object KnnServe {
           .crossJoin(broadcast(batch.select(col("query_id"), col("qv"))))
           .select(col("query_id"), col("vec_id"),
             round(dot(col("embedding"), col("qv")), 6).as("score"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("vec_id").asc)
-        sink(scored.withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= k).drop("rnk"))
+        // Heap-only per-query top-k — no per-partition sort, no rank
+        // column; one code path with the batched search (Ivf.scala).
+        sink(GroupedTopK.topK(scored, Seq(col("query_id")),
+          Seq(col("score").desc, col("vec_id").asc), k))
       }
       .trigger(Trigger.AvailableNow())
       .start()

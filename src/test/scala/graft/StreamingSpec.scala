@@ -46,6 +46,49 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_sink").count() === events.count())
   }
 
+  test("streaming MinHash near-dup twin matches the batch star candidates") {
+    import graft.streaming.DedupStream
+    val docsDir = s"${System.getProperty("java.io.tmpdir")}/graft_docs_stream_src"
+    // Arrival time synthesized from doc_id — the streaming source's
+    // event-time column (watermark anchor on a real feed).
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("ts",
+        timestamp_seconds(lit(1767225600L) + col("doc_id")))
+    docs.coalesce(1).write.mode("overwrite").parquet(docsDir)
+
+    val streamed = DedupStream.nearDupPairs(
+      spark.readStream.schema(spark.read.parquet(docsDir).schema).parquet(docsDir))
+    val q = streamed.writeStream
+      .format("memory").queryName("neardup_sink").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("neardup_sink")
+      .select("a", "b").distinct().orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = DedupStream.nearDupPairsBatch(docs)
+      .select("a", "b").distinct().orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("per-row streaming signature equals the aggregate batch signature") {
+    import graft.streaming.DedupStream
+    val docs = Tables.documents(spark, sf0001).withColumn("ts", current_timestamp())
+    val perRow = DedupStream.bandedDocs(docs, 3, 12, 2)
+      .select("doc_id", "band_id", "band_key")
+    val agg = {
+      val sig = graft.operators.Dedup.minhashSignatures(Tables.documents(spark, sf0001), 3, 12)
+      sig.select(col("doc_id"),
+        explode(array((0 until 6).map { b =>
+          struct(lit(b).as("band_id"),
+            concat_ws("_", transform(slice(col("sig"), b * 2 + 1, 2), _.cast("string"))).as("band_key"))
+        }: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    }
+    assert(perRow.exceptAll(agg).count() === 0)
+    assert(agg.exceptAll(perRow).count() === 0)
+  }
+
   test("stateful streaming sessionization matches the batch sessionize") {
     import spark.implicits._
     val events = spark.readStream
