@@ -26,49 +26,86 @@ object VecUtil {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Rounding merge window: round6 is MONOTONE, so only candidates with
+    * raw distance within [rawMin, rawMin + 1.5e-6] can share the minimal
+    * rounded value (round6(x) ≤ x + 5e-7 ⇒ the last raw value rounding
+    * to round6(rawMin) is ≤ rawMin + 1e-6; 1.5e-6 is a safe superset). */
+  private final val RoundMargin = 1.5e-6
+
   /** Argmin over centroids of round6(‖emb − c‖²), ties to the smallest
     * centroid_id — the exact semantics of the former
     * `min(struct(round(l2Sq(emb, c_emb), 6), centroid_id))` aggregate,
     * with identical left-to-right double accumulation and identical
     * rounding, so oracle hashes are unchanged.
     *
+    * Perf shape (the k-centroid inner loop is the whole cost of IVF
+    * build at scale): the scan tracks the RAW minimum with
+    * partial-distance early exit (a candidate's accumulation aborts the
+    * moment it exceeds rawMin + margin — the standard IVF pruning), and
+    * BigDecimal rounding runs only for the few candidates inside the
+    * rounding merge window of the raw minimum (usually exactly one)
+    * instead of once per (row × centroid).
+    *
     * Returns null (no assignment) when the embedding is null-element,
     * or when no centroid matches the embedding's length — mirroring the
     * join formulation where a NULL distance poisons every candidate. */
   def nearestCentroid(emb: ArrayData, embIsDouble: Boolean, cs: CentroidSet): InternalRow = {
     val n = emb.numElements()
-    var bestCid = -1L
-    var bestDist = 0.0
-    var found = false
+    // Copy the embedding out of ArrayData once: the inner loop reads it
+    // k times.
+    val e = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (emb.isNullAt(i)) return null
+      e(i) = if (embIsDouble) emb.getDouble(i) else emb.getFloat(i).toDouble
+      i += 1
+    }
+    var rawBest = Double.PositiveInfinity
+    // Candidates inside the rounding window of the (current) raw best;
+    // appended rarely, filtered against the FINAL rawBest afterwards.
+    var candCids: Array[Long] = null
+    var candDists: Array[Double] = null
+    var nCand = 0
     var c = 0
     while (c < cs.mat.length) {
       val ce = cs.mat(c)
       if (ce.length == n) {
+        val bound = rawBest + RoundMargin
         var acc = 0.0
-        var ok = true
-        var i = 0
-        while (ok && i < n) {
-          if (emb.isNullAt(i)) ok = false
-          else {
-            val x = if (embIsDouble) emb.getDouble(i) else emb.getFloat(i).toDouble
-            val d = x - ce(i)
-            acc += d * d
-            i += 1
-          }
+        var j = 0
+        while (j < n && acc <= bound) {
+          val d = e(j) - ce(j)
+          acc += d * d
+          j += 1
         }
-        if (ok) {
-          val dist = round6(acc)
-          if (!found || dist < bestDist || (dist == bestDist && cs.cids(c) < bestCid)) {
-            found = true
-            bestDist = dist
-            bestCid = cs.cids(c)
+        if (j == n && acc <= bound) {
+          if (candCids == null) {
+            candCids = new Array[Long](8); candDists = new Array[Double](8)
+          } else if (nCand == candCids.length) {
+            candCids = java.util.Arrays.copyOf(candCids, nCand * 2)
+            candDists = java.util.Arrays.copyOf(candDists, nCand * 2)
           }
+          candCids(nCand) = cs.cids(c); candDists(nCand) = acc; nCand += 1
+          if (acc < rawBest) rawBest = acc
         }
       }
       c += 1
     }
-    if (!found) null
-    else new GenericInternalRow(Array[Any](bestCid, bestDist))
+    if (nCand == 0) return null
+    var bestCid = -1L
+    var bestDist = 0.0
+    var found = false
+    i = 0
+    while (i < nCand) {
+      if (candDists(i) <= rawBest + RoundMargin) {
+        val dist = round6(candDists(i))
+        if (!found || dist < bestDist || (dist == bestDist && candCids(i) < bestCid)) {
+          found = true; bestDist = dist; bestCid = candCids(i)
+        }
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestCid, bestDist))
   }
 }
 

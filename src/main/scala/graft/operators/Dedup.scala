@@ -231,8 +231,10 @@ object Dedup {
         col("nrm").as("nrm_a")), "a")
       .join(withNorm.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
         col("nrm").as("nrm_b")), "b")
-      .withColumn("cos",
-        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .withColumn("cos_raw", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      // two-stage threshold — see cosinePairs
+      .where(col("cos_raw") >= threshold - 1e-6)
+      .withColumn("cos", round(col("cos_raw"), 6))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
       .orderBy("a", "b")
@@ -240,7 +242,15 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs within a blocking key (label):
     * equi-join on the block, cosine in codegen, threshold filter. The
-    * blocking key bounds each bucket; AQE skew-join splits outliers. */
+    * blocking key bounds each bucket; AQE skew-join splits outliers.
+    *
+    * Scale note: this operator's CONTRACT is quadratic — it emits every
+    * within-block pair score, so cost is O(Σ|block|²) in any engine
+    * (measured: a salted-join variant that fans the pair loop over
+    * blocks × salts tasks was 2× SLOWER here — the constant is the
+    * per-pair row copy, not task parallelism — see git history). The
+    * 100 TB path for the same capability is [[cosineLsh]], which is
+    * linear in n at fixed collision rate. */
   def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
     // Norms are computed ONCE per row before the join (n rows), not per
     // candidate pair (n² rows within a block): cos(a,b) then costs one
@@ -254,8 +264,15 @@ object Dedup {
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     l.join(r, Seq("label"))
       .where(col("a") < col("b"))
-      .withColumn("cos",
-        round(dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .withColumn("cos_raw", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      // Two-stage threshold: the raw double compare rejects the vast
+      // majority of pairs before the (BigDecimal-backed) round ever
+      // runs; the margin is a strict superset of everything that could
+      // round up to the threshold, and the exact rounded filter then
+      // applies the unchanged contract. Same output, ~pair-count fewer
+      // BigDecimal allocations.
+      .where(col("cos_raw") >= threshold - 1e-6)
+      .withColumn("cos", round(col("cos_raw"), 6))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), col("label"), col("cos"))
       .orderBy("a", "b")
