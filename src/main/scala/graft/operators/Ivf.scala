@@ -192,9 +192,14 @@ object Ivf {
                    nprobe: Int, k: Int): DataFrame = {
     val cents = centroids(vectors, step)
     // Narrow inline postings: the only exchange left in the whole query
-    // is the final top-k (TakeOrderedAndProject).
+    // is the final top-k (TakeOrderedAndProject). The coalesce makes
+    // the join key non-nullable so the probed-centroid inner join does
+    // NOT insert an isnotnull Filter that would re-evaluate the whole
+    // argmin a second time per row (-1 matches no probed centroid, so
+    // unassignable rows drop exactly as the null would).
     val postings = vectors.select(col("vec_id"), col("embedding"),
-      nearest(vectors, collectCentroids(cents)).getField("centroid_id").as("centroid_id"))
+      coalesce(nearest(vectors, collectCentroids(cents)).getField("centroid_id"), lit(-1L))
+        .as("centroid_id"))
     search(postings, cents, query, nprobe, k)
   }
 }
