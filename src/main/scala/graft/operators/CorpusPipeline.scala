@@ -33,6 +33,18 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("split", "lang")
 
+  /** Stateless quality gate (stage 3 of [[prepare]]): min token count +
+    * bounded mean token length, as pure narrow column expressions — so
+    * the SAME function gates a batch frame or a `readStream` frame
+    * (no aggregation, no state; StreamingSpec proves batch == stream). */
+  def qualityGate(docs: DataFrame, minTokens: Int = 5,
+                  maxMeanTokenLen: Double = 15.0): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .where(col("n_tokens") >= minTokens &&
+        col("n_chars").cast("double") / col("n_tokens") <= maxMeanTokenLen)
+
   def prepare(docs: DataFrame, k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
               minEstJaccard: Double = 0.5, minTokens: Int = 5,
               maxMeanTokenLen: Double = 15.0): DataFrame = {
@@ -43,12 +55,8 @@ object CorpusPipeline {
     val nearDropped = Dedup
       .minhashLsh(kept, k, numHashes, rowsPerBand, minEstJaccard)
       .select(col("b").as("doc_id")).distinct()
-    kept
-      .join(nearDropped, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        size(tokens(col("text"))).as("n_tokens"))
-      .where(col("n_tokens") >= minTokens &&
-        col("n_chars").cast("double") / col("n_tokens") <= maxMeanTokenLen)
+    qualityGate(kept.join(nearDropped, Seq("doc_id"), "left_anti"),
+      minTokens, maxMeanTokenLen)
       .orderBy("doc_id")
   }
 }

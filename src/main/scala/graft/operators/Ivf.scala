@@ -86,6 +86,18 @@ object Ivf {
   def build(vectors: DataFrame, step: Int): DataFrame =
     assign(vectors, centroids(vectors, step)).orderBy("vec_id")
 
+  /** √n centroid policy: stride giving k = n/step ≈ √n centroids —
+    * the balance point where (vectors × centroids) assignment work and
+    * per-bucket rerank size both grow as n^1.5 instead of one of them
+    * going quadratic. The oracle-pinned query keys use the fixed
+    * Params.IvfStep so DuckDB can mirror them; production builds at
+    * unknown scale should use this. */
+  def autoStep(vectors: DataFrame): Int =
+    math.max(1, math.round(math.sqrt(vectors.count().toDouble)).toInt)
+
+  /** [[build]] with the √n policy. */
+  def buildAuto(vectors: DataFrame): DataFrame = build(vectors, autoStep(vectors))
+
   /** Lloyd k-means refinement of an initial centroid set: `iters` rounds
     * of nearest-centroid assignment followed by per-centroid mean.
     *

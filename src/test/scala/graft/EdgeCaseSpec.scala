@@ -60,4 +60,44 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.exact(empty).count() === 0)
     assert(Dedup.minhashLsh(empty).count() === 0)
   }
+
+  test("nearest-centroid: empty centroid set and off-dim centroids yield null assignment") {
+    import graft.operators.Ivf
+    val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    // empty centroid frame → every row unassigned (null), not a crash
+    val emptyCents = Seq.empty[(Long, Array[Float])].toDF("centroid_id", "c_emb")
+    val a1 = Ivf.assign(vecs, emptyCents).collect()
+    assert(a1.length === 2 && a1.forall(_.isNullAt(1)))
+    // dimension-mismatched centroids are skipped, same as a NULL l2sq
+    val badCents = Seq((0L, Array(1.0f, 2.0f, 3.0f))).toDF("centroid_id", "c_emb")
+    val a2 = Ivf.assign(vecs, badCents).collect()
+    assert(a2.forall(_.isNullAt(1)))
+    // one good centroid among bad dims wins for every row
+    val mixed = Seq((0L, Array(9.0f, 9.0f, 9.0f)), (1L, Array(0.0f, 0.0f)))
+      .toDF("centroid_id", "c_emb")
+    val a3 = Ivf.assign(vecs, mixed).collect()
+    assert(a3.forall(r => !r.isNullAt(1) && r.getLong(1) === 1L))
+  }
+
+  test("BPE: empty text, no-merge vocab, and null text degrade cleanly") {
+    import graft.functions.Bpe
+    import org.apache.spark.unsafe.types.UTF8String
+    val empty = Bpe.Ranks(Map.empty)
+    assert(Bpe.countTokens(UTF8String.fromString(""), empty) === 0)
+    // no merges → one token per UTF-8 byte of each pre-token
+    assert(Bpe.countTokens(UTF8String.fromString("ab cd"), empty) === 5)
+    // learner on an empty/degenerate corpus yields an empty merge table
+    assert(Bpe.learn(Seq("", " ", "a"), 8).ranks.isEmpty)
+    // null text flows through the expression as null, not an NPE
+    val df = Seq((1L, "hello"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bc = spark.sparkContext.broadcast(empty)
+    val out = df.select(col("doc_id"),
+      org.apache.spark.sql.graftbridge.SqlBridge.column(
+        graft.functions.BpeCount(
+          org.apache.spark.sql.graftbridge.SqlBridge.expression(col("text")), bc)).as("n"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) === 5 && out(1).isNullAt(1))
+  }
 }

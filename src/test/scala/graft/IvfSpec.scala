@@ -73,6 +73,30 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("sqrt-n centroid policy: buildAuto centroid count tracks sqrt(n)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val n = emb.count()
+    val step = operators.Ivf.autoStep(emb)
+    val k = operators.Ivf.centroids(emb, step).count()
+    val target = math.sqrt(n.toDouble)
+    assert(k >= target / 2 && k <= target * 2, s"k=$k vs sqrt(n)=$target")
+    // and the build over that policy still assigns every vector
+    assert(operators.Ivf.buildAuto(emb).count() === n)
+  }
+
+  test("save writes one data file per centroid directory (no small-files fanout)") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_filecount"
+    operators.Ivf.save(Tables.embeddings(spark, sf0001), 25, path)
+    val dirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getName} has ${files.length} files — partitionBy fanout regressed")
+    }
+  }
+
   test("persisted index roundtrips: postings cover every vector exactly once") {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_spec"
     Ivf.save(emb, IvfStep, path)

@@ -89,6 +89,22 @@ class StreamingSpec extends SparkSpec {
     assert(agg.exceptAll(perRow).count() === 0)
   }
 
+  test("stateless quality gate is batch/stream identical (same function)") {
+    import graft.operators.CorpusPipeline
+    val docsDir = s"${System.getProperty("java.io.tmpdir")}/graft_docs_gate_src"
+    Tables.documents(spark, sf0001).coalesce(1).write.mode("overwrite").parquet(docsDir)
+    val streamed = CorpusPipeline.qualityGate(
+      spark.readStream.schema(spark.read.parquet(docsDir).schema).parquet(docsDir))
+    val q = streamed.writeStream
+      .format("memory").queryName("gate_sink").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("gate_sink").orderBy("doc_id").collect()
+    val want = CorpusPipeline.qualityGate(Tables.documents(spark, sf0001))
+      .orderBy("doc_id").collect()
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+  }
+
   test("stateful streaming sessionization matches the batch sessionize") {
     import spark.implicits._
     val events = spark.readStream
