@@ -85,8 +85,10 @@ object Multimodal {
         rows.map { case (docId, text) =>
           MediaTypes((docId % 3).toInt) match {
             case "image" =>
-              val w = ((docId % 16) * 8 + 24).toInt
-              val h = ((docId % 12) * 8 + 24).toInt
+              // small rasters: the decode path is equally real at 24x20
+              // as at 4k, and the synthetic corpus re-encodes per run
+              val w = ((docId % 16) * 4 + 16).toInt
+              val h = ((docId % 12) * 4 + 16).toInt
               MediaRecord(docId, "image", "png", w, h, encodePng(docId, w, h, buf))
             case "audio" =>
               MediaRecord(docId, "audio", "wav",

@@ -61,7 +61,12 @@ object Metadata {
     * never silently regress to driver-side execution. */
   def describeFiles(spark: SparkSession, files: Seq[(String, String)]): Dataset[TableMeta] = {
     import spark.implicits._
-    files.toDS().mapPartitions { it =>
+    // A local Seq lands in ONE partition; spread the path list across
+    // the cluster before the footer walk (footer I/O is the work here —
+    // a million-file lake wants every core on it).
+    val slices = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism))
+    files.toDS().repartition(slices).mapPartitions { it =>
       require(TaskContext.get() != null, "footer reads must run inside a task")
       val conf = new Configuration()
       it.map { case (table, file) => readFooter(table, file, conf) }
