@@ -89,6 +89,25 @@ object DedupStream {
       }
   }
 
+  /** Streaming corpus prep — the stream-side composition of
+    * CorpusPipeline.prepare's stages that have a streaming contract:
+    * exact dedup (drop any doc whose content hash was seen within the
+    * watermark horizon — the only exact-dedup contract an unbounded
+    * stream supports) followed by the stateless quality gate (the SAME
+    * function as batch). Near-dup candidates stream separately through
+    * [[nearDupPairs]]; retroactive near-dup REMOVAL is inherently a
+    * batch decision (the keeper is only known once its bucket has been
+    * seen), so the streaming pipeline flags rather than deletes. */
+  def corpusPrep(docs: DataFrame, watermark: String = "2 hours",
+                 minTokens: Int = 5, maxMeanTokenLen: Double = 15.0): DataFrame =
+    graft.operators.CorpusPipeline.qualityGate(
+      docs
+        .withColumn("__content_hash", sha2(col("text"), 256))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("__content_hash")
+        .drop("__content_hash"),
+      minTokens, maxMeanTokenLen)
+
   /** Batch twin of [[nearDupPairs]] for differential testing: per
     * bucket, the min doc_id is the keeper and every other member pairs
     * with it. */

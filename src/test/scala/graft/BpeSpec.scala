@@ -66,6 +66,36 @@ class BpeSpec extends SparkSpec {
     assert(n >= 2) // two pre-tokens at minimum
   }
 
+  test("property: count bounded by UTF-8 bytes, deterministic, monotone in merges") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen = Gen.frequency(
+      (6, Gen.alphaNumChar), (2, Gen.const(' ')),
+      (1, Gen.oneOf('é', 'ü', 'λ', '中', '!', ',', '\n')))
+    val strGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    var seed = Seed(7L)
+    val samples = (1 to 120).map { _ =>
+      val s = strGen.apply(Gen.Parameters.default, seed).get; seed = seed.next; s
+    }
+    val r0 = Bpe.Ranks(Map.empty)
+    val r64 = Bpe.learn(samples, 64)
+    val r256 = Bpe.learn(samples, 256)
+    samples.foreach { s =>
+      val u = UTF8String.fromString(s)
+      val bytes = s.getBytes("UTF-8").length
+      val (n0, n64, n256) = (Bpe.countTokens(u, r0), Bpe.countTokens(u, r64),
+        Bpe.countTokens(u, r256))
+      assert(n0 <= bytes, s"'$s': no-merge count exceeds bytes")
+      // merges only ever REDUCE the token count, monotonically in vocab size
+      assert(n64 <= n0 && n256 <= n64, s"'$s': merge monotonicity violated")
+      assert(n256 === Bpe.countTokens(u, r256)) // deterministic
+      // the cl100k pattern's classes cover every char, so any non-empty
+      // string produces at least one token
+      assert(s.isEmpty || n256 >= 1)
+    }
+  }
+
   test("q05b operator: one row per doc, trained-vocab counts <= byte counts") {
     val docs = Tables.documents(spark, sf0001)
     val out = TextAnalysis.bpeCorpusTokens(docs)

@@ -89,6 +89,27 @@ class StreamingSpec extends SparkSpec {
     assert(agg.exceptAll(perRow).count() === 0)
   }
 
+  test("streaming corpus prep: dedup-within-watermark + gate over a duplicated stream") {
+    import graft.streaming.DedupStream
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_docs_prep_src"
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("ts", timestamp_seconds(lit(1767225600L) + col("doc_id")))
+    // feed every doc twice — exact dedup must collapse the copies
+    docs.union(docs).coalesce(1).write.mode("overwrite").parquet(dir)
+    val streamed = DedupStream.corpusPrep(
+      spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir))
+    val q = streamed.writeStream
+      .format("memory").queryName("prep_sink").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("prep_sink").select("doc_id").distinct().count()
+    // batch reference: unique contents, then the same gate
+    val want = graft.operators.CorpusPipeline.qualityGate(
+      docs.dropDuplicates("text")).count()
+    assert(spark.table("prep_sink").count() === got) // no duplicate rows emitted
+    assert(got === want)
+  }
+
   test("stateless quality gate is batch/stream identical (same function)") {
     import graft.operators.CorpusPipeline
     val docsDir = s"${System.getProperty("java.io.tmpdir")}/graft_docs_gate_src"
