@@ -40,4 +40,21 @@ object KnnServe {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** IVF-probed serving against a PERSISTED index (graft.operators.Ivf
+    * layout): each micro-batch of query vectors runs the batched ANN
+    * plan — per-query probe of nprobe centroids, postings join touches
+    * only probed cells, GroupedTopK heaps — so serving cost per batch
+    * is nprobe/k of the exact scan. The static frames are planned once
+    * per batch against the same partition-pruned layout the offline
+    * search uses. */
+  def serveIvf(queries: DataFrame, postings: DataFrame, cents: DataFrame,
+               nprobe: Int, k: Int)(sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Ivf.searchBatch(
+          postings, cents, batch.select(col("query_id"), col("qv")), nprobe, k))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

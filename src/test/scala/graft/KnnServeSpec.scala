@@ -32,4 +32,31 @@ class KnnServeSpec extends SparkSpec {
       assert(streamed === batch, s"query $qid: streamed != batch")
     }
   }
+
+  test("IVF-probed serving == offline batched ANN search on a persisted index") {
+    import graft.operators.Ivf
+    val corpus = Tables.embeddings(spark, sf0001)
+    val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_knnserve_idx"
+    Ivf.save(corpus, 25, idxPath)
+    val (postings, cents) = Ivf.load(spark, idxPath)
+
+    val qdir = s"${System.getProperty("java.io.tmpdir")}/graft_knn_queries_ivf"
+    corpus.where(col("vec_id").isin(0L, 7L, 13L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .coalesce(1).write.mode("overwrite").parquet(qdir)
+    val queries = spark.readStream
+      .schema(spark.read.parquet(qdir).schema).parquet(qdir)
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = KnnServe.serveIvf(queries, postings, cents, nprobe = 4, k = 5) { topk =>
+      results ++= topk.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    q.awaitTermination(120000)
+
+    val offline = Ivf.searchBatch(postings, cents,
+        spark.read.parquet(qdir), nprobe = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(results.toSet === offline)
+    assert(results.map(_._1).distinct.size === 3)
+  }
 }
