@@ -41,7 +41,12 @@ class DeterminismSpec extends SparkSpec {
     assert(e.getMessage.contains("at least one group expression"))
   }
 
-  SparkEntry.oracleSql.keys.toSeq.sorted.foreach { name =>
+  // Rows-only keys (no SQL oracle) get the same partitioning-invariance
+  // check; q10 is excluded only because it is an index-write I/O op
+  // whose roundtrip is covered by IvfSpec.
+  private val rowsOnlyDeterministic = Seq("q02_metadata", "q05b_bpe", "q18_multimodal")
+
+  (SparkEntry.oracleSql.keys.toSeq ++ rowsOnlyDeterministic).sorted.foreach { name =>
     test(s"$name is invariant under partitioning changes") {
       val defaults = (
         spark.conf.get("spark.sql.shuffle.partitions"),
