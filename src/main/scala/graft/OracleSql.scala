@@ -428,6 +428,20 @@ object OracleSql {
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
+    "q30_chunk" -> {
+      val step = ChunkSize - ChunkOverlap
+      s"""WITH sized AS (
+         |  SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
+         |idx AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, CAST(ceil(greatest(n - $ChunkOverlap, 1) / CAST($step AS DOUBLE)) AS BIGINT))) AS chunk_idx
+         |  FROM sized)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  substr(text, CAST(chunk_idx * $step + 1 AS INT), $ChunkSize) AS chunk,
+         |  CAST(len(substr(text, CAST(chunk_idx * $step + 1 AS INT), $ChunkSize)) AS INT) AS chunk_chars
+         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
     "q27_supplier_region_revenue" ->
       """SELECT r_name, n_name,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -32,6 +32,8 @@ object SparkEntry {
     val MinTokens = 5
     val MaxMeanTokenLen = 15.0
     val TrainPct = 90
+    val ChunkSize = 120
+    val ChunkOverlap = 20
   }
   import Params._
 
@@ -109,7 +111,9 @@ object SparkEntry {
     "q28_corpus_prep" -> ((s, d) => CorpusPipeline.prepare(
       Tables.documents(s, d), ShingleK, NumHashes, RowsPerBand, MinEstJaccard,
       MinTokens, MaxMeanTokenLen)),
-    "q29_corpus_split" -> ((s, d) => CorpusPipeline.hashSplit(Tables.documents(s, d), TrainPct))
+    "q29_corpus_split" -> ((s, d) => CorpusPipeline.hashSplit(Tables.documents(s, d), TrainPct)),
+    "q30_chunk" -> ((s, d) =>
+      TextAnalysis.chunk(Tables.documents(s, d), ChunkSize, ChunkOverlap))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -69,6 +69,34 @@ object TextAnalysis {
         round(sum("n_tokens") * lit(0.10) / lit(1000000.0), 6).as("cost_ada_v2_usd"),
         round(sum("n_tokens") * lit(0.02) / lit(1000000.0), 6).as("cost_v3_small_usd"))
 
+  /** Fixed-size document chunking with overlap — the training-data prep
+    * step between dedup and tokenization: chunk i of a document covers
+    * characters [i·step, i·step + size) with step = size − overlap, so
+    * consecutive chunks share `overlap` characters of context. A narrow
+    * generator (sequence + explode + substr): output row count is
+    * content-proportional, no shuffle, 100 TB-safe by construction.
+    * Empty documents emit no chunks; any non-empty document emits at
+    * least one. */
+  def chunk(docs: DataFrame, size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val n = length(col("text"))
+    val nChunks = ceil(greatest(n - lit(overlap), lit(1)).cast("double") / lit(step.toDouble))
+      .cast("int")
+    docs
+      .where(n > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("text").substr(col("chunk_idx") * step + 1, lit(size)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        length(col("chunk")).as("chunk_chars"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Heuristic quality score: length, punctuation density, stopword hit
     * ratio, mean token length — the standard LLM-corpus filters, all as
     * codegen'd expressions. */

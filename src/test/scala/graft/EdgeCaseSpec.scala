@@ -61,6 +61,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.minhashLsh(empty).count() === 0)
   }
 
+  test("chunking: overlap-stripped concatenation reconstructs every document") {
+    import graft.operators.TextAnalysis
+    val (size, overlap) = (7, 3)
+    val chunks = TextAnalysis.chunk(oddDocs, size, overlap).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val texts = oddDocs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      if (t.isEmpty) assert(!chunks.contains(id), s"doc $id: empty doc emitted chunks")
+      else {
+        val cs = chunks(id)
+        assert(cs.nonEmpty)
+        val rebuilt = cs.head + cs.tail.map(_.drop(overlap)).mkString
+        assert(rebuilt === t, s"doc $id: reconstruction mismatch")
+        // every chunk but the last is exactly `size` chars
+        assert(cs.init.forall(_.length == size))
+      }
+    }
+  }
+
   test("nearest-centroid: empty centroid set and off-dim centroids yield null assignment") {
     import graft.operators.Ivf
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
