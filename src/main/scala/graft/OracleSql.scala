@@ -442,6 +442,22 @@ object OracleSql {
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
+    "q30b_chunk_tokens" -> {
+      val step = ChunkTokens - ChunkTokenOverlap
+      s"""WITH toked AS (
+         |  SELECT doc_id, ${toks()} AS ts FROM documents),
+         |sized AS (
+         |  SELECT doc_id, ts, len(ts) AS n FROM toked WHERE len(ts) > 0),
+         |idx AS (
+         |  SELECT doc_id, ts, n,
+         |    unnest(range(0, CAST(ceil(greatest(n - $ChunkTokenOverlap, 1) / CAST($step AS DOUBLE)) AS BIGINT))) AS chunk_idx
+         |  FROM sized)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |  array_to_string(list_slice(ts, CAST(chunk_idx * $step + 1 AS INT), CAST(chunk_idx * $step + $ChunkTokens AS INT)), ' ') AS chunk,
+         |  CAST(least($ChunkTokens, n - chunk_idx * $step) AS INT) AS chunk_tokens
+         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
     "q27_supplier_region_revenue" ->
       """SELECT r_name, n_name,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -34,6 +34,8 @@ object SparkEntry {
     val TrainPct = 90
     val ChunkSize = 120
     val ChunkOverlap = 20
+    val ChunkTokens = 30
+    val ChunkTokenOverlap = 5
   }
   import Params._
 
@@ -113,7 +115,9 @@ object SparkEntry {
       MinTokens, MaxMeanTokenLen)),
     "q29_corpus_split" -> ((s, d) => CorpusPipeline.hashSplit(Tables.documents(s, d), TrainPct)),
     "q30_chunk" -> ((s, d) =>
-      TextAnalysis.chunk(Tables.documents(s, d), ChunkSize, ChunkOverlap))
+      TextAnalysis.chunk(Tables.documents(s, d), ChunkSize, ChunkOverlap)),
+    "q30b_chunk_tokens" -> ((s, d) =>
+      TextAnalysis.chunkByTokens(Tables.documents(s, d), ChunkTokens, ChunkTokenOverlap))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

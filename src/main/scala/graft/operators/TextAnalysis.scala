@@ -97,6 +97,35 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Token-budget chunking — the variant an LLM training pipeline
+    * actually feeds to packing: windows of `maxTokens` whitespace
+    * tokens stepping by maxTokens − overlap, chunk text rejoined with
+    * single spaces (token-level chunking normalizes intra-document
+    * whitespace by construction; char-exact reconstruction is
+    * [[chunk]]'s contract, not this one's). Tokens materialize into a
+    * column once per row before the window slices read them (HOF
+    * re-evaluation trap — see Dedup.shinglesOf). Narrow generator, no
+    * shuffle. */
+  def chunkByTokens(docs: DataFrame, maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got maxTokens=$maxTokens overlap=$overlap")
+    val step = maxTokens - overlap
+    val n = size(col("__ts"))
+    val nChunks = ceil(greatest(n - lit(overlap), lit(1)).cast("double") / lit(step.toDouble))
+      .cast("int")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("__ts"))
+      .where(n > 0)
+      .select(col("doc_id"), col("__ts"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        concat_ws(" ", slice(col("__ts"), col("chunk_idx") * step + 1, lit(maxTokens))).as("chunk"),
+        least(lit(maxTokens), size(col("__ts")) - col("chunk_idx") * step).as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Heuristic quality score: length, punctuation density, stopword hit
     * ratio, mean token length — the standard LLM-corpus filters, all as
     * codegen'd expressions. */

@@ -81,6 +81,25 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("token chunking: overlap-stripped token windows reconstruct the token stream") {
+    import graft.operators.TextAnalysis
+    val (maxT, overlap) = (3, 1)
+    val chunks = TextAnalysis.chunkByTokens(oddDocs, maxT, overlap).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // docs 1 and 2 have zero tokens → no chunks
+    assert(!chunks.contains(1L) && !chunks.contains(2L))
+    val texts = oddDocs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    chunks.foreach { case (id, cs) =>
+      val want = texts(id).split("\\s+").filter(_.nonEmpty).toSeq
+      val rebuilt = cs.head._3.split(" ").toSeq ++
+        cs.tail.flatMap(_._3.split(" ").drop(overlap).toSeq)
+      assert(rebuilt === want, s"doc $id: token reconstruction mismatch")
+      // declared chunk_tokens matches the actual token count per chunk
+      cs.foreach { case (_, _, chunk, nt) => assert(chunk.split(" ").length === nt) }
+    }
+  }
+
   test("nearest-centroid: empty centroid set and off-dim centroids yield null assignment") {
     import graft.operators.Ivf
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
