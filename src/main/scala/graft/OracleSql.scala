@@ -458,6 +458,23 @@ object OracleSql {
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin
     },
 
+    "q31_contamination" ->
+      s"""WITH tagged AS (
+         |  SELECT sha256(text) AS h,
+         |    CASE WHEN ${hash60("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
+         |         THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents),
+         |per_content AS (
+         |  SELECT h,
+         |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         |    sum(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS n_eval
+         |  FROM tagged GROUP BY h)
+         |SELECT CAST(sum(n_eval) AS BIGINT) AS n_eval_docs,
+         |  CAST(sum(CASE WHEN n_train > 0 THEN n_eval ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  round(CAST(sum(CASE WHEN n_train > 0 THEN n_eval ELSE 0 END) AS DOUBLE)
+         |    / CAST(greatest(sum(n_eval), 1) AS DOUBLE), 6) AS contamination_rate
+         |FROM per_content""".stripMargin,
+
     "q27_supplier_region_revenue" ->
       """SELECT r_name, n_name,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -117,7 +117,9 @@ object SparkEntry {
     "q30_chunk" -> ((s, d) =>
       TextAnalysis.chunk(Tables.documents(s, d), ChunkSize, ChunkOverlap)),
     "q30b_chunk_tokens" -> ((s, d) =>
-      TextAnalysis.chunkByTokens(Tables.documents(s, d), ChunkTokens, ChunkTokenOverlap))
+      TextAnalysis.chunkByTokens(Tables.documents(s, d), ChunkTokens, ChunkTokenOverlap)),
+    "q31_contamination" -> ((s, d) =>
+      CorpusPipeline.contamination(Tables.documents(s, d), TrainPct))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

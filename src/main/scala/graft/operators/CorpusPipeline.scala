@@ -45,6 +45,31 @@ object CorpusPipeline {
       .where(col("n_tokens") >= minTokens &&
         col("n_chars").cast("double") / col("n_tokens") <= maxMeanTokenLen)
 
+  /** Train/eval contamination report: how many eval documents share
+    * exact content with any train document under the [[hashSplit]]
+    * assignment — the decontamination check every benchmark-hygiene
+    * pipeline runs before training. One content-hash groupBy (map-side
+    * partial agg) then a 1-row global rollup: the shuffle carries one
+    * row per distinct content, never pairs. Near-dup contamination is
+    * the same report with Dedup.minhashLsh pairs filtered to
+    * cross-split (a, b). */
+  def contamination(docs: DataFrame, trainPct: Int = 90): DataFrame = {
+    val tagged = docs.select(
+      sha2(col("text"), 256).as("h"),
+      when(pmod(Dedup.hash60(col("doc_id").cast("string")), lit(100L)) < trainPct, "train")
+        .otherwise("eval").as("split"))
+    tagged
+      .groupBy("h")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "eval", 1L).otherwise(0L)).as("n_eval"))
+      .agg(
+        sum("n_eval").as("n_eval_docs"),
+        sum(when(col("n_train") > 0, col("n_eval")).otherwise(0L)).as("n_contaminated"),
+        round(sum(when(col("n_train") > 0, col("n_eval")).otherwise(0L)).cast("double") /
+          greatest(sum("n_eval"), lit(1L)).cast("double"), 6).as("contamination_rate"))
+  }
+
   def prepare(docs: DataFrame, k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
               minEstJaccard: Double = 0.5, minTokens: Int = 5,
               maxMeanTokenLen: Double = 15.0): DataFrame = {

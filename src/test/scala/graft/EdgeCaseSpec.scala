@@ -100,6 +100,25 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("contamination: cross-split exact dups are counted, unique eval docs are not") {
+    import graft.operators.{CorpusPipeline, Dedup}
+    val docs = ((0L until 20L).map(i => (i, "shared leaked text")) ++
+      (20L until 40L).map(i => (i, s"unique text number $i")))
+      .toDF("doc_id", "text")
+    // ground truth split per doc via the same pure hash rule
+    val splits = docs.select(col("doc_id"),
+      when(pmod(Dedup.hash60(col("doc_id").cast("string")), lit(100L)) < 90, "train")
+        .otherwise("eval").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sharedEval = (0L until 20L).count(splits(_) == "eval")
+    val sharedTrain = (0L until 20L).count(splits(_) == "train")
+    val uniqueEval = (20L until 40L).count(splits(_) == "eval")
+    val row = CorpusPipeline.contamination(docs, 90).collect()(0)
+    assert(row.getLong(0) === sharedEval + uniqueEval)
+    val expectedLeaked = if (sharedTrain > 0) sharedEval else 0
+    assert(row.getLong(1) === expectedLeaked)
+  }
+
   test("nearest-centroid: empty centroid set and off-dim centroids yield null assignment") {
     import graft.operators.Ivf
     val vecs = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
