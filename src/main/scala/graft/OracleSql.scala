@@ -475,6 +475,32 @@ object OracleSql {
          |    / CAST(greatest(sum(n_eval), 1) AS DOUBLE), 6) AS contamination_rate
          |FROM per_content""".stripMargin,
 
+    "q32_pack" -> {
+      val step = ChunkTokens - ChunkTokenOverlap
+      s"""WITH toked AS (
+         |  SELECT doc_id, ${toks()} AS ts FROM documents),
+         |sized AS (
+         |  SELECT doc_id, ts, len(ts) AS n FROM toked WHERE len(ts) > 0),
+         |chunks AS (
+         |  SELECT doc_id,
+         |    CAST(chunk_idx AS INT) AS chunk_idx,
+         |    CAST(least($ChunkTokens, n - chunk_idx * $step) AS INT) AS chunk_tokens
+         |  FROM (SELECT doc_id, n,
+         |    unnest(range(0, CAST(ceil(greatest(n - $ChunkTokenOverlap, 1) / CAST($step AS DOUBLE)) AS BIGINT))) AS chunk_idx
+         |    FROM sized)),
+         |positioned AS (
+         |  SELECT doc_id % $PackBuckets AS bucket, chunk_tokens,
+         |    coalesce(sum(chunk_tokens) OVER (PARTITION BY doc_id % $PackBuckets
+         |      ORDER BY doc_id, chunk_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |  FROM chunks)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(start_tok // $PackBudget AS BIGINT) AS pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(chunk_tokens) AS BIGINT) AS pack_tokens
+         |FROM positioned GROUP BY 1, 2 ORDER BY bucket, pack_id""".stripMargin
+    },
+
     "q27_supplier_region_revenue" ->
       """SELECT r_name, n_name,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -36,6 +36,8 @@ object SparkEntry {
     val ChunkOverlap = 20
     val ChunkTokens = 30
     val ChunkTokenOverlap = 5
+    val PackBudget = 256
+    val PackBuckets = 8
   }
   import Params._
 
@@ -119,7 +121,10 @@ object SparkEntry {
     "q30b_chunk_tokens" -> ((s, d) =>
       TextAnalysis.chunkByTokens(Tables.documents(s, d), ChunkTokens, ChunkTokenOverlap)),
     "q31_contamination" -> ((s, d) =>
-      CorpusPipeline.contamination(Tables.documents(s, d), TrainPct))
+      CorpusPipeline.contamination(Tables.documents(s, d), TrainPct)),
+    "q32_pack" -> ((s, d) => TextAnalysis.packChunks(
+      TextAnalysis.chunkByTokens(Tables.documents(s, d), ChunkTokens, ChunkTokenOverlap),
+      PackBudget, PackBuckets))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -126,6 +126,36 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Sequence packing: assign token chunks to fixed-budget training
+    * packs by cumulative token position — the streaming-concatenation
+    * packing every pretraining pipeline runs after chunking (documents
+    * concatenated in deterministic order, cut every `budget` tokens; a
+    * chunk lands in the pack where its first token falls).
+    *
+    * Scale shape: packing is inherently sequential, so it runs per
+    * BUCKET — a deterministic hash of doc_id scatters documents over
+    * `buckets` independent streams, each packed by one window pass
+    * (partitioned window, never a global sort). At 100 TB, buckets ≈
+    * cluster cores; each pack is local to a bucket, which is exactly
+    * how multi-worker data loaders shard anyway. Returns per-pack
+    * rollups (chunk count, token sum) — deterministic, oracle-checkable. */
+  def packChunks(chunks: DataFrame, budget: Int, buckets: Int): DataFrame = {
+    require(budget > 0 && buckets > 0)
+    import org.apache.spark.sql.expressions.Window
+    val bucket = pmod(col("doc_id"), lit(buckets.toLong)).as("bucket")
+    val w = Window.partitionBy("bucket").orderBy("doc_id", "chunk_idx")
+    chunks
+      .select(bucket, col("doc_id"), col("chunk_idx"), col("chunk_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum("chunk_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", (col("start_tok") / budget).cast("long"))
+      .groupBy("bucket", "pack_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("chunk_tokens").as("pack_tokens"))
+      .orderBy("bucket", "pack_id")
+  }
+
   /** Heuristic quality score: length, punctuation density, stopword hit
     * ratio, mean token length — the standard LLM-corpus filters, all as
     * codegen'd expressions. */

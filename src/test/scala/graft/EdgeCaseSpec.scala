@@ -100,6 +100,30 @@ class EdgeCaseSpec extends SparkSpec {
     }
   }
 
+  test("packing: token conservation, contiguous pack ids, bounded overflow") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val (maxT, ov, budget, buckets) = (30, 5, 256, 8)
+    val chunks = TextAnalysis.chunkByTokens(docs, maxT, ov)
+    val packs = TextAnalysis.packChunks(chunks, budget, buckets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packs.nonEmpty)
+    // conservation: pack tokens per bucket == chunk tokens per bucket
+    val chunkTotals = chunks
+      .groupBy(pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"))
+      .agg(sum("chunk_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val packTotals = packs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(packTotals === chunkTotals)
+    // contiguous pack ids from 0 within each bucket
+    packs.groupBy(_._1).foreach { case (b, ps) =>
+      val ids = ps.map(_._2).sorted.toSeq
+      assert(ids === (0L until ids.length), s"bucket $b pack ids not contiguous: $ids")
+    }
+    // a pack overflows its budget by at most one chunk's tokens
+    assert(packs.forall(_._4 < budget + maxT))
+  }
+
   test("contamination: cross-split exact dups are counted, unique eval docs are not") {
     import graft.operators.{CorpusPipeline, Dedup}
     val docs = ((0L until 20L).map(i => (i, "shared leaked text")) ++
