@@ -262,7 +262,15 @@ object Dedup {
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val r = withNorm.select(col("label"), col("vec_id").as("b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    l.join(r, Seq("label"))
+    // Spread the STREAMED side over the cluster before the probe: with a
+    // broadcast build side, join parallelism = streamed-side partitions,
+    // and a small single-file input scans as 1-2 splits — leaving the
+    // O(|block|²) probe loop on one core (measured: the whole sf1 cost).
+    // A round-robin repartition of n narrow rows is trivially cheap next
+    // to the pair loop it parallelizes; at real scale the scan already
+    // has enough natural splits and AQE coalesces the excess.
+    val lSpread = l.repartition(l.sparkSession.sparkContext.defaultParallelism)
+    lSpread.join(r, Seq("label"))
       .where(col("a") < col("b"))
       .withColumn("cos_raw", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       // Two-stage threshold: the raw double compare rejects the vast
