@@ -19,6 +19,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scan parallelism floor: a table that fits one 128 MB split would
+      // otherwise run every narrow operator single-task regardless of
+      // cores (the benchmark tables are single files; a real lake has
+      // natural splits). Same knob a production deployment tunes.
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
