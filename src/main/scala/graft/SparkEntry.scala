@@ -70,7 +70,11 @@ object SparkEntry {
       // doesn't occur.)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_" +
         Integer.toHexString(d.hashCode)
-      Ivf.save(emb, IvfStep, path)
+      // The roundtrip key is rows-only (no oracle pins the stride), so
+      // it exercises the production √n centroid policy — at growing SF
+      // the fixed oracle stride would write n/25 partition dirs and the
+      // roundtrip becomes a file-commit benchmark, not an index one.
+      Ivf.save(emb, Ivf.autoStep(emb), path)
       val (postings, _) = Ivf.load(s, path)
       postings.groupBy("centroid_id").agg(count(lit(1)).as("n_vectors")).orderBy("centroid_id")
     }),

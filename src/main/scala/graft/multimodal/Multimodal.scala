@@ -115,8 +115,13 @@ object Multimodal {
     * fallback — no audio/video codec in the JDK). */
   private[multimodal] def decode(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
-    if (r.format == "png") {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    // ImageIO.read returns null (not an exception) for undecodable
+    // payloads — at lake scale corrupt rows are a certainty, and one
+    // must degrade to the byte path, never kill the task.
+    val img0 = if (r.format == "png")
+      ImageIO.read(new ByteArrayInputStream(bytes)) else null
+    if (img0 != null) {
+      val img = img0
       val w = img.getWidth
       val h = img.getHeight
       val feature = new Array[Float](FeatureDim)
@@ -168,8 +173,9 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { rows =>
       val buf = new ByteArrayOutputStream(8192)
       rows.map { r =>
-        if (r.format == "png") {
-          val src = ImageIO.read(new ByteArrayInputStream(r.payload))
+        val src = if (r.format == "png")
+          ImageIO.read(new ByteArrayInputStream(r.payload)) else null
+        if (src != null) { // null = undecodable → byte fallback below
           val dst = new BufferedImage(newW, newH, BufferedImage.TYPE_INT_RGB)
           val g = dst.createGraphics()
           try g.drawImage(src, 0, 0, newW, newH, null)

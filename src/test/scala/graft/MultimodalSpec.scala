@@ -43,6 +43,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("corrupt PNG payloads degrade to the byte fallback, never kill the task") {
+    import spark.implicits._
+    val corrupt = Seq(
+      Multimodal.MediaRecord(1L, "image", "png", 8, 8, Array[Byte](1, 2, 3)),
+      Multimodal.MediaRecord(2L, "image", "png", 8, 8, Array.empty[Byte])
+    ).toDF()
+    val feats = Multimodal.extractFeatures(spark, corrupt).collect()
+    assert(feats.length === 2)
+    assert(feats.forall(f => f.decoded_w == -1 && f.decoded_h == -1))
+    val resized = Multimodal.resize(spark, corrupt, 4, 4).collect()
+    assert(resized.length === 2 && resized.forall(_.getInt(3) === 4))
+  }
+
   test("non-image rows use the byte fallback (decoded dims = -1)") {
     val feats = Multimodal.extractFeatures(spark,
       media.where(col("media_type") =!= "image"))
