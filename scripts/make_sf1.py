@@ -61,11 +61,12 @@ write("events", union_copies(lambda i:
 # (the cross-copy 90%-dup regime is the stress probe's job, not the
 # scaling curve's)
 TAG_TEXT = r"regexp_replace(text, '(\S+)', 'cI\1', 'g')"
-NCHARS = r"n_chars + 2 * len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))"
+# per-token n_chars adjustment = len of the actual tag ("c1" = 2, "c10" = 3)
+NCHARS = r"n_chars + TAGLEN * len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))"
 write("documents", union_copies(lambda i:
     f"""SELECT doc_id + {i*SHIFT} AS doc_id,
         {"text" if i == 0 else TAG_TEXT.replace("cI", f"c{i}")} AS text,
-        {"n_chars" if i == 0 else NCHARS} AS n_chars,
+        {"n_chars" if i == 0 else NCHARS.replace("TAGLEN", str(len(f"c{i}")))} AS n_chars,
         * EXCLUDE (doc_id, text, n_chars) FROM '{src}/documents.parquet'"""))
 # embeddings: deterministic per-(copy, vec, dim) perturbation keeps the
 # copies decorrelated (fresh-looking vectors, not 10x near-duplicates)

@@ -115,11 +115,15 @@ object Multimodal {
     * fallback — no audio/video codec in the JDK). */
   private[multimodal] def decode(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
-    // ImageIO.read returns null (not an exception) for undecodable
-    // payloads — at lake scale corrupt rows are a certainty, and one
-    // must degrade to the byte path, never kill the task.
+    // Undecodable payloads surface BOTH ways: ImageIO.read returns
+    // null when no reader claims the stream (bad magic) and THROWS
+    // IIOException when a reader claims it but the body is corrupt or
+    // truncated. At lake scale both are certainties — degrade to the
+    // byte path, never kill the task.
     val img0 = if (r.format == "png")
-      ImageIO.read(new ByteArrayInputStream(bytes)) else null
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    else null
     if (img0 != null) {
       val img = img0
       val w = img.getWidth
@@ -174,7 +178,9 @@ object Multimodal {
       val buf = new ByteArrayOutputStream(8192)
       rows.map { r =>
         val src = if (r.format == "png")
-          ImageIO.read(new ByteArrayInputStream(r.payload)) else null
+          try ImageIO.read(new ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null } // corrupt body throws
+        else null
         if (src != null) { // null = undecodable → byte fallback below
           val dst = new BufferedImage(newW, newH, BufferedImage.TYPE_INT_RGB)
           val g = dst.createGraphics()

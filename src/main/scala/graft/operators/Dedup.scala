@@ -262,13 +262,18 @@ object Dedup {
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val r = withNorm.select(col("label"), col("vec_id").as("b"),
       col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    // Spread the STREAMED side over the cluster before the probe: with a
-    // broadcast build side, join parallelism = streamed-side partitions,
-    // and a small single-file input scans as 1-2 splits — leaving the
-    // O(|block|²) probe loop on one core (measured: the whole sf1 cost).
-    // A round-robin repartition of n narrow rows is trivially cheap next
-    // to the pair loop it parallelizes; at real scale the scan already
-    // has enough natural splits and AQE coalesces the excess.
+    // Spread the STREAMED side over the cluster before the probe: when
+    // the build side broadcasts (the common case — one block's worth of
+    // norms is small), join parallelism = streamed-side partitions, and
+    // a small single-file input scans as 1-2 splits — leaving the
+    // O(|block|²) probe loop on one core (measured: the whole sf1 cost,
+    // 34.5 s → 3.1 s). A round-robin repartition of n narrow rows is
+    // trivially cheap next to the pair loop it parallelizes. When the
+    // table outgrows the auto-broadcast threshold Spark plans a
+    // sort-merge join instead; the spread then costs one extra narrow
+    // exchange of the streamed side — small next to the SMJ's own
+    // shuffles, and the quadratic-output regime belongs to cosineLsh
+    // anyway (see scale note above).
     val lSpread = l.repartition(l.sparkSession.sparkContext.defaultParallelism)
     lSpread.join(r, Seq("label"))
       .where(col("a") < col("b"))

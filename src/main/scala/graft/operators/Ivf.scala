@@ -56,6 +56,10 @@ object Ivf {
         case f: Float => f.toDouble
         case d: Double => d
         case n: Number => n.doubleValue()
+        // null element → NaN distance → that centroid never wins any
+        // argmin (the kernel's acc<=bound test fails on NaN), exactly
+        // the old join formulation's NULL-l2sq-poisons-this-candidate
+        case null => Double.NaN
       }.toArray))
   }
 

@@ -61,6 +61,12 @@ object Metadata {
     * never silently regress to driver-side execution. */
   def describeFiles(spark: SparkSession, files: Seq[(String, String)]): Dataset[TableMeta] = {
     import spark.implicits._
+    // Ship the SESSION's Hadoop configuration to the executors — a bare
+    // new Configuration() there would drop every spark.hadoop.* setting
+    // (filesystem credentials, endpoints), which is fatal for exactly
+    // the remote object-store lake this operator exists for.
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     // A local Seq lands in ONE partition; spread the path list across
     // the cluster before the footer walk (footer I/O is the work here —
     // a million-file lake wants every core on it).
@@ -68,7 +74,7 @@ object Metadata {
       math.min(files.size, spark.sparkContext.defaultParallelism))
     files.toDS().repartition(slices).mapPartitions { it =>
       require(TaskContext.get() != null, "footer reads must run inside a task")
-      val conf = new Configuration()
+      val conf = confSer.value
       it.map { case (table, file) => readFooter(table, file, conf) }
     }
   }

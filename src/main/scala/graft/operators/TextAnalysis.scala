@@ -41,7 +41,9 @@ object TextAnalysis {
   def bpeCorpusTokens(docs: DataFrame, numMerges: Int = 256, sampleN: Int = 512): DataFrame = {
     import graft.functions.{Bpe, BpeCount}
     import org.apache.spark.sql.graftbridge.SqlBridge
-    val sample = docs.orderBy("doc_id").limit(sampleN)
+    // null texts are legal rows (the expression path returns null for
+    // them) but must not reach the learner's pre-tokenizer
+    val sample = docs.where(col("text").isNotNull).orderBy("doc_id").limit(sampleN)
       .select("text").collect().map(_.getString(0)).toSeq
     val bc = docs.sparkSession.sparkContext.broadcast(Bpe.learn(sample, numMerges))
     docs.select(

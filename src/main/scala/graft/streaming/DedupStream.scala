@@ -36,12 +36,16 @@ object DedupStream {
     }: _*)
 
   /** (doc_id, ts, band_id, band_key) rows for a documents frame (batch
-    * or streaming) — narrow select + one explode, no shuffle. */
+    * or streaming) — narrow select + one explode, no shuffle. Tokens
+    * materialize into a column BEFORE the shingle slices read them
+    * (interpreted-HOF re-evaluation trap — see Dedup.shinglesOf). */
   def bandedDocs(docs: DataFrame, k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     docs
       .select(col("doc_id"), col("ts"),
-        Dedup.shingles(col("text"), k).as("__sh"))
+        graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("ts"),
+        Dedup.shinglesOf(col("__toks"), k).as("__sh"))
       .where(size(col("__sh")) > 0)
       .select(col("doc_id"), col("ts"),
         transform(col("__sh"), s => pmod(Dedup.hash60(s), lit(P))).as("__hs"))
@@ -62,21 +66,30 @@ object DedupStream {
   /** Streaming candidate pairs: docs colliding with the bucket's first
     * claimant (by arrival, doc_id-ordered within a batch). Pairs may
     * repeat across bands — downstream consumers `distinct` per their
-    * own window, exactly like the batch LSH's union/distinct step. */
+    * own window, exactly like the batch LSH's union/distinct step.
+    *
+    * State eviction: the input MUST carry a watermark on `ts`
+    * (EventTimeTimeout requires one); each bucket's state times out —
+    * and is removed — once the watermark passes its last-seen event
+    * time plus `stateHorizonMs`, so state size is bounded by the
+    * buckets active inside one horizon, the only near-dup contract an
+    * unbounded stream supports. */
   def nearDupPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 12,
-                   rowsPerBand: Int = 2): Dataset[BandPair] = {
+                   rowsPerBand: Int = 2,
+                   stateHorizonMs: Long = 2L * 3600 * 1000): Dataset[BandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     bandedDocs(docs, k, numHashes, rowsPerBand)
-      .select(col("band_id"), col("band_key"), col("doc_id"))
-      .as[(Int, String, Long)]
-      .groupByKey { case (bandId, bandKey, _) => (bandId, bandKey) }
+      .select(col("band_id"), col("band_key"), col("doc_id"), col("ts"))
+      .as[(Int, String, Long, java.sql.Timestamp)]
+      .groupByKey { case (bandId, bandKey, _, _) => (bandId, bandKey) }
       .flatMapGroupsWithState[BucketState, BandPair](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case ((bandId, _), it, state: GroupState[BucketState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val ids = it.map(_._3).toArray.sorted
+            val rows = it.toArray
+            val ids = rows.map(_._3).sorted
             var keeper = state.getOption.map(_.keeperId).getOrElse(Long.MaxValue)
             val out = Iterator.newBuilder[BandPair]
             ids.foreach { id =>
@@ -84,6 +97,13 @@ object DedupStream {
               else if (id > keeper) out += BandPair(keeper, id, bandId)
             }
             state.update(BucketState(keeper))
+            // Evict when the watermark passes last-seen + horizon. The
+            // max() guard keeps the timeout legal (it must sit beyond
+            // the current watermark) even for a bucket fed only by
+            // nearly-late data.
+            val lastSeen = rows.iterator.map(_._4.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + stateHorizonMs, state.getCurrentWatermarkMs() + 1))
             out.result()
           }
       }

@@ -160,6 +160,14 @@ class EdgeCaseSpec extends SparkSpec {
       .toDF("centroid_id", "c_emb")
     val a3 = Ivf.assign(vecs, mixed).collect()
     assert(a3.forall(r => !r.isNullAt(1) && r.getLong(1) === 1L))
+    // a centroid with a NULL element never wins (NaN distance), but
+    // doesn't crash collection or poison the other centroids
+    val nullElem = Seq(
+      (0L, Array[java.lang.Float](1.0f, null)),
+      (1L, Array[java.lang.Float](0.0f, 0.0f)))
+      .toDF("centroid_id", "c_emb")
+    val a4 = Ivf.assign(vecs, nullElem).collect()
+    assert(a4.forall(r => !r.isNullAt(1) && r.getLong(1) === 1L))
   }
 
   test("BPE: empty text, no-merge vocab, and null text degrade cleanly") {

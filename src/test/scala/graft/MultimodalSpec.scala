@@ -45,15 +45,21 @@ class MultimodalSpec extends SparkSpec {
 
   test("corrupt PNG payloads degrade to the byte fallback, never kill the task") {
     import spark.implicits._
+    // a REAL png truncated mid-body: the reader claims the stream via
+    // the signature and then THROWS (not returns null) — the harder case
+    val realPng = media.where(col("media_type") === "image")
+      .select("payload").head().getAs[Array[Byte]](0)
+    val truncated = java.util.Arrays.copyOf(realPng, realPng.length / 2)
     val corrupt = Seq(
       Multimodal.MediaRecord(1L, "image", "png", 8, 8, Array[Byte](1, 2, 3)),
-      Multimodal.MediaRecord(2L, "image", "png", 8, 8, Array.empty[Byte])
+      Multimodal.MediaRecord(2L, "image", "png", 8, 8, Array.empty[Byte]),
+      Multimodal.MediaRecord(3L, "image", "png", 8, 8, truncated)
     ).toDF()
     val feats = Multimodal.extractFeatures(spark, corrupt).collect()
-    assert(feats.length === 2)
+    assert(feats.length === 3)
     assert(feats.forall(f => f.decoded_w == -1 && f.decoded_h == -1))
     val resized = Multimodal.resize(spark, corrupt, 4, 4).collect()
-    assert(resized.length === 2 && resized.forall(_.getInt(3) === 4))
+    assert(resized.length === 3 && resized.forall(_.getInt(3) === 4))
   }
 
   test("non-image rows use the byte fallback (decoded dims = -1)") {

@@ -57,7 +57,8 @@ class StreamingSpec extends SparkSpec {
     docs.coalesce(1).write.mode("overwrite").parquet(docsDir)
 
     val streamed = DedupStream.nearDupPairs(
-      spark.readStream.schema(spark.read.parquet(docsDir).schema).parquet(docsDir))
+      spark.readStream.schema(spark.read.parquet(docsDir).schema).parquet(docsDir)
+        .withWatermark("ts", "2 hours"))
     val q = streamed.writeStream
       .format("memory").queryName("neardup_sink").outputMode("update")
       .trigger(Trigger.AvailableNow()).start()
