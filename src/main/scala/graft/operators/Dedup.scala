@@ -89,6 +89,16 @@ object Dedup {
       .select(col("doc_id"), array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
   }
 
+  /** (band_id, band_key) struct array over a minhash signature column —
+    * the ONE definition of the band-key encoding, shared by the batch
+    * LSH join, the streaming twin (DedupStream), and their differential
+    * tests, so the encoding can never silently drift between them. */
+  def bandStructs(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("_", transform(slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string"))).as("band_key"))
+    }: _*)
+
   /** MinHash-LSH near-dup candidates: signature → bands of `rowsPerBand`
     * → explode to (band_id, band_key) → self-equi-join on the bucket.
     * The join key is (band_id, band_hash): a hash-distributed shuffle
@@ -101,10 +111,7 @@ object Dedup {
     val sig = minhashSignatures(docs, k, numHashes)
     val banded = sig.select(
       col("doc_id"), col("sig"),
-      explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band_id"),
-          concat_ws("_", transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), _.cast("string"))).as("band_key"))
-      }: _*)).as("band"))
+      explode(bandStructs(col("sig"), numBands, rowsPerBand)).as("band"))
       .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_key"))
     // Candidates carry only (a, b) ids through the union/distinct
     // exchange — a pair colliding in several bands would otherwise drag

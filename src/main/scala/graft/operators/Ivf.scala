@@ -120,6 +120,10 @@ object Ivf {
       val assigned = vectors.select(
         nearest(vectors, collectCentroids(cents)).getField("centroid_id").as("centroid_id"),
         col("embedding"))
+        // unassignable rows (null/off-dim embeddings) must not form a
+        // null-key group — it would surface as a null-id centroid and
+        // crash the next iteration's collect
+        .where(col("centroid_id").isNotNull)
       cents = assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("centroid_id", "pos").agg(avg("v").as("m"))

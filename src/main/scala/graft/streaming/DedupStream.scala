@@ -51,11 +51,7 @@ object DedupStream {
         transform(col("__sh"), s => pmod(Dedup.hash60(s), lit(P))).as("__hs"))
       .select(col("doc_id"), col("ts"), signatureOf(col("__hs"), numHashes).as("__sig"))
       .select(col("doc_id"), col("ts"),
-        explode(array((0 until numBands).map { b =>
-          struct(lit(b).as("band_id"),
-            concat_ws("_", transform(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand),
-              _.cast("string"))).as("band_key"))
-        }: _*)).as("band"))
+        explode(Dedup.bandStructs(col("__sig"), numBands, rowsPerBand)).as("band"))
       .select(col("doc_id"), col("ts"), col("band.band_id"), col("band.band_key"))
   }
 
@@ -63,10 +59,20 @@ object DedupStream {
   // public: the state encoder's generated code constructs it reflectively
   final case class BucketState(keeperId: Long)
 
-  /** Streaming candidate pairs: docs colliding with the bucket's first
-    * claimant (by arrival, doc_id-ordered within a batch). Pairs may
-    * repeat across bands — downstream consumers `distinct` per their
-    * own window, exactly like the batch LSH's union/distinct step.
+  /** Streaming candidate pairs: every doc colliding with its bucket's
+    * FIRST claimant (doc_id-ordered within a batch; the claimant is
+    * stable across batches). Pairs may repeat across bands — downstream
+    * consumers `distinct` per their own window, exactly like the batch
+    * LSH's union/distinct step.
+    *
+    * Contract: the emitted pairs form a STAR per bucket (member ↔
+    * claimant), which preserves the connected components a dedup
+    * clustering needs with O(1) state per bucket — NOT the full
+    * pairwise candidate set (storing all members for that would make
+    * bucket state unbounded). Within a single micro-batch the star
+    * around the minimum equals [[nearDupPairsBatch]]; across batches,
+    * members of the same bucket remain connected through the claimant
+    * even though later member-member pairs are not re-emitted.
     *
     * State eviction: the input MUST carry a watermark on `ts`
     * (EventTimeTimeout requires one); each bucket's state times out —
@@ -90,11 +96,15 @@ object DedupStream {
           else {
             val rows = it.toArray
             val ids = rows.map(_._3).sorted
-            var keeper = state.getOption.map(_.keeperId).getOrElse(Long.MaxValue)
+            // STABLE claimant: first-ever id keeps the bucket; later
+            // arrivals (even smaller ids) pair against it, keeping the
+            // star connected across batches with O(1) state.
+            var keeper = state.getOption.map(_.keeperId).getOrElse(Long.MinValue)
             val out = Iterator.newBuilder[BandPair]
             ids.foreach { id =>
-              if (id < keeper) { if (keeper != Long.MaxValue) out += BandPair(id, keeper, bandId); keeper = id }
-              else if (id > keeper) out += BandPair(keeper, id, bandId)
+              if (keeper == Long.MinValue) keeper = id
+              else if (id != keeper)
+                out += BandPair(math.min(id, keeper), math.max(id, keeper), bandId)
             }
             state.update(BucketState(keeper))
             // Evict when the watermark passes last-seen + horizon. The

@@ -100,10 +100,10 @@ class BpeSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
     val out = TextAnalysis.bpeCorpusTokens(docs)
     assert(out.count() === docs.count())
-    // BPE can never produce MORE tokens than bytes, and with a trained
-    // vocab it must beat whitespace-token granularity × avg word length.
+    // BPE can never produce MORE tokens than UTF-8 BYTES (octet_length,
+    // not char length — multibyte text has more bytes than chars).
     val bad = out.join(docs, "doc_id")
-      .where(col("n_bpe_real") > length(col("text")) + lit(1))
+      .where(col("n_bpe_real") > octet_length(col("text")) + lit(1))
     assert(bad.count() === 0)
     // Compression sanity: trained BPE ≤ raw bytes on average, and the
     // plan is a narrow projection (no shuffle except the output sort).

@@ -80,10 +80,7 @@ class StreamingSpec extends SparkSpec {
     val agg = {
       val sig = graft.operators.Dedup.minhashSignatures(Tables.documents(spark, sf0001), 3, 12)
       sig.select(col("doc_id"),
-        explode(array((0 until 6).map { b =>
-          struct(lit(b).as("band_id"),
-            concat_ws("_", transform(slice(col("sig"), b * 2 + 1, 2), _.cast("string"))).as("band_key"))
-        }: _*)).as("band"))
+        explode(graft.operators.Dedup.bandStructs(col("sig"), 6, 2)).as("band"))
         .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
     }
     assert(perRow.exceptAll(agg).count() === 0)
