@@ -170,6 +170,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(a4.forall(r => !r.isNullAt(1) && r.getLong(1) === 1L))
   }
 
+  test("Lloyd refinement survives unassignable vectors (null element / off-dim)") {
+    import graft.operators.Ivf
+    val vecs = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f)),
+      (2L, Array[java.lang.Float](3.0f, 4.0f)),
+      (3L, Array[java.lang.Float](1.0f, null)),       // null element
+      (4L, Array[java.lang.Float](1.0f, 2.0f, 3.0f))) // off-dim
+      .toDF("vec_id", "embedding")
+    val init = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(5.0f, 5.0f)))
+      .toDF("centroid_id", "c_emb")
+    // two iterations: the unassignable rows must not become a null-id
+    // centroid that crashes the second collect
+    val refined = Ivf.refineCentroids(vecs, init, iters = 2).collect()
+    assert(refined.nonEmpty)
+    assert(refined.forall(!_.isNullAt(0)))
+  }
+
   test("BPE: empty text, no-merge vocab, and null text degrade cleanly") {
     import graft.functions.Bpe
     import org.apache.spark.unsafe.types.UTF8String
