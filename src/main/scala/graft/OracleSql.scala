@@ -501,6 +501,23 @@ object OracleSql {
          |FROM positioned GROUP BY 1, 2 ORDER BY bucket, pack_id""".stripMargin
     },
 
+    "q33_redact" -> {
+      import graft.operators.TextAnalysis.Pii
+      // RE2 needs the 'g' flag for replace-all (java regexp_replace
+      // already replaces all); single-quoted SQL string literals need
+      // backslashes kept as-is (DuckDB strings are not escaped).
+      def cnt(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
+      s"""SELECT doc_id,
+         |  CAST(${cnt(Pii.Email)} AS INT) AS n_emails,
+         |  CAST(${cnt(Pii.Ipv4)} AS INT) AS n_ips,
+         |  CAST(${cnt(Pii.Phone)} AS INT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${Pii.Email}', '<EMAIL>', 'g'),
+         |    '${Pii.Ipv4}', '<IP>', 'g'),
+         |    '${Pii.Phone}', '<PHONE>', 'g') AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
     "q27_supplier_region_revenue" ->
       """SELECT r_name, n_name,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -128,7 +128,8 @@ object SparkEntry {
       CorpusPipeline.contamination(Tables.documents(s, d), TrainPct)),
     "q32_pack" -> ((s, d) => TextAnalysis.packChunks(
       TextAnalysis.chunkByTokens(Tables.documents(s, d), ChunkTokens, ChunkTokenOverlap),
-      PackBudget, PackBuckets))
+      PackBudget, PackBuckets)),
+    "q33_redact" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d)))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -158,6 +158,39 @@ object TextAnalysis {
       .orderBy("bucket", "pack_id")
   }
 
+  /** PII redaction patterns — deliberately simple/portable forms that
+    * behave identically under java.util.regex (Spark) and RE2 (DuckDB):
+    * no backtracking-sensitive constructs. Applied in a fixed order
+    * (email → ipv4 → phone) on both engines. */
+  object Pii {
+    val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val Phone = "\\+\\d{7,15}" // international form: + then 7-15 digits
+  }
+
+  /** PII redaction — the corpus-hygiene scrub every pretraining
+    * pipeline runs: emails, IPv4 addresses and international phone
+    * numbers replaced by typed placeholders, with per-document match
+    * counts for auditing. Pure narrow codegen'd expressions (regexp
+    * count + sequential regexp_replace), zero shuffle. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    def countOf(c: Column, pat: String): Column =
+      size(filter(regexp_extract_all(c, lit(pat), lit(0)), t => t =!= ""))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), Pii.Email, "<EMAIL>"),
+          Pii.Ipv4, "<IP>"),
+        Pii.Phone, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      countOf(col("text"), Pii.Email).as("n_emails"),
+      countOf(col("text"), Pii.Ipv4).as("n_ips"),
+      countOf(col("text"), Pii.Phone).as("n_phones"),
+      redacted.as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Heuristic quality score: length, punctuation density, stopword hit
     * ratio, mean token length — the standard LLM-corpus filters, all as
     * codegen'd expressions. */

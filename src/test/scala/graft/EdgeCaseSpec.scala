@@ -124,6 +124,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(packs.forall(_._4 < budget + maxT))
   }
 
+  test("PII redaction: emails/IPs/phones scrubbed with exact counts; clean text untouched") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "contact a.user+tag@example.co.uk or admin@host.org today"),
+      (2L, "server at 192.168.0.1 and backup 10.0.0.255 ok"),
+      (3L, "call +14155550123 now"),
+      (4L, "no pii here at all"),
+      (5L, "mixed: x@y.io from 8.8.8.8 dial +4930123456")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(rows(1L)._1 === 2 && rows(1L)._4 === "contact <EMAIL> or <EMAIL> today")
+    assert(rows(2L)._2 === 2 && rows(2L)._4 === "server at <IP> and backup <IP> ok")
+    assert(rows(3L)._3 === 1 && rows(3L)._4 === "call <PHONE> now")
+    assert(rows(4L) === ((0, 0, 0, "no pii here at all")))
+    assert(rows(5L) === ((1, 1, 1, "mixed: <EMAIL> from <IP> dial <PHONE>")))
+  }
+
   test("contamination: cross-split exact dups are counted, unique eval docs are not") {
     import graft.operators.{CorpusPipeline, Dedup}
     val docs = ((0L until 20L).map(i => (i, "shared leaked text")) ++
