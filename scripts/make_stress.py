@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Dup-heavy stress dataset for BASELINE.md's probe: sf tables with
+"""Dup-heavy stress dataset (shift 1e9 so ids stay distinct even when
+src is a make_sf1.py output, whose own copies are shifted by 1e8) for BASELINE.md's probe: sf tables with
 documents replaced by `copies` key-shifted copies with IDENTICAL texts
 (90% duplication at copies=10 — the bad-web-crawl regime).
 
@@ -20,7 +21,7 @@ for t in glob.glob(f"{src}/*.parquet"):
         shutil.copy(t, f"{dst}/{name}")
 con = duckdb.connect()
 sql = "\nUNION ALL\n".join(
-    f"SELECT doc_id + {i*100_000_000} AS doc_id, * EXCLUDE (doc_id) FROM '{src}/documents.parquet'"
+    f"SELECT doc_id + {i*1_000_000_000} AS doc_id, * EXCLUDE (doc_id) FROM '{src}/documents.parquet'"
     for i in range(copies))
 con.execute(f"COPY ({sql}) TO '{dst}/documents.parquet' (FORMAT PARQUET)")
 print("documents:", con.execute(f"SELECT count(*) FROM '{dst}/documents.parquet'").fetchone()[0])

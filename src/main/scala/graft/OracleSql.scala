@@ -504,18 +504,24 @@ object OracleSql {
     "q33_redact" -> {
       import graft.operators.TextAnalysis.Pii
       // RE2 needs the 'g' flag for replace-all (java regexp_replace
-      // already replaces all); single-quoted SQL string literals need
-      // backslashes kept as-is (DuckDB strings are not escaped).
-      def cnt(pat: String) = s"len(regexp_extract_all(text, '$pat'))"
-      s"""SELECT doc_id,
-         |  CAST(${cnt(Pii.Email)} AS INT) AS n_emails,
-         |  CAST(${cnt(Pii.Ipv4)} AS INT) AS n_ips,
-         |  CAST(${cnt(Pii.Phone)} AS INT) AS n_phones,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '${Pii.Email}', '<EMAIL>', 'g'),
-         |    '${Pii.Ipv4}', '<IP>', 'g'),
-         |    '${Pii.Phone}', '<PHONE>', 'g') AS clean_text
-         |FROM documents ORDER BY doc_id""".stripMargin
+      // already replaces all). Counts are taken on the text each
+      // pattern actually sees, mirroring the Spark sequential pipeline.
+      s"""WITH s1 AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '${Pii.Email}')) AS n_emails,
+         |    regexp_replace(text, '${Pii.Email}', '<EMAIL>', 'g') AS t1
+         |  FROM documents),
+         |s2 AS (
+         |  SELECT doc_id, n_emails,
+         |    len(regexp_extract_all(t1, '${Pii.Ipv4}')) AS n_ips,
+         |    regexp_replace(t1, '${Pii.Ipv4}', '<IP>', 'g') AS t2
+         |  FROM s1)
+         |SELECT doc_id,
+         |  CAST(n_emails AS INT) AS n_emails,
+         |  CAST(n_ips AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t2, '${Pii.Phone}')) AS INT) AS n_phones,
+         |  regexp_replace(t2, '${Pii.Phone}', '<PHONE>', 'g') AS clean_text
+         |FROM s2 ORDER BY doc_id""".stripMargin
     },
 
     "q27_supplier_region_revenue" ->

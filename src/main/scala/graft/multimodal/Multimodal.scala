@@ -122,7 +122,10 @@ object Multimodal {
     // byte path, never kill the task.
     val img0 = if (r.format == "png")
       try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      // readers also throw unchecked exceptions on malformed bodies
+      // (CMMException for corrupt ICC profiles, IndexOutOfBounds for
+      // crafted palettes) — any decode failure means byte fallback
+      catch { case scala.util.control.NonFatal(_) => null }
     else null
     if (img0 != null) {
       val img = img0
@@ -179,7 +182,7 @@ object Multimodal {
       rows.map { r =>
         val src = if (r.format == "png")
           try ImageIO.read(new ByteArrayInputStream(r.payload))
-          catch { case _: java.io.IOException => null } // corrupt body throws
+          catch { case scala.util.control.NonFatal(_) => null } // any decode failure
         else null
         if (src != null) { // null = undecodable → byte fallback below
           val dst = new BufferedImage(newW, newH, BufferedImage.TYPE_INT_RGB)

@@ -19,16 +19,21 @@ import graft.operators.TextAnalysis.tokens
   */
 object CorpusPipeline {
 
-  /** Deterministic train/eval split: a document's split is a pure
-    * function of its id (md5-derived bucket in [0,100)), so the
-    * assignment is stable across runs, engines, and corpus growth —
-    * never `rand()`, which would leak eval docs into training on every
-    * re-run. Returns per-(split, lang) counts for audit. */
+  /** The deterministic train/eval split rule — a pure function of
+    * doc_id (md5-derived bucket in [0,100)). ONE definition, shared by
+    * [[hashSplit]] and [[contamination]] (and their specs) so the
+    * report can never silently measure a different split than the one
+    * actually assigned. Never `rand()`, which would leak eval docs
+    * into training on every re-run. */
+  def splitCol(trainPct: Int): org.apache.spark.sql.Column =
+    when(pmod(Dedup.hash60(col("doc_id").cast("string")), lit(100L)) < trainPct, "train")
+      .otherwise("eval")
+
+  /** Deterministic train/eval split assignment with per-(split, lang)
+    * counts for audit. */
   def hashSplit(docs: DataFrame, trainPct: Int = 90): DataFrame =
     docs
-      .select(col("lang"), col("n_chars"),
-        when(pmod(Dedup.hash60(col("doc_id").cast("string")), lit(100L)) < trainPct, "train")
-          .otherwise("eval").as("split"))
+      .select(col("lang"), col("n_chars"), splitCol(trainPct).as("split"))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("split", "lang")
@@ -55,9 +60,7 @@ object CorpusPipeline {
     * cross-split (a, b). */
   def contamination(docs: DataFrame, trainPct: Int = 90): DataFrame = {
     val tagged = docs.select(
-      sha2(col("text"), 256).as("h"),
-      when(pmod(Dedup.hash60(col("doc_id").cast("string")), lit(100L)) < trainPct, "train")
-        .otherwise("eval").as("split"))
+      sha2(col("text"), 256).as("h"), splitCol(trainPct).as("split"))
     tagged
       .groupBy("h")
       .agg(

@@ -49,6 +49,9 @@ object Ivf {
     val rows = cents
       .select(col("centroid_id").cast("long"), col("c_emb"))
       .collect()
+      // a whole-null embedding (or null id) is no centroid at all —
+      // drop the row rather than NPE the driver
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .sortBy(_.getLong(0))
     CentroidSet(
       rows.map(_.getLong(0)),

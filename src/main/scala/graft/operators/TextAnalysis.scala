@@ -171,23 +171,25 @@ object TextAnalysis {
   /** PII redaction — the corpus-hygiene scrub every pretraining
     * pipeline runs: emails, IPv4 addresses and international phone
     * numbers replaced by typed placeholders, with per-document match
-    * counts for auditing. Pure narrow codegen'd expressions (regexp
-    * count + sequential regexp_replace), zero shuffle. */
+    * counts for auditing. Pure narrow codegen'd expressions, zero
+    * shuffle.
+    *
+    * Each audit count is taken on the text THAT PATTERN actually sees
+    * (after the previous replacements), so counts always equal the
+    * replacements performed — counting everything on the original text
+    * would claim a "phone" redaction for digits an email match already
+    * consumed. */
   def redactPii(docs: DataFrame): DataFrame = {
     def countOf(c: Column, pat: String): Column =
-      size(filter(regexp_extract_all(c, lit(pat), lit(0)), t => t =!= ""))
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), Pii.Email, "<EMAIL>"),
-          Pii.Ipv4, "<IP>"),
-        Pii.Phone, "<PHONE>")
-    docs.select(
-      col("doc_id"),
-      countOf(col("text"), Pii.Email).as("n_emails"),
-      countOf(col("text"), Pii.Ipv4).as("n_ips"),
-      countOf(col("text"), Pii.Phone).as("n_phones"),
-      redacted.as("clean_text"))
+      size(regexp_extract_all(c, lit(pat), lit(0)))
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("n_emails", countOf(col("text"), Pii.Email))
+      .withColumn("__t1", regexp_replace(col("text"), Pii.Email, "<EMAIL>"))
+      .withColumn("n_ips", countOf(col("__t1"), Pii.Ipv4))
+      .withColumn("__t2", regexp_replace(col("__t1"), Pii.Ipv4, "<IP>"))
+      .withColumn("n_phones", countOf(col("__t2"), Pii.Phone))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        regexp_replace(col("__t2"), Pii.Phone, "<PHONE>").as("clean_text"))
       .orderBy("doc_id")
   }
 

@@ -42,6 +42,9 @@ object DedupStream {
   def bandedDocs(docs: DataFrame, k: Int, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     docs
+      // null event time cannot participate in watermark semantics and
+      // would NPE the stateful operator's timeout bookkeeping
+      .where(col("ts").isNotNull)
       .select(col("doc_id"), col("ts"),
         graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
       .select(col("doc_id"), col("ts"),

@@ -142,15 +142,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows(5L) === ((1, 1, 1, "mixed: <EMAIL> from <IP> dial <PHONE>")))
   }
 
+  test("PII redaction: overlapping patterns — counts equal actual replacements") {
+    import graft.operators.TextAnalysis
+    // the email pattern consumes the phone-looking local part; the
+    // phone count must be 0 because no phone remains to redact
+    val docs = Seq((1L, "call +14155550123@example.com now")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(docs).collect()(0)
+    assert(r.getInt(1) === 1 && r.getInt(3) === 0)
+    assert(r.getString(4) === "call <EMAIL> now")
+  }
+
   test("contamination: cross-split exact dups are counted, unique eval docs are not") {
     import graft.operators.{CorpusPipeline, Dedup}
     val docs = ((0L until 20L).map(i => (i, "shared leaked text")) ++
       (20L until 40L).map(i => (i, s"unique text number $i")))
       .toDF("doc_id", "text")
-    // ground truth split per doc via the same pure hash rule
-    val splits = docs.select(col("doc_id"),
-      when(pmod(Dedup.hash60(col("doc_id").cast("string")), lit(100L)) < 90, "train")
-        .otherwise("eval").as("split"))
+    // ground truth split per doc via the ONE shared rule
+    val splits = docs.select(col("doc_id"), CorpusPipeline.splitCol(90).as("split"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val sharedEval = (0L until 20L).count(splits(_) == "eval")
     val sharedTrain = (0L until 20L).count(splits(_) == "train")
