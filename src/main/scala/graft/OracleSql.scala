@@ -40,6 +40,35 @@ object OracleSql {
       s"list_min(list_transform($sh, s -> (((${hash60("s")} % $P) * $a + $b) % $P)))"
     }.mkString("[", ", ", "]")
 
+  /** BM25 shared CTE block + final select (q34 and the q34b lexical leg).
+    * Every mixed-type arithmetic operand is CAST to DOUBLE so DuckDB
+    * cannot route through exact DECIMAL intermediates that round
+    * differently than Spark's all-double pipeline (SURVEY.md §6). */
+  private val bm25TermList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+  private val bm25Ctes =
+    s"""WITH lens AS (
+       |  SELECT doc_id, ts, len(ts) AS dl
+       |  FROM (SELECT doc_id, ${toks()} AS ts FROM documents)),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |    round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl
+       |  FROM lens),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(ts) AS term FROM lens)
+       |  WHERE term IN ($bm25TermList) GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)""".stripMargin
+  private val bm25Select =
+    s"""SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+       |    round(sum(
+       |      ln((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |      * tf * (CAST($Bm25K1 AS DOUBLE) + 1.0)
+       |        / (tf + CAST($Bm25K1 AS DOUBLE)
+       |           * (1.0 - CAST($Bm25B AS DOUBLE)
+       |              + CAST($Bm25B AS DOUBLE) * dl / avgdl))), 6) AS score
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+       |  GROUP BY doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -523,6 +552,34 @@ object OracleSql {
          |  regexp_replace(t2, '${Pii.Phone}', '<PHONE>', 'g') AS clean_text
          |FROM s2 ORDER BY doc_id""".stripMargin
     },
+
+    "q34_bm25" -> s"""$bm25Ctes
+         |$bm25Select
+         |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin,
+
+    "q34b_hybrid_rrf" ->
+      s"""$bm25Ctes,
+         |bm AS (
+         |  $bm25Select
+         |  ORDER BY score DESC, doc_id LIMIT $RrfDepth),
+         |lex AS (
+         |  SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+         |  FROM bm),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |cosd AS (
+         |  SELECT v.vec_id, round(${cosine("v.embedding", "q.qv")}, 6) AS score
+         |  FROM embeddings v, q
+         |  ORDER BY score DESC, vec_id LIMIT $RrfDepth),
+         |sem AS (
+         |  SELECT vec_id AS id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT) AS sem_rank
+         |  FROM cosd)
+         |SELECT coalesce(l.id, s.id) AS id, l.lex_rank, s.sem_rank,
+         |  round(coalesce(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rank), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / ($RrfK + s.sem_rank), 0), 6) AS rrf_score
+         |FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+         |ORDER BY rrf_score DESC, id LIMIT $K""".stripMargin,
 
     "q27_supplier_region_revenue" ->
       """SELECT r_name, n_name,

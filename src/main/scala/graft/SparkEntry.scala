@@ -38,6 +38,11 @@ object SparkEntry {
     val ChunkTokenOverlap = 5
     val PackBudget = 256
     val PackBuckets = 8
+    val Bm25Terms = Seq("vector", "hash", "spark")
+    val Bm25K1 = 1.2
+    val Bm25B = 0.75
+    val RrfDepth = 100
+    val RrfK = 60
   }
   import Params._
 
@@ -129,7 +134,13 @@ object SparkEntry {
     "q32_pack" -> ((s, d) => TextAnalysis.packChunks(
       TextAnalysis.chunkByTokens(Tables.documents(s, d), ChunkTokens, ChunkTokenOverlap),
       PackBudget, PackBuckets)),
-    "q33_redact" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d)))
+    "q33_redact" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
+    "q34_bm25" -> ((s, d) => Search.bm25(Tables.documents(s, d), Bm25Terms, K, Bm25K1, Bm25B)),
+    "q34b_hybrid_rrf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Search.hybridRrf(Tables.documents(s, d), emb,
+        Knn.queryVector(emb, QueryVecId), Bm25Terms, K, RrfDepth, RrfK)
+    })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+import graft.operators.TextAnalysis.tokens
+
+/** Keyword and hybrid retrieval over the documents corpus — the text
+  * half of the search surface whose vector half is [[Knn]]/[[Ivf]]
+  * (reference Program.cs:207-227 does vector-only KNN; a production
+  * retrieval stack pairs it with lexical BM25 and fuses the rankings).
+  *
+  * Scale shape: the term postings are built by explode → filter to the
+  * query's terms BEFORE any shuffle, so the exchange carries only rows
+  * whose token is one of the handful of query terms — corpus-size
+  * independent per term. Document frequencies and corpus stats are
+  * kilobyte-scale aggregates that broadcast back; the final top-k is
+  * `TakeOrderedAndProject` (bounded per-partition heap, no global sort).
+  */
+object Search {
+
+  /** Okapi BM25 scoring of every document matching at least one query
+    * term; top `k` by score.
+    *
+    * idf  = ln((N - df + 0.5) / (df + 0.5) + 1)        (Lucene form)
+    * tfN  = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    * score = Σ_terms idf * tfN, rounded 6 dp, doc_id tiebreak.
+    *
+    * `avgdl` is fixed to round(Σdl / N, 6) on BOTH engines (shared
+    * definition in the oracle SQL) so the double division feeding every
+    * score starts from identical bits (SURVEY.md §6).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    val lens = docs
+      .select(col("doc_id"), tokens(col("text")).as("__ts"))
+      .select(col("doc_id"), col("__ts"), size(col("__ts")).as("dl"))
+    // 1-row corpus stats; broadcast to every scored row.
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      round(sum("dl").cast("double") / count(lit(1)), 6).as("avgdl"))
+    // Postings restricted to query terms pre-shuffle: the groupBy
+    // exchange sees O(matches) rows, never the corpus token stream.
+    val tf = lens
+      .select(col("doc_id"), col("dl"), explode(col("__ts")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    // df per term: at most |terms| rows — broadcast join.
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms_matched"),
+        round(sum(idf * tfNorm), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** BM25 candidates with their rank (1-based, score-desc, doc_id
+    * tiebreak), depth-bounded. The Window runs AFTER the top-`depth`
+    * cut, so it ranks a constant-size frame at any corpus scale. */
+  private def ranked(scoredTopDepth: DataFrame, idCol: String, scoreCol: String): DataFrame =
+    scoredTopDepth.withColumn(
+      "rank",
+      row_number().over(Window.orderBy(desc(scoreCol), asc(idCol))))
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking over
+    * `docs` and the exact-cosine ranking of `vectors` against the query
+    * vector, joined on doc_id = vec_id.
+    *
+    * rrf(d) = Σ_rankings 1 / (rrfK + rank_d), absent rankings
+    * contribute 0 — the standard Cormack/Clarke formulation. Both
+    * rankings are depth-bounded top lists (TakeOrderedAndProject), so
+    * fusion always operates on ≤ 2·depth rows regardless of corpus
+    * size; ranks beyond `depth` are genuinely absent, matching how a
+    * serving system fuses two bounded candidate lists.
+    */
+  def hybridRrf(docs: DataFrame, vectors: DataFrame, query: DataFrame,
+                terms: Seq[String], k: Int, depth: Int = 100,
+                rrfK: Int = 60): DataFrame = {
+    require(depth >= k && k > 0)
+    val lex = ranked(bm25(docs, terms, depth), "doc_id", "score")
+      .select(col("doc_id").as("id"), col("rank").as("lex_rank"))
+    val sem = ranked(
+      Knn.topKCosine(vectors, query, depth).select(col("vec_id"), col("score")),
+      "vec_id", "score")
+      .select(col("vec_id").as("id"), col("rank").as("sem_rank"))
+    val contrib = (r: Column) =>
+      coalesce(lit(1.0) / (lit(rrfK) + r), lit(0.0))
+    lex
+      .join(sem, Seq("id"), "full_outer")
+      .select(
+        col("id"),
+        col("lex_rank"),
+        col("sem_rank"),
+        round(contrib(col("lex_rank")) + contrib(col("sem_rank")), 6).as("rrf_score"))
+      .orderBy(desc("rrf_score"), asc("id"))
+      .limit(k)
+  }
+}
