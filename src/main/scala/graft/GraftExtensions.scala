@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, L2Squared}
+import graft.functions.{CharNgrams, DotProduct, L2Squared}
 
 /** SQL surface for the native vector kernels: registers `vector_dot`
   * and `vector_l2sq` so `spark.sql("SELECT vector_dot(emb, qv) ...")`
@@ -30,7 +30,10 @@ object GraftExtensions {
     (FunctionIdentifier("vector_dot"), info("vector_dot", classOf[DotProduct]),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (FunctionIdentifier("vector_l2sq"), info("vector_l2sq", classOf[L2Squared]),
-      (args: Seq[Expression]) => L2Squared(args(0), args(1))))
+      (args: Seq[Expression]) => L2Squared(args(0), args(1))),
+    (FunctionIdentifier("char_ngrams"), info("char_ngrams", classOf[CharNgrams]),
+      (args: Seq[Expression]) => CharNgrams(args(0),
+        args(1).eval().asInstanceOf[Number].intValue)))
 
   /** Register into an existing session: SQL functions + the cosine
     * fusion optimizer rule. */

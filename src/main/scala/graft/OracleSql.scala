@@ -28,9 +28,9 @@ object OracleSql {
     s"${dotd(a, b)} / (sqrt(${dotd(a, a)}) * sqrt(${dotd(b, b)}))"
 
   /** Distinct word k-shingles (matches Dedup.shingles). */
-  private def shingles(text: String = "text") =
-    s"""list_distinct(list_transform(range(1, len(${toks(text)}) - $ShingleK + 2),
-       |  i -> array_to_string(list_slice(${toks(text)}, i, i + $ShingleK - 1), ' ')))""".stripMargin
+  private def shingles(text: String = "text", k: Int = ShingleK) =
+    s"""list_distinct(list_transform(range(1, len(${toks(text)}) - $k + 2),
+       |  i -> array_to_string(list_slice(${toks(text)}, i, i + $k - 1), ' ')))""".stripMargin
 
   /** MinHash signature literal [sig_0, …] (matches Dedup.minhashSignatures). */
   private def minhashSig(sh: String): String =
@@ -580,6 +580,92 @@ object OracleSql {
          |      + coalesce(CAST(1 AS DOUBLE) / ($RrfK + s.sem_rank), 0), 6) AS rrf_score
          |FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
          |ORDER BY rrf_score DESC, id LIMIT $K""".stripMargin,
+
+    "q35_repetition" ->
+      s"""WITH toked AS (SELECT doc_id, ${toks()} AS ts FROM documents),
+         |grams AS (
+         |  SELECT doc_id, array_to_string(list_slice(ts, i, i + 1), ' ') AS gram
+         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toked)),
+         |counts AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(sum(c) AS BIGINT) AS n_grams,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_gram_frac,
+         |  round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6) AS dup_gram_frac
+         |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q36_ngram_contam" -> {
+      val hit = "CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+      s"""WITH tagged AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN ${hash60("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
+         |         THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents),
+         |ev AS (
+         |  SELECT doc_id, unnest(sh) AS s
+         |  FROM (SELECT doc_id, ${shingles("text", ContamK)} AS sh FROM tagged WHERE split = 'eval')),
+         |tr AS (
+         |  SELECT DISTINCT unnest(sh) AS s
+         |  FROM (SELECT ${shingles("text", ContamK)} AS sh FROM tagged WHERE split = 'train'))
+         |SELECT e.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  $hit AS n_overlap,
+         |  round(CAST($hit AS DOUBLE) / count(*), 6) AS overlap_frac,
+         |  CAST(round(CAST($hit AS DOUBLE) / count(*), 6) >= $ContamFlagFrac AS INT) AS flagged
+         |FROM ev e LEFT JOIN tr t ON e.s = t.s
+         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q37_domain_mix" ->
+      s"""WITH tagged AS (
+         |  SELECT doc_id, source,
+         |    20000 + (coalesce(CAST(regexp_extract(source, '[0-9]+') AS BIGINT), 0) % 5) * 15000 AS target_ppm,
+         |    ${hash60("CAST(doc_id AS VARCHAR)")} % 1000000 AS u
+         |  FROM documents),
+         |counts AS (SELECT source, target_ppm, count(*) AS n_docs FROM tagged GROUP BY 1, 2),
+         |budget AS (SELECT min((n_docs * 1000000) // target_ppm) AS b FROM counts),
+         |rates AS (
+         |  SELECT source, target_ppm, n_docs,
+         |    (((b * target_ppm) // 1000000) * 1000000) // n_docs AS keep_ppm
+         |  FROM counts CROSS JOIN budget),
+         |kept AS (
+         |  SELECT t.source, count(*) AS n_kept
+         |  FROM tagged t JOIN rates r ON t.source = r.source
+         |  WHERE t.u < r.keep_ppm GROUP BY 1),
+         |tot AS (SELECT sum(n_kept) AS total_kept FROM kept)
+         |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+         |  CAST(r.target_ppm AS BIGINT) AS target_ppm,
+         |  CAST(r.keep_ppm AS BIGINT) AS keep_ppm,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST((coalesce(k.n_kept, 0) * 1000000) // greatest(total_kept, 1) AS BIGINT) AS achieved_ppm
+         |FROM rates r LEFT JOIN kept k ON r.source = k.source CROSS JOIN tot
+         |ORDER BY r.source""".stripMargin,
+
+    "q38_lm_score" ->
+      s"""WITH tagged AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN ${hash60("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
+         |         THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, split, substr(text, CAST(i AS INT), 2) AS bg
+         |  FROM (SELECT doc_id, split, text, unnest(range(1, len(text))) AS i FROM tagged)),
+         |trn AS (SELECT bg, count(*) AS cnt FROM bg WHERE split = 'train' GROUP BY 1),
+         |ctx AS (SELECT substr(bg, 1, 1) AS c, sum(cnt) AS ctx_cnt FROM trn GROUP BY 1),
+         |v AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS vs FROM trn),
+         |scoredbg AS (
+         |  SELECT doc_id,
+         |    CAST(floor(ln(CAST(coalesce(t.cnt, 0) + 1 AS DOUBLE)
+         |      / (coalesce(c.ctx_cnt, 0) + vs)) * 1000000.0) AS BIGINT) AS lp
+         |  FROM bg d
+         |  LEFT JOIN trn t ON d.bg = t.bg
+         |  LEFT JOIN ctx c ON substr(d.bg, 1, 1) = c.c
+         |  CROSS JOIN v)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(lp) AS BIGINT) AS sum_logp_micro,
+         |  round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logp
+         |FROM scoredbg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q27_supplier_region_revenue" ->
       """SELECT r_name, n_name,

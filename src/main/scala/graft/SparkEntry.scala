@@ -43,6 +43,9 @@ object SparkEntry {
     val Bm25B = 0.75
     val RrfDepth = 100
     val RrfK = 60
+    val ContamK = 5       // contamination shingle length (tiny-vocab testdata;
+                          // real pipelines use 8-13)
+    val ContamFlagFrac = 0.25
   }
   import Params._
 
@@ -140,7 +143,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Search.hybridRrf(Tables.documents(s, d), emb,
         Knn.queryVector(emb, QueryVecId), Bm25Terms, K, RrfDepth, RrfK)
-    })
+    }),
+    "q35_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d))),
+    "q36_ngram_contam" -> ((s, d) =>
+      CorpusPipeline.ngramContamination(Tables.documents(s, d), ContamK, TrainPct, ContamFlagFrac)),
+    "q37_domain_mix" -> ((s, d) =>
+      CorpusPipeline.domainMix(Tables.documents(s, d), CorpusPipeline.srcTargetPpm)),
+    "q38_lm_score" -> ((s, d) => LanguageModel.lmScore(Tables.documents(s, d), TrainPct))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

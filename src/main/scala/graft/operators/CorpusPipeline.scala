@@ -73,6 +73,91 @@ object CorpusPipeline {
           greatest(sum("n_eval"), lit(1L)).cast("double"), 6).as("contamination_rate"))
   }
 
+  /** N-gram contamination report — the decontamination pass actually
+    * used for benchmark hygiene (exact-match [[contamination]] misses
+    * paraphrased leaks; GPT-3-style pipelines flag eval docs sharing
+    * long n-grams with training data). For every eval document with at
+    * least one word `k`-shingle: how many of its distinct shingles also
+    * occur anywhere in the train split, and a flag when the overlap
+    * fraction reaches `flagFrac`.
+    *
+    * Scale shape: both sides explode to (id, shingle) rows; the train
+    * side collapses to a distinct shingle set (hash exchange with
+    * map-side partial agg — O(distinct shingles), the unavoidable cost
+    * of decontamination); the probe is an equi-join on the shingle
+    * followed by a per-doc partial-agg rollup. No pairs, no cartesian.
+    * `k` should be large enough that chance overlap is rare (real
+    * pipelines use 8-13; tests pin a smaller k to the testdata's tiny
+    * vocabulary). */
+  def ngramContamination(docs: DataFrame, k: Int, trainPct: Int = 90,
+                         flagFrac: Double = 0.25): DataFrame = {
+    val tagged = docs.withColumn("split", splitCol(trainPct))
+    val evalSh = Dedup.shingleRows(tagged.where(col("split") === "eval"), k)
+    val trainSh = Dedup.shingleRows(tagged.where(col("split") === "train"), k)
+      .select(col("s")).distinct().withColumn("hit", lit(1L))
+    val frac = round(
+      sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 6)
+    evalSh
+      .join(trainSh, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+        frac.as("overlap_frac"),
+        (frac >= flagFrac).cast("int").as("flagged"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain mixing: downsample each source so the kept corpus hits
+    * target per-source proportions (ppm shares) — the mixture step
+    * every pretraining recipe runs after cleaning (e.g. re-weighting
+    * web vs books vs code). Water-filling semantics: the budget is the
+    * largest total the targets allow given each source's actual count
+    * (the scarcest source relative to its share binds), every rate
+    * then derives from the budget in INTEGER arithmetic (floor
+    * divisions only — float rates would round differently per engine),
+    * and membership is the same md5-bucket rule as [[splitCol]]:
+    * deterministic, re-run-stable, never `rand()`.
+    *
+    * Scale shape: per-source counts and rates are O(#sources) rows
+    * computed by one partial-agg exchange and broadcast back; the keep
+    * decision is a narrow filter (hash + compare) on the main scan. Two
+    * passes over the corpus (count, then filter+audit), both narrow.
+    * Returns the per-source audit (counts, rates, achieved ppm). */
+  def domainMix(docs: DataFrame, targetPpm: org.apache.spark.sql.Column): DataFrame = {
+    val M = 1000000L
+    val tagged = docs.select(
+      col("doc_id"), col("source"), targetPpm.cast("long").as("target_ppm"),
+      pmod(Dedup.hash60(col("doc_id").cast("string")), lit(M)).as("u"))
+    val counts = tagged.groupBy("source", "target_ppm")
+      .agg(count(lit(1)).as("n_docs"))
+    val budget = counts.agg(min(expr(s"(n_docs * $M) DIV target_ppm")).as("b"))
+    val rates = counts.crossJoin(broadcast(budget))
+      .withColumn("target_cnt", expr(s"(b * target_ppm) DIV $M"))
+      .withColumn("keep_ppm", expr(s"(target_cnt * $M) DIV n_docs"))
+    val kept = tagged
+      .join(broadcast(rates.select("source", "keep_ppm")), "source")
+      .where(col("u") < col("keep_ppm"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    val tot = kept.agg(sum("n_kept").as("total_kept"))
+    rates
+      .join(kept, Seq("source"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .select(
+        col("source"), col("n_docs"), col("target_ppm"), col("keep_ppm"), col("n_kept"),
+        expr(s"(n_kept * $M) DIV greatest(total_kept, 1)").as("achieved_ppm"))
+      .orderBy("source")
+  }
+
+  /** The default target-share rule for the testdata's `srcN` sources:
+    * 20 000 + (N mod 5)·15 000 ppm — sums to exactly 1 000 000 over
+    * src0..src19. A real deployment passes its own ppm column/map. */
+  def srcTargetPpm: org.apache.spark.sql.Column =
+    lit(20000L) +
+      pmod(coalesce(regexp_extract(col("source"), "[0-9]+", 0).cast("long"), lit(0L)),
+        lit(5L)) * 15000L
+
   def prepare(docs: DataFrame, k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
               minEstJaccard: Double = 0.5, minTokens: Int = 5,
               maxMeanTokenLen: Double = 15.0): DataFrame = {

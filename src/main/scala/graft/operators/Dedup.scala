@@ -38,13 +38,8 @@ object Dedup {
     * references to `ts` are re-evaluated once per array element — an
     * inline regex split there turns shingling O(n²) per document
     * (measured 10× slower at sf0.1). */
-  def shinglesOf(ts: Column, k: Int): Column = {
-    val n = size(ts)
-    array_distinct(
-      filter(
-        transform(ts, (_, i) => when(i <= n - k, concat_ws(" ", slice(ts, i + 1, lit(k))))),
-        s => s.isNotNull))
-  }
+  def shinglesOf(ts: Column, k: Int): Column =
+    array_distinct(TextAnalysis.ngramsOf(ts, k))
 
   /** Word k-shingles of a document (distinct, as the set for Jaccard /
     * MinHash). Convenience single-column form; hot paths should use

@@ -53,6 +53,44 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Non-distinct word k-grams over a PRE-MATERIALIZED tokens array
+    * column (`ts` must be a plain attribute — see Dedup.shinglesOf for
+    * the HOF re-evaluation trap). Distinct-set shingling for MinHash/
+    * Jaccard is Dedup.shinglesOf; this keeps multiplicity for
+    * repetition statistics. */
+  def ngramsOf(ts: Column, k: Int): Column = {
+    val n = size(ts)
+    filter(
+      transform(ts, (_, i) => when(i <= n - k, concat_ws(" ", slice(ts, i + 1, lit(k))))),
+      s => s.isNotNull)
+  }
+
+  /** Gopher-style repetition signals per document: over the
+    * NON-DISTINCT word 2-gram stream, the fraction of grams covered by
+    * the single most frequent gram (`top_gram_frac`) and the fraction
+    * that are repeats of an earlier gram (`dup_gram_frac`) — the two
+    * filters that catch boilerplate and degenerate repetition that
+    * per-token quality scores miss (Rae et al. 2021, Gopher §A1.1).
+    *
+    * Scale shape: one exchange on (doc_id, gram) with map-side partial
+    * counts, then a partial-agg rollup to one row per doc — shuffle
+    * volume is O(distinct grams per doc), never pairs. Documents with
+    * fewer than 2 tokens have no gram stream and are absent by
+    * contract. */
+  def repetition(docs: DataFrame, k: Int = 2): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("__ts"))
+      .select(col("doc_id"), explode(ngramsOf(col("__ts"), k)).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        round(max("c").cast("double") / sum("c"), 6).as("top_gram_frac"),
+        round((sum("c") - count(lit(1))).cast("double") / sum("c"), 6).as("dup_gram_frac"))
+      .orderBy("doc_id")
+
   /** Per-document token counts (reference Program.cs:80,88). */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(

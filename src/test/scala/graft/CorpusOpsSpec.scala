@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusPipeline, LanguageModel, TextAnalysis}
+
+/** Round-4 corpus operators: repetition signals, n-gram contamination,
+  * domain mixing, bigram-LM scoring. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** doc_ids 0..199 partitioned by the SHARED split rule (so crafted
+    * cross-split fixtures use the real assignment, not a guess). */
+  private lazy val (trainIds, evalIds) = {
+    val assigned = (0L until 200L).toDF("doc_id")
+      .withColumn("split", CorpusPipeline.splitCol(90))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    (assigned.filter(_._2 == "train").map(_._1), assigned.filter(_._2 == "eval").map(_._1))
+  }
+
+  test("repetition: degenerate, mixed and all-distinct gram streams") {
+    val docs = Seq(
+      (1L, "a a a a"),          // 3 grams, all "a a"
+      (2L, "w x y z"),          // 3 distinct grams
+      (3L, "a b a b a"),        // grams: ab ba ab ba → 2 distinct of 4
+      (4L, "solo")              // <2 tokens → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == ((3L, 1L, 1.0, 0.666667)))
+    assert(out(2L) == ((3L, 3L, 0.333333, 0.0)))
+    assert(out(3L) == ((4L, 2L, 0.5, 0.5)))
+  }
+
+  test("ngramContamination flags a crafted leak and clears clean docs") {
+    val leaked = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (trainIds(0), leaked),
+      (trainIds(1), "one two three four five six"),
+      (evalIds(0), leaked),                               // verbatim leak
+      (evalIds(1), "unique words never seen anywhere here")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.ngramContamination(docs, k = 3, trainPct = 90, flagFrac = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(out.keySet == Set(evalIds(0), evalIds(1)))     // eval docs only
+    val (nSh, nOv, frac, flag) = out(evalIds(0))
+    assert(nSh == 4 && nOv == 4 && frac == 1.0 && flag == 1)
+    val (_, nOv2, frac2, flag2) = out(evalIds(1))
+    assert(nOv2 == 0 && frac2 == 0.0 && flag2 == 0)
+  }
+
+  test("domainMix water-fills to the binding source and keeps rates integral") {
+    // A: 100 docs at 50% target, B: 10 docs at 50% → B binds:
+    // budget = 20, target 10 each, keep_ppm A=100000 B=1000000.
+    val docs = ((0L until 100L).map(i => (i, "A")) ++ (100L until 110L).map(i => (i, "B")))
+      .toDF("doc_id", "source")
+    val out = CorpusPipeline.domainMix(docs, lit(500000L)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val (na, _, keepA, keptA, _) = out("A")
+    val (nb, _, keepB, keptB, _) = out("B")
+    assert(na == 100 && nb == 10)
+    assert(keepA == 100000L && keepB == 1000000L)
+    assert(keptB == 10)                    // binding source keeps everything
+    assert(keptA <= 100 && keptA >= 0)     // hash-sampled ≈ 10
+    // achieved ppm sums to ≤ 1e6 and each is n_kept*1e6/total
+    val total = keptA + keptB
+    assert(out("A")._5 == keptA * 1000000L / total)
+  }
+
+  test("domainMix on testdata: every source rate bounded, audit consistent") {
+    val out = CorpusPipeline.domainMix(
+      Tables.documents(spark, sf001), CorpusPipeline.srcTargetPpm).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (nDocs, keepPpm, nKept) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(keepPpm >= 0 && keepPpm <= 1000000L)
+      assert(nKept <= nDocs)
+    }
+  }
+
+  test("lmScore: in-distribution text outscores unseen-alphabet text") {
+    val docs = Seq(
+      (trainIds(0), "abababababababab"),
+      (trainIds(1), "abababbabababab"),
+      (evalIds(0), "abababababab"),   // pure in-distribution bigrams
+      (evalIds(1), "qzqzqzqzqzqz")    // alphabet never seen in train
+    ).toDF("doc_id", "text")
+    val out = LanguageModel.lmScore(docs, 90).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 4)
+    val (nBg, _, good) = out(evalIds(0))
+    assert(nBg == 11)                            // len-1 bigrams
+    val bad = out(evalIds(1))._3
+    assert(good > bad && good <= 0.0 && bad < 0.0)
+  }
+
+  test("CharNgrams matches the HOF twin and is UTF-8-char-correct") {
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    import graft.functions.CharNgrams
+    val docs = Seq("hello", "héllo wörld", "日本語テキスト", "ab", "a", "")
+      .toDF("text")
+    // differential vs the HOF twin on texts where the twin is well-defined
+    val both = docs.where(length(col("text")) >= 2).select(
+      SqlBridge.column(CharNgrams(SqlBridge.expression(col("text")), 2)).as("fast"),
+      expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+        .as("slow"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+    // degenerate lengths → empty array
+    val short = docs.where(length(col("text")) < 2).select(
+      SqlBridge.column(CharNgrams(SqlBridge.expression(col("text")), 2)).as("g"))
+      .collect()
+    assert(short.length == 2 && short.forall(_.getSeq[String](0).isEmpty))
+    // trigram sanity on multibyte text
+    val tri = docs.where(length(col("text")) === 7).select(
+      SqlBridge.column(CharNgrams(SqlBridge.expression(col("text")), 3)).as("g"))
+      .collect().head.getSeq[String](0)
+    assert(tri == Seq("日本語", "本語テ", "語テキ", "テキス", "キスト"))
+  }
+
+  test("char_ngrams is SQL-registered via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val out = spark.sql("SELECT char_ngrams('abcd', 2) AS g")
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("ab", "bc", "cd"))
+  }
+
+  test("lmScore excludes sub-2-char docs and handles empty text") {
+    val docs = Seq((trainIds(0), "abcd"), (trainIds(1), "x"), (evalIds(0), ""))
+      .toDF("doc_id", "text")
+    val ids = LanguageModel.lmScore(docs, 90).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(trainIds(0)))
+  }
+}

@@ -44,7 +44,7 @@ class ExtensionsSpec extends SparkSpec {
     // assert the class wires the same triples register() uses.
     val ext = new GraftExtensions
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ===
-      Seq("vector_dot", "vector_l2sq"))
+      Seq("char_ngrams", "vector_dot", "vector_l2sq"))
     // apply() must not throw against a real extensions container.
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
