@@ -69,6 +69,41 @@ object OracleSql {
        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
        |  GROUP BY doc_id""".stripMargin
 
+  /** Multi-table sign-LSH cosine near-dup statement (q15b; reused as
+    * the pair CTE of q39). Generated from the SAME hyperplanes the
+    * Spark operator uses. */
+  private val cosineLshSelect: String = {
+    val planes = graft.operators.Dedup.hyperplanes(NPlanes * NTables, 64)
+    // Dyadic k/1024 components → BigDecimal prints the exact double.
+    def arr(h: Seq[Double]) =
+      h.map(v => BigDecimal(v).underlying.toPlainString).mkString("[", ", ", "]::DOUBLE[]")
+    def bucket(t: Int) =
+      planes.slice(t * NPlanes, (t + 1) * NPlanes).zipWithIndex.map { case (h, j) =>
+        s"(CASE WHEN ${dotd("embedding", arr(h))} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val bucketCols = (0 until NTables).map(t => s"CAST(${bucket(t)} AS BIGINT) AS b$t").mkString(",\n    ")
+    val unions = (0 until NTables).map(t =>
+      s"SELECT l.vec_id AS a, r.vec_id AS b FROM bucketed l JOIN bucketed r ON l.b$t = r.b$t AND l.vec_id < r.vec_id")
+      .mkString("\n  UNION\n  ")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id,
+       |    $bucketCols
+       |  -- same exclusion rule as Dedup.cosineLsh: off-dim vectors
+       |  -- never bucket (a mismatched dot is NULL there / an error here)
+       |  FROM embeddings WHERE len(embedding) = 64),
+       |cand AS (
+       |  $unions),
+       |normed AS (
+       |  SELECT vec_id, embedding, sqrt(${dotd("embedding", "embedding")}) AS nrm FROM embeddings)
+       |SELECT c.a, c.b,
+       |  round(${dotd("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) AS cos
+       |FROM cand c
+       |JOIN normed va ON va.vec_id = c.a
+       |JOIN normed vb ON vb.vec_id = c.b
+       |WHERE round(${dotd("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) >= $CosineThreshold
+       |ORDER BY a, b""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -225,37 +260,36 @@ object OracleSql {
          |WHERE round(${cosine("l.embedding", "r.embedding")}, 6) >= $CosineThreshold
          |ORDER BY a, b""".stripMargin,
 
-    "q15b_cosine_lsh" -> {
-      val all = graft.operators.Dedup.hyperplanes(NPlanes * NTables, 64)
-      // Dyadic k/1024 components → BigDecimal prints the exact double.
-      def arr(h: Seq[Double]) =
-        h.map(v => BigDecimal(v).underlying.toPlainString).mkString("[", ", ", "]::DOUBLE[]")
-      def bucket(t: Int) =
-        all.slice(t * NPlanes, (t + 1) * NPlanes).zipWithIndex.map { case (h, j) =>
-          s"(CASE WHEN ${dotd("embedding", arr(h))} >= 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
-      val bucketCols = (0 until NTables).map(t => s"CAST(${bucket(t)} AS BIGINT) AS b$t").mkString(",\n    ")
-      val unions = (0 until NTables).map(t =>
-        s"SELECT l.vec_id AS a, r.vec_id AS b FROM bucketed l JOIN bucketed r ON l.b$t = r.b$t AND l.vec_id < r.vec_id")
-        .mkString("\n  UNION\n  ")
-      s"""WITH bucketed AS (
-         |  SELECT vec_id,
-         |    $bucketCols
-         |  -- same exclusion rule as Dedup.cosineLsh: off-dim vectors
-         |  -- never bucket (a mismatched dot is NULL there / an error here)
-         |  FROM embeddings WHERE len(embedding) = 64),
-         |cand AS (
-         |  $unions),
-         |normed AS (
-         |  SELECT vec_id, embedding, sqrt(${dotd("embedding", "embedding")}) AS nrm FROM embeddings)
-         |SELECT c.a, c.b,
-         |  round(${dotd("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) AS cos
-         |FROM cand c
-         |JOIN normed va ON va.vec_id = c.a
-         |JOIN normed vb ON vb.vec_id = c.b
-         |WHERE round(${dotd("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) >= $CosineThreshold
-         |ORDER BY a, b""".stripMargin
-    },
+    "q15b_cosine_lsh" -> cosineLshSelect,
+
+    "q39_embedding_contam" ->
+      s"""WITH pairs AS ($cosineLshSelect),
+         |tagged AS (
+         |  SELECT a, b, cos,
+         |    CASE WHEN ${hash60("CAST(a AS VARCHAR)")} % 100 < $TrainPct THEN 'train' ELSE 'eval' END AS sa,
+         |    CASE WHEN ${hash60("CAST(b AS VARCHAR)")} % 100 < $TrainPct THEN 'train' ELSE 'eval' END AS sb
+         |  FROM pairs)
+         |SELECT CASE WHEN sa = 'eval' THEN a ELSE b END AS eval_id,
+         |  CAST(count(*) AS BIGINT) AS n_train_matches,
+         |  max(cos) AS max_cos
+         |FROM tagged WHERE sa <> sb
+         |GROUP BY 1 ORDER BY eval_id""".stripMargin,
+
+    "q40_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toks()}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, term, tf,
+         |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+         |  FROM scored)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
+         |FROM ranked WHERE rn <= $TfidfK
+         |ORDER BY doc_id, tfidf DESC, term""".stripMargin,
 
     "q16_quality_score" ->
       s"""SELECT doc_id, n_chars,

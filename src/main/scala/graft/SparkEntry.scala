@@ -46,6 +46,7 @@ object SparkEntry {
     val ContamK = 5       // contamination shingle length (tiny-vocab testdata;
                           // real pipelines use 8-13)
     val ContamFlagFrac = 0.25
+    val TfidfK = 3
   }
   import Params._
 
@@ -149,7 +150,10 @@ object SparkEntry {
       CorpusPipeline.ngramContamination(Tables.documents(s, d), ContamK, TrainPct, ContamFlagFrac)),
     "q37_domain_mix" -> ((s, d) =>
       CorpusPipeline.domainMix(Tables.documents(s, d), CorpusPipeline.srcTargetPpm)),
-    "q38_lm_score" -> ((s, d) => LanguageModel.lmScore(Tables.documents(s, d), TrainPct))
+    "q38_lm_score" -> ((s, d) => LanguageModel.lmScore(Tables.documents(s, d), TrainPct)),
+    "q39_embedding_contam" -> ((s, d) => CorpusPipeline.embeddingContamination(
+      Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold, TrainPct)),
+    "q40_tfidf_terms" -> ((s, d) => Search.tfidfTopTerms(Tables.documents(s, d), TfidfK))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -158,6 +158,32 @@ object CorpusPipeline {
       pmod(coalesce(regexp_extract(col("source"), "[0-9]+", 0).cast("long"), lit(0L)),
         lit(5L)) * 15000L
 
+  /** Embedding-space contamination report — semantic decontamination:
+    * eval vectors whose cosine similarity to ANY train vector reaches
+    * the near-dup threshold (exact-match and n-gram checks miss
+    * paraphrases; embedding similarity is the standard third layer).
+    * Composes [[Dedup.cosineLsh]] (linear multi-table sign-LSH, the
+    * 100 TB candidate path — never all-pairs) with the split rule: LSH
+    * pairs → keep cross-split pairs → per-eval-vector rollup (match
+    * count, max cosine). The split hashes vec_id with the same
+    * md5-bucket rule as [[splitCol]]. */
+  def embeddingContamination(vectors: DataFrame, nPlanes: Int, nTables: Int,
+                             threshold: Double, trainPct: Int = 90): DataFrame = {
+    def split(c: org.apache.spark.sql.Column) =
+      when(pmod(Dedup.hash60(c.cast("string")), lit(100L)) < trainPct, "train")
+        .otherwise("eval")
+    Dedup.cosineLsh(vectors, nPlanes, nTables, threshold)
+      .withColumn("sa", split(col("a")))
+      .withColumn("sb", split(col("b")))
+      .where(col("sa") =!= col("sb"))
+      .select(
+        when(col("sa") === "eval", col("a")).otherwise(col("b")).as("eval_id"),
+        col("cos"))
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_train_matches"), max("cos").as("max_cos"))
+      .orderBy("eval_id")
+  }
+
   def prepare(docs: DataFrame, k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
               minEstJaccard: Double = 0.5, minTokens: Int = 5,
               maxMeanTokenLen: Double = 15.0): DataFrame = {

@@ -64,6 +64,31 @@ object Search {
       .limit(k)
   }
 
+  /** Per-document keyword extraction: top `k` terms by tf-idf
+    * (tf · ln(N/df)), ranked through the library's own
+    * [[graft.plans.GroupedTopK]] custom physical operator — bounded
+    * per-partition heaps BEFORE the exchange, so the shuffle carries at
+    * most k rows per (partition, doc) instead of the full scored
+    * posting list. The idf side is a (term, df) aggregate joined back
+    * on term — vocabulary-sized, a plain shuffle join that AQE
+    * broadcasts when it fits. Deterministic tiebreak on term. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+    graft.plans.GroupedTopK.topK(scored, Seq(col("doc_id")),
+      Seq(col("tfidf").desc, col("term").asc), k)
+      .orderBy(col("doc_id"), desc("tfidf"), col("term"))
+  }
+
   /** BM25 candidates with their rank (1-based, score-desc, doc_id
     * tiebreak), depth-bounded. The Window runs AFTER the top-`depth`
     * cut, so it ranks a constant-size frame at any corpus scale. */

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CorpusPipeline, LanguageModel, TextAnalysis}
+import graft.operators.{CorpusPipeline, LanguageModel, Search, TextAnalysis}
 
 /** Round-4 corpus operators: repetition signals, n-gram contamination,
   * domain mixing, bigram-LM scoring. */
@@ -94,6 +94,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nBg == 11)                            // len-1 bigrams
     val bad = out(evalIds(1))._3
     assert(good > bad && good <= 0.0 && bad < 0.0)
+  }
+
+  test("embeddingContamination: only eval ids, every match above threshold") {
+    import SparkEntry.Params._
+    val out = CorpusPipeline.embeddingContamination(
+      Tables.embeddings(spark, sf001), NPlanes, NTables, CosineThreshold, TrainPct).collect()
+    assert(out.nonEmpty)
+    val splitOf = (id: Long) => (0L until 1L).map(_ => id).toDF("doc_id")
+      .withColumn("s", CorpusPipeline.splitCol(TrainPct)).collect().head.getString(1)
+    out.take(5).foreach(r => assert(splitOf(r.getLong(0)) == "eval"))
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getDouble(2) >= CosineThreshold)
+    }
+  }
+
+  test("tfidfTopTerms matches the window formulation and bounds k") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001)
+    val k = 3
+    val fast = Search.tfidfTopTerms(docs, k)
+    assert(fast.groupBy("doc_id").count().agg(max("count")).collect().head.getLong(0) <= k)
+    // differential vs the pure-window reference plan
+    val tf = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.count().toDouble
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val slow = tf.join(dfreq, "term")
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))))
+      .where(col("rn") <= k).drop("rn")
+    assert(fast.select("doc_id", "term", "tf", "tfidf").collect().toSet ==
+      slow.collect().toSet)
   }
 
   test("CharNgrams matches the HOF twin and is UTF-8-char-correct") {
