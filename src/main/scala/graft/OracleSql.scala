@@ -629,24 +629,26 @@ object OracleSql {
          |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q36_ngram_contam" -> {
-      val hit = "CAST(sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+      val hit = "CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
       s"""WITH tagged AS (
          |  SELECT doc_id, text,
          |    CASE WHEN ${hash60("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
          |         THEN 'train' ELSE 'eval' END AS split
          |  FROM documents),
          |ev AS (
-         |  SELECT doc_id, unnest(sh) AS s
-         |  FROM (SELECT doc_id, ${shingles("text", ContamK)} AS sh FROM tagged WHERE split = 'eval')),
+         |  SELECT doc_id, ${hash60("s")} AS h
+         |  FROM (SELECT doc_id, unnest(sh) AS s
+         |        FROM (SELECT doc_id, ${shingles("text", ContamK)} AS sh FROM tagged WHERE split = 'eval'))),
          |tr AS (
-         |  SELECT DISTINCT unnest(sh) AS s
-         |  FROM (SELECT ${shingles("text", ContamK)} AS sh FROM tagged WHERE split = 'train'))
+         |  SELECT DISTINCT ${hash60("s")} AS h
+         |  FROM (SELECT unnest(sh) AS s
+         |        FROM (SELECT ${shingles("text", ContamK)} AS sh FROM tagged WHERE split = 'train')))
          |SELECT e.doc_id,
          |  CAST(count(*) AS BIGINT) AS n_shingles,
          |  $hit AS n_overlap,
          |  round(CAST($hit AS DOUBLE) / count(*), 6) AS overlap_frac,
          |  CAST(round(CAST($hit AS DOUBLE) / count(*), 6) >= $ContamFlagFrac AS INT) AS flagged
-         |FROM ev e LEFT JOIN tr t ON e.s = t.s
+         |FROM ev e LEFT JOIN tr t ON e.h = t.h
          |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
     },
 
@@ -700,6 +702,33 @@ object OracleSql {
          |  CAST(sum(lp) AS BIGINT) AS sum_logp_micro,
          |  round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logp
          |FROM scoredbg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q41_vocab_stats" ->
+      s"""WITH tok AS (SELECT source, unnest(${toks()}) AS term FROM documents),
+         |tf AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source, count(*) AS n_distinct_tokens, sum(c) AS n_tokens
+         |  FROM tf GROUP BY 1),
+         |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+         |SELECT source,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+         |  round(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6) AS type_token_ratio
+         |FROM agg JOIN nd USING (source) ORDER BY source""".stripMargin,
+
+    "q42_centroid_stats" ->
+      """WITH xs AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS pos,
+        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |aggd AS (
+        |  SELECT label, pos, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+        |  FROM xs GROUP BY 1, 2)
+        |SELECT label, pos, CAST(n AS BIGINT) AS n,
+        |  round(sx / n, 6) AS mean,
+        |  round(sxx / n - (sx / n) * (sx / n), 6) AS variance
+        |FROM aggd ORDER BY label, pos""".stripMargin,
 
     "q27_supplier_region_revenue" ->
       """SELECT r_name, n_name,

@@ -153,7 +153,9 @@ object SparkEntry {
     "q38_lm_score" -> ((s, d) => LanguageModel.lmScore(Tables.documents(s, d), TrainPct)),
     "q39_embedding_contam" -> ((s, d) => CorpusPipeline.embeddingContamination(
       Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold, TrainPct)),
-    "q40_tfidf_terms" -> ((s, d) => Search.tfidfTopTerms(Tables.documents(s, d), TfidfK))
+    "q40_tfidf_terms" -> ((s, d) => Search.tfidfTopTerms(Tables.documents(s, d), TfidfK)),
+    "q41_vocab_stats" -> ((s, d) => Analytics.vocabStats(Tables.documents(s, d))),
+    "q42_centroid_stats" -> ((s, d) => Analytics.centroidStats(Tables.embeddings(s, d)))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -65,6 +65,59 @@ object Analytics {
       .orderBy("lang", "source", "rnk")
   }
 
+  /** Per-source vocabulary statistics: token volume, EXACT distinct
+    * token count, type-token ratio — the vocabulary-growth audit a
+    * corpus pipeline runs per domain. Two-level aggregation: the
+    * (source, term) partial agg collapses the token stream to term
+    * frequencies per task before the exchange, so the shuffle is
+    * O(distinct terms), never the raw stream; the second agg is
+    * O(#sources). The approximate twin (HLL++ via
+    * `approx_count_distinct`, one pass, constant memory) is the 100 TB
+    * default when exactness isn't contractual — spec'd against this
+    * exact path within its rsd bound. */
+  def vocabStats(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val agg = tf.groupBy("source").agg(
+      count(lit(1)).as("n_distinct_tokens"), sum("c").as("n_tokens"))
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    agg.join(nd, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_distinct_tokens"),
+        round(col("n_distinct_tokens").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"))
+      .orderBy("source")
+  }
+
+  /** Approximate twin of [[vocabStats]]'s distinct count (HLL++). */
+  def vocabStatsApprox(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("source")
+      .agg(approx_count_distinct(col("term"), rsd).as("n_distinct_approx"))
+      .orderBy("source")
+
+  /** Per-label embedding centroid statistics: mean and variance of
+    * every dimension — the cluster-quality audit for labeled/bucketed
+    * vector collections. posexplode is a narrow generator (n·dim
+    * rows); the (label, pos) partial agg carries three exact-ish sums
+    * per task — shuffle is O(labels × dim), data-size-independent.
+    * Mean/variance derive from explicit sum/count (NOT `avg`/`var_samp`
+    * — engines disagree on accumulation algorithms; plain double sums
+    * of identical operands agree to the last ulp here, SURVEY.md §6). */
+  def centroidStats(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"), col("x").cast("double").as("x"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("label"), col("pos"), col("n"),
+        round(col("sx") / col("n"), 6).as("mean"),
+        round(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")), 6)
+          .as("variance"))
+      .orderBy("label", "pos")
+
   /** Fixed-width histogram of document lengths per language:
     * bucket = floor(n_chars / width) * width. Pure integer binning —
     * engine-portable, no quantile-algorithm coupling — and a single

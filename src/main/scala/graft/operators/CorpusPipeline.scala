@@ -81,24 +81,30 @@ object CorpusPipeline {
     * occur anywhere in the train split, and a flag when the overlap
     * fraction reaches `flagFrac`.
     *
-    * Scale shape: both sides explode to (id, shingle) rows; the train
-    * side collapses to a distinct shingle set (hash exchange with
-    * map-side partial agg — O(distinct shingles), the unavoidable cost
-    * of decontamination); the probe is an equi-join on the shingle
-    * followed by a per-doc partial-agg rollup. No pairs, no cartesian.
-    * `k` should be large enough that chance overlap is rare (real
-    * pipelines use 8-13; tests pin a smaller k to the testdata's tiny
-    * vocabulary). */
+    * Scale shape: both sides explode to (id, shingle) rows and
+    * immediately collapse the shingle STRING to its 60-bit md5 hash —
+    * the distinct/join exchanges then shuffle 8-byte longs instead of
+    * k-word strings (~4× less shuffle volume at k=5; md5 is computed
+    * once per shingle, pre-shuffle, and 2⁻⁶⁰ collisions are
+    * deterministic AND identical in the oracle, which hashes the same
+    * way). The train side collapses to a distinct hash set (hash
+    * exchange with map-side partial agg — O(distinct shingles), the
+    * unavoidable cost of decontamination); the probe is an equi-join
+    * on the hash followed by a per-doc partial-agg rollup. No pairs,
+    * no cartesian. `k` should be large enough that chance overlap is
+    * rare (real pipelines use 8-13; tests pin a smaller k to the
+    * testdata's tiny vocabulary). */
   def ngramContamination(docs: DataFrame, k: Int, trainPct: Int = 90,
                          flagFrac: Double = 0.25): DataFrame = {
     val tagged = docs.withColumn("split", splitCol(trainPct))
     val evalSh = Dedup.shingleRows(tagged.where(col("split") === "eval"), k)
+      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
     val trainSh = Dedup.shingleRows(tagged.where(col("split") === "train"), k)
-      .select(col("s")).distinct().withColumn("hit", lit(1L))
+      .select(Dedup.hash60(col("s")).as("h")).distinct().withColumn("hit", lit(1L))
     val frac = round(
       sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 6)
     evalSh
-      .join(trainSh, Seq("s"), "left")
+      .join(trainSh, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),

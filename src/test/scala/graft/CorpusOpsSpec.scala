@@ -131,6 +131,36 @@ class CorpusOpsSpec extends SparkSpec {
       slow.collect().toSet)
   }
 
+  test("vocabStats: approx twin lands within its rsd bound of exact") {
+    import graft.operators.Analytics
+    val docs = Tables.documents(spark, sf001)
+    val exact = Analytics.vocabStats(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Analytics.vocabStatsApprox(docs, rsd = 0.05).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (src, n) =>
+      assert(math.abs(approx(src) - n).toDouble / n <= 0.15, // 3× rsd
+        s"$src: approx ${approx(src)} vs exact $n")
+    }
+    // type-token ratio bounded (0, 1]
+    Analytics.vocabStats(docs).collect()
+      .foreach(r => assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0))
+  }
+
+  test("centroidStats: known vectors produce exact mean/variance") {
+    import graft.operators.Analytics
+    val vecs = Seq(
+      (1L, Seq(0.0f, 2.0f), 7),
+      (2L, Seq(2.0f, 2.0f), 7),
+      (3L, Seq(4.0f, 2.0f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Analytics.centroidStats(vecs).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0) == ((3L, 2.0, 2.666667)))  // mean 2, var (4+0+4)/3, 6 dp
+    assert(out(1) == ((3L, 2.0, 0.0)))
+  }
+
   test("CharNgrams matches the HOF twin and is UTF-8-char-correct") {
     import org.apache.spark.sql.graftbridge.SqlBridge
     import graft.functions.CharNgrams
