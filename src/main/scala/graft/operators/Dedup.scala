@@ -158,11 +158,17 @@ object Dedup {
     * only pairs sharing ≥1 shingle are produced — exactly the
     * jaccard > 0 output set. */
   def ngramJaccard(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    // Shingle STRINGS collapse to their 60-bit md5 hash before the
+    // inverted-index join: the join exchange shuffles 8-byte longs
+    // instead of k-word strings (~4× less volume), and intersection
+    // COUNTS are unchanged (distinct shingles ↔ distinct hashes;
+    // 2⁻⁶⁰ collisions would be deterministic and caught by the gate).
     val ex = shingleRows(docs, k, "lang", "source")
+      .select(col("lang"), col("source"), col("doc_id"), hash60(col("s")).as("h"))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val l = ex.select(col("lang"), col("source"), col("doc_id").as("a"), col("s"))
-    val r = ex.select(col("lang"), col("source"), col("doc_id").as("b"), col("s"))
-    val inter = l.join(r, Seq("lang", "source", "s"))
+    val l = ex.select(col("lang"), col("source"), col("doc_id").as("a"), col("h"))
+    val r = ex.select(col("lang"), col("source"), col("doc_id").as("b"), col("h"))
+    val inter = l.join(r, Seq("lang", "source", "h"))
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter
