@@ -190,6 +190,59 @@ object CorpusPipeline {
       .orderBy("eval_id")
   }
 
+  /** Corpus-wide span-level dedup (C4/RefinedWeb-style "remove
+    * repeated spans"): document texts split into consecutive
+    * NON-overlapping `spanTokens`-word spans; every later occurrence of
+    * a span already seen anywhere in the corpus is dropped and the
+    * document reassembled from its surviving spans. "First occurrence"
+    * is the lexicographic minimum of (doc_id, span_idx) — a total,
+    * engine-portable order, never arrival order. This is the
+    * finer-grained sibling of doc-level dedup (q13/q14): boilerplate
+    * repeated INSIDE otherwise-distinct documents (headers, footers,
+    * license blocks) survives doc-level passes and is exactly what
+    * span dedup removes.
+    *
+    * Scale shape: spans are a narrow generator (tokens materialized
+    * once — HOF re-evaluation trap, see Dedup.shinglesOf); each span
+    * collapses to its 60-bit md5 hash BEFORE any exchange, so the
+    * first-occurrence groupBy and the verdict join shuffle 8-byte
+    * longs, not span strings. One partial-agg exchange on span hash
+    * (O(distinct spans)), one equi-join back, one per-doc rollup.
+    * Never pairs, never a global sort. The (doc_id, span_idx) pair
+    * packs into one long for the min-aggregate (span_idx < 2^20 —
+    * a million spans per document; packing keeps the aggregate a
+    * primitive long min instead of a struct min, and the SAME packing
+    * runs in the oracle). */
+  def spanDedup(docs: DataFrame, spanTokens: Int = 8): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    val n = size(col("__ts"))
+    val nSpans = ceil(n.cast("double") / lit(spanTokens.toDouble)).cast("int")
+    val spans = docs
+      .select(col("doc_id"), tokens(col("text")).as("__ts"))
+      .where(n > 0)
+      .select(col("doc_id"), col("__ts"), explode(sequence(lit(0), nSpans - 1)).as("span_idx"))
+      .select(
+        col("doc_id"), col("span_idx"),
+        concat_ws(" ", slice(col("__ts"), col("span_idx") * spanTokens + 1, lit(spanTokens))).as("span"))
+      .withColumn("h", Dedup.hash60(col("span")))
+      .withColumn("okey", col("doc_id") * lit(1048576L) + col("span_idx"))
+    val firsts = spans.groupBy("h").agg(min("okey").as("first_okey"))
+    spans
+      .join(firsts, "h")
+      .withColumn("kept", col("okey") === col("first_okey"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            filter(sort_array(collect_list(struct(col("span_idx"), col("kept"), col("span")))),
+              x => x.getField("kept")),
+            x => x.getField("span")),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def prepare(docs: DataFrame, k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
               minEstJaccard: Double = 0.5, minTokens: Int = 5,
               maxMeanTokenLen: Double = 15.0): DataFrame = {
