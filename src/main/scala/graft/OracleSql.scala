@@ -40,6 +40,28 @@ object OracleSql {
       s"list_min(list_transform($sh, s -> (((${hash60("s")} % $P) * $a + $b) % $P)))"
     }.mkString("[", ", ", "]")
 
+  /** MinHash-LSH candidate CTE block (sigs → banded → cand) + the
+    * est-Jaccard expression — shared by q14 and the q43 cluster
+    * resolution so the pair derivation cannot drift between them. */
+  private val minhashEst =
+    s"round(CAST(list_sum(list_transform(list_zip(sig_a, sig_b), x -> CAST(x[1] = x[2] AS INT))) AS DOUBLE) / $NumHashes.0, 6)"
+  private val minhashCtes: String = {
+    val numBands = NumHashes / RowsPerBand
+    val bandIds = (0 until numBands).mkString("[", ", ", "]")
+    s"""sigs AS (
+       |  SELECT doc_id, ${minhashSig("sh")} AS sig
+       |  FROM (SELECT doc_id, ${shingles()} AS sh FROM documents)
+       |  WHERE len(sh) > 0),
+       |banded AS (
+       |  SELECT doc_id, sig, t.band_id,
+       |    array_to_string(list_slice(sig, t.band_id * $RowsPerBand + 1, t.band_id * $RowsPerBand + $RowsPerBand), '_') AS band_key
+       |  FROM sigs CROSS JOIN (SELECT unnest($bandIds) AS band_id) t),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sig_a, r.sig AS sig_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
   /** BM25 shared CTE block + final select (q34 and the q34b lexical leg).
     * Every mixed-type arithmetic operand is CAST to DOUBLE so DuckDB
     * cannot route through exact DECIMAL intermediates that round
@@ -199,27 +221,60 @@ object OracleSql {
         |  min(doc_id) AS keeper_id
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
-    "q14_minhash_lsh" -> {
-      val numBands = NumHashes / RowsPerBand
-      val bandIds = (0 until numBands).mkString("[", ", ", "]")
-      s"""WITH sigs AS (
-         |  SELECT doc_id, ${minhashSig("sh")} AS sig
-         |  FROM (SELECT doc_id, ${shingles()} AS sh FROM documents)
-         |  WHERE len(sh) > 0),
-         |banded AS (
-         |  SELECT doc_id, sig, t.band_id,
-         |    array_to_string(list_slice(sig, t.band_id * $RowsPerBand + 1, t.band_id * $RowsPerBand + $RowsPerBand), '_') AS band_key
-         |  FROM sigs CROSS JOIN (SELECT unnest($bandIds) AS band_id) t),
-         |cand AS (
-         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sig_a, r.sig AS sig_b
-         |  FROM banded l JOIN banded r
-         |    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id)
+    "q14_minhash_lsh" ->
+      s"""WITH $minhashCtes
          |SELECT a, b,
-         |  round(CAST(list_sum(list_transform(list_zip(sig_a, sig_b), x -> CAST(x[1] = x[2] AS INT))) AS DOUBLE) / $NumHashes.0, 6) AS est_jaccard
+         |  $minhashEst AS est_jaccard
          |FROM cand
-         |WHERE round(CAST(list_sum(list_transform(list_zip(sig_a, sig_b), x -> CAST(x[1] = x[2] AS INT))) AS DOUBLE) / $NumHashes.0, 6) >= $MinEstJaccard
-         |ORDER BY a, b""".stripMargin
-    },
+         |WHERE $minhashEst >= $MinEstJaccard
+         |ORDER BY a, b""".stripMargin,
+
+    "q43_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |lshpairs AS (
+         |  SELECT a, b FROM cand WHERE $minhashEst >= $MinEstJaccard),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM lshpairs
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst FROM lshpairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+         |labeled AS (
+         |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |sizes AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
+         |FROM labeled l JOIN sizes s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q44_semdedup" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |normed AS (
+         |  SELECT a.vec_id, a.centroid_id, e.embedding,
+         |    sqrt(${dotd("e.embedding", "e.embedding")}) AS nrm
+         |  FROM assigned a JOIN embeddings e USING (vec_id)),
+         |dropped AS (
+         |  SELECT DISTINCT r.vec_id
+         |  FROM normed l JOIN normed r
+         |    ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+         |  WHERE round(${dotd("l.embedding", "r.embedding")} / (l.nrm * r.nrm), 6) >= $SemDedupCos)
+         |SELECT n.vec_id, n.centroid_id,
+         |  CAST(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dropped
+         |FROM normed n LEFT JOIN dropped d ON n.vec_id = d.vec_id
+         |ORDER BY n.vec_id""".stripMargin,
 
     "q14b_simhash" -> {
       val bits = 32

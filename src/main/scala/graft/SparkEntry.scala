@@ -47,6 +47,10 @@ object SparkEntry {
                           // real pipelines use 8-13)
     val ContamFlagFrac = 0.25
     val TfidfK = 3
+    val SemDedupCos = 0.4   // within-cluster near-twin threshold (q44):
+                            // p99 of within-cluster cosine on this corpus
+                            // is ~0.36, so 0.4 prunes genuine outlier
+                            // twins (~4%), not the cluster body
   }
   import Params._
 
@@ -155,7 +159,10 @@ object SparkEntry {
       Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold, TrainPct)),
     "q40_tfidf_terms" -> ((s, d) => Search.tfidfTopTerms(Tables.documents(s, d), TfidfK)),
     "q41_vocab_stats" -> ((s, d) => Analytics.vocabStats(Tables.documents(s, d))),
-    "q42_centroid_stats" -> ((s, d) => Analytics.centroidStats(Tables.embeddings(s, d)))
+    "q42_centroid_stats" -> ((s, d) => Analytics.centroidStats(Tables.embeddings(s, d))),
+    "q43_dup_clusters" -> ((s, d) =>
+      Clusters.dupClusters(Tables.documents(s, d), ShingleK, NumHashes, RowsPerBand, MinEstJaccard)),
+    "q44_semdedup" -> ((s, d) => Clusters.semDedup(Tables.embeddings(s, d), IvfStep, SemDedupCos))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Cluster-shaped dedup resolution — the step AFTER candidate-pair
+  * generation that every production dedup pipeline needs: near-dup
+  * PAIRS (Dedup.minhashLsh et al.) resolved into duplicate CLUSTERS
+  * (connected components), and SemDeDup-style semantic pruning
+  * (cluster embeddings, drop near-identical members within a cluster).
+  *
+  * The reference deduplicates nothing (single-corpus demo); these
+  * operators are part of the LLM-pipeline surface the brief requires
+  * on top of the reference's own (reference Program.cs:125-263 only
+  * covers the ANN index the SemDeDup path reuses).
+  */
+object Clusters {
+
+  /** Connected components over an undirected candidate-pair edge list
+    * (columns `a`, `b`) → one row per touched node with its component
+    * label (= min node id in the component) and the component size.
+    *
+    * Algorithm: iterative min-label propagation with a pointer-jump
+    * composition. Each round every node takes the minimum of its own
+    * label, its neighbors' labels (one equi-join shuffle on node id),
+    * and its label's label (one self-join — the pointer jump that
+    * short-circuits long chains, turning O(diameter) rounds into
+    * ~O(log diameter)). Convergence is checked EXACTLY (any label
+    * changed?), so `maxIters` is a guard, never a correctness knob.
+    *
+    * Scale shape: state is one (node, label) row per node — never an
+    * adjacency matrix; every round is two hash-join exchanges over
+    * that state, and `localCheckpoint` pins each round's result so
+    * lineage (and recomputation) cannot grow with the iteration count.
+    * Dup clusters from LSH pairs are near-cliques, so in practice this
+    * converges in 2-3 rounds; adversarial long-path graphs are bounded
+    * by the pointer jump. (On a multi-executor cluster swap
+    * localCheckpoint for reliable checkpoint if executor loss matters:
+    * same plan, different storage.)
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "dst_label"), "dst")
+        .groupBy("src").agg(min("dst_label").as("nbr_label"))
+        .withColumnRenamed("src", "node")
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump: label(n) <- min(label(n), label(label(n)))
+      val next = stepped
+        .join(stepped.select(col("node").as("label"), col("label").as("ll")), Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .where(col("label") =!= col("prev"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "cluster_size")
+  }
+
+  /** q43: MinHash-LSH candidate pairs resolved into duplicate clusters —
+    * the membership table a dedup pass keeps (retain cluster_id ==
+    * doc_id, drop the rest). Only docs touched by at least one pair
+    * appear; singletons are trivially their own cluster and would bloat
+    * the output n-fold. */
+  def dupClusters(docs: DataFrame, k: Int, numHashes: Int, rowsPerBand: Int,
+                  minEstJaccard: Double): DataFrame =
+    connectedComponents(
+      Dedup.minhashLsh(docs, k, numHashes, rowsPerBand, minEstJaccard).select("a", "b"))
+      .orderBy("doc_id")
+
+  /** q44: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * dedup by clustering embeddings then dropping, within each cluster,
+    * every member that has a lower-id near-twin at cosine >= threshold.
+    *
+    * Spark shape: cluster assignment is the SAME map-only broadcast
+    * argmin as the IVF build ([[Ivf]]/[[graft.functions.NearestCentroid]]
+    * — zero shuffles, embedding rides along); the pair scan is an
+    * equi-join on centroid_id, so comparisons are bounded per cluster
+    * (O(Σ|cluster|²), the SemDeDup contract) and never all-pairs.
+    * Norms are precomputed per row, not per pair (see
+    * [[Dedup.cosinePairs]]).
+    *
+    * Returns every in-dimension vector with its cluster and a
+    * `dropped` flag — the keep-list is `dropped = 0`. */
+  def semDedup(vectors: DataFrame, step: Int, threshold: Double): DataFrame = {
+    val assigned = Ivf.assignWithEmbedding(vectors, Ivf.centroids(vectors, step))
+      .select(col("vec_id"), col("centroid_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val l = assigned.select(col("centroid_id"), col("vec_id").as("a"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = assigned.select(col("centroid_id"), col("vec_id").as("b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val dropped = l.join(r, Seq("centroid_id"))
+      .where(col("a") < col("b"))
+      .withColumn("cos_raw", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+      // two-stage threshold — see Dedup.cosinePairs
+      .where(col("cos_raw") >= threshold - 1e-6)
+      .where(round(col("cos_raw"), 6) >= threshold)
+      .select(col("b").as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(1))
+    assigned.select(col("vec_id"), col("centroid_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("is_dropped"), lit(0)).cast("int").as("dropped"))
+      .orderBy("vec_id")
+  }
+}

@@ -93,6 +93,17 @@ object Ivf {
   def build(vectors: DataFrame, step: Int): DataFrame =
     assign(vectors, centroids(vectors, step)).orderBy("vec_id")
 
+  /** Assignment with the embedding riding the same narrow pass (zero
+    * shuffles, no join-back) — for consumers that need
+    * (vec_id, centroid_id, embedding) downstream: SemDeDup
+    * ([[Clusters.semDedup]]) and any clustering-then-X pipeline.
+    * Unassignable rows (null/off-dim embeddings → null argmin) are
+    * dropped; they belong to no cluster. */
+  def assignWithEmbedding(vectors: DataFrame, cents: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"),
+      nearest(vectors, collectCentroids(cents)).getField("centroid_id").as("centroid_id"))
+      .where(col("centroid_id").isNotNull)
+
   /** √n centroid policy: stride giving k = n/step ≈ √n centroids —
     * the balance point where (vectors × centroids) assignment work and
     * per-bucket rerank size both grow as n^1.5 instead of one of them

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Clusters, Dedup}
+
+/** Round-5 cluster resolution: connected components over candidate
+  * pairs (q43) and SemDeDup semantic pruning (q44). */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Clusters.connectedComponents(pairs.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("connectedComponents labels a chain with its minimum") {
+    // 1-2, 2-3, 3-4, 4-5: one component, diameter 4 — exercises the
+    // pointer jump (plain neighbor-min needs 4 rounds; this converges
+    // under the maxIters guard either way, but the label must be exact)
+    val out = components(Seq((2L, 3L), (1L, 2L), (4L, 5L), (3L, 4L)))
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out.values.toSet == Set((1L, 5L)))
+  }
+
+  test("connectedComponents keeps disjoint cliques apart") {
+    val clique1 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val clique2 = Seq((20L, 21L))
+    val out = components(clique1 ++ clique2)
+    assert(out(10L) == ((10L, 3L)) && out(11L) == ((10L, 3L)) && out(12L) == ((10L, 3L)))
+    assert(out(20L) == ((20L, 2L)) && out(21L) == ((20L, 2L)))
+  }
+
+  test("connectedComponents on an empty pair set is empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Clusters.connectedComponents(empty).isEmpty)
+  }
+
+  test("connectedComponents matches a brute-force closure on real LSH pairs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pairs = Dedup.minhashLsh(docs, 3, 12, 2, 0.5).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // brute force: union-find over the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    val got = components(pairs).map { case (n, (c, _)) => n -> c }
+    assert(got == expected)
+  }
+
+  test("semDedup drops the higher-id member of a crafted near-twin only") {
+    // 4 vectors, step 2 → centroids from vec 0 and 2. Vectors 0 and 1
+    // are near-identical (same cluster, cos ≈ 1); vectors 2 and 3 are
+    // orthogonal (same cluster, cos 0). Only 1 must drop.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val vecs = Seq(
+      (0L, v(1, 0, 0, 0)),
+      (1L, v(0.99, 0.01, 0, 0)),
+      (2L, v(0, 0, 1, 0)),
+      (3L, v(0, 0, 0, 1))
+    ).toDF("vec_id", "embedding")
+    val out = Clusters.semDedup(vecs, step = 2, threshold = 0.9).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(0L)._2 == 0 && out(1L)._2 == 1)
+    assert(out(2L)._2 == 0 && out(3L)._2 == 0)
+    assert(out(0L)._1 == out(1L)._1)
+  }
+
+  test("semDedup keep-set has no surviving near-twins within a cluster") {
+    import graft.functions.VectorFunctions._
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = Clusters.semDedup(vecs, 25, 0.4)
+    assert(out.where(col("dropped") === 1).count() > 0) // threshold bites
+    val kept = out.where(col("dropped") === 0)
+      .join(vecs.select("vec_id", "embedding"), "vec_id")
+      .select(col("centroid_id"), col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    // the drop rule consults ALL lower-id members (kept or not), so in
+    // particular no two KEPT members of one cluster may cross the bar
+    val crossing = kept.as("l").join(kept.as("r"),
+        col("l.centroid_id") === col("r.centroid_id") && col("l.vec_id") < col("r.vec_id"))
+      .where(dot(col("l.embedding"), col("r.embedding"))
+        / (col("l.nrm") * col("r.nrm")) >= 0.4)
+    assert(crossing.isEmpty)
+  }
+}
