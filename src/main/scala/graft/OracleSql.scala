@@ -62,6 +62,33 @@ object OracleSql {
        |    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id)""".stripMargin
   }
 
+  /** Product-quantization CTE blocks (q45/q45b): per subspace j a
+    * codebook of stride sub-vectors and a row_number argmin encode —
+    * the SQL mirror of [[graft.operators.Pq]]'s NearestCentroid-per-
+    * slice, with the same round-6 distance and code-id tie-break as
+    * the q09 assignment oracle. */
+  private def pqSubL2(a: String, b: String, lo: Int, hi: Int) =
+    s"list_sum(list_transform(list_zip(list_slice(CAST($a AS DOUBLE[]), $lo, $hi), $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
+  private val pqSub = 64 / PqM
+  private val pqCtes: String =
+    (0 until PqM).map { j =>
+      val lo = j * pqSub + 1
+      val hi = lo + pqSub - 1
+      s"""cb$j AS (
+         |  SELECT vec_id // $IvfStep AS code,
+         |    list_slice(CAST(embedding AS DOUBLE[]), $lo, $hi) AS s
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0),
+         |enc$j AS (
+         |  SELECT vec_id, code AS c$j FROM (
+         |    SELECT v.vec_id, c.code,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${pqSubL2("v.embedding", "c.s", lo, hi)}, 6), c.code) AS rn
+         |    FROM embeddings v CROSS JOIN cb$j c) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+  private val pqEncJoin: String =
+    "FROM enc0 e0 " +
+      (1 until PqM).map(j => s"JOIN enc$j e$j USING (vec_id)").mkString(" ")
+
   /** BM25 shared CTE block + final select (q34 and the q34b lexical leg).
     * Every mixed-type arithmetic operand is CAST to DOUBLE so DuckDB
     * cannot route through exact DECIMAL intermediates that round
@@ -248,6 +275,26 @@ object OracleSql {
          |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
          |FROM labeled l JOIN sizes s USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q45_pq_encode" ->
+      s"""WITH $pqCtes
+         |SELECT e0.vec_id, ${(0 until PqM).map(j => s"e$j.c$j").mkString(", ")}
+         |$pqEncJoin
+         |ORDER BY e0.vec_id""".stripMargin,
+
+    "q45b_pq_search" ->
+      s"""WITH $pqCtes,
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |${(0 until PqM).map { j =>
+             val lo = j * pqSub + 1
+             val hi = lo + pqSub - 1
+             s"dt$j AS (SELECT code, round(${pqSubL2("qv", "s", lo, hi)}, 6) AS d FROM cb$j, q)"
+           }.mkString(",\n")}
+         |SELECT e0.vec_id,
+         |  round(${(0 until PqM).map(j => s"dt$j.d").mkString(" + ")}, 6) AS approx_dist
+         |$pqEncJoin
+         |${(0 until PqM).map(j => s"JOIN dt$j ON dt$j.code = e$j.c$j").mkString(" ")}
+         |ORDER BY approx_dist, e0.vec_id LIMIT $K""".stripMargin,
 
     "q44_semdedup" ->
       s"""WITH cents AS (

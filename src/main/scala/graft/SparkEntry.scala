@@ -47,6 +47,7 @@ object SparkEntry {
                           // real pipelines use 8-13)
     val ContamFlagFrac = 0.25
     val TfidfK = 3
+    val PqM = 8             // PQ subspaces over the 64-dim embeddings (q45)
     val SemDedupCos = 0.4   // within-cluster near-twin threshold (q44):
                             // p99 of within-cluster cosine on this corpus
                             // is ~0.36, so 0.4 prunes genuine outlier
@@ -162,7 +163,16 @@ object SparkEntry {
     "q42_centroid_stats" -> ((s, d) => Analytics.centroidStats(Tables.embeddings(s, d))),
     "q43_dup_clusters" -> ((s, d) =>
       Clusters.dupClusters(Tables.documents(s, d), ShingleK, NumHashes, RowsPerBand, MinEstJaccard)),
-    "q44_semdedup" -> ((s, d) => Clusters.semDedup(Tables.embeddings(s, d), IvfStep, SemDedupCos))
+    "q44_semdedup" -> ((s, d) => Clusters.semDedup(Tables.embeddings(s, d), IvfStep, SemDedupCos)),
+    "q45_pq_encode" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Pq.encode(emb, Pq.codebooks(emb, IvfStep, PqM)).orderBy("vec_id")
+    }),
+    "q45b_pq_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cbs = Pq.codebooks(emb, IvfStep, PqM)
+      Pq.searchAdc(Pq.encode(emb, cbs), cbs, Knn.queryVector(emb, QueryVecId), K)
+    })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
