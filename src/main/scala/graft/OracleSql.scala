@@ -70,6 +70,12 @@ object OracleSql {
   private def pqSubL2(a: String, b: String, lo: Int, hi: Int) =
     s"list_sum(list_transform(list_zip(list_slice(CAST($a AS DOUBLE[]), $lo, $hi), $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
   private val pqSub = 64 / PqM
+  // len(embedding) = 64 guards mirror the Spark operators' drop
+  // semantics (Pq.encodable / Ivf.assignable raw-column filters): a
+  // null or off-dim embedding neither seeds a codebook row nor gets
+  // encoded. Without them the row_number formulation would still
+  // assign rn=1 to unencodable rows via NULL-distance ordering — a
+  // latent divergence that a dirty corpus would surface.
   private val pqCtes: String =
     (0 until PqM).map { j =>
       val lo = j * pqSub + 1
@@ -77,17 +83,32 @@ object OracleSql {
       s"""cb$j AS (
          |  SELECT vec_id // $IvfStep AS code,
          |    list_slice(CAST(embedding AS DOUBLE[]), $lo, $hi) AS s
-         |  FROM embeddings WHERE vec_id % $IvfStep = 0),
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND len(embedding) = 64),
          |enc$j AS (
          |  SELECT vec_id, code AS c$j FROM (
          |    SELECT v.vec_id, c.code,
          |      row_number() OVER (PARTITION BY v.vec_id
          |        ORDER BY round(${pqSubL2("v.embedding", "c.s", lo, hi)}, 6), c.code) AS rn
-         |    FROM embeddings v CROSS JOIN cb$j c) WHERE rn = 1)""".stripMargin
+         |    FROM embeddings v CROSS JOIN cb$j c
+         |    WHERE len(v.embedding) = 64) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
   private val pqEncJoin: String =
     "FROM enc0 e0 " +
       (1 until PqM).map(j => s"JOIN enc$j e$j USING (vec_id)").mkString(" ")
+
+  /** Per-subspace ADC lookup-table CTEs + their joins and summed
+    * distance — shared by q45b (flat ADC) and q48 (IVF-pruned ADC) so
+    * the distance derivation cannot drift between the two. */
+  private val pqDtCtes: String =
+    (0 until PqM).map { j =>
+      val lo = j * pqSub + 1
+      val hi = lo + pqSub - 1
+      s"dt$j AS (SELECT code, round(${pqSubL2("qv", "s", lo, hi)}, 6) AS d FROM cb$j, q)"
+    }.mkString(",\n")
+  private val pqDtJoins: String =
+    (0 until PqM).map(j => s"JOIN dt$j ON dt$j.code = e$j.c$j").mkString(" ")
+  private val pqDtSum: String =
+    (0 until PqM).map(j => s"dt$j.d").mkString(" + ")
 
   /** BM25 shared CTE block + final select (q34 and the q34b lexical leg).
     * Every mixed-type arithmetic operand is CAST to DOUBLE so DuckDB
@@ -285,25 +306,89 @@ object OracleSql {
     "q45b_pq_search" ->
       s"""WITH $pqCtes,
          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId),
-         |${(0 until PqM).map { j =>
-             val lo = j * pqSub + 1
-             val hi = lo + pqSub - 1
-             s"dt$j AS (SELECT code, round(${pqSubL2("qv", "s", lo, hi)}, 6) AS d FROM cb$j, q)"
-           }.mkString(",\n")}
+         |$pqDtCtes
          |SELECT e0.vec_id,
-         |  round(${(0 until PqM).map(j => s"dt$j.d").mkString(" + ")}, 6) AS approx_dist
+         |  round($pqDtSum, 6) AS approx_dist
          |$pqEncJoin
-         |${(0 until PqM).map(j => s"JOIN dt$j ON dt$j.code = e$j.c$j").mkString(" ")}
+         |$pqDtJoins
          |ORDER BY approx_dist, e0.vec_id LIMIT $K""".stripMargin,
 
-    "q44_semdedup" ->
-      s"""WITH cents AS (
+    "q48_ivfpq_search" ->
+      s"""WITH $pqCtes,
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |cents AS (
          |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
-         |  FROM embeddings WHERE vec_id % $IvfStep = 0),
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND len(embedding) = 64),
+         |probed AS (
+         |  SELECT centroid_id FROM (
+         |    SELECT c.centroid_id, round(${l2sq("c.c_emb", "q.qv")}, 6) AS cdist
+         |    FROM cents c, q
+         |    ORDER BY cdist, centroid_id LIMIT $NProbe)),
          |scored AS (
          |  SELECT v.vec_id, c.centroid_id,
          |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
-         |  FROM embeddings v CROSS JOIN cents c),
+         |  FROM embeddings v CROSS JOIN cents c
+         |  WHERE len(v.embedding) = 64),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |$pqDtCtes
+         |SELECT e0.vec_id,
+         |  round($pqDtSum, 6) AS approx_dist
+         |$pqEncJoin
+         |$pqDtJoins
+         |JOIN assigned a ON a.vec_id = e0.vec_id
+         |JOIN probed p ON p.centroid_id = a.centroid_id
+         |ORDER BY approx_dist, e0.vec_id LIMIT $K""".stripMargin,
+
+    "q46_span_dedup" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)
+         |  WHERE len(ts) > 0),
+         |spans AS (
+         |  SELECT doc_id, CAST(i AS INT) AS span_idx,
+         |    array_to_string(list_slice(ts, CAST(i * $SpanTokens + 1 AS INT), CAST(i * $SpanTokens + $SpanTokens AS INT)), ' ') AS span
+         |  FROM (SELECT doc_id, ts,
+         |          unnest(range(0, CAST(ceil(len(ts) / CAST($SpanTokens AS DOUBLE)) AS BIGINT))) AS i
+         |        FROM sized)),
+         |hashed AS (
+         |  SELECT doc_id, span_idx, span, ${hash60("span")} AS h,
+         |    doc_id * 1048576 + span_idx AS okey
+         |  FROM spans),
+         |firsts AS (SELECT h, min(okey) AS first_okey FROM hashed GROUP BY h)
+         |SELECT s.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN s.okey <> f.first_okey THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN s.okey = f.first_okey THEN s.span END, ' ' ORDER BY s.span_idx), '') AS clean_text
+         |FROM hashed s JOIN firsts f USING (h)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q47_profile" -> {
+      val per = ProfileCols.map { c =>
+        s"""  SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |    CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |    CAST(min($c) AS VARCHAR) AS min_val,
+           |    CAST(max($c) AS VARCHAR) AS max_val
+           |  FROM documents""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""SELECT * FROM (
+         |$per
+         |) ORDER BY "column"""".stripMargin
+    },
+
+    "q44_semdedup" ->
+      s"""WITH cents AS (
+         |  -- len guards: same drop semantics as Ivf.assignable (see pqCtes note)
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND len(embedding) = 64),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c
+         |  WHERE len(v.embedding) = 64),
          |assigned AS (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT vec_id, centroid_id,

@@ -52,6 +52,9 @@ object SparkEntry {
                             // p99 of within-cluster cosine on this corpus
                             // is ~0.36, so 0.4 prunes genuine outlier
                             // twins (~4%), not the cluster body
+    val SpanTokens = 8      // span-dedup window (q46); C4 uses 3-sentence
+                            // spans, RefinedWeb token windows of this order
+    val ProfileCols = Seq("doc_id", "lang", "n_chars", "source") // q47
   }
   import Params._
 
@@ -172,6 +175,14 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val cbs = Pq.codebooks(emb, IvfStep, PqM)
       Pq.searchAdc(Pq.encode(emb, cbs), cbs, Knn.queryVector(emb, QueryVecId), K)
+    }),
+    "q46_span_dedup" -> ((s, d) =>
+      CorpusPipeline.spanDedup(Tables.documents(s, d), SpanTokens)),
+    "q47_profile" -> ((s, d) => Profile.profile(Tables.documents(s, d), ProfileCols)),
+    "q48_ivfpq_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Pq.searchIvfAdc(emb, IvfStep, Pq.codebooks(emb, IvfStep, PqM),
+        Knn.queryVector(emb, QueryVecId), NProbe, K)
     })
   )
 

@@ -35,18 +35,44 @@ object Clusters {
     * lineage (and recomputation) cannot grow with the iteration count.
     * Dup clusters from LSH pairs are near-cliques, so in practice this
     * converges in 2-3 rounds; adversarial long-path graphs are bounded
-    * by the pointer jump. (On a multi-executor cluster swap
-    * localCheckpoint for reliable checkpoint if executor loss matters:
-    * same plan, different storage.)
+    * by the pointer jump. Set `reliable = true` on a multi-executor
+    * cluster where executor loss matters: rounds then pin to the
+    * configured `sparkContext.setCheckpointDir` instead of executor
+    * blocks — same plan, durable storage. Rounds that are no longer
+    * reachable (the previous iteration's labels) are unpersisted as the
+    * loop advances, so executor storage stays O(1) in the round count.
+    *
+    * Throws if the `maxIters` guard trips before exact convergence —
+    * returning silently would hand callers WRONG cluster ids. The
+    * pointer jump makes rounds ~log₂(diameter), so 50 covers any graph
+    * this side of 2⁵⁰ nodes; hitting the guard means something is
+    * broken, not that more rounds were needed.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+                          reliable: Boolean = false): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // Round-checkpoint bookkeeping: Dataset.unpersist cannot reach a
+    // localCheckpoint's RDD blocks (they are not CacheManager entries),
+    // so track the persistent-RDD ids each checkpoint creates and free
+    // the previous round's explicitly — the DataFrame-API mirror of
+    // GraphX Pregel's prev.unpersist(). The registry diff is safe here:
+    // the loop is single-threaded driver code with no concurrent
+    // persists. Reliable checkpoints write to the checkpoint dir and
+    // hold no executor blocks, so their id set is empty — harmless.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = if (reliable) df.checkpoint() else df.localCheckpoint()
+      (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
     val p = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
-      .toDF("src", "dst")
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    val (edges, edgeIds) = checkpointTracked(
+      p.union(p.select(col("b").as("a"), col("a").as("b"))).toDF("src", "dst"))
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -58,17 +84,23 @@ object Clusters {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: label(n) <- min(label(n), label(label(n)))
-      val next = stepped
+      val (next, nextIds) = checkpointTracked(stepped
         .join(stepped.select(col("node").as("label"), col("label").as("ll")), Seq("label"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
       converged = next.join(labels.withColumnRenamed("label", "prev"), "node")
         .where(col("label") =!= col("prev"))
         .isEmpty
+      // the previous round's labels are dead past the convergence check
+      free(labelIds)
       labels = next
+      labelIds = nextIds
       it += 1
     }
+    free(edgeIds)
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "the result would be incorrect partial labels")
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))

@@ -76,6 +76,27 @@ object Ivf {
       SqlBridge.expression(col("embedding")),
       vectors.sparkSession.sparkContext.broadcast(cs)))
 
+  /** Modal (most common) centroid dimension of a collected set — the
+    * dimension assignable embeddings must have. Majority vote with a
+    * smallest-dim tie-break, NOT `head`: a single off-dim first row
+    * must not redefine the set's dimension. */
+  private[operators] def modalDim(cs: CentroidSet): Int =
+    if (cs.mat.isEmpty) 0
+    else cs.mat.groupBy(_.length).maxBy { case (len, g) => (g.length, -len) }._1
+
+  /** Pre-filter for "assignable" rows, as a predicate on the RAW
+    * embedding column (null / off-dimension rows can never win the
+    * argmin). Filtering on the PROJECTED argmin instead (isNotNull of
+    * the NearestCentroid output) is the double-eval trap: Catalyst
+    * pushes the deterministic predicate back through the Project and
+    * the full k-centroid argmin runs twice per row. A raw-column
+    * predicate costs one size() check and pushes harmlessly to the
+    * scan. (Rows with null ELEMENTS inside a well-dimensioned embedding
+    * still produce a null argmin — same contract as the DuckDB oracles'
+    * len(embedding) guard, which also only checks length.) */
+  private def assignable(dim: Int) =
+    col("embedding").isNotNull && size(col("embedding")) === dim
+
   /** Nearest-centroid assignment — one narrow pass, ZERO shuffles.
     *
     * The round-2 formulation (crossJoin(broadcast(cents)) →
@@ -99,10 +120,13 @@ object Ivf {
     * ([[Clusters.semDedup]]) and any clustering-then-X pipeline.
     * Unassignable rows (null/off-dim embeddings → null argmin) are
     * dropped; they belong to no cluster. */
-  def assignWithEmbedding(vectors: DataFrame, cents: DataFrame): DataFrame =
-    vectors.select(col("vec_id"), col("embedding"),
-      nearest(vectors, collectCentroids(cents)).getField("centroid_id").as("centroid_id"))
-      .where(col("centroid_id").isNotNull)
+  def assignWithEmbedding(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val cs = collectCentroids(cents)
+    vectors
+      .where(assignable(modalDim(cs)))
+      .select(col("vec_id"), col("embedding"),
+        nearest(vectors, cs).getField("centroid_id").as("centroid_id"))
+  }
 
   /** √n centroid policy: stride giving k = n/step ≈ √n centroids —
     * the balance point where (vectors × centroids) assignment work and
@@ -131,13 +155,17 @@ object Ivf {
       // Assignment is a narrow expression, so the embedding rides along
       // in the same pass — no join-back (the round-2 formulation paid
       // one exchange for the argmin plus one for this join, per round).
-      val assigned = vectors.select(
-        nearest(vectors, collectCentroids(cents)).getField("centroid_id").as("centroid_id"),
-        col("embedding"))
-        // unassignable rows (null/off-dim embeddings) must not form a
-        // null-key group — it would surface as a null-id centroid and
-        // crash the next iteration's collect
-        .where(col("centroid_id").isNotNull)
+      // Unassignable rows (null/off-dim embeddings) are filtered on the
+      // RAW column (see [[assignable]]; an isNotNull filter on the
+      // projected argmin would re-run the whole argmin per row). A
+      // null-ELEMENT row still yields a null argmin and a null-key
+      // group; collectCentroids drops the resulting null-id centroid.
+      val cs = collectCentroids(cents)
+      val assigned = vectors
+        .where(assignable(modalDim(cs)))
+        .select(
+          nearest(vectors, cs).getField("centroid_id").as("centroid_id"),
+          col("embedding"))
       cents = assigned
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("centroid_id", "pos").agg(avg("v").as("m"))

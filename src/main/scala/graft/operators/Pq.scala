@@ -50,7 +50,12 @@ object Pq {
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .sortBy(_.getLong(0))
       .map(r => r.getLong(0) -> r.getSeq[Any](1).map(widen).toArray)
-    val dim = rows.headOption.map(_._2.length).getOrElse(m)
+    // Modal (most common) dimension, smallest-dim tie-break — a single
+    // off-dim first stride vector must not redefine the reference dim
+    // and silently discard every normal-dim codebook row.
+    val dim =
+      if (rows.isEmpty) m
+      else rows.groupBy(_._2.length).maxBy { case (len, g) => (g.length, -len) }._1
     require(dim % m == 0, s"embedding dim $dim not divisible by $m subspaces")
     val sub = dim / m
     val uniform = rows.filter(_._2.length == dim)
@@ -64,22 +69,36 @@ object Pq {
   private def subDim(cbs: Seq[CentroidSet]): Int =
     cbs.head.mat.headOption.map(_.length).getOrElse(0)
 
+  /** The m per-subspace code columns (`c0`…`c{m-1}`), each a
+    * [[NearestCentroid]] argmin over that subspace's broadcast codebook
+    * slice of the embedding. */
+  private def codeCols(vectors: DataFrame, cbs: Seq[CentroidSet]) = {
+    val sub = subDim(cbs)
+    val sc = vectors.sparkSession.sparkContext
+    cbs.zipWithIndex.map { case (cs, j) =>
+      SqlBridge.column(NearestCentroid(
+        SqlBridge.expression(slice(col("embedding"), j * sub + 1, sub)),
+        sc.broadcast(cs))).getField("centroid_id").as(s"c$j")
+    }
+  }
+
+  /** Pre-filter for encodable rows — a predicate on the RAW embedding
+    * column. Filtering on the projected codes' isNotNull instead was
+    * the double-eval trap (see Ivf.assignable): Catalyst pushed the m
+    * predicates back through the Project and every subspace argmin ran
+    * TWICE per row — 2× the entire encode cost. */
+  private def encodable(cbs: Seq[CentroidSet]) =
+    col("embedding").isNotNull &&
+      size(col("embedding")) === subDim(cbs) * cbs.length
+
   /** PQ encode: vec_id + one code column per subspace (`c0`…`c{m-1}`),
     * each a [[NearestCentroid]] argmin over that subspace's broadcast
     * codebook — m narrow codegen'd expressions, zero shuffles. Rows
     * whose embedding cannot be encoded (null / off-dimension) are
     * dropped: they have no code representation. */
-  def encode(vectors: DataFrame, cbs: Seq[CentroidSet]): DataFrame = {
-    val sub = subDim(cbs)
-    val sc = vectors.sparkSession.sparkContext
-    val codeCols = cbs.zipWithIndex.map { case (cs, j) =>
-      SqlBridge.column(NearestCentroid(
-        SqlBridge.expression(slice(col("embedding"), j * sub + 1, sub)),
-        sc.broadcast(cs))).getField("centroid_id").as(s"c$j")
-    }
-    vectors.select(col("vec_id") +: codeCols: _*)
-      .where(cbs.indices.map(j => col(s"c$j").isNotNull).reduce(_ && _))
-  }
+  def encode(vectors: DataFrame, cbs: Seq[CentroidSet]): DataFrame =
+    vectors.where(encodable(cbs))
+      .select(col("vec_id") +: codeCols(vectors, cbs): _*)
 
   /** ADC distance lookup tables for one query: dtab(j)(code) =
     * round(‖q_sub_j − codebook_j(code)‖², 6), indexed densely by code
@@ -110,25 +129,126 @@ object Pq {
     }
   }
 
-  /** ADC top-k search: approx dist = Σ_j dtab_j(code_j), evaluated as a
-    * literal-array lookup per subspace over the ENCODED table — the scan
-    * never touches the float embeddings. Ascending L2 top-k with vec_id
-    * tie-break via `TakeOrderedAndProject`. `query` is a 1-row frame
-    * with column `qv` (see [[Knn.queryVector]]). */
-  def searchAdc(encoded: DataFrame, cbs: Seq[CentroidSet], query: DataFrame,
-                k: Int): DataFrame = {
-    val q = query.collect() match {
+  /** The 1-row query frame's vector, driver-side (contractually bounded
+    * collect — same shape as [[distTables]]' per-query table build). */
+  private def collectQuery(query: DataFrame): Array[Double] =
+    query.collect() match {
       case Array(row) => row.getSeq[Any](0).map(widen).toArray
       case other => throw new IllegalArgumentException(
         s"query must be exactly 1 row, got ${other.length}")
     }
-    val dtabs = distTables(cbs, q)
-    val approx = dtabs.zipWithIndex.map { case (dt, j) =>
+
+  /** Σ_j dtab_j(code_j) as literal-array lookups — stays inside
+    * whole-stage codegen on the codes scan. */
+  private def adcDist(dtabs: Seq[Array[Double]]): Column =
+    dtabs.zipWithIndex.map { case (dt, j) =>
       element_at(array(dt.toSeq.map(lit): _*), col(s"c$j").cast("int") + 1)
     }.reduce(_ + _)
+
+  /** ADC top-k search: approx dist = Σ_j dtab_j(code_j), evaluated as a
+    * literal-array lookup per subspace over the ENCODED table — the scan
+    * never touches the float embeddings. Ascending L2 top-k with vec_id
+    * tie-break via `TakeOrderedAndProject`. `query` is a 1-row frame
+    * with column `qv` (see [[Knn.queryVector]]).
+    *
+    * This is the FLAT scan: every code row is read (32× less I/O than
+    * the float table, but still linear). The sublinear path is
+    * [[searchIvfAdc]] — the same ADC over probed IVF cells only. */
+  def searchAdc(encoded: DataFrame, cbs: Seq[CentroidSet], query: DataFrame,
+                k: Int): DataFrame = {
+    val dtabs = distTables(cbs, collectQuery(query))
     encoded
-      .select(col("vec_id"), round(approx, 6).as("approx_dist"))
+      .select(col("vec_id"), round(adcDist(dtabs), 6).as("approx_dist"))
       .orderBy(asc("approx_dist"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Codes WITH their coarse IVF cell riding the same narrow pass:
+    * vec_id, centroid_id (full-dim [[NearestCentroid]] argmin over
+    * `cents`, coalesced to -1 so the key is non-nullable — a probed-cell
+    * inner join then drops unassignable rows without Catalyst inserting
+    * an isnotnull filter that would re-run the argmin), c0…c{m-1}.
+    * This is the billion-scale IVF-PQ layout (Jégou et al. 2011 §IV):
+    * the codes table clustered by coarse cell. */
+  def encodeWithCell(vectors: DataFrame, cents: DataFrame,
+                     cbs: Seq[CentroidSet]): DataFrame = {
+    val cs = Ivf.collectCentroids(cents)
+    val cell = coalesce(
+      SqlBridge.column(NearestCentroid(
+        SqlBridge.expression(col("embedding")),
+        vectors.sparkSession.sparkContext.broadcast(cs))).getField("centroid_id"),
+      lit(-1L)).as("centroid_id")
+    vectors.where(encodable(cbs))
+      .select(col("vec_id") +: cell +: codeCols(vectors, cbs): _*)
+  }
+
+  /** Persist the IVF-PQ index: the codes table partitioned by coarse
+    * cell (so a probed search is a partition-pruned scan of the 32×
+    * compressed representation) + the centroid and flattened codebook
+    * tables — everything a reader needs to run [[searchAdcCells]]
+    * without the source vectors. */
+  def save(vectors: DataFrame, step: Int, cbs: Seq[CentroidSet],
+           path: String): Unit = {
+    val spark = vectors.sparkSession
+    val cents = Ivf.centroids(vectors, step)
+    encodeWithCell(vectors, cents, cbs)
+      .repartition(col("centroid_id")) // one file per cell dir, not tasks×cells
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cs, j) =>
+      cs.cids.zip(cs.mat).map { case (code, v) => (j, code, v.toSeq) }
+    }.toDF("subspace", "code", "sub_emb")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load a persisted IVF-PQ index: (codes, centroids, codebooks). */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): (DataFrame, DataFrame, Seq[CentroidSet]) = {
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .select(col("subspace"), col("code"), col("sub_emb"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Any](2).map(widen).toArray))
+      .groupBy(_._1)
+    val cbs = (0 until cbRows.size).map { j =>
+      val rows = cbRows(j).sortBy(_._2)
+      CentroidSet(rows.map(_._2), rows.map(_._3))
+    }
+    (spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/centroids"), cbs)
+  }
+
+  /** ADC search over probed cells only — the composed IVF×PQ search:
+    * probe the `nprobe` centroids nearest the query (kB-scale frame,
+    * broadcast), then ADC-rerank ONLY the codes in probed cells. On the
+    * [[save]] layout the broadcast join prunes the codes scan to
+    * nprobe/k of its partitions (dynamic partition pruning — the same
+    * mechanism PlanSpec proves for Ivf.search), so search cost is
+    * sublinear in corpus size AND reads the 32×-compressed table: the
+    * reference's HNSW-search capability (Program.cs:207-227) at the
+    * 100 TB layout. */
+  def searchAdcCells(codes: DataFrame, cents: DataFrame, cbs: Seq[CentroidSet],
+                     query: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.l2Sq
+    val dtabs = distTables(cbs, collectQuery(query))
+    val probed = cents.crossJoin(broadcast(query))
+      .select(col("centroid_id"), round(l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
+      .orderBy(col("cdist"), col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    codes
+      .join(broadcast(probed), "centroid_id")
+      .select(col("vec_id"), round(adcDist(dtabs), 6).as("approx_dist"))
+      .orderBy(asc("approx_dist"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** In-memory IVF-PQ search without persist (the oracle-checked q48
+    * path): codes = [[encodeWithCell]] over the source vectors. */
+  def searchIvfAdc(vectors: DataFrame, step: Int, cbs: Seq[CentroidSet],
+                   query: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cents = Ivf.centroids(vectors, step)
+    searchAdcCells(encodeWithCell(vectors, cents, cbs), cents, cbs, query, nprobe, k)
   }
 }

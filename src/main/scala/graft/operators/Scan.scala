@@ -102,9 +102,13 @@ object Scan {
       "local_idx",
       row_number().over(Window.partitionBy("pid").orderBy("vec_id")).cast("long") - 1L)
     // Per-bucket row counts: tiny (one row per bucket) → prefix sums
-    // via a window → broadcast join back.
+    // via a window → broadcast join back. The window frame is numBuckets
+    // rows (32), not data: the constant partitionBy(lit) only exists to
+    // suppress the "No Partition Defined for Window" log warning that
+    // otherwise reads as an unpartitioned-data red flag in bench logs.
     val offsets = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.partitionBy(lit(0)).orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val withOffset = offsets.withColumn("offset", coalesce(sum("cnt").over(w), lit(0L)))
       .select("pid", "offset")
     localRank.join(broadcast(withOffset), "pid")
