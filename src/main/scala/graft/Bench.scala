@@ -66,7 +66,9 @@ object Bench {
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    // reps is part of the artifact: best-of-2 and best-of-3 minima are
+    // different estimators, so cross-round comparisons need to know it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,12 +70,17 @@ object OracleSql {
   private def pqSubL2(a: String, b: String, lo: Int, hi: Int) =
     s"list_sum(list_transform(list_zip(list_slice(CAST($a AS DOUBLE[]), $lo, $hi), $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
   private val pqSub = 64 / PqM
-  // len(embedding) = 64 guards mirror the Spark operators' drop
-  // semantics (Pq.encodable / Ivf.assignable raw-column filters): a
-  // null or off-dim embedding neither seeds a codebook row nor gets
-  // encoded. Without them the row_number formulation would still
-  // assign rn=1 to unencodable rows via NULL-distance ordering — a
-  // latent divergence that a dirty corpus would surface.
+  // cleanEmb guards mirror the Spark operators' drop semantics
+  // (Pq.cleanVec / Ivf.assignable raw-column filters): a null,
+  // off-dim, or null-ELEMENT embedding neither seeds a codebook row
+  // nor gets encoded. Without the length check the row_number
+  // formulation would assign rn=1 to unencodable rows via
+  // NULL-distance ordering; without the null-element check DuckDB's
+  // list_sum would SKIP the null component and hand a dirty row a
+  // real partial distance while Spark's kernel nulls it out — both
+  // latent divergences a dirty corpus would surface.
+  private def cleanEmb(c: String) =
+    s"len($c) = 64 AND len(list_filter($c, x -> x IS NULL)) = 0"
   private val pqCtes: String =
     (0 until PqM).map { j =>
       val lo = j * pqSub + 1
@@ -83,14 +88,14 @@ object OracleSql {
       s"""cb$j AS (
          |  SELECT vec_id // $IvfStep AS code,
          |    list_slice(CAST(embedding AS DOUBLE[]), $lo, $hi) AS s
-         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND len(embedding) = 64),
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
          |enc$j AS (
          |  SELECT vec_id, code AS c$j FROM (
          |    SELECT v.vec_id, c.code,
          |      row_number() OVER (PARTITION BY v.vec_id
          |        ORDER BY round(${pqSubL2("v.embedding", "c.s", lo, hi)}, 6), c.code) AS rn
          |    FROM embeddings v CROSS JOIN cb$j c
-         |    WHERE len(v.embedding) = 64) WHERE rn = 1)""".stripMargin
+         |    WHERE ${cleanEmb("v.embedding")}) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
   private val pqEncJoin: String =
     "FROM enc0 e0 " +
@@ -318,7 +323,7 @@ object OracleSql {
          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId),
          |cents AS (
          |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
-         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND len(embedding) = 64),
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
          |probed AS (
          |  SELECT centroid_id FROM (
          |    SELECT c.centroid_id, round(${l2sq("c.c_emb", "q.qv")}, 6) AS cdist
@@ -328,7 +333,7 @@ object OracleSql {
          |  SELECT v.vec_id, c.centroid_id,
          |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
          |  FROM embeddings v CROSS JOIN cents c
-         |  WHERE len(v.embedding) = 64),
+         |  WHERE ${cleanEmb("v.embedding")}),
          |assigned AS (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT vec_id, centroid_id,
@@ -381,14 +386,14 @@ object OracleSql {
 
     "q44_semdedup" ->
       s"""WITH cents AS (
-         |  -- len guards: same drop semantics as Ivf.assignable (see pqCtes note)
+         |  -- cleanEmb guards: same drop semantics as Ivf.assignable (see pqCtes note)
          |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
-         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND len(embedding) = 64),
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
          |scored AS (
          |  SELECT v.vec_id, c.centroid_id,
          |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
          |  FROM embeddings v CROSS JOIN cents c
-         |  WHERE len(v.embedding) = 64),
+         |  WHERE ${cleanEmb("v.embedding")}),
          |assigned AS (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT vec_id, centroid_id,

@@ -50,8 +50,12 @@ object Ivf {
       .select(col("centroid_id").cast("long"), col("c_emb"))
       .collect()
       // a whole-null embedding (or null id) is no centroid at all —
-      // drop the row rather than NPE the driver
-      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      // drop the row rather than NPE the driver. A null-ELEMENT row
+      // would widen to NaN components and never win any argmin (the
+      // kernel's acc<=bound test fails on NaN) — dead broadcast weight;
+      // dropping it here matches the oracles' cleanEmb guard exactly.
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1) &&
+        !r.getSeq[Any](1).contains(null))
       .sortBy(_.getLong(0))
     CentroidSet(
       rows.map(_.getLong(0)),
@@ -91,11 +95,14 @@ object Ivf {
     * pushes the deterministic predicate back through the Project and
     * the full k-centroid argmin runs twice per row. A raw-column
     * predicate costs one size() check and pushes harmlessly to the
-    * scan. (Rows with null ELEMENTS inside a well-dimensioned embedding
-    * still produce a null argmin — same contract as the DuckDB oracles'
-    * len(embedding) guard, which also only checks length.) */
+    * scan. Rows with null ELEMENTS inside a well-dimensioned embedding
+    * produce a null argmin (NaN distance never wins), so they are
+    * dropped here too — [[Pq.cleanVec]]'s array_compact check, mirrored
+    * by the oracles' list_filter null-element guard; without it the
+    * null centroid_id would flow to [[assignWithEmbedding]] consumers
+    * as a phantom null cluster. */
   private def assignable(dim: Int) =
-    col("embedding").isNotNull && size(col("embedding")) === dim
+    Pq.cleanVec(col("embedding"), dim)
 
   /** Nearest-centroid assignment — one narrow pass, ZERO shuffles.
     *
@@ -118,8 +125,8 @@ object Ivf {
     * shuffles, no join-back) — for consumers that need
     * (vec_id, centroid_id, embedding) downstream: SemDeDup
     * ([[Clusters.semDedup]]) and any clustering-then-X pipeline.
-    * Unassignable rows (null/off-dim embeddings → null argmin) are
-    * dropped; they belong to no cluster. */
+    * Unassignable rows (null / off-dim / null-element embeddings →
+    * null argmin) are dropped; they belong to no cluster. */
   def assignWithEmbedding(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val cs = collectCentroids(cents)
     vectors
@@ -155,11 +162,10 @@ object Ivf {
       // Assignment is a narrow expression, so the embedding rides along
       // in the same pass — no join-back (the round-2 formulation paid
       // one exchange for the argmin plus one for this join, per round).
-      // Unassignable rows (null/off-dim embeddings) are filtered on the
-      // RAW column (see [[assignable]]; an isNotNull filter on the
-      // projected argmin would re-run the whole argmin per row). A
-      // null-ELEMENT row still yields a null argmin and a null-key
-      // group; collectCentroids drops the resulting null-id centroid.
+      // Unassignable rows (null / off-dim / null-element embeddings)
+      // are filtered on the RAW column (see [[assignable]]; an
+      // isNotNull filter on the projected argmin would re-run the
+      // whole argmin per row).
       val cs = collectCentroids(cents)
       val assigned = vectors
         .where(assignable(modalDim(cs)))

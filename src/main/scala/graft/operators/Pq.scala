@@ -48,6 +48,11 @@ object Pq {
       .select((col("vec_id") / step).cast("long").as("code"), col("embedding"))
       .collect()
       .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      // A null ELEMENT poisons only the subspace slice it lands in while
+      // the other m-1 slices stay real — a half-usable codebook entry.
+      // The oracle (cleanEmb) treats such a stride row as fully absent;
+      // drop the whole row so both sides agree.
+      .filter(r => !r.getSeq[Any](1).contains(null))
       .sortBy(_.getLong(0))
       .map(r => r.getLong(0) -> r.getSeq[Any](1).map(widen).toArray)
     // Modal (most common) dimension, smallest-dim tie-break — a single
@@ -82,20 +87,31 @@ object Pq {
     }
   }
 
+  /** A vector column that can take part in distance math: non-null,
+    * exactly `dim` components, NO null elements. The null-element check
+    * matters because a null component poisons the argmin to null and
+    * Spark's ascending sort is NULLS FIRST — without it a dirty row
+    * would claim a top-k slot with a null distance (while the DuckDB
+    * oracle, whose list_sum SKIPS nulls, would assign it a real one).
+    * All three conjuncts are codegen'd predicates on the raw column
+    * (array_compact is native), so the filter pushes to the scan with
+    * no double-eval of any argmin (see [[Ivf.assignable]]). */
+  private[operators] def cleanVec(c: Column, dim: Int): Column =
+    c.isNotNull && size(c) === dim && size(array_compact(c)) === dim
+
   /** Pre-filter for encodable rows — a predicate on the RAW embedding
     * column. Filtering on the projected codes' isNotNull instead was
     * the double-eval trap (see Ivf.assignable): Catalyst pushed the m
     * predicates back through the Project and every subspace argmin ran
     * TWICE per row — 2× the entire encode cost. */
   private def encodable(cbs: Seq[CentroidSet]) =
-    col("embedding").isNotNull &&
-      size(col("embedding")) === subDim(cbs) * cbs.length
+    cleanVec(col("embedding"), subDim(cbs) * cbs.length)
 
   /** PQ encode: vec_id + one code column per subspace (`c0`…`c{m-1}`),
     * each a [[NearestCentroid]] argmin over that subspace's broadcast
     * codebook — m narrow codegen'd expressions, zero shuffles. Rows
-    * whose embedding cannot be encoded (null / off-dimension) are
-    * dropped: they have no code representation. */
+    * whose embedding cannot be encoded (null / off-dimension / null
+    * elements) are dropped: they have no code representation. */
   def encode(vectors: DataFrame, cbs: Seq[CentroidSet]): DataFrame =
     vectors.where(encodable(cbs))
       .select(col("vec_id") +: codeCols(vectors, cbs): _*)
@@ -211,6 +227,9 @@ object Pq {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Any](2).map(widen).toArray))
       .groupBy(_._1)
+    require(cbRows.keySet == (0 until cbRows.size).toSet,
+      s"persisted codebooks missing subspaces: have ${cbRows.keySet.toSeq.sorted}, " +
+        s"want 0..${cbRows.size - 1}")
     val cbs = (0 until cbRows.size).map { j =>
       val rows = cbRows(j).sortBy(_._2)
       CentroidSet(rows.map(_._2), rows.map(_._3))
@@ -232,7 +251,12 @@ object Pq {
                      query: DataFrame, nprobe: Int, k: Int): DataFrame = {
     import graft.functions.VectorFunctions.l2Sq
     val dtabs = distTables(cbs, collectQuery(query))
-    val probed = cents.crossJoin(broadcast(query))
+    // A dirty stride row (null / off-dim / null-element c_emb) gives a
+    // NULL cdist, and ascending NULLS FIRST would hand it a probe slot.
+    // Same drop semantics as the q48 oracle's cents guard.
+    val probed = cents
+      .where(cleanVec(col("c_emb"), subDim(cbs) * cbs.length))
+      .crossJoin(broadcast(query))
       .select(col("centroid_id"), round(l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
       .orderBy(col("cdist"), col("centroid_id"))
       .limit(nprobe)

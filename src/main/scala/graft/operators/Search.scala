@@ -91,11 +91,15 @@ object Search {
 
   /** BM25 candidates with their rank (1-based, score-desc, doc_id
     * tiebreak), depth-bounded. The Window runs AFTER the top-`depth`
-    * cut, so it ranks a constant-size frame at any corpus scale. */
+    * cut, so it ranks a constant-size frame (≤ depth rows) at any
+    * corpus scale — the constant partitionBy(lit) only suppresses the
+    * "No Partition Defined for Window" log warning that otherwise
+    * reads as an unpartitioned-data red flag in bench logs (same note
+    * as Scan.globalIndex's offsets frame). */
   private def ranked(scoredTopDepth: DataFrame, idCol: String, scoreCol: String): DataFrame =
     scoredTopDepth.withColumn(
       "rank",
-      row_number().over(Window.orderBy(desc(scoreCol), asc(idCol))))
+      row_number().over(Window.partitionBy(lit(0)).orderBy(desc(scoreCol), asc(idCol))))
 
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking over
     * `docs` and the exact-cosine ranking of `vectors` against the query

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Events, TextAnalysis}
+import graft.operators.{CorpusPipeline, Dedup, Events, Profile, TextAnalysis}
 
 /** Degenerate-input behavior: empty/whitespace documents, malformed
   * JSON, empty tables — operators must degrade to well-defined results,
@@ -211,6 +211,57 @@ class EdgeCaseSpec extends SparkSpec {
     val refined = Ivf.refineCentroids(vecs, init, iters = 2).collect()
     assert(refined.nonEmpty)
     assert(refined.forall(!_.isNullAt(0)))
+  }
+
+  test("span dedup: span conservation and untouched docs reassemble exactly") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = CorpusPipeline.spanDedup(docs, 8)
+    // conservation: every doc with >0 tokens appears with
+    // n_spans == ceil(n_tokens / 8), and removed <= spans
+    val check = out
+      .join(TextAnalysis.tokenCount(docs), "doc_id")
+      .select(col("doc_id"), col("n_spans"), col("n_removed"),
+        ceil(col("n_tokens").cast("double") / 8).cast("long").as("want"))
+      .collect()
+    assert(check.nonEmpty)
+    check.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3), s"span count off for doc ${r.getLong(0)}")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+    }
+    // reassembly: docs with nothing removed rebuild their token stream
+    val untouched = out.filter(col("n_removed") === 0)
+      .join(docs, "doc_id")
+      .select(col("clean_text"),
+        array_join(split(trim(col("text")), "\\s+"), " ").as("orig"))
+      .collect()
+    assert(untouched.nonEmpty)
+    untouched.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("span dedup: a repeated leading span is removed from the later doc only") {
+    val docs = Seq(
+      (10L, "a b c d e f g h", "en", "web", 15L),
+      (11L, "a b c d e f g h x y", "en", "web", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = CorpusPipeline.spanDedup(docs, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(10L) === ((1L, 0L, "a b c d e f g h")), "first occurrence must survive")
+    assert(rows(11L) === ((2L, 1L, "x y")), "later duplicate span must be removed")
+  }
+
+  test("profile: per-column stats match hand-computed values, nulls excluded from distinct") {
+    val df = Seq(
+      (1L, Some("x"), Some(10)),
+      (2L, None, Some(30)),
+      (3L, Some("y"), None),
+      (4L, Some("x"), Some(10)))
+      .toDF("id", "s", "v")
+    val rows = Profile.profile(df, Seq("id", "s", "v")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(rows("id") === ((4L, 0L, 4L, "1", "4")))
+    assert(rows("s") === ((4L, 1L, 2L, "x", "y")))
+    assert(rows("v") === ((4L, 1L, 2L, "10", "30")))
   }
 
   test("BPE: empty text, no-merge vocab, and null text degrade cleanly") {

@@ -19,6 +19,23 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@$K = $recall (exact=$exact approx=$approx)")
   }
 
+  test("assignWithEmbedding drops null / off-dim / null-element rows (no phantom null cluster)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f)),
+      (2L, Array[java.lang.Float](3.0f, 4.0f)),
+      (3L, null.asInstanceOf[Array[java.lang.Float]]),
+      (4L, Array[java.lang.Float](1.0f, null)),       // null element
+      (5L, Array[java.lang.Float](1.0f, 2.0f, 3.0f))) // off-dim
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(5.0f, 5.0f)))
+      .toDF("centroid_id", "c_emb")
+    val out = Ivf.assignWithEmbedding(vecs, cents).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(1L, 2L), "dirty rows not dropped")
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("centroid_id"))))
+  }
+
   test("Lloyd refinement keeps recall@20 >= 0.9 and tightens assignments") {
     val q = Knn.queryVector(emb, QueryVecId)
     val init = Ivf.centroids(emb, IvfStep)

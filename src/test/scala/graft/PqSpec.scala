@@ -57,6 +57,79 @@ class PqSpec extends SparkSpec {
     assert(diff.head.getDouble(0) <= 1e-5)
   }
 
+  test("dirty rows (null / off-dim / null-element) never enter codes or ADC top-k") {
+    val base = emb0001.limit(1)
+    val nullEmb = base.select(lit(9001L).as("vec_id"),
+      lit(null).cast("array<float>").as("embedding"), lit(0).as("label"))
+    val offDim = base.select(lit(9002L).as("vec_id"),
+      slice(col("embedding"), 1, 8).as("embedding"), lit(0).as("label"))
+    val nullElem = base.select(lit(9003L).as("vec_id"),
+      expr("transform(embedding, (x, i) -> IF(i = 3, CAST(NULL AS FLOAT), x))")
+        .as("embedding"), lit(0).as("label"))
+    val dirty = emb0001.select("vec_id", "embedding", "label")
+      .union(nullEmb).union(offDim).union(nullElem)
+    val cbs = Pq.codebooks(dirty, step = 25, m = 8)
+    val enc = Pq.encode(dirty, cbs)
+    val ids = enc.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.exists(_ >= 9000L), "a dirty row received PQ codes")
+    assert(ids.size == emb0001.count(), "a clean row was dropped")
+    // were a dirty row encoded, its null approx_dist would sort NULLS
+    // FIRST and steal the whole top-k
+    val top = Pq.searchAdc(enc, cbs, Knn.queryVector(dirty, 0L), 5).collect()
+    assert(top.forall(r => !r.isNullAt(1)), "null approx_dist in top-k")
+  }
+
+  test("a null-element STRIDE row drops identically from codebooks, cents, and codes") {
+    // Poison vec 25 — a codebook/centroid seed — with one null element.
+    // The whole chain (codebook row, coarse centroid, code row) must
+    // treat it as absent, so search results equal the row-removed corpus.
+    val poison = expr("transform(embedding, (x, i) -> IF(i = 3, CAST(NULL AS FLOAT), x))")
+    val poisoned = emb0001.select(col("vec_id"),
+      when(col("vec_id") === 25L, poison).otherwise(col("embedding")).as("embedding"),
+      col("label"))
+    val cleansed = emb0001.filter(col("vec_id") =!= 25L)
+    val q = Knn.queryVector(emb0001, 0L)
+    def run(v: org.apache.spark.sql.DataFrame) =
+      Pq.searchIvfAdc(v, 25, Pq.codebooks(v, 25, 8), q, 4, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(poisoned) == run(cleansed))
+  }
+
+  test("IVF-PQ composed search recall@20 clears the pruned-ADC floor") {
+    val cbs = Pq.codebooks(emb001, step = 25, m = 8)
+    val q = Knn.queryVector(emb001, 0L)
+    val ivfpqIds = Pq.searchIvfAdc(emb001, 25, cbs, q, 4, 20)
+      .collect().map(_.getLong(0)).toSet
+    val exactIds = emb001.crossJoin(broadcast(q))
+      .select(col("vec_id"), l2Sq(col("embedding"), col("qv")).as("d"))
+      .orderBy(asc("d"), asc("vec_id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (ivfpqIds & exactIds).size / 20.0
+    assert(recall >= 0.3, s"recall@20 = $recall") // pruning can only lose vs flat ADC's 0.45
+    // full probe degenerates to the flat ADC scan: identical result sets
+    val nCents = emb001.filter(col("vec_id") % 25 === 0).count().toInt
+    val full = Pq.searchIvfAdc(emb001, 25, cbs, q, nCents, 20)
+      .collect().map(_.getLong(0)).toSet
+    val flat = Pq.searchAdc(Pq.encode(emb001, cbs), cbs, q, 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == flat, "full-probe IVF-PQ != flat ADC")
+  }
+
+  test("persisted IVF-PQ search prunes code partitions to probed cells") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_planspec"
+    Pq.save(emb0001, 25, Pq.codebooks(emb0001, step = 25, m = 8), path)
+    val (codes, cents, cbs) = Pq.load(spark, path)
+    val df = Pq.searchAdcCells(codes, cents, cbs,
+      Knn.queryVector(emb0001, 0L), 2, 20)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"probed cells not broadcast:\n$p")
+    // at 100 TB this is the difference between reading nprobe cell
+    // directories of the 32x-compressed table and scanning all of it
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the codes scan:\n$p")
+  }
+
   test("ADC recall@20 vs exact L2 clears the coarse-codebook floor") {
     val cbs = Pq.codebooks(emb001, step = 25, m = 8)
     val q = Knn.queryVector(emb001, 0L)
