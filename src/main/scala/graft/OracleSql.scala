@@ -115,6 +115,24 @@ object OracleSql {
   private val pqDtSum: String =
     (0 until PqM).map(j => s"dt$j.d").mkString(" + ")
 
+  /** Scalar-quantization CTE block (q49/q49b): clean corpus, per-dim
+    * [min, max] ranges, ranges pivoted to ordered lists — the SQL
+    * mirror of Sq.ranges. The encode expression ($sqCodes) matches
+    * Sq.encode's IEEE-double tree term for term: (x−mn)·255/(mx−mn)
+    * floored and capped, 0 on degenerate zero-range dims. */
+  private val sqCtes: String =
+    s"""clean AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  WHERE ${cleanEmb("embedding")}),
+       |rng AS (
+       |  SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+       |  FROM clean, (SELECT unnest(range(1, ${SqDim + 1})) AS i) GROUP BY i),
+       |rl AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM rng)""".stripMargin
+  private val sqCodes: String =
+    """list_transform(list_zip(e, mns, mxs),
+      |    x -> CASE WHEN x[3] = x[2] THEN 0
+      |         ELSE CAST(least(255, floor((x[1] - x[2]) * 255.0 / (x[3] - x[2]))) AS INT) END)""".stripMargin
+
   /** BM25 shared CTE block + final select (q34 and the q34b lexical leg).
     * Every mixed-type arithmetic operand is CAST to DOUBLE so DuckDB
     * cannot route through exact DECIMAL intermediates that round
@@ -347,6 +365,85 @@ object OracleSql {
          |JOIN assigned a ON a.vec_id = e0.vec_id
          |JOIN probed p ON p.centroid_id = a.centroid_id
          |ORDER BY approx_dist, e0.vec_id LIMIT $K""".stripMargin,
+
+    "q49_sq_encode" ->
+      s"""WITH $sqCtes
+         |SELECT vec_id, $sqCodes AS codes
+         |FROM clean, rl
+         |ORDER BY vec_id""".stripMargin,
+
+    "q49b_sq_search" ->
+      s"""WITH $sqCtes,
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |enc AS (SELECT vec_id, $sqCodes AS codes FROM clean, rl)
+         |SELECT vec_id,
+         |  round(list_sum(list_transform(list_zip(codes, mns, mxs, qv),
+         |    x -> (CASE WHEN x[3] = x[2] THEN x[2]
+         |          ELSE x[2] + (x[1] + 0.5) * (x[3] - x[2]) / 255.0 END) * x[4])), 6) AS score
+         |FROM enc, rl, q
+         |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin,
+
+    "q50_stratified_sample" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source,
+         |    ${hash60("CAST(doc_id AS VARCHAR)")} AS sample_key
+         |  FROM documents)
+         |SELECT doc_id, source, sample_key FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY sample_key, doc_id) AS rn
+         |  FROM keyed) WHERE rn <= $StratumN
+         |ORDER BY source, sample_key, doc_id""".stripMargin,
+
+    "q51_outliers" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c
+         |  WHERE ${cleanEmb("v.embedding")}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, dist FROM (
+         |    SELECT vec_id, centroid_id, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |-- integer micro-units: dist is 6-dp-rounded, so dist*1e6 is
+         |-- integer-valued and the mean test is exact 64-bit arithmetic
+         |-- in both engines (no double-summation order dependence)
+         |micro AS (
+         |  SELECT vec_id, centroid_id, dist,
+         |    CAST(round(dist * 1e6, 0) AS BIGINT) AS dist_micro FROM assigned),
+         |stats AS (
+         |  SELECT centroid_id, sum(dist_micro) AS sum_micro,
+         |    count(*) AS n FROM micro GROUP BY 1)
+         |SELECT m.vec_id, m.centroid_id, m.dist,
+         |  CAST(CASE WHEN m.dist_micro * s.n * $OutlierDen > $OutlierNum * s.sum_micro
+         |    THEN 1 ELSE 0 END AS INT) AS is_outlier
+         |FROM micro m JOIN stats s USING (centroid_id)
+         |ORDER BY m.vec_id""".stripMargin,
+
+    "q52_funnel" -> {
+      val stages = FunnelSteps.zipWithIndex.map { case (step, i) =>
+        if (i == 0)
+          s"f1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = '$step' GROUP BY 1)"
+        else
+          s"""f${i + 1} AS (
+             |  SELECT e.user_id, min(e.ts) AS t
+             |  FROM events e JOIN f$i ON e.user_id = f$i.user_id
+             |  WHERE e.event_type = '$step' AND e.ts > f$i.t GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val counts = FunnelSteps.zipWithIndex.map { case (step, i) =>
+        s"SELECT ${i + 1} AS stage_idx, '$step' AS stage, count(*) AS n_users FROM f${i + 1}"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $stages,
+         |counts AS (
+         |  $counts)
+         |SELECT stage_idx, stage, CAST(n_users AS BIGINT) AS n_users,
+         |  round(CAST(n_users AS DOUBLE) /
+         |    greatest(coalesce(lag(n_users) OVER (ORDER BY stage_idx), n_users), 1), 6) AS conv_rate
+         |FROM counts ORDER BY stage_idx""".stripMargin
+    },
 
     "q46_span_dedup" ->
       s"""WITH sized AS (

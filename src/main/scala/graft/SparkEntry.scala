@@ -55,6 +55,11 @@ object SparkEntry {
     val SpanTokens = 8      // span-dedup window (q46); C4 uses 3-sentence
                             // spans, RefinedWeb token windows of this order
     val ProfileCols = Seq("doc_id", "lang", "n_chars", "source") // q47
+    val SqDim = 64          // scalar-quantization dimension (q49)
+    val StratumN = 5        // per-source exact sample size (q50)
+    val OutlierNum = 5      // q51 gate: dist > (Num/Den) × cluster mean;
+    val OutlierDen = 4      // 1.25× — see Clusters.outliers on concentration
+    val FunnelSteps = Seq("view", "click", "purchase") // q52
   }
   import Params._
 
@@ -183,7 +188,21 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Pq.searchIvfAdc(emb, IvfStep, Pq.codebooks(emb, IvfStep, PqM),
         Knn.queryVector(emb, QueryVecId), NProbe, K)
-    })
+    }),
+    "q49_sq_encode" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (mn, mx) = Sq.ranges(emb, SqDim)
+      Sq.encode(emb, mn, mx).orderBy("vec_id")
+    }),
+    "q49b_sq_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Sq.searchInline(emb, SqDim, Knn.queryVector(emb, QueryVecId), K)
+    }),
+    "q50_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), StratumN)),
+    "q51_outliers" -> ((s, d) =>
+      Clusters.outliers(Tables.embeddings(s, d), IvfStep, OutlierNum, OutlierDen)),
+    "q52_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d), FunnelSteps))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

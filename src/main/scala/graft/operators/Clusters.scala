@@ -156,4 +156,47 @@ object Clusters {
         coalesce(col("is_dropped"), lit(0)).cast("int").as("dropped"))
       .orderBy("vec_id")
   }
+
+  /** Embedding-space outlier flagging: every vector's L2² distance to
+    * its assigned centroid, flagged when it exceeds `factorNum /
+    * factorDen` × its cluster's mean distance — the "noisy embedding"
+    * pruning gate a training pipeline runs before SemDeDup (mislabeled
+    * / OOD / corrupted rows sit far from every centroid). The factor
+    * is a RATIONAL, not a double, so the gate stays exact (below); the
+    * default 5/4 reflects high-dimensional concentration of measure —
+    * on a 64-dim corpus centroid distances bunch so tightly that the
+    * intuitive 2× gate never fires (max/mean ≈ 1.27 here); real
+    * embedding corpora with genuine corruption show a long tail either
+    * way, and the knob is per-deployment.
+    *
+    * Scale shape: assignment is the zero-shuffle broadcast argmin
+    * ([[Ivf.assignWithEmbedding]]); the distance rides a broadcast join
+    * of the k-row centroid table; the per-cluster mean is ONE
+    * partial-agg exchange of k (sum, count) pairs broadcast back. No
+    * pair joins, nothing quadratic, state O(k).
+    *
+    * Cross-engine exactness: the mean comparison runs in integer
+    * micro-units — dist is already rounded to 6 dp, so dist·10⁶ is
+    * integer-valued and the flag test `dist_micro · n · factorDen >
+    * factorNum · Σdist_micro` is exact 64-bit arithmetic in both
+    * engines, immune to double-summation order (the q38 lesson,
+    * SURVEY §6). Headroom: dist_micro ≤ ~2.6e8 for unit-box 64-dim
+    * vectors, so the products stay under 2⁶³ up to ~10⁹-row clusters. */
+  def outliers(vectors: DataFrame, step: Int,
+               factorNum: Int = 5, factorDen: Int = 4): DataFrame = {
+    val cents = Ivf.centroids(vectors, step)
+    val withDist = Ivf.assignWithEmbedding(vectors, cents)
+      .join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        round(l2Sq(col("embedding"), col("c_emb")), 6).as("dist"))
+      .withColumn("dist_micro", round(col("dist") * 1e6).cast("long"))
+    val stats = withDist.groupBy("centroid_id")
+      .agg(sum("dist_micro").as("sum_micro"), count(lit(1)).as("n"))
+    withDist.join(broadcast(stats), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"), col("dist"),
+        (col("dist_micro") * col("n") * lit(factorDen.toLong) >
+          lit(factorNum.toLong) * col("sum_micro"))
+          .cast("int").as("is_outlier"))
+      .orderBy("vec_id")
+  }
 }

@@ -75,4 +75,54 @@ object Events {
         round(sum("value"), 6).as("sum_value"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** Ordered conversion funnel: how many users performed `steps(0)`,
+    * then `steps(1)` STRICTLY AFTER it, then `steps(2)` strictly after
+    * that, … Each stage keeps the user's EARLIEST qualifying timestamp
+    * (first view → first click after that view → first purchase after
+    * that click), the standard product-analytics funnel semantics.
+    *
+    * Scale shape: stage s is a conditional min-aggregate over events
+    * joined to the stage-(s−1) frontier on user_id — partial (map-side)
+    * min before each exchange, and every join/agg keys on user_id, so
+    * one hash partitioning is planned once and reused across all
+    * stages (Spark's ReusedExchange; no re-shuffle per stage). State
+    * per stage is one (user_id, ts) row per surviving user — shrinking
+    * monotonically down the funnel. Output is `steps.length` rows. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // frontier s: (user_id, t) = earliest completion time of the
+    // step-prefix of length s — each one a conditional min-agg joined
+    // to the previous frontier
+    val frontiers = steps.tail.scanLeft(
+      events.where(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min("ts").as("t"))) { (prev, step) =>
+      events.where(col("event_type") === step)
+        .join(prev, "user_id")
+        .where(col("ts") > col("t"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    // ONE plan: union the tagged frontiers and count per stage. The
+    // stage-s branch contains the stage-(s−1) subplan verbatim, so
+    // Spark plans the shared exchanges once (ReusedExchange) instead
+    // of recomputing the prefix per stage the way per-stage count()
+    // jobs would.
+    val tagged = frontiers.zipWithIndex.map { case (f, i) =>
+      f.select(lit(i + 1).as("stage_idx"), lit(steps(i)).as("stage"),
+        col("user_id"))
+    }.reduce(_ union _)
+    val counts = tagged.groupBy("stage_idx", "stage")
+      .agg(count(lit(1)).as("n_users"))
+    // conversion vs the PREVIOUS stage (stage 1 = 1.0), over the
+    // steps.length-row output frame — the constant partitionBy(lit)
+    // only suppresses the benign no-partition window warning
+    val prev = lag("n_users", 1).over(
+      Window.partitionBy(lit(0)).orderBy("stage_idx"))
+    counts.select(col("stage_idx"), col("stage"), col("n_users"),
+      round(col("n_users").cast("double") /
+        greatest(coalesce(prev, col("n_users")), lit(1L)).cast("double"),
+        6).as("conv_rate"))
+      .orderBy("stage_idx")
+  }
 }
+

@@ -147,7 +147,7 @@ object Pq {
 
   /** The 1-row query frame's vector, driver-side (contractually bounded
     * collect — same shape as [[distTables]]' per-query table build). */
-  private def collectQuery(query: DataFrame): Array[Double] =
+  private[operators] def collectQuery(query: DataFrame): Array[Double] =
     query.collect() match {
       case Array(row) => row.getSeq[Any](0).map(widen).toArray
       case other => throw new IllegalArgumentException(
