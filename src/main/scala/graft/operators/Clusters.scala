@@ -101,6 +101,10 @@ object Clusters {
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — " +
         "the result would be incorrect partial labels")
+    // rounds-to-convergence is THE q43 scale metric (cost = rounds ×
+    // 2 shuffles, not data volume) — surface it for bench/ops logs
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"connectedComponents converged in $it rounds")
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
@@ -133,8 +137,22 @@ object Clusters {
     *
     * Returns every in-dimension vector with its cluster and a
     * `dropped` flag — the keep-list is `dropped = 0`. */
-  def semDedup(vectors: DataFrame, step: Int, threshold: Double): DataFrame = {
-    val assigned = Ivf.assignWithEmbedding(vectors, Ivf.centroids(vectors, step))
+  def semDedup(vectors: DataFrame, step: Int, threshold: Double): DataFrame =
+    semDedupWith(vectors, Ivf.centroids(vectors, step), threshold)
+
+  /** [[semDedup]] with Lloyd-refined centroids — the production
+    * default: tighter clusters put true semantic twins in the same
+    * cell more often (SemDeDup's recall is bounded by cluster
+    * assignment; the paper itself k-means-clusters first). The stride
+    * variant stays as the oracle-checkable twin. */
+  def semDedupRefined(vectors: DataFrame, step: Int, threshold: Double,
+                      iters: Int): DataFrame =
+    semDedupWith(vectors,
+      Ivf.refineCentroids(vectors, Ivf.centroids(vectors, step), iters), threshold)
+
+  private def semDedupWith(vectors: DataFrame, cents: DataFrame,
+                           threshold: Double): DataFrame = {
+    val assigned = Ivf.assignWithEmbedding(vectors, cents)
       .select(col("vec_id"), col("centroid_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
     val l = assigned.select(col("centroid_id"), col("vec_id").as("a"),

@@ -116,6 +116,33 @@ object Pq {
     vectors.where(encodable(cbs))
       .select(col("vec_id") +: codeCols(vectors, cbs): _*)
 
+  /** Lloyd-refined codebooks — the production default where recall
+    * matters more than oracle-pinning: `iters` k-means rounds per
+    * subspace over the corpus's subspace slices, seeded from the
+    * deterministic stride codebooks (so refinement strictly improves
+    * the quantizer the oracle keys pin). Runs [[Ivf.refineCentroids]]
+    * once per subspace — m × iters bounded-output aggregation jobs.
+    * At 100 TB codebooks train on a SAMPLE (the standard practice —
+    * quantizer training needs ~1k vectors per code, not the corpus);
+    * pass `vectors.sample(...)` for that, encode still sees everything.
+    * Empty-cluster codes drop out (standard k-means behavior), so
+    * refined codebooks may be smaller — [[distTables]] indexes by
+    * code id and tolerates gaps. */
+  def refineCodebooks(vectors: DataFrame, cbs: Seq[CentroidSet],
+                      iters: Int): Seq[CentroidSet] = {
+    val sub = subDim(cbs)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    cbs.zipWithIndex.map { case (cs, j) =>
+      val slices = vectors.where(encodable(cbs))
+        .select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), j * sub + 1, sub).as("embedding"))
+      val init = cs.cids.zip(cs.mat.map(_.toSeq)).toSeq
+        .toDF("centroid_id", "c_emb")
+      Ivf.collectCentroids(Ivf.refineCentroids(slices, init, iters))
+    }
+  }
+
   /** ADC distance lookup tables for one query: dtab(j)(code) =
     * round(‖q_sub_j − codebook_j(code)‖², 6), indexed densely by code
     * id. Tiny (m × k doubles) — computed driver-side exactly like any

@@ -72,6 +72,20 @@ class ClusterSpec extends SparkSpec {
     assert(out(0L)._1 == out(1L)._1)
   }
 
+  test("semDedupRefined drops the same crafted near-twin (refined centroids, same contract)") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val vecs = Seq(
+      (0L, v(1, 0, 0, 0)),
+      (1L, v(0.99, 0.01, 0, 0)),
+      (2L, v(0, 0, 1, 0)),
+      (3L, v(0, 0, 0, 1))
+    ).toDF("vec_id", "embedding")
+    val out = Clusters.semDedupRefined(vecs, step = 2, threshold = 0.9, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) == 1, "near-twin must still drop under refined centroids")
+    assert(Seq(0L, 2L, 3L).forall(out(_) == 0))
+  }
+
   test("semDedup keep-set has no surviving near-twins within a cluster") {
     import graft.functions.VectorFunctions._
     val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
