@@ -41,8 +41,10 @@ object Pq {
   /** Per-subspace codebooks collected once, driver-side (k ≪ n rows —
     * the same bounded collect as [[Ivf.collectCentroids]]): subspace j
     * holds the j-th `dim/m` slice of every stride vector, code id =
-    * vec_id / step. Source vectors whose length differs from the modal
-    * dimension are excluded (they cannot slice consistently). */
+    * codebook index in stride order (= vec_id / step exactly when
+    * stride ids are contiguous from 0, as on the oracle corpus).
+    * Source vectors whose length differs from the modal dimension are
+    * excluded (they cannot slice consistently). */
   def codebooks(vectors: DataFrame, step: Int, m: Int): Seq[CentroidSet] = {
     val rows = vectors.filter(pmod(col("vec_id"), lit(step.toLong)) === 0)
       .select((col("vec_id") / step).cast("long").as("code"), col("embedding"))
@@ -64,9 +66,18 @@ object Pq {
     require(dim % m == 0, s"embedding dim $dim not divisible by $m subspaces")
     val sub = dim / m
     val uniform = rows.filter(_._2.length == dim)
+    // Code ids are the codebook INDEX (0..k-1 in stride order) — the
+    // standard PQ contract, NOT the raw vec_id/step. On the oracle
+    // corpus the two coincide (stride ids are contiguous from 0), but
+    // under arbitrary vec_ids (key-shifted copies, sharded lakes) raw
+    // ids are sparse and anything that densifies by code — the ADC
+    // lookup tables — would allocate max(id) slots: the sf1 corpus's
+    // 1e8-shifted ids turned 800-entry tables into 2.3 GB of arrays
+    // and OOMed the driver. Rank codes keep every table exactly k.
+    val ranks = uniform.indices.map(_.toLong).toArray
     (0 until m).map { j =>
       CentroidSet(
-        uniform.map(_._1),
+        ranks,
         uniform.map { case (_, v) => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub) })
     }
   }
@@ -182,10 +193,16 @@ object Pq {
     }
 
   /** Σ_j dtab_j(code_j) as literal-array lookups — stays inside
-    * whole-stage codegen on the codes scan. */
+    * whole-stage codegen on the codes scan. Each table is ONE
+    * `typedlit` Literal (an ArrayData the generated code indexes), NOT
+    * `array(lit, lit, …)`: per-element lit() builds k Column objects
+    * each capturing a call-site origin, and at production codebook
+    * sizes (k ≈ √n) that construction alone OOMed the driver — 800
+    * codes × 8 subspaces was enough. One Literal per table is O(1)
+    * columns and the scan-side lookup is identical. */
   private def adcDist(dtabs: Seq[Array[Double]]): Column =
     dtabs.zipWithIndex.map { case (dt, j) =>
-      element_at(array(dt.toSeq.map(lit): _*), col(s"c$j").cast("int") + 1)
+      element_at(typedlit(dt.toSeq), col(s"c$j").cast("int") + 1)
     }.reduce(_ + _)
 
   /** ADC top-k search: approx dist = Σ_j dtab_j(code_j), evaluated as a
