@@ -445,6 +445,131 @@ object OracleSql {
          |FROM counts ORDER BY stage_idx""".stripMargin
     },
 
+    "q53_normalized_dedup" ->
+      """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |  CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1 ORDER BY norm_hash""".stripMargin,
+
+    "q54_dsir_weights" -> {
+      val targets = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN source IN ($targets) THEN 1 ELSE 0 END AS tgt,
+         |    ${hash60("t.tok")} % $DsirBuckets AS b
+         |  FROM documents, unnest(${toks()}) AS t(tok)),
+         |model AS (SELECT b, count(*) AS cr, sum(tgt) AS ct FROM tok GROUP BY b),
+         |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+         |scoredt AS (
+         |  SELECT t.doc_id,
+         |    CAST(floor(ln(
+         |      (CAST(m.ct + 1 AS DOUBLE) * CAST(tt.nr + $DsirBuckets AS DOUBLE)) /
+         |      (CAST(m.cr + 1 AS DOUBLE) * CAST(tt.nt + $DsirBuckets AS DOUBLE)))
+         |      * 1000000.0) AS BIGINT) AS lw
+         |  FROM tok t JOIN model m USING (b) CROSS JOIN tot tt)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(lw) AS BIGINT) AS sum_lw_micro,
+         |  CAST(floor(CAST(sum(lw) AS DOUBLE) / count(*)) AS BIGINT) AS avg_lw_micro
+         |FROM scoredt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q55_index_merge" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND vec_id % $MergeMod <> $MergeRem),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist,
+         |    v.vec_id % $MergeMod = $MergeRem AS is_new
+         |  FROM embeddings v CROSS JOIN cents c),
+         |ranked AS (
+         |  SELECT vec_id, centroid_id, dist, is_new,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |  FROM scored)
+         |SELECT vec_id, centroid_id, dist, is_new FROM ranked WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+
+    "q56_percentiles" -> {
+      val pcols = PercentileQs.map { p =>
+        val r = s"((n - 1) * $p) // 100 + 1"
+        s"max(CASE WHEN hi - c < $r AND $r <= hi THEN v END) AS p$p"
+      }.mkString(",\n  ")
+      s"""WITH pcounts AS (
+         |  SELECT source, n_chars AS v, count(*) AS c FROM documents
+         |  WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, v, c,
+         |    sum(c) OVER (PARTITION BY source ORDER BY v) AS hi,
+         |    sum(c) OVER (PARTITION BY source) AS n
+         |  FROM pcounts)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_values,
+         |  $pcols
+         |FROM cum GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q57_ivfpq_residual" -> {
+      def rSubL2(a: String, b: String, lo: Int, hi: Int) =
+        s"list_sum(list_transform(list_zip(list_slice($a, $lo, $hi), $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
+      val rCtes = (0 until PqM).map { j =>
+        val lo = j * pqSub + 1
+        val hi = lo + pqSub - 1
+        s"""rcb$j AS (
+           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+           |    list_slice(r, $lo, $hi) AS s
+           |  FROM resid WHERE vec_id % $IvfStep = $PqResOffset),
+           |renc$j AS (
+           |  SELECT vec_id, code AS c$j FROM (
+           |    SELECT t.vec_id, c.code,
+           |      row_number() OVER (PARTITION BY t.vec_id
+           |        ORDER BY round(${rSubL2("t.r", "c.s", lo, hi)}, 6), c.code) AS rn
+           |    FROM resid t CROSS JOIN rcb$j c) WHERE rn = 1),
+           |rdt$j AS (
+           |  SELECT qr.centroid_id, c.code, round(${rSubL2("qr.qr", "c.s", lo, hi)}, 6) AS d
+           |  FROM qres qr CROSS JOIN rcb$j c)""".stripMargin
+      }.mkString(",\n")
+      val rEncJoins = (0 until PqM).map(j => s"JOIN renc$j e$j ON e$j.vec_id = t.vec_id").mkString(" ")
+      val rDtJoins = (0 until PqM)
+        .map(j => s"JOIN rdt$j ON rdt$j.centroid_id = t.centroid_id AND rdt$j.code = e$j.c$j")
+        .mkString(" ")
+      val rDtSum = (0 until PqM).map(j => s"rdt$j.d").mkString(" + ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c
+         |  WHERE ${cleanEmb("v.embedding")}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |resid AS (
+         |  SELECT v.vec_id, a.centroid_id,
+         |    list_transform(list_zip(CAST(v.embedding AS DOUBLE[]), c.c_emb), x -> x[1] - x[2]) AS r
+         |  FROM embeddings v
+         |  JOIN assigned a ON v.vec_id = a.vec_id
+         |  JOIN cents c ON c.centroid_id = a.centroid_id),
+         |probed AS (
+         |  SELECT centroid_id, c_emb FROM (
+         |    SELECT c.centroid_id, c.c_emb, round(${l2sq("c.c_emb", "q.qv")}, 6) AS cdist
+         |    FROM cents c, q
+         |    ORDER BY cdist, centroid_id LIMIT $NProbe)),
+         |qres AS (
+         |  SELECT p.centroid_id,
+         |    list_transform(list_zip(q.qv, p.c_emb), x -> x[1] - x[2]) AS qr
+         |  FROM probed p, q),
+         |$rCtes
+         |SELECT t.vec_id, round($rDtSum, 6) AS approx_dist
+         |FROM resid t
+         |$rEncJoins
+         |$rDtJoins
+         |ORDER BY approx_dist, t.vec_id LIMIT $K""".stripMargin
+    },
+
     "q46_span_dedup" ->
       s"""WITH sized AS (
          |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)

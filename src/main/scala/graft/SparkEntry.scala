@@ -60,6 +60,14 @@ object SparkEntry {
     val OutlierNum = 5      // q51 gate: dist > (Num/Den) × cluster mean;
     val OutlierDen = 4      // 1.25× — see Clusters.outliers on concentration
     val FunnelSteps = Seq("view", "click", "purchase") // q52
+    val PercentileQs = Seq(50, 90, 99)  // q56 audit percentiles
+    val DsirTargetSources = Seq("src0", "src1") // q54 target ("high-quality") pool
+    val DsirBuckets = 256               // q54 hashed-feature buckets
+    val MergeMod = 10                   // q55 delta split: vec_id % MergeMod
+    val MergeRem = 7                    //   == MergeRem is the "new" batch
+    val PqResOffset = 12                // q57 residual-codebook stride phase
+                                        // (≠ 0 mod IvfStep: centroid rows have
+                                        // residual 0 and would collapse codebooks)
   }
   import Params._
 
@@ -202,7 +210,23 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables.documents(s, d), StratumN)),
     "q51_outliers" -> ((s, d) =>
       Clusters.outliers(Tables.embeddings(s, d), IvfStep, OutlierNum, OutlierDen)),
-    "q52_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d), FunnelSteps))
+    "q52_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d), FunnelSteps)),
+    "q53_normalized_dedup" -> ((s, d) => Dedup.normalizedExact(Tables.documents(s, d))),
+    "q54_dsir_weights" -> ((s, d) =>
+      Sampling.dsirWeights(Tables.documents(s, d), DsirTargetSources, DsirBuckets)),
+    "q55_index_merge" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val isDelta = pmod(col("vec_id"), lit(MergeMod.toLong)) === MergeRem
+      Ivf.mergeAssign(emb.where(!isDelta), emb.where(isDelta), IvfStep)
+    }),
+    "q56_percentiles" -> ((s, d) =>
+      Profile.percentiles(Tables.documents(s, d), "source", "n_chars", PercentileQs)),
+    "q57_ivfpq_residual" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = Ivf.centroids(emb, IvfStep)
+      val cbs = Pq.residualCodebooks(emb, cents, IvfStep, PqResOffset, PqM)
+      Pq.searchResidualIvfAdc(emb, IvfStep, cbs, Knn.queryVector(emb, QueryVecId), NProbe, K)
+    })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -180,3 +180,75 @@ case class L2Squared(left: Expression, right: Expression) extends FloatVectorFol
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** Element-wise vector difference aᵢ−bᵢ → array<double> — the residual
+  * kernel for residual-quantized IVF-PQ ([[graft.operators.Pq]]). The
+  * `zip_with(a, b, _-_)` HOF twin is CodegenFallback; this generates a
+  * primitive double[] loop and wraps it UnsafeArrayData, so a residual
+  * feeding m downstream [[NearestCentroid]] argmins stays entirely
+  * inside whole-stage codegen. NULL semantics match [[FloatVectorFold]]:
+  * NULL result when either side is NULL, lengths differ, or any element
+  * is NULL (so dirty rows drop on the same contract as every other
+  * vector kernel). */
+case class VectorSub(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vector_sub"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double> inputs, got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elemIsDouble(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    val lDouble = elemIsDouble(left)
+    val rDouble = elemIsDouble(right)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val x = if (lDouble) xs.getDouble(i) else xs.getFloat(i).toDouble
+      val y = if (rDouble) ys.getDouble(i) else ys.getFloat(i).toDouble
+      out(i) = x - y
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      def getter(arr: String, e: Expression): String =
+        if (elemIsDouble(e)) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $out = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $out[$i] = ${getter(a, left)} - ${getter(b, right)};
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

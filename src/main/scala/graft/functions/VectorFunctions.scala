@@ -34,6 +34,10 @@ object VectorFunctions {
   /** Squared L2 distance (codegen'd). */
   def l2Sq(a: Column, b: Column): Column = toCol(L2Squared(expr(a), expr(b)))
 
+  /** Element-wise difference a−b → array<double> (codegen'd) — the
+    * residual kernel for residual IVF-PQ. */
+  def vecSub(a: Column, b: Column): Column = toCol(VectorSub(expr(a), expr(b)))
+
   /** Interpreted HOF twin of [[dot]] — differential-test baseline. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(

@@ -30,6 +30,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
       .orderBy("content_hash")
 
+  /** C4/CCNet-style text normalization for dedup keying: lowercase,
+    * non-alphanumerics → space, whitespace runs collapsed, trimmed.
+    * Deliberately built from the explicit class `[^a-z0-9 ]` (after
+    * lowering) rather than `\\s`/`\\p{Punct}` so Java-regex (Spark) and
+    * RE2-family (DuckDB, Go) engines agree byte-for-byte — the shorthand
+    * classes differ across engines (Java `\\s` includes \\x0B; RE2's
+    * does not). Narrow, codegen'd, zero shuffle. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Normalized exact dedup (q53): exact dedup after [[normalize]] —
+    * catches near-copies differing only in case/punctuation/whitespace,
+    * the first rung of the C4 dedup ladder (exact < normalized < span <
+    * MinHash < semantic). Same scale shape as [[exact]]: the normalize
+    * is per-row narrow work and the only exchange is the partial-agg
+    * groupBy on the 256-bit content hash — map-side combine collapses
+    * every within-task duplicate before the shuffle. */
+  def normalizedExact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(normalize(col("text")), 256).as("norm_hash"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
+      .orderBy("norm_hash")
+
   /** Word k-shingles over a PRE-MATERIALIZED tokens array column.
     *
     * `ts` must be a plain column attribute, not an inline `split(...)`

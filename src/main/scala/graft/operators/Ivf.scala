@@ -209,6 +209,50 @@ object Ivf {
     (spark.read.parquet(s"$path/postings"),
       spark.read.parquet(s"$path/centroids"))
 
+  /** Incremental index maintenance (q55): assign a DELTA batch against
+    * an EXISTING index's centroid set and return the merged assignment
+    * table. The reference rebuilds its HNSW graph from scratch per batch
+    * (Program.cs:125-204 — in-memory graphs don't upsert); the IVF
+    * layout absorbs new vectors with ONE narrow argmin pass over the
+    * delta, because centroids are frozen at build time (the standard
+    * IVF contract: recall drifts as the corpus drifts, until a periodic
+    * re-train — which is [[refineCentroids]]).
+    *
+    * Scale shape: base rows are NOT re-assigned (their codes are
+    * already in the index; here the base side re-derives them only
+    * because the inline oracle key needs the full merged table) — the
+    * delta-side work is proportional to the DELTA, the plan stays
+    * zero-shuffle, and `is_new` rides the union for audit. */
+  def mergeAssign(base: DataFrame, delta: DataFrame, step: Int): DataFrame = {
+    val cs = collectCentroids(centroids(base, step))
+    val all = base.select(col("vec_id"), col("embedding"), lit(false).as("is_new"))
+      .unionByName(delta.select(col("vec_id"), col("embedding"), lit(true).as("is_new")))
+    all
+      .select(col("vec_id"), nearest(all, cs).as("dc"), col("is_new"))
+      .select(col("vec_id"), col("dc.centroid_id").as("centroid_id"),
+        col("dc.dist").as("dist"), col("is_new"))
+      .orderBy("vec_id")
+  }
+
+  /** Persisted-index twin of [[mergeAssign]]: append a delta batch to
+    * an index on disk. Assignment runs against the index's own saved
+    * centroids table; the append adds new files under the existing
+    * centroid_id partition dirs (parquet partition append — no rewrite
+    * of resident postings, the layout readers/searchers already use).
+    * Unassignable delta rows (null/off-dim/null-element embeddings)
+    * are dropped on the RAW column, same contract as
+    * [[assignWithEmbedding]]. */
+  def append(spark: SparkSession, path: String, delta: DataFrame): Unit = {
+    val cs = collectCentroids(load(spark, path)._2)
+    delta
+      .where(assignable(modalDim(cs)))
+      .select(col("vec_id"), col("embedding"),
+        nearest(delta, cs).getField("centroid_id").as("centroid_id"))
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/postings")
+  }
+
   /** ANN search: probe the `nprobe` nearest centroids to the query, exact
     * dot-product rerank within probed buckets only. `query` is a 1-row
     * frame with column `qv`. */

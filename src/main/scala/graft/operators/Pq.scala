@@ -319,4 +319,124 @@ object Pq {
     val cents = Ivf.centroids(vectors, step)
     searchAdcCells(encodeWithCell(vectors, cents, cbs), cents, cbs, query, nprobe, k)
   }
+
+  // ------------------------------------------------------------------
+  // Residual IVF-PQ (Jégou et al. 2011 §IV.B, the FAISS IVFPQ layout):
+  // quantize v − centroid(v) instead of v. Residuals concentrate near 0
+  // (the coarse quantizer already removed the cell mean), so the same
+  // m×k code budget spends its resolution on a much smaller ball —
+  // strictly better recall than raw-vector PQ at identical storage.
+  // ------------------------------------------------------------------
+
+  /** (vec_id, centroid_id, residual = v − its cell centroid): cell
+    * assignment rides [[Ivf.assignWithEmbedding]]'s zero-shuffle argmin,
+    * the centroid embedding joins back by BROADCAST (kB-scale build
+    * side), and the subtraction is the codegen'd
+    * [[graft.functions.VectorSub]] — one narrow pass end to end.
+    * Residuals are non-null by construction: unassignable vectors were
+    * dropped by assignment, and a dirty centroid can never win it. */
+  private[operators] def residualRows(vectors: DataFrame, cents: DataFrame): DataFrame =
+    Ivf.assignWithEmbedding(vectors, cents)
+      // assignment already dropped unassignables, but Catalyst can't see
+      // that: an inner join on the nullable argmin projection inserts
+      // isnotnull(nearest_centroid(...)) and the whole argmin runs TWICE
+      // per row (the double-eval trap, see Ivf.assignable). Coalescing
+      // the key to a sentinel makes it non-nullable; -1 matches no
+      // centroid, so semantics are unchanged.
+      .withColumn("centroid_id", coalesce(col("centroid_id"), lit(-1L)))
+      .join(broadcast(cents.select(col("centroid_id"), col("c_emb"))), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        graft.functions.VectorFunctions.vecSub(col("embedding"), col("c_emb")).as("residual"))
+
+  /** Residual codebooks: per-subspace codebooks trained on the
+    * RESIDUALS of the stride rows `vec_id % step == offset`. The offset
+    * must differ from the coarse-centroid phase (0): a row that IS a
+    * centroid has residual exactly 0 and would collapse every codebook
+    * to the origin. Code ids are dense ranks in stride order, same
+    * contract as [[codebooks]]. */
+  def residualCodebooks(vectors: DataFrame, cents: DataFrame, step: Int,
+                        offset: Int, m: Int): Seq[CentroidSet] = {
+    require(offset % step != 0, s"offset $offset is the centroid phase of step $step")
+    val rows = residualRows(vectors, cents)
+      .filter(pmod(col("vec_id"), lit(step.toLong)) === offset)
+      .select(col("vec_id"), col("residual"))
+      .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Any](1).map(widen).toArray)
+    val dim =
+      if (rows.isEmpty) m
+      else rows.groupBy(_.length).maxBy { case (len, g) => (g.length, -len) }._1
+    require(dim % m == 0, s"residual dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    val uniform = rows.filter(_.length == dim)
+    (0 until m).map { j =>
+      CentroidSet(
+        uniform.indices.map(_.toLong).toArray,
+        uniform.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)))
+    }
+  }
+
+  /** Residual PQ encode: vec_id, centroid_id, c0…c{m-1} where each code
+    * is a [[NearestCentroid]] argmin of the RESIDUAL's subspace slice
+    * over the broadcast residual codebook. The whole chain — assignment
+    * argmin, centroid join-back (broadcast, kB build side), VectorSub,
+    * m slice-argmins — is codegen'd with NO shuffle exchange; PqSpec
+    * asserts the plan shape and the absence of argmin double-eval. */
+  def encodeResidual(vectors: DataFrame, cents: DataFrame,
+                     cbs: Seq[CentroidSet]): DataFrame = {
+    val sub = subDim(cbs)
+    val sc = vectors.sparkSession.sparkContext
+    val rcols = cbs.zipWithIndex.map { case (cs, j) =>
+      SqlBridge.column(NearestCentroid(
+        SqlBridge.expression(slice(col("residual"), j * sub + 1, sub)),
+        sc.broadcast(cs))).getField("centroid_id").as(s"c$j")
+    }
+    residualRows(vectors, cents).select(col("vec_id") +: col("centroid_id") +: rcols: _*)
+  }
+
+  /** Residual ADC search over probed cells: the lookup tables are built
+    * from the PER-CELL residual query q − centroid (that is the point of
+    * residual PQ — the tables change per probed cell), so the scan-side
+    * distance is a `centroid_id`-dispatched table sum: nprobe × m
+    * literal-array lookups, still inside whole-stage codegen. Probing
+    * runs driver-side over the collected centroid set — the same
+    * contractually-bounded work as [[distTables]] per query — with the
+    * oracle's exact ranking: (round6(l2sq), centroid_id) ascending,
+    * dirty/off-dim centroids excluded ([[cleanVec]] semantics). */
+  def searchResidualCells(codes: DataFrame, cents: DataFrame, cbs: Seq[CentroidSet],
+                          query: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val q = collectQuery(query)
+    val cs = Ivf.collectCentroids(cents)
+    val dim = subDim(cbs) * cbs.length
+    val probed = cs.cids.zip(cs.mat)
+      .filter { case (_, ce) => ce.length == dim && !ce.exists(_.isNaN) }
+      .map { case (cid, ce) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { val d = q(i) - ce(i); acc += d * d; i += 1 }
+        (cid, graft.functions.VecUtil.round6(acc), ce)
+      }
+      .sortBy { case (cid, d, _) => (d, cid) }
+      .take(nprobe)
+    val dist = probed.foldLeft(lit(null).cast("double")) { case (acc, (cid, _, ce)) =>
+      val qr = Array.tabulate(dim)(i => q(i) - ce(i))
+      when(col("centroid_id") === cid, adcDist(distTables(cbs, qr))).otherwise(acc)
+    }
+    val probedDf = probed.map(_._1).toSeq.toDF("centroid_id")
+    codes
+      .join(broadcast(probedDf), "centroid_id")
+      .select(col("vec_id"), round(dist, 6).as("approx_dist"))
+      .orderBy(asc("approx_dist"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** In-memory residual IVF-PQ search (the oracle-checked q57 path). */
+  def searchResidualIvfAdc(vectors: DataFrame, step: Int, cbs: Seq[CentroidSet],
+                           query: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cents = Ivf.centroids(vectors, step)
+    searchResidualCells(encodeResidual(vectors, cents, cbs), cents, cbs, query, nprobe, k)
+  }
 }

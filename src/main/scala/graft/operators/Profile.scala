@@ -54,4 +54,58 @@ object Profile {
       .select("p.*")
       .orderBy("column")
   }
+
+  /** Per-group EXACT discrete percentiles of an integer column (q56):
+    * for percent q, the value at 1-based rank ((n-1)·q) div 100 + 1 of
+    * the group's sorted non-null values — all-integer rank arithmetic,
+    * so Spark and any SQL oracle agree bit-for-bit.
+    *
+    * Scale shape: NOT a per-group sort of the data. Pass 1 collapses to
+    * a (group, value) histogram — map-side partial agg, the exchange
+    * carries distinct (group, value) pairs, not rows. Pass 2 windows
+    * over the distinct VALUES per group (cardinality = distinct values,
+    * data-independent for bounded domains like lengths/scores) to get
+    * each value's cumulative rank range [hi−c+1, hi], then one
+    * partial-agg groupBy picks the value whose range covers each target
+    * rank. 100 TB of docs with ~10⁴ distinct lengths windows over 10⁴
+    * rows per source. For unbounded/continuous domains, flip to
+    * [[percentilesApprox]] (t-digest-style sketch, no window at all).
+    */
+  def percentiles(df: DataFrame, groupCol: String, valCol: String,
+                  qs: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 100), s"bad percents: $qs")
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = counts
+      .withColumn("__hi", sum("__c").over(
+        Window.partitionBy(groupCol).orderBy("__v")))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(groupCol)))
+    val rank = (q: Int) => expr(s"((__n - 1) * $q) DIV 100 + 1")
+    val qcols = qs.map { q =>
+      max(when(col("__hi") - col("__c") < rank(q) && rank(q) <= col("__hi"),
+        col("__v"))).as(s"p$q")
+    }
+    cum.groupBy(groupCol)
+      .agg(max("__n").cast("long").as("n_values"), qcols: _*)
+      .orderBy(groupCol)
+  }
+
+  /** Production twin of [[percentiles]] for unbounded domains:
+    * `approx_percentile` is a mergeable sketch (partial-agg shaped, one
+    * exchange of per-task sketches, no window, no histogram), trading
+    * exactness for scale-independence. Spec-checked against the exact
+    * operator within the sketch's accuracy contract. */
+  def percentilesApprox(df: DataFrame, groupCol: String, valCol: String,
+                        qs: Seq[Int], accuracy: Int = 10000): DataFrame = {
+    val fracs = array(qs.map(q => lit(q / 100.0)): _*)
+    df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_values"),
+        percentile_approx(col(valCol), fracs, lit(accuracy)).as("__ps"))
+      .select(col(groupCol) +: col("n_values") +:
+        qs.zipWithIndex.map { case (q, i) => col("__ps")(i).as(s"p$q") }: _*)
+      .orderBy(groupCol)
+  }
 }

@@ -37,4 +37,70 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("sample_key"))
       .orderBy("source", "sample_key", "doc_id")
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its tokens are under a TARGET (high-
+    * quality) distribution than under the RAW pool, using hashed
+    * bag-of-token features — the cheap proxy that selects
+    * target-looking data from a web-scale crawl.
+    *
+    *   w(doc) = Σ_tokens [ ln p_t(b(tok)) − ln p_r(b(tok)) ],
+    *   b = hash60(token) mod `buckets`,  p_* Laplace-smoothed
+    *   (c+1)/(N+B) over the B buckets. (The paper hashes unigrams AND
+    *   bigrams into 10⁴ buckets; the feature map is pluggable — same
+    *   plan shape either way.)
+    *
+    * Cross-engine exactness (SURVEY.md §6, same discipline as
+    * [[LanguageModel.lmScore]]): each token's log-ratio is quantized to
+    * integer MICRO-units — floor(ln((c_t+1)(N_r+B) / ((c_r+1)(N_t+B)))
+    * ·1e6) — so the per-doc accumulation is exact integer arithmetic,
+    * immune to float summation order.
+    *
+    * Scale shape: both "models" are ≤ B-row bucket count tables built
+    * by ONE shared partial-agg pass over the exploded token stream
+    * (the exchange carries per-task partial counts, bounded by B);
+    * totals ride the same pass. Scoring joins each token row against
+    * the BROADCAST tables and partial-aggs straight to one row per doc
+    * — the only per-doc shuffle is O(n_docs). Selection composes
+    * downstream: rank `avg_lw_micro` through GroupedTopK (resampling-
+    * by-weight without RNG state), exactly like [[stratifiedSample]].
+    *
+    * Docs with no tokens yield no rows (no weight evidence either
+    * way); docs with NULL source count as raw-only, never target. */
+  def dsirWeights(docs: DataFrame, targetSources: Seq[String],
+                  buckets: Int): DataFrame = {
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
+    val isTarget = col("source").isin(targetSources.map(x => x: Any): _*)
+    val toks = docs
+      .select(col("doc_id"), isTarget.as("__tgt"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("__tgt"),
+        pmod(Dedup.hash60(col("t")), lit(buckets.toLong)).as("b"))
+    // One partial-agg exchange builds BOTH count tables (raw = all rows,
+    // target = the conditional sum) — ≤ B result rows.
+    val model = toks.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val lw = floor(log(
+      ((col("ct") + 1L).cast("double") * (col("nr") + buckets).cast("double")) /
+        ((col("cr") + 1L).cast("double") * (col("nt") + buckets).cast("double")))
+      * 1000000.0).cast("long")
+    toks
+      .join(broadcast(model), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), lw.as("lw"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum("lw").as("sum_lw_micro"),
+        // per-token mean ALSO in integer micro-units: floor(sum/n) of the
+        // exact-integer doubles — a 6-dp rounded double mean hits .5
+        // midpoint ties (sum divisible by n/2) that HALF_UP (Spark,
+        // decimal-string) and binary-double rounding (DuckDB) resolve
+        // differently; floor of the same IEEE quotient cannot diverge.
+        floor(sum("lw").cast("double") / count(lit(1))).cast("long").as("avg_lw_micro"))
+      .orderBy("doc_id")
+  }
 }

@@ -104,4 +104,87 @@ class CurationSpec extends SparkSpec {
     assert(n(0) >= n(1) && n(1) >= n(2), "funnel must shrink monotonically")
     assert(math.abs(rows(1).getDouble(3) - n(1).toDouble / n(0)) < 1e-6)
   }
+
+  test("percentiles: hand-computed ranks on a crafted group, ties collapse correctly") {
+    import graft.operators.Profile
+    // values (sorted): 1,2,2,3,100 -> n=5; rank(q) = (4q)//100 + 1
+    // p50 -> rank 3 -> 2; p90 -> rank 4 -> 3; p99 -> rank 4 -> 3; p100 -> rank 5 -> 100
+    val df = Seq[(String, java.lang.Long)](("a", 3L), ("a", 1L), ("a", 2L),
+      ("a", 100L), ("a", 2L), ("b", 7L), ("b", null))
+      .toDF("source", "n_chars")
+    val out = Profile.percentiles(df, "source", "n_chars", Seq(0, 50, 90, 99, 100))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 5L)
+    assert(Seq(a.getLong(2), a.getLong(3), a.getLong(4), a.getLong(5), a.getLong(6))
+      == Seq(1L, 2L, 3L, 3L, 100L))
+    val b = out("b") // null value excluded: n=1, every percentile = 7
+    assert(b.getLong(1) == 1L)
+    assert(Seq(b.getLong(2), b.getLong(3), b.getLong(6)) == Seq(7L, 7L, 7L))
+  }
+
+  test("percentiles: approx twin lands within one order-statistic of exact") {
+    import graft.operators.Profile
+    // exact pins rank ((n-1)q)//100+1; the sketch's discrete-rank
+    // convention differs by at most one position (and its rank error is
+    // <1 at accuracy 10k with these stratum sizes), so the approx value
+    // must be one of the order statistics at ranks r-1..r+1.
+    val vals = docs.select("source", "n_chars").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val approx = Profile.percentilesApprox(docs, "source", "n_chars", Seq(50, 90, 99))
+      .collect()
+    assert(approx.length == vals.size)
+    approx.foreach { r =>
+      val vs = vals(r.getString(0))
+      Seq((50, 2), (90, 3), (99, 4)).foreach { case (q, i) =>
+        val rank = ((vs.length - 1) * q) / 100 + 1
+        val lo = vs(math.max(rank - 2, 0))
+        val hi = vs(math.min(rank, vs.length - 1))
+        val v = r.getLong(i)
+        assert(v >= lo && v <= hi,
+          s"p$q for ${r.getString(0)}: $v outside order-stat window [$lo, $hi]")
+      }
+    }
+  }
+
+  test("dsir: target-vocabulary docs score positive, anti-target negative, determinism") {
+    import graft.operators.Sampling
+    // tgt-source docs speak {alpha beta}, raw-pool docs speak {delta
+    // omega} — four tokens chosen to land in DISTINCT hash buckets mod
+    // 64 (59/43/17/52). Token counts are large enough (30 per doc) that
+    // the Laplace +1/+B smoothing doesn't swamp the signal (with 3-token
+    // docs the B=64 prior pulls every ratio below 1).
+    def rep(t: String, n: Int) = Seq.fill(n)(t).mkString(" ")
+    val df = Seq(
+      (1L, rep("alpha", 30), "tgt"),
+      (2L, rep("beta", 30), "tgt"),
+      (3L, rep("delta", 30), "web"),
+      (4L, rep("omega", 30), "web"),
+      (5L, "alpha beta", "web"),   // target-looking doc IN the raw pool
+      (6L, "delta omega", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.dsirWeights(df, Seq("tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.size == 6)
+    assert(out(5L) > 0, "target-vocabulary doc must score positive")
+    assert(out(6L) < 0, "anti-target doc must score negative")
+    assert(out(1L) > out(3L), "target docs must outrank raw docs")
+    val again = Sampling.dsirWeights(df, Seq("tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == out, "weights must be a pure function of the data")
+  }
+
+  test("dsir: empty docs drop out; per-doc sum is n_tokens-consistent") {
+    import graft.operators.Sampling
+    val out = Sampling.dsirWeights(docs, Seq("src0", "src1"), buckets = 256)
+    val rows = out.collect()
+    val nDocsWithTokens = docs
+      .where(length(trim(col("text"))) > 0).count()
+    assert(rows.length == nDocsWithTokens)
+    // avg_lw_micro must equal floor(sum/n) recomputed (self-consistency)
+    rows.foreach { r =>
+      val want = math.floor(r.getLong(2).toDouble / r.getLong(1)).toLong
+      assert(r.getLong(3) == want, s"avg_lw_micro drifted on ${r.getLong(0)}")
+    }
+  }
 }

@@ -284,4 +284,27 @@ class EdgeCaseSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(out(0).getInt(1) === 5 && out(1).isNullAt(1))
   }
+
+  test("normalized dedup: case/punct/whitespace variants collapse, distinct text survives") {
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO   WORLD"),
+      (4L, "hello-world"),   // hyphen -> space -> same normal form
+      (5L, "goodbye world"), // genuinely different
+      (6L, "!!! ,,,"),       // punctuation-only -> empty normal form
+      (7L, ""))              // already empty -> same group as 6
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.normalizedExact(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 3, s"expected 3 normal forms, got ${out.toSeq}")
+    val byKeeper = out.map(r => r._3 -> r._2).toMap
+    assert(byKeeper(1L) === 4L, "hello-world variants must collapse to doc 1")
+    assert(byKeeper(5L) === 1L)
+    assert(byKeeper(6L) === 2L, "punct-only and empty must share the empty form")
+    // exact dedup on the same input finds NO duplicates — normalization
+    // is what collapses them (the operators are distinct rungs)
+    assert(graft.operators.Dedup.exact(df).collect()
+      .forall(_.getLong(1) == 1L))
+  }
 }

@@ -130,4 +130,41 @@ class IvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(fromDisk === inline)
   }
+
+  test("mergeAssign == fresh build over the union when the delta has no stride rows") {
+    import org.apache.spark.sql.functions._
+    val all = Tables.embeddings(spark, sf0001)
+    val isDelta = pmod(col("vec_id"), lit(10L)) === 7L
+    val merged = Ivf.mergeAssign(all.where(!isDelta), all.where(isDelta), IvfStep)
+    // delta ids are never multiples of IvfStep=25, so base centroids ==
+    // union centroids and the merged table must equal a fresh build
+    val fresh = Ivf.build(all, IvfStep)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = merged.select("vec_id", "centroid_id", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === fresh)
+    val flags = merged.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(flags.forall { case (id, isNew) => isNew == (id % 10 == 7) })
+  }
+
+  test("append upserts a delta into a persisted index; search sees new vectors") {
+    import org.apache.spark.sql.functions._
+    val all = Tables.embeddings(spark, sf0001)
+    val isDelta = pmod(col("vec_id"), lit(10L)) === 7L
+    val base = all.where(!isDelta)
+    val delta = all.where(isDelta)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append"
+    Ivf.save(base, IvfStep, path)
+    Ivf.append(spark, path, delta)
+    val (postings, cents) = Ivf.load(spark, path)
+    assert(postings.count() === all.count())
+    assert(postings.select("vec_id").distinct().count() === all.count())
+    // a full-probe search over the merged index must see delta vectors
+    val q = Knn.queryVector(all, QueryVecId)
+    val nprobeAll = cents.count().toInt
+    val got = Ivf.search(postings, cents, q, nprobeAll, K)
+      .collect().map(_.getLong(0)).toSet
+    val want = Knn.topKDot(all, q, K).collect().map(_.getLong(0)).toSet
+    assert(got === want, "post-append full-probe search != exact top-k over the union")
+  }
 }

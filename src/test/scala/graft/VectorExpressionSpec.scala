@@ -88,6 +88,27 @@ class VectorExpressionSpec extends SparkSpec {
     assert(row.getDouble(1) === row.getDouble(3))
   }
 
+  test("vecSub == zip_with subtraction, null semantics, both eval paths") {
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      vecSub(col("embedding"), col("qv")).as("native"),
+      zip_with(col("embedding"), col("qv"),
+        (x, y) => x.cast("double") - y.cast("double")).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() === 0)
+    // length mismatch and null elements -> NULL result (whole-vector drop
+    // contract, stricter than zip_with's padded per-element nulls)
+    val dirty = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f)),
+      (Array(1.0f, 2.0f), null.asInstanceOf[Array[Float]]))
+      .toDF("a", "b")
+      .select(vecSub(col("a"), col("b")).as("r")).collect()
+    assert(dirty.forall(_.isNullAt(0)))
+    // interpreted path (codegen off) agrees bit-for-bit
+    val d = Seq((Array(1.5f, -2.25f), Array(0.5f, 0.75f))).toDF("a", "b")
+      .select(vecSub(col("a"), col("b")).as("r")).collect().head
+    assert(d.getSeq[Double](0) == Seq(1.0, -3.0))
+  }
+
   test("native expressions run inside whole-stage codegen (no fallback)") {
     val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
     val df = emb.crossJoin(broadcast(q))
