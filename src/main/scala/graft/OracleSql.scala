@@ -570,6 +570,43 @@ object OracleSql {
          |ORDER BY approx_dist, t.vec_id LIMIT $K""".stripMargin
     },
 
+    "q58_multiprobe_lsh" -> {
+      // Same deterministic hyperplane family as q15b (first MpTables
+      // tables of it); candidates = Hamming<=1 bucket pairs via the
+      // probe-side unnest of [exact, flip_0..flip_{nPlanes-1}].
+      val planes = graft.operators.Dedup.hyperplanes(NPlanes * MpTables, 64)
+      def arr(h: Seq[Double]) =
+        h.map(v => BigDecimal(v).underlying.toPlainString).mkString("[", ", ", "]::DOUBLE[]")
+      def bucket(t: Int) =
+        planes.slice(t * NPlanes, (t + 1) * NPlanes).zipWithIndex.map { case (h, j) =>
+          s"(CASE WHEN ${dotd("embedding", arr(h))} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      val bucketCols = (0 until MpTables)
+        .map(t => s"CAST(${bucket(t)} AS BIGINT) AS b$t").mkString(",\n    ")
+      val unions = (0 until MpTables).map { t =>
+        val probes = (s"b$t" +: (0 until NPlanes).map(j => s"xor(b$t, ${1L << j})"))
+          .mkString("[", ", ", "]")
+        s"""SELECT l.vec_id AS a, r.vec_id AS b
+           |  FROM (SELECT vec_id, unnest($probes) AS bk FROM bucketed) l
+           |  JOIN bucketed r ON l.bk = r.b$t AND l.vec_id < r.vec_id""".stripMargin
+      }.mkString("\n  UNION\n  ")
+      s"""WITH bucketed AS (
+         |  SELECT vec_id,
+         |    $bucketCols
+         |  FROM embeddings WHERE len(embedding) = 64),
+         |cand AS (
+         |  $unions),
+         |normed AS (
+         |  SELECT vec_id, embedding, sqrt(${dotd("embedding", "embedding")}) AS nrm FROM embeddings)
+         |SELECT c.a, c.b,
+         |  round(${dotd("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) AS cos
+         |FROM cand c
+         |JOIN normed va ON va.vec_id = c.a
+         |JOIN normed vb ON vb.vec_id = c.b
+         |WHERE round(${dotd("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm), 6) >= $CosineThreshold
+         |ORDER BY a, b""".stripMargin
+    },
+
     "q46_span_dedup" ->
       s"""WITH sized AS (
          |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)

@@ -68,6 +68,9 @@ object SparkEntry {
     val PqResOffset = 12                // q57 residual-codebook stride phase
                                         // (≠ 0 mod IvfStep: centroid rows have
                                         // residual 0 and would collapse codebooks)
+    val MpTables = 2                    // q58 multi-probe: half of NTables —
+                                        // Hamming<=1 probing buys the recall
+                                        // the other two tables would
   }
   import Params._
 
@@ -226,7 +229,9 @@ object SparkEntry {
       val cents = Ivf.centroids(emb, IvfStep)
       val cbs = Pq.residualCodebooks(emb, cents, IvfStep, PqResOffset, PqM)
       Pq.searchResidualIvfAdc(emb, IvfStep, cbs, Knn.queryVector(emb, QueryVecId), NProbe, K)
-    })
+    }),
+    "q58_multiprobe_lsh" -> ((s, d) =>
+      Dedup.cosineLshMultiProbe(Tables.embeddings(s, d), NPlanes, MpTables, CosineThreshold))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

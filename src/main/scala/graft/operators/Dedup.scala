@@ -254,6 +254,16 @@ object Dedup {
       val r = withB.select(col(s"b$t").as("bk"), col("vec_id").as("b"))
       l.join(r, "bk").where(col("a") < col("b")).select("a", "b")
     }.reduce(_ union _).distinct()
+    verifyCosineCandidates(vectors, cand, threshold)
+  }
+
+  /** Exact-cosine verification of an (a, b) candidate-pair frame:
+    * embeddings join back BY ID (pairs never drag arrays through the
+    * candidate shuffles), two-stage threshold as in cosinePairs. Shared
+    * by the single-probe and multi-probe LSH paths so the verification
+    * contract cannot drift between them. */
+  private def verifyCosineCandidates(vectors: DataFrame, cand: DataFrame,
+                                     threshold: Double): DataFrame = {
     val withNorm = vectors.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     cand
@@ -268,6 +278,43 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
       .orderBy("a", "b")
+  }
+
+  /** Multi-probe sign-LSH near-dup (Lv et al. 2007's multi-probe idea
+    * applied to the sign-LSH family): each vector probes its OWN bucket
+    * plus the `nPlanes` buckets at Hamming distance 1, so a pair is a
+    * candidate when their bucket ids differ in at most one bit in any
+    * table — the recall that single-probe only reaches with ~2× the
+    * tables.
+    *
+    * The 100 TB trade this operator exists for: recall per table comes
+    * from probing, not from MORE tables of hyperplane dot products. The
+    * probe side explodes to (nPlanes+1) narrow (bucket, id) rows —
+    * two longs each — while each extra TABLE costs nPlanes full-width
+    * dot products per vector plus another self-join. Probe rows are
+    * cheap; hyperplane kernels are not. Candidate verification is the
+    * same exact-cosine join as [[cosineLsh]]. */
+  def cosineLshMultiProbe(vectors: DataFrame, nPlanes: Int, nTables: Int,
+                          threshold: Double, dim: Int = 64): DataFrame = {
+    val all = hyperplanes(nPlanes * nTables, dim)
+    val bucketCols = (0 until nTables).map { t =>
+      lshBucket(col("embedding"), all.slice(t * nPlanes, (t + 1) * nPlanes)).as(s"b$t")
+    }
+    // same off-dim exclusion as cosineLsh (see the comment there)
+    val sized = vectors.where(size(col("embedding")) === dim)
+    val withB = sized.select(col("vec_id") +: bucketCols: _*)
+    val cand = (0 until nTables).map { t =>
+      // probe set = exact bucket + every 1-bit flip; probing from ONE
+      // side finds every Hamming<=1 pair (if buckets differ in bit j,
+      // a's flip-j probe lands exactly on b's bucket), and the a<b
+      // filter plus the cross-table distinct dedup mirror images
+      val probeSet = array(col(s"b$t") +: (0 until nPlanes).map(j =>
+        col(s"b$t").bitwiseXOR(lit(1L << j))): _*)
+      val l = withB.select(explode(probeSet).as("bk"), col("vec_id").as("a"))
+      val r = withB.select(col(s"b$t").as("bk"), col("vec_id").as("b"))
+      l.join(r, "bk").where(col("a") < col("b")).select("a", "b")
+    }.reduce(_ union _).distinct()
+    verifyCosineCandidates(vectors, cand, threshold)
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (label):

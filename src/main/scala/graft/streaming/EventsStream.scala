@@ -62,6 +62,52 @@ object EventsStream {
     * lastTs would corrupt the gap computation for every subsequent
     * on-time event. Pair the source with `withWatermark` to bound how
     * late data can be before it reaches this operator at all. */
+  case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelState(stageIdx: Int, tsMs: Long)
+  case class FunnelHit(user_id: Long, stage_idx: Int, stage: String, ts: Timestamp)
+
+  /** Streaming twin of Events.funnel: per-user stage progression as ONE
+    * stateful operator keyed by user_id — state is just (stage index,
+    * timestamp it was reached), O(1) per user. Emits a [[FunnelHit]]
+    * transition row each time a user advances a stage (append-style;
+    * stage counts are a downstream aggregation).
+    *
+    * Semantics contract vs batch: within a batch, events process in
+    * event-time order with the same STRICT ts > previous-stage-ts rule,
+    * so a single-batch run emits exactly the batch funnel's earliest
+    * qualifying transitions (differential-tested in StreamingSpec).
+    * Across batches the pass is prefix-greedy: an event in a later
+    * batch with an earlier timestamp than a stage the state already
+    * passed is late data and cannot rewind the stage (the same decision
+    * [[sessionize]] documents) — pair the source with `withWatermark`
+    * to bound that lateness. Stage-skipping input (click before any
+    * view) is ignored at every batch boundary exactly as in batch. */
+  def funnelTransitions(events: Dataset[FunnelEvent],
+                        steps: Seq[String]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val stageOf = steps.zipWithIndex.toMap
+    events
+      .filter(e => e.event_type != null && stageOf.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, it, state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
+          val out = Seq.newBuilder[FunnelHit]
+          sorted.foreach { e =>
+            val next = st.stageIdx + 1
+            if (next < steps.length && stageOf(e.event_type) == next &&
+              (st.stageIdx == -1 || e.ts.getTime > st.tsMs)) {
+              st = FunnelState(next, e.ts.getTime)
+              out += FunnelHit(userId, next + 1, steps(next), e.ts)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L

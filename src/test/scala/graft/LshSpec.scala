@@ -40,6 +40,24 @@ class LshSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall = $recall over ${planted.size} planted pairs")
   }
 
+  test("multi-probe at half the tables recovers single-probe-at-full-tables recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 30).map(i => (i.toLong, 1000L + i)).toSet
+    val single2 = pairs(Dedup.cosineLsh(corpus, 8, 2, 0.9, dim))
+    val multi2 = pairs(Dedup.cosineLshMultiProbe(corpus, 8, 2, 0.9, dim))
+    val single4 = pairs(Dedup.cosineLsh(corpus, 8, 4, 0.9, dim))
+    // Hamming<=1 probing strictly widens the candidate set per table...
+    assert(single2.subsetOf(multi2),
+      "multi-probe must contain every exact-bucket pair of the same tables")
+    // ...and at 2 tables must find at least as many planted pairs as
+    // exact-bucket probing finds with 4 (the operator's whole point:
+    // recall from probes, not from more hyperplane kernels)
+    val rm = (planted intersect multi2).size
+    val r4 = (planted intersect single4).size
+    assert(rm >= r4, s"multi-probe@2 found $rm planted pairs < single-probe@4's $r4")
+  }
+
   test("every reported pair really exceeds the threshold (no false positives)") {
     val rows = Dedup.cosineLsh(corpus, 8, 4, 0.9, dim).collect()
     assert(rows.nonEmpty)

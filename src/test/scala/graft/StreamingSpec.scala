@@ -124,6 +124,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq === want.toSeq)
   }
 
+  test("streaming funnel transitions match the batch funnel stage counts") {
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    val events = spark.readStream
+      .schema(spark.read.parquet(stageDir).schema).parquet(stageDir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[EventsStream.FunnelEvent]
+    val hits = EventsStream.funnelTransitions(events, steps)
+    val q = hits.writeStream
+      .format("memory").queryName("funnel_sink").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("funnel_sink")
+      .groupBy("stage_idx", "stage").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = Events.funnel(Tables.events(spark, sf0001), steps)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want, "per-stage user counts must match the batch funnel")
+    // each user emits at most one transition per stage
+    val dups = spark.table("funnel_sink")
+      .groupBy("user_id", "stage_idx").count().where(col("count") > 1).count()
+    assert(dups === 0)
+  }
+
   test("stateful streaming sessionization matches the batch sessionize") {
     import spark.implicits._
     val events = spark.readStream
