@@ -62,6 +62,29 @@ object EventsStream {
     * lastTs would corrupt the gap computation for every subsequent
     * on-time event. Pair the source with `withWatermark` to bound how
     * late data can be before it reaches this operator at all. */
+  /** Live corpus/stream monitoring: approximate value percentiles per
+    * tumbling window and event_type. `approx_percentile` is a mergeable
+    * sketch, so it aggregates partially before the exchange and keeps
+    * bounded state per open window — the streaming-legal twin of
+    * [[graft.operators.Profile.percentiles]]'s exact histogram (exact
+    * distincts can't close over an unbounded stream; the watermark
+    * closes windows instead). Percents are integer 0-100, matching the
+    * batch operator's contract. */
+  def valueQuantiles(events: DataFrame, qs: Seq[Int],
+                     windowLen: String = "1 hour",
+                     accuracy: Int = 10000): DataFrame = {
+    val fracs = array(qs.map(q => lit(q / 100.0)): _*)
+    events
+      .where(col("value").isNotNull)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_values"),
+        percentile_approx(col("value"), fracs, lit(accuracy)).as("__ps"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour") +:
+          col("event_type") +: col("n_values") +:
+          qs.zipWithIndex.map { case (q, i) => round(col("__ps")(i), 6).as(s"p$q") }: _*)
+  }
+
   case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
   case class FunnelState(stageIdx: Int, tsMs: Long)
   case class FunnelHit(user_id: Long, stage_idx: Int, stage: String, ts: Timestamp)

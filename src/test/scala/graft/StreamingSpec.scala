@@ -124,6 +124,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq === want.toSeq)
   }
 
+  test("streaming windowed quantile sketch matches the batch sketch exactly") {
+    // the same mergeable sketch evaluated streaming (watermark closes
+    // windows) vs batch over identical finite input must agree row-ish
+    // for row: both sides are approx_percentile at the same accuracy
+    val streamed = EventsStream.valueQuantiles(
+      EventsStream.readEvents(spark, stageDir), Seq(50, 90, 99))
+    val q = streamed.writeStream
+      .format("memory").queryName("quant_sink").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("quant_sink")
+      .orderBy("hour", "event_type").collect()
+    val want = EventsStream.valueQuantiles(Tables.events(spark, sf0001), Seq(50, 90, 99))
+      .orderBy("hour", "event_type").collect()
+    assert(got.nonEmpty && got.toSeq === want.toSeq)
+  }
+
   test("streaming funnel transitions match the batch funnel stage counts") {
     import spark.implicits._
     val steps = Seq("view", "click", "purchase")
