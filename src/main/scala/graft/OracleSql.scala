@@ -607,6 +607,57 @@ object OracleSql {
          |ORDER BY a, b""".stripMargin
     },
 
+    "q59_quality_report" -> {
+      def hits(c: String, words: Seq[String]) =
+        s"len(list_filter($c, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+      s"""WITH sig AS (
+         |  SELECT doc_id, lang, n_chars, ${toks()} AS t, ${toks("lower(text)")} AS lt
+         |  FROM documents),
+         |scoredq AS (
+         |  SELECT doc_id, lang, CAST(len(t) AS INT) AS n_tokens,
+         |    round(CAST(${hits("t", Seq("the", "a", "and", "of", "to", "in", "is", "it"))} AS DOUBLE)
+         |      / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS stop_ratio,
+         |    round(CAST(n_chars AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS mean_len,
+         |    ${hits("lt", Seq("the", "and", "of", "to", "is"))} AS en,
+         |    ${hits("lt", Seq("el", "la", "de", "que", "y"))} AS es,
+         |    ${hits("lt", Seq("le", "la", "de", "et", "les"))} AS fr,
+         |    ${hits("lt", Seq("der", "die", "und", "das", "ist"))} AS de
+         |  FROM sig),
+         |pred AS (
+         |  SELECT doc_id, lang, n_tokens, stop_ratio, mean_len,
+         |    CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+         |         WHEN de = greatest(en, es, fr, de) THEN 'de'
+         |         WHEN en = greatest(en, es, fr, de) THEN 'en'
+         |         WHEN es = greatest(en, es, fr, de) THEN 'es'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM scoredq),
+         |reported AS (
+         |  SELECT doc_id, n_tokens,
+         |    concat_ws(',',
+         |      CASE WHEN n_tokens < $QrMinTokens THEN 'too_few_tokens' END,
+         |      CASE WHEN stop_ratio < $QrMinStopword THEN 'low_stopword' END,
+         |      CASE WHEN mean_len > $QrMaxMeanTokenLen THEN 'long_tokens' END,
+         |      CASE WHEN lang_pred <> 'und' AND lang_pred <> lang THEN 'lang_mismatch' END) AS reasons
+         |  FROM pred)
+         |SELECT doc_id, n_tokens, reasons, CAST(reasons = '' AS INT) AS keep
+         |FROM reported ORDER BY doc_id""".stripMargin
+    },
+
+    "q60_lsh_recall" ->
+      s"""WITH truth AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b
+         |  FROM embeddings l JOIN embeddings r
+         |    ON l.label = r.label AND l.vec_id < r.vec_id
+         |  WHERE round(${cosine("l.embedding", "r.embedding")}, 6) >= $CosineThreshold),
+         |lshp AS (SELECT a, b FROM ($cosineLshSelect)),
+         |tc AS (SELECT count(*) AS n_truth FROM truth),
+         |lc AS (SELECT count(*) AS n_lsh FROM lshp),
+         |cc AS (SELECT count(*) AS n_common FROM truth JOIN lshp USING (a, b))
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_lsh AS BIGINT) AS n_lsh,
+         |  CAST(n_common AS BIGINT) AS n_common,
+         |  round(CAST(n_common AS DOUBLE) / CAST(greatest(n_truth, 1) AS DOUBLE), 6) AS recall
+         |FROM tc, lc, cc""".stripMargin,
+
     "q46_span_dedup" ->
       s"""WITH sized AS (
          |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)

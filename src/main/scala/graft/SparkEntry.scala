@@ -71,6 +71,9 @@ object SparkEntry {
     val MpTables = 2                    // q58 multi-probe: half of NTables —
                                         // Hamming<=1 probing buys the recall
                                         // the other two tables would
+    val QrMinTokens = 20                // q59 gate thresholds, set against the
+    val QrMinStopword = 0.02            // corpus's q16 signal distribution so
+    val QrMaxMeanTokenLen = 6.0         // each rule fires on a real minority
   }
   import Params._
 
@@ -231,7 +234,11 @@ object SparkEntry {
       Pq.searchResidualIvfAdc(emb, IvfStep, cbs, Knn.queryVector(emb, QueryVecId), NProbe, K)
     }),
     "q58_multiprobe_lsh" -> ((s, d) =>
-      Dedup.cosineLshMultiProbe(Tables.embeddings(s, d), NPlanes, MpTables, CosineThreshold))
+      Dedup.cosineLshMultiProbe(Tables.embeddings(s, d), NPlanes, MpTables, CosineThreshold)),
+    "q59_quality_report" -> ((s, d) => TextAnalysis.qualityReport(
+      Tables.documents(s, d), QrMinTokens, QrMinStopword, QrMaxMeanTokenLen)),
+    "q60_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecallReport(Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

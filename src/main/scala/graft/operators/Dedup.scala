@@ -280,6 +280,38 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** In-engine LSH recall audit (q60): how much of the exact
+    * within-block near-dup truth ([[cosinePairs]]) does the sign-LSH
+    * candidate path ([[cosineLsh]]) actually find? ANN parameters
+    * (planes/tables/probes) are recall dials, and a 100 TB pipeline
+    * needs the dial READ in-engine: full-corpus exact truth is the
+    * quadratic this family avoids, so the audit measures recall against
+    * block-bounded truth — exactly the sampled-ground-truth audit a
+    * production corpus runs. Output is one row: n_truth, n_lsh,
+    * n_common, recall (6 dp). Three bounded aggregates cross-joined —
+    * the pair frames never leave the executors unaggregated.
+    *
+    * What the dial reads like: sign-LSH collision probability per
+    * table is (1 − θ/π)^nPlanes, so recall is HIGH at near-dup
+    * thresholds (cos ≥ 0.9 → ~0.99 at 8×4, the SemDeDup/dedup regime
+    * this family serves) and collapses at low-similarity thresholds
+    * (cos 0.15 → ~0.03 analytic; the oracle corpus measures 0.08).
+    * Low-threshold sweeps need more tables/probes ([[
+    * cosineLshMultiProbe]]) or the blocked exact path — and now the
+    * pipeline can SEE that before shipping a filter. */
+  def lshRecallReport(vectors: DataFrame, nPlanes: Int, nTables: Int,
+                      threshold: Double): DataFrame = {
+    val truth = cosinePairs(vectors, threshold).select("a", "b")
+    val lsh = cosineLsh(vectors, nPlanes, nTables, threshold).select("a", "b")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nLsh = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nCommon = truth.join(lsh, Seq("a", "b")).agg(count(lit(1)).as("n_common"))
+    nTruth.crossJoin(nLsh).crossJoin(nCommon)
+      .select(col("n_truth"), col("n_lsh"), col("n_common"),
+        round(col("n_common").cast("double") /
+          greatest(col("n_truth"), lit(1L)).cast("double"), 6).as("recall"))
+  }
+
   /** Multi-probe sign-LSH near-dup (Lv et al. 2007's multi-probe idea
     * applied to the sign-LSH family): each vector probes its OWN bucket
     * plus the `nPlanes` buckets at Hamming distance 1, so a pair is a

@@ -252,6 +252,65 @@ object TextAnalysis {
   /** N-gram-heuristic language ID: score each candidate language by
     * stopword hits and pick the argmax (deterministic tiebreak on
     * language code). Expressible as a CASE cascade, so oracle-checkable. */
+  /** Composite quality-gate REPORT (q59): every rule evaluated per doc
+    * with machine-readable reasons — the auditable form of a corpus
+    * filter (C4/Gopher pipelines publish per-rule removal rates; a bare
+    * boolean gate like [[CorpusPipeline.qualityGate]] can't). Rules
+    * evaluate on the same 6-dp-rounded signals the q16/q16b keys emit,
+    * so the gate is engine-exact by construction. One narrow pass:
+    * tokens materialize into columns once (see [[Dedup.shinglesOf]] on
+    * the interpreted-HOF re-evaluation trap), reasons are a
+    * null-skipping concat_ws in fixed rule order, zero shuffles before
+    * the contractual output sort. Null lang never flags lang_mismatch
+    * (null comparison → null → rule skipped), matching SQL CASE
+    * semantics. */
+  def qualityReport(docs: DataFrame, minTokens: Int, minStopword: Double,
+                    maxMeanTokenLen: Double): DataFrame = {
+    // Every non-cheap signal is STAGED through a bound column, one
+    // select per altitude, so nothing interpreted evaluates twice.
+    // CollapseProject leaves these Projects alone (it only merges when
+    // a referenced alias is cheap or used once) — an inline
+    // formulation let the langPred CASE re-evaluate its four
+    // size(filter(...)) HOFs per branch, and `keep` re-evaluate the
+    // whole reasons tree: ~80 interpreted array walks per row,
+    // measured 10.7 s where this runs in ~1 s at sf0.1.
+    def hits(words: Seq[String]): Column =
+      size(filter(col("__lt"), t => t.isin(words: _*)))
+    val withHits = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        tokens(col("text")).as("__t"), tokens(lower(col("text"))).as("__lt"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("__t")).as("n_tokens"),
+        size(filter(col("__t"),
+          t => t.isin("the", "a", "and", "of", "to", "in", "is", "it"))).as("__stop"),
+        hits(Seq("the", "and", "of", "to", "is")).as("__en"),
+        hits(Seq("el", "la", "de", "que", "y")).as("__es"),
+        hits(Seq("le", "la", "de", "et", "les")).as("__fr"),
+        hits(Seq("der", "die", "und", "das", "ist")).as("__de"))
+    val best = greatest(col("__en"), col("__es"), col("__fr"), col("__de"))
+    val signals = withHits.select(col("doc_id"), col("lang"), col("n_tokens"),
+      round(col("__stop").cast("double") /
+        greatest(col("n_tokens"), lit(1)).cast("double"), 6).as("__stop_ratio"),
+      round(col("n_chars").cast("double") /
+        greatest(col("n_tokens"), lit(1)).cast("double"), 6).as("__mean_len"),
+      when(best === 0, "und")
+        .when(col("__de") === best, "de")
+        .when(col("__en") === best, "en")
+        .when(col("__es") === best, "es")
+        .otherwise("fr").as("__lang_pred"))
+    signals
+      .select(col("doc_id"), col("n_tokens"),
+        concat_ws(",",
+          when(col("n_tokens") < minTokens, "too_few_tokens"),
+          when(col("__stop_ratio") < minStopword, "low_stopword"),
+          when(col("__mean_len") > maxMeanTokenLen, "long_tokens"),
+          when(col("__lang_pred") =!= lit("und") && col("__lang_pred") =!= col("lang"),
+            "lang_mismatch")).as("reasons"))
+      .select(col("doc_id"), col("n_tokens"), col("reasons"),
+        (col("reasons") === "").cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     // Tokenize ONCE into a column; the four per-language counts then
     // filter a cheap attribute instead of re-running lower+regex-split

@@ -285,6 +285,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out(0).getInt(1) === 5 && out(1).isNullAt(1))
   }
 
+  test("quality report: each rule fires on its crafted doc, reasons in fixed order") {
+    val docs = Seq(
+      // clean: 20 tokens, rich stopwords, short tokens, en-predicted
+      (1L, "the cat sat on the mat and it is a fine day to be in the sun with it now", "en"),
+      (2L, "short doc here", "en"),
+      (3L, "cat dog fox run sun sky red hat box car pen cup map key net jar rug fan log bat bee cow elk owl pig", "en"),
+      (4L, Seq.fill(25)("wonderfulness").mkString(" "), "en"),
+      (5L, Seq.fill(4)("el la de que y").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = graft.operators.TextAnalysis
+      .qualityReport(docs, minTokens = 20, minStopword = 0.02, maxMeanTokenLen = 6.0)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getInt(3))).toMap
+    assert(out(1L) == ("", 1), "clean doc must keep with no reasons")
+    assert(out(2L) == ("too_few_tokens,low_stopword", 0))
+    assert(out(3L) == ("low_stopword", 0))
+    assert(out(4L) == ("low_stopword,long_tokens", 0))
+    assert(out(5L) == ("low_stopword,lang_mismatch", 0))
+  }
+
   test("normalized dedup: case/punct/whitespace variants collapse, distinct text survives") {
     val df = Seq(
       (1L, "Hello, World!"),

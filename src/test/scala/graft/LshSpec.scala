@@ -58,6 +58,19 @@ class LshSpec extends SparkSpec {
     assert(rm >= r4, s"multi-probe@2 found $rm planted pairs < single-probe@4's $r4")
   }
 
+  test("recall report: consistent counts, high recall on planted near-dups at 0.9") {
+    val labeled = corpus.withColumn("label", lit(1)) // one block: truth = all qualifying pairs
+    val rep = Dedup.lshRecallReport(labeled, nPlanes = 8, nTables = 4, threshold = 0.9)
+      .collect().head
+    val (nt, nl, nc, rec) =
+      (rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getDouble(3))
+    assert(nt >= 30, "ground truth must include the planted pairs")
+    assert(nc <= math.min(nt, nl))
+    assert(math.abs(rec - nc.toDouble / math.max(nt, 1L)) < 1e-6)
+    // cos >= 0.9 is the regime this family serves: collision prob ~0.99
+    assert(rec >= 0.8, s"recall $rec at the near-dup threshold")
+  }
+
   test("every reported pair really exceeds the threshold (no false positives)") {
     val rows = Dedup.cosineLsh(corpus, 8, 4, 0.9, dim).collect()
     assert(rows.nonEmpty)
