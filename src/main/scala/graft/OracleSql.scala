@@ -658,6 +658,53 @@ object OracleSql {
          |  round(CAST(n_common AS DOUBLE) / CAST(greatest(n_truth, 1) AS DOUBLE), 6) AS recall
          |FROM tc, lc, cc""".stripMargin,
 
+    "q61_rpq_search" -> {
+      // Normalized Sylvester-Hadamard rows: ±1/8 exactly (dim 64), so
+      // the rotation is oracle-exact; dotd's list_sum matches the
+      // codegen'd DotProduct's left-to-right accumulation.
+      def hRow(i: Int) = (0 until 64)
+        .map(j => if (Integer.bitCount(i & j) % 2 == 0) "0.125" else "-0.125")
+        .mkString("[", ", ", "]::DOUBLE[]")
+      def rotExprs(src: String) = (0 until 64)
+        .map(i => dotd(src, hRow(i))).mkString(",\n      ")
+      val rCtes = (0 until PqM).map { j =>
+        val lo = j * pqSub + 1
+        val hi = lo + pqSub - 1
+        def sub(a: String, b: String) =
+          s"list_sum(list_transform(list_zip(list_slice($a, $lo, $hi), $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
+        s"""hcb$j AS (
+           |  SELECT vec_id // $IvfStep AS code, list_slice(r, $lo, $hi) AS s
+           |  FROM rot WHERE vec_id % $IvfStep = 0),
+           |henc$j AS (
+           |  SELECT vec_id, code AS c$j FROM (
+           |    SELECT t.vec_id, c.code,
+           |      row_number() OVER (PARTITION BY t.vec_id
+           |        ORDER BY round(${sub("t.r", "c.s")}, 6), c.code) AS rn
+           |    FROM rot t CROSS JOIN hcb$j c) WHERE rn = 1),
+           |hdt$j AS (
+           |  SELECT c.code, round(${sub("q.qr", "c.s")}, 6) AS d
+           |  FROM q CROSS JOIN hcb$j c)""".stripMargin
+      }.mkString(",\n")
+      val encJoins = (0 until PqM).map(j => s"JOIN henc$j e$j ON e$j.vec_id = e0.vec_id")
+        .drop(1).mkString(" ")
+      val dtJoins = (0 until PqM).map(j => s"JOIN hdt$j ON hdt$j.code = e$j.c$j").mkString(" ")
+      val dtSum = (0 until PqM).map(j => s"hdt$j.d").mkString(" + ")
+      s"""WITH rot AS (
+         |  SELECT vec_id, [
+         |      ${rotExprs("embedding")}] AS r
+         |  FROM embeddings WHERE ${cleanEmb("embedding")}),
+         |q AS (
+         |  SELECT [
+         |      ${rotExprs("embedding")}] AS qr
+         |  FROM embeddings WHERE vec_id = $QueryVecId),
+         |$rCtes
+         |SELECT e0.vec_id, round($dtSum, 6) AS approx_dist
+         |FROM henc0 e0
+         |$encJoins
+         |$dtJoins
+         |ORDER BY approx_dist, e0.vec_id LIMIT $K""".stripMargin
+    },
+
     "q46_span_dedup" ->
       s"""WITH sized AS (
          |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)

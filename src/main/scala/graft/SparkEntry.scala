@@ -238,7 +238,11 @@ object SparkEntry {
     "q59_quality_report" -> ((s, d) => TextAnalysis.qualityReport(
       Tables.documents(s, d), QrMinTokens, QrMinStopword, QrMaxMeanTokenLen)),
     "q60_lsh_recall" -> ((s, d) =>
-      Dedup.lshRecallReport(Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold))
+      Dedup.lshRecallReport(Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold)),
+    "q61_rpq_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Pq.searchRotated(emb, IvfStep, PqM, Knn.queryVector(emb, QueryVecId), K)
+    })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -321,6 +321,68 @@ object Pq {
   }
 
   // ------------------------------------------------------------------
+  // Rotated PQ ("OPQ-lite"): orthogonally rotate vectors before
+  // quantization so the energy spreads evenly across subspaces. Full
+  // OPQ (Ge et al. 2013) LEARNS the rotation; the normalized Hadamard
+  // rotation here is the standard cheap baseline (FAISS uses it to
+  // initialize OPQ) and, being ±1/√dim with dim = 64, every matrix
+  // entry is ±0.125 — exactly representable, so the whole pipeline
+  // stays oracle-checkable. Rotation is an isometry: L2 distances are
+  // preserved, so ADC distances over rotated codes approximate the
+  // ORIGINAL distances.
+  // ------------------------------------------------------------------
+
+  /** Row i of the normalized Sylvester-Hadamard matrix: H[i][j] =
+    * (−1)^popcount(i AND j) / √dim. Orthonormal and self-inverse for
+    * any power-of-two dim; entries are exact dyadic rationals when dim
+    * is a power of FOUR (64 → ±0.125). */
+  def hadamard(dim: Int): Seq[Array[Double]] = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"Hadamard needs power-of-2 dim, got $dim")
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    (0 until dim).map { i =>
+      Array.tabulate(dim) { j =>
+        if (Integer.bitCount(i & j) % 2 == 0) scale else -scale
+      }
+    }
+  }
+
+  /** Rotate an embedding table: out[i] = dot(v, H_i) through the
+    * codegen'd [[graft.functions.DotProduct]] kernel per output
+    * dimension, left-to-right accumulation — the exact expression tree
+    * an ANSI oracle mirrors with list_sum(list_transform(list_zip)).
+    * (A butterfly FWHT would be O(dim log dim) instead of O(dim²) but
+    * sums in a different association order — float addition is not
+    * associative, and cross-engine exactness is worth 4 096 codegen'd
+    * flops per row.) Narrow, zero shuffles; dirty rows drop on the raw
+    * column as everywhere else. Output column is named `embedding` so
+    * the whole PQ family composes unchanged. */
+  def rotate(vectors: DataFrame, dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val rcol = array(hadamard(dim).map(h => dot(col("embedding"), typedlit(h.toSeq))): _*)
+    vectors.where(cleanVec(col("embedding"), dim))
+      .select(col("vec_id"), rcol.as("embedding"))
+  }
+
+  /** Rotate a 1-row query frame (column `qv`) with the same matrix. */
+  def rotateQuery(query: DataFrame, dim: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val rcol = array(hadamard(dim).map(h => dot(col("qv"), typedlit(h.toSeq))): _*)
+    query.select(rcol.as("qv"))
+  }
+
+  /** Rotated-PQ flat ADC search (q61): codebooks/encode/search all run
+    * over the rotated table, the query rotates once — because rotation
+    * is an isometry the returned approx dists approximate the original
+    * L2 dists. Same plan shape as [[searchAdc]]: one narrow scan with
+    * literal lookup tables, TakeOrderedAndProject. */
+  def searchRotated(vectors: DataFrame, step: Int, m: Int, query: DataFrame,
+                    k: Int, dim: Int = 64): DataFrame = {
+    val rot = rotate(vectors, dim)
+    val cbs = codebooks(rot, step, m)
+    searchAdc(encode(rot, cbs), cbs, rotateQuery(query, dim), k)
+  }
+
+  // ------------------------------------------------------------------
   // Residual IVF-PQ (Jégou et al. 2011 §IV.B, the FAISS IVFPQ layout):
   // quantize v − centroid(v) instead of v. Residuals concentrate near 0
   // (the coarse quantizer already removed the cell mean), so the same

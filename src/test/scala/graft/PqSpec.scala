@@ -196,6 +196,47 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("Hadamard rotation: exactly orthonormal rows, isometry to 1e-6, self-inverse") {
+    val h = Pq.hadamard(64)
+    // dyadic entries -> exact dot products: 1.0 on the diagonal, 0.0 off
+    for (i <- 0 until 64; j <- i until 64 by 7) {
+      val d = h(i).zip(h(j)).map { case (a, b) => a * b }.sum
+      assert(d == (if (i == j) 1.0 else 0.0), s"H rows $i,$j dot $d")
+    }
+    import graft.operators.Knn
+    val q = Knn.queryVector(emb0001, 0L)
+    val v = q.collect().head.getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray
+    def mul(x: Array[Double]) = h.map(row => row.zip(x).map { case (a, b) => a * b }.sum).toArray
+    val r = mul(v)
+    assert(math.abs(math.sqrt(r.map(x => x * x).sum) - math.sqrt(v.map(x => x * x).sum)) < 1e-9,
+      "rotation must preserve the norm")
+    val back = mul(r) // normalized Sylvester-Hadamard is self-inverse
+    v.zip(back).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("rotated-PQ search recall@20 stays in the plain-PQ band (isometry)") {
+    val q = Knn.queryVector(emb001, 0L)
+    val exactIds = emb001.crossJoin(broadcast(q))
+      .select(col("vec_id"), l2Sq(col("embedding"), col("qv")).as("d"))
+      .orderBy(asc("d"), asc("vec_id")).limit(20)
+      .collect().map(_.getLong(0)).toSet
+    val cbs = Pq.codebooks(emb001, step = 25, m = 8)
+    val rawIds = Pq.searchAdc(Pq.encode(emb001, cbs), cbs, q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val rotIds = Pq.searchRotated(emb001, 25, 8, q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val raw = (rawIds & exactIds).size / 20.0
+    val rot = (rotIds & exactIds).size / 20.0
+    info(s"raw PQ recall@20 = $raw, rotated = $rot")
+    // this corpus is isotropic (uniform random), so rotation can't
+    // systematically help — the claim is it doesn't HURT beyond
+    // quantization noise; on anisotropic data it's the OPQ win
+    assert(rot >= raw - 0.2, s"rotated recall $rot collapsed vs raw $raw")
+  }
+
   test("residual IVF-PQ recall@20 >= raw IVF-PQ at the same code budget") {
     import graft.operators.Ivf
     val q = Knn.queryVector(emb001, 0L)
