@@ -363,11 +363,123 @@ object Pq {
       .select(col("vec_id"), rcol.as("embedding"))
   }
 
-  /** Rotate a 1-row query frame (column `qv`) with the same matrix. */
-  def rotateQuery(query: DataFrame, dim: Int): DataFrame = {
+  /** Rotate an embedding table with an ARBITRARY orthogonal matrix
+    * (rows = output dims) — the learned-rotation entry point; plan
+    * shape identical to [[rotate]]. */
+  def rotateWith(vectors: DataFrame, rows: Seq[Array[Double]]): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val rcol = array(hadamard(dim).map(h => dot(col("qv"), typedlit(h.toSeq))): _*)
+    val dim = rows.head.length
+    val rcol = array(rows.map(h => dot(col("embedding"), typedlit(h.toSeq))): _*)
+    vectors.where(cleanVec(col("embedding"), dim))
+      .select(col("vec_id"), rcol.as("embedding"))
+  }
+
+  /** Rotate a 1-row query frame (column `qv`) with the same matrix. */
+  def rotateQuery(query: DataFrame, dim: Int): DataFrame =
+    rotateQueryWith(query, hadamard(dim))
+
+  /** [[rotateQuery]] for an arbitrary rotation. */
+  def rotateQueryWith(query: DataFrame, rows: Seq[Array[Double]]): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val rcol = array(rows.map(h => dot(col("qv"), typedlit(h.toSeq))): _*)
     query.select(rcol.as("qv"))
+  }
+
+  /** A learned OPQ rotation with its per-iteration training error. */
+  final case class OpqModel(rows: Seq[Array[Double]], errors: Seq[Double])
+
+  /** Full OPQ (Ge et al. 2013, non-parametric solution): LEARN the
+    * rotation by alternating (a) quantize the rotated training sample
+    * with per-subspace k-means codebooks and (b) solve the orthogonal
+    * Procrustes problem min_Ω ‖XΩ − X̂‖_F = UVᵀ from the SVD of XᵀX̂
+    * (Spark's own breeze does the 64×64 SVD). Seeded from the
+    * [[hadamard]] rotation — exactly how FAISS initializes OPQ.
+    *
+    * Scale contract: training runs DRIVER-SIDE over a bounded sample
+    * (rows with vec_id % sampleStride == 0 — quantizer fitting needs
+    * ~1k vectors per code, never the corpus; the same bounded-collect
+    * contract as [[codebooks]] and BPE training). Production encode
+    * then applies the learned R with [[rotateWith]] — the narrow
+    * codegen'd pipeline, corpus-scale. Training error (mean squared
+    * reconstruction error per sample row) is returned per iteration;
+    * the alternation is monotone non-increasing by construction
+    * (each half-step minimizes the shared objective) — spec-asserted. */
+  def learnRotation(vectors: DataFrame, sampleStride: Int, m: Int,
+                    iters: Int, dim: Int = 64, k: Int = 16): OpqModel = {
+    import breeze.linalg.{svd, DenseMatrix}
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val sub = dim / m
+    val x: Array[Array[Double]] = vectors
+      .where(cleanVec(col("embedding"), dim))
+      .filter(pmod(col("vec_id"), lit(sampleStride.toLong)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Any](1).map(widen).toArray)
+    require(x.nonEmpty, "empty training sample")
+    var r = hadamard(dim).map(_.clone).toArray
+
+    def rotated(v: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += r(i)(j) * v(j); j += 1 }
+        acc
+      }
+    // deterministic per-subspace k-means on the rotated sample
+    def codebook(xr: Array[Array[Double]], j: Int): Array[Array[Double]] = {
+      val pts = xr.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      val kk = math.min(k, pts.length)
+      var cents = Array.tabulate(kk)(i => pts(i * pts.length / kk).clone)
+      for (_ <- 0 until 8) {
+        val sums = Array.fill(kk)(new Array[Double](sub))
+        val counts = new Array[Int](kk)
+        pts.foreach { p =>
+          var bi = 0; var bd = Double.MaxValue
+          for (c <- 0 until kk) {
+            var d = 0.0; var t = 0
+            while (t < sub) { val e = p(t) - cents(c)(t); d += e * e; t += 1 }
+            if (d < bd) { bd = d; bi = c }
+          }
+          counts(bi) += 1
+          for (t <- 0 until sub) sums(bi)(t) += p(t)
+        }
+        cents = Array.tabulate(kk)(c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(sub)(t => sums(c)(t) / counts(c)))
+      }
+      cents
+    }
+    val errors = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val xr = x.map(rotated)
+      val cbs = (0 until m).map(j => codebook(xr, j))
+      // reconstruction of each rotated sample row from its codes
+      val xhat = xr.map { v =>
+        val out = new Array[Double](dim)
+        for (j <- 0 until m) {
+          var bi = 0; var bd = Double.MaxValue
+          cbs(j).zipWithIndex.foreach { case (c, ci) =>
+            var d = 0.0; var t = 0
+            while (t < sub) { val e = v(j * sub + t) - c(t); d += e * e; t += 1 }
+            if (d < bd) { bd = d; bi = ci }
+          }
+          System.arraycopy(cbs(j)(bi), 0, out, j * sub, sub)
+        }
+        out
+      }
+      errors += x.indices.map { i =>
+        xr(i).zip(xhat(i)).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.sum / x.length
+      // Procrustes: Ω = U·Vᵀ of svd(Xᵀ·X̂) minimizes ‖XΩ − X̂‖_F; the
+      // rotation rows are R = Ωᵀ (rotate() computes y_i = dot(v, row_i))
+      val mtx = DenseMatrix.zeros[Double](dim, dim)
+      for (i <- x.indices; a <- 0 until dim; b <- 0 until dim)
+        mtx(a, b) += x(i)(a) * xhat(i)(b)
+      val s = svd(mtx)
+      val omega = s.U * s.Vt
+      r = Array.tabulate(dim)(i => Array.tabulate(dim)(j => omega(j, i)))
+    }
+    OpqModel(r.toSeq, errors.result())
   }
 
   /** Rotated-PQ flat ADC search (q61): codebooks/encode/search all run
