@@ -223,6 +223,34 @@ object Pq {
       .limit(k)
   }
 
+  /** Batched flat-ADC search: a whole query TABLE answered in one plan
+    * (per-query driver loops don't scale — the same contract as
+    * [[Ivf.searchBatch]]). Queries collect driver-side (a bounded query
+    * table, the same contract as [[collectQuery]]); their dist tables
+    * ship as ONE broadcast frame (query_id, dts) of q × m × k doubles
+    * (kB–MB scale), the scan crossJoins it — n × q scored rows, the
+    * inherent cost of a flat batched scan over 32×-compressed codes —
+    * and per-query top-k runs through [[graft.plans.GroupedTopK]]:
+    * bounded heaps before the exchange, no sort, no rank column. */
+  def searchAdcBatch(encoded: DataFrame, cbs: Seq[CentroidSet],
+                     queries: DataFrame, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("query_id").cast("long"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map(widen).toArray))
+    val qdt = qs.toSeq
+      .map { case (qid, qv) => (qid, distTables(cbs, qv).map(_.toSeq)) }
+      .toDF("query_id", "dts")
+    val dist = cbs.indices.map(j =>
+      element_at(element_at(col("dts"), j + 1), col(s"c$j").cast("int") + 1))
+      .reduce(_ + _)
+    graft.plans.GroupedTopK.topK(
+      encoded.crossJoin(broadcast(qdt))
+        .select(col("query_id"), col("vec_id"), round(dist, 6).as("approx_dist")),
+      Seq(col("query_id")), Seq(col("approx_dist").asc, col("vec_id").asc), k)
+      .orderBy("query_id", "approx_dist", "vec_id")
+  }
+
   /** Codes WITH their coarse IVF cell riding the same narrow pass:
     * vec_id, centroid_id (full-dim [[NearestCentroid]] argmin over
     * `cents`, coalesced to -1 so the key is non-nullable — a probed-cell

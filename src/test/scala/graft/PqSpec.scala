@@ -237,6 +237,24 @@ class PqSpec extends SparkSpec {
     assert(rot >= raw - 0.2, s"rotated recall $rot collapsed vs raw $raw")
   }
 
+  test("batched ADC search == per-query flat ADC for every query") {
+    val cbs = Pq.codebooks(emb0001, 25, 8)
+    val enc = Pq.encode(emb0001, cbs)
+    val qids = Seq(0L, 7L, 42L)
+    val queries = emb0001.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Pq.searchAdcBatch(enc, cbs, queries, 10).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    assert(batch.keySet == qids.toSet)
+    qids.foreach { qid =>
+      val single = Pq.searchAdc(enc, cbs,
+          emb0001.where(col("vec_id") === qid).select(col("embedding").as("qv")), 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single, s"query $qid diverged from single-query ADC")
+    }
+  }
+
   test("learned OPQ rotation: orthonormal, improves training error, recall >= fixed") {
     val model = Pq.learnRotation(emb001, sampleStride = 5, m = 8, iters = 4)
     for (i <- 0 until 64 by 9; j <- i until 64 by 9) {
