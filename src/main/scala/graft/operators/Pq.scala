@@ -270,6 +270,15 @@ object Pq {
       .select(col("vec_id") +: cell +: codeCols(vectors, cbs): _*)
   }
 
+  private def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+                             cbs: Seq[CentroidSet], path: String): Unit = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cs, j) =>
+      cs.cids.zip(cs.mat).map { case (code, v) => (j, code, v.toSeq) }
+    }.toDF("subspace", "code", "sub_emb")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
   /** Persist the IVF-PQ index: the codes table partitioned by coarse
     * cell (so a probed search is a partition-pruned scan of the 32×
     * compressed representation) + the centroid and flattened codebook
@@ -277,18 +286,33 @@ object Pq {
     * without the source vectors. */
   def save(vectors: DataFrame, step: Int, cbs: Seq[CentroidSet],
            path: String): Unit = {
-    val spark = vectors.sparkSession
     val cents = Ivf.centroids(vectors, step)
     encodeWithCell(vectors, cents, cbs)
       .repartition(col("centroid_id")) // one file per cell dir, not tasks×cells
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/codes")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    import spark.implicits._
-    cbs.zipWithIndex.flatMap { case (cs, j) =>
-      cs.cids.zip(cs.mat).map { case (code, v) => (j, code, v.toSeq) }
-    }.toDF("subspace", "code", "sub_emb")
-      .write.mode("overwrite").parquet(s"$path/codebooks")
+    writeCodebooks(vectors.sparkSession, cbs, path)
+  }
+
+  /** Persist a RESIDUAL IVF-PQ index — same on-disk layout as [[save]]
+    * (codes partitioned by cell + centroids + flattened codebooks), the
+    * codes being residual codes from [[encodeResidual]]. [[load]] reads
+    * it back unchanged, and [[searchResidualCells]] over the loaded
+    * tables is the persisted form of the best-recall compressed path —
+    * the reference's serialize/deserialize capability (Program.cs:
+    * 231-263) at the 100 TB layout. Returns the trained codebooks. */
+  def saveResidual(vectors: DataFrame, step: Int, offset: Int, m: Int,
+                   path: String): Seq[CentroidSet] = {
+    val cents = Ivf.centroids(vectors, step)
+    val cbs = residualCodebooks(vectors, cents, step, offset, m)
+    encodeResidual(vectors, cents, cbs)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    writeCodebooks(vectors.sparkSession, cbs, path)
+    cbs
   }
 
   /** Load a persisted IVF-PQ index: (codes, centroids, codebooks). */

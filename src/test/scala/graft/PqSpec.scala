@@ -237,6 +237,29 @@ class PqSpec extends SparkSpec {
     assert(rot >= raw - 0.2, s"rotated recall $rot collapsed vs raw $raw")
   }
 
+  test("persisted residual IVF-PQ roundtrips: loaded search == inline search") {
+    import graft.operators.Ivf
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rpq_index"
+    val cbs = Pq.saveResidual(emb0001, step = 25, offset = 12, m = 8, path)
+    val (codes, cents, loadedCbs) = Pq.load(spark, path)
+    assert(loadedCbs.length == cbs.length)
+    loadedCbs.zip(cbs).foreach { case (l, o) =>
+      assert(l.cids.toSeq == o.cids.toSeq)
+      assert(l.mat.zip(o.mat).forall { case (a, b) => a.sameElements(b) })
+    }
+    val q = graft.operators.Knn.queryVector(emb0001, 0L)
+    val fromDisk = Pq.searchResidualCells(codes, cents, loadedCbs, q, 4, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Pq.searchResidualIvfAdc(emb0001, 25,
+        Pq.residualCodebooks(emb0001, Ivf.centroids(emb0001, 25), 25, 12, 8), q, 4, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromDisk === inline)
+    // partitioned layout: one dir per coarse cell
+    val dirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("centroid_id="))
+    assert(dirs.nonEmpty)
+  }
+
   test("batched ADC search == per-query flat ADC for every query") {
     val cbs = Pq.codebooks(emb0001, 25, 8)
     val enc = Pq.encode(emb0001, cbs)
