@@ -62,7 +62,7 @@ object Clusters {
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
       val cp = if (reliable) df.checkpoint() else df.localCheckpoint()
-      (cp, (sc.getPersistentRDDs.keySet -- before).toSet)
+      (cp, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))

@@ -34,7 +34,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
     val saltedBig = big.withColumn(
-      "__salt", pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)))
+      "__salt", pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)))
     val replicatedSmall = small.withColumn(
       "__salt", explode(array((0 until salts).map(s => lit(s.toLong)): _*)))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
