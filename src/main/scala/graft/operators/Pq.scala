@@ -364,6 +364,49 @@ object Pq {
       .limit(k)
   }
 
+  /** Batched PROBED search: a whole query table over the partitioned
+    * codes, each query ADC-reranking only its own nprobe cells — the
+    * billion-scale serving shape ([[Ivf.searchBatch]]'s contract on the
+    * compressed layout). Probing and dist tables compute driver-side
+    * per query (bounded: queries × centroids, the same contract as
+    * [[searchResidualCells]]); the (query_id, centroid_id) probe pairs
+    * broadcast-join the codes — each code row fans out ONLY to the
+    * queries probing its cell — and the per-query dist tables join by
+    * query_id. Per-query top-k through GroupedTopK: bounded heaps, no
+    * sort. On the [[save]] layout the probe join prunes the codes scan
+    * to the UNION of probed cells. */
+  def searchAdcCellsBatch(codes: DataFrame, cents: DataFrame, cbs: Seq[CentroidSet],
+                          queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val cs = Ivf.collectCentroids(cents)
+    val dim = subDim(cbs) * cbs.length
+    val clean = cs.cids.zip(cs.mat)
+      .filter { case (_, ce) => ce.length == dim && !ce.exists(_.isNaN) }
+    val qs = queries.select(col("query_id").cast("long"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map(widen).toArray))
+    val probed = qs.toSeq.flatMap { case (qid, qv) =>
+      clean.map { case (cid, ce) =>
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { val d = qv(i) - ce(i); acc += d * d; i += 1 }
+        (qid, cid, graft.functions.VecUtil.round6(acc))
+      }.sortBy { case (_, cid, d) => (d, cid) }.take(nprobe)
+    }.map { case (qid, cid, _) => (qid, cid) }.toDF("query_id", "centroid_id")
+    val qdt = qs.toSeq
+      .map { case (qid, qv) => (qid, distTables(cbs, qv).map(_.toSeq)) }
+      .toDF("query_id", "dts")
+    val dist = cbs.indices.map(j =>
+      element_at(element_at(col("dts"), j + 1), col(s"c$j").cast("int") + 1))
+      .reduce(_ + _)
+    graft.plans.GroupedTopK.topK(
+      codes.join(broadcast(probed), "centroid_id")
+        .join(broadcast(qdt), "query_id")
+        .select(col("query_id"), col("vec_id"), round(dist, 6).as("approx_dist")),
+      Seq(col("query_id")), Seq(col("approx_dist").asc, col("vec_id").asc), k)
+      .orderBy("query_id", "approx_dist", "vec_id")
+  }
+
   /** In-memory IVF-PQ search without persist (the oracle-checked q48
     * path): codes = [[encodeWithCell]] over the source vectors. */
   def searchIvfAdc(vectors: DataFrame, step: Int, cbs: Seq[CentroidSet],

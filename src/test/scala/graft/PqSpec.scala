@@ -237,6 +237,26 @@ class PqSpec extends SparkSpec {
     assert(rot >= raw - 0.2, s"rotated recall $rot collapsed vs raw $raw")
   }
 
+  test("batched probed search == per-query searchAdcCells for every query") {
+    import graft.operators.Ivf
+    val cbs = Pq.codebooks(emb0001, 25, 8)
+    val cents = Ivf.centroids(emb0001, 25)
+    val codes = Pq.encodeWithCell(emb0001, cents, cbs)
+    val qids = Seq(0L, 7L, 42L)
+    val queries = emb0001.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Pq.searchAdcCellsBatch(codes, cents, cbs, queries, 4, 10).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    assert(batch.keySet == qids.toSet)
+    qids.foreach { qid =>
+      val single = Pq.searchAdcCells(codes, cents, cbs,
+          emb0001.where(col("vec_id") === qid).select(col("embedding").as("qv")), 4, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single, s"query $qid diverged from single-query probed ADC")
+    }
+  }
+
   test("persisted residual IVF-PQ roundtrips: loaded search == inline search") {
     import graft.operators.Ivf
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_rpq_index"
