@@ -22,18 +22,24 @@ for t in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+def array_cols(df: pd.DataFrame):
+    """Columns holding list/ndarray cells. The driver's pandas compare
+    (sort_values -> lexsort_indexer -> factorize) throws
+    `unhashable type: numpy.ndarray` on these, so this local stand-in
+    must FAIL them too — the r7 tuple-conversion leniency let
+    q49_sq_encode pass locally while the driver's gate went red.
+    Oracle keys must emit scalar, sortable columns only."""
     import numpy as np
+    bad = []
     for c in df.columns:
         if df[c].dtype == object and len(df):
-            # Decide list-ness from any NON-NULL cell (row 0 may be
-            # None/NaN in a column that still holds lists further down),
-            # and tuple-convert per cell so mixed null/list sorts work.
             non_null = df[c].dropna()
             if len(non_null) and isinstance(non_null.iloc[0], (list, np.ndarray)):
-                df[c] = df[c].map(
-                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+                bad.append(c)
+    return bad
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 def norm_cell(v):
@@ -77,6 +83,11 @@ for name in sorted(os.listdir(out_dir)):
         oracle_df = con.execute(oracle[name]).fetchdf()
     except Exception as e:
         print(f"{name:24s} ORACLE SQL ERROR: {e}")
+        fails.append(name)
+        continue
+    bad = array_cols(spark_df) + array_cols(oracle_df)
+    if bad:
+        print(f"{name:24s} ARRAY COLUMN {sorted(set(bad))} — driver-unsortable, FAIL")
         fails.append(name)
         continue
     s, o = canon(spark_df), canon(oracle_df)

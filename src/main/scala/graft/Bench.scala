@@ -63,12 +63,19 @@ object Bench {
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal timings (ms precision is all best-of-N minima carry) keep
+    // the whole line compact, and the total/value fields go LAST: the
+    // driver archives only a 2,000-char TAIL of stdout, and at 73 keys the
+    // r7 line overflowed and lost its head ("total" plus the first 11 per-
+    // query timings). JSON field order is irrelevant to any parser, so
+    // ordering by truncation-survivability is free.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     // reps is part of the artifact: best-of-2 and best-of-3 minima are
     // different estimators, so cross-round comparisons need to know it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"failed":$fs,"sf":"$sfDir","reps":$reps,"unit":"sec","metric":"total","value":${f3(total)}}""")
     spark.stop()
   }
 }

@@ -368,7 +368,7 @@ object OracleSql {
 
     "q49_sq_encode" ->
       s"""WITH $sqCtes
-         |SELECT vec_id, $sqCodes AS codes
+         |SELECT vec_id, array_to_string($sqCodes, ',') AS codes_str
          |FROM clean, rl
          |ORDER BY vec_id""".stripMargin,
 

@@ -206,7 +206,14 @@ object SparkEntry {
     "q49_sq_encode" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val (mn, mx) = Sq.ranges(emb, SqDim)
-      Sq.encode(emb, mn, mx).orderBy("vec_id")
+      // The codes array itself stays the API for Sq.search; the oracle
+      // key projects it to a sortable scalar because the driver's pandas
+      // compare lexsorts every output column and cannot sort/hash raw
+      // array cells (r7 lesson — this was the round's only red cell).
+      Sq.encode(emb, mn, mx)
+        .select(col("vec_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes_str"))
+        .orderBy("vec_id")
     }),
     "q49b_sq_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)

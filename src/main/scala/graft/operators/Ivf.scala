@@ -258,7 +258,13 @@ object Ivf {
     * frame with column `qv`. */
   def search(postings: DataFrame, cents: DataFrame, query: DataFrame,
              nprobe: Int, k: Int): DataFrame = {
+    // Dirty stride rows (null / off-dim / null-element c_emb) give a
+    // NULL cdist and ascending NULLS FIRST would hand them a probe
+    // slot — drop them, the same guard Pq.searchAdcCells applies (r7
+    // advice: the two probe paths had diverged on dirty inputs). The
+    // query vector's own size witnesses the expected dimension.
     val probed = cents.crossJoin(broadcast(query))
+      .where(Pq.cleanVec(col("c_emb"), size(col("qv"))))
       .select(col("centroid_id"), round(l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
       .orderBy(col("cdist"), col("centroid_id"))
       .limit(nprobe)
@@ -285,6 +291,7 @@ object Ivf {
                   nprobe: Int, k: Int): DataFrame = {
     import graft.plans.GroupedTopK
     val qc = queries.crossJoin(broadcast(cents))
+      .where(Pq.cleanVec(col("c_emb"), size(col("qv")))) // same dirty-centroid drop as search()
       .select(col("query_id"), col("qv"), col("centroid_id"),
         round(l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
     val probed = GroupedTopK.topK(qc, Seq(col("query_id")),

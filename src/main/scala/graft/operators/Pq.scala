@@ -110,6 +110,12 @@ object Pq {
   private[operators] def cleanVec(c: Column, dim: Int): Column =
     c.isNotNull && size(c) === dim && size(array_compact(c)) === dim
 
+  /** Column-dim overload for call sites where the expected dimension is
+    * witnessed by another column (e.g. the query vector's size) rather
+    * than a compile-time constant — same three codegen'd conjuncts. */
+  private[operators] def cleanVec(c: Column, dim: Column): Column =
+    c.isNotNull && size(c) === dim && size(array_compact(c)) === dim
+
   /** Pre-filter for encodable rows — a predicate on the RAW embedding
     * column. Filtering on the projected codes' isNotNull instead was
     * the double-eval trap (see Ivf.assignable): Catalyst pushed the m
