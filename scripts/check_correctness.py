@@ -34,7 +34,11 @@ def array_cols(df: pd.DataFrame):
     for c in df.columns:
         if df[c].dtype == object and len(df):
             non_null = df[c].dropna()
-            if len(non_null) and isinstance(non_null.iloc[0], (list, np.ndarray)):
+            # scan EVERY non-null cell: a mixed column whose first
+            # non-null value is scalar but holds lists later would
+            # otherwise bypass this gate and blow up in sort_values
+            if len(non_null) and non_null.map(
+                    lambda v: isinstance(v, (list, np.ndarray))).any():
                 bad.append(c)
     return bad
 
@@ -62,7 +66,7 @@ fails = []
 # A query that THREW in Verify leaves no result dir — that must fail the
 # gate, not silently drop out of the loop. Rows-only queries are not in
 # oracle_sql.json, so check them from the explicit list.
-ROWS_ONLY = {"q02_metadata", "q10_index_roundtrip", "q18_multimodal"}
+ROWS_ONLY = {"q02_metadata", "q05b_bpe", "q10_index_roundtrip", "q18_multimodal"}
 for name in sorted(set(oracle) | ROWS_ONLY):
     if not os.path.isdir(os.path.join(out_dir, name)):
         print(f"{name:24s} NO RESULT DIR (query failed in Verify)")
@@ -90,7 +94,14 @@ for name in sorted(os.listdir(out_dir)):
         print(f"{name:24s} ARRAY COLUMN {sorted(set(bad))} — driver-unsortable, FAIL")
         fails.append(name)
         continue
-    s, o = canon(spark_df), canon(oracle_df)
+    # A comparison crash (e.g. an unsortable cell type the array gate
+    # didn't classify) must fail THIS query, not abort the whole gate run.
+    try:
+        s, o = canon(spark_df), canon(oracle_df)
+    except Exception as e:
+        print(f"{name:24s} COMPARE ERROR: {e}")
+        fails.append(name)
+        continue
     cols_ok = list(s.columns) == list(o.columns)
     rows_ok = len(s) == len(o)
     hash_ok = cols_ok and rows_ok and mat_hash(s) == mat_hash(o)

@@ -76,6 +76,12 @@ object Bench {
     // reps is part of the artifact: best-of-2 and best-of-3 minima are
     // different estimators, so cross-round comparisons need to know it.
     println(s"""{"queries":$qs,"failed":$fs,"sf":"$sfDir","reps":$reps,"unit":"sec","metric":"total","value":${f3(total)}}""")
+    // Second, SHORT summary line: the archived artifact is a 2,000-char
+    // tail of stdout, and the full per-query line above crosses that
+    // threshold as keys grow (r7's artifact truncated mid-object). The
+    // tail keeps the END of stdout, so this compact line always survives
+    // complete and machine-readable even when the full line loses its head.
+    println(s"""{"n_queries":${ok.length},"failed":$fs,"sf":"$sfDir","reps":$reps,"unit":"sec","metric":"total","value":${f3(total)}}""")
     spark.stop()
   }
 }

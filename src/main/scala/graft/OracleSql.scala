@@ -237,9 +237,10 @@ object OracleSql {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q09_ivf_build" ->
+      // same cleanEmb cents guard as q48/q51/q55/q57 (see q55's comment)
       s"""WITH cents AS (
          |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
-         |  FROM embeddings WHERE vec_id % $IvfStep = 0),
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
          |scored AS (
          |  SELECT v.vec_id, c.centroid_id,
          |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
@@ -475,9 +476,14 @@ object OracleSql {
     },
 
     "q55_index_merge" ->
+      // cents carries the same cleanEmb guard as q48/q51/q57: the Spark
+      // side (Ivf.collectCentroids drop + NearestCentroid's ce.length==n
+      // skip) never lets a null / off-dim / null-element stride row win
+      // an assignment, so the oracle must not seed one either.
       s"""WITH cents AS (
          |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
-         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND vec_id % $MergeMod <> $MergeRem),
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND vec_id % $MergeMod <> $MergeRem
+         |    AND ${cleanEmb("embedding")}),
          |scored AS (
          |  SELECT v.vec_id, c.centroid_id,
          |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist,

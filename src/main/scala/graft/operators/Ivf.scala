@@ -241,7 +241,17 @@ object Ivf {
     * of resident postings, the layout readers/searchers already use).
     * Unassignable delta rows (null/off-dim/null-element embeddings)
     * are dropped on the RAW column, same contract as
-    * [[assignWithEmbedding]]. */
+    * [[assignWithEmbedding]].
+    *
+    * DISJOINTNESS CONTRACT: this is an APPEND, not an upsert — a delta
+    * vec_id already resident in the index gets a second posting (both
+    * will surface in searches). Callers own id disjointness, exactly as
+    * with any parquet partition append; a dedup pass would force a full
+    * anti-join scan of the resident postings per batch, turning O(delta)
+    * maintenance into O(index) — the wrong default at 100 TB, where
+    * ingest ids are disjoint by construction (new crawl shards). To
+    * reconcile after an overlapping append, rebuild with [[save]] or
+    * dedup postings on vec_id. */
   def append(spark: SparkSession, path: String, delta: DataFrame): Unit = {
     val cs = collectCentroids(load(spark, path)._2)
     delta
@@ -258,13 +268,13 @@ object Ivf {
     * frame with column `qv`. */
   def search(postings: DataFrame, cents: DataFrame, query: DataFrame,
              nprobe: Int, k: Int): DataFrame = {
-    // Dirty stride rows (null / off-dim / null-element c_emb) give a
-    // NULL cdist and ascending NULLS FIRST would hand them a probe
-    // slot — drop them, the same guard Pq.searchAdcCells applies (r7
-    // advice: the two probe paths had diverged on dirty inputs). The
-    // query vector's own size witnesses the expected dimension.
+    // Unified dirty-centroid rule (see [[Pq.cleanCentroid]]): null /
+    // off-dim / null-element / NaN-element stride rows never probe —
+    // the same guard every PQ probe path applies (r7/r8 advice: the
+    // probe paths had diverged on dirty inputs). The query vector's
+    // own size witnesses the expected dimension.
     val probed = cents.crossJoin(broadcast(query))
-      .where(Pq.cleanVec(col("c_emb"), size(col("qv"))))
+      .where(Pq.cleanCentroid(col("c_emb"), size(col("qv"))))
       .select(col("centroid_id"), round(l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
       .orderBy(col("cdist"), col("centroid_id"))
       .limit(nprobe)
@@ -291,7 +301,7 @@ object Ivf {
                   nprobe: Int, k: Int): DataFrame = {
     import graft.plans.GroupedTopK
     val qc = queries.crossJoin(broadcast(cents))
-      .where(Pq.cleanVec(col("c_emb"), size(col("qv")))) // same dirty-centroid drop as search()
+      .where(Pq.cleanCentroid(col("c_emb"), size(col("qv")))) // same dirty-centroid drop as search()
       .select(col("query_id"), col("qv"), col("centroid_id"),
         round(l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
     val probed = GroupedTopK.topK(qc, Seq(col("query_id")),

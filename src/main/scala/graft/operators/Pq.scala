@@ -116,6 +116,26 @@ object Pq {
   private[operators] def cleanVec(c: Column, dim: Column): Column =
     c.isNotNull && size(c) === dim && size(array_compact(c)) === dim
 
+  /** Probe-path CENTROID filter — the unified dirty-centroid rule: a
+    * centroid that is null, off-dimension, has a null element, or has a
+    * NaN element is EXCLUDED from probing, on every probe path. The NaN
+    * leg is what [[cleanVec]] cannot see: a NaN component gives a NaN
+    * probe distance, which both engines would rank last — but "last"
+    * still absorbs a probe slot once nprobe exceeds the clean-centroid
+    * count, and the batched driver-side paths (whose collected matrices
+    * widen null elements to NaN and drop on `isNaN`) already excluded
+    * it, so at that boundary single and batched search probed different
+    * cells (r8 advice). Exclusion everywhere closes the asymmetry. The
+    * oracles' cleanEmb guard has no NaN leg because the corpus has no
+    * NaN floats — on any NaN-free corpus the two sides coincide
+    * exactly. The `exists` HOF is interpreted, not codegen'd, but it
+    * runs over the kB-scale centroid frame, never the corpus. */
+  private[operators] def cleanCentroid(c: Column, dim: Column): Column =
+    cleanVec(c, dim) && !exists(c, x => isnan(x))
+
+  private[operators] def cleanCentroid(c: Column, dim: Int): Column =
+    cleanCentroid(c, lit(dim))
+
   /** Pre-filter for encodable rows — a predicate on the RAW embedding
     * column. Filtering on the projected codes' isNotNull instead was
     * the double-eval trap (see Ivf.assignable): Catalyst pushed the m
@@ -242,7 +262,13 @@ object Pq {
                      queries: DataFrame, k: Int): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
-    val qs = queries.select(col("query_id").cast("long"), col("qv")).collect()
+    // Guard the collected query rows on the RAW columns: a null or
+    // off-dim qv (or null query_id) would NPE the driver in distTables/
+    // getLong — the same cleanVec contract every scan-side path applies
+    // (r8 advice). Dirty queries have no answerable distance; drop them.
+    val qs = queries
+      .where(col("query_id").isNotNull && cleanVec(col("qv"), subDim(cbs) * cbs.length))
+      .select(col("query_id").cast("long"), col("qv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Any](1).map(widen).toArray))
     val qdt = qs.toSeq
       .map { case (qid, qv) => (qid, distTables(cbs, qv).map(_.toSeq)) }
@@ -353,11 +379,13 @@ object Pq {
                      query: DataFrame, nprobe: Int, k: Int): DataFrame = {
     import graft.functions.VectorFunctions.l2Sq
     val dtabs = distTables(cbs, collectQuery(query))
-    // A dirty stride row (null / off-dim / null-element c_emb) gives a
-    // NULL cdist, and ascending NULLS FIRST would hand it a probe slot.
-    // Same drop semantics as the q48 oracle's cents guard.
+    // Unified dirty-centroid rule (see [[cleanCentroid]]): null /
+    // off-dim / null-element rows would claim probe slots via NULLS
+    // FIRST; NaN-element rows would claim them once nprobe exceeds the
+    // clean count. Same drop semantics as the q48 oracle's cents guard
+    // and the batched path's driver-side isNaN filter.
     val probed = cents
-      .where(cleanVec(col("c_emb"), subDim(cbs) * cbs.length))
+      .where(cleanCentroid(col("c_emb"), subDim(cbs) * cbs.length))
       .crossJoin(broadcast(query))
       .select(col("centroid_id"), round(l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
       .orderBy(col("cdist"), col("centroid_id"))
@@ -387,9 +415,15 @@ object Pq {
     import spark.implicits._
     val cs = Ivf.collectCentroids(cents)
     val dim = subDim(cbs) * cbs.length
+    // driver-side form of the unified [[cleanCentroid]] rule:
+    // collectCentroids widened null elements to NaN, so one isNaN test
+    // covers both the null-element and NaN-element legs
     val clean = cs.cids.zip(cs.mat)
       .filter { case (_, ce) => ce.length == dim && !ce.exists(_.isNaN) }
-    val qs = queries.select(col("query_id").cast("long"), col("qv")).collect()
+    // same collected-query guard as [[searchAdcBatch]] (r8 advice)
+    val qs = queries
+      .where(col("query_id").isNotNull && cleanVec(col("qv"), dim))
+      .select(col("query_id").cast("long"), col("qv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Any](1).map(widen).toArray))
     val probed = qs.toSeq.flatMap { case (qid, qv) =>
       clean.map { case (cid, ce) =>
@@ -503,8 +537,12 @@ object Pq {
     * then applies the learned R with [[rotateWith]] — the narrow
     * codegen'd pipeline, corpus-scale. Training error (mean squared
     * reconstruction error per sample row) is returned per iteration;
-    * the alternation is monotone non-increasing by construction
-    * (each half-step minimizes the shared objective) — spec-asserted. */
+    * the alternation is monotone non-increasing by construction: the
+    * Procrustes step minimizes the shared objective over R with the
+    * codebooks fixed, and the k-means step WARM-STARTS from the
+    * previous iteration's codebooks (a re-seeded k-means could land at
+    * a worse local optimum and break the descent argument — r8 advice)
+    * so each half-step can only lower the objective — spec-asserted. */
   def learnRotation(vectors: DataFrame, sampleStride: Int, m: Int,
                     iters: Int, dim: Int = 64, k: Int = 16): OpqModel = {
     import breeze.linalg.{svd, DenseMatrix}
@@ -526,11 +564,14 @@ object Pq {
         while (j < dim) { acc += r(i)(j) * v(j); j += 1 }
         acc
       }
-    // deterministic per-subspace k-means on the rotated sample
-    def codebook(xr: Array[Array[Double]], j: Int): Array[Array[Double]] = {
+    // deterministic per-subspace k-means on the rotated sample;
+    // `init` warm-starts from the previous outer iteration's codebooks
+    // (first iteration seeds from the deterministic sample stride)
+    def codebook(xr: Array[Array[Double]], j: Int,
+                 init: Option[Array[Array[Double]]]): Array[Array[Double]] = {
       val pts = xr.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
       val kk = math.min(k, pts.length)
-      var cents = Array.tabulate(kk)(i => pts(i * pts.length / kk).clone)
+      var cents = init.getOrElse(Array.tabulate(kk)(i => pts(i * pts.length / kk).clone))
       for (_ <- 0 until 8) {
         val sums = Array.fill(kk)(new Array[Double](sub))
         val counts = new Array[Int](kk)
@@ -551,9 +592,11 @@ object Pq {
       cents
     }
     val errors = Seq.newBuilder[Double]
+    var prevCbs: Option[IndexedSeq[Array[Array[Double]]]] = None
     for (_ <- 0 until iters) {
       val xr = x.map(rotated)
-      val cbs = (0 until m).map(j => codebook(xr, j))
+      val cbs = (0 until m).map(j => codebook(xr, j, prevCbs.map(_(j))))
+      prevCbs = Some(cbs)
       // reconstruction of each rotated sample row from its codes
       val xhat = xr.map { v =>
         val out = new Array[Double](dim)

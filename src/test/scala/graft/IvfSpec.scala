@@ -90,6 +90,42 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("dirty centroids (null-elem / off-dim / NaN-elem) are excluded from probing; batched agrees") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Ivf.centroids(emb, IvfStep)
+    // postings from the CLEAN set — the dirt is in the probe input only,
+    // so exclusion is observable: a probed dirty cell would surface its
+    // (perfectly clean) postings rows in the top-k
+    val postings = Ivf.assign(emb, cents)
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+    val poisoned = cents.select(col("centroid_id"),
+      when(col("centroid_id") === 1L,
+        expr("transform(c_emb, (x, i) -> IF(i = 3, CAST(NULL AS FLOAT), x))"))
+        .when(col("centroid_id") === 2L, slice(col("c_emb"), 1, 8))
+        .when(col("centroid_id") === 3L,
+          expr("transform(c_emb, (x, i) -> IF(i = 3, CAST('NaN' AS FLOAT), x))"))
+        .otherwise(col("c_emb")).as("c_emb"))
+    val cleansed = cents.filter(!col("centroid_id").isin(1L, 2L, 3L))
+    // full-probe boundary: the NaN cell ranks LAST, so only here could it
+    // absorb a slot — precisely the single/batched asymmetry r8 left open
+    val nprobeAll = cents.count().toInt
+    val q = Knn.queryVector(emb, QueryVecId)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Ivf.search(postings, c, q, nprobeAll, K)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(poisoned) == run(cleansed),
+      "a dirty centroid was probed (or a clean one dropped)")
+    // batched path over a MULTI-ROW query frame (the per-row size(qv)
+    // dim witness the r8 guard left untested)
+    val queries = emb.where(col("vec_id").isin(0L, 7L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def runB(c: org.apache.spark.sql.DataFrame) =
+      Ivf.searchBatch(postings, c, queries, nprobeAll, K)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(runB(poisoned) == runB(cleansed), "batched probe diverged on dirty centroids")
+  }
+
   test("sqrt-n centroid policy: buildAuto centroid count tracks sqrt(n)") {
     val emb = Tables.embeddings(spark, sf001)
     val n = emb.count()
@@ -147,7 +183,9 @@ class IvfSpec extends SparkSpec {
     assert(flags.forall { case (id, isNew) => isNew == (id % 10 == 7) })
   }
 
-  test("append upserts a delta into a persisted index; search sees new vectors") {
+  // append is NOT an upsert: overlapping vec_ids would duplicate (the
+  // documented disjointness contract) — this case uses a disjoint delta.
+  test("append adds a disjoint delta to a persisted index; search sees new vectors") {
     import org.apache.spark.sql.functions._
     val all = Tables.embeddings(spark, sf0001)
     val isDelta = pmod(col("vec_id"), lit(10L)) === 7L

@@ -257,6 +257,58 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("NaN-element centroid: single and batched probed ADC agree at the nprobe boundary") {
+    import graft.operators.Ivf
+    val cbs = Pq.codebooks(emb0001, 25, 8)
+    val cents = Ivf.centroids(emb0001, 25)
+    val codes = Pq.encodeWithCell(emb0001, cents, cbs) // codes from the CLEAN set
+    val poisoned = cents.select(col("centroid_id"),
+      when(col("centroid_id") === 1L,
+        expr("transform(c_emb, (x, i) -> IF(i = 3, CAST('NaN' AS FLOAT), x))"))
+        .otherwise(col("c_emb")).as("c_emb"))
+    // full probe: a rank-last NaN cell would fill the final slot on a
+    // path that ranks instead of excludes — the r8 single/batch asymmetry
+    val nprobeAll = cents.count().toInt
+    val qids = Seq(0L, 7L)
+    val queries = emb0001.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Pq.searchAdcCellsBatch(codes, poisoned, cbs, queries, nprobeAll, 10)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    qids.foreach { qid =>
+      val single = Pq.searchAdcCells(codes, poisoned, cbs,
+          emb0001.where(col("vec_id") === qid).select(col("embedding").as("qv")),
+          nprobeAll, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single, s"query $qid: batch/single diverged on a NaN centroid")
+    }
+    // and the unified rule is EXCLUSION: both equal the cell-removed run
+    val want = Pq.searchAdcCells(codes, cents.filter(col("centroid_id") =!= 1L), cbs,
+        emb0001.where(col("vec_id") === 0L).select(col("embedding").as("qv")), nprobeAll, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch(0L) === want, "NaN centroid was probed rather than excluded")
+  }
+
+  test("batch search drops dirty query rows (null / off-dim qv) instead of NPEing the driver") {
+    import graft.operators.Ivf
+    val cbs = Pq.codebooks(emb0001, 25, 8)
+    val base = emb0001.limit(1)
+    val queries = emb0001.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .union(base.select(lit(98L).as("query_id"),
+        lit(null).cast("array<float>").as("qv")))
+      .union(base.select(lit(99L).as("query_id"),
+        slice(col("embedding"), 1, 8).as("qv")))
+    val flat = Pq.searchAdcBatch(Pq.encode(emb0001, cbs), cbs, queries, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(flat == Set(0L), s"flat batch answered dirty queries: $flat")
+    val cents = Ivf.centroids(emb0001, 25)
+    val probed = Pq.searchAdcCellsBatch(
+        Pq.encodeWithCell(emb0001, cents, cbs), cents, cbs, queries, 4, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed == Set(0L), s"probed batch answered dirty queries: $probed")
+  }
+
   test("persisted residual IVF-PQ roundtrips: loaded search == inline search") {
     import graft.operators.Ivf
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_rpq_index"
