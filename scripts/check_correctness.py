@@ -66,7 +66,8 @@ fails = []
 # A query that THREW in Verify leaves no result dir — that must fail the
 # gate, not silently drop out of the loop. Rows-only queries are not in
 # oracle_sql.json, so check them from the explicit list.
-ROWS_ONLY = {"q02_metadata", "q05b_bpe", "q10_index_roundtrip", "q18_multimodal"}
+ROWS_ONLY = {"q02_metadata", "q05b_bpe", "q10_index_roundtrip", "q18_multimodal",
+             "q61b_opq_search"}
 for name in sorted(set(oracle) | ROWS_ONLY):
     if not os.path.isdir(os.path.join(out_dir, name)):
         print(f"{name:24s} NO RESULT DIR (query failed in Verify)")

@@ -74,6 +74,18 @@ object SparkEntry {
     val QrMinTokens = 20                // q59 gate thresholds, set against the
     val QrMinStopword = 0.02            // corpus's q16 signal distribution so
     val QrMaxMeanTokenLen = 6.0         // each rule fires on a real minority
+    val OpqSampleStride = 2             // q61b learned-OPQ training sample:
+                                        // every 2nd vector — ~12 rows per
+                                        // code per subspace at sf0.01; the
+                                        // thinner stride-5 sample trained
+                                        // codebooks that lost to the
+                                        // untrained stride baseline
+    val OpqIters = 4                    // q61b alternations (error plateaus
+                                        // by 4 on this corpus — PqSpec)
+    val OpqK = 20                       // q61b codes per subspace — equal to
+                                        // the stride baseline's n/IvfStep at
+                                        // sf0.01 so the q61-vs-q61b recall
+                                        // comparison is same-budget
   }
   import Params._
 
@@ -249,12 +261,21 @@ object SparkEntry {
     "q61_rpq_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Pq.searchRotated(emb, IvfStep, PqM, Knn.queryVector(emb, QueryVecId), K)
+    }),
+    "q61b_opq_search" -> ((s, d) => {
+      // the assembled learned-OPQ path: SVD-trained rotation (driver-side
+      // bounded sample) + rotated PQ flat ADC — rows-only (an SVD is not
+      // SQL-expressible; recall and roundtrip are PqSpec-anchored, and
+      // q62 audits the rotated family's recall in-engine)
+      val emb = Tables.embeddings(s, d)
+      val model = Pq.learnRotation(emb, OpqSampleStride, PqM, OpqIters, k = OpqK)
+      Pq.searchRotatedWith(emb, model, Knn.queryVector(emb, QueryVecId), K)
     })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
-    * q10, q18) are non-SQL-expressible (footer metadata / trained-vocab
-    * BPE / index file I/O / binary feature plumbing) → driver records a
-    * rows-only check. */
+    * q10, q18, q61b) are non-SQL-expressible (footer metadata /
+    * trained-vocab BPE / index file I/O / binary feature plumbing /
+    * SVD-learned rotation) → driver records a rows-only check. */
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -520,8 +520,16 @@ object Pq {
     query.select(rcol.as("qv"))
   }
 
-  /** A learned OPQ rotation with its per-iteration training error. */
-  final case class OpqModel(rows: Seq[Array[Double]], errors: Seq[Double])
+  /** A learned OPQ model: the rotation R (row-major), the per-iteration
+    * training error, and the jointly-trained per-subspace codebooks
+    * (dense code ids 0..k-1, in the FINAL rotated space). The codebooks
+    * are part of the model — OPQ optimizes rotation and quantizer
+    * TOGETHER, so encoding rotated vectors against independently-chosen
+    * codebooks (e.g. stride rows) discards half the training and
+    * measurably loses recall (panel-measured 0.25 vs 0.32 against the
+    * Hadamard baseline before this field existed). */
+  final case class OpqModel(rows: Seq[Array[Double]], errors: Seq[Double],
+                            codebooks: Seq[CentroidSet])
 
   /** Full OPQ (Ge et al. 2013, non-parametric solution): LEARN the
     * rotation by alternating (a) quantize the rotated training sample
@@ -623,7 +631,13 @@ object Pq {
       val omega = s.U * s.Vt
       r = Array.tabulate(dim)(i => Array.tabulate(dim)(j => omega(j, i)))
     }
-    OpqModel(r.toSeq, errors.result())
+    // one closing codebook half-step in the FINAL rotated space (the
+    // loop ends on a Procrustes step, which moved R after the last
+    // k-means ran) — these are the codebooks the model ships
+    val xrF = x.map(rotated)
+    val finalCbs = (0 until m).map(j => codebook(xrF, j, prevCbs.map(_(j))))
+    OpqModel(r.toSeq, errors.result(),
+      finalCbs.map(cb => CentroidSet(cb.indices.map(_.toLong).toArray, cb)))
   }
 
   /** Rotated-PQ flat ADC search (q61): codebooks/encode/search all run
@@ -637,6 +651,78 @@ object Pq {
     val cbs = codebooks(rot, step, m)
     searchAdc(encode(rot, cbs), cbs, rotateQuery(query, dim), k)
   }
+
+  /** Flat ADC search with a learned OPQ model — the assembled
+    * production path (q61b): train once with [[learnRotation]], then
+    * rotateWith(R) → encode against the model's OWN trained codebooks →
+    * searchAdc, the query rotated by the same R. Plan shape is
+    * identical to the Hadamard path (q61); the difference is that both
+    * halves of the trained model are used — encoding the rotated
+    * vectors against independently-derived stride codebooks instead
+    * measurably lost recall (see [[OpqModel]]). */
+  def searchRotatedWith(vectors: DataFrame, model: OpqModel,
+                        query: DataFrame, k: Int): DataFrame = {
+    val rot = rotateWith(vectors, model.rows)
+    searchAdc(encode(rot, model.codebooks), model.codebooks,
+      rotateQueryWith(query, model.rows), k)
+  }
+
+  private def writeRotation(spark: org.apache.spark.sql.SparkSession,
+                            rows: Seq[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    rows.zipWithIndex.map { case (r, i) => (i, r.toSeq) }
+      .toDF("row_idx", "r")
+      .write.mode("overwrite").parquet(s"$path/rotation")
+  }
+
+  /** Persist a ROTATED (OPQ) IVF-PQ index: [[save]]'s layout (codes
+    * partitioned by coarse cell + centroids + codebooks) plus a
+    * `rotation` table holding R's rows. Centroids, codebooks, and codes
+    * all live in the ROTATED space; the matrix is what a reader needs
+    * to bring queries into that space, so persisting it completes the
+    * reference's serialize → deserialize → KNNSearch loop
+    * (Program.cs:231-263,216) for the learned-rotation path: [[load]] +
+    * [[loadRotation]] + [[searchRotatedCells]] answer queries with no
+    * access to the source vectors or the training pipeline. Returns the
+    * trained codebooks. */
+  def saveRotated(vectors: DataFrame, step: Int, model: OpqModel,
+                  path: String): Seq[CentroidSet] = {
+    val rot = rotateWith(vectors, model.rows)
+    val cents = Ivf.centroids(rot, step)
+    encodeWithCell(rot, cents, model.codebooks)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    writeCodebooks(vectors.sparkSession, model.codebooks, path)
+    writeRotation(vectors.sparkSession, model.rows, path)
+    model.codebooks
+  }
+
+  /** The rotation matrix persisted by [[saveRotated]], row-major —
+    * `None` when the index was written without one ([[save]] /
+    * [[saveResidual]] layouts), so readers can dispatch on the layout:
+    * rotate the query iff the index is rotated. */
+  def loadRotation(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Option[Seq[Array[Double]]] =
+    try {
+      val rows = spark.read.parquet(s"$path/rotation")
+        .select(col("row_idx"), col("r")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Any](1).map(widen).toArray))
+        .sortBy(_._1).map(_._2).toSeq
+      if (rows.isEmpty) None else Some(rows)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+
+  /** Probed ADC search over a rotated persisted index: the query
+    * rotates with the index's own matrix, then [[searchAdcCells]] runs
+    * unchanged — rotation is an isometry, so approx dists still
+    * approximate the ORIGINAL L2 distances. */
+  def searchRotatedCells(codes: DataFrame, cents: DataFrame,
+                         cbs: Seq[CentroidSet], rows: Seq[Array[Double]],
+                         query: DataFrame, nprobe: Int, k: Int): DataFrame =
+    searchAdcCells(codes, cents, cbs, rotateQueryWith(query, rows), nprobe, k)
 
   // ------------------------------------------------------------------
   // Residual IVF-PQ (Jégou et al. 2011 §IV.B, the FAISS IVFPQ layout):

@@ -383,6 +383,62 @@ class PqSpec extends SparkSpec {
     assert(lrn >= had - 0.1, s"learned rotation $lrn collapsed vs fixed $had")
   }
 
+  test("learned-OPQ end-to-end: persisted roundtrip == in-memory path, recall@20 >= Hadamard") {
+    import graft.operators.Knn
+    // q61b's exact config: stride-2 sample, k=20 codes per subspace —
+    // the same code budget as the stride baseline, so the recall
+    // comparison below is same-budget (thinner samples / fewer codes
+    // trained quantizers that lost to the UNTRAINED stride baseline)
+    val model = Pq.learnRotation(emb001, sampleStride = 2, m = 8, iters = 4, k = 20)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_opq_index"
+    val saved = Pq.saveRotated(emb001, 25, model, path)
+    val (codes, cents, loadedCbs) = Pq.load(spark, path)
+    assert(loadedCbs.length == saved.length)
+    loadedCbs.zip(saved).foreach { case (l, o) =>
+      assert(l.cids.toSeq == o.cids.toSeq)
+      assert(l.mat.zip(o.mat).forall { case (a, b) => a.sameElements(b) })
+    }
+    // the rotation matrix roundtrips bit-exactly (doubles through parquet)
+    val rot = Pq.loadRotation(spark, path)
+      .getOrElse(fail("saveRotated persisted no rotation table"))
+    assert(rot.length == 64)
+    rot.zip(model.rows).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // an UNROTATED layout reports None — readers dispatch on the layout
+    val rawPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_planspec"
+    Pq.save(emb0001, 25, Pq.codebooks(emb0001, step = 25, m = 8), rawPath)
+    assert(Pq.loadRotation(spark, rawPath).isEmpty)
+    // deserialize → search == the in-memory path: full probe over the
+    // loaded rotated index must equal the flat searchRotatedWith scan
+    val q = Knn.queryVector(emb001, 0L)
+    val nprobeAll = cents.count().toInt
+    val fromDisk = Pq.searchRotatedCells(codes, cents, loadedCbs, rot, q, nprobeAll, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = Pq.searchRotatedWith(emb001, model, q, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromDisk === inMemory, "loaded OPQ search != in-memory OPQ search")
+    // recall@20 of the assembled path vs the fixed-Hadamard path (q61's
+    // corpus/config), as a MEAN over a query panel — a single query
+    // carries ~±0.05 of quantization luck either way (see the training
+    // test above), the panel mean is the honest estimator
+    val qids = Seq(0L, 7L, 13L, 42L, 99L)
+    def meanRecall(search: org.apache.spark.sql.DataFrame => Set[Long]): Double =
+      qids.map { qid =>
+        val qv = Knn.queryVector(emb001, qid)
+        val exact = emb001.crossJoin(broadcast(qv))
+          .select(col("vec_id"), l2Sq(col("embedding"), col("qv")).as("d"))
+          .orderBy(asc("d"), asc("vec_id")).limit(20)
+          .collect().map(_.getLong(0)).toSet
+        (search(qv) & exact).size / 20.0
+      }.sum / qids.length
+    val learned = meanRecall(qv =>
+      Pq.searchRotatedCells(codes, cents, loadedCbs, rot, qv, nprobeAll, 20)
+        .collect().map(_.getLong(0)).toSet)
+    val had = meanRecall(qv =>
+      Pq.searchRotated(emb001, 25, 8, qv, 20).collect().map(_.getLong(0)).toSet)
+    info(s"panel-mean recall@20: learned OPQ = $learned, Hadamard = $had")
+    assert(learned >= had, s"learned OPQ panel recall $learned below Hadamard $had")
+  }
+
   test("residual IVF-PQ recall@20 >= raw IVF-PQ at the same code budget") {
     import graft.operators.Ivf
     val q = Knn.queryVector(emb001, 0L)
