@@ -347,6 +347,35 @@ object Pq {
     cbs
   }
 
+  /** Persisted-index delta append — [[Ivf.append]]'s twin on the
+    * compressed layout: encode a delta batch against the index's FROZEN
+    * centroids and codebooks (loaded from `path`) and append the new
+    * code rows under the existing `centroid_id` partition dirs. Before
+    * this existed, adding vectors to a saved IVF-PQ index meant
+    * re-encoding the whole corpus. If the layout carries a rotation
+    * ([[saveRotated]]), the delta rotates through the same R first, so
+    * readers keep rotating queries exactly as before. Work is O(delta):
+    * one narrow argmin+encode pass and a partition append — resident
+    * code files are never rewritten, and searches prune to probed cells
+    * exactly as before. Frozen quantizers are the standard IVF-PQ
+    * maintenance trade (recall drifts as the corpus drifts, until a
+    * periodic re-train = re-run [[save]]/[[saveRotated]]).
+    *
+    * Same DISJOINTNESS CONTRACT as [[Ivf.append]]: this is an append,
+    * not an upsert — an already-resident vec_id gets a second code row.
+    * Callers own id disjointness (a per-batch anti-join against the
+    * resident codes would turn O(delta) maintenance into O(index)). */
+  def append(spark: org.apache.spark.sql.SparkSession, path: String,
+             delta: DataFrame): Unit = {
+    val (_, cents, cbs) = load(spark, path)
+    val in = loadRotation(spark, path)
+      .map(rows => rotateWith(delta, rows)).getOrElse(delta)
+    encodeWithCell(in, cents, cbs)
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+  }
+
   /** Load a persisted IVF-PQ index: (codes, centroids, codebooks). */
   def load(spark: org.apache.spark.sql.SparkSession,
            path: String): (DataFrame, DataFrame, Seq[CentroidSet]) = {

@@ -439,6 +439,48 @@ class PqSpec extends SparkSpec {
     assert(learned >= had, s"learned OPQ panel recall $learned below Hadamard $had")
   }
 
+  test("Pq.append delta-encode onto a persisted layout == fresh encode of the union") {
+    import graft.operators.Ivf
+    val all = emb0001
+    val isDelta = pmod(col("vec_id"), lit(10L)) === 7L
+    val base = all.where(!isDelta)
+    val delta = all.where(isDelta)
+    // delta ids (…7) are never stride ids (…0/…5), so base centroids ==
+    // union centroids and "fresh encode of the union" is well-defined
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Long]] =
+      df.select(col("vec_id").cast("long") +: col("centroid_id").cast("long") +:
+          (0 until 8).map(j => col(s"c$j").cast("long")): _*)
+        .collect().map(_.toSeq.map(_.asInstanceOf[Long])).toSet
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_append"
+    val cbs = Pq.codebooks(base, 25, 8)
+    Pq.save(base, 25, cbs, path)
+    Pq.append(spark, path, delta)
+    val (codes, cents, loadedCbs) = Pq.load(spark, path)
+    assert(rows(codes) == rows(Pq.encodeWithCell(all, Ivf.centroids(base, 25), cbs)),
+      "appended codes != fresh encode of the union against the frozen quantizers")
+    // and a full-probe search over the appended layout equals the
+    // in-memory union search — the delta is reachable, not just present
+    val q = Knn.queryVector(all, 0L)
+    val nprobeAll = cents.count().toInt
+    val got = Pq.searchAdcCells(codes, cents, loadedCbs, q, nprobeAll, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Pq.searchIvfAdc(all, 25, cbs, q, nprobeAll, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want)
+    // rotated layout: append must rotate the delta through the
+    // persisted R before encoding (readers rotate queries, not data)
+    val model = Pq.learnRotation(base, sampleStride = 2, m = 8, iters = 2)
+    val rpath = s"${System.getProperty("java.io.tmpdir")}/graft_opq_append"
+    Pq.saveRotated(base, 25, model, rpath)
+    Pq.append(spark, rpath, delta)
+    val (rcodes, _, _) = Pq.load(spark, rpath)
+    val rotAll = Pq.rotateWith(all, model.rows)
+    val rotBase = Pq.rotateWith(base, model.rows)
+    assert(rows(rcodes) ==
+      rows(Pq.encodeWithCell(rotAll, Ivf.centroids(rotBase, 25), model.codebooks)),
+      "rotated append != fresh rotated encode of the union")
+  }
+
   test("residual IVF-PQ recall@20 >= raw IVF-PQ at the same code budget") {
     import graft.operators.Ivf
     val q = Knn.queryVector(emb001, 0L)
