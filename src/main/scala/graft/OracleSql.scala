@@ -711,6 +711,106 @@ object OracleSql {
          |ORDER BY approx_dist, e0.vec_id LIMIT $K""".stripMargin
     },
 
+    "q62_ann_recall" -> {
+      // The batched serving paths' SQL mirror: per-query dist tables
+      // (bdt$j = q45b's dt$j with a query_id axis), per-query
+      // row_number top-k everywhere Spark runs GroupedTopK, the same
+      // cb$j/enc$j encode blocks as q45/q48, and q48's cents/probed/
+      // assigned shapes lifted to the query panel. Truths mirror
+      // q12's dot ranking and the PQ family's L2 ranking.
+      val qidList = RecallQueryIds.mkString(", ")
+      val bdtCtes = (0 until PqM).map { j =>
+        val lo = j * pqSub + 1
+        val hi = lo + pqSub - 1
+        s"bdt$j AS (SELECT q.query_id, c.code, round(${pqSubL2("q.qv", "c.s", lo, hi)}, 6) AS d FROM qset q CROSS JOIN cb$j c)"
+      }.mkString(",\n")
+      val encJoins = (1 until PqM).map(j => s"JOIN enc$j e$j USING (vec_id)").mkString(" ")
+      val bdtJoins = "JOIN bdt0 ON bdt0.code = e0.c0 " +
+        (1 until PqM).map(j =>
+          s"JOIN bdt$j ON bdt$j.query_id = bdt0.query_id AND bdt$j.code = e$j.c$j").mkString(" ")
+      val bdtSum = (0 until PqM).map(j => s"bdt$j.d").mkString(" + ")
+      s"""WITH $pqCtes,
+         |qset AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id IN ($qidList)),
+         |truth_dot AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(${dotd("v.embedding", "q.qv")}, 6) DESC, v.vec_id) AS rn
+         |    FROM embeddings v CROSS JOIN qset q) WHERE rn <= $K),
+         |truth_l2 AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, v.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(${l2sq("v.embedding", "q.qv")}, 6), v.vec_id) AS rn
+         |    FROM embeddings v CROSS JOIN qset q) WHERE rn <= $K),
+         |cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+         |probed AS (
+         |  SELECT query_id, centroid_id FROM (
+         |    SELECT q.query_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(${l2sq("c.c_emb", "q.qv")}, 6), c.centroid_id) AS rn
+         |    FROM cents c CROSS JOIN qset q) WHERE rn <= $NProbe),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c
+         |  WHERE ${cleanEmb("v.embedding")}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |ivf_res AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT p.query_id, a.vec_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY round(${dotd("v.embedding", "q.qv")}, 6) DESC, a.vec_id) AS rn
+         |    FROM assigned a
+         |    JOIN probed p ON p.centroid_id = a.centroid_id
+         |    JOIN embeddings v ON v.vec_id = a.vec_id
+         |    JOIN qset q ON q.query_id = p.query_id) WHERE rn <= $K),
+         |$bdtCtes,
+         |adc_scored AS (
+         |  SELECT bdt0.query_id, e0.vec_id, round($bdtSum, 6) AS dist
+         |  FROM enc0 e0 $encJoins
+         |  $bdtJoins),
+         |adc_res AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+         |    FROM adc_scored) WHERE rn <= $K),
+         |ivfpq_res AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT s.query_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.query_id ORDER BY s.dist, s.vec_id) AS rn
+         |    FROM adc_scored s
+         |    JOIN assigned a ON a.vec_id = s.vec_id
+         |    JOIN probed p ON p.query_id = s.query_id AND p.centroid_id = a.centroid_id)
+         |  WHERE rn <= $K),
+         |per_method AS (
+         |  SELECT 'ivf' AS method, query_id, count(*) AS n
+         |  FROM ivf_res JOIN truth_dot USING (query_id, vec_id) GROUP BY query_id
+         |  UNION ALL
+         |  SELECT 'pq_adc', query_id, count(*)
+         |  FROM adc_res JOIN truth_l2 USING (query_id, vec_id) GROUP BY query_id
+         |  UNION ALL
+         |  SELECT 'ivfpq', query_id, count(*)
+         |  FROM ivfpq_res JOIN truth_l2 USING (query_id, vec_id) GROUP BY query_id),
+         |grid AS (
+         |  SELECT query_id, method FROM qset
+         |  CROSS JOIN (SELECT unnest(['ivf', 'ivfpq', 'pq_adc']) AS method))
+         |SELECT g.query_id, g.method,
+         |  CAST(coalesce(p.n, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(coalesce(p.n, 0) AS DOUBLE) / $K, 6) AS recall
+         |FROM grid g LEFT JOIN per_method p
+         |  ON p.query_id = g.query_id AND p.method = g.method
+         |ORDER BY g.query_id, g.method""".stripMargin
+    },
+
     "q46_span_dedup" ->
       s"""WITH sized AS (
          |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)

@@ -86,6 +86,8 @@ object SparkEntry {
                                         // the stride baseline's n/IvfStep at
                                         // sf0.01 so the q61-vs-q61b recall
                                         // comparison is same-budget
+    val RecallQueryIds = Seq(0L, 7L, 42L) // q62 audit panel: a sampled query
+                                          // set, ids present at every SF
   }
   import Params._
 
@@ -270,7 +272,9 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       val model = Pq.learnRotation(emb, OpqSampleStride, PqM, OpqIters, k = OpqK)
       Pq.searchRotatedWith(emb, model, Knn.queryVector(emb, QueryVecId), K)
-    })
+    }),
+    "q62_ann_recall" -> ((s, d) => RecallAudit.annRecallReport(
+      Tables.embeddings(s, d), IvfStep, PqM, RecallQueryIds, NProbe, K))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

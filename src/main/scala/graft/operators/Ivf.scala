@@ -315,20 +315,23 @@ object Ivf {
       .orderBy(col("query_id"), col("score").desc, col("vec_id"))
   }
 
+  /** Narrow inline postings (no persist): assignment rides the scan —
+    * the only exchange a search over these adds is its final top-k.
+    * The coalesce makes the join key non-nullable so a probed-centroid
+    * inner join does NOT insert an isnotnull Filter that would
+    * re-evaluate the whole argmin a second time per row (-1 matches no
+    * probed centroid, so unassignable rows drop exactly as the null
+    * would). */
+  private[operators] def inlinePostings(vectors: DataFrame, cents: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"),
+      coalesce(nearest(vectors, collectCentroids(cents)).getField("centroid_id"), lit(-1L))
+        .as("centroid_id"))
+
   /** In-memory search without persist (for the oracle-checked query key):
-    * same plan, postings = assignment joined back to vectors. */
+    * same plan, postings = [[inlinePostings]]. */
   def searchInline(vectors: DataFrame, step: Int, query: DataFrame,
                    nprobe: Int, k: Int): DataFrame = {
     val cents = centroids(vectors, step)
-    // Narrow inline postings: the only exchange left in the whole query
-    // is the final top-k (TakeOrderedAndProject). The coalesce makes
-    // the join key non-nullable so the probed-centroid inner join does
-    // NOT insert an isnotnull Filter that would re-evaluate the whole
-    // argmin a second time per row (-1 matches no probed centroid, so
-    // unassignable rows drop exactly as the null would).
-    val postings = vectors.select(col("vec_id"), col("embedding"),
-      coalesce(nearest(vectors, collectCentroids(cents)).getField("centroid_id"), lit(-1L))
-        .as("centroid_id"))
-    search(postings, cents, query, nprobe, k)
+    search(inlinePostings(vectors, cents), cents, query, nprobe, k)
   }
 }
