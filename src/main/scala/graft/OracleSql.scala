@@ -712,25 +712,33 @@ object OracleSql {
     },
 
     "q62_ann_recall" -> {
-      // The batched serving paths' SQL mirror: per-query dist tables
-      // (bdt$j = q45b's dt$j with a query_id axis), per-query
-      // row_number top-k everywhere Spark runs GroupedTopK, the same
-      // cb$j/enc$j encode blocks as q45/q48, and q48's cents/probed/
-      // assigned shapes lifted to the query panel. Truths mirror
-      // q12's dot ranking and the PQ family's L2 ranking.
+      // The batched serving paths' SQL mirror: per-query ADC lookup
+      // LISTS (qdt$j = Spark's literal dist tables, indexed by code —
+      // NOT a per-subspace join fan: a first formulation joined 8 enc
+      // and 8 bdt relations in one SELECT and DuckDB's join-order
+      // search ground >19 min at sf0.1; list indexing over a cross
+      // join of 2 bounded tables cannot explode), per-query row_number
+      // top-k everywhere Spark runs GroupedTopK, the same cb$j/enc$j
+      // encode blocks as q45/q48, and q48's cents/probed/assigned
+      // shapes lifted to the query panel. Truths mirror q12's dot
+      // ranking and the PQ family's L2 ranking. List position c+1 ==
+      // code c relies on contiguous stride codes — the same
+      // vec_id/step==rank coincidence the Spark codebooks document on
+      // the oracle corpus (the join formulation in q45b/q48 stays the
+      // gap-robust reference). Multiply-referenced CTEs are
+      // MATERIALIZED so DuckDB cannot re-inline the window scans.
       val qidList = RecallQueryIds.mkString(", ")
-      val bdtCtes = (0 until PqM).map { j =>
+      val qdtCtes = (0 until PqM).map { j =>
         val lo = j * pqSub + 1
         val hi = lo + pqSub - 1
-        s"bdt$j AS (SELECT q.query_id, c.code, round(${pqSubL2("q.qv", "c.s", lo, hi)}, 6) AS d FROM qset q CROSS JOIN cb$j c)"
+        s"qdt$j AS MATERIALIZED (SELECT q.query_id, list(round(${pqSubL2("q.qv", "c.s", lo, hi)}, 6) ORDER BY c.code) AS ds$j FROM qset q CROSS JOIN cb$j c GROUP BY q.query_id)"
       }.mkString(",\n")
+      val qdtJoins = (1 until PqM).map(j => s"JOIN qdt$j USING (query_id)").mkString(" ")
       val encJoins = (1 until PqM).map(j => s"JOIN enc$j e$j USING (vec_id)").mkString(" ")
-      val bdtJoins = "JOIN bdt0 ON bdt0.code = e0.c0 " +
-        (1 until PqM).map(j =>
-          s"JOIN bdt$j ON bdt$j.query_id = bdt0.query_id AND bdt$j.code = e$j.c$j").mkString(" ")
-      val bdtSum = (0 until PqM).map(j => s"bdt$j.d").mkString(" + ")
+      val encCols = (0 until PqM).map(j => s"e$j.c$j").mkString(", ")
+      val listSum = (0 until PqM).map(j => s"t.ds$j[en.c$j + 1]").mkString(" + ")
       s"""WITH $pqCtes,
-         |qset AS (
+         |qset AS MATERIALIZED (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |  FROM embeddings WHERE vec_id IN ($qidList)),
          |truth_dot AS (
@@ -739,16 +747,16 @@ object OracleSql {
          |      row_number() OVER (PARTITION BY q.query_id
          |        ORDER BY round(${dotd("v.embedding", "q.qv")}, 6) DESC, v.vec_id) AS rn
          |    FROM embeddings v CROSS JOIN qset q) WHERE rn <= $K),
-         |truth_l2 AS (
+         |truth_l2 AS MATERIALIZED (
          |  SELECT query_id, vec_id FROM (
          |    SELECT q.query_id, v.vec_id,
          |      row_number() OVER (PARTITION BY q.query_id
          |        ORDER BY round(${l2sq("v.embedding", "q.qv")}, 6), v.vec_id) AS rn
          |    FROM embeddings v CROSS JOIN qset q) WHERE rn <= $K),
-         |cents AS (
+         |cents AS MATERIALIZED (
          |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
          |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
-         |probed AS (
+         |probed AS MATERIALIZED (
          |  SELECT query_id, centroid_id FROM (
          |    SELECT q.query_id, c.centroid_id,
          |      row_number() OVER (PARTITION BY q.query_id
@@ -759,7 +767,7 @@ object OracleSql {
          |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
          |  FROM embeddings v CROSS JOIN cents c
          |  WHERE ${cleanEmb("v.embedding")}),
-         |assigned AS (
+         |assigned AS MATERIALIZED (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT vec_id, centroid_id,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
@@ -773,11 +781,15 @@ object OracleSql {
          |    JOIN probed p ON p.centroid_id = a.centroid_id
          |    JOIN embeddings v ON v.vec_id = a.vec_id
          |    JOIN qset q ON q.query_id = p.query_id) WHERE rn <= $K),
-         |$bdtCtes,
-         |adc_scored AS (
-         |  SELECT bdt0.query_id, e0.vec_id, round($bdtSum, 6) AS dist
-         |  FROM enc0 e0 $encJoins
-         |  $bdtJoins),
+         |$qdtCtes,
+         |qdts AS MATERIALIZED (
+         |  SELECT * FROM qdt0 $qdtJoins),
+         |encoded AS MATERIALIZED (
+         |  SELECT e0.vec_id, $encCols
+         |  FROM enc0 e0 $encJoins),
+         |adc_scored AS MATERIALIZED (
+         |  SELECT t.query_id, en.vec_id, round($listSum, 6) AS dist
+         |  FROM encoded en CROSS JOIN qdts t),
          |adc_res AS (
          |  SELECT query_id, vec_id FROM (
          |    SELECT query_id, vec_id,
