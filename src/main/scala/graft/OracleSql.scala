@@ -823,6 +823,39 @@ object OracleSql {
          |ORDER BY g.query_id, g.method""".stripMargin
     },
 
+    "q63_cell_balance" ->
+      // q09's cents/scored/assigned shapes reduced to occupancy stats;
+      // avg and skew are double divisions of exact integer counts,
+      // identical expression trees both sides (a*b/c left-associated)
+      s"""WITH cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c
+         |  WHERE ${cleanEmb("v.embedding")}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |percell AS (SELECT centroid_id, count(*) AS n FROM assigned GROUP BY 1),
+         |s AS (SELECT count(*) AS n_nonempty, sum(n) AS n_vectors,
+         |        min(n) AS min_cell, max(n) AS max_cell FROM percell),
+         |c AS (SELECT count(*) AS n_cells FROM cents),
+         |t AS (SELECT count(*) AS n_total FROM embeddings)
+         |SELECT CAST(n_cells AS BIGINT) AS n_cells,
+         |  CAST(n_vectors AS BIGINT) AS n_vectors,
+         |  CAST(n_total - n_vectors AS BIGINT) AS n_unassigned,
+         |  CAST(n_cells - n_nonempty AS BIGINT) AS n_empty,
+         |  CAST(min_cell AS BIGINT) AS min_cell,
+         |  CAST(max_cell AS BIGINT) AS max_cell,
+         |  round(CAST(n_vectors AS DOUBLE) / CAST(n_nonempty AS DOUBLE), 6) AS avg_cell,
+         |  round(CAST(max_cell AS DOUBLE) * CAST(n_nonempty AS DOUBLE)
+         |    / CAST(n_vectors AS DOUBLE), 6) AS skew
+         |FROM s, c, t""".stripMargin,
+
     "q46_span_dedup" ->
       s"""WITH sized AS (
          |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)

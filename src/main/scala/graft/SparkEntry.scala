@@ -274,7 +274,8 @@ object SparkEntry {
       Pq.searchRotatedWith(emb, model, Knn.queryVector(emb, QueryVecId), K)
     }),
     "q62_ann_recall" -> ((s, d) => RecallAudit.annRecallReport(
-      Tables.embeddings(s, d), IvfStep, PqM, RecallQueryIds, NProbe, K))
+      Tables.embeddings(s, d), IvfStep, PqM, RecallQueryIds, NProbe, K)),
+    "q63_cell_balance" -> ((s, d) => Ivf.cellBalance(Tables.embeddings(s, d), IvfStep))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -315,6 +315,44 @@ object Ivf {
       .orderBy(col("query_id"), col("score").desc, col("vec_id"))
   }
 
+  /** Index health report (q63): the cell-balance dial an IVF layout
+    * lives or dies by at 100 TB — a skewed cell is a hot partition
+    * (every probe of it scans disproportionate data, stragglers bound
+    * the stage) and empty cells are wasted probe budget. One row:
+    * cell counts, min/avg/max occupancy, skew = max/avg, unassigned
+    * rows. Run it per build/append (with [[Pq.append]]'s frozen
+    * centroids the balance only DRIFTS, never rebalances — this report
+    * is what says when to re-train). Plan: the same zero-shuffle argmin
+    * pass as [[assign]], a k-row groupBy, then kB-scale aggregates —
+    * scan-speed at any corpus size. */
+  def cellBalance(vectors: DataFrame, step: Int): DataFrame = {
+    val cents = centroids(vectors, step)
+    // a dirty stride row is NOT a cell (nothing assigns to it, no probe
+    // reaches it) — count cells under the unified [[Pq.cleanCentroid]]
+    // rule, driver-side over the already-bounded collected set
+    val cs = collectCentroids(cents)
+    val dim = modalDim(cs)
+    val nCells = cs.mat.count(v => v.length == dim && !v.exists(_.isNaN))
+    val perCell = assign(vectors, cents)
+      .where(col("centroid_id").isNotNull)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+    val s = perCell.agg(
+      count(lit(1)).as("n_nonempty"), sum("n").as("n_vectors"),
+      min("n").as("min_cell"), max("n").as("max_cell"))
+    val t = vectors.agg(count(lit(1)).as("n_total"))
+    s.crossJoin(t).select(
+      lit(nCells.toLong).as("n_cells"),
+      col("n_vectors").cast("long").as("n_vectors"),
+      (col("n_total") - col("n_vectors")).cast("long").as("n_unassigned"),
+      (lit(nCells.toLong) - col("n_nonempty")).cast("long").as("n_empty"),
+      col("min_cell").cast("long").as("min_cell"),
+      col("max_cell").cast("long").as("max_cell"),
+      round(col("n_vectors").cast("double") / col("n_nonempty").cast("double"), 6)
+        .as("avg_cell"),
+      round(col("max_cell").cast("double") * col("n_nonempty").cast("double")
+        / col("n_vectors").cast("double"), 6).as("skew"))
+  }
+
   /** Narrow inline postings (no persist): assignment rides the scan —
     * the only exchange a search over these adds is its final top-k.
     * The coalesce makes the join key non-nullable so a probed-centroid

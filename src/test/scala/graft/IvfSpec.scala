@@ -126,6 +126,29 @@ class IvfSpec extends SparkSpec {
     assert(runB(poisoned) == runB(cleansed), "batched probe diverged on dirty centroids")
   }
 
+  test("cellBalance: occupancy invariants on a clean corpus, dirty rows land in the right buckets") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf0001)
+    val r = Ivf.cellBalance(emb, IvfStep).collect().head
+    val n = emb.count()
+    val nCells = Ivf.centroids(emb, IvfStep).count()
+    assert(r.getLong(0) == nCells)                    // n_cells
+    assert(r.getLong(1) == n)                         // n_vectors: all assigned
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L)  // none unassigned, none empty
+    assert(r.getLong(4) >= 1 && r.getLong(4) <= r.getLong(5)) // min <= max
+    assert(r.getDouble(6) == n.toDouble / nCells)     // avg over non-empty cells
+    assert(r.getDouble(7) >= 1.0)                     // skew = max/avg >= 1
+    // dirty corpus: a poisoned DATA row becomes unassigned, a poisoned
+    // STRIDE row stops being a cell — both visible in the report
+    val poison = expr("transform(embedding, (x, i) -> IF(i = 3, CAST(NULL AS FLOAT), x))")
+    val dirty = emb.select(col("vec_id"),
+      when(col("vec_id").isin(3L, 25L), poison).otherwise(col("embedding")).as("embedding"),
+      col("label"))
+    val d = Ivf.cellBalance(dirty, IvfStep).collect().head
+    assert(d.getLong(0) == nCells - 1, "dirty stride row still counted as a cell")
+    assert(d.getLong(2) == 2L, s"expected 2 unassigned (vec 3 + vec 25), got ${d.getLong(2)}")
+  }
+
   test("sqrt-n centroid policy: buildAuto centroid count tracks sqrt(n)") {
     val emb = Tables.embeddings(spark, sf001)
     val n = emb.count()
