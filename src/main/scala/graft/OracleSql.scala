@@ -856,6 +856,33 @@ object OracleSql {
          |    / CAST(n_vectors AS DOUBLE), 6) AS skew
          |FROM s, c, t""".stripMargin,
 
+    // q64: Hamming distance from the UNPACKED sign vectors — the sign
+    // predicate x > 0 is exact in both engines (no accumulation, no
+    // rounding), so this must equal Spark's popcount-over-packed-words
+    // integer row for row. cleanEmb mirrors Bq.encode's drop rule.
+    "q64_bq_search" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+         |SELECT v.vec_id,
+         |  CAST(list_sum(list_transform(list_zip(v.embedding, q.qv),
+         |    x -> CAST((x[1] > 0) <> (x[2] > 0) AS INT))) AS BIGINT) AS hamming
+         |FROM embeddings v, q
+         |WHERE ${cleanEmb("v.embedding")}
+         |ORDER BY hamming, v.vec_id LIMIT $K""".stripMargin,
+
+    // q64b: the two-stage serve — Hamming shortlist (same tie-break as
+    // q64), exact-dot re-rank of only those rows.
+    "q64b_bq_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |cand AS (
+         |  SELECT v.vec_id FROM embeddings v, q
+         |  WHERE ${cleanEmb("v.embedding")}
+         |  ORDER BY list_sum(list_transform(list_zip(v.embedding, q.qv),
+         |    x -> CAST((x[1] > 0) <> (x[2] > 0) AS INT))), v.vec_id
+         |  LIMIT $BqShortlist)
+         |SELECT v.vec_id, round(${dotd("v.embedding", "q.qv")}, 6) AS score
+         |FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id, q
+         |ORDER BY score DESC, v.vec_id LIMIT $K""".stripMargin,
+
     "q46_span_dedup" ->
       s"""WITH sized AS (
          |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)

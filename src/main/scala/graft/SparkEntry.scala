@@ -88,6 +88,9 @@ object SparkEntry {
                                         // comparison is same-budget
     val RecallQueryIds = Seq(0L, 7L, 42L) // q62 audit panel: a sampled query
                                           // set, ids present at every SF
+    val BqShortlist = 100 // q64b Hamming shortlist — the full-precision
+                          // re-rank budget (SF-independent; recall@K is
+                          // governed by shortlist/K = 5×, not corpus size)
   }
   import Params._
 
@@ -275,7 +278,15 @@ object SparkEntry {
     }),
     "q62_ann_recall" -> ((s, d) => RecallAudit.annRecallReport(
       Tables.embeddings(s, d), IvfStep, PqM, RecallQueryIds, NProbe, K)),
-    "q63_cell_balance" -> ((s, d) => Ivf.cellBalance(Tables.embeddings(s, d), IvfStep))
+    "q63_cell_balance" -> ((s, d) => Ivf.cellBalance(Tables.embeddings(s, d), IvfStep)),
+    "q64_bq_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Bq.search(Bq.encode(emb, SqDim), Knn.queryVector(emb, QueryVecId), SqDim, K)
+    }),
+    "q64b_bq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Bq.searchRerank(emb, SqDim, Knn.queryVector(emb, QueryVecId), BqShortlist, K)
+    })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
