@@ -883,6 +883,42 @@ object OracleSql {
          |FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id, q
          |ORDER BY score DESC, v.vec_id LIMIT $K""".stripMargin,
 
+    // q65: exact filtered search — the predicate composes under the
+    // scorer, nothing else changes.
+    "q65_filtered_knn" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId)
+         |SELECT v.vec_id, v.label, round(${dotd("v.embedding", "q.qv")}, 6) AS score
+         |FROM embeddings v, q
+         |WHERE v.label = $FilterLabel
+         |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin,
+
+    // q65b: filtered IVF = q12c's probe geometry (centroids and probe
+    // set from the FULL corpus) with the predicate applied to the
+    // assigned rows — the pre-filter semantics of
+    // Ivf.searchInlineFiltered. cleanEmb mirrors the assignable drop.
+    "q65b_filtered_ivf" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+         |probed AS (
+         |  SELECT centroid_id FROM (
+         |    SELECT c.centroid_id, round(${l2sq("c.c_emb", "q.qv")}, 6) AS cdist
+         |    FROM cents c, q
+         |    ORDER BY cdist, centroid_id LIMIT $NProbe)),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${l2sq("v.embedding", "c.c_emb")}, 6), c.centroid_id) AS rn
+         |    FROM embeddings v CROSS JOIN cents c
+         |    WHERE v.label = $FilterLabel AND ${cleanEmb("v.embedding")}) WHERE rn = 1)
+         |SELECT v.vec_id, round(${dotd("v.embedding", "q.qv")}, 6) AS score
+         |FROM assigned a
+         |JOIN probed p ON a.centroid_id = p.centroid_id
+         |JOIN embeddings v ON v.vec_id = a.vec_id, q
+         |ORDER BY score DESC, v.vec_id LIMIT $K""".stripMargin,
+
     "q46_span_dedup" ->
       s"""WITH sized AS (
          |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)

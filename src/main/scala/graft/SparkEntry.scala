@@ -91,6 +91,9 @@ object SparkEntry {
     val BqShortlist = 100 // q64b Hamming shortlist — the full-precision
                           // re-rank budget (SF-independent; recall@K is
                           // governed by shortlist/K = 5×, not corpus size)
+    val FilterLabel = 3   // q65 predicate: ~10% selectivity at every SF
+                          // (labels are uniform 0-9), comfortably > K
+                          // matches per probed-cell set
   }
   import Params._
 
@@ -286,6 +289,16 @@ object SparkEntry {
     "q64b_bq_rerank" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Bq.searchRerank(emb, SqDim, Knn.queryVector(emb, QueryVecId), BqShortlist, K)
+    }),
+    "q65_filtered_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.topKDotFiltered(emb, col("label") === FilterLabel,
+        Knn.queryVector(emb, QueryVecId), K)
+    }),
+    "q65b_filtered_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ivf.searchInlineFiltered(emb, IvfStep, col("label") === FilterLabel,
+        Knn.queryVector(emb, QueryVecId), NProbe, K)
     })
   )
 

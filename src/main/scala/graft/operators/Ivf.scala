@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.functions.{CentroidSet, NearestCentroid}
@@ -371,5 +371,26 @@ object Ivf {
                    nprobe: Int, k: Int): DataFrame = {
     val cents = centroids(vectors, step)
     search(inlinePostings(vectors, cents), cents, query, nprobe, k)
+  }
+
+  /** Filtered ANN — the probed twin of [[Knn.topKDotFiltered]], as
+    * PRE-filtering: centroids come from the FULL corpus (the index
+    * layout doesn't know future predicates), the predicate applies
+    * below the assignment argmin, so only matching rows are ever
+    * scored and the filter still pushes to the scan. This is the
+    * standard filtered-IVF design (FAISS `IDSelector`, Milvus/Vespa
+    * filtered search): probe geometry is unchanged, each probed cell
+    * yields only its matching members.
+    *
+    * The trade every filtered-ANN user owns: with a fixed `nprobe` a
+    * highly selective predicate can leave < k matches inside the
+    * probed cells (matches live elsewhere). Raise `nprobe` as
+    * selectivity drops, or below ~1 % selectivity switch to
+    * [[Knn.topKDotFiltered]] — the pushed-filter exact scan is then
+    * cheaper than probing most of the index anyway. */
+  def searchInlineFiltered(vectors: DataFrame, step: Int, pred: Column,
+                           query: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cents = centroids(vectors, step)
+    search(inlinePostings(vectors.where(pred), cents), cents, query, nprobe, k)
   }
 }

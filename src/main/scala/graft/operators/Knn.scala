@@ -45,6 +45,19 @@ object Knn {
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
 
+  /** Filtered exact search: top-k among rows satisfying a metadata
+    * predicate — the "WHERE label = X" face of vector search every
+    * serving stack needs next to the unfiltered path. Expressed as
+    * filter-below-scorer, which is the PRE-filter strategy: Catalyst
+    * pushes the predicate into the parquet scan (`PushedFilters`), so
+    * non-matching rows never reach the distance kernel and, with
+    * row-group statistics, often never leave the disk. Exact search
+    * composes with any predicate at full recall — unlike the probed
+    * variant ([[Ivf.searchInlineFiltered]]) there is no
+    * selectivity/recall trade to manage. */
+  def topKDotFiltered(vectors: DataFrame, pred: Column, query: DataFrame, k: Int): DataFrame =
+    topKDot(vectors.where(pred), query, k)
+
   /** 1-row query-vector frame: the embedding of `vecId` (the reference
     * searches with `sampleVectors[0]`, Program.cs:210). */
   def queryVector(vectors: DataFrame, vecId: Long): DataFrame =

@@ -19,6 +19,30 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall@$K = $recall (exact=$exact approx=$approx)")
   }
 
+  test("filtered search: only matching labels surface; predicate pushes to the scan; " +
+    "probe-everything equals exact filtered") {
+    import org.apache.spark.sql.functions._
+    val q = Knn.queryVector(emb, QueryVecId)
+    val pred = col("label") === FilterLabel
+    val probed = Ivf.searchInlineFiltered(emb, IvfStep, pred, q, NProbe, K)
+    val probedIds = probed.collect().map(_.getLong(0)).toSet
+    assert(probedIds.nonEmpty, "filtered probe returned nothing at ~10% selectivity")
+    val matching = emb.where(pred).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(probedIds.subsetOf(matching), "a non-matching row escaped the filter")
+    // the exact filtered path pushes the predicate into the parquet scan
+    val exactPlan = Knn.topKDotFiltered(emb, pred, q, K)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("PushedFilters") && exactPlan.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the scan:\n$exactPlan")
+    // with every cell probed, pre-filter IVF degenerates to exact filtered
+    val nCells = (emb.count() / IvfStep).toInt + 1
+    val all = Ivf.searchInlineFiltered(emb, IvfStep, pred, q, nCells, K)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = Knn.topKDotFiltered(emb, pred, q, K)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(all == exact, "probe-everything filtered search diverged from exact filtered")
+  }
+
   test("assignWithEmbedding drops null / off-dim / null-element rows (no phantom null cluster)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
