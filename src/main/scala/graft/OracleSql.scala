@@ -288,6 +288,35 @@ object OracleSql {
          |JOIN embeddings v ON v.vec_id = a.vec_id, q
          |ORDER BY score DESC, v.vec_id LIMIT $K""".stripMargin,
 
+    // q66: Matryoshka two-stage — prefix-dim shortlist, full-dim
+    // re-rank. Both dots are the same left-to-right double
+    // accumulation as q12's.
+    "q66_mrl_search" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |cand AS (
+         |  SELECT v.vec_id FROM embeddings v, q
+         |  ORDER BY round(${dotd(s"list_slice(v.embedding, 1, $MrlDim)",
+                                  s"list_slice(q.qv, 1, $MrlDim)")}, 6) DESC, v.vec_id
+         |  LIMIT $MrlShortlist)
+         |SELECT v.vec_id, round(${dotd("v.embedding", "q.qv")}, 6) AS score
+         |FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id, q
+         |ORDER BY score DESC, v.vec_id LIMIT $K""".stripMargin,
+
+    // q67: batched exact top-k — the row_number formulation is the
+    // SQL mirror of GroupedTopK's per-query bounded heaps.
+    "q67_knn_batch" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id IN (${RecallQueryIds.mkString(", ")}))
+         |SELECT query_id, vec_id, score FROM (
+         |  SELECT q.query_id, v.vec_id,
+         |    round(${dotd("v.embedding", "q.qv")}, 6) AS score,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(${dotd("v.embedding", "q.qv")}, 6) DESC, v.vec_id) AS rn
+         |  FROM embeddings v CROSS JOIN q)
+         |WHERE rn <= $K
+         |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+
     "q13_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_copies,
         |  min(doc_id) AS keeper_id

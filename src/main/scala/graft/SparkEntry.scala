@@ -94,6 +94,11 @@ object SparkEntry {
     val FilterLabel = 3   // q65 predicate: ~10% selectivity at every SF
                           // (labels are uniform 0-9), comfortably > K
                           // matches per probed-cell set
+    val MrlDim = 16       // q66 prefix dimension: 4x less float data in
+                          // stage 1; on MRL-trained vectors 16/64 is the
+                          // standard truncation rung
+    val MrlShortlist = 100 // q66 full-dim re-rank budget (same 5x-over-K
+                           // contract as BqShortlist)
   }
   import Params._
 
@@ -299,6 +304,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Ivf.searchInlineFiltered(emb, IvfStep, col("label") === FilterLabel,
         Knn.queryVector(emb, QueryVecId), NProbe, K)
+    }),
+    "q66_mrl_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.topKPrefixRerank(emb, Knn.queryVector(emb, QueryVecId),
+        MrlDim, MrlShortlist, K)
+    }),
+    "q67_knn_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.topKDotBatch(emb, Knn.queryPanel(emb, RecallQueryIds), K)
     })
   )
 

@@ -32,8 +32,7 @@ object RecallAudit {
 
   def annRecallReport(vectors: DataFrame, step: Int, m: Int,
                       queryIds: Seq[Long], nprobe: Int, k: Int): DataFrame = {
-    val queries = vectors.where(col("vec_id").isin(queryIds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val queries = Knn.queryPanel(vectors, queryIds)
     val joined = vectors.crossJoin(broadcast(queries))
     val truthDot = GroupedTopK.topK(
       joined.select(col("query_id"), col("vec_id"),

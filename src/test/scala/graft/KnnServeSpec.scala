@@ -8,6 +8,18 @@ import graft.streaming.KnnServe
   * vectors. */
 class KnnServeSpec extends SparkSpec {
 
+  test("topKDotBatch == per-query single exact search (one-scan batched plan differential)") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val ids = Seq(0L, 7L, 13L)
+    val batched = Knn.topKDotBatch(corpus, Knn.queryPanel(corpus, ids), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val looped = ids.flatMap { qid =>
+      Knn.topKDot(corpus, Knn.queryVector(corpus, qid), 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(2)))
+    }.toSet
+    assert(batched == looped, "batched exact KNN diverged from the per-query loop")
+  }
+
   test("foreachBatch KNN serving == batch exact KNN per query") {
     val corpus = Tables.embeddings(spark, sf0001)
     // Stage a 3-query stream: query vectors 0, 7, 13 from the corpus.
