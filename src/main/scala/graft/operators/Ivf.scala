@@ -252,8 +252,17 @@ object Ivf {
     * ingest ids are disjoint by construction (new crawl shards). To
     * reconcile after an overlapping append, rebuild with [[save]] or
     * dedup postings on vec_id. */
-  def append(spark: SparkSession, path: String, delta: DataFrame): Unit = {
-    val cs = collectCentroids(load(spark, path)._2)
+  def append(spark: SparkSession, path: String, delta: DataFrame): Unit =
+    appendWith(collectCentroids(load(spark, path)._2), path, delta)
+
+  /** [[append]] against an ALREADY-collected frozen centroid set — the
+    * per-batch body for callers that amortize the centroid load over
+    * many deltas (the streaming ingest twin,
+    * [[graft.streaming.IndexIngest]], collects once at stream start;
+    * re-reading the centroids table per micro-batch would add a
+    * driver-side read to every trigger for a model that is frozen by
+    * contract). */
+  def appendWith(cs: graft.functions.CentroidSet, path: String, delta: DataFrame): Unit =
     delta
       .where(assignable(modalDim(cs)))
       .select(col("vec_id"), col("embedding"),
@@ -261,7 +270,6 @@ object Ivf {
       .repartition(col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/postings")
-  }
 
   /** ANN search: probe the `nprobe` nearest centroids to the query, exact
     * dot-product rerank within probed buckets only. `query` is a 1-row

@@ -165,6 +165,46 @@ class StreamingSpec extends SparkSpec {
     assert(dups === 0)
   }
 
+  test("streaming index ingest == batch append: same postings, frozen centroids untouched") {
+    import graft.operators.Ivf
+    val tmp = System.getProperty("java.io.tmpdir")
+    val emb = Tables.embeddings(spark, sf0001)
+    val base = emb.where(col("vec_id") < 40)
+    val delta = emb.where(col("vec_id") >= 40)
+
+    // two identical indexes from the base corpus
+    val streamPath = s"$tmp/graft_ingest_stream_idx"
+    val batchPath = s"$tmp/graft_ingest_batch_idx"
+    Ivf.save(base, 10, streamPath)
+    Ivf.save(base, 10, batchPath)
+    val centsBefore = spark.read.parquet(s"$streamPath/centroids")
+      .orderBy("centroid_id").collect().toSeq
+
+    // batch twin appends directly; streaming twin reads the delta as a
+    // file stream and ingests micro-batch-wise
+    Ivf.append(spark, batchPath, delta)
+    val deltaDir = s"$tmp/graft_ingest_delta_src"
+    delta.select("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(deltaDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(deltaDir).schema).parquet(deltaDir)
+    val q = graft.streaming.IndexIngest.ingest(stream, streamPath)
+    q.awaitTermination(120000)
+
+    // partition-dir column comes back int-inferred — normalize to long
+    def postings(p: String) = spark.read.parquet(s"$p/postings")
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(postings(streamPath) == postings(batchPath),
+      "streamed ingest postings diverge from the batch append")
+    assert(postings(streamPath).map(_._1) ==
+      emb.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "ingest lost or duplicated vectors")
+    val centsAfter = spark.read.parquet(s"$streamPath/centroids")
+      .orderBy("centroid_id").collect().toSeq
+    assert(centsAfter == centsBefore, "ingest mutated the frozen centroids")
+  }
+
   test("stateful streaming sessionization matches the batch sessionize") {
     import spark.implicits._
     val events = spark.readStream
