@@ -934,7 +934,7 @@ object OracleSql {
          |  SELECT centroid_id FROM (
          |    SELECT c.centroid_id, round(${l2sq("c.c_emb", "q.qv")}, 6) AS cdist
          |    FROM cents c, q
-         |    ORDER BY cdist, centroid_id LIMIT $NProbe)),
+         |    ORDER BY cdist, centroid_id LIMIT $FilterNProbe)),
          |assigned AS (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT v.vec_id, c.centroid_id,

@@ -92,8 +92,13 @@ object SparkEntry {
                           // re-rank budget (SF-independent; recall@K is
                           // governed by shortlist/K = 5×, not corpus size)
     val FilterLabel = 3   // q65 predicate: ~10% selectivity at every SF
-                          // (labels are uniform 0-9), comfortably > K
-                          // matches per probed-cell set
+                          // (labels are uniform 0-9)
+    val FilterNProbe = 12 // q65b probe budget: the documented
+                          // selectivity↔nprobe trade applied — at ~10%
+                          // selectivity each probed cell contributes
+                          // ~step/10 matches, so matching K results
+                          // needs ~3x the unfiltered NProbe; 12 keeps
+                          // the probed fraction scale-independent
     val MrlDim = 16       // q66 prefix dimension: 4x less float data in
                           // stage 1; on MRL-trained vectors 16/64 is the
                           // standard truncation rung
@@ -303,7 +308,7 @@ object SparkEntry {
     "q65b_filtered_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Ivf.searchInlineFiltered(emb, IvfStep, col("label") === FilterLabel,
-        Knn.queryVector(emb, QueryVecId), NProbe, K)
+        Knn.queryVector(emb, QueryVecId), FilterNProbe, K)
     }),
     "q66_mrl_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
