@@ -302,6 +302,34 @@ object OracleSql {
          |FROM cand c JOIN embeddings v ON v.vec_id = c.vec_id, q
          |ORDER BY score DESC, v.vec_id LIMIT $K""".stripMargin,
 
+    // q68: delete-aware probed search — q12c's geometry (centroids and
+    // probe set from the FULL corpus, deleted mass included until
+    // re-train, matching the tombstone contract) with tombstoned rows
+    // subtracted from the assigned postings.
+    "q68_delete_search" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+         |probed AS (
+         |  SELECT centroid_id FROM (
+         |    SELECT c.centroid_id, round(${l2sq("c.c_emb", "q.qv")}, 6) AS cdist
+         |    FROM cents c, q
+         |    ORDER BY cdist, centroid_id LIMIT $NProbe)),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT v.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${l2sq("v.embedding", "c.c_emb")}, 6), c.centroid_id) AS rn
+         |    FROM embeddings v CROSS JOIN cents c
+         |    WHERE v.vec_id % $DeleteMod <> $DeleteRem AND ${cleanEmb("v.embedding")})
+         |  WHERE rn = 1)
+         |SELECT v.vec_id, round(${dotd("v.embedding", "q.qv")}, 6) AS score
+         |FROM assigned a
+         |JOIN probed p ON a.centroid_id = p.centroid_id
+         |JOIN embeddings v ON v.vec_id = a.vec_id, q
+         |ORDER BY score DESC, v.vec_id LIMIT $K""".stripMargin,
+
     // q67: batched exact top-k — the row_number formulation is the
     // SQL mirror of GroupedTopK's per-query bounded heaps.
     "q67_knn_batch" ->

@@ -104,6 +104,8 @@ object SparkEntry {
                           // standard truncation rung
     val MrlShortlist = 100 // q66 full-dim re-rank budget (same 5x-over-K
                            // contract as BqShortlist)
+    val DeleteMod = 7     // q68 tombstone set: vec_id % DeleteMod ==
+    val DeleteRem = 2     //   DeleteRem (~14% deleted, query id 0 survives)
   }
   import Params._
 
@@ -318,6 +320,13 @@ object SparkEntry {
     "q67_knn_batch" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Knn.topKDotBatch(emb, Knn.queryPanel(emb, RecallQueryIds), K)
+    }),
+    "q68_delete_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dead = emb.where(pmod(col("vec_id"), lit(DeleteMod.toLong)) === DeleteRem)
+        .select("vec_id")
+      Ivf.searchInlineWithDeletes(emb, IvfStep, dead,
+        Knn.queryVector(emb, QueryVecId), NProbe, K)
     })
   )
 

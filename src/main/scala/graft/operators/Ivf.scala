@@ -373,12 +373,90 @@ object Ivf {
       coalesce(nearest(vectors, collectCentroids(cents)).getField("centroid_id"), lit(-1L))
         .as("centroid_id"))
 
+  // ── Deletion lifecycle ──────────────────────────────────────────────
+  //
+  // Parquet is immutable, so deletes follow the log-structured contract
+  // every lake format (Delta/Iceberg/Hudi) and every segment-based ANN
+  // engine use: record tombstones cheaply NOW, subtract them at READ
+  // time, fold them in physically at COMPACTION time. The reference
+  // would rebuild its in-memory graph (Program.cs:125-204); a 100 TB
+  // index records a kB-scale tombstone file instead.
+
+  /** Record deletions: append `ids` (frame with `vec_id`) to the
+    * index's tombstone log. O(delete batch) — no index data is read or
+    * rewritten. */
+  def tombstone(path: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).write.mode("append")
+      .parquet(s"$path/tombstones")
+
+  /** The index's current tombstone set (empty frame if none recorded). */
+  def tombstones(spark: SparkSession, path: String): DataFrame = {
+    val dir = new java.io.File(s"$path/tombstones")
+    if (dir.exists()) spark.read.parquet(dir.getPath).select("vec_id").distinct()
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  /** Delete-aware search: [[search]] over postings minus the tombstone
+    * set. The subtraction is a broadcast LEFT ANTI join (tombstones are
+    * kB-MB against a TB postings side), evaluated only on the probed
+    * cells' rows — probe geometry is untouched (deleted vectors stop
+    * SURFACING immediately; their mass still shapes centroids until the
+    * next re-train, the standard staleness trade every tombstoning
+    * index accepts). */
+  def searchWithDeletes(postings: DataFrame, cents: DataFrame, dead: DataFrame,
+                        query: DataFrame, nprobe: Int, k: Int): DataFrame =
+    search(postings.join(broadcast(dead.select("vec_id")), Seq("vec_id"), "left_anti"),
+      cents, query, nprobe, k)
+
+  /** Fold tombstones in physically — but rewrite ONLY the cell
+    * partitions that actually contain a tombstoned id: a lookup join
+    * finds the affected centroid_ids (partition pruning serves every
+    * untouched cell's files unchanged), those partitions rewrite minus
+    * their dead rows, and the tombstone log resets. O(affected cells),
+    * not O(index) — deletes clustered in a few cells (the common case:
+    * a bad crawl shard was ingested into adjacent cells) cost only
+    * those cells' rewrite. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dead = tombstones(spark, path)
+    val postings = load(spark, path)._1
+    // the only collect: affected CELL IDS — bounded by the centroid
+    // count (kB), never by data size
+    val affected = postings.join(broadcast(dead), "vec_id")
+      .select("centroid_id").distinct().collect().map(_.get(0).toString)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { cid =>
+      val dir = s"$path/postings/centroid_id=$cid"
+      val tmp = s"$path/postings_compacting/centroid_id=$cid"
+      // executor-side rewrite of this one cell into a temp dir, then an
+      // atomic-enough dir swap — the postings frame is never read and
+      // overwritten in the same job
+      spark.read.parquet(dir)
+        .join(broadcast(dead), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(tmp)
+      fs.delete(new Path(dir), true)
+      fs.rename(new Path(tmp), new Path(dir))
+    }
+    fs.delete(new Path(s"$path/postings_compacting"), true)
+    // reset the log (all folded in)
+    fs.delete(new Path(s"$path/tombstones"), true)
+  }
+
   /** In-memory search without persist (for the oracle-checked query key):
     * same plan, postings = [[inlinePostings]]. */
   def searchInline(vectors: DataFrame, step: Int, query: DataFrame,
                    nprobe: Int, k: Int): DataFrame = {
     val cents = centroids(vectors, step)
     search(inlinePostings(vectors, cents), cents, query, nprobe, k)
+  }
+
+  /** [[searchWithDeletes]] without persist (the oracle-checked query
+    * key): centroids and probe geometry from the full corpus,
+    * tombstoned rows subtracted from the postings side. */
+  def searchInlineWithDeletes(vectors: DataFrame, step: Int, dead: DataFrame,
+                              query: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cents = centroids(vectors, step)
+    searchWithDeletes(inlinePostings(vectors, cents), cents, dead, query, nprobe, k)
   }
 
   /** Filtered ANN — the probed twin of [[Knn.topKDotFiltered]], as
