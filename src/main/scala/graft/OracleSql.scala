@@ -330,6 +330,43 @@ object OracleSql {
          |JOIN embeddings v ON v.vec_id = a.vec_id, q
          |ORDER BY score DESC, v.vec_id LIMIT $K""".stripMargin,
 
+    // q69: cell-split rebalance — q63's assignment CTEs, oversized
+    // cells split between min/max-vec_id-seeded sub-centroids, ids
+    // remapped old*2(+1). Same round-6 l2sq comparison as Spark's
+    // when(); ties (hi not strictly closer) stay on the lo side.
+    "q69_rebalance" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, embedding FROM (
+         |    SELECT v.vec_id, c.centroid_id, v.embedding,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY round(${l2sq("v.embedding", "c.c_emb")}, 6), c.centroid_id) AS rn
+         |    FROM embeddings v CROSS JOIN cents c
+         |    WHERE ${cleanEmb("v.embedding")}) WHERE rn = 1),
+         |counts AS (
+         |  SELECT centroid_id, count(*) AS n, min(vec_id) AS lo, max(vec_id) AS hi
+         |  FROM assigned GROUP BY 1),
+         |over_ AS (SELECT * FROM counts WHERE n > $RebalanceMax),
+         |seeds AS (
+         |  SELECT o.centroid_id, vl.embedding AS lo_emb, vh.embedding AS hi_emb
+         |  FROM over_ o
+         |  JOIN embeddings vl ON vl.vec_id = o.lo
+         |  JOIN embeddings vh ON vh.vec_id = o.hi),
+         |split AS (
+         |  SELECT a.vec_id, a.centroid_id * 2 +
+         |    CASE WHEN round(${l2sq("a.embedding", "s.hi_emb")}, 6) <
+         |              round(${l2sq("a.embedding", "s.lo_emb")}, 6)
+         |         THEN 1 ELSE 0 END AS new_id
+         |  FROM assigned a JOIN seeds s ON a.centroid_id = s.centroid_id),
+         |keep AS (
+         |  SELECT a.vec_id, a.centroid_id * 2 AS new_id FROM assigned a
+         |  WHERE a.centroid_id NOT IN (SELECT centroid_id FROM over_))
+         |SELECT new_id AS centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+         |FROM (SELECT * FROM split UNION ALL SELECT * FROM keep)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q67: batched exact top-k — the row_number formulation is the
     // SQL mirror of GroupedTopK's per-query bounded heaps.
     "q67_knn_batch" ->

@@ -106,6 +106,10 @@ object SparkEntry {
                            // contract as BqShortlist)
     val DeleteMod = 7     // q68 tombstone set: vec_id % DeleteMod ==
     val DeleteRem = 2     //   DeleteRem (~14% deleted, query id 0 survives)
+    val RebalanceMax = 30 // q69 split threshold: 1.2x the stride-25
+                          // average occupancy — the q63 skew report at
+                          // sf0.1 shows max cells ~1.8x avg, so real
+                          // cells cross this at every SF
   }
   import Params._
 
@@ -327,7 +331,9 @@ object SparkEntry {
         .select("vec_id")
       Ivf.searchInlineWithDeletes(emb, IvfStep, dead,
         Knn.queryVector(emb, QueryVecId), NProbe, K)
-    })
+    }),
+    "q69_rebalance" -> ((s, d) =>
+      Ivf.splitOversized(Tables.embeddings(s, d), IvfStep, RebalanceMax))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

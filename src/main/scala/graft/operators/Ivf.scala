@@ -450,6 +450,50 @@ object Ivf {
     search(inlinePostings(vectors, cents), cents, query, nprobe, k)
   }
 
+  /** Cell-split rebalance (q69) — the ACTION the [[cellBalance]] (q63)
+    * report calls for when skew crosses threshold: every cell whose
+    * occupancy exceeds `maxCell` splits in two, members reassigned
+    * between sub-centroids seeded at the cell's min- and max-vec_id
+    * members (deterministic seeds, so the whole rebalance is
+    * oracle-checkable — production would 2-means-refine the halves,
+    * [[refineCentroids]], which preserves this split's cost shape).
+    * Returns the post-rebalance occupancy report (new_centroid_id, n):
+    * ids remap collision-free as old·2 (+1 for the far-seed half), the
+    * standard doubling scheme for hierarchical splits.
+    *
+    * Scale shape: per-cell counts are a k-row aggregate; seed lookup
+    * joins the k_over-row oversized list against the corpus (broadcast
+    * the small side); the reassignment argmin evaluates ONLY on
+    * oversized cells' rows (the `keep` leg is a broadcast anti-join —
+    * untouched rows never compute a distance). On a persisted layout
+    * this is a rewrite of only the oversized partitions, the same
+    * O(affected cells) contract as [[compact]]. */
+  def splitOversized(vectors: DataFrame, step: Int, maxCell: Int): DataFrame = {
+    val assigned = assignWithEmbedding(vectors, centroids(vectors, step))
+    val counts = assigned.groupBy("centroid_id").agg(
+      count(lit(1)).as("n"), min("vec_id").as("lo"), max("vec_id").as("hi"))
+    val over = counts.where(col("n") > maxCell)
+    val vid = vectors.select(col("vec_id"), col("embedding"))
+    val seeds = broadcast(over)
+      .join(vid.select(col("vec_id").as("lo"), col("embedding").as("lo_emb")), "lo")
+      .join(vid.select(col("vec_id").as("hi"), col("embedding").as("hi_emb")), "hi")
+      .select("centroid_id", "lo_emb", "hi_emb")
+    val split = assigned.join(broadcast(seeds), "centroid_id")
+      .select(col("vec_id"),
+        (col("centroid_id") * 2 + when(
+          round(l2Sq(col("embedding"), col("hi_emb")), 6) <
+            round(l2Sq(col("embedding"), col("lo_emb")), 6), 1L).otherwise(0L))
+          .as("new_centroid_id"))
+    val keep = assigned
+      .join(broadcast(over.select("centroid_id")), Seq("centroid_id"), "left_anti")
+      .select(col("vec_id"), (col("centroid_id") * 2).as("new_centroid_id"))
+    keep.union(split)
+      .groupBy(col("new_centroid_id").as("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .select(col("centroid_id"), col("n_vectors"))
+      .orderBy("centroid_id")
+  }
+
   /** [[searchWithDeletes]] without persist (the oracle-checked query
     * key): centroids and probe geometry from the full corpus,
     * tombstoned rows subtracted from the postings side. */

@@ -106,6 +106,29 @@ class IvfSpec extends SparkSpec {
       "post-compact plain search diverged from pre-compact delete-aware search")
   }
 
+  test("splitOversized: conserves vectors, splits every oversized cell into two " +
+    "smaller halves, leaves others untouched under the id doubling") {
+    import org.apache.spark.sql.functions._
+    val before = Ivf.assignWithEmbedding(emb, Ivf.centroids(emb, IvfStep))
+      .groupBy("centroid_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val overs = before.filter(_._2 > RebalanceMax).keySet
+    assert(overs.nonEmpty, "fixture has no oversized cells — threshold lost its teeth")
+    val after = Ivf.splitOversized(emb, IvfStep, RebalanceMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after.values.sum == before.values.sum, "rebalance lost/duplicated vectors")
+    before.foreach { case (cid, n) =>
+      if (overs.contains(cid)) {
+        val (a, b) = (after.getOrElse(2 * cid, 0L), after.getOrElse(2 * cid + 1, 0L))
+        assert(a + b == n, s"cell $cid members not conserved across the split")
+        assert(a < n && b < n && b > 0, s"cell $cid did not actually split ($a, $b)")
+      } else {
+        assert(after.get(2 * cid).contains(n), s"untouched cell $cid changed occupancy")
+        assert(!after.contains(2 * cid + 1), s"untouched cell $cid grew a split half")
+      }
+    }
+  }
+
   test("assignWithEmbedding drops null / off-dim / null-element rows (no phantom null cluster)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
