@@ -367,6 +367,41 @@ object OracleSql {
          |FROM (SELECT * FROM split UNION ALL SELECT * FROM keep)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q70: cohort retention — ISO-week truncation (both engines
+    // truncate to Monday); integer counts, ratio of exact integers.
+    "q70_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1),
+        |sizes AS (SELECT cohort_week, count(*) AS cohort_size FROM cohort GROUP BY 1),
+        |ret AS (
+        |  SELECT c.cohort_week,
+        |    CAST((u.week - c.cohort_week) // 7 AS INT) AS week_offset,
+        |    count(DISTINCT u.user_id) AS n_users
+        |  FROM uw u JOIN cohort c ON u.user_id = c.user_id GROUP BY 1, 2)
+        |SELECT strftime(r.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  r.week_offset, CAST(r.n_users AS BIGINT) AS n_users,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  round(CAST(r.n_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+        |FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q71: systematic PPS sample — pure integer pin arithmetic
+    // ((cum·n) // Σw), so the running-sum formulation here and Spark's
+    // two-pass bucket cumsum must agree bit for bit.
+    "q71_pps_sample" ->
+      s"""WITH t AS (SELECT sum(n_chars) AS total FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_chars,
+         |    sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents)
+         |SELECT doc_id, n_chars,
+         |  CAST((cum * $PpsN) // total - ((cum - n_chars) * $PpsN) // total AS BIGINT) AS n_hits
+         |FROM c, t
+         |WHERE (cum * $PpsN) // total > ((cum - n_chars) * $PpsN) // total
+         |ORDER BY doc_id""".stripMargin,
+
     // q67: batched exact top-k — the row_number formulation is the
     // SQL mirror of GroupedTopK's per-query bounded heaps.
     "q67_knn_batch" ->

@@ -110,6 +110,8 @@ object SparkEntry {
                           // average occupancy — the q63 skew report at
                           // sf0.1 shows max cells ~1.8x avg, so real
                           // cells cross this at every SF
+    val PpsN = 25         // q71 pin count: exactly 25 weighted picks
+                          // (Σ n_hits telescopes to exactly this)
   }
   import Params._
 
@@ -333,7 +335,9 @@ object SparkEntry {
         Knn.queryVector(emb, QueryVecId), NProbe, K)
     }),
     "q69_rebalance" -> ((s, d) =>
-      Ivf.splitOversized(Tables.embeddings(s, d), IvfStep, RebalanceMax))
+      Ivf.splitOversized(Tables.embeddings(s, d), IvfStep, RebalanceMax)),
+    "q70_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
+    "q71_pps_sample" -> ((s, d) => Sampling.ppsSample(Tables.documents(s, d), PpsN))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

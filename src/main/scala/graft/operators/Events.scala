@@ -124,5 +124,40 @@ object Events {
         6).as("conv_rate"))
       .orderBy("stage_idx")
   }
+
+  /** Cohort retention matrix (q70) — the product-analytics staple next
+    * to [[rollup]]/[[funnel]]: users cohort by FIRST-ACTIVITY week
+    * (ISO weeks, `date_trunc` to Monday — identical truncation in
+    * DuckDB), and each (cohort_week, week_offset) cell counts the
+    * cohort's users still active that many weeks later, with the
+    * retention ratio against cohort size. All counts are integers and
+    * the ratio divides two exact integers — no float drift surface.
+    *
+    * Scale shape: the (user, week) distinct and the per-user min are
+    * ONE exchange each on user_id, and AQE reuses the partitioning for
+    * the cohort join (same key); the matrix aggregate's key space is
+    * weeks², trivially small. At 100 TB of events the cost is the two
+    * user_id exchanges — nothing materializes per event after the
+    * first distinct. */
+  def retention(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, "user_id")
+      .withColumn("week_offset",
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .join(sizes, "cohort_week")
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"), col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }
 

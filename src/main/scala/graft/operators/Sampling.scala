@@ -103,4 +103,52 @@ object Sampling {
         floor(sum("lw").cast("double") / count(lit(1))).cast("long").as("avg_lw_micro"))
       .orderBy("doc_id")
   }
+
+  /** Systematic PPS sample (q71) — probability-proportional-to-size
+    * selection by cumulative weight: lay the docs on a [0, Σw) line in
+    * doc_id order, drop `n` equally-spaced pins, keep every doc a pin
+    * lands in; `n_hits` = pins in the doc's interval (a doc heavier
+    * than Σw/n can take several — the Hansen-Hurwitz estimator's
+    * multiplicity). This is the sampling stage DSIR-style weights
+    * ([[dsirWeights]]) feed: selection probability is proportional to
+    * weight, sample size is EXACTLY n (Σ n_hits = n by telescoping),
+    * and everything is INTEGER arithmetic — `(cum·n) div Σw` — so the
+    * result is a pure function of the data, bit-identical in any
+    * engine (the Efraimidis-Spirakis exponential-keys formulation
+    * would hinge on cross-engine `ln`/`pow` libm bits; this does not).
+    *
+    * Scale shape: the global running sum follows [[Scan.globalIndex]]'s
+    * two-pass bucket scheme — per-bucket window cumsum + a
+    * numBuckets-row prefix-offset frame broadcast back — so there is
+    * no single-partition global window. Weights cap at ~9·10¹⁸/n
+    * before `cum·n` overflows long — at larger Σw pre-scale the weight
+    * column (selection probabilities are scale-invariant). */
+  def ppsSample(docs: DataFrame, n: Int, numBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"),
+      sum("n_chars").as("total")).collect()(0)
+    if (stats.isNullAt(0)) return docs.select(col("doc_id"), col("n_chars"),
+      lit(0L).as("n_hits")).limit(0)
+    val (mn, mx, total) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val span = math.max((mx - mn) / numBuckets + 1, 1L)
+    val parted = docs.select(col("doc_id"), col("n_chars"),
+      ((col("doc_id") - mn) / span).cast("long").as("pid"))
+    val localCum = parted.withColumn("local_cum",
+      sum("n_chars").over(Window.partitionBy("pid").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    // per-bucket totals → exclusive prefix offsets (numBuckets rows;
+    // the constant partitionBy(lit) suppresses the benign warning)
+    val offsets = parted.groupBy("pid").agg(sum("n_chars").as("w"))
+      .withColumn("offset", coalesce(
+        sum("w").over(Window.partitionBy(lit(0)).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    localCum.join(broadcast(offsets), "pid")
+      .withColumn("cum", col("local_cum") + col("offset"))
+      .withColumn("n_hits",
+        expr(s"(cum * $n) div ${total}L - ((cum - n_chars) * $n) div ${total}L"))
+      .where(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_chars"), col("n_hits"))
+      .orderBy("doc_id")
+  }
 }

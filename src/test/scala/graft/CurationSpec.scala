@@ -147,6 +147,50 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pps sample: hits telescope to exactly n; heavy docs guaranteed in; " +
+    "zero-weight docs never selected; deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf001)
+    val n = SparkEntry.Params.PpsN
+    val out = Sampling.ppsSample(docs, n).collect()
+    assert(out.map(_.getLong(2)).sum == n, "pin count did not telescope to n")
+    assert(out.forall(_.getLong(1) > 0), "a zero-weight doc was selected")
+    // pigeonhole: any doc with w*n > total spans a full pin interval
+    val total = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+    val heavy = docs.where(col("n_chars") * n > total)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(heavy.subsetOf(out.map(_.getLong(0)).toSet),
+      "a heavier-than-interval doc missed the sample")
+    val again = Sampling.ppsSample(docs, n).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(2))).toSeq, "sample not deterministic")
+    // crafted corpus: the 10x-weight doc takes ~10x the pins of a peer
+    val crafted = (0L until 20L).map(i => (i, if (i == 7L) 1000L else 100L))
+      .toDF("doc_id", "n_chars")
+    val c = Sampling.ppsSample(crafted, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(c.getOrElse(7L, 0L) >= 3, s"10x-weight doc under-sampled: $c")
+  }
+
+  test("retention: offset-0 diagonal equals cohort size; users partition across cohorts") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf0001)
+    val rows = graft.operators.Events.retention(events).collect()
+    assert(rows.nonEmpty)
+    // offset 0 = the cohort's own first week: everyone is active
+    rows.filter(_.getInt(1) == 0).foreach { r =>
+      assert(r.getLong(2) == r.getLong(3), s"offset-0 cell not full: $r")
+      assert(r.getDouble(4) == 1.0)
+    }
+    // cohort sizes partition the distinct-user universe
+    val sizes = rows.filter(_.getInt(1) == 0).map(_.getLong(3)).sum
+    val users = events.select(countDistinct("user_id")).collect()(0).getLong(0)
+    assert(sizes == users, s"cohort sizes $sizes != distinct users $users")
+    // retention never exceeds 1 and later offsets never exceed cohort size
+    rows.foreach { r => assert(r.getLong(2) <= r.getLong(3) && r.getDouble(4) <= 1.0) }
+  }
+
   test("dsir: target-vocabulary docs score positive, anti-target negative, determinism") {
     import graft.operators.Sampling
     // tgt-source docs speak {alpha beta}, raw-pool docs speak {delta
