@@ -367,6 +367,45 @@ object OracleSql {
          |FROM (SELECT * FROM split UNION ALL SELECT * FROM keep)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q64c: batched BQ — per-query row_number over the same unpacked
+    // sign-diff Hamming as q64.
+    "q64c_bq_batch" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id IN (${RecallQueryIds.mkString(", ")})),
+         |scored AS (
+         |  SELECT q.query_id, v.vec_id,
+         |    CAST(list_sum(list_transform(list_zip(v.embedding, q.qv),
+         |      x -> CAST((x[1] > 0) <> (x[2] > 0) AS INT))) AS BIGINT) AS hamming
+         |  FROM embeddings v CROSS JOIN q
+         |  WHERE ${cleanEmb("v.embedding")})
+         |SELECT query_id, vec_id, hamming FROM (
+         |  SELECT query_id, vec_id, hamming,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= $K
+         |ORDER BY query_id, hamming, vec_id""".stripMargin,
+
+    // q72: collocations by lift — n_ab·N/(df_a·df_b), one rounded
+    // division, same association order as the Spark expression.
+    "q72_collocations" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest(${toks()}) AS tok FROM documents),
+         |dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+         |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2 HAVING count(*) >= $CollocMin)
+         |SELECT p.tok_a, p.tok_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+         |  CAST(da.df AS BIGINT) AS df_a, CAST(db.df AS BIGINT) AS df_b,
+         |  round((CAST(p.n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE)) /
+         |        (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE)), 6) AS lift
+         |FROM pairs p
+         |JOIN dfreq da ON da.tok = p.tok_a
+         |JOIN dfreq db ON db.tok = p.tok_b, n
+         |ORDER BY lift DESC, tok_a, tok_b LIMIT $K""".stripMargin,
+
     // q70: cohort retention — ISO-week truncation (both engines
     // truncate to Monday); integer counts, ratio of exact integers.
     "q70_retention" ->

@@ -112,6 +112,8 @@ object SparkEntry {
                           // cells cross this at every SF
     val PpsN = 25         // q71 pin count: exactly 25 weighted picks
                           // (Σ n_hits telescopes to exactly this)
+    val CollocMin = 5     // q72 pair min-support: prunes the hapax pair
+                          // tail before the df joins
   }
   import Params._
 
@@ -337,7 +339,13 @@ object SparkEntry {
     "q69_rebalance" -> ((s, d) =>
       Ivf.splitOversized(Tables.embeddings(s, d), IvfStep, RebalanceMax)),
     "q70_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
-    "q71_pps_sample" -> ((s, d) => Sampling.ppsSample(Tables.documents(s, d), PpsN))
+    "q71_pps_sample" -> ((s, d) => Sampling.ppsSample(Tables.documents(s, d), PpsN)),
+    "q72_collocations" -> ((s, d) =>
+      Search.collocations(Tables.documents(s, d), CollocMin, K)),
+    "q64c_bq_batch" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Bq.searchBatch(Bq.encode(emb, SqDim), Knn.queryPanel(emb, RecallQueryIds), SqDim, K)
+    })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

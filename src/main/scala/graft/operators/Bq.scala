@@ -85,6 +85,30 @@ object Bq {
       .limit(k)
   }
 
+  /** Batched Hamming search — the BQ member of the batched serving
+    * family ([[Knn.topKDotBatch]], [[Ivf.searchBatch]],
+    * [[Pq.searchAdcBatch]]): the (query_id, qv) panel is sign-packed
+    * COLUMNAR-side by the same [[encode]] projection as the corpus (no
+    * per-query driver work at all — the panel can be another table),
+    * broadcast into the packed scan, and per-(query, row) distances
+    * flow through [[graft.plans.GroupedTopK]]'s bounded heaps. Still
+    * two XORs + two POPCNTs per scored pair; one corpus scan answers
+    * the whole panel. */
+  def searchBatch(encoded: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
+    import graft.plans.GroupedTopK
+    val qenc = encode(
+      queries.select(col("query_id").as("vec_id"), col("qv").as("embedding")), dim)
+      .select(col("vec_id").as("query_id"),
+        col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+    val scored = encoded.crossJoin(broadcast(qenc))
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("code_hi").bitwiseXOR(col("q_hi")))).cast("long").as("hamming"))
+    GroupedTopK.topK(scored, Seq(col("query_id")),
+        Seq(col("hamming").asc, col("vec_id").asc), k)
+      .orderBy(col("query_id"), col("hamming"), col("vec_id"))
+  }
+
   /** Two-stage serve: Hamming shortlist of `shortlist` candidates over
     * the packed words, then exact-dot re-rank of ONLY those rows
     * against the real query vector — the standard BQ recall recovery

@@ -134,4 +134,41 @@ object Search {
       .orderBy(desc("rrf_score"), asc("id"))
       .limit(k)
   }
+
+  /** Collocation extraction (q72): token pairs that co-occur in
+    * documents far more than their independent frequencies predict,
+    * ranked by LIFT = P(ab)/(P(a)P(b)) = n_ab·N/(n_a·n_b) — the
+    * monotone core of PMI (PMI = log lift; ranking by lift avoids
+    * hanging result hashes on cross-engine `ln` bits, and the oracle
+    * compares the same single rounded division). The corpus-analysis
+    * staple for phrase mining and tokenizer-merge candidates.
+    *
+    * Plan: distinct (doc, token) exploded once; document frequencies
+    * are a vocabulary-sized aggregate; the pair generation is an
+    * equi-self-join on doc_id with `tok_a < tok_b` — per-doc work is
+    * quadratic in DISTINCT tokens per doc, which is bounded by
+    * document length, not corpus size; `minCount` prunes the pair
+    * tail before the df joins. At 100 TB the production variant caps
+    * the per-doc distinct set (or windows the co-occurrence) — both
+    * keep this exact plan shape. */
+  def collocations(docs: DataFrame, minCount: Int, k: Int): DataFrame = {
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = dt.as("a").join(dt.as("b"), "doc_id")
+      .where(col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    pairs
+      .join(dfreq.select(col("tok").as("tok_a"), col("df").as("df_a")), "tok_a")
+      .join(dfreq.select(col("tok").as("tok_b"), col("df").as("df_b")), "tok_b")
+      .crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"), col("df_a"), col("df_b"),
+        round((col("n_ab").cast("double") * col("n_docs").cast("double")) /
+          (col("df_a").cast("double") * col("df_b").cast("double")), 6).as("lift"))
+      .orderBy(desc("lift"), col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
 }

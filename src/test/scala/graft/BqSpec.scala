@@ -53,6 +53,18 @@ class BqSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@20 = $recall")
   }
 
+  test("batched Hamming search == per-query single search") {
+    val ids = Seq(0L, 7L, 13L)
+    val enc = Bq.encode(emb0001, 64)
+    val batched = Bq.searchBatch(enc, Knn.queryPanel(emb0001, ids), 64, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val looped = ids.flatMap { qid =>
+      Bq.search(enc, Knn.queryVector(emb0001, qid), 64, 5)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(batched == looped, "batched BQ diverged from the per-query loop")
+  }
+
   test("dirty rows (null / off-dim / null-element) never receive codes") {
     val base = emb0001.limit(1)
     val dirty = emb0001.select("vec_id", "embedding", "label")

@@ -54,6 +54,26 @@ class SearchSpec extends SparkSpec {
     assert(rows.map(_.getDouble(3)).toSeq == rows.map(_.getDouble(3)).sorted.reverse.toSeq)
   }
 
+  test("collocations: an always-together pair tops the lift ranking; " +
+    "independent pairs score ~1; min-support prunes") {
+    // "alpha beta" co-occur in every one of their 6 docs (df 6 each,
+    // n_ab 6 → lift = 6·12/36 = 2.0); "x y" co-occur in 6 of 12 docs
+    // where both are near-ubiquitous (df 12 → lift 0.5); rare pair
+    // "p q" (n_ab 2) dies to min-support 3.
+    val docs = (0 until 12).map { i =>
+      val ab = if (i < 6) "alpha beta" else "gamma delta"
+      val pq = if (i < 2) "p q" else ""
+      (i.toLong, s"$ab x y $pq")
+    }.toDF("doc_id", "text")
+    val out = Search.collocations(docs, 3, 20).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(5))).toMap
+    assert(out(("alpha", "beta")) == 2.0, s"always-together lift wrong: $out")
+    assert(out(("x", "y")) == 1.0, "ubiquitous pair should have lift 1")
+    assert(!out.contains(("p", "q")), "min-support failed to prune the rare pair")
+    assert(out(("alpha", "beta")) > out(("alpha", "x")),
+      "dependent pair did not outrank the mixed pair")
+  }
+
   test("bm25 plan: no cartesian product, broadcast df join") {
     val plan = Search.bm25(docs, Seq("cat"), k = 5)
       .queryExecution.executedPlan.toString
