@@ -406,6 +406,25 @@ object OracleSql {
          |JOIN dfreq db ON db.tok = p.tok_b, n
          |ORDER BY lift DESC, tok_a, tok_b LIMIT $K""".stripMargin,
 
+    // q73: hourly anomalies — the integer-inequality gate mirrors the
+    // Spark side exactly; z is one sqrt of an exact integer + one
+    // division (both correctly rounded IEEE), then 6-dp.
+    "q73_anomalies" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT event_type, count(*) AS cnt, sum(n) AS sum_n, sum(n * n) AS sum_n2
+         |  FROM hourly GROUP BY 1)
+         |SELECT h.event_type, h.hour, CAST(h.n AS BIGINT) AS n_events,
+         |  round(CAST(h.n * s.cnt - s.sum_n AS DOUBLE) /
+         |        sqrt(CAST(s.cnt * s.sum_n2 - s.sum_n * s.sum_n AS DOUBLE)), 6) AS z
+         |FROM hourly h JOIN stats s ON h.event_type = s.event_type
+         |WHERE (h.n * s.cnt - s.sum_n) * (h.n * s.cnt - s.sum_n) >
+         |      $AnomZ * $AnomZ * (s.cnt * s.sum_n2 - s.sum_n * s.sum_n)
+         |ORDER BY h.event_type, h.hour""".stripMargin,
+
     // q70: cohort retention — ISO-week truncation (both engines
     // truncate to Monday); integer counts, ratio of exact integers.
     "q70_retention" ->

@@ -114,6 +114,8 @@ object SparkEntry {
                           // (Σ n_hits telescopes to exactly this)
     val CollocMin = 5     // q72 pair min-support: prunes the hapax pair
                           // tail before the df joins
+    val AnomZ = 2         // q73 z-score gate (2 sigma flags ~3-7% of
+                          // hourly cells on this corpus)
   }
   import Params._
 
@@ -345,7 +347,8 @@ object SparkEntry {
     "q64c_bq_batch" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Bq.searchBatch(Bq.encode(emb, SqDim), Knn.queryPanel(emb, RecallQueryIds), SqDim, K)
-    })
+    }),
+    "q73_anomalies" -> ((s, d) => Events.anomalies(Tables.events(s, d), AnomZ))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

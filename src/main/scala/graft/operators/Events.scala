@@ -125,6 +125,35 @@ object Events {
       .orderBy("stage_idx")
   }
 
+  /** Hourly anomaly report (q73): flag (event_type, hour) cells whose
+    * event count sits more than `z` population standard deviations
+    * from that type's hourly mean — the monitoring staple over the
+    * same rollup q17 serves. The GATE is pure integer arithmetic:
+    * |n−μ| > z·σ  ⟺  (n·cnt − Σn)² > z²·(cnt·Σn² − (Σn)²), with every
+    * term an exact integer (no float mean/stddev accumulation order to
+    * disagree across engines — `stddev_pop` would hash-flip boundary
+    * cells). The reported z-score itself is one sqrt of an exact
+    * integer and one division, both IEEE-correctly-rounded, then 6-dp.
+    *
+    * Scale shape: the hourly aggregate is ONE exchange (same keys as
+    * [[rollup]]); per-type moment stats are a types-row frame
+    * broadcast back. Nothing materializes per event downstream. */
+  def anomalies(events: DataFrame, z: Int): DataFrame = {
+    val hourly = events.groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type").agg(
+      count(lit(1)).as("cnt"), sum("n").as("sum_n"),
+      sum(col("n") * col("n")).as("sum_n2"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("num", col("n") * col("cnt") - col("sum_n"))
+      .withColumn("den2", col("cnt") * col("sum_n2") - col("sum_n") * col("sum_n"))
+      .where(col("num") * col("num") > lit(z.toLong * z) * col("den2"))
+      .select(col("event_type"), col("hour"), col("n").as("n_events"),
+        round(col("num").cast("double") / sqrt(col("den2").cast("double")), 6).as("z"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Cohort retention matrix (q70) — the product-analytics staple next
     * to [[rollup]]/[[funnel]]: users cohort by FIRST-ACTIVITY week
     * (ISO weeks, `date_trunc` to Monday — identical truncation in

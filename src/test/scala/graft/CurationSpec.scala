@@ -191,6 +191,28 @@ class CurationSpec extends SparkSpec {
     rows.foreach { r => assert(r.getLong(2) <= r.getLong(3) && r.getDouble(4) <= 1.0) }
   }
 
+  test("anomalies: a planted spike hour flags with positive z; steady hours stay quiet; " +
+    "constant series produces no flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 24 steady hours of 10 events + one spike hour of 100
+    val rows = (0 until 24).flatMap { h =>
+      val n = if (h == 12) 100 else 10
+      (0 until n).map(i => ("click", f"2024-03-01 $h%02d:00:${i % 60}%02d"))
+    } ++ (0 until 24).flatMap { h => // constant control series
+      (0 until 10).map(i => ("view", f"2024-03-01 $h%02d:00:${i % 60}%02d"))
+    }
+    val events = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+    val out = graft.operators.Events.anomalies(events, 2).collect()
+    val clicks = out.filter(_.getString(0) == "click")
+    assert(clicks.length == 1 && clicks.head.getString(1).startsWith("2024-03-01 12"),
+      s"spike hour not the sole click flag: ${out.toSeq}")
+    assert(clicks.head.getDouble(3) > 2.0, "spike z-score not positive beyond the gate")
+    assert(!out.exists(_.getString(0) == "view"),
+      "constant series produced a false positive (zero-variance guard failed)")
+  }
+
   test("dsir: target-vocabulary docs score positive, anti-target negative, determinism") {
     import graft.operators.Sampling
     // tgt-source docs speak {alpha beta}, raw-pool docs speak {delta
