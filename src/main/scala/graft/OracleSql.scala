@@ -425,6 +425,23 @@ object OracleSql {
          |      $AnomZ * $AnomZ * (s.cnt * s.sum_n2 - s.sum_n * s.sum_n)
          |ORDER BY h.event_type, h.hour""".stripMargin,
 
+    // q74: banded range join — the oracle states the NAIVE interval
+    // join (DuckDB's IEJoin handles it); Spark's banded plan must
+    // produce the identical counts, which is the point of the mirror.
+    "q74_range_join" ->
+      s"""WITH tgt AS (
+         |  SELECT event_id, epoch_us(ts) AS t_us FROM events WHERE event_type = 'error'),
+         |src AS (
+         |  SELECT epoch_us(ts) AS s_us FROM events WHERE event_type = 'click'),
+         |cnt AS (
+         |  SELECT t.event_id, count(*) AS n
+         |  FROM tgt t JOIN src s
+         |    ON s.s_us >= t.t_us - ${RangeWindowSec}000000 AND s.s_us < t.t_us
+         |  GROUP BY 1)
+         |SELECT t.event_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_preceding
+         |FROM tgt t LEFT JOIN cnt c ON t.event_id = c.event_id
+         |ORDER BY t.event_id""".stripMargin,
+
     // q70: cohort retention — ISO-week truncation (both engines
     // truncate to Monday); integer counts, ratio of exact integers.
     "q70_retention" ->

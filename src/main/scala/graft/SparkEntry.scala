@@ -116,6 +116,8 @@ object SparkEntry {
                           // tail before the df joins
     val AnomZ = 2         // q73 z-score gate (2 sigma flags ~3-7% of
                           // hourly cells on this corpus)
+    val RangeWindowSec = 300 // q74 band width: clicks within 5 minutes
+                             // before each error
   }
   import Params._
 
@@ -348,7 +350,9 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Bq.searchBatch(Bq.encode(emb, SqDim), Knn.queryPanel(emb, RecallQueryIds), SqDim, K)
     }),
-    "q73_anomalies" -> ((s, d) => Events.anomalies(Tables.events(s, d), AnomZ))
+    "q73_anomalies" -> ((s, d) => Events.anomalies(Tables.events(s, d), AnomZ)),
+    "q74_range_join" -> ((s, d) =>
+      AsOf.precededByCount(Tables.events(s, d), "error", "click", RangeWindowSec))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -65,4 +65,40 @@ object AsOf {
         (secs(col("ts")) - secs(col("asof_ts"))).as("secs_since_view"))
       .orderBy("event_id")
   }
+
+  /** Banded RANGE join (q74) — the interval-predicate join class as-of
+    * doesn't cover: for every `targetType` event, count `sourceType`
+    * events in the half-open window [t − windowSec, t). A naive
+    * formulation is a full non-equi join (Spark plans
+    * BroadcastNestedLoop or CartesianProduct — O(n·m) comparisons);
+    * the standard distributed answer is BANDING: bucket both sides by
+    * `windowSec`-wide time bins (integer epoch-micros division, exact
+    * in any engine), probe each target's bin and its predecessor
+    * (every qualifying source lies in one of the two — each source has
+    * ONE bin, so no pair can double-count), equi-join on the bin, and
+    * apply the exact range predicate to the ~2·uniform-density
+    * candidates. Turns the quadratic comparison into a hash join +
+    * constant-factor filter; skewed hot bins split by AQE like any
+    * equi-join key.
+    *
+    * Zero-match targets survive via the final left join (a monitoring
+    * query's "errors with NO recent clicks" rows are the interesting
+    * ones). */
+  def precededByCount(events: DataFrame, targetType: String, sourceType: String,
+                      windowSec: Int): DataFrame = {
+    val w = windowSec * 1000000L
+    val tgt = events.where(col("event_type") === targetType)
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"))
+    val src = events.where(col("event_type") === sourceType)
+      .select(unix_micros(col("ts")).as("s_us"))
+      .withColumn("bucket", expr(s"s_us div ${w}L"))
+    val probes = tgt.withColumn("bucket",
+      explode(array(expr(s"t_us div ${w}L"), expr(s"t_us div ${w}L - 1L"))))
+    val counts = probes.join(src, "bucket")
+      .where(col("s_us") >= col("t_us") - w && col("s_us") < col("t_us"))
+      .groupBy("event_id").agg(count(lit(1)).as("n"))
+    tgt.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), coalesce(col("n"), lit(0L)).as("n_preceding"))
+      .orderBy("event_id")
+  }
 }

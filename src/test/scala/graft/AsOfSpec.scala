@@ -48,6 +48,28 @@ class AsOfSpec extends SparkSpec {
     assert(row.getString(0) === "y" && row.getLong(1) === 222L)
   }
 
+  test("range join: window boundaries half-open, cross-bin pairs found, " +
+    "zero-match targets kept, no nested-loop join in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // window = 10s. error at t=100s: clicks at 90s (= t-W, IN), 95s
+    // (IN, lives in the PREVIOUS 10s bin — the banding must cross),
+    // 100s (= t, OUT), 89.999999s (OUT). error at t=200s: nothing near.
+    val rows = Seq(
+      (1L, "error", 100000000L), (2L, "error", 200000000L),
+      (10L, "click", 90000000L), (11L, "click", 95000000L),
+      (12L, "click", 100000000L), (13L, "click", 89999999L))
+    val events = rows.toDF("event_id", "event_type", "us")
+      .select(col("event_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val out = AsOf.precededByCount(events, "error", "click", 10)
+    val m = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m == Map(1L -> 2L, 2L -> 0L), s"range counts wrong: $m")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded range join degenerated to a nested loop:\n$plan")
+  }
+
   test("every left row survives exactly once (left-join multiplicity)") {
     val events = Tables.events(spark, sf0001)
     val left = events.filter(col("event_type") === "purchase")
