@@ -118,6 +118,11 @@ object SparkEntry {
                           // hourly cells on this corpus)
     val RangeWindowSec = 300 // q74 band width: clicks within 5 minutes
                              // before each error
+    val MmrLambda = 0.5   // q75 relevance/diversity mix: at 0.5 an
+                          // EXACT duplicate of a selected result scores
+                          // 2λ−1 = 0, so any candidate adding relevance
+                          // beyond its redundancy outranks it
+
   }
   import Params._
 
@@ -352,12 +357,19 @@ object SparkEntry {
     }),
     "q73_anomalies" -> ((s, d) => Events.anomalies(Tables.events(s, d), AnomZ)),
     "q74_range_join" -> ((s, d) =>
-      AsOf.precededByCount(Tables.events(s, d), "error", "click", RangeWindowSec))
+      AsOf.precededByCount(Tables.events(s, d), "error", "click", RangeWindowSec)),
+    "q75_mmr" -> ((s, d) => {
+      // rows-only: greedy MMR selection is sequential, not
+      // SQL-expressible; KnnServeSpec anchors diversification behavior
+      val emb = Tables.embeddings(s, d)
+      Knn.topKDotMmr(emb, Knn.queryVector(emb, QueryVecId), BqShortlist, K, MmrLambda)
+    })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
-    * q10, q18, q61b) are non-SQL-expressible (footer metadata /
+    * q10, q18, q61b, q75) are non-SQL-expressible (footer metadata /
     * trained-vocab BPE / index file I/O / binary feature plumbing /
-    * SVD-learned rotation) → driver records a rows-only check. */
+    * SVD-learned rotation / sequential greedy MMR) → driver records a
+    * rows-only check. */
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -115,6 +115,65 @@ object Knn {
     vectors.where(col("vec_id").isin(ids: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998): re-rank an
+    * exact shortlist so results are relevant to the query but not
+    * near-duplicates of each other — the serving-side answer to a
+    * corpus whose top-k is ten copies of the same document. Greedy
+    * selection maximizes λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s).
+    *
+    * Two-phase by construction: the DISTRIBUTED phase is the exact
+    * top-`shortlist` scan (all the heavy work — one corpus pass); the
+    * greedy phase is inherently sequential (each pick depends on all
+    * previous picks), so it runs driver-side over the COLLECTED
+    * shortlist — a contractually bounded collect of `shortlist` rows
+    * (~100 × dim floats, kB-scale: the same bound class as
+    * [[Pq.distTables]]). λ and all similarities round to 6 dp with
+    * vec_id tie-breaks, so selection is deterministic. Non-positive
+    * `lambda` would ignore relevance entirely; the conventional range
+    * is [0.5, 0.9]. */
+  def topKDotMmr(vectors: DataFrame, query: DataFrame, shortlist: Int,
+                 k: Int, lambda: Double): DataFrame = {
+    import graft.functions.VecUtil.round6
+    val spark = vectors.sparkSession
+    val cand = vectors.crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("qsim"),
+        col("embedding").cast("array<double>").as("emb"))
+      .orderBy(desc("qsim"), asc("vec_id"))
+      .limit(shortlist)
+      .collect()
+      .map { r =>
+        // normalize once on collect: greedy-side dot of unit vectors IS
+        // cosine — MMR's two similarity terms must share a scale, and
+        // unnormalized dots let one long vector's redundancy term
+        // swamp (or never reach) the relevance term
+        val e = r.getSeq[Double](2).toArray
+        val n = math.sqrt(e.map(x => x * x).sum)
+        (r.getLong(0), r.getDouble(1), if (n == 0) e else e.map(_ / n))
+      }
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Double], Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, qsim, emb) =>
+        val maxSel =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => round6(dotD(emb, s._3))).max
+        (id, qsim, emb, round6(lambda * qsim - (1 - lambda) * maxSel))
+      }
+      val best = scored.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      selected += best
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+    }
+    import spark.implicits._
+    selected.toSeq.map { case (id, qsim, _, mmr) => (id, qsim, mmr) }
+      .toDF("vec_id", "qsim", "mmr_score")
+  }
+
   /** 1-row query-vector frame: the embedding of `vecId` (the reference
     * searches with `sampleVectors[0]`, Program.cs:210). */
   def queryVector(vectors: DataFrame, vecId: Long): DataFrame =

@@ -20,6 +20,30 @@ class KnnServeSpec extends SparkSpec {
     assert(batched == looped, "batched exact KNN diverged from the per-query loop")
   }
 
+  test("MMR: lambda=1 reduces to exact cosine top-k; lambda=0.5 diversifies a planted " +
+    "duplicate out of the head; always returns k rows") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.embeddings(spark, sf0001)
+    val q = Knn.queryVector(corpus, 0L)
+    // lambda = 1: pure relevance — must equal exact cosine top-k order
+    val pure = Knn.topKDotMmr(corpus, q, 50, 10, 1.0)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Knn.topKCosine(corpus, q, 10).collect().map(_.getLong(0)).toSeq
+    assert(pure == exact, "lambda=1 MMR diverged from exact cosine top-k")
+    // plant an exact duplicate of the best hit: after its twin is
+    // selected the copy scores 2λ−1 = 0, so it must NOT take rank 2
+    val best = corpus.where(col("vec_id") === exact.head)
+      .select(lit(90001L).as("vec_id"), col("embedding"), col("label"))
+    val planted = corpus.select("vec_id", "embedding", "label").union(best)
+    val mmr = Knn.topKDotMmr(planted, q, 50, 10, 0.5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(mmr.length == 10, "MMR returned fewer than k rows")
+    val twinRanks = Seq(mmr.indexOf(exact.head), mmr.indexOf(90001L)).filter(_ >= 0)
+    assert(twinRanks.nonEmpty && twinRanks.min == 0, "the best hit lost rank 1")
+    assert(!(mmr.take(2).toSet == Set(exact.head, 90001L)),
+      s"duplicate twin not diversified out of rank 2: $mmr")
+  }
+
   test("foreachBatch KNN serving == batch exact KNN per query") {
     val corpus = Tables.embeddings(spark, sf0001)
     // Stage a 3-query stream: query vectors 0, 7, 13 from the corpus.
