@@ -442,6 +442,47 @@ object OracleSql {
          |FROM tgt t LEFT JOIN cnt c ON t.event_id = c.event_id
          |ORDER BY t.event_id""".stripMargin,
 
+    // q76: TPC-H Q3 shape — decimal-exact revenue, top-10 with a full
+    // (o_orderdate, l_orderkey) tie-break so the cut line is unique.
+    "q76_shipping_priority" ->
+      s"""SELECT l_orderkey,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  o_orderpriority
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = '$Q3Segment'
+         |  AND o_orderdate < TIMESTAMP '$Q3Cutoff 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '$Q3Cutoff 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    // q77: TPC-H Q13 shape — the exclusion lives in the JOIN condition
+    // so zero-order customers survive into the c_count = 0 bucket.
+    "q77_order_dist" ->
+      s"""WITH per_customer AS (
+         |  SELECT c_custkey, count(o_orderkey) AS c_count
+         |  FROM customer LEFT OUTER JOIN orders
+         |    ON c_custkey = o_custkey
+         |    AND o_orderpriority NOT LIKE '$Q13ExcludedPriority%'
+         |  GROUP BY c_custkey)
+         |SELECT c_count, count(*) AS custdist
+         |FROM per_customer GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // q78: TPC-H Q4 shape — EXISTS (DuckDB plans a semi join) mirrors
+    // Spark's left_semi; counts can't double on multi-match orders.
+    "q78_priority_count" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '$Q4From 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '$Q4Until 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     // q70: cohort retention — ISO-week truncation (both engines
     // truncate to Monday); integer counts, ratio of exact integers.
     "q70_retention" ->

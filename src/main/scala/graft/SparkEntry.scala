@@ -122,7 +122,16 @@ object SparkEntry {
                           // EXACT duplicate of a selected result scores
                           // 2λ−1 = 0, so any candidate adding relevance
                           // beyond its redundancy outranks it
-
+    val Q3Segment = "BUILDING"  // q76 market segment (~20% of customers
+                                // at every SF — uniform 5-value column)
+    val Q3Cutoff = "1998-06-01" // q76 cutoff: mid-range of the 1995-2001
+                                // order/ship dates, so both date filters
+                                // keep ~half their table
+    val Q13ExcludedPriority = "1-" // q77: fold "not urgent" into the
+                                   // outer-join condition (Q13's
+                                   // special-requests exclusion)
+    val Q4From = "1997-01-01"   // q78 quarter window: ~550 orders at
+    val Q4Until = "1997-04-01"  // sf0.01, scales linearly with SF
   }
   import Params._
 
@@ -363,7 +372,16 @@ object SparkEntry {
       // SQL-expressible; KnnServeSpec anchors diversification behavior
       val emb = Tables.embeddings(s, d)
       Knn.topKDotMmr(emb, Knn.queryVector(emb, QueryVecId), BqShortlist, K, MmrLambda)
-    })
+    }),
+    "q76_shipping_priority" -> ((s, d) =>
+      Analytics.shippingPriority(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Q3Segment, Q3Cutoff)),
+    "q77_order_dist" -> ((s, d) =>
+      Analytics.orderCountDistribution(Tables.customer(s, d), Tables.orders(s, d),
+        Q13ExcludedPriority)),
+    "q78_priority_count" -> ((s, d) =>
+      Analytics.priorityOrderCount(Tables.orders(s, d), Tables.lineitem(s, d),
+        Q4From, Q4Until))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -201,4 +201,68 @@ object Analytics {
         count(lit(1)).as("n_lineitems"))
       .orderBy(desc("revenue"), asc("n_name"))
   }
+
+  /** Shipping-priority top-10 (TPC-H Q3 shape): the revenue of orders a
+    * segment's customers placed before the cutoff whose goods shipped
+    * after it. Both date predicates push to the parquet scans, the
+    * segment filter prunes customer BEFORE its shuffle join (customer
+    * grows with SF — never broadcast), and the final top-10 runs as
+    * TakeOrderedAndProject: per-partition bounded heaps, no global sort
+    * shuffle — the only full pass is the grouped aggregation on
+    * l_orderkey, which AQE coalesces. Ties broken by (o_orderdate,
+    * l_orderkey) so the cut line is deterministic across engines. */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                       segment: String, cutoff: String, topN: Int = 10): DataFrame = {
+    val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    lineitem
+      .filter(col("l_shipdate") > lit(cutoff))
+      .join(orders.filter(col("o_orderdate") < lit(cutoff)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.filter(col("c_mktsegment") === lit(segment)).select("c_custkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(rev).cast("double"), 6).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(topN)
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    * join so zero-order customers land in the c_count=0 bucket, with
+    * the priority exclusion folded into the JOIN CONDITION (not a WHERE
+    * — a where-filter would silently drop the outer rows). Two
+    * aggregations: per-customer count shuffles on c_custkey, then the
+    * distribution shuffles on the ~tens-of-values c_count — the second
+    * exchange is negligible at any SF. */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame,
+                             excludePriorityPrefix: String): DataFrame = {
+    val perCustomer = customer.select("c_custkey")
+      .join(orders.filter(!col("o_orderpriority").startsWith(excludePriorityPrefix))
+          .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCustomer.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** Order-priority check (TPC-H Q4 shape): orders in a date window
+    * having at least one returned lineitem — a LEFT SEMI join, which
+    * Spark executes without materializing the match multiplicity (one
+    * probe hit short-circuits), then a 5-group count. The returnflag
+    * and date filters both push to their scans; the semi join shuffles
+    * only the two filtered key columns. */
+  def priorityOrderCount(orders: DataFrame, lineitem: DataFrame,
+                         from: String, until: String): DataFrame = {
+    orders
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+      .join(lineitem.filter(col("l_returnflag") === lit("R")).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
 }

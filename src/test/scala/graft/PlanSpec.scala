@@ -117,4 +117,24 @@ class PlanSpec extends SparkSpec {
     val p = physical(Dedup.shingleRows(docs, 3))
     assert(!p.contains("Exchange"), s"unexpected shuffle in shingleRows:\n$p")
   }
+
+  test("Q3-shape top-10 is a bounded TakeOrdered with both date filters pushed") {
+    val df = Analytics.shippingPriority(
+      Tables.lineitem(spark, sf0001), Tables.orders(spark, sf0001),
+      Tables.customer(spark, sf0001), "BUILDING", "1998-06-01")
+    val p = physical(df)
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 fell back to a global sort:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate.*"),
+      s"shipdate filter not pushed:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*LessThan\\(o_orderdate.*"),
+      s"orderdate filter not pushed:\n$p")
+  }
+
+  test("Q4-shape priority count plans a semi join, not an inner join") {
+    val df = Analytics.priorityOrderCount(
+      Tables.orders(spark, sf0001), Tables.lineitem(spark, sf0001),
+      "1997-01-01", "1997-04-01")
+    val p = physical(df)
+    assert(p.contains("LeftSemi"), s"expected a LeftSemi join:\n$p")
+  }
 }
