@@ -483,6 +483,33 @@ object OracleSql {
          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // q79: transition matrix — lead() pairing pinned by (ts, event_id),
+    // counts exact integers, p one division of two exact integers.
+    // No date functions, so the sf1 BIGINT-ts corpus orders identically.
+    "q79_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT event_type, next_type, count(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 6) AS p
+        |FROM cnt ORDER BY event_type, next_type""".stripMargin,
+
+    // q80: positional deciles — SQL-standard ntile in both engines; the
+    // (n_chars, doc_id) compound order pins tie-straddling buckets.
+    "q80_length_deciles" ->
+      s"""WITH d AS (
+         |  SELECT lang, n_chars,
+         |    ntile($DecileBuckets) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+         |  FROM documents WHERE n_chars IS NOT NULL)
+         |SELECT lang, decile, CAST(count(*) AS BIGINT) AS n_values,
+         |  min(n_chars) AS min_value, max(n_chars) AS max_value,
+         |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_value
+         |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+
     // q70: cohort retention — ISO-week truncation (both engines
     // truncate to Monday); integer counts, ratio of exact integers.
     "q70_retention" ->
@@ -611,6 +638,47 @@ object OracleSql {
          |JOIN assigned a ON a.vec_id = e0.vec_id
          |JOIN probed p ON p.centroid_id = a.centroid_id
          |ORDER BY approx_dist, e0.vec_id LIMIT $K""".stripMargin,
+
+    // q81: the composed serve path — q48's probe/ADC derivation with
+    // the live set (label filter + tombstone exclusion) applied below
+    // the shortlist cut, then an exact-L2 re-rank of the shortlist.
+    "q81_serve_composed" ->
+      s"""WITH $pqCtes,
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = $QueryVecId),
+         |cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+         |probed AS (
+         |  SELECT centroid_id FROM (
+         |    SELECT c.centroid_id, round(${l2sq("c.c_emb", "q.qv")}, 6) AS cdist
+         |    FROM cents c, q
+         |    ORDER BY cdist, centroid_id LIMIT $FilterNProbe)),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c
+         |  WHERE ${cleanEmb("v.embedding")}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |live AS (
+         |  SELECT vec_id FROM embeddings
+         |  WHERE label = $FilterLabel AND vec_id % $DeleteMod <> $DeleteRem),
+         |$pqDtCtes,
+         |short AS (
+         |  SELECT e0.vec_id,
+         |    round($pqDtSum, 6) AS approx_dist
+         |  $pqEncJoin
+         |  $pqDtJoins
+         |  JOIN assigned a ON a.vec_id = e0.vec_id
+         |  JOIN probed p ON p.centroid_id = a.centroid_id
+         |  JOIN live l ON l.vec_id = e0.vec_id
+         |  ORDER BY approx_dist, e0.vec_id LIMIT $BqShortlist)
+         |SELECT v.vec_id, round(${l2sq("v.embedding", "q.qv")}, 6) AS dist
+         |FROM embeddings v JOIN short s ON v.vec_id = s.vec_id, q
+         |ORDER BY dist, v.vec_id LIMIT $K""".stripMargin,
 
     "q49_sq_encode" ->
       s"""WITH $sqCtes

@@ -132,6 +132,8 @@ object SparkEntry {
                                    // special-requests exclusion)
     val Q4From = "1997-01-01"   // q78 quarter window: ~550 orders at
     val Q4Until = "1997-04-01"  // sf0.01, scales linearly with SF
+    val DecileBuckets = 10      // q80 positional buckets — the decile
+                                // fingerprint curation dashboards plot
   }
   import Params._
 
@@ -381,7 +383,18 @@ object SparkEntry {
         Q13ExcludedPriority)),
     "q78_priority_count" -> ((s, d) =>
       Analytics.priorityOrderCount(Tables.orders(s, d), Tables.lineitem(s, d),
-        Q4From, Q4Until))
+        Q4From, Q4Until)),
+    "q79_transitions" -> ((s, d) => Events.transitions(Tables.events(s, d))),
+    "q80_length_deciles" -> ((s, d) =>
+      Profile.valueDeciles(Tables.documents(s, d), "lang", "n_chars", "doc_id",
+        DecileBuckets)),
+    "q81_serve_composed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dead = emb.where(pmod(col("vec_id"), lit(DeleteMod.toLong)) === DeleteRem)
+        .select("vec_id")
+      Pq.searchAdcFilteredRerank(emb, IvfStep, PqM, col("label") === FilterLabel,
+        dead, Knn.queryVector(emb, QueryVecId), FilterNProbe, BqShortlist, K)
+    })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -168,6 +168,35 @@ object Events {
     * weeks², trivially small. At 100 TB of events the cost is the two
     * user_id exchanges — nothing materializes per event after the
     * first distinct. */
+  /** Event-type transition matrix (q79): for each consecutive pair in a
+    * user's stream, count (event_type → next_type) and the per-source
+    * transition probability — the first-order Markov view of behavior
+    * (feeds session simulation and bot/anomaly detection beside the
+    * q73 volume gate).
+    *
+    * Scale shape: ONE exchange on user_id feeds the lead() window — the
+    * same partitioning sessionize uses, so a pipeline computing both
+    * reuses the exchange. The pair aggregate is map-side partial onto
+    * an event_type² grid (25 cells here — bounded by the type
+    * vocabulary, not the data), and the probability divides two exact
+    * integers from that grid, windowed over the ≤|types| rows per
+    * source type. Order within ties is pinned by event_id so the
+    * pairing is deterministic across engines and scales. */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val bySource = Window.partitionBy("event_type")
+    pairs
+      .withColumn("p", round(col("n").cast("double") /
+        sum("n").over(bySource).cast("double"), 6))
+      .orderBy("event_type", "next_type")
+  }
+
   def retention(events: DataFrame): DataFrame = {
     val uw = events
       .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))

@@ -484,6 +484,51 @@ object Pq {
     searchAdcCells(encodeWithCell(vectors, cents, cbs), cents, cbs, query, nprobe, k)
   }
 
+  /** The ASSEMBLED production read path (q81): metadata pre-filter +
+    * tombstone anti-join below the IVF-PQ probe, an ADC shortlist, then
+    * exact re-rank of ONLY the shortlist against the raw vectors — what
+    * a serving stack actually executes per query once filtering
+    * ([[Ivf.searchInlineFiltered]]), deletes
+    * ([[Ivf.searchInlineWithDeletes]]), compression ([[searchIvfAdc]])
+    * and recall recovery ([[Bq.searchRerank]]'s re-rank stage) all hold
+    * at once. Composition order is the load-bearing part:
+    *
+    *  - filter + anti-join apply BELOW the probe, so excluded rows are
+    *    never ADC-scored and can't displace live candidates from the
+    *    shortlist (post-filtering a fixed-k result under-fills it);
+    *  - centroids and codebooks come from the FULL corpus — an index
+    *    layout can't know future predicates or deletes, so probe
+    *    geometry and code meanings are delete/filter-independent
+    *    (rebuilding codebooks per predicate would also break the
+    *    shared-layout batch contract);
+    *  - the exact stage touches `shortlist` rows via broadcast join —
+    *    full-precision float work is O(shortlist), not O(corpus), and
+    *    re-ranking repairs ADC quantization error exactly where it
+    *    matters (the final top-k boundary).
+    *
+    * Scale shape: one codes scan pruned to probed cells with the
+    * predicate pushed below the encode, a ≤shortlist-row broadcast back
+    * into the vectors scan (pruned to those vec_ids by row-group
+    * stats), both stages ending in TakeOrderedAndProject. The dead set
+    * broadcasts (tombstones are kB-scale by the [[Ivf.tombstone]]
+    * contract — compaction folds them in before they grow). */
+  def searchAdcFilteredRerank(vectors: DataFrame, step: Int, m: Int, pred: Column,
+                              dead: DataFrame, query: DataFrame, nprobe: Int,
+                              shortlist: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.l2Sq
+    val cents = Ivf.centroids(vectors, step)
+    val cbs = codebooks(vectors, step, m)
+    val live = vectors.where(pred)
+      .join(broadcast(dead.select("vec_id")), Seq("vec_id"), "left_anti")
+    val cand = searchAdcCells(encodeWithCell(live, cents, cbs), cents, cbs,
+      query, nprobe, shortlist).select("vec_id")
+    vectors.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), round(l2Sq(col("embedding"), col("qv")), 6).as("dist"))
+      .orderBy(asc("dist"), asc("vec_id"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------
   // Rotated PQ ("OPQ-lite"): orthogonally rotate vectors before
   // quantization so the energy spreads evenly across subspaces. Full

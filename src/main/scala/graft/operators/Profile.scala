@@ -108,4 +108,36 @@ object Profile {
         qs.zipWithIndex.map { case (q, i) => col("__ps")(i).as(s"p$q") }: _*)
       .orderBy(groupCol)
   }
+
+  /** Per-group POSITIONAL decile profile (q80): ntile(b) over the
+    * group's rows ordered (value, id), then per-bucket count/min/max/
+    * mean — the distribution fingerprint curation dashboards plot per
+    * language. Positional ntile (equal ROW counts per bucket, ties may
+    * straddle a boundary) complements [[percentiles]]' value-based
+    * ranks; the (value, id) compound order makes the straddle
+    * deterministic, so both engines cut identically.
+    *
+    * Scale shape: one exchange on the group key feeds the window; the
+    * SQL-standard ntile needs each group's rows ordered in one
+    * partition, which holds while a single group's rows fit one
+    * executor (languages at 100 TB do not — flip to [[percentiles]]'
+    * histogram ranks or bucket by a q08-style two-pass cumsum count
+    * when a group outgrows a partition). The bucket aggregate is
+    * map-side partial onto groups×b cells; the mean divides two exact
+    * integers. */
+  def valueDeciles(df: DataFrame, groupCol: String, valCol: String,
+                   idCol: String, nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(valCol), col(idCol))
+    df.where(col(valCol).isNotNull)
+      .withColumn("decile", ntile(nBuckets).over(w))
+      .groupBy(col(groupCol), col("decile"))
+      .agg(
+        count(lit(1)).as("n_values"),
+        min(col(valCol)).as("min_value"),
+        max(col(valCol)).as("max_value"),
+        round(sum(col(valCol)).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_value"))
+      .orderBy(col(groupCol), col("decile"))
+  }
 }

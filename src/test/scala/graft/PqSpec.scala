@@ -481,6 +481,35 @@ class PqSpec extends SparkSpec {
       "rotated append != fresh rotated encode of the union")
   }
 
+  test("composed serve: excludes filtered/deleted rows; degenerate case == exact filtered top-k") {
+    val q = Knn.queryVector(emb0001, 0L)
+    val dead = emb0001.where(pmod(col("vec_id"), lit(7L)) === 2L).select("vec_id")
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    val got = Pq.searchAdcFilteredRerank(emb0001, 25, 8, col("label") === 3,
+      dead, q, nprobe = 4, shortlist = 100, k = 20).collect()
+    assert(got.nonEmpty)
+    val gotIds = got.map(_.getLong(0)).toSet
+    val okIds = emb0001.where(col("label") === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotIds.subsetOf(okIds -- deadIds),
+      "composed serve returned a filtered-out or tombstoned row")
+    // exact-L2 ordering within the returned rows (the re-rank stage ran)
+    val dists = got.map(_.getDouble(1)).toSeq
+    assert(dists == dists.sorted)
+    // degenerate config (all cells probed, shortlist >= corpus, no
+    // deletes, always-true pred) must equal the exact L2 top-k
+    val empty = emb0001.where(lit(false)).select("vec_id")
+    val nCells = emb0001.count().toInt / 25 + 1
+    val degen = Pq.searchAdcFilteredRerank(emb0001, 25, 8, lit(true),
+        empty, q, nprobe = nCells, shortlist = emb0001.count().toInt, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = emb0001.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(l2Sq(col("embedding"), col("qv")), 6).as("d"))
+      .orderBy(asc("d"), asc("vec_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(degen == exact, "degenerate composed serve != exact L2 top-k")
+  }
+
   test("residual IVF-PQ recall@20 >= raw IVF-PQ at the same code budget") {
     import graft.operators.Ivf
     val q = Knn.queryVector(emb001, 0L)
