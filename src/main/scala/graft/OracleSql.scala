@@ -442,6 +442,25 @@ object OracleSql {
          |FROM tgt t LEFT JOIN cnt c ON t.event_id = c.event_id
          |ORDER BY t.event_id""".stripMargin,
 
+    // q84: z-order layout report — pure integer bit interleave, the
+    // bucket a shift of the z-value's high bits. No float anywhere.
+    "q84_zorder_report" -> {
+      val zExpr = (0 until ZBits).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1})")
+        .map(t => s"($t)").mkString(" | ")
+      s"""WITH keys AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b
+         |  FROM lineitem
+         |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+         |    AND l_partkey >= 0 AND l_suppkey >= 0),
+         |zz AS (SELECT a, b, ($zExpr) AS zv FROM keys)
+         |SELECT (zv >> ${2 * ZBits - ZLbBuckets}) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(a) AS min_l_partkey, max(a) AS max_l_partkey,
+         |  min(b) AS min_l_suppkey, max(b) AS max_l_suppkey
+         |FROM zz GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
     // q76: TPC-H Q3 shape — decimal-exact revenue, top-10 with a full
     // (o_orderdate, l_orderkey) tie-break so the cut line is unique.
     "q76_shipping_priority" ->
@@ -509,6 +528,34 @@ object OracleSql {
          |  min(n_chars) AS min_value, max(n_chars) AS max_value,
          |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_value
          |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+
+    // q83: session paths — q17b's session assignment with the order
+    // pinned by (ts, event_id); string_agg over the rn<=steps prefix.
+    "q83_session_paths" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR date_diff('second', prev_ts, ts) > ${SessionGapMin * 60} THEN 1
+         |         ELSE 0 END AS new_session
+         |  FROM marked),
+         |sess AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+         |  FROM flagged),
+         |numbered AS (
+         |  SELECT user_id, session_seq, event_type,
+         |    row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn
+         |  FROM sess),
+         |paths AS (
+         |  SELECT user_id, session_seq,
+         |    string_agg(event_type, '>' ORDER BY rn) AS path
+         |  FROM numbered WHERE rn <= $PathSteps GROUP BY user_id, session_seq)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         |FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT $K""".stripMargin,
 
     // q70: cohort retention — ISO-week truncation (both engines
     // truncate to Monday); integer counts, ratio of exact integers.
@@ -638,6 +685,47 @@ object OracleSql {
          |JOIN assigned a ON a.vec_id = e0.vec_id
          |JOIN probed p ON p.centroid_id = a.centroid_id
          |ORDER BY approx_dist, e0.vec_id LIMIT $K""".stripMargin,
+
+    // q82: per-cell quantization error — per-subspace error = min of
+    // the SAME round-6 distance the enc CTEs rank by (min ≡ chosen
+    // code's distance, tie-break-independent); row error sums exact
+    // integer micro-units so accumulation order can't flip the hash.
+    "q82_pq_error" ->
+      s"""WITH ${(0 until PqM).map { j =>
+            val lo = j * pqSub + 1
+            val hi = lo + pqSub - 1
+            s"""cb$j AS (
+               |  SELECT vec_id // $IvfStep AS code,
+               |    list_slice(CAST(embedding AS DOUBLE[]), $lo, $hi) AS s
+               |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+               |err$j AS (
+               |  SELECT v.vec_id,
+               |    CAST(round(min(round(${pqSubL2("v.embedding", "c.s", lo, hi)}, 6)) * 1000000) AS BIGINT) AS e$j
+               |  FROM embeddings v CROSS JOIN cb$j c
+               |  WHERE ${cleanEmb("v.embedding")} GROUP BY v.vec_id)""".stripMargin
+          }.mkString(",\n")},
+         |cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c
+         |  WHERE ${cleanEmb("v.embedding")}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |rowerr AS (
+         |  SELECT a.centroid_id,
+         |    ${(0 until PqM).map(j => s"e$j").mkString(" + ")} AS err_u
+         |  FROM err0 e0 ${(1 until PqM).map(j => s"JOIN err$j e$j USING (vec_id)").mkString(" ")}
+         |  JOIN assigned a ON a.vec_id = e0.vec_id)
+         |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  round(CAST(sum(err_u) AS DOUBLE) / count(*) / 1000000, 6) AS mean_qerr,
+         |  round(CAST(max(err_u) AS DOUBLE) / 1000000, 6) AS max_qerr
+         |FROM rowerr GROUP BY centroid_id ORDER BY centroid_id""".stripMargin,
 
     // q81: the composed serve path — q48's probe/ADC derivation with
     // the live set (label filter + tombstone exclusion) applied below

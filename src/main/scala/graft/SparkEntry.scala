@@ -134,6 +134,12 @@ object SparkEntry {
     val Q4Until = "1997-04-01"  // sf0.01, scales linearly with SF
     val DecileBuckets = 10      // q80 positional buckets — the decile
                                 // fingerprint curation dashboards plot
+    val PathSteps = 3           // q83 path horizon: 5³ possible paths —
+                                // one step past q79's pair transitions
+    val ZBits = 30              // q84 Morton bits per key (sf1's shifted
+                                // 9e8-scale keys still fit; 60-bit z)
+    val ZLbBuckets = 4          // q84: 16 z-ranges — row-group-sized
+                                // cuts at test scale
   }
   import Params._
 
@@ -394,7 +400,14 @@ object SparkEntry {
         .select("vec_id")
       Pq.searchAdcFilteredRerank(emb, IvfStep, PqM, col("label") === FilterLabel,
         dead, Knn.queryVector(emb, QueryVecId), FilterNProbe, BqShortlist, K)
-    })
+    }),
+    "q82_pq_error" -> ((s, d) =>
+      Pq.quantizationError(Tables.embeddings(s, d), IvfStep, PqM)),
+    "q83_session_paths" -> ((s, d) =>
+      Events.sessionPaths(Tables.events(s, d), SessionGapMin, PathSteps, K)),
+    "q84_zorder_report" -> ((s, d) =>
+      Layout.zorderReport(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
+        ZBits, ZLbBuckets))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

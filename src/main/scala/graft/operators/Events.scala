@@ -168,6 +168,48 @@ object Events {
     * weeks², trivially small. At 100 TB of events the cost is the two
     * user_id exchanges — nothing materializes per event after the
     * first distinct. */
+  /** Top session paths (q83): the first `maxSteps` event types of each
+    * session joined into a path string ("view>click>purchase"), ranked
+    * by session count — the navigation-pattern report product analytics
+    * builds on top of sessionize (and the longer-horizon companion to
+    * q79's one-step transitions). Session assignment is [[sessionize]]'s
+    * two-window pattern with the order pinned by (ts, event_id) so tie
+    * rows join the path in the same position in both engines.
+    *
+    * Scale shape: the one user_id exchange feeds BOTH windows and the
+    * per-session collect — hash partitioning on user_id satisfies the
+    * (user_id, session_seq) clustering, so no second exchange. The
+    * collect_list is bounded per SESSION (not per user): a session is
+    * gap-delimited human activity, and the path then truncates to
+    * maxSteps — for adversarially long sessions, pre-filter with a
+    * row_number ≤ maxSteps window on the same partitioning before
+    * collecting. The path groupBy exchanges ≤|types|^maxSteps short
+    * strings and the final top-n is TakeOrderedAndProject. */
+  def sessionPaths(events: DataFrame, gapMinutes: Int, maxSteps: Int,
+                   topN: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    def secs(c: org.apache.spark.sql.Column) = c.cast("timestamp").cast("long")
+    val flagged = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          secs(col("ts")) - secs(col("prev_ts")) > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(byUser))
+    flagged
+      .groupBy("user_id", "session_seq")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        transform(slice(col("evs"), 1, maxSteps), e => e.getField("event_type")))
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(topN)
+  }
+
   /** Event-type transition matrix (q79): for each consecutive pair in a
     * user's stream, count (event_type → next_type) and the per-source
     * transition probability — the first-order Markov view of behavior

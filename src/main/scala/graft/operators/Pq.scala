@@ -484,6 +484,53 @@ object Pq {
     searchAdcCells(encodeWithCell(vectors, cents, cbs), cents, cbs, query, nprobe, k)
   }
 
+  /** Per-cell quantization-error report (q82) — the codec-quality dial
+    * beside [[Ivf.cellBalance]]'s occupancy dial: for every vector, the
+    * total PQ reconstruction error Σ_j min_c ‖sub_j − cb_j[c]‖² (each
+    * per-subspace term is exactly the round-6 distance the encode
+    * argmin ranks by — [[graft.functions.NearestCentroid]]'s `dist`
+    * field), aggregated per IVF cell as count/mean/max. A cell whose
+    * mean error spikes tells you its region is under-represented in
+    * codebook training BEFORE recall degrades in production; FAISS
+    * exposes the same two dials as imbalance factor + quantization
+    * error.
+    *
+    * Scale shape: map-only like encode itself — m+1 broadcast argmin
+    * expressions per row (cell + m subspace distances), zero shuffles
+    * until the cells-sized groupBy. Error aggregation is ORDER-FREE by
+    * construction: each round-6 term converts to exact integer
+    * micro-units (the q51 trick) and the per-cell sum/mean/max divide
+    * exact integers, so double accumulation order can't flip a hash at
+    * any partitioning. */
+  def quantizationError(vectors: DataFrame, step: Int, m: Int): DataFrame = {
+    import graft.functions.NearestCentroid
+    val cents = Ivf.centroids(vectors, step)
+    val cbs = codebooks(vectors, step, m)
+    val cs = Ivf.collectCentroids(cents)
+    val sub = subDim(cbs)
+    val sc = vectors.sparkSession.sparkContext
+    val cellCol = SqlBridge.column(NearestCentroid(
+      SqlBridge.expression(col("embedding")), sc.broadcast(cs)))
+      .getField("centroid_id").as("centroid_id")
+    val errCols = cbs.zipWithIndex.map { case (cbj, j) =>
+      round(SqlBridge.column(NearestCentroid(
+        SqlBridge.expression(slice(col("embedding"), j * sub + 1, sub)),
+        sc.broadcast(cbj))).getField("dist") * 1000000d)
+        .cast("long").as(s"e$j")
+    }
+    val errU = (0 until cbs.length).map(j => col(s"e$j")).reduce(_ + _)
+    vectors.where(encodable(cbs))
+      .select(col("vec_id") +: cellCol +: errCols: _*)
+      .select(col("centroid_id"), errU.as("err_u"))
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum("err_u").cast("double") / count(lit(1)) / 1000000d, 6)
+          .as("mean_qerr"),
+        round(max("err_u").cast("double") / 1000000d, 6).as("max_qerr"))
+      .orderBy("centroid_id")
+  }
+
   /** The ASSEMBLED production read path (q81): metadata pre-filter +
     * tombstone anti-join below the IVF-PQ probe, an ADC shortlist, then
     * exact re-rank of ONLY the shortlist against the raw vectors — what
