@@ -253,4 +253,40 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(3) == want, s"avg_lw_micro drifted on ${r.getLong(0)}")
     }
   }
+
+  test("sessionPaths (q83): gap boundary, tie order, maxSteps truncation, ranking") {
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val evs = Seq(
+      // user 1: gap EXACTLY 30 min (1800 s) is NOT > gap → same session;
+      // 3601 s later → new session of one event
+      (1L, t(0L), 10L, "a"),
+      (1L, t(1800L), 11L, "b"),
+      (1L, t(5401L), 12L, "c"),
+      // user 2: five events in one session (truncates to 3 steps); the
+      // t=100 tie must order by event_id (21 before 22) even though the
+      // rows arrive reversed
+      (2L, t(0L), 20L, "a"),
+      (2L, t(100L), 22L, "c"),
+      (2L, t(100L), 21L, "b"),
+      (2L, t(200L), 23L, "d"),
+      (2L, t(300L), 24L, "e"),
+      // user 3: a second "a>b" session so the count ranking is exercised
+      (3L, t(0L), 30L, "a"),
+      (3L, t(10L), 31L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.sessionPaths(evs, gapMinutes = 30, maxSteps = 3, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out == Seq("a>b" -> 2L, "a>b>c" -> 1L, "c" -> 1L),
+      s"got $out")
+  }
+
+  test("sessionPaths: topN cuts after the (count desc, path asc) order") {
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val evs = (0L until 6L).map(u => (u, t(0L), u * 10, s"t$u"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.sessionPaths(evs, 30, 3, 4)
+      .collect().map(_.getString(0)).toSeq
+    // six single-event paths all tie at count 1 → first 4 by path asc
+    assert(out == Seq("t0", "t1", "t2", "t3"))
+  }
 }

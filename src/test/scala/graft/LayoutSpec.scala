@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** q84 retrofit: Morton z-value bit semantics and the measurable
+  * claim behind z-ordering — per-bucket bounding boxes bounded in
+  * BOTH dimensions, vs a linear sort's one tight / one full-extent. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference interleave: bit i of a → 2i, bit i of b → 2i+1. */
+  private def zRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  /** De-interleave: recover (a, b) from a z-value. */
+  private def unz(z: Long, bits: Int): (Long, Long) =
+    (0 until bits).foldLeft((0L, 0L)) { case ((a, b), i) =>
+      (a | (((z >> (2 * i)) & 1L) << i), b | (((z >> (2 * i + 1)) & 1L) << i))
+    }
+
+  test("zValue: matches reference interleave and round-trips for edge keys") {
+    val bits = 20
+    val keys = Seq(0L, 1L, 2L, 3L, 7L, 255L, 1L << 19, (1L << 20) - 1, 123456L, 987654L)
+    val pairs = for (a <- keys; b <- keys) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b"), bits).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      assert(z == zRef(a, b, bits), s"zValue($a, $b) = $z != reference")
+      assert(unz(z, bits) == ((a, b)), s"de-interleave of $z lost ($a, $b)")
+    }
+  }
+
+  test("zorderReport: 64x64 grid cuts into 16 square 16x16 boxes; linear sort cannot") {
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val out = Layout.zorderReport(grid, "a", "b", bits = 6, lbBuckets = 4).collect()
+    assert(out.length == 16, "2^4 z-ranges expected")
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_rows")) == 256L)
+      val spanA = r.getLong(r.fieldIndex("max_a")) - r.getLong(r.fieldIndex("min_a"))
+      val spanB = r.getLong(r.fieldIndex("max_b")) - r.getLong(r.fieldIndex("min_b"))
+      // the z-order promise: every bucket bounded in BOTH dimensions
+      assert(spanA == 15L && spanB == 15L,
+        s"bucket ${r.getLong(0)} box ${spanA}x$spanB, want 15x15")
+    }
+    // the linear-sort comparison: 16 equal cuts of an a-sort leave b at
+    // full extent (span 63) in every bucket — skippable on a only
+    val linear = grid
+      .withColumn("bucket", floor(col("a") / 4))
+      .groupBy("bucket")
+      .agg(min("b").as("min_b"), max("b").as("max_b"))
+      .collect()
+    linear.foreach { r =>
+      assert(r.getLong(r.fieldIndex("max_b")) - r.getLong(r.fieldIndex("min_b")) == 63L)
+    }
+  }
+
+  test("zorderReport: null and negative keys are excluded, not interleaved") {
+    val df = Seq(
+      (Some(1L), Some(2L)),
+      (None, Some(3L)),
+      (Some(-1L), Some(4L)),
+      (Some(5L), None))
+      .toDF("a", "b")
+    val out = Layout.zorderReport(df, "a", "b", bits = 4, lbBuckets = 2).collect()
+    assert(out.map(r => r.getLong(r.fieldIndex("n_rows"))).sum == 1L,
+      "only the (1, 2) row is z-orderable")
+  }
+
+  test("writeClustered: parquet round-trips with row groups cut along the curve") {
+    val grid = (for (a <- 0 until 32; b <- 0 until 32) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Layout.writeClustered(grid, "a", "b", bits = 5, path = dir, numFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 32L * 32L)
+    assert(back.columns.toSeq.sorted == Seq("a", "b"), "__z must not leak")
+  }
+}

@@ -532,4 +532,69 @@ class PqSpec extends SparkSpec {
     assert(resRecall >= rawRecall,
       s"residual recall $resRecall < raw recall $rawRecall")
   }
+
+  test("quantizationError (q82): per-cell stats == brute-force subspace argmin sums") {
+    import graft.operators.Ivf
+    import graft.functions.VecUtil.round6
+    val step = 25; val m = 8
+    val out = Pq.quantizationError(emb0001, step, m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+
+    val cents = Ivf.collectCentroids(Ivf.centroids(emb0001, step))
+    val cbs = Pq.codebooks(emb0001, step, m)
+    val dim = cbs.map(_.mat.head.length).sum
+    val sub = dim / m
+    def l2sq(x: Array[Double], y: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < x.length) { val d = x(i) - y(i); acc += d * d; i += 1 }
+      acc
+    }
+    // the operator's round(dist * 1e6) → long micro-unit conversion
+    def toMicro(d: Double): Long =
+      java.math.BigDecimal.valueOf(d * 1000000d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val rows = emb0001.select("vec_id", "embedding").collect()
+      .filter(r => !r.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getSeq[Any](1))
+      .filter { case (_, e) => e.length == dim && !e.contains(null) }
+      .map { case (id, e) =>
+        id -> e.map { case f: Float => f.toDouble; case d: Double => d }.toArray
+      }
+    assert(rows.nonEmpty)
+    val perRow = rows.map { case (_, e) =>
+      val cell = cents.cids.zip(cents.mat)
+        .map { case (cid, c) => (round6(l2sq(e, c)), cid) }
+        .minBy(x => (x._1, x._2))._2
+      val errU = (0 until m).map { j =>
+        val slice = e.slice(j * sub, (j + 1) * sub)
+        toMicro(cbs(j).mat.map(cb => round6(l2sq(slice, cb))).min)
+      }.sum
+      cell -> errU
+    }
+    val expect = perRow.groupBy(_._1).map { case (cell, g) =>
+      val us = g.map(_._2)
+      cell -> ((us.length.toLong,
+        round6(us.sum.toDouble / us.length / 1000000d),
+        round6(us.max.toDouble / 1000000d)))
+    }
+    assert(out == expect, "operator per-cell error != brute-force recomputation")
+  }
+
+  test("quantizationError: zero everywhere when the corpus IS the codebook (step=1)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 1f, 1f)),
+      (1L, Array(2f, 2f, 3f, 3f)),
+      (2L, Array(4f, 4f, 5f, 5f)),
+      (3L, Array(6f, 6f, 7f, 7f)))
+      .toDF("vec_id", "embedding")
+    val out = Pq.quantizationError(vecs, 1, 2).collect()
+    assert(out.length == 4, "step=1 makes every vector its own cell")
+    out.foreach { r =>
+      assert(r.getLong(1) == 1L)
+      assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0,
+        s"self-codebook corpus must quantize losslessly, got $r")
+    }
+  }
 }
