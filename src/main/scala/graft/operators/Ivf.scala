@@ -389,10 +389,16 @@ object Ivf {
     ids.select(col("vec_id")).write.mode("append")
       .parquet(s"$path/tombstones")
 
-  /** The index's current tombstone set (empty frame if none recorded). */
+  /** The index's current tombstone set (empty frame if none recorded).
+    * Existence goes through the Hadoop FileSystem of the index path —
+    * the same resolution [[compact]] uses — so HDFS/S3 layouts see
+    * their tombstones too (a local-only `java.io.File` probe would
+    * silently resurrect deletes on any non-local filesystem). */
   def tombstones(spark: SparkSession, path: String): DataFrame = {
-    val dir = new java.io.File(s"$path/tombstones")
-    if (dir.exists()) spark.read.parquet(dir.getPath).select("vec_id").distinct()
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString).select("vec_id").distinct()
     else spark.range(0).select(col("id").as("vec_id"))
   }
 
@@ -428,14 +434,20 @@ object Ivf {
     affected.foreach { cid =>
       val dir = s"$path/postings/centroid_id=$cid"
       val tmp = s"$path/postings_compacting/centroid_id=$cid"
-      // executor-side rewrite of this one cell into a temp dir, then an
-      // atomic-enough dir swap — the postings frame is never read and
-      // overwritten in the same job
+      // executor-side rewrite of this one cell into a temp dir, then a
+      // rename-aside swap: live→.old, tmp→live, drop .old. Every
+      // intermediate state keeps the cell recoverable (under live, .old
+      // or tmp) — a delete-before-rename crash window would instead
+      // serve the index with the cell silently missing. The .old
+      // pre-delete clears debris from a previous crashed swap.
       spark.read.parquet(dir)
         .join(broadcast(dead), Seq("vec_id"), "left_anti")
         .write.mode("overwrite").parquet(tmp)
-      fs.delete(new Path(dir), true)
+      val old = new Path(s"$dir.old")
+      fs.delete(old, true)
+      fs.rename(new Path(dir), old)
       fs.rename(new Path(tmp), new Path(dir))
+      fs.delete(old, true)
     }
     fs.delete(new Path(s"$path/postings_compacting"), true)
     // reset the log (all folded in)

@@ -130,6 +130,11 @@ object Sampling {
     if (stats.isNullAt(0)) return docs.select(col("doc_id"), col("n_chars"),
       lit(0L).as("n_hits")).limit(0)
     val (mn, mx, total) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // the scaladoc's documented limit, ENFORCED: past it `cum * n`
+    // overflows long and the sample is silently wrong
+    require(n > 0 && total <= Long.MaxValue / n,
+      s"sum(n_chars) = $total overflows the cum*n pin arithmetic at n = $n; " +
+        "pre-scale the weight column (selection probabilities are scale-invariant)")
     val span = math.max((mx - mn) / numBuckets + 1, 1L)
     val parted = docs.select(col("doc_id"), col("n_chars"),
       ((col("doc_id") - mn) / span).cast("long").as("pid"))

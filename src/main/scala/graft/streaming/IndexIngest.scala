@@ -31,15 +31,23 @@ object IndexIngest {
   /** Start ingesting `vectors` (streaming frame with `vec_id`,
     * `embedding`) into the persisted index at `path`. Processes all
     * available data then terminates (`AvailableNow`) — swap the
-    * trigger for continuous ingest in production. */
-  def ingest(vectors: DataFrame, path: String): StreamingQuery = {
+    * trigger for continuous ingest in production.
+    *
+    * `checkpoint` is the stream's checkpointLocation. `appendWith` is
+    * NOT idempotent (a replayed batch double-appends its postings), so
+    * a restart without a checkpoint replays the whole source; pass a
+    * durable path for anything beyond a one-shot backfill of a source
+    * that will never be re-run. */
+  def ingest(vectors: DataFrame, path: String,
+             checkpoint: Option[String] = None): StreamingQuery = {
     val spark = vectors.sparkSession
     val cs = Ivf.collectCentroids(Ivf.load(spark, path)._2)
-    vectors.writeStream
+    val writer = vectors.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Ivf.appendWith(cs, path, batch)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    checkpoint.foreach(cp => writer.option("checkpointLocation", cp))
+    writer.start()
   }
 }

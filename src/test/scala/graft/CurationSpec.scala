@@ -254,6 +254,14 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ppsSample: overflow guard rejects weight sums past Long.MaxValue/n") {
+    import graft.operators.Sampling
+    val big = Seq((1L, Long.MaxValue / 2), (2L, Long.MaxValue / 2 - 1))
+      .toDF("doc_id", "n_chars")
+    val e = intercept[IllegalArgumentException] { Sampling.ppsSample(big, 5) }
+    assert(e.getMessage.contains("pre-scale"))
+  }
+
   test("sessionPaths (q83): gap boundary, tie order, maxSteps truncation, ranking") {
     def t(s: Long) = new Timestamp(s * 1000L)
     val evs = Seq(

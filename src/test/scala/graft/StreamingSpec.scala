@@ -186,9 +186,11 @@ class StreamingSpec extends SparkSpec {
     val deltaDir = s"$tmp/graft_ingest_delta_src"
     delta.select("vec_id", "embedding").coalesce(1)
       .write.mode("overwrite").parquet(deltaDir)
-    val stream = spark.readStream
+    val ckpt = s"$tmp/graft_ingest_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    def deltaStream() = spark.readStream
       .schema(spark.read.parquet(deltaDir).schema).parquet(deltaDir)
-    val q = graft.streaming.IndexIngest.ingest(stream, streamPath)
+    val q = graft.streaming.IndexIngest.ingest(deltaStream(), streamPath, Some(ckpt))
     q.awaitTermination(120000)
 
     // partition-dir column comes back int-inferred — normalize to long
@@ -203,6 +205,14 @@ class StreamingSpec extends SparkSpec {
     val centsAfter = spark.read.parquet(s"$streamPath/centroids")
       .orderBy("centroid_id").collect().toSeq
     assert(centsAfter == centsBefore, "ingest mutated the frozen centroids")
+
+    // restart against the SAME checkpoint: the source offset log marks
+    // the delta as consumed, so the non-idempotent appendWith must not
+    // run again (without the checkpoint this replays and double-appends)
+    val q2 = graft.streaming.IndexIngest.ingest(deltaStream(), streamPath, Some(ckpt))
+    q2.awaitTermination(120000)
+    assert(postings(streamPath) == postings(batchPath),
+      "checkpointed restart double-appended the delta")
   }
 
   test("stateful streaming sessionization matches the batch sessionize") {
