@@ -188,10 +188,13 @@ object Clusters {
     * way, and the knob is per-deployment.
     *
     * Scale shape: assignment is the zero-shuffle broadcast argmin
-    * ([[Ivf.assignWithEmbedding]]); the distance rides a broadcast join
-    * of the k-row centroid table; the per-cluster mean is ONE
-    * partial-agg exchange of k (sum, count) pairs broadcast back. No
-    * pair joins, nothing quadratic, state O(k).
+    * ([[Ivf.assign]]), whose struct already carries the winning
+    * round-6 distance — no join-back, no second distance evaluation
+    * (the r10 cut: the former formulation re-joined the k-row centroid
+    * table and re-ran l2Sq per row for a value the argmin had already
+    * computed); the per-cluster mean is ONE partial-agg exchange of k
+    * (sum, count) pairs broadcast back. No pair joins, nothing
+    * quadratic, state O(k).
     *
     * Cross-engine exactness: the mean comparison runs in integer
     * micro-units — dist is already rounded to 6 dp, so dist·10⁶ is
@@ -203,10 +206,10 @@ object Clusters {
   def outliers(vectors: DataFrame, step: Int,
                factorNum: Int = 5, factorDen: Int = 4): DataFrame = {
     val cents = Ivf.centroids(vectors, step)
-    val withDist = Ivf.assignWithEmbedding(vectors, cents)
-      .join(broadcast(cents), "centroid_id")
-      .select(col("vec_id"), col("centroid_id"),
-        round(l2Sq(col("embedding"), col("c_emb")), 6).as("dist"))
+    // unassignable rows (null argmin) belong to no cluster — same drop
+    // assignWithEmbedding applied in the former join formulation
+    val withDist = Ivf.assign(vectors, cents)
+      .where(col("centroid_id").isNotNull)
       .withColumn("dist_micro", round(col("dist") * 1e6).cast("long"))
     val stats = withDist.groupBy("centroid_id")
       .agg(sum("dist_micro").as("sum_micro"), count(lit(1)).as("n"))
