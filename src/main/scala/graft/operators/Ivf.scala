@@ -462,6 +462,38 @@ object Ivf {
     search(inlinePostings(vectors, cents), cents, query, nprobe, k)
   }
 
+  /** Probe budget for a cell count when the caller doesn't pin one —
+    * the √-rule (FAISS's nprobe ∝ √nlist guidance): probing ⌈√C⌉ of C
+    * cells keeps the probed row mass at ~n/√C, which holds measured
+    * recall roughly flat as an index is re-trained to more cells
+    * (q62's audit documented the failure mode this replaces: a FIXED
+    * nprobe=4 over 800 sf1 cells probed 0.5 % of the corpus and
+    * recall@20 fell to 0.05-0.55). Sublinear by construction — a 10×
+    * cell count grows the default probe ~3.2×. The dial stays a dial:
+    * [[graft.operators.RecallAudit.tuneNProbe]] REPLACES this default
+    * with a measured one when a recall target is contractual. */
+  def autoNProbe(cells: Long): Int =
+    math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
+
+  /** [[search]] with the [[autoNProbe]] √-rule default (cell count read
+    * from the centroid table — k rows, a metadata-cheap count). */
+  def search(postings: DataFrame, cents: DataFrame, query: DataFrame,
+             k: Int): DataFrame =
+    search(postings, cents, query, autoNProbe(cents.count()), k)
+
+  /** [[searchBatch]] with the [[autoNProbe]] √-rule default. */
+  def searchBatch(postings: DataFrame, cents: DataFrame, queries: DataFrame,
+                  k: Int): DataFrame =
+    searchBatch(postings, cents, queries, autoNProbe(cents.count()), k)
+
+  /** [[searchInline]] with the [[autoNProbe]] √-rule default. */
+  def searchInline(vectors: DataFrame, step: Int, query: DataFrame,
+                   k: Int): DataFrame = {
+    val cents = centroids(vectors, step)
+    search(inlinePostings(vectors, cents), cents, query,
+      autoNProbe(cents.count()), k)
+  }
+
   /** Cell-split rebalance (q69) — the ACTION the [[cellBalance]] (q63)
     * report calls for when skew crosses threshold: every cell whose
     * occupancy exceeds `maxCell` splits in two, members reassigned

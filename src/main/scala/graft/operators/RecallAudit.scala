@@ -70,4 +70,50 @@ object RecallAudit {
       .unionByName(leg("ivfpq", ivfpqRes, truthL2))
       .orderBy("query_id", "method")
   }
+
+  /** The re-tuning rule the q62 audit calls for (r10): pick nprobe by
+    * MEASURED recall, not folklore. Doubles nprobe from `start` until
+    * the real [[Ivf.searchBatch]] serving plan's mean recall@k over a
+    * sampled query panel reaches `target`, capping at the cell count
+    * (where probed search IS exact search and recall is 1 by the
+    * full-probe degeneracy this suite pins). The answer to the sf1
+    * finding that motivated this: a fixed nprobe=4 carried from an
+    * 80-cell index to an 800-cell re-train probed 10× less corpus mass
+    * and recall@20 fell to 0.05-0.55 — re-tuning against the audit
+    * restores the target at a probe budget the DATA sets.
+    *
+    * Scale contract: geometric stepping = O(log C) audit rounds; each
+    * round is one q-bounded batched search plus a q·k-row collect (the
+    * [[graft.operators.Pq.distTables]] bounded-collect class — tens of
+    * queries × k ids, never corpus-scale). The exact-truth leg runs
+    * ONCE and is reused across rounds. Re-run per re-train/re-build —
+    * this is an offline index-maintenance step beside [[Ivf.cellBalance]],
+    * not per-query work; between re-tunes [[Ivf.autoNProbe]]'s √-rule
+    * is the zero-measurement default. */
+  def tuneNProbe(vectors: DataFrame, step: Int, queryIds: Seq[Long],
+                 k: Int, target: Double, start: Int = 1): Int = {
+    require(target > 0 && target <= 1, s"target must be in (0, 1], got $target")
+    val queries = Knn.queryPanel(vectors, queryIds)
+    val truth = GroupedTopK.topK(
+      vectors.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          round(dot(col("embedding"), col("qv")), 6).as("s")),
+      Seq(col("query_id")), Seq(col("s").desc, col("vec_id").asc), k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Ivf.centroids(vectors, step)
+    val postings = Ivf.inlinePostings(vectors, cents)
+    val cells = math.max(1L, cents.count())
+    var np = math.min(math.max(1, start).toLong, cells).toInt
+    while (true) {
+      val got = Ivf.searchBatch(postings, cents, queries, np, k)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall =
+        if (truth.isEmpty) 1.0 else (got & truth).size.toDouble / truth.size
+      if (recall >= target || np >= cells) return np
+      np = math.min(np.toLong * 2, cells).toInt
+    }
+    np // unreachable
+  }
 }

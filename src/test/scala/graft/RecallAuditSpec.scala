@@ -24,6 +24,53 @@ class RecallAuditSpec extends SparkSpec {
     }
   }
 
+  test("autoNProbe: sqrt rule — sublinear in cells, floor 1, full at 1 cell") {
+    assert(Ivf.autoNProbe(1) == 1)
+    assert(Ivf.autoNProbe(64) == 8)
+    assert(Ivf.autoNProbe(100) == 10)
+    assert(Ivf.autoNProbe(800) == 29)
+    // 10x the cells -> ~3.2x the probes, never 10x
+    assert(Ivf.autoNProbe(800) < 4 * Ivf.autoNProbe(80))
+  }
+
+  test("tuneNProbe: restores recall@20 at 10x cell count with sublinear probe growth") {
+    import graft.functions.VectorFunctions._
+    import graft.plans.GroupedTopK
+    import graft.operators.Knn
+    val emb001 = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val panel = Seq(0L, 7L, 42L, 101L)
+    val target = 0.9
+    val queries = Knn.queryPanel(emb001, panel)
+    val truth = GroupedTopK.topK(
+      emb001.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          round(dot(col("embedding"), col("qv")), 6).as("s")),
+      Seq(col("query_id")), Seq(col("s").desc, col("vec_id").asc), K)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(stepV: Int, np: Int): Double = {
+      val cents = Ivf.centroids(emb001, stepV)
+      val got = Ivf.searchBatch(Ivf.assignWithEmbedding(emb001, cents), cents,
+          queries, np, K)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    // coarse index: 2 cells; re-trained fine index: 20 cells (10x)
+    val npCoarse = RecallAudit.tuneNProbe(emb001, 250, panel, K, target)
+    val npFine = RecallAudit.tuneNProbe(emb001, 25, panel, K, target)
+    assert(recallAt(25, npFine) >= target,
+      s"tuned nprobe=$npFine does not restore recall at 20 cells")
+    assert(npFine < 10 * npCoarse,
+      s"probe budget grew linearly with cells: $npCoarse -> $npFine")
+    // the q62 failure mode the tuner answers: carrying the coarse
+    // index's probe budget to the re-trained index loses the target
+    if (npCoarse < npFine)
+      assert(recallAt(25, npCoarse) < target,
+        "fixed carried-over nprobe unexpectedly kept the target " +
+          "(corpus too easy for this spec to bite)")
+  }
+
   test("full probe pins the audit: ivf recall 1.0, ivfpq == pq_adc per query") {
     val nCents = Ivf.centroids(emb, IvfStep).count().toInt
     val rows = RecallAudit.annRecallReport(emb, IvfStep, PqM, qids, nCents, K).collect()
