@@ -567,4 +567,48 @@ object Ivf {
     val cents = centroids(vectors, step)
     search(inlinePostings(vectors.where(pred), cents), cents, query, nprobe, k)
   }
+
+  /** Fraction of rows matching `pred` — the router's selectivity
+    * probe. ONE map-side-partial aggregation pass; with
+    * `sampleStride > 1` it runs over the deterministic vec_id-stride
+    * sample instead of the corpus, so at 100 TB the probe reads a
+    * bounded slice (the stride sample is unbiased for predicates
+    * uncorrelated with id assignment — the common metadata case; a
+    * production catalog would answer this from column statistics
+    * without any scan, which is exactly the number this computes). */
+  def selectivity(vectors: DataFrame, pred: Column, sampleStride: Int = 1): Double = {
+    val base =
+      if (sampleStride <= 1) vectors
+      else vectors.where(pmod(col("vec_id"), lit(sampleStride.toLong)) === 0)
+    val r = base.agg(count(lit(1)).as("n"),
+      count(when(pred, 1)).as("m")).collect()(0)
+    if (r.getLong(0) == 0L) 0.0 else r.getLong(1).toDouble / r.getLong(0)
+  }
+
+  /** The selectivity-aware router between the two filtered-search
+    * strategies (the third piece of the q65 family — the scaladoc
+    * above and SURVEY row 64 describe the trade; this codes the
+    * decision). Below `exactBelow` selectivity the pushed-filter
+    * exact scan ([[Knn.topKDotFiltered]]) wins: matching rows are so
+    * few that parquet row-group stats skip most of the file, the scan
+    * touches ~selectivity × corpus, and a fixed-nprobe probe would
+    * under-fill k anyway (matches live outside the probed cells — the
+    * recall cliff, not just a perf trade). At-or-above it, pre-filter
+    * IVF ([[searchInlineFiltered]]) probes a bounded cell budget and
+    * scores only `nprobe/C` of the corpus — the sublinear path once
+    * matches are plentiful enough that every probed cell holds some.
+    *
+    * Returns (strategy, result) so callers and specs can assert the
+    * routing; strategy ∈ {"exact_filtered", "prefilter_ivf"}. The
+    * default threshold mirrors the documented ~1 % guidance. */
+  def searchFilteredRouted(vectors: DataFrame, step: Int, pred: Column,
+                           query: DataFrame, nprobe: Int, k: Int,
+                           exactBelow: Double = 0.01,
+                           sampleStride: Int = 1): (String, DataFrame) = {
+    val sel = selectivity(vectors, pred, sampleStride)
+    if (sel < exactBelow)
+      ("exact_filtered", Knn.topKDotFiltered(vectors, pred, query, k))
+    else
+      ("prefilter_ivf", searchInlineFiltered(vectors, step, pred, query, nprobe, k))
+  }
 }

@@ -43,6 +43,29 @@ class IvfSpec extends SparkSpec {
     assert(all == exact, "probe-everything filtered search diverged from exact filtered")
   }
 
+  test("searchFilteredRouted: routing flips on selectivity; each route == its direct strategy") {
+    import org.apache.spark.sql.functions._
+    val q = Knn.queryVector(emb, QueryVecId)
+    val common = col("label") === FilterLabel // ~10 % selectivity
+    val rare = (col("vec_id") % 500) === 7    // ~0.2 % — under the 1 % default
+    val (s1, r1) = Ivf.searchFilteredRouted(emb, IvfStep, common, q, NProbe, K)
+    assert(s1 == "prefilter_ivf", s"~10% predicate routed to $s1")
+    assert(r1.collect().toSeq ==
+      Ivf.searchInlineFiltered(emb, IvfStep, common, q, NProbe, K).collect().toSeq,
+      "routed prefilter-IVF result diverged from the direct strategy")
+    val (s2, r2) = Ivf.searchFilteredRouted(emb, IvfStep, rare, q, NProbe, K)
+    assert(s2 == "exact_filtered", s"~0.2% predicate routed to $s2")
+    assert(r2.collect().toSeq ==
+      Knn.topKDotFiltered(emb, rare, q, K).collect().toSeq,
+      "routed exact result diverged from the direct strategy")
+    // the stride-sampled selectivity probe tracks the exact fraction on
+    // an id-uncorrelated predicate (the bounded-read path at scale)
+    val full = Ivf.selectivity(emb, common)
+    val sampled = Ivf.selectivity(emb, common, sampleStride = 7)
+    assert(math.abs(full - sampled) < 0.1,
+      s"stride-sampled selectivity $sampled far from exact $full")
+  }
+
   test("deletion lifecycle: tombstone hides ids immediately; compact folds them in, " +
     "touching only affected cells; post-compact search == delete-aware pre-compact search") {
     import org.apache.spark.sql.functions._
