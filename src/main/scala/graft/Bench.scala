@@ -63,6 +63,49 @@ object Bench {
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
+    // Split timings for composite keys, reported under "extras" so the
+    // headline total stays comparable across rounds: q61b times TRAIN
+    // (driver-side SVD over a bounded sample, amortized once per index
+    // build) and SERVE (the per-query rotated-ADC plan — the part that
+    // must not regress) separately; the q61b_opq_search key above still
+    // times the assembled path.
+    val extras: Seq[(String, Double)] =
+      if (args.nonEmpty && !args.contains("q61b_opq_search")) Seq.empty
+      else {
+        import SparkEntry.Params._
+        import graft.operators.{Knn, Pq}
+        def bestOf(label: String)(body: => Unit): Option[(String, Double)] = {
+          val times = (1 to reps).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try { body; Some((System.nanoTime() - t0) / 1e9) }
+            catch {
+              case e: Throwable =>
+                if (!failed.contains(label)) {
+                  failed ::= label
+                  System.err.println(s"[bench] $label failed: ${e.getMessage}")
+                }
+                None
+            }
+          }
+          if (times.nonEmpty) Some(label -> times.min) else None
+        }
+        val emb = Tables.embeddings(spark, sfDir)
+        val train = bestOf("q61b_train") {
+          Pq.learnRotation(emb, OpqSampleStride, PqM, OpqIters, k = OpqK); ()
+        }
+        // untimed model for the serve leg, so serve timings never carry
+        // training cost
+        val serve =
+          try {
+            val model = Pq.learnRotation(emb, OpqSampleStride, PqM, OpqIters, k = OpqK)
+            val q = Knn.queryVector(emb, QueryVecId)
+            bestOf("q61b_serve") {
+              Pq.searchRotatedWith(emb, model, q, K)
+                .write.format("noop").mode("overwrite").save()
+            }
+          } catch { case _: Throwable => None }
+        Seq(train, serve).flatten
+      }
     // 3-decimal timings (ms precision is all best-of-N minima carry) keep
     // the whole line compact, and the total/value fields go LAST: the
     // driver archives only a 2,000-char TAIL of stdout, and at 73 keys the
@@ -71,11 +114,23 @@ object Bench {
     // ordering by truncation-survivability is free.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val xs = extras.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val fs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     // reps is part of the artifact: best-of-2 and best-of-3 minima are
     // different estimators, so cross-round comparisons need to know it.
-    println(s"""{"queries":$qs,"failed":$fs,"sf":"$sfDir","reps":$reps,"unit":"sec","metric":"total","value":${f3(total)}}""")
+    val fullLine = s"""{"queries":$qs,"extras":$xs,"failed":$fs,"sf":"$sfDir","reps":$reps,"unit":"sec","metric":"total","value":${f3(total)}}"""
+    println(fullLine)
+    // The archived stdout artifact is tail-truncated (see below), so the
+    // COMPLETE per-query map also lands in a file the round commit
+    // carries — per-query regression tracking must never depend on how
+    // much of a log tail survived.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     // Second, SHORT summary line: the archived artifact is a 2,000-char
     // tail of stdout, and the full per-query line above crosses that
     // threshold as keys grow (r7's artifact truncated mid-object). The

@@ -1905,6 +1905,120 @@ object OracleSql {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE p_type LIKE '%PROMO%'
-        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    // q85: φ-heavy hitters — pure integer gate c·phiInv > N; share is
+    // one division of exact integers, rounded at emission.
+    "q85_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(${toks()}) AS term FROM documents),
+         |tf AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(c) AS n_total FROM tf)
+         |SELECT term, CAST(c AS BIGINT) AS c,
+         |  round(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+         |FROM tf, tot WHERE c * $HeavyPhiInv > n_total
+         |ORDER BY c DESC, term""".stripMargin,
+
+    // q86: two-sample χ² drift — d = c1·n2 − c2·n1 exact in BIGINT,
+    // the cell statistic evaluated in double with the SAME association
+    // as the Spark plan ((d·d) / ((n1·n2)·(c1+c2))), rounded at
+    // emission and ranked on the rounded value.
+    "q86_token_drift" ->
+      s"""WITH tok AS (
+         |  SELECT source AS slice, unnest(${toks()}) AS term FROM documents
+         |  WHERE source IN ('$DriftSliceA', '$DriftSliceB')),
+         |tf AS (SELECT slice, term, count(*) AS c FROM tok GROUP BY 1, 2),
+         |a AS (SELECT term, c AS c1 FROM tf WHERE slice = '$DriftSliceA'),
+         |b AS (SELECT term, c AS c2 FROM tf WHERE slice = '$DriftSliceB'),
+         |n1t AS (SELECT sum(c) AS n1 FROM tf WHERE slice = '$DriftSliceA'),
+         |n2t AS (SELECT sum(c) AS n2 FROM tf WHERE slice = '$DriftSliceB'),
+         |j AS (
+         |  SELECT COALESCE(a.term, b.term) AS term,
+         |    COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+         |  FROM a FULL OUTER JOIN b ON a.term = b.term)
+         |SELECT term, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+         |  round((CAST(c1 * n2 - c2 * n1 AS DOUBLE) * CAST(c1 * n2 - c2 * n1 AS DOUBLE))
+         |    / ((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * CAST(c1 + c2 AS DOUBLE)), 6) AS chi2
+         |FROM j, n1t, n2t WHERE c1 + c2 >= $DriftMinCount
+         |ORDER BY chi2 DESC, term LIMIT $DriftTopN""".stripMargin,
+
+    // q88: integer-micro-unit PageRank, 3 unrolled rounds — every
+    // update is 64-bit floor arithmetic (`//` here, `div` in Spark),
+    // so a fixed iteration count is hash-exact across engines.
+    "q88_supply_rank" -> {
+      // CAST the per-round sum back to BIGINT: DuckDB widens sum() to
+      // HUGEINT, which pandas renders as float and flips the hash
+      def round(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT n0.node_id,
+           |    CAST((1000000 * ${100 - 85}) // (100 * nn.n)
+           |      + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes n0
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node_id, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS s
+           |    FROM $prev p
+           |    JOIN edges e ON p.node_id = e.src
+           |    JOIN deg d ON e.src = d.src
+           |    GROUP BY 1) s USING (node_id), nn)"""
+      s"""WITH base AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |edges AS (
+         |  SELECT src, dst FROM base
+         |  UNION SELECT dst AS src, src AS dst FROM base),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |pr0 AS (SELECT node_id, 1000000 // nn.n AS pr FROM nodes, nn),
+         |${round("pr0", "pr1")},
+         |${round("pr1", "pr2")},
+         |${round("pr2", "pr3")}
+         |SELECT node_id,
+         |  CASE WHEN node_id % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+         |  node_id // 2 AS key, pr AS pr_micro
+         |FROM pr3 ORDER BY pr_micro DESC, node_id LIMIT $PrTopN""".stripMargin
+    },
+
+    // q89: winsorized robust stats — clamp bounds are exact discrete
+    // order statistics (rank = (n·p + 999) // 1000 over the per-group
+    // value histogram's cumulative counts); no float before the final
+    // rounded means.
+    "q89_winsorized" ->
+      s"""WITH h AS (
+         |  SELECT source AS g, n_chars AS v, count(*) AS c
+         |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT g, v, c,
+         |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         |    sum(c) OVER (PARTITION BY g) AS n
+         |  FROM h),
+         |b AS (
+         |  SELECT g,
+         |    min(v) FILTER (WHERE cum >= (n * $WinsorLoPm + 999) // 1000) AS lo_value,
+         |    min(v) FILTER (WHERE cum >= (n * $WinsorHiPm + 999) // 1000) AS hi_value
+         |  FROM cum GROUP BY g),
+         |w AS (
+         |  SELECT d.source AS g, d.n_chars AS v, b.lo_value, b.hi_value,
+         |    greatest(least(d.n_chars, b.hi_value), b.lo_value) AS wv
+         |  FROM documents d JOIN b ON d.source = b.g
+         |  WHERE d.n_chars IS NOT NULL)
+         |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_values,
+         |  min(lo_value) AS lo_value, min(hi_value) AS hi_value,
+         |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean_value,
+         |  round(CAST(sum(wv) AS DOUBLE) / count(*), 6) AS winsorized_mean
+         |FROM w GROUP BY g ORDER BY g""".stripMargin,
+
+    // q87: TPC-H Q6 shape — money math in DECIMAL(12,2) (exact,
+    // order-free sums), discount band compared in decimal too.
+    "q87_forecast_revenue" ->
+      s"""SELECT
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), 6) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '$Q6From 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '$Q6Until 00:00:00'
+         |  AND CAST(l_discount AS DECIMAL(12,2))
+         |    BETWEEN CAST('$Q6DiscLo' AS DECIMAL(12,2)) AND CAST('$Q6DiscHi' AS DECIMAL(12,2))
+         |  AND l_quantity < $Q6MaxQty""".stripMargin
   )
 }

@@ -140,6 +140,28 @@ object SparkEntry {
                                 // 9e8-scale keys still fit; 60-bit z)
     val ZLbBuckets = 4          // q84: 16 z-ranges — row-group-sized
                                 // cuts at test scale
+    val HeavyPhiInv = 40        // q85 heavy-hitter gate: share > 1/40 —
+                                // top synthetic tokens sit at ~3.5%, so
+                                // the exact set is non-empty and ≤ 40
+                                // rows by pigeonhole at every SF
+    val DriftSliceA = "src0"    // q86 drift slices: two same-generator
+    val DriftSliceB = "src1"    // sources (so true drift is small and
+                                // the χ² ranking is exercised on ties)
+    val DriftMinCount = 5       // q86 sub-noise tail gate
+    val DriftTopN = 50          // q86 ranked report depth
+    val Q6From = "1997-01-01"   // q87 one-year window mid-range of the
+    val Q6Until = "1998-01-01"  // 1995-2001 ship dates
+    val Q6DiscLo = "0.05"       // q87 discount band — compared in
+    val Q6DiscHi = "0.07"       // DECIMAL(12,2), never raw double
+    val Q6MaxQty = 24           // q87 quantity cap (TPC-H Q6's value)
+    val PrIters = 3             // q88 fixed PageRank rounds — hash-exact
+                                // cross-engine because every update is
+                                // integer floor arithmetic; 3 rounds
+                                // separate hubs from leaves on the
+                                // supply graph at every SF
+    val PrTopN = 50             // q88 centrality report depth
+    val WinsorLoPm = 100        // q89 clamp percentiles: p10/p90 in
+    val WinsorHiPm = 900        // permille (integer rank arithmetic)
   }
   import Params._
 
@@ -407,7 +429,20 @@ object SparkEntry {
       Events.sessionPaths(Tables.events(s, d), SessionGapMin, PathSteps, K)),
     "q84_zorder_report" -> ((s, d) =>
       Layout.zorderReport(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
-        ZBits, ZLbBuckets))
+        ZBits, ZLbBuckets)),
+    "q85_heavy_hitters" -> ((s, d) =>
+      Analytics.heavyHitters(Tables.documents(s, d), HeavyPhiInv)),
+    "q86_token_drift" -> ((s, d) =>
+      Profile.tokenDrift(Tables.documents(s, d), "source",
+        DriftSliceA, DriftSliceB, DriftMinCount, DriftTopN)),
+    "q87_forecast_revenue" -> ((s, d) =>
+      Analytics.forecastRevenue(Tables.lineitem(s, d), Q6From, Q6Until,
+        Q6DiscLo, Q6DiscHi, Q6MaxQty)),
+    "q88_supply_rank" -> ((s, d) =>
+      Graph.supplyRank(Tables.lineitem(s, d), PrIters, PrTopN)),
+    "q89_winsorized" -> ((s, d) =>
+      Profile.winsorizedStats(Tables.documents(s, d), "source", "n_chars",
+        WinsorLoPm, WinsorHiPm))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -39,8 +39,53 @@ object Bpe {
   val Cl100kPattern: java.util.regex.Pattern = java.util.regex.Pattern.compile(
     """(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?+\p{L}+|\p{N}{1,3}| ?[^\s\p{L}\p{N}]++[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+""")
 
-  /** Broadcastable merge table: (left, right) → rank, lower merges first. */
-  final case class Ranks(ranks: Map[(String, String), Int]) extends Serializable
+  /** Broadcastable merge table; lower rank merges first. Two keying
+    * schemes, one semantics:
+    *
+    *  - `ranks`: (left, right) → rank — what the corpus [[learn]]er
+    *    emits (it knows which pair it merged).
+    *  - `concat`: merged-token-bytes → rank — what a tiktoken vocab
+    *    file ships (token → id), and exactly how tiktoken's own
+    *    byte_pair_merge ranks a candidate pair: by the rank of the
+    *    CONCATENATED bytes. [[loadTiktoken]] fills this.
+    *
+    * [[pairRank]] consults both, so the merge loop is byte-for-byte
+    * tiktoken's under either vocabulary source. */
+  final case class Ranks(ranks: Map[(String, String), Int],
+                         concat: Map[String, Int] = Map.empty)
+      extends Serializable {
+    /** Rank of merging (a, b), or Int.MaxValue when unmergeable. */
+    def pairRank(a: String, b: String): Int = {
+      val p = ranks.getOrElse((a, b), Int.MaxValue)
+      if (p != Int.MaxValue || concat.isEmpty) p
+      else concat.getOrElse(a + b, Int.MaxValue)
+    }
+  }
+
+  /** Load a tiktoken-format vocabulary file — one `<base64-token>
+    * <rank>` pair per line, the shipped format of cl100k_base.tiktoken
+    * and every other OpenAI encoding — into a [[Ranks]] table. This is
+    * the drop-in path the corpus-trained default documents: with the
+    * real cl100k file on disk, [[graft.operators.TextAnalysis.bpeFileTokens]]
+    * counts are exactly SharpToken's (reference Program.cs:40,80);
+    * nothing else about the pipeline changes. Token bytes are carried
+    * as latin-1 strings like every other key in this object. */
+  def loadTiktoken(path: String): Ranks = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try {
+      val concat = src.getLines()
+        .map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val parts = line.split("\\s+")
+          require(parts.length == 2, s"malformed tiktoken line: '$line'")
+          val bytes = java.util.Base64.getDecoder.decode(parts(0))
+          new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1) ->
+            parts(1).toInt
+        }
+        .toMap
+      Ranks(Map.empty, concat)
+    } finally src.close()
+  }
 
   private def latin1(bytes: Array[Byte]): Array[String] = {
     val out = new Array[String](bytes.length)
@@ -79,10 +124,8 @@ object Bpe {
       var bestIdx = -1
       var i = 0
       while (i < parts.length - 1) {
-        r.ranks.get((parts(i), parts(i + 1))) match {
-          case Some(rank) if rank < bestRank => bestRank = rank; bestIdx = i
-          case _ =>
-        }
+        val rank = r.pairRank(parts(i), parts(i + 1))
+        if (rank < bestRank) { bestRank = rank; bestIdx = i }
         i += 1
       }
       if (bestIdx < 0) done = true

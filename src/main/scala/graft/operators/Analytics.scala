@@ -265,4 +265,96 @@ object Analytics {
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
   }
+
+  /** Corpus heavy hitters (q85): every token whose frequency exceeds
+    * 1/`phiInv` of the total token stream — the φ-heavy-hitter set
+    * behind stopword mining, boilerplate detection, and vocabulary
+    * truncation decisions. The gate `c · phiInv > N` is pure 64-bit
+    * integer arithmetic (no frequency ratio is ever compared in
+    * float); the reported share divides two exact integers once,
+    * rounded at emission.
+    *
+    * Scale shape: one (term) partial-agg exchange — the same
+    * O(distinct terms) shuffle as [[vocabStats]], never the raw
+    * stream; the total re-aggregates the term counts (k-row partials),
+    * and broadcasts ONE row back. Output is ≤ phiInv rows BY MATH
+    * (pigeonhole: at most phiInv tokens can each hold > N/phiInv of N),
+    * so the result is driver-safe at any corpus size — the
+    * strictly-harder exact version of what Misra-Gries/SpaceSaving
+    * sketches approximate in one pass, which is the spec'd 100 TB twin
+    * ([[heavyHittersSketch]]). */
+  def heavyHitters(docs: DataFrame, phiInv: Int): DataFrame = {
+    require(phiInv >= 1, s"phiInv must be >= 1, got $phiInv")
+    val tf = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val total = tf.agg(sum("c").as("n_total"))
+    tf.crossJoin(broadcast(total))
+      .where(col("c") * lit(phiInv.toLong) > col("n_total"))
+      .select(col("term"), col("c"),
+        round(col("c").cast("double") / col("n_total").cast("double"), 6)
+          .as("share"))
+      .orderBy(desc("c"), asc("term"))
+  }
+
+  /** One-pass Misra-Gries sketch twin of [[heavyHitters]] — the 100 TB
+    * shape when a second pass over the term counts is unwanted: each
+    * partition keeps at most `k` counters (decrement-all on overflow),
+    * partial summaries merge by counter addition then re-trim. The MG
+    * guarantee survives merging: any term with true frequency
+    * > N/k is PRESENT in the merged summary (candidates may include
+    * false positives — one exact counting pass over the ≤ k·partitions
+    * candidate set confirms, which is what [[heavyHitters]]'s gate
+    * does on the full vocabulary). Returns the candidate terms. */
+  def heavyHittersSketch(docs: DataFrame, k: Int): Seq[String] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.Encoders
+    val partials = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .select("term").as(Encoders.STRING)
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (counters.contains(t)) counters(t) += 1L
+          else if (counters.size < k) counters(t) = 1L
+          else {
+            // decrement-all: drop zeroed counters
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.keysIterator.foreach { key =>
+              counters(key) -= 1L
+              if (counters(key) == 0L) dead += key
+            }
+            dead.foreach(counters.remove)
+          }
+        }
+        counters.iterator.map { case (t, c) => (t, c) }
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .collect() // bounded: <= k counters per partition
+    val merged = scala.collection.mutable.HashMap.empty[String, Long]
+    partials.foreach { case (t, c) => merged(t) = merged.getOrElse(t, 0L) + c }
+    merged.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).map(_._1)
+  }
+
+  /** Forecast-revenue-change aggregate (q87, TPC-H Q6 shape): one
+    * filter-and-sum over lineitem — the canonical scan-bound query
+    * whose whole cost is how little data survives the scan. Every
+    * predicate (date window, discount band, quantity cap) pushes into
+    * the parquet reader; row-group min/max stats on shipdate skip
+    * whole chunks of a date-partitioned lake. Money math runs in
+    * DECIMAL(12,2) like [[pricingSummary]] (double sums are
+    * order-dependent; decimal sums are exact and
+    * partitioning-invariant), rounded once at emission. */
+  def forecastRevenue(lineitem: DataFrame, from: String, until: String,
+                      discLo: String, discHi: String, maxQty: Int): DataFrame = {
+    val disc = col("l_discount").cast("decimal(12,2)")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .filter(disc >= lit(discLo).cast("decimal(12,2)") &&
+        disc <= lit(discHi).cast("decimal(12,2)"))
+      .filter(col("l_quantity") < lit(maxQty))
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(12,2)") * disc)
+          .cast("double"), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

@@ -140,4 +140,104 @@ object Profile {
           .as("mean_value"))
       .orderBy(col(groupCol), col("decile"))
   }
+
+  /** Winsorized robust statistics (q89): per-group mean of `valCol`
+    * with values clamped to the group's exact [loPermille, hiPermille]
+    * order statistics — the outlier-robust length/score audit a
+    * curation dashboard shows next to the raw mean (one 10⁹-char
+    * pathological doc moves a raw mean arbitrarily; it moves the
+    * winsorized mean by one clamped addend). Thresholds are EXACT
+    * discrete order statistics from [[percentiles]]' (group, value)
+    * histogram scheme: rank k = ⌈n·p/1000⌉ in pure integer arithmetic
+    * (`(n·p + 999) div 1000`), the value = the smallest v whose
+    * cumulative count reaches k — no interpolation, no float until the
+    * final rounded means.
+    *
+    * Scale shape: one (group, value)-histogram exchange (O(distinct
+    * values), the [[percentiles]] shape), a cumulative window over
+    * per-group DISTINCT values (bounded by the value domain, not row
+    * count), then the clamp pass re-joins an O(groups)-row bounds
+    * frame by broadcast — the raw stream is touched twice, shuffled
+    * on value-histogram keys once. */
+  def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
+                      loPermille: Int, hiPermille: Int): DataFrame = {
+    require(0 <= loPermille && loPermille < hiPermille && hiPermille <= 1000,
+      s"need 0 <= lo < hi <= 1000, got $loPermille/$hiPermille")
+    import org.apache.spark.sql.expressions.Window
+    val h = df.where(col(valCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = h
+      .withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    val bounds = cum
+      .withColumn("klo", expr(s"(n * ${loPermille}L + 999) div 1000"))
+      .withColumn("khi", expr(s"(n * ${hiPermille}L + 999) div 1000"))
+      .groupBy("g")
+      .agg(min(when(col("cum") >= col("klo"), col("v"))).as("lo_value"),
+        min(when(col("cum") >= col("khi"), col("v"))).as("hi_value"))
+    df.where(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).as("v"))
+      .join(broadcast(bounds), "g")
+      .withColumn("wv", greatest(least(col("v"), col("hi_value")), col("lo_value")))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_values"),
+        min("lo_value").as("lo_value"), min("hi_value").as("hi_value"),
+        round(sum("v").cast("double") / count(lit(1)), 6).as("mean_value"),
+        round(sum("wv").cast("double") / count(lit(1)), 6).as("winsorized_mean"))
+      .select(col("g").as(groupCol), col("n_values"), col("lo_value"),
+        col("hi_value"), col("mean_value"), col("winsorized_mean"))
+      .orderBy(groupCol)
+  }
+
+  /** Token-distribution drift report (q86): the terms whose frequency
+    * differs most between two corpus slices, ranked by the two-sample
+    * χ² cell statistic — the distribution-shift audit a training
+    * pipeline runs between crawls / sources / snapshots before mixing
+    * them (a new crawl whose top drift terms are boilerplate markers
+    * is a scraper regression, not new content).
+    *
+    * Per shared-vocabulary term with counts (c₁, c₂) against slice
+    * totals (N₁, N₂):  `d = c₁·N₂ − c₂·N₁` (exact 64-bit integer —
+    * the cross-product form avoids any frequency ratio in float), and
+    * the χ² cell is d²/(N₁·N₂·(c₁+c₂)), evaluated in double from
+    * those exact integers with one fixed association and rounded at
+    * emission. Terms absent from one slice count 0 there (absence IS
+    * drift). The `minCount` gate drops the sub-noise tail, which also
+    * caps the ranked set.
+    *
+    * Scale shape: one (slice, term) partial-agg exchange (O(distinct
+    * terms), like [[graft.operators.Analytics.vocabStats]]); the
+    * full-outer term alignment joins the two count frames on the SAME
+    * term-hashed partitioning (no extra exchange under AQE reuse);
+    * slice totals are a 2-row broadcast. Top-n is
+    * TakeOrderedAndProject. */
+  def tokenDrift(docs: DataFrame, sliceCol: String, sliceA: String,
+                 sliceB: String, minCount: Int, topN: Int): DataFrame = {
+    val tf = docs
+      .where(col(sliceCol).isin(sliceA, sliceB))
+      .select(col(sliceCol).as("slice"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("slice", "term").agg(count(lit(1)).as("c"))
+    val a = tf.where(col("slice") === sliceA).select(col("term"), col("c").as("c1"))
+    val b = tf.where(col("slice") === sliceB).select(col("term"), col("c").as("c2"))
+    val totals = tf.groupBy("slice").agg(sum("c").as("n"))
+    val n1 = totals.where(col("slice") === sliceA).select(col("n").as("n1"))
+    val n2 = totals.where(col("slice") === sliceB).select(col("n").as("n2"))
+    a.join(b, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .where(col("c1") + col("c2") >= minCount)
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("d", (col("c1") * col("n2") - col("c2") * col("n1"))
+        .cast("double"))
+      .select(col("term"), col("c1"), col("c2"),
+        round((col("d") * col("d")) /
+          ((col("n1").cast("double") * col("n2").cast("double")) *
+            (col("c1") + col("c2")).cast("double")), 6).as("chi2"))
+      .orderBy(desc("chi2"), asc("term"))
+      .limit(topN)
+  }
 }

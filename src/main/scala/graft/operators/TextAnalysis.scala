@@ -53,6 +53,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[bpeCorpusTokens]] with a SHIPPED vocabulary instead of corpus
+    * training: loads a tiktoken-format merge table from `vocabPath`
+    * (the `<base64-token> <rank>`-per-line format cl100k_base.tiktoken
+    * uses) and counts with the identical broadcast + codegen'd
+    * [[graft.functions.BpeCount]] plan. For a user with the real
+    * cl100k file on disk this makes q05b-class counts EXACTLY the
+    * reference tokenizer's (Program.cs:40,80) — the one documented
+    * deviation the corpus-trained default carries, closed by a file
+    * path. Same scale shape: the vocab loads once on the driver
+    * (~1.7 MB for cl100k), ships once per executor, per-row encode
+    * stays inside whole-stage codegen. */
+  def bpeFileTokens(docs: DataFrame, vocabPath: String): DataFrame = {
+    import graft.functions.{Bpe, BpeCount}
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    val bc = docs.sparkSession.sparkContext.broadcast(Bpe.loadTiktoken(vocabPath))
+    docs.select(
+      col("doc_id"),
+      SqlBridge.column(BpeCount(SqlBridge.expression(col("text")), bc)).as("n_bpe_real"),
+      size(tokens(col("text"))).as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Non-distinct word k-grams over a PRE-MATERIALIZED tokens array
     * column (`ts` must be a plain attribute — see Dedup.shinglesOf for
     * the HOF re-evaluation trap). Distinct-set shingling for MinHash/

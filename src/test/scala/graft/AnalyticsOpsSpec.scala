@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Profile}
+
+/** Round-10 additions: φ-heavy hitters (exact + Misra-Gries twin),
+  * two-sample χ² token drift, and the Q6-shape filter-aggregate. */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import SparkEntry.Params.{HeavyPhiInv, Q6From, Q6Until, Q6DiscLo, Q6DiscHi, Q6MaxQty}
+
+  test("heavyHitters: exact phi set on a crafted stream; strict integer gate edge") {
+    // N = 10 tokens: a x5, b x3, c x2
+    val docs = Seq((1L, "a a a a a b b"), (2L, "b c c")).toDF("doc_id", "text")
+    val out3 = Analytics.heavyHitters(docs, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // c*3 > 10: only a (15); b hits 9 < 10
+    assert(out3 == Seq(("a", 5L)))
+    // c*5 > 10: a (25), b (15); c lands EXACTLY on 10 — strict gate excludes
+    val out5 = Analytics.heavyHitters(docs, 5).collect().map(_.getString(0)).toSeq
+    assert(out5 == Seq("a", "b"), "c at exactly N/phi must NOT be a heavy hitter")
+  }
+
+  test("heavyHitters: pigeonhole bound holds on the real corpus; shares consistent") {
+    val docs = Tables.documents(spark, sf001)
+    val rows = Analytics.heavyHitters(docs, HeavyPhiInv).collect()
+    assert(rows.nonEmpty, "gate tuned to be non-empty at sf0.01")
+    assert(rows.length <= HeavyPhiInv, "more than phiInv heavy hitters is impossible")
+    // counts strictly decreasing-or-tied in emitted order, ties by term
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys == keys.sorted, "output order must be (c desc, term asc)")
+  }
+
+  test("heavyHittersSketch: MG candidates are a superset of the exact heavy set") {
+    val docs = Tables.documents(spark, sf001)
+    val exact = Analytics.heavyHitters(docs, HeavyPhiInv).collect()
+      .map(_.getString(0)).toSet
+    val cand = Analytics.heavyHittersSketch(docs, HeavyPhiInv).toSet
+    assert(exact.subsetOf(cand),
+      s"MG guarantee violated: exact hitters missing from sketch: ${exact -- cand}")
+  }
+
+  test("tokenDrift: planted one-sided terms rank first, ties break on term; " +
+    "identical shared counts score zero") {
+    // equal-size slices (80 tokens each) so a term with identical counts
+    // has d = 0 exactly; one planted term per side
+    val docs = (
+      Seq.tabulate(20)(i => (i.toLong, "common words here planted_a", "A")) ++
+        Seq.tabulate(20)(i => ((100 + i).toLong, "common words here planted_b", "B"))
+      ).toDF("doc_id", "text", "source")
+    val out = Profile.tokenDrift(docs, "source", "A", "B", 5, 10).collect()
+    val byTerm = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byTerm("planted_a") == ((20L, 0L, byTerm("planted_a")._3)))
+    assert(byTerm("planted_b") == ((0L, 20L, byTerm("planted_b")._3)))
+    assert(byTerm("planted_a")._3 == byTerm("planted_b")._3,
+      "symmetric one-sided terms must score identically")
+    // the two planted terms outrank everything; tie broken by term asc
+    assert(out.take(2).map(_.getString(0)).toSeq == Seq("planted_a", "planted_b"))
+    assert(byTerm("common")._3 == 0.0,
+      "identical counts in equal-size slices must score exactly zero")
+  }
+
+  test("forecastRevenue: decimal-exact on crafted rows, each predicate excludes") {
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (ts("1997-06-01"), 0.05, 10.0, 100.0), // in: 5.00
+      (ts("1997-06-01"), 0.07, 23.0, 200.0), // in: 14.00
+      (ts("1997-06-01"), 0.08, 10.0, 100.0), // out: discount above band
+      (ts("1998-06-01"), 0.05, 10.0, 100.0), // out: past the window
+      (ts("1997-06-01"), 0.05, 24.0, 100.0)) // out: quantity at the cap
+      .toDF("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+    val r = Analytics.forecastRevenue(li, "1997-01-01", "1998-01-01",
+      "0.05", "0.07", 24).collect()(0)
+    assert(r.getDouble(0) == 19.0 && r.getLong(1) == 2L, s"got $r")
+  }
+
+  test("winsorizedStats: clamp bounds are exact order statistics; a planted " +
+    "outlier moves the raw mean, not the winsorized one") {
+    // n = 10: values 1..9 plus a 1000 outlier. Ranks: lo = ceil(10*0.1) = 1
+    // -> value 1; hi = ceil(10*0.9) = 9 -> value 9 (the outlier clamps).
+    val docs = ((1 to 9).map(i => (i.toLong, "A", i.toLong)) :+ ((10L, "A", 1000L)))
+      .toDF("doc_id", "source", "n_chars")
+    val r = Profile.winsorizedStats(docs, "source", "n_chars", 100, 900).collect()(0)
+    assert(r.getString(0) == "A" && r.getLong(1) == 10L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 9L, s"bounds wrong: $r")
+    assert(r.getDouble(4) == 104.5, s"raw mean: $r")
+    assert(r.getDouble(5) == 5.4, s"winsorized mean: $r")
+  }
+
+  test("forecastRevenue: filters push into the parquet scan") {
+    val plan = Analytics.forecastRevenue(Tables.lineitem(spark, sf001),
+      Q6From, Q6Until, Q6DiscLo, Q6DiscHi, Q6MaxQty)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"shipdate predicate not pushed:\n$plan")
+  }
+}

@@ -111,4 +111,36 @@ class BpeSpec extends SparkSpec {
     assert(p.contains("bpe_count"), s"expression missing from plan:\n$p")
     assert(!p.contains("hashpartitioning"), s"unexpected shuffle:\n$p")
   }
+
+  test("loadTiktoken: shipped merge-table fixture drives tiktoken concat-rank merges") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val path = getClass.getResource("/mini.tiktoken").getPath
+    val r = Bpe.loadTiktoken(path)
+    assert(r.concat.size == 7 && r.ranks.isEmpty)
+    // hand-traced tiktoken merge order on "hello" with vocab
+    // {h,e,l,o, ll:4, he:5, llo:6}: ll (rank 4) first -> h,e,ll,o;
+    // he (5) -> he,ll,o; llo (6) -> he,llo. Two tokens.
+    assert(Bpe.countTokens(UTF8String.fromString("hello"), r) == 2)
+    // no merge in vocab applies -> one token per byte
+    assert(Bpe.countTokens(UTF8String.fromString("xyz"), r) == 3)
+    // pre-tokenizer splits "hello" / " hello"; the leading space can't
+    // merge (no " he" token), so 2 + 3
+    assert(Bpe.countTokens(UTF8String.fromString("hello hello"), r) == 5)
+  }
+
+  test("bpeFileTokens: file-vocab operator counts match the kernel per row") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val path = getClass.getResource("/mini.tiktoken").getPath
+    val r = Bpe.loadTiktoken(path)
+    val docs = Seq((1L, "hello"), (2L, "xyz"), (3L, "hello hello"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeFileTokens(docs, path).collect()
+      .map(row => row.getLong(0) -> row.getInt(1)).toMap
+    assert(out == Map(1L -> 2, 2L -> 3, 3L -> 5))
+    out.foreach { case (id, n) =>
+      val text = Map(1L -> "hello", 2L -> "xyz", 3L -> "hello hello")(id)
+      assert(n == Bpe.countTokens(UTF8String.fromString(text), r))
+    }
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Integer-micro-unit PageRank (q88): differential against a
+  * driver-side reference with identical floor arithmetic, structural
+  * rank ordering, and mass conservation up to floor loss. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank == driver-side integer reference on a crafted star graph") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst")
+    val out = Graph.pageRank(Graph.symmetrize(edges), 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val adj = Map(0L -> Seq(1L, 2L, 3L, 4L), 1L -> Seq(0L),
+      2L -> Seq(0L), 3L -> Seq(0L), 4L -> Seq(0L))
+    val n = adj.size
+    val teleport = (1000000L * 15) / (100L * n)
+    var pr = adj.keys.map(_ -> 1000000L / n).toMap
+    (1 to 3).foreach { _ =>
+      val s = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (u, nbrs) =>
+        nbrs.foreach(v => s(v) += pr(u) / nbrs.length)
+      }
+      pr = adj.keys.map(k => k -> (teleport + 85L * s(k) / 100L)).toMap
+    }
+    assert(out == pr, s"distributed ranks $out != reference $pr")
+    assert(out(0L) > out(1L), "the hub must outrank its leaves")
+    assert(Set(1L, 2L, 3L, 4L).map(out).size == 1, "symmetric leaves must tie")
+  }
+
+  test("pageRank: positive ranks, mass conserved up to floor loss, determinism") {
+    val li = Tables.lineitem(spark, sf0001)
+    val out = Graph.supplyRank(li, 3, 100000).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("pr_micro")) > 0L, s"non-positive rank: $r")
+      val kind = r.getString(r.fieldIndex("kind"))
+      val nodeId = r.getLong(r.fieldIndex("node_id"))
+      assert((nodeId % 2 == 0) == (kind == "part"), "namespace decode wrong")
+      assert(r.getLong(r.fieldIndex("key")) == nodeId / 2)
+    }
+    // every floor division only LOSES micro-units: total mass never
+    // exceeds the initial 10^6 budget, and stays above half of it for
+    // any graph whose floors don't dominate (sanity band, not theory)
+    val mass = out.map(r => r.getLong(r.fieldIndex("pr_micro"))).sum
+    assert(mass <= 1000000L, s"rank mass grew: $mass")
+    assert(mass > 500000L, s"floor loss ate the mass: $mass")
+    val again = Graph.supplyRank(li, 3, 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(again.toSeq == out.map(r => (r.getLong(0), r.getLong(3))).toSeq,
+      "PageRank must be a pure function of the edge list")
+  }
+
+  test("symmetrize: both directions present exactly once") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 1L)).toDF("src", "dst")
+    val sym = Graph.symmetrize(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sym == Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)))
+  }
+}
