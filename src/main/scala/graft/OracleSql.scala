@@ -2007,6 +2007,65 @@ object OracleSql {
          |  round(CAST(sum(wv) AS DOUBLE) / count(*), 6) AS winsorized_mean
          |FROM w GROUP BY g ORDER BY g""".stripMargin,
 
+    // q90: MAD outliers — lower-median convention keeps median, MAD,
+    // deviations and the k·MAD gate all in 64-bit integers.
+    "q90_mad_outliers" ->
+      s"""WITH vals AS (
+         |  SELECT source AS g, n_chars AS v FROM documents
+         |  WHERE n_chars IS NOT NULL),
+         |h1 AS (SELECT g, v, count(*) AS c FROM vals GROUP BY 1, 2),
+         |c1 AS (
+         |  SELECT g, v,
+         |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         |    sum(c) OVER (PARTITION BY g) AS n
+         |  FROM h1),
+         |m1 AS (
+         |  SELECT g, min(v) FILTER (WHERE cum >= (n + 1) // 2) AS med
+         |  FROM c1 GROUP BY g),
+         |dev AS (
+         |  SELECT vals.g, med, abs(v - med) AS d
+         |  FROM vals JOIN m1 USING (g)),
+         |h2 AS (SELECT g, d AS v, count(*) AS c FROM dev GROUP BY 1, 2),
+         |c2 AS (
+         |  SELECT g, v,
+         |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         |    sum(c) OVER (PARTITION BY g) AS n
+         |  FROM h2),
+         |m2 AS (
+         |  SELECT g, min(v) FILTER (WHERE cum >= (n + 1) // 2) AS mad
+         |  FROM c2 GROUP BY g)
+         |SELECT g AS source, CAST(count(*) AS BIGINT) AS n_values,
+         |  min(med) AS median, min(mad) AS mad,
+         |  CAST(sum(CASE WHEN d > mad * $MadK THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_outliers
+         |FROM dev JOIN m2 USING (g) GROUP BY g ORDER BY g""".stripMargin,
+
+    // q91: tolerance as-of attribution — DuckDB's native ASOF LEFT
+    // JOIN with the staleness bound applied in the projection, nulling
+    // timestamp and payload atomically like the Spark plan.
+    "q91_click_attribution" ->
+      s"""WITH purchases AS (
+         |  SELECT event_id, user_id, ts, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |clicks AS (
+         |  SELECT user_id, ts, max(event_id) AS click_id
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |j AS (
+         |  SELECT p.event_id, p.user_id, p.ts, p.value, c.ts AS c_ts, c.click_id,
+         |    CASE WHEN c.ts IS NOT NULL
+         |           AND date_diff('second', c.ts, p.ts) <= $AttribWindowSec
+         |         THEN 1 ELSE 0 END AS fresh
+         |  FROM purchases p
+         |  ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts)
+         |SELECT event_id, user_id,
+         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+         |  round(value, 6) AS value,
+         |  CASE WHEN fresh = 1 THEN click_id END AS click_id,
+         |  CASE WHEN fresh = 1 THEN date_diff('second', c_ts, ts) END
+         |    AS secs_since_click,
+         |  CAST(fresh AS INTEGER) AS attributed
+         |FROM j ORDER BY event_id""".stripMargin,
+
     // q87: TPC-H Q6 shape — money math in DECIMAL(12,2) (exact,
     // order-free sums), discount band compared in decimal too.
     "q87_forecast_revenue" ->

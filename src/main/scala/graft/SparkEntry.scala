@@ -162,6 +162,12 @@ object SparkEntry {
     val PrTopN = 50             // q88 centrality report depth
     val WinsorLoPm = 100        // q89 clamp percentiles: p10/p90 in
     val WinsorHiPm = 900        // permille (integer rank arithmetic)
+    val MadK = 3                // q90 outlier gate: |v − med| > 3·MAD —
+                                // the textbook robust-z cutoff
+    val AttribWindowSec = 86400L // q91 attribution window: 1 day keeps
+                                 // both branches populated (~35% of
+                                 // purchases attribute at sf0.01; 1h
+                                 // would attribute only ~2%)
   }
   import Params._
 
@@ -442,7 +448,11 @@ object SparkEntry {
       Graph.supplyRank(Tables.lineitem(s, d), PrIters, PrTopN)),
     "q89_winsorized" -> ((s, d) =>
       Profile.winsorizedStats(Tables.documents(s, d), "source", "n_chars",
-        WinsorLoPm, WinsorHiPm))
+        WinsorLoPm, WinsorHiPm)),
+    "q90_mad_outliers" -> ((s, d) =>
+      Profile.madOutliers(Tables.documents(s, d), "source", "n_chars", MadK)),
+    "q91_click_attribution" -> ((s, d) =>
+      AsOf.clickAttribution(Tables.events(s, d), AttribWindowSec))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -101,4 +101,53 @@ object AsOf {
       .select(col("event_id"), coalesce(col("n"), lit(0L)).as("n_preceding"))
       .orderBy("event_id")
   }
+
+  /** Tolerance as-of join (q91): [[asofJoin]] with a match-staleness
+    * bound — a prior right row older than `toleranceSec` is NO match
+    * (kdb's `wj`, pandas `merge_asof(tolerance=...)`; every
+    * feature-store point-in-time join has this knob, because a
+    * "most recent" feature from last month is worse than no feature).
+    * Expired matches null out BOTH the match timestamp and its
+    * payload columns atomically — a half-expired row would be a
+    * column-wise lie. Same one-exchange window plan as [[asofJoin]];
+    * the tolerance is a post-window projection, free at any scale. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        tsCol: String, rightCols: Seq[String],
+                        toleranceSec: Long): DataFrame = {
+    def secs(c: Column) = c.cast("timestamp").cast("long")
+    val joined = asofJoin(left, right, keys, tsCol, rightCols)
+    val fresh = col("asof_ts").isNotNull &&
+      secs(col(tsCol)) - secs(col("asof_ts")) <= toleranceSec
+    joined
+      .withColumns(rightCols.map(c =>
+        s"asof_$c" -> when(fresh, col(s"asof_$c"))).toMap)
+      .withColumn("asof_ts", when(fresh, col("asof_ts")))
+  }
+
+  /** Windowed click→purchase attribution (q91): every purchase with
+    * its user's most recent click at-or-before it, but only within the
+    * attribution window — stale clicks don't get credit, and
+    * unattributed purchases SURVIVE with null attribution (they are
+    * the rows a marketing report counts as organic). The
+    * [[purchaseAttribution]] (q19) composition with the tolerance
+    * semantics production attribution actually uses. */
+  def clickAttribution(events: DataFrame, windowSec: Long): DataFrame = {
+    def secs(c: Column) = c.cast("timestamp").cast("long")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    asofJoinTolerance(purchases, clicks, Seq("user_id"), "ts",
+      Seq("click_id"), windowSec)
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        round(col("value"), 6).as("value"),
+        col("asof_click_id").as("click_id"),
+        when(col("asof_ts").isNotNull,
+          secs(col("ts")) - secs(col("asof_ts"))).as("secs_since_click"),
+        when(col("asof_ts").isNotNull, lit(1)).otherwise(lit(0))
+          .cast("int").as("attributed"))
+      .orderBy("event_id")
+  }
 }

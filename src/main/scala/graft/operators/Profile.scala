@@ -191,6 +191,57 @@ object Profile {
       .orderBy(groupCol)
   }
 
+  /** Per-group LOWER MEDIAN via the (group, value)-histogram rank
+    * scheme: rank ⌈n/2⌉ = `(n+1) div 2`, value = smallest v whose
+    * cumulative count reaches it. The lower-median convention (no
+    * midpoint averaging on even n) keeps every quantity INTEGER —
+    * which is what makes [[madOutliers]] exact cross-engine. */
+  private def lowerMedians(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = vals.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    h.withColumn("cum", sum("c").over(Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+      .withColumn("kmed", expr("(n + 1) div 2"))
+      .groupBy("g")
+      .agg(min(when(col("cum") >= col("kmed"), col("v"))).as("med"))
+  }
+
+  /** MAD outlier report (q90): per-group median, median absolute
+    * deviation, and the count of values beyond `kNum`×MAD — the
+    * robust-dispersion companion to [[winsorizedStats]] (a z-score
+    * gate's mean AND stddev both move with the outliers it hunts; the
+    * median/MAD pair moves with neither). Lower-median convention
+    * throughout, so median, MAD, deviations and the `|v − med| >
+    * k·MAD` gate are all pure 64-bit integers — no float anywhere in
+    * the operator.
+    *
+    * Scale shape: two rounds of the (group, value)-histogram exchange
+    * (values, then deviations — O(distinct values) each, the
+    * [[percentiles]] shape), each median broadcast back as an
+    * O(groups)-row frame; the final pass is one partial-agg rollup per
+    * group. */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  kNum: Int): DataFrame = {
+    require(kNum >= 1, s"kNum must be >= 1, got $kNum")
+    val vals = df.where(col(valCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valCol).cast("long").as("v"))
+    val med = lowerMedians(vals)
+    val dev = vals.join(broadcast(med), "g")
+      .withColumn("d", abs(col("v") - col("med")))
+    val mad = lowerMedians(dev.select(col("g"), col("d").as("v")))
+      .withColumnRenamed("med", "mad")
+    dev.join(broadcast(mad), "g")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_values"),
+        min("med").as("median"), min("mad").as("mad"),
+        sum(when(col("d") > col("mad") * kNum, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("g").as(groupCol), col("n_values"), col("median"),
+        col("mad"), col("n_outliers"))
+      .orderBy(groupCol)
+  }
+
   /** Token-distribution drift report (q86): the terms whose frequency
     * differs most between two corpus slices, ranked by the two-sample
     * χ² cell statistic — the distribution-shift audit a training

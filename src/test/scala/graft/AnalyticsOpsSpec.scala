@@ -89,6 +89,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r.getDouble(5) == 5.4, s"winsorized mean: $r")
   }
 
+  test("madOutliers: lower-median convention, hand-computed MAD, constant group") {
+    // group A: 1,2,3,4,5,100 — lower median (rank (6+1) div 2 = 3) = 3;
+    // deviations 2,1,0,1,2,97 → lower median = 1 → MAD 1; gate d > 3:
+    // only the 100 (d=97) flags
+    // group B: constant 5s — median 5, MAD 0, gate d > 0 never fires
+    val docs = (Seq(1L, 2L, 3L, 4L, 5L, 100L).zipWithIndex.map {
+      case (v, i) => (i.toLong, "A", v)
+    } ++ Seq((10L, "B", 5L), (11L, "B", 5L), (12L, "B", 5L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Profile.madOutliers(docs, "source", "n_chars", 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A") == ((6L, 3L, 1L, 1L)), s"group A: ${out("A")}")
+    assert(out("B") == ((3L, 5L, 0L, 0L)), s"group B: ${out("B")}")
+  }
+
   test("forecastRevenue: filters push into the parquet scan") {
     val plan = Analytics.forecastRevenue(Tables.lineitem(spark, sf001),
       Q6From, Q6Until, Q6DiscLo, Q6DiscHi, Q6MaxQty)

@@ -80,4 +80,46 @@ class AsOfSpec extends SparkSpec {
     assert(joined.count() === left.count())
     assert(joined.select("event_id").distinct().count() === left.count())
   }
+
+  test("tolerance as-of: stale matches null atomically; boundary gap is fresh") {
+    val left = Seq(
+      (1L, ts(100), "fresh"),    // r@95, gap 5 <= 10 → match
+      (1L, ts(200), "boundary"), // r@190, gap EXACTLY 10 → match (<=)
+      (1L, ts(400), "stale"),    // most recent r@190, gap 210 > 10 → NULL
+      (2L, ts(100), "none")      // no right rows → NULL
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts(95), "r95"),
+      (1L, ts(190), "r190")
+    ).toDF("k", "t", "payload")
+    val got = AsOf.asofJoinTolerance(left, right, Seq("k"), "t",
+        Seq("payload"), toleranceSec = 10L)
+      .collect().map { r =>
+        r.getString(r.fieldIndex("tag")) ->
+          ((Option(r.get(r.fieldIndex("asof_ts"))),
+            Option(r.getString(r.fieldIndex("asof_payload")))))
+      }.toMap
+    assert(got("fresh")._2 === Some("r95"))
+    assert(got("boundary")._2 === Some("r190"))
+    // stale: BOTH the ts and the payload must null together
+    assert(got("stale") === ((None, None)), s"half-expired row: ${got("stale")}")
+    assert(got("none") === ((None, None)))
+  }
+
+  test("clickAttribution: attributed flag consistent with nulls, purchases conserved") {
+    val events = Tables.events(spark, sf001)
+    val out = AsOf.clickAttribution(events, 86400L).collect()
+    val nPurchases = events.where(col("event_type") === "purchase").count()
+    assert(out.length.toLong == nPurchases, "unattributed purchases must survive")
+    out.foreach { r =>
+      val attributed = r.getInt(r.fieldIndex("attributed")) == 1
+      assert(attributed == !r.isNullAt(r.fieldIndex("click_id")))
+      assert(attributed == !r.isNullAt(r.fieldIndex("secs_since_click")))
+      if (attributed)
+        assert(r.getLong(r.fieldIndex("secs_since_click")) <= 86400L)
+    }
+    val attributedCount = out.count(r => r.getInt(r.fieldIndex("attributed")) == 1)
+    assert(attributedCount > 0 && attributedCount < out.length,
+      "window should attribute some but not all purchases at sf0.01")
+  }
 }
