@@ -2066,6 +2066,30 @@ object OracleSql {
          |  CAST(fresh AS INTEGER) AS attributed
          |FROM j ORDER BY event_id""".stripMargin,
 
+    // q92: copy-on-write MERGE — NOT EXISTS (not NOT IN) mirrors the
+    // anti-join's null-key semantics: a null-keyed base row persists.
+    "q92_upsert" ->
+      s"""WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+         |changed AS (
+         |  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+         |  FROM base WHERE doc_id % $UpsertChangeMod = 0),
+         |fresh AS (
+         |  SELECT doc_id + $UpsertIdShift AS doc_id, lang, source, n_chars
+         |  FROM base WHERE doc_id % $UpsertInsertMod = 0),
+         |upd AS (SELECT * FROM changed UNION ALL SELECT * FROM fresh)
+         |SELECT * FROM (
+         |  SELECT b.doc_id, b.lang, b.source, b.n_chars FROM base b
+         |  WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.doc_id = b.doc_id)
+         |  UNION ALL SELECT * FROM upd)
+         |ORDER BY doc_id""".stripMargin,
+
+    // q93: percentile normalization — percent_rank over the unique
+    // (value, id) order divides two exact integers; round at emission.
+    "q93_pct_normalize" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS pct
+        |FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id""".stripMargin,
+
     // q87: TPC-H Q6 shape — money math in DECIMAL(12,2) (exact,
     // order-free sums), discount band compared in decimal too.
     "q87_forecast_revenue" ->

@@ -168,6 +168,15 @@ object SparkEntry {
                                  // both branches populated (~35% of
                                  // purchases attribute at sf0.01; 1h
                                  // would attribute only ~2%)
+    val UpsertChangeMod = 7L    // q92 update batch: every 7th doc gets
+    val UpsertInsertMod = 13L   // a correction, every 13th spawns a new
+    val UpsertIdShift = 1000000000L // new rows at shifted ids — 1e9 is
+                                    // above every corpus's id range
+                                    // (sf1 tops out ~9e8), so inserts
+                                    // stay true inserts at every SF
+    val PcaComponents = 8       // q94: 8 of 64 dims — the 8x reduction
+                                // the MRL/prefix serving plans assume
+    val PcaSampleStride = 2     // q94 fit sample (the OPQ stride)
   }
   import Params._
 
@@ -452,7 +461,22 @@ object SparkEntry {
     "q90_mad_outliers" -> ((s, d) =>
       Profile.madOutliers(Tables.documents(s, d), "source", "n_chars", MadK)),
     "q91_click_attribution" -> ((s, d) =>
-      AsOf.clickAttribution(Tables.events(s, d), AttribWindowSec))
+      AsOf.clickAttribution(Tables.events(s, d), AttribWindowSec)),
+    "q92_upsert" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      val changed = base.where(pmod(col("doc_id"), lit(UpsertChangeMod)) === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+      val fresh = base.where(pmod(col("doc_id"), lit(UpsertInsertMod)) === 0)
+        .withColumn("doc_id", col("doc_id") + UpsertIdShift)
+      Merge.upsert(base, changed.unionByName(fresh), "doc_id")
+        .orderBy("doc_id")
+    }),
+    "q93_pct_normalize" -> ((s, d) =>
+      Profile.percentileNormalize(Tables.documents(s, d), "lang", "n_chars",
+        "doc_id")),
+    "q94_pca" -> ((s, d) =>
+      Pca.fitProject(Tables.embeddings(s, d), PcaSampleStride, PcaComponents))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

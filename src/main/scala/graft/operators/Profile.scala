@@ -191,6 +191,26 @@ object Profile {
       .orderBy(groupCol)
   }
 
+  /** Percentile normalization (q93): every row's value mapped to its
+    * percent rank within its group — the scale-free calibration step
+    * before mixing scores from different scorers or corpora (a
+    * "keep the top 30 %" threshold transfers across sources; a
+    * raw-score threshold doesn't — the CCNet/DSIR mixing literature
+    * normalizes exactly this way before thresholding). The rank
+    * orders (value, id) so ties are deterministic cross-engine;
+    * percent_rank = (rank−1)/(n−1) divides two exact integers and
+    * rounds at emission. One exchange on the group key — the
+    * sessionize/decile window shape. */
+  def percentileNormalize(df: DataFrame, groupCol: String, valCol: String,
+                          idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(valCol), col(idCol))
+    df.where(col(valCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valCol))
+      .withColumn("pct", round(percent_rank().over(w), 6))
+      .orderBy(idCol)
+  }
+
   /** Per-group LOWER MEDIAN via the (group, value)-histogram rank
     * scheme: rank ⌈n/2⌉ = `(n+1) div 2`, value = smallest v whose
     * cumulative count reaches it. The lower-median convention (no

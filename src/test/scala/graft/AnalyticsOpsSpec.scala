@@ -105,6 +105,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("B") == ((3L, 5L, 0L, 0L)), s"group B: ${out("B")}")
   }
 
+  test("upsert: replace, insert, persist; null-key base rows survive the anti-join") {
+    import graft.operators.Merge
+    val base = Seq((Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "n"))
+      .toDF("doc_id", "v")
+    val upd = Seq((Option(1L), "A"), (Option(9L), "Z")).toDF("doc_id", "v")
+    val out = Merge.upsert(base, upd, "doc_id").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+      .toMap
+    assert(out == Map(Some(1L) -> "A", Some(2L) -> "b", Some(9L) -> "Z",
+      None -> "n"))
+  }
+
+  test("percentileNormalize: hand-computed percent ranks with deterministic ties") {
+    // order (value, id): (10,1) (20,2) (20,3) (30,4) -> (rank-1)/3
+    val docs = Seq((1L, "g", 10L), (2L, "g", 20L), (3L, "g", 20L), (4L, "g", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = Profile.percentileNormalize(docs, "lang", "n_chars", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 0.333333, 3L -> 0.666667, 4L -> 1.0),
+      s"got $out")
+  }
+
   test("forecastRevenue: filters push into the parquet scan") {
     val plan = Analytics.forecastRevenue(Tables.lineitem(spark, sf001),
       Q6From, Q6Until, Q6DiscLo, Q6DiscHi, Q6MaxQty)
