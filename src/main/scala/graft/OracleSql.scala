@@ -2090,6 +2090,45 @@ object OracleSql {
         |  round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS pct
         |FROM documents WHERE n_chars IS NOT NULL ORDER BY doc_id""".stripMargin,
 
+    // q95: α=1/2 temperature sampling — s = floor(sqrt(n)·1000) is
+    // engine-identical (IEEE sqrt + exact ×1000/floor below 2^53);
+    // quotas are integer division; selection order is q50's
+    // (hash60(doc_id), doc_id).
+    "q95_temperature_sample" ->
+      s"""WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |weighted AS (
+         |  SELECT source, n,
+         |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS s
+         |  FROM counts),
+         |tot AS (SELECT CAST(sum(s) AS BIGINT) AS st FROM weighted),
+         |quotas AS (
+         |  SELECT source, least(n, ($TempBudget * s) // st) AS quota
+         |  FROM weighted, tot),
+         |keyed AS (
+         |  SELECT doc_id, source,
+         |    ${hash60("CAST(doc_id AS VARCHAR)")} AS sample_key
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source ORDER BY sample_key, doc_id) AS rn
+         |  FROM keyed)
+         |SELECT doc_id, source FROM ranked JOIN quotas USING (source)
+         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    // q96: blocked fuzzy join — levenshtein is an integer DP, same
+    // classic distance in both engines; blocking on (lang, first word).
+    "q96_fuzzy_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    string_split(text, ' ')[1] AS w1,
+         |    substr(text, 1, $FuzzyPrefixLen) AS p
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT a.lang, a.doc_id AS a, b.doc_id AS b,
+         |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.w1 = b.w1
+         |WHERE a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= $FuzzyMaxDist
+         |ORDER BY a, b""".stripMargin,
+
     // q87: TPC-H Q6 shape — money math in DECIMAL(12,2) (exact,
     // order-free sums), discount band compared in decimal too.
     "q87_forecast_revenue" ->

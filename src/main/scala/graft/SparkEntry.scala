@@ -177,6 +177,12 @@ object SparkEntry {
     val PcaComponents = 8       // q94: 8 of 64 dims — the 8x reduction
                                 // the MRL/prefix serving plans assume
     val PcaSampleStride = 2     // q94 fit sample (the OPQ stride)
+    val TempBudget = 200L       // q95 sampling budget: ~40% of sf0.01 —
+                                // quotas bind below source sizes
+    val FuzzyPrefixLen = 24     // q96 compared prefix (DP cost bound)
+    val FuzzyMaxDist = 8        // q96 edit threshold: 11 pairs at
+                                // sf0.01, 923 at sf0.1 — populated,
+                                // not everything-matches
   }
   import Params._
 
@@ -476,7 +482,11 @@ object SparkEntry {
       Profile.percentileNormalize(Tables.documents(s, d), "lang", "n_chars",
         "doc_id")),
     "q94_pca" -> ((s, d) =>
-      Pca.fitProject(Tables.embeddings(s, d), PcaSampleStride, PcaComponents))
+      Pca.fitProject(Tables.embeddings(s, d), PcaSampleStride, PcaComponents)),
+    "q95_temperature_sample" -> ((s, d) =>
+      Sampling.temperatureSample(Tables.documents(s, d), TempBudget)),
+    "q96_fuzzy_pairs" -> ((s, d) =>
+      Dedup.fuzzyPairs(Tables.documents(s, d), FuzzyPrefixLen, FuzzyMaxDist))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

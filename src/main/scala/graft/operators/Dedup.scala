@@ -399,4 +399,36 @@ object Dedup {
       .select(col("a"), col("b"), col("label"), col("cos"))
       .orderBy("a", "b")
   }
+
+  /** Fuzzy blocked join (q96) — record linkage by edit distance: doc
+    * pairs whose text PREFIXES are within `maxDist` Levenshtein edits,
+    * candidates blocked on (lang, first word). Classic
+    * blocking-then-compare linkage: the blocking key turns the
+    * quadratic all-pairs comparison into an equi-join whose
+    * within-block pair count is what you actually pay, at the classic
+    * blocking trade — a pair differing in its FIRST word is never
+    * compared (recall < 1 by design; widen recall with more blocking
+    * passes on other keys, the standard multi-pass linkage scheme,
+    * exactly like [[multiProbeLshPairs]] widens q15b). Levenshtein is
+    * an integer DP — no float surface at all — and both engines
+    * implement the same classic distance.
+    *
+    * Scale shape: one equi-join exchange on the blocking key; the
+    * per-pair DP is prefixLen² work pipelined inside the join —
+    * bounded by the PREFIX, not the document. Skewed blocks (every doc
+    * starting "the") split like any hot join key under AQE. */
+  def fuzzyPairs(docs: DataFrame, prefixLen: Int, maxDist: Int): DataFrame = {
+    val d = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        element_at(split(col("text"), " "), 1).as("w1"),
+        substring(col("text"), 1, prefixLen).as("p"))
+    val a = d.select(col("lang"), col("w1"), col("doc_id").as("a"), col("p").as("pa"))
+    val b = d.select(col("lang"), col("w1"), col("doc_id").as("b"), col("p").as("pb"))
+    a.join(b, Seq("lang", "w1"))
+      .where(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .where(col("dist") <= maxDist)
+      .select(col("lang"), col("a"), col("b"), col("dist"))
+      .orderBy("a", "b")
+  }
 }

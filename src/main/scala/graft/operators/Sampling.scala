@@ -156,4 +156,43 @@ object Sampling {
       .select(col("doc_id"), col("n_chars"), col("n_hits"))
       .orderBy("doc_id")
   }
+
+  /** Temperature-balanced source sampling (q95) — the mT5/XLM-R
+    * α-mixing rule at α = 1/2: per-source quotas ∝ √n_s, so
+    * over-represented sources down-weight and the long tail keeps
+    * presence (at α = 1 sampling is proportional and the head
+    * dominates; at α = 0 it's uniform and tiny sources over-train —
+    * √ is the published multilingual compromise). Quota arithmetic is
+    * exact cross-engine WITHOUT pow(): the milli-precision weight
+    * s = ⌊√n · 1000⌋ uses IEEE-correctly-rounded sqrt (identical in
+    * both engines, SURVEY §6) with the ×1000/floor exact below 2⁵³,
+    * and quotas divide integers: min(n, (B·s) div Σs). Selection
+    * within a source is the deterministic [[stratifiedSample]] order
+    * (hash60(doc_id), doc_id) — nested samples, reproducible.
+    *
+    * Scale shape: counts/weights/quotas are O(#sources) rows; the
+    * selection window is ONE exchange on source. The window ranks each
+    * source fully — with the data-dependent per-source quota, swap in
+    * q50's bounded-heap GroupedTopK at k = max quota (collected from
+    * the O(sources) quota frame) and post-filter when a 100 TB source
+    * would otherwise sort end-to-end. */
+  def temperatureSample(docs: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val weighted = counts.withColumn("s",
+      floor(sqrt(col("n").cast("double")) * 1000d).cast("long"))
+    val total = weighted.agg(sum("s").as("st"))
+    val quotas = weighted.crossJoin(broadcast(total))
+      .withColumn("quota", least(col("n"), expr(s"(${budget}L * s) div st")))
+      .select("source", "quota")
+    val keyed = docs.select(col("doc_id"), col("source"),
+      Dedup.hash60(col("doc_id").cast("string")).as("sample_key"))
+    keyed.join(broadcast(quotas), "source")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("sample_key", "doc_id")))
+      .where(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
 }

@@ -127,6 +127,20 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("fuzzyPairs: threshold inclusive, blocking excludes lang/first-word mismatches") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "en", "hello world abc"),
+      (2L, "en", "hello worlds abc"),  // dist 1 from doc 1
+      (3L, "en", "goodbye world abc"), // first word differs → never compared
+      (4L, "de", "hello world abc"),   // lang differs → never compared
+      (5L, "en", "hello world ab"))    // dist 1 from doc 1, dist 2 from doc 2
+      .toDF("doc_id", "lang", "text")
+    val out = Dedup.fuzzyPairs(docs, 24, 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(out == Set((1L, 2L, 1), (1L, 5L, 1)), s"got $out")
+  }
+
   test("forecastRevenue: filters push into the parquet scan") {
     val plan = Analytics.forecastRevenue(Tables.lineitem(spark, sf001),
       Q6From, Q6Until, Q6DiscLo, Q6DiscHi, Q6MaxQty)

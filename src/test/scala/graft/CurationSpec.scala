@@ -262,6 +262,27 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("pre-scale"))
   }
 
+  test("temperatureSample: sqrt rule lifts the tail, nests, caps at source size") {
+    import graft.operators.Sampling
+    // 900/100 split: s = 30000/10000, so budget 100 quotas 75/25 —
+    // proportional sampling would give 90/10; sqrt lifts the tail 2.5x
+    val docs = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val out = Sampling.temperatureSample(docs, 100L)
+    val per = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per == Map("big" -> 75L, "small" -> 25L), s"got $per")
+    // deterministic hash order → smaller budgets nest inside larger
+    val ids100 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids40 = Sampling.temperatureSample(docs, 40L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids40.size == 40 && ids40.subsetOf(ids100))
+    // a budget beyond the corpus caps every quota at the source size
+    val all = Sampling.temperatureSample(docs, 100000L).count()
+    assert(all == 1000L)
+  }
+
   test("sessionPaths (q83): gap boundary, tie order, maxSteps truncation, ranking") {
     def t(s: Long) = new Timestamp(s * 1000L)
     val evs = Seq(
