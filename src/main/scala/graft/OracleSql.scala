@@ -2129,6 +2129,69 @@ object OracleSql {
          |WHERE a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= $FuzzyMaxDist
          |ORDER BY a, b""".stripMargin,
 
+    // q97: conversion-latency deciles — first-to-first latency in
+    // whole seconds (>= admits same-instant), ntile over the unique
+    // (latency, user_id) order, mean from exact integers.
+    "q97_conversion_latency" ->
+      s"""WITH tfrom AS (
+         |  SELECT user_id, min(ts) AS t_from FROM events
+         |  WHERE event_type = '$ConvFrom' GROUP BY 1),
+         |tto AS (
+         |  SELECT e.user_id, t_from, min(e.ts) AS t_to
+         |  FROM events e JOIN tfrom USING (user_id)
+         |  WHERE e.event_type = '$ConvTo' AND e.ts >= t_from
+         |  GROUP BY 1, 2),
+         |lat AS (
+         |  SELECT user_id, date_diff('second', t_from, t_to) AS latency
+         |  FROM tto),
+         |d AS (
+         |  SELECT latency,
+         |    ntile($DecileBuckets) OVER (ORDER BY latency, user_id) AS decile
+         |  FROM lat)
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         |  min(latency) AS min_secs, max(latency) AS max_secs,
+         |  round(CAST(sum(latency) AS DOUBLE) / count(*), 6) AS mean_secs
+         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // q98: TPC-H Q14 shape — promo/total decimal sums in ONE pass,
+    // one double division at emission.
+    "q98_promo_share" ->
+      s"""WITH j AS (
+         |  SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+         |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS disc,
+         |    p_type LIKE '%PROMO%' AS is_promo
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '$Q14From 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '$Q14Until 00:00:00'),
+         |s AS (
+         |  SELECT
+         |    sum(CASE WHEN is_promo THEN disc ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo,
+         |    sum(disc) AS total
+         |  FROM j)
+         |SELECT
+         |  round(100 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 6) AS promo_share_pct,
+         |  round(CAST(promo AS DOUBLE), 6) AS promo_revenue,
+         |  round(CAST(total AS DOUBLE), 6) AS total_revenue
+         |FROM s""".stripMargin,
+
+    // q99: TPC-H Q10 shape — returned-item revenue ranking, decimal
+    // sums, (revenue desc, custkey) tie-pinned top-n.
+    "q99_returned_ranking" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6)
+         |    AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '$Q10From 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '$Q10Until 00:00:00'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT $Q10TopN""".stripMargin,
+
     // q87: TPC-H Q6 shape — money math in DECIMAL(12,2) (exact,
     // order-free sums), discount band compared in decimal too.
     "q87_forecast_revenue" ->

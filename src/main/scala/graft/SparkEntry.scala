@@ -183,6 +183,13 @@ object SparkEntry {
     val FuzzyMaxDist = 8        // q96 edit threshold: 11 pairs at
                                 // sf0.01, 923 at sf0.1 — populated,
                                 // not everything-matches
+    val ConvFrom = "signup"     // q97 conversion pair: the funnel's
+    val ConvTo = "purchase"     // first two stages, latency profiled
+    val Q14From = "1997-09-01"  // q98 promo window: one month (Q14's
+    val Q14Until = "1997-10-01" // grain)
+    val Q10From = "1997-01-01"  // q99 returns quarter
+    val Q10Until = "1997-04-01"
+    val Q10TopN = 20            // q99 ranking depth (Q10's value)
   }
   import Params._
 
@@ -486,7 +493,16 @@ object SparkEntry {
     "q95_temperature_sample" -> ((s, d) =>
       Sampling.temperatureSample(Tables.documents(s, d), TempBudget)),
     "q96_fuzzy_pairs" -> ((s, d) =>
-      Dedup.fuzzyPairs(Tables.documents(s, d), FuzzyPrefixLen, FuzzyMaxDist))
+      Dedup.fuzzyPairs(Tables.documents(s, d), FuzzyPrefixLen, FuzzyMaxDist)),
+    "q97_conversion_latency" -> ((s, d) =>
+      Events.conversionLatencyDeciles(Tables.events(s, d), ConvFrom, ConvTo,
+        DecileBuckets)),
+    "q98_promo_share" -> ((s, d) =>
+      Analytics.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d),
+        Q14From, Q14Until)),
+    "q99_returned_ranking" -> ((s, d) =>
+      Analytics.returnedItemRanking(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d), Q10From, Q10Until, Q10TopN))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

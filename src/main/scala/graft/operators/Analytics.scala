@@ -266,6 +266,63 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Promo revenue share (q98, TPC-H Q14 shape): the fraction of a
+    * month's discounted revenue from promo parts — the conditional-
+    * aggregate-over-a-join class (one pass computes both the
+    * conditional and unconditional sums; a naive twin runs the join
+    * twice). Money math in DECIMAL(12,2); the single final division
+    * runs in double from two exact decimal sums, rounded at emission.
+    * The date window pushes to the lineitem scan; the part join
+    * carries only (partkey, is-promo). */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        from: String, until: String): DataFrame = {
+    val disc = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .join(part.select(col("p_partkey"),
+        col("p_type").contains("PROMO").as("is_promo")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), disc).otherwise(lit(0).cast("decimal(12,2)")))
+          .as("promo"),
+        sum(disc).as("total"))
+      .select(round(lit(100d) * col("promo").cast("double") /
+        col("total").cast("double"), 6).as("promo_share_pct"),
+        round(col("promo").cast("double"), 6).as("promo_revenue"),
+        round(col("total").cast("double"), 6).as("total_revenue"))
+  }
+
+  /** Returned-item customer ranking (q99, TPC-H Q10 shape): customers
+    * ranked by revenue lost to returns in a quarter — the 4-way
+    * fact/dim join + TakeOrdered class (Q5/Q3's family with a second
+    * dimension hop). Both date and returnflag filters prune their
+    * scans BEFORE the joins; the nation dim broadcasts (25 rows at
+    * every SF); customer⋈orders⋈lineitem shuffle on their keys with
+    * AQE free to broadcast the filtered orders side at small SF. Money
+    * in DECIMAL(12,2); top-n ties pinned by custkey. */
+  def returnedItemRanking(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, nation: DataFrame,
+                          from: String, until: String, topN: Int): DataFrame = {
+    val disc = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+    val o = orders
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+      .select("o_orderkey", "o_custkey")
+    val l = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), disc.as("disc_price"))
+    customer.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("disc_price")).cast("double"), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(topN)
+  }
+
   /** Corpus heavy hitters (q85): every token whose frequency exceeds
     * 1/`phiInv` of the total token stream — the φ-heavy-hitter set
     * behind stopword mining, boilerplate detection, and vocabulary

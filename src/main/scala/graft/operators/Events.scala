@@ -89,6 +89,45 @@ object Events {
     * stages (Spark's ReusedExchange; no re-shuffle per stage). State
     * per stage is one (user_id, ts) row per surviving user — shrinking
     * monotonically down the funnel. Output is `steps.length` rows. */
+  /** Time-to-convert decile profile (q97): for every user whose first
+    * `toType` event lands at-or-after their first `fromType` event,
+    * the conversion latency in whole seconds, cut into ntile
+    * positional deciles with per-decile count/min/max/mean — the
+    * latency-distribution report that sits on top of [[funnel]]'s
+    * conversion COUNTS (product teams act on "p90 signup→purchase is
+    * 3 days", not on the mean). Same-instant conversion counts (≥, a
+    * documented contrast with the funnel's strict order — the oracle
+    * mirrors it).
+    *
+    * Scale shape: two conditional min-aggregations on user_id (AQE
+    * reuses the exchange), then the decile window over CONVERTING
+    * USERS — a set ≪ the event stream; if even that outgrows one
+    * partition, q08's two-pass bucket scheme replaces the global
+    * ntile (the q80 flip, documented there). Mean divides two exact
+    * integers. */
+  def conversionLatencyDeciles(events: DataFrame, fromType: String,
+                               toType: String, nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def secs(c: org.apache.spark.sql.Column) = c.cast("timestamp").cast("long")
+    val tFrom = events.where(col("event_type") === fromType)
+      .groupBy("user_id").agg(min("ts").as("t_from"))
+    val lat = events.where(col("event_type") === toType)
+      .select(col("user_id"), col("ts"))
+      .join(tFrom, "user_id")
+      .where(col("ts") >= col("t_from"))
+      .groupBy("user_id", "t_from").agg(min("ts").as("t_to"))
+      .select(col("user_id"),
+        (secs(col("t_to")) - secs(col("t_from"))).as("latency"))
+    lat
+      .withColumn("decile",
+        ntile(nBuckets).over(Window.orderBy(col("latency"), col("user_id"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        min("latency").as("min_secs"), max("latency").as("max_secs"),
+        round(sum("latency").cast("double") / count(lit(1)), 6).as("mean_secs"))
+      .orderBy("decile")
+  }
+
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     // frontier s: (user_id, t) = earliest completion time of the

@@ -8,7 +8,8 @@ import graft.operators.{Analytics, Profile}
   * two-sample χ² token drift, and the Q6-shape filter-aggregate. */
 class AnalyticsOpsSpec extends SparkSpec {
   import spark.implicits._
-  import SparkEntry.Params.{HeavyPhiInv, Q6From, Q6Until, Q6DiscLo, Q6DiscHi, Q6MaxQty}
+  import SparkEntry.Params.{HeavyPhiInv, Q6From, Q6Until, Q6DiscLo, Q6DiscHi,
+    Q6MaxQty, Q10From, Q10Until, Q10TopN}
 
   test("heavyHitters: exact phi set on a crafted stream; strict integer gate edge") {
     // N = 10 tokens: a x5, b x3, c x2
@@ -139,6 +140,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     val out = Dedup.fuzzyPairs(docs, 24, 1).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(out == Set((1L, 2L, 1), (1L, 5L, 1)), s"got $out")
+  }
+
+  test("promoRevenueShare: hand-computed split on crafted rows") {
+    def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (ts("1997-09-10"), 1L, 100.0, 0.10), // promo: 90.00
+      (ts("1997-09-11"), 2L, 200.0, 0.00), // plain: 200.00
+      (ts("1997-10-05"), 1L, 999.0, 0.00)) // outside the window
+      .toDF("l_shipdate", "l_partkey", "l_extendedprice", "l_discount")
+    val part = Seq((1L, "PROMO BRUSHED"), (2L, "STANDARD BURNISHED"))
+      .toDF("p_partkey", "p_type")
+    val r = Analytics.promoRevenueShare(li, part, "1997-09-01", "1997-10-01")
+      .collect()(0)
+    assert(r.getDouble(1) == 90.0 && r.getDouble(2) == 290.0, s"got $r")
+    assert(r.getDouble(0) == math.BigDecimal(100.0 * 90 / 290)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"share: $r")
+  }
+
+  test("returnedItemRanking: only R lineitems count; ranking and ties deterministic") {
+    val out = Analytics.returnedItemRanking(
+      Tables.customer(spark, sf001), Tables.orders(spark, sf001),
+      Tables.lineitem(spark, sf001), Tables.nation(spark, sf001),
+      Q10From, Q10Until, Q10TopN).collect()
+    assert(out.length == Q10TopN)
+    val revs = out.map(r => r.getDouble(r.fieldIndex("revenue")))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "revenue must be non-increasing")
+    assert(out.forall(_.getLong(4) >= 1L))
   }
 
   test("forecastRevenue: filters push into the parquet scan") {

@@ -283,6 +283,25 @@ class CurationSpec extends SparkSpec {
     assert(all == 1000L)
   }
 
+  test("conversionLatencyDeciles: first-to-first, same-instant converts, " +
+    "pre-signup purchases don't") {
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val evs = Seq(
+      (1L, t(0L), "signup"), (1L, t(100L), "purchase"),  // latency 100
+      (2L, t(50L), "signup"), (2L, t(40L), "purchase"),  // purchase BEFORE signup only → no row
+      (3L, t(50L), "signup"), (3L, t(50L), "purchase"),  // same instant → latency 0
+      (4L, t(10L), "purchase"))                          // never signed up → no row
+      .zipWithIndex.map { case ((u, ts0, ty), i) => (i.toLong, ts0, u, ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.conversionLatencyDeciles(evs, "signup", "purchase", 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // two converting users: u3 at 0 s, u1 at 100 s → one per bucket
+    assert(out == Map(1 -> ((1L, 0L, 0L, 0.0)), 2 -> ((1L, 100L, 100L, 100.0))),
+      s"got $out")
+  }
+
   test("sessionPaths (q83): gap boundary, tie order, maxSteps truncation, ranking") {
     def t(s: Long) = new Timestamp(s * 1000L)
     val evs = Seq(
