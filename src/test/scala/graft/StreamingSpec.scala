@@ -46,6 +46,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_sink").count() === events.count())
   }
 
+  test("streaming Misra-Gries heavy hitters: superset of the exact heavy set, bounded state") {
+    import graft.streaming.HeavyHittersStream
+    import graft.operators.Analytics
+    import SparkEntry.Params.HeavyPhiInv
+    val docsDir = s"${System.getProperty("java.io.tmpdir")}/graft_hh_stream_src"
+    val docs = Tables.documents(spark, sf0001)
+    docs.select("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(docsDir)
+    val k = HeavyPhiInv
+    val numShards = 4
+    val streamed = HeavyHittersStream.heavyHitters(
+      spark.readStream.schema(spark.read.parquet(docsDir).schema).parquet(docsDir),
+      k, numShards)
+    val q = streamed.writeStream
+      .format("memory").queryName("hh_sink").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last update per (shard, term) is the final counter value
+    val sink = spark.table("hh_sink")
+    val candidates = sink.select("term").distinct()
+      .collect().map(_.getString(0)).toSet
+    val exact = Analytics.heavyHitters(docs, HeavyPhiInv).collect()
+      .map(_.getString(0)).toSet
+    assert(exact.nonEmpty && exact.subsetOf(candidates),
+      s"MG stream lost heavy hitters: ${exact -- candidates}")
+    // the state bound: no batch's snapshot carries more than k terms
+    // per shard (the whole point vs exact streaming counts)
+    val maxPerShard = sink.groupBy("shard").agg(
+      countDistinct("term").as("n")).collect().map(_.getLong(1)).max
+    assert(maxPerShard <= k.toLong * 2,
+      s"shard summary grew past the MG bound: $maxPerShard")
+  }
+
   test("streaming MinHash near-dup twin matches the batch star candidates") {
     import graft.streaming.DedupStream
     val docsDir = s"${System.getProperty("java.io.tmpdir")}/graft_docs_stream_src"
