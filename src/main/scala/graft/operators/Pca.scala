@@ -41,6 +41,10 @@ object Pca {
     import breeze.linalg.{svd, DenseMatrix}
     require(nComponents >= 1 && nComponents <= dim,
       s"nComponents must be in [1, $dim], got $nComponents")
+    // svd.reduced below, NOT svd(): the full decomposition materializes
+    // an n×n U for an n×dim sample — 800 MB and 38 s at a 10 k-row
+    // sample (measured, sf1 sweep) for a U this fit never reads; the
+    // thin SVD is O(n·dim²) and returns only the dim-sized factors.
     val x = vectors
       .where(Pq.cleanVec(col("embedding"), dim))
       .filter(pmod(col("vec_id"), lit(sampleStride.toLong)) === 0)
@@ -56,7 +60,7 @@ object Pca {
       acc / n
     }
     val centered = DenseMatrix.tabulate(n, dim)((i, j) => x(i)(j) - mean(j))
-    val s = svd(centered)
+    val s = svd.reduced(centered)
     val comps = (0 until nComponents)
       .map(i => Array.tabulate(dim)(j => s.Vt(i, j)))
     val k = math.min(n, dim)
