@@ -2192,6 +2192,58 @@ object OracleSql {
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT $Q10TopN""".stripMargin,
 
+    // q100: per-group least squares — integer moment sums, closed
+    // forms in double once at emission, identical association.
+    "q100_linear_fit" ->
+      s"""WITH base AS (
+         |  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         |    CAST(len(${toks()}) AS BIGINT) AS y
+         |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM base GROUP BY source)
+         |SELECT source, n,
+         |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |        CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         |  round((CAST(sy AS DOUBLE) -
+         |        (CAST(n * sxy - sx * sy AS DOUBLE) /
+         |         CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         |        / CAST(n AS DOUBLE), 6) AS intercept,
+         |  round((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)) /
+         |        (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+         |FROM agg ORDER BY source""".stripMargin,
+
+    // q101: Pearson r — cent-unit BIGINT moments (never corr(): engines
+    // disagree on float accumulation; scale cancels in r and slope),
+    // Σy² alone in DECIMAL (cents² would overflow) rescaled by 1e4,
+    // closed form in double once with the Spark plan's association.
+    "q101_price_corr" ->
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS xu,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yu,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |agg AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xu) AS BIGINT) AS sx, CAST(sum(yu) AS BIGINT) AS sy,
+        |    CAST(sum(xu * yu) AS BIGINT) AS sxy,
+        |    CAST(sum(xu * xu) AS BIGINT) AS sxx,
+        |    sum(y * y) AS syy
+        |  FROM base GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * (CAST(syy AS DOUBLE) * 10000) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope
+        |FROM agg ORDER BY l_returnflag""".stripMargin,
+
     // q87: TPC-H Q6 shape — money math in DECIMAL(12,2) (exact,
     // order-free sums), discount band compared in decimal too.
     "q87_forecast_revenue" ->

@@ -502,7 +502,14 @@ object SparkEntry {
         Q14From, Q14Until)),
     "q99_returned_ranking" -> ((s, d) =>
       Analytics.returnedItemRanking(Tables.customer(s, d), Tables.orders(s, d),
-        Tables.lineitem(s, d), Tables.nation(s, d), Q10From, Q10Until, Q10TopN))
+        Tables.lineitem(s, d), Tables.nation(s, d), Q10From, Q10Until, Q10TopN)),
+    "q100_linear_fit" -> ((s, d) =>
+      Profile.linearFit(
+        Tables.documents(s, d).withColumn("n_tokens",
+          size(TextAnalysis.tokens(col("text")))),
+        "source", "n_chars", "n_tokens")),
+    "q101_price_corr" -> ((s, d) =>
+      Analytics.priceQuantityCorrelation(Tables.lineitem(s, d)))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -323,6 +323,45 @@ object Analytics {
       .limit(topN)
   }
 
+  /** Pearson correlation report (q101): r between quantity and
+    * extended price per return flag — the column-relationship audit
+    * (pricing anomalies, schema drift where a derived column stops
+    * tracking its source). NOT `corr()`: engines disagree on the
+    * accumulation algorithm (Spark streams a co-moment; the float sum
+    * order differs), so the five moment sums run in DECIMAL (exact,
+    * partitioning-invariant) and the closed form
+    *   r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    * evaluates in double ONCE at emission with one fixed association —
+    * sqrt is IEEE-correctly-rounded in both engines (§6).
+    * One map-side-partial aggregation to O(groups) rows. */
+  def priceQuantityCorrelation(lineitem: DataFrame): DataFrame = {
+    // Cent-unit LONGS for four of the five moments (r and slope are
+    // scale-invariant, so the ×100 cancels): long sums run inside
+    // whole-stage codegen where the all-decimal formulation measured
+    // 30× slower (BigDecimal accumulation per row). Σy² alone stays
+    // DECIMAL — in cents² it overflows 2⁶³ at ~10⁶ rows — and is
+    // rescaled by 10⁴ in the closed form. Headroom on the long sums:
+    // Σxy < 2⁶³ to ~10⁸ rows per flag; past that, center first.
+    val xu = round(col("l_quantity") * 100d).cast("long")
+    val yu = round(col("l_extendedprice") * 100d).cast("long")
+    val y = col("l_extendedprice").cast("decimal(12,2)")
+    val agg = lineitem
+      .where(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(xu).as("sx"), sum(yu).as("sy"),
+        sum(xu * yu).as("sxy"), sum(xu * xu).as("sxx"),
+        sum(y * y).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val denx = d("n") * d("sxx") - d("sx") * d("sx")
+    val deny = d("n") * (d("syy") * lit(10000d)) - d("sy") * d("sy")
+    agg.select(col("l_returnflag"), col("n"),
+        round(num / sqrt(denx * deny), 6).as("r"),
+        round(num / denx, 6).as("slope"))
+      .orderBy("l_returnflag")
+  }
+
   /** Corpus heavy hitters (q85): every token whose frequency exceeds
     * 1/`phiInv` of the total token stream — the φ-heavy-hitter set
     * behind stopword mining, boilerplate detection, and vocabulary

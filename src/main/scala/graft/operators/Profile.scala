@@ -211,6 +211,47 @@ object Profile {
       .orderBy(idCol)
   }
 
+  /** Per-group simple linear regression (q100): least-squares slope /
+    * intercept / r² of y on x from the five classical sums — the
+    * trend-fitting audit ("does length predict token count, and did
+    * that relationship drift per source?"). Both inputs here are
+    * INTEGERS, so Σx, Σy, Σxy, Σx², Σy² are exact 64-bit sums
+    * (order-free at any partitioning) and the closed forms
+    *   slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),
+    *   r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))
+    * divide exact integers in double once at emission, identically
+    * associated in the oracle. Headroom: n·Σxy < 2⁶³ holds to ~10⁶
+    * rows PER GROUP at these magnitudes (xy ≈ 6·10⁵) — 20× the sf1
+    * corpus; past that, center x and y first (the standard two-pass)
+    * or switch the moment sums to DECIMAL.
+    *
+    * Scale shape: ONE map-side-partial aggregation to O(groups) rows;
+    * nothing else. */
+  def linearFit(df: DataFrame, groupCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.where(x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col(groupCol), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy").cast("double") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("r2"))
+      .orderBy(groupCol)
+  }
+
   /** Per-group LOWER MEDIAN via the (group, value)-histogram rank
     * scheme: rank ⌈n/2⌉ = `(n+1) div 2`, value = smallest v whose
     * cumulative count reaches it. The lower-median convention (no

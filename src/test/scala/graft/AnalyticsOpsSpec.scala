@@ -170,6 +170,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(4) >= 1L))
   }
 
+  test("linearFit: exact fit on a perfect line, hand-computed on a noisy one") {
+    // group A: y = 3x + 2 exactly → slope 3, intercept 2, r2 = 1
+    val a = Seq((1L, "A", 1L, 5L), (2L, "A", 2L, 8L), (3L, "A", 3L, 11L),
+      (4L, "A", 4L, 14L))
+    // group B: (0,0),(1,1),(2,1) → n=3 sx=3 sy=2 sxy=3 sxx=5 syy=2
+    // slope = (9-6)/(15-9) = 0.5; intercept = (2 - 0.5*3)/3 = 1/6;
+    // r2 = 9/(6*(6-4)) = 0.75
+    val b = Seq((10L, "B", 0L, 0L), (11L, "B", 1L, 1L), (12L, "B", 2L, 1L))
+    val df = (a ++ b).toDF("doc_id", "source", "n_chars", "n_tokens")
+    val out = Profile.linearFit(df, "source", "n_chars", "n_tokens").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("A") == ((4L, 3.0, 2.0, 1.0)), s"A: ${out("A")}")
+    assert(out("B") == ((3L, 0.5, 0.166667, 0.75)), s"B: ${out("B")}")
+  }
+
+  test("priceQuantityCorrelation: r = 1 on proportional columns, sign flips with slope") {
+    val li = Seq(
+      ("A", 1.0, 100.0), ("A", 2.0, 200.0), ("A", 3.0, 300.0), // y = 100x → r 1
+      ("R", 1.0, 300.0), ("R", 2.0, 200.0), ("R", 3.0, 100.0)) // y = -100x + 400 → r -1
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val out = Analytics.priceQuantityCorrelation(li).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("A") == ((1.0, 100.0)), s"A: ${out("A")}")
+    assert(out("R") == ((-1.0, -100.0)), s"R: ${out("R")}")
+  }
+
   test("forecastRevenue: filters push into the parquet scan") {
     val plan = Analytics.forecastRevenue(Tables.lineitem(spark, sf001),
       Q6From, Q6Until, Q6DiscLo, Q6DiscHi, Q6MaxQty)
