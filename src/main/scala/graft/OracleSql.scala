@@ -2256,6 +2256,43 @@ object OracleSql {
          |  AND l_shipdate < TIMESTAMP '$Q6Until 00:00:00'
          |  AND CAST(l_discount AS DECIMAL(12,2))
          |    BETWEEN CAST('$Q6DiscLo' AS DECIMAL(12,2)) AND CAST('$Q6DiscHi' AS DECIMAL(12,2))
-         |  AND l_quantity < $Q6MaxQty""".stripMargin
+         |  AND l_quantity < $Q6MaxQty""".stripMargin,
+
+    // q102: TPC-H Q19 shape — per-clause conjunctions OR'd post-join;
+    // money in DECIMAL(12,2) like q87. The clause list is generated
+    // from the same Q19Bands constant as the Spark plan.
+    "q102_band_revenue" -> {
+      val clauses = Q19Bands.map { case (b, sLo, sHi, qLo, qHi) =>
+        s"""(p_brand = '$b' AND p_size BETWEEN $sLo AND $sHi
+           |    AND l_quantity >= $qLo AND l_quantity <= $qHi)""".stripMargin
+      }.mkString("\n   OR ")
+      s"""SELECT
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE $clauses""".stripMargin
+    },
+
+    // q103: TPC-H Q22 shape — the above-average comparison is integer
+    // cross-multiplied (bal_cents * n_pos > sum_pos_cents) so no float
+    // average exists to disagree about at the boundary; sums kept in
+    // BIGINT (DuckDB widens to HUGEINT otherwise — q88 lesson).
+    "q103_dormant_rich" ->
+      s"""WITH pos AS (
+         |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_pos,
+         |         CAST(count(*) AS BIGINT) AS n_pos
+         |  FROM customer WHERE c_acctbal > 0),
+         |active AS (
+         |  SELECT DISTINCT o_custkey FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$Q22From 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '$Q22Until 00:00:00')
+         |SELECT c_mktsegment,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  round(CAST(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100, 6) AS total_balance
+         |FROM customer, pos
+         |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos
+         |  AND c_custkey NOT IN (SELECT o_custkey FROM active)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -190,6 +190,14 @@ object SparkEntry {
     val Q10From = "1997-01-01"  // q99 returns quarter
     val Q10Until = "1997-04-01"
     val Q10TopN = 20            // q99 ranking depth (Q10's value)
+    val Q19Bands = Seq(         // q102 OR-of-conjunction clauses —
+      ("Brand#12", 1, 5, 1, 11),   // Q19's (brand, size-band, qty-band)
+      ("Brand#23", 1, 10, 10, 20), // shape over this corpus's
+      ("Brand#3", 1, 15, 20, 30))  // Brand#1..25 / size 1..50 domain
+    val Q22From = "1999-01-01"  // q103 dormancy window: the trailing
+    val Q22Until = "2002-01-01" // ~2.5y of the 1995-2001 order dates,
+                                // so dormant-but-rich customers exist
+                                // (6 at sf0.01) without being ~everyone
   }
   import Params._
 
@@ -509,7 +517,13 @@ object SparkEntry {
           size(TextAnalysis.tokens(col("text")))),
         "source", "n_chars", "n_tokens")),
     "q101_price_corr" -> ((s, d) =>
-      Analytics.priceQuantityCorrelation(Tables.lineitem(s, d)))
+      Analytics.priceQuantityCorrelation(Tables.lineitem(s, d))),
+    "q102_band_revenue" -> ((s, d) =>
+      Analytics.bandRevenue(Tables.lineitem(s, d), Tables.part(s, d),
+        Q19Bands)),
+    "q103_dormant_rich" -> ((s, d) =>
+      Analytics.dormantHighBalance(Tables.customer(s, d), Tables.orders(s, d),
+        Q22From, Q22Until))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -323,6 +323,67 @@ object Analytics {
       .limit(topN)
   }
 
+  /** Disjunctive-band revenue (q102, TPC-H Q19 shape): revenue from
+    * lineitems matching ANY of three (brand, size-band, quantity-band)
+    * clauses — the OR-of-conjunctions predicate class whose planning
+    * trap is losing pushdown (a naive OR over join columns forces the
+    * full join first). The brand/size legs hit the part side and the
+    * quantity legs the lineitem side BEFORE the join: each side's scan
+    * filter is the OR of its own half-clauses (a row matching no
+    * clause-half can't match any clause), then the exact per-clause
+    * conjunction applies post-join — the relational form of Q19's
+    * `p_partkey = l_partkey AND (... OR ... OR ...)`. Money decimal. */
+  def bandRevenue(lineitem: DataFrame, part: DataFrame,
+                  bands: Seq[(String, Int, Int, Int, Int)]): DataFrame = {
+    require(bands.nonEmpty)
+    val disc = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(12,2)") - col("l_discount").cast("decimal(12,2)"))
+    val partPre = bands.map { case (b, sLo, sHi, _, _) =>
+      col("p_brand") === b && col("p_size").between(sLo, sHi)
+    }.reduce(_ || _)
+    val liPre = bands.map { case (_, _, _, qLo, qHi) =>
+      col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    }.reduce(_ || _)
+    val full = bands.map { case (b, sLo, sHi, qLo, qHi) =>
+      col("p_brand") === b && col("p_size").between(sLo, sHi) &&
+        col("l_quantity") >= qLo && col("l_quantity") <= qHi
+    }.reduce(_ || _)
+    lineitem.where(liPre)
+      .join(part.where(partPre).select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .where(full)
+      .agg(round(sum(disc).cast("double"), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Dormant high-balance customers (q103, TPC-H Q22 shape): per
+    * market segment, customers whose balance exceeds the global
+    * positive-balance average AND who placed no orders in the window —
+    * the anti-join + scalar-subquery class. The average COMPARISON is
+    * integer cross-multiplied (`bal_cents · n_pos > Σ_pos_cents` ⟺
+    * bal > avg) so no float average ever exists to disagree about at
+    * the boundary; the 2-value (Σ, n) aggregate broadcasts into the
+    * filter, the order check is a LEFT ANTI join on custkey. */
+  def dormantHighBalance(customer: DataFrame, orders: DataFrame,
+                         from: String, until: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100d).cast("long")
+    val pos = customer.where(col("c_acctbal") > 0)
+      .agg(sum(round(col("c_acctbal") * 100d).cast("long")).as("sum_pos"),
+        count(lit(1)).as("n_pos"))
+    val active = orders
+      .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+      .select("o_custkey").distinct()
+    customer
+      .withColumn("bal_cents", cents)
+      .crossJoin(broadcast(pos))
+      .where(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("bal_cents")).cast("double") / 100d, 6).as("total_balance"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Pearson correlation report (q101): r between quantity and
     * extended price per return flag — the column-relationship audit
     * (pricing anomalies, schema drift where a derived column stops

@@ -197,6 +197,53 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("R") == ((-1.0, -100.0)), s"R: ${out("R")}")
   }
 
+  test("bandRevenue: cross-clause halves must NOT match; per-clause conjunction exact") {
+    val part = Seq(
+      (1L, "Brand#12", 3),   // clause-1 part (size in 1..5)
+      (2L, "Brand#23", 8),   // clause-2 part (size in 1..10)
+      (3L, "Brand#12", 40)). // clause-1 brand, size outside every band
+      toDF("p_partkey", "p_brand", "p_size")
+    val li = Seq(
+      (1L, 5.0, 100.0, 0.0),   // clause 1: qty in 1..11 → counts, rev 100
+      (1L, 15.0, 999.0, 0.0),  // clause-1 part but clause-2 qty → trap row
+      (2L, 15.0, 200.0, 0.5),  // clause 2 → counts, rev 100
+      (3L, 5.0, 999.0, 0.0)).  // right brand+qty, size fails → no clause
+      toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val bands = Seq(("Brand#12", 1, 5, 1, 11), ("Brand#23", 1, 10, 10, 20))
+    val out = Analytics.bandRevenue(li, part, bands).collect()(0)
+    assert(out.getLong(1) == 2L, s"exactly the two true-clause rows: $out")
+    assert(out.getDouble(0) == 200.0, s"100 + 200*(1-0.5): $out")
+  }
+
+  test("bandRevenue: each side's pre-filter reaches its parquet scan") {
+    val plan = Analytics.bandRevenue(Tables.lineitem(spark, sf001),
+      Tables.part(spark, sf001), SparkEntry.Params.Q19Bands)
+      .queryExecution.executedPlan.toString
+    // the OR-of-halves must push to BOTH scans, not wait for the join
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"lineitem qty pre-filter not pushed:\n$plan")
+    assert(plan.contains("p_brand"), s"part brand pre-filter missing:\n$plan")
+  }
+
+  test("dormantHighBalance: strict above-average gate, windowed anti-join") {
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    // positive balances: 100, 200, 300 → avg 200 exactly
+    val cust = Seq(
+      (1L, "SEG_A", 100.0),  // below avg → out
+      (2L, "SEG_A", 200.0),  // EXACTLY avg → strict > excludes
+      (3L, "SEG_A", 300.0),  // above avg, no orders → counted
+      (4L, "SEG_B", -50.0),  // negative: excluded from avg AND below it
+      (5L, "SEG_B", 250.0)). // above avg but active in window → out
+      toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val ords = Seq(
+      (5L, ts("1999-06-01")),  // in window → cust 5 active
+      (3L, ts("1998-06-01"))). // BEFORE window → cust 3 still dormant
+      toDF("o_custkey", "o_orderdate")
+    val out = Analytics.dormantHighBalance(cust, ords, "1999-01-01", "2002-01-01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("SEG_A", 1L, 300.0)), s"got ${out.toSeq}")
+  }
+
   test("forecastRevenue: filters push into the parquet scan") {
     val plan = Analytics.forecastRevenue(Tables.lineitem(spark, sf001),
       Q6From, Q6Until, Q6DiscLo, Q6DiscHi, Q6MaxQty)
