@@ -198,6 +198,21 @@ object SparkEntry {
     val Q22Until = "2002-01-01" // ~2.5y of the 1995-2001 order dates,
                                 // so dormant-but-rich customers exist
                                 // (6 at sf0.01) without being ~everyone
+    val Q17Brand = "Brand#12"   // q104 brand gate (1/25 of parts)
+    val Q17FracInv = 5          // q104: qty < avg/5 (Q17's 0.2 factor,
+                                // kept as an integer reciprocal)
+    val Q18MinQty = 300L        // q105 volume threshold (Q18's value;
+                                // p99 order volume ≈ 262 here, so the
+                                // survivor set is a thin tail: 46 at
+                                // sf0.01, 473 at sf0.1)
+    val Q18TopN = 100           // q105 report depth (Q18's value)
+    val Q15From = "1997-01-01"  // q106 revenue quarter (Q15's 3-month
+    val Q15Until = "1997-04-01" // grain, mid-range of the ship dates)
+    val Q11Num = 3              // q107 concentration gate: share >
+    val Q11Den = 2              // 3/2 × average per-part share — the
+                                // scale-free form of Q11's fraction
+                                // (2/29/252 parts at sf0.001/0.01/0.1)
+    val Q21TopN = 50            // q108 sole-supplier census depth
   }
   import Params._
 
@@ -523,7 +538,21 @@ object SparkEntry {
         Q19Bands)),
     "q103_dormant_rich" -> ((s, d) =>
       Analytics.dormantHighBalance(Tables.customer(s, d), Tables.orders(s, d),
-        Q22From, Q22Until))
+        Q22From, Q22Until)),
+    "q104_small_qty_revenue" -> ((s, d) =>
+      Analytics.smallQuantityRevenue(Tables.lineitem(s, d), Tables.part(s, d),
+        Q17Brand, Q17FracInv)),
+    "q105_large_orders" -> ((s, d) =>
+      Analytics.largeOrders(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Q18MinQty, Q18TopN)),
+    "q106_top_supplier" -> ((s, d) =>
+      Analytics.topSupplierRevenue(Tables.lineitem(s, d),
+        Tables.supplier(s, d), Q15From, Q15Until)),
+    "q107_revenue_concentration" -> ((s, d) =>
+      Analytics.revenueConcentration(Tables.lineitem(s, d), Q11Num, Q11Den)),
+    "q108_sole_supplier" -> ((s, d) =>
+      Analytics.soleSupplierOrders(Tables.lineitem(s, d),
+        Tables.supplier(s, d), Q21TopN))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

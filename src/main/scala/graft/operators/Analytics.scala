@@ -514,4 +514,127 @@ object Analytics {
           .cast("double"), 6).as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** Small-quantity-order revenue (q104, TPC-H Q17 shape): revenue
+    * from lineitems whose quantity is below 1/fracInv of their part's
+    * average — the per-group scalar-subquery class ("rows unusual
+    * relative to their own group's statistic"). ONE pass: after the
+    * brand filter prunes parts, a window over l_partkey carries
+    * (n, Σqty) to every row — no second scan or self-join, one shuffle
+    * on partkey. Quantities are integral in this corpus, so the gate
+    * is cross-multiplied in longs (fracInv·qty·n < Σqty ⟺
+    * qty < Σqty/(fracInv·n)) — no float average at the boundary. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+                           brand: String, fracInv: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val qtyU = round(col("l_quantity")).cast("long")
+    lineitem
+      .join(broadcast(part.where(col("p_brand") === brand).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("qty_u", qtyU)
+      .withColumn("n_part", count(lit(1)).over(w))
+      .withColumn("sum_qty", sum(col("qty_u")).over(w))
+      .where(col("qty_u") * col("n_part") * fracInv < col("sum_qty"))
+      .agg(
+        round(sum(dec(col("l_extendedprice"))).cast("double"), 6).as("revenue"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** Large-volume orders (q105, TPC-H Q18 shape): orders whose total
+    * quantity exceeds a threshold, joined back to orders+customer —
+    * the HAVING-filter-then-rejoin class. The per-order aggregate is
+    * the only full shuffle; the surviving set (p99 of order volume is
+    * ~60% of the threshold, so survivors are a thin tail at every SF)
+    * BROADCASTS into orders and customer — the join-back never
+    * re-shuffles the fact table. Integer quantity sums. */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  minQty: Long, topN: Int): DataFrame = {
+    val big = lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    orders.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(dec(col("o_totalprice")).cast("double"), 6).as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(topN)
+  }
+
+  /** Top supplier(s) by windowed revenue (q106, TPC-H Q15 shape): the
+    * max-with-TIES class — join back on EQUALITY with the maximum
+    * aggregate, not rank-1/top-k (two suppliers at the same exact
+    * revenue must both appear; decimal equality makes the tie exact,
+    * which a float max-join could split). Per-supplier agg is one
+    * shuffle to O(suppliers) rows; the 1-row max re-aggregates those
+    * same rows and cross-broadcasts into the equality filter. */
+  def topSupplierRevenue(lineitem: DataFrame, supplier: DataFrame,
+                         from: String, until: String): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .groupBy("l_suppkey")
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .as("r"))
+    val top = rev.agg(max(col("r")).as("rmax"))
+    rev.crossJoin(broadcast(top)).where(col("r") === col("rmax"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("r").cast("double"), 6).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Revenue concentration report (q107, TPC-H Q11 shape): parts whose
+    * revenue share exceeds num/den × the average per-part share — the
+    * group-share-vs-global-scalar class (Q11's "important stock"
+    * fraction, made SCALE-FREE: a fixed share threshold empties as the
+    * part count grows; ×-of-average survives any SF). The gate is
+    * cross-multiplied in exact 10⁻⁴-unit longs (den·r·np > num·tot ⟺
+    * r/tot > num/(den·np)); revenue products carry 4 decimal digits so
+    * the units are exact, and the largest side stays < 2⁶³ until
+    * ~2500× this corpus's sf1 (documented like ppsSample's bound —
+    * beyond that, pre-scale to cents). Two tiny aggregates broadcast;
+    * the fact table shuffles once on partkey. */
+  def revenueConcentration(lineitem: DataFrame, num: Int, den: Int): DataFrame = {
+    val ru = sum((dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+      * lit(10000)).cast("long")
+    val perPart = lineitem.groupBy("l_partkey")
+      .agg(ru.as("r_units"), count(lit(1)).as("n_items"))
+    val global = perPart.agg(sum(col("r_units")).as("tot"),
+      count(lit(1)).as("np"))
+    perPart.crossJoin(broadcast(global))
+      .where(col("r_units") * col("np") * den > col("tot") * num)
+      .select(col("l_partkey"),
+        round(col("r_units").cast("double") / 10000d, 6).as("revenue"),
+        col("n_items"),
+        round(col("r_units").cast("double") * col("np").cast("double")
+          / col("tot").cast("double"), 6).as("x_avg"))
+      .orderBy(desc("revenue"), asc("l_partkey"))
+  }
+
+  /** Sole-supplier order census (q108, TPC-H Q21 shape): per supplier,
+    * how many orders they supplied ALONE — the double-correlated-
+    * existential class (EXISTS my lineitem ∧ NOT EXISTS another
+    * supplier's). Both existentials collapse into ONE grouped
+    * aggregate — per-order (distinct-supplier count, max suppkey);
+    * n_supp = 1 pins "mine ∧ no other" and max() then IS the sole
+    * supplier — so the plan is a single orderkey shuffle instead of
+    * the textbook self-join-twice (which re-shuffles lineitem twice
+    * and explodes on high-fanout orders). */
+  def soleSupplierOrders(lineitem: DataFrame, supplier: DataFrame,
+                         topN: Int): DataFrame =
+    lineitem.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        max(col("l_suppkey")).as("the_supp"))
+      .where(col("n_supp") === 1)
+      .groupBy("the_supp")
+      .agg(count(lit(1)).as("n_solo_orders"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("the_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_solo_orders"))
+      .orderBy(desc("n_solo_orders"), asc("s_suppkey"))
+      .limit(topN)
 }
