@@ -2293,6 +2293,102 @@ object OracleSql {
          |FROM customer, pos
          |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > sum_pos
          |  AND c_custkey NOT IN (SELECT o_custkey FROM active)
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // q104: TPC-H Q17 shape — the per-group average gate is integer
+    // cross-multiplied exactly like the Spark plan
+    // (qty·n·fracInv < Σqty ⟺ qty < avg/fracInv; quantities integral
+    // in this corpus), so no float average exists at the boundary.
+    // Window form mirrors the single-pass Spark plan shape.
+    "q104_small_qty_revenue" ->
+      s"""WITH j AS (
+         |  SELECT l_partkey,
+         |    CAST(round(l_quantity) AS BIGINT) AS qty_u,
+         |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = '$Q17Brand'),
+         |w AS (
+         |  SELECT qty_u, price,
+         |    CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n_part,
+         |    CAST(sum(qty_u) OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_qty
+         |  FROM j)
+         |SELECT round(CAST(sum(price) AS DOUBLE), 6) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_small
+         |FROM w WHERE qty_u * n_part * $Q17FracInv < sum_qty""".stripMargin,
+
+    // q105: TPC-H Q18 shape — HAVING on an integral quantity sum, then
+    // join back; ordering (o_totalprice desc, o_orderkey) is total
+    // because orderkey is unique, so the LIMIT cut line is exact.
+    "q105_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) > $Q18MinQty)
+         |SELECT c_name, c_custkey, o_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  round(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), 6) AS o_totalprice,
+         |  total_qty
+         |FROM orders JOIN big ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT $Q18TopN""".stripMargin,
+
+    // q106: TPC-H Q15 shape — max-with-TIES via decimal-exact equality
+    // against the scalar max (both sides the same exact DECIMAL sum, so
+    // equality cannot split a tie the way a float max-join could).
+    "q106_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         |      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS r
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '$Q15From 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '$Q15Until 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, round(CAST(r AS DOUBLE), 6) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE r = (SELECT max(r) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    // q107: TPC-H Q11 shape — revenue in exact 10⁻⁴-unit BIGINTs (the
+    // DECIMAL(12,2)×(1−DECIMAL(12,2)) product has scale 4, so ×10000 is
+    // exactly integral per row) and the ×-of-average gate is integer
+    // cross-multiplied (r·np·den > tot·num), mirroring the Spark plan.
+    "q107_revenue_concentration" ->
+      s"""WITH per AS (
+         |  SELECT l_partkey,
+         |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+         |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)) AS BIGINT) AS r_units,
+         |    CAST(count(*) AS BIGINT) AS n_items
+         |  FROM lineitem GROUP BY l_partkey),
+         |g AS (
+         |  SELECT CAST(sum(r_units) AS BIGINT) AS tot,
+         |    CAST(count(*) AS BIGINT) AS np
+         |  FROM per)
+         |SELECT l_partkey,
+         |  round(CAST(r_units AS DOUBLE) / 10000, 6) AS revenue,
+         |  n_items,
+         |  round(CAST(r_units AS DOUBLE) * CAST(np AS DOUBLE)
+         |    / CAST(tot AS DOUBLE), 6) AS x_avg
+         |FROM per, g
+         |WHERE r_units * np * $Q11Den > tot * $Q11Num
+         |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // q108: TPC-H Q21 shape — both correlated existentials collapsed
+    // into one per-order aggregate (n_supp = 1 ⟹ max(l_suppkey) IS the
+    // sole supplier), exactly the Spark plan's single-shuffle form;
+    // (n_solo_orders desc, s_suppkey) is a total order so LIMIT is exact.
+    "q108_sole_supplier" ->
+      s"""WITH per_order AS (
+         |  SELECT l_orderkey,
+         |    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+         |    max(l_suppkey) AS the_supp
+         |  FROM lineitem GROUP BY l_orderkey),
+         |solo AS (
+         |  SELECT the_supp, CAST(count(*) AS BIGINT) AS n_solo_orders
+         |  FROM per_order WHERE n_supp = 1 GROUP BY the_supp)
+         |SELECT s_suppkey, s_name, n_solo_orders
+         |FROM solo JOIN supplier ON the_supp = s_suppkey
+         |ORDER BY n_solo_orders DESC, s_suppkey LIMIT $Q21TopN""".stripMargin
   )
 }
