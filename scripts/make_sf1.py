@@ -10,8 +10,8 @@ data, not duplicates: document texts get a per-copy prefix (so dedup
 stays ~linear instead of re-running the 90%-dup stress probe) and
 embeddings get a deterministic per-copy perturbation (so cosine
 near-dup pair counts don't go quadratic in the copy count). events.ts
-passes through as TIMESTAMP_NS to keep the parquet physical type the
-engine's loader expects.
+passes through as TIMESTAMP micros, matching the source corpus, so the
+DuckDB oracle can compare TIMESTAMP literals at sf1.
 """
 import sys, os
 import duckdb
@@ -49,13 +49,14 @@ write("lineitem", union_copies(lambda i:
     f"""SELECT l_orderkey + {i*SHIFT} AS l_orderkey, l_partkey + {i*SHIFT} AS l_partkey,
         l_suppkey + {i*SHIFT} AS l_suppkey,
         * EXCLUDE (l_orderkey, l_partkey, l_suppkey) FROM '{src}/lineitem.parquet'"""))
-# ts as epoch-nanos BIGINT: duckdb would otherwise rewrite the source's
-# TIMESTAMP(NANOS) as micros, which the engine's nanos-as-long loader
-# (Tables.events) rejects; a raw INT64 nanos column flows identically.
+# ts passes through as TIMESTAMP micros (the corpus's physical type
+# since the r12 regen; Tables.events branches on whatever lands), so
+# the DuckDB oracle's TIMESTAMP-literal comparisons work at sf1 too —
+# the old epoch-nanos BIGINT form kept the events-family keys
+# rows-only at this scale.
 write("events", union_copies(lambda i:
     f"""SELECT event_id + {i*SHIFT} AS event_id, user_id + {i*SHIFT} AS user_id,
-        epoch_ns(ts) AS ts,
-        * EXCLUDE (event_id, user_id, ts) FROM '{src}/events.parquet'"""))
+        * EXCLUDE (event_id, user_id) FROM '{src}/events.parquet'"""))
 # every TOKEN gets the copy tag, so shingle sets are disjoint across
 # copies: near-dup pairs stay within-copy and the corpus scales ~linearly
 # (the cross-copy 90%-dup regime is the stress probe's job, not the

@@ -1492,14 +1492,25 @@ object OracleSql {
          |    (acc, x) -> (acc * 31 + x) % $P) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // value sums in exact cents-longs (the q103 c_acctbal pattern):
+    // raw double sums diverged from Spark's partial-agg order past the
+    // 6-dp hash once sf1 made the hourly groups 10× deeper. The avg is
+    // integer HALF-UP micro-units ((2a + b) // (2b)) — a double
+    // quotient disagreed at an exact 6-dp tie (13911.3/320).
     "q17_events_rollup" ->
-      """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  round(sum(value), 6) AS sum_value,
-        |  round(round(sum(value), 6) / count(*), 6) AS avg_value,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM events GROUP BY 1, 2
-        |ORDER BY event_type, hour""".stripMargin,
+      """WITH agg AS (
+        |  SELECT event_type,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour, n_events,
+        |  round(CAST(cents AS DOUBLE) / 100, 6) AS sum_value,
+        |  CAST(CAST((2 * cents * 10000 + n_events) // (2 * n_events) AS BIGINT) AS DOUBLE)
+        |    / 1000000 AS avg_value,
+        |  n_users
+        |FROM agg ORDER BY event_type, hour""".stripMargin,
 
     "q17b_sessionize" ->
       s"""WITH marked AS (
@@ -2389,6 +2400,89 @@ object OracleSql {
          |  FROM per_order WHERE n_supp = 1 GROUP BY the_supp)
          |SELECT s_suppkey, s_name, n_solo_orders
          |FROM solo JOIN supplier ON the_supp = s_suppkey
-         |ORDER BY n_solo_orders DESC, s_suppkey LIMIT $Q21TopN""".stripMargin
+         |ORDER BY n_solo_orders DESC, s_suppkey LIMIT $Q21TopN""".stripMargin,
+
+    // q109: TPC-H Q2 shape — the per-(part,supplier) offer is a DECIMAL
+    // min (no unit-price division), so the tie-keeping equality
+    // join-back is exact on both engines; round(·,6) on a 2-dec acctbal
+    // is identity, so the ORDER BY sees the same doubles.
+    "q109_cheapest_supplier" ->
+      s"""WITH rs AS (
+         |  SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = '$Q2Region'),
+         |pk AS (
+         |  SELECT p_partkey FROM part
+         |  WHERE p_type = '$Q2Type' AND p_size = $Q2Size),
+         |offers AS (
+         |  SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
+         |    min(CAST(l_extendedprice AS DECIMAL(12,2))
+         |      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS offer
+         |  FROM lineitem JOIN pk ON l_partkey = p_partkey
+         |  JOIN rs ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |best AS (
+         |  SELECT l_partkey AS b_partkey, min(offer) AS best_offer
+         |  FROM offers GROUP BY 1)
+         |SELECT round(s_acctbal, 6) AS s_acctbal, s_name, n_name,
+         |  l_partkey, l_suppkey, round(CAST(offer AS DOUBLE), 6) AS min_price
+         |FROM offers JOIN best
+         |  ON l_partkey = b_partkey AND offer = best_offer
+         |ORDER BY s_acctbal DESC, s_name, l_partkey LIMIT $Q2TopN""".stripMargin,
+
+    // q110: TPC-H Q12 shape — both conditional counts in one pass;
+    // sums cast to BIGINT (DuckDB widens integer sums to HUGEINT
+    // otherwise — q88 lesson).
+    "q110_priority_shipping" -> {
+      val crit = Q12Critical.map(p => s"'$p'").mkString(", ")
+      s"""SELECT l_returnflag,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ($crit)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS critical_count,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ($crit)
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS other_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= TIMESTAMP '$Q12From 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '$Q12Until 00:00:00'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+
+    // q111: TPC-H Q16 shape — the at-risk exclusion is written NOT IN
+    // here but the subquery is provably non-NULL (s_suppkey is a key),
+    // so it matches the engine's LEFT ANTI plan; the pair set distincts
+    // before the bucket count.
+    "q111_supplier_diversity" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand <> '$Q16ExclBrand'
+         |    AND p_size IN (${Q16Sizes.mkString(", ")})
+         |    AND l_suppkey NOT IN
+         |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+         |SELECT p_brand, p_type, p_size,
+         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM pairs GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // q112: TPC-H Q20 shape — integral quantity sums, integer
+    // cross-multiplied dominance gate (q·den > total·num), semi-join
+    // written IN (provably non-NULL key set).
+    "q112_dominant_suppliers" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '$Q20From 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '$Q20Until 00:00:00'
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT l_suppkey, q,
+         |    CAST(sum(q) OVER (PARTITION BY l_partkey) AS BIGINT) AS total
+         |  FROM ps)
+         |SELECT s_suppkey, s_name, n_name
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE s_suppkey IN
+         |  (SELECT DISTINCT l_suppkey FROM tot WHERE q * $Q20Den > total * $Q20Num)
+         |ORDER BY s_name""".stripMargin
   )
 }

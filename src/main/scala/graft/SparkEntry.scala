@@ -213,6 +213,22 @@ object SparkEntry {
                                 // scale-free form of Q11's fraction
                                 // (2/29/252 parts at sf0.001/0.01/0.1)
     val Q21TopN = 50            // q108 sole-supplier census depth
+    val Q2Type = "ECONOMY"      // q109 part class (p_type is single-
+    val Q2Size = 15             // word in this corpus) + size gate
+    val Q2Region = "EUROPE"     // q109 supplier region
+    val Q2TopN = 100            // q109 report depth (Q2's value)
+    val Q12From = "1997-01-01"  // q110 ship-year window (Q12's 1-year
+    val Q12Until = "1998-01-01" // grain)
+    val Q12Critical =           // q110 critical priorities (Q12's
+      Seq("1-URGENT", "2-HIGH") // high-line split)
+    val Q16ExclBrand = "Brand#45" // q111 excluded brand (Q16's value)
+    val Q16Sizes =              // q111 size classes (Q16's 8 sizes)
+      Seq(1, 4, 9, 14, 19, 23, 36, 45)
+    val Q20From = "1997-01-01"  // q112 shipment window (Q20's 1-year
+    val Q20Until = "1998-01-01" // grain)
+    val Q20Num = 1              // q112 dominance gate: supplier ships
+    val Q20Den = 2              // > 1/2 of a part's in-window volume
+                                // (Q20's 0.5 availability factor)
   }
   import Params._
 
@@ -552,7 +568,21 @@ object SparkEntry {
       Analytics.revenueConcentration(Tables.lineitem(s, d), Q11Num, Q11Den)),
     "q108_sole_supplier" -> ((s, d) =>
       Analytics.soleSupplierOrders(Tables.lineitem(s, d),
-        Tables.supplier(s, d), Q21TopN))
+        Tables.supplier(s, d), Q21TopN)),
+    "q109_cheapest_supplier" -> ((s, d) =>
+      Analytics.cheapestSupplierPerPart(Tables.lineitem(s, d),
+        Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d), Q2Type, Q2Size, Q2Region, Q2TopN)),
+    "q110_priority_shipping" -> ((s, d) =>
+      Analytics.priorityShipping(Tables.lineitem(s, d), Tables.orders(s, d),
+        Q12From, Q12Until, Q12Critical)),
+    "q111_supplier_diversity" -> ((s, d) =>
+      Analytics.supplierDiversity(Tables.lineitem(s, d), Tables.part(s, d),
+        Tables.supplier(s, d), Q16ExclBrand, Q16Sizes)),
+    "q112_dominant_suppliers" -> ((s, d) =>
+      Analytics.dominantSuppliers(Tables.lineitem(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Q20From, Q20Until,
+        Q20Num, Q20Den))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

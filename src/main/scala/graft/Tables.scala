@@ -20,19 +20,32 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read nanos as long and convert to a microsecond timestamp.
-    * Conversion is FLOOR division via pmod (no double round-trip — ns
-    * epoch values exceed 2^53; plain `div` truncates toward zero, which
-    * would round pre-1970 timestamps the wrong way vs engines that
-    * floor-convert natively). Note the nanosAsLong conf is a session
-    * setting this loader requires. */
+  /** `events.ts` arrives in whatever physical form the corpus writer
+    * chose, so normalize by the type that actually lands:
+    *  - INT64 epoch-nanos (TIMESTAMP(NANOS) under the nanosAsLong conf,
+    *    or a raw BIGINT like the sf1 blow-up script's) → floor-convert
+    *    to a micros timestamp via pmod (no double round-trip — ns epoch
+    *    values exceed 2^53; plain `div` truncates toward zero, which
+    *    would round pre-1970 timestamps the wrong way vs engines that
+    *    floor-convert natively);
+    *  - TIMESTAMP micros without UTC adjustment (reads as
+    *    TIMESTAMP_NTZ) → cast to the session type (identity on the
+    *    instant under the UTC session timezone every entrypoint sets);
+    *  - TIMESTAMP → as-is.
+    * One loader, one output type: every downstream operator sees a
+    * session-TZ micros timestamp regardless of corpus vintage. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

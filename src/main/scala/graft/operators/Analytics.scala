@@ -637,4 +637,130 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("n_solo_orders"))
       .orderBy(desc("n_solo_orders"), asc("s_suppkey"))
       .limit(topN)
+
+  /** Cheapest-supplier-per-part report (q109, TPC-H Q2 shape): for
+    * each part of a given type/size in a given region, the supplier(s)
+    * offering the MINIMUM observed price — the correlated
+    * min-per-group-subquery class (Q2's `ps_supplycost = (SELECT
+    * min ...)`), with lineitem history standing in for partsupp (this
+    * corpus has no supply-cost table). The per-(part,supplier) offer is
+    * min discounted price in DECIMAL (no unit-price division — decimal
+    * min is exact, so the tie-keeping equality join-back can't split on
+    * float noise). Region filter prunes suppliers BEFORE the offer
+    * aggregate (25-row nation ⋈ 5-row region broadcast into supplier);
+    * part filter broadcasts. Two partkey-partitioned aggregates, the
+    * second reusing the first's shuffle output (AQE exchange reuse);
+    * ties kept, like Q2. */
+  def cheapestSupplierPerPart(lineitem: DataFrame, part: DataFrame,
+                              supplier: DataFrame, nation: DataFrame,
+                              region: DataFrame, pType: String, pSize: Int,
+                              rName: String, topN: Int): DataFrame = {
+    val regionSupp = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.where(col("r_name") === rName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = part
+      .where(col("p_type") === pType && col("p_size") === pSize)
+      .select("p_partkey")
+    val offers = lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"))
+      .agg(min(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .as("offer"))
+    val best = offers.groupBy(col("l_partkey").as("b_partkey"))
+      .agg(min(col("offer")).as("best_offer"))
+    offers.join(best, col("l_partkey") === col("b_partkey") &&
+      col("offer") === col("best_offer"))
+      .select(round(col("s_acctbal"), 6).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("l_partkey"), col("l_suppkey"),
+        round(col("offer").cast("double"), 6).as("min_price"))
+      .orderBy(desc("s_acctbal"), asc("s_name"), asc("l_partkey"))
+      .limit(topN)
+  }
+
+  /** Priority shipping census (q110, TPC-H Q12 shape): per return
+    * flag, how many in-window lineitems belong to critical-priority
+    * orders vs not — the conditional-two-column-count class (Q12's
+    * urgent/non-urgent split per ship mode). Both counts come from ONE
+    * pass over the join (the run-it-twice anti-pattern avoided): a
+    * when/otherwise pair under sum(), all integer. The date window
+    * pushes to the lineitem scan; the join shuffles both sides on
+    * orderkey once, then a 3-group partial agg collapses map-side. */
+  def priorityShipping(lineitem: DataFrame, orders: DataFrame,
+                       from: String, until: String,
+                       critical: Seq[String]): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .select("l_orderkey", "l_returnflag")
+      .join(orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin(critical: _*), 1L)
+          .otherwise(0L)).as("critical_count"),
+        sum(when(col("o_orderpriority").isin(critical: _*), 0L)
+          .otherwise(1L)).as("other_count"))
+      .orderBy("l_returnflag")
+
+  /** Supplier diversity census (q111, TPC-H Q16 shape): distinct
+    * suppliers per (brand, type, size) bucket for the size classes of
+    * interest, excluding one brand and every at-risk supplier — the
+    * distinct-count + NOT-IN-anti-join class. The exclusion subquery
+    * (s_acctbal < 0, Q16's complaint-supplier stand-in) runs as a
+    * LEFT ANTI join (NULL-safe, unlike a naive NOT IN translation);
+    * part attributes broadcast into the (partkey, suppkey) pair set,
+    * which distincts BEFORE the per-bucket count so a supplier shipping
+    * a part 50 times counts once. countDistinct re-shuffles the
+    * deduped pairs on the 3-column bucket key — O(pairs), not
+    * O(lineitem). */
+  def supplierDiversity(lineitem: DataFrame, part: DataFrame,
+                        supplier: DataFrame, exclBrand: String,
+                        sizes: Seq[Int]): DataFrame = {
+    val parts = part
+      .where(col("p_brand") =!= exclBrand && col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val atRisk = supplier.where(col("s_acctbal") < 0).select("s_suppkey")
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(atRisk), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+        asc("p_size"))
+  }
+
+  /** Dominant-supplier census (q112, TPC-H Q20 shape): suppliers who,
+    * for SOME part, shipped more than num/den of that part's total
+    * in-window volume — the nested-semi-join-vs-per-group-threshold
+    * class (Q20's "excess stock" EXISTS chain). The inner query is one
+    * (partkey, suppkey) aggregate over integral quantities; the
+    * per-part total arrives by window over partkey (aggregated rows ≪
+    * lineitem); the share gate is integer cross-multiplied (den·q >
+    * num·total — no float share at the boundary). The qualifying
+    * suppkey set distincts small and broadcast-SEMI-joins into
+    * supplier: the outer table is never shuffled, matching how Q20's
+    * EXISTS should plan. */
+  def dominantSuppliers(lineitem: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, from: String, until: String,
+                        num: Int, den: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val qualifying = lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+      .withColumn("total", sum(col("q")).over(w))
+      .where(col("q") * den > col("total") * num)
+      .select("l_suppkey").distinct()
+    supplier
+      .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_name")
+  }
 }

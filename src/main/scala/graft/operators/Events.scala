@@ -16,20 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Hourly rollup per event_type: count, value sum/avg, distinct users. */
+  /** Hourly rollup per event_type: count, value sum/avg, distinct users.
+    * `value` is 2-decimal money stored as double, so the sum runs in
+    * exact cents-longs (the q103 c_acctbal pattern): a raw double sum
+    * is accumulation-order-dependent, and at 10× group sizes (the sf1
+    * probe) Spark's partial-agg order vs DuckDB's serial order diverged
+    * past the 6-dp hash. Cents sums are order-free and exact; one
+    * double division at emission is bit-identical everywhere. */
   def rollup(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"),
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 6).as("sum_value"),
+        sum(round(col("value") * 100).cast("long")).as("cents"),
         countDistinct("user_id").as("n_users"))
-      // avg derived from the ROUNDED sum: engines disagree on raw-double
-      // avg at exact 6-dp ties (sum/count = x.xxxxxx5) because their
-      // accumulation orders differ; dividing the identical rounded sum
-      // makes the quotient bit-identical everywhere (SURVEY.md §6).
-      .withColumn("avg_value", round(col("sum_value") / col("n_events"), 6))
+      .withColumn("sum_value", round(col("cents").cast("double") / 100, 6))
+      // avg at 6 dp via integer HALF-UP division — (2a + b) div (2b)
+      // for a/b in micro-units. A double quotient can land an ulp
+      // below an exact 6-dp tie (sf1 hit 13911.3/320 = 43.4728125
+      // exactly: Spark's BigDecimal saw ...2499 and rounded down,
+      // DuckDB rounded its scaled double up); integer half-up has no
+      // ulp to disagree about. cents·2·10⁴ stays far under 2⁶³.
+      .withColumn("avg_value",
+        expr("(2 * cents * 10000 + n_events) div (2 * n_events)")
+          .cast("double") / lit(1000000.0))
       .select(col("event_type"), col("hour"), col("n_events"),
         col("sum_value"), col("avg_value"), col("n_users"))
       .orderBy("event_type", "hour")

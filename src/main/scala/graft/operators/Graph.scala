@@ -40,18 +40,48 @@ object Graph {
     e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
+  /** Iteration count at or below which [[pageRank]] compiles the whole
+    * loop into ONE declarative plan instead of checkpointing per round.
+    * Each localCheckpoint is a blocking materialization job (~0.5 s of
+    * fixed overhead at bench scale — r11 measured q88 at 2.75 s vs
+    * DuckDB's 0.4 s for a 3-round graph); for a handful of rounds the
+    * fused plan pays none of that, while CACHED edge/degree frames keep
+    * the per-round join inputs from being re-derived (the failure mode
+    * that motivated checkpointing in the first place). Past this depth
+    * the lineage chain (and Catalyst analysis time) grows enough that
+    * the checkpointed loop wins again. */
+  val FuseMaxIters = 4
+
   /** Integer-micro-unit PageRank: `iters` fixed rounds at damping
     * `dampNum/dampDen` over a (src, dst) edge list. Every node present
     * in the edge list participates; on a symmetrized list there are no
     * dangling nodes (every node has out-edges), which is the intended
     * input — pass [[symmetrize]]d edges for undirected graphs.
-    * Returns (node_id, pr_micro) for all nodes. */
+    * Returns (node_id, pr_micro) for all nodes.
+    *
+    * Two physically different, bit-identical strategies (GraphSpec runs
+    * the differential): iters ≤ [[FuseMaxIters]] (and non-reliable) →
+    * fused single plan over cached inputs; deeper → per-round
+    * checkpointed loop. */
   def pageRank(edges: DataFrame, iters: Int,
                dampNum: Int = 85, dampDen: Int = 100,
                reliable: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen out of [0, 1]")
+    if (!reliable && iters <= FuseMaxIters)
+      pageRankFused(edges, iters, dampNum, dampDen)
+    else
+      pageRankLooped(edges, iters, dampNum, dampDen, reliable)
+  }
+
+  /** The checkpointed-loop strategy behind [[pageRank]] for deep
+    * iteration counts (and `reliable` runs). `private[graft]` so
+    * GraphSpec can run the fused-vs-looped differential at a depth the
+    * dispatcher would fuse. */
+  private[graft] def pageRankLooped(edges: DataFrame, iters: Int,
+                                    dampNum: Int, dampDen: Int,
+                                    reliable: Boolean): DataFrame = {
     val sc = edges.sparkSession.sparkContext
     // Same round-checkpoint bookkeeping as
     // [[Clusters.connectedComponents]]: pin the edge frame and each
@@ -100,6 +130,41 @@ object Graph {
       prIds = nextIds
     }
     free(eIds); free(degIds)
+    pr
+  }
+
+  /** The fused strategy behind [[pageRank]] for shallow fixed depths:
+    * the whole `iters`-round recurrence as ONE Catalyst plan, no
+    * checkpoint barriers. The edge and degree frames are `.cache()`d —
+    * the first round's scan materializes them, later rounds hit the
+    * cache (CacheManager keys on the logical plan, so repeated calls
+    * over the same input reuse the same entry rather than stacking
+    * copies) — and every round's frames carry string aliases so the
+    * repeated appearance of the same source in one plan can't trip
+    * ambiguous-self-join resolution. Arithmetic is identical to the
+    * loop: floor `div` contributions, integer damping + teleport. */
+  private def pageRankFused(edges: DataFrame, iters: Int,
+                            dampNum: Int, dampDen: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    val nodes = deg.select(col("src").as("node_id"))
+    val n = deg.count() // materializes both caches; N is a plan literal
+    require(n > 0, "empty edge list")
+    val teleport = (1000000L * (dampDen - dampNum)) / (dampDen * n)
+    var pr = nodes.withColumn("pr_micro", lit(1000000L / n))
+    (1 to iters).foreach { _ =>
+      val contrib = pr.as("p")
+        .join(e.as("ed"), col("p.node_id") === col("ed.src"))
+        .join(deg.as("dg"), col("ed.src") === col("dg.src"))
+        .select(col("ed.dst").as("node_id"),
+          expr("p.pr_micro div dg.outdeg").as("contrib"))
+        .groupBy("node_id").agg(sum("contrib").as("s"))
+      pr = nodes.join(contrib, Seq("node_id"), "left")
+        .select(col("node_id"),
+          expr(s"${teleport}L + (${dampNum}L * coalesce(s, 0L)) div ${dampDen}L")
+            .as("pr_micro"))
+    }
     pr
   }
 

@@ -26,9 +26,12 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum("value"), 6).as("sum_value"))
-      // avg from the rounded sum — see Events.rollup for why.
-      .withColumn("avg_value", round(col("sum_value") / col("n_events"), 6))
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      // exact cents sum + integer half-up avg — see Events.rollup.
+      .withColumn("sum_value", round(col("cents").cast("double") / 100, 6))
+      .withColumn("avg_value",
+        expr("(2 * cents * 10000 + n_events) div (2 * n_events)")
+          .cast("double") / lit(1000000.0))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))

@@ -251,4 +251,185 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
       s"shipdate predicate not pushed:\n$plan")
   }
+
+  test("smallQuantityRevenue: strict cross-multiplied gate, brand pre-filter, " +
+    "exact-boundary row excluded") {
+    val part = Seq((1L, "Brand#12"), (2L, "Brand#99"), (3L, "Brand#12"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      // part 1: qtys 1,1,6 → Σ=8, n=3; gate qty·3·2 < 8 admits the two 1s
+      (1L, 1.0, 10.0), (1L, 1.0, 20.0), (1L, 6.0, 999.0),
+      // part 3: qtys 1,3 → Σ=4, n=2; qty=1 lands EXACTLY on the gate
+      // (1·2·2 = 4 = Σ) — strict < must exclude it
+      (3L, 1.0, 555.0), (3L, 3.0, 666.0),
+      // part 2: wrong brand — pruned before the window ever sees it
+      (2L, 1.0, 777.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val r = Analytics.smallQuantityRevenue(li, part, "Brand#12", 2).collect()(0)
+    assert(r.getDouble(0) == 30.0 && r.getLong(1) == 2L, s"got $r")
+  }
+
+  test("largeOrders: strict HAVING threshold; (totalprice desc, orderkey) cut is exact") {
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, 6.0), (1L, 5.0),   // order 1: Σ=11 > 10 → survives
+      (2L, 10.0),             // order 2: Σ=10 EXACTLY → strict > excludes
+      (3L, 12.0),             // order 3: survives
+      (4L, 11.0))             // order 4: survives, cut by topN
+      .toDF("l_orderkey", "l_quantity")
+    val ords = Seq(
+      (1L, 10L, ts("1997-01-01"), 500.0),
+      (2L, 20L, ts("1997-01-02"), 999.0),  // filtered before the join-back
+      (3L, 20L, ts("1997-01-03"), 800.0),
+      (4L, 10L, ts("1997-01-04"), 500.0))  // ties order 1 on price → orderkey asc
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((10L, "Cust#10"), (20L, "Cust#20")).toDF("c_custkey", "c_name")
+    val out = Analytics.largeOrders(li, ords, cust, 10L, 2).collect()
+      .map(r => (r.getLong(2), r.getDouble(4), r.getLong(5)))
+    // price desc: order 3 (800) first; 500-tie broken by orderkey → order 1
+    assert(out.toSeq == Seq((3L, 800.0, 12L), (1L, 500.0, 11L)), s"got ${out.toSeq}")
+  }
+
+  test("largeOrders: broadcast survivor set stays a thin tail on the real corpus") {
+    // The plan broadcasts the HAVING survivors into orders. That is safe
+    // exactly because Q18MinQty sits above the p99 of per-order volume, so
+    // survivors are a vanishing fraction at every SF — pin that assumption.
+    val li = Tables.lineitem(spark, sf001)
+    val orders = li.select("l_orderkey").distinct.count()
+    val survivors = li.groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+      .where(col("q") > SparkEntry.Params.Q18MinQty).count()
+    assert(survivors.toDouble / orders < 0.05,
+      s"survivor fraction $survivors/$orders breaks the broadcast assumption; " +
+        "raise Q18MinQty or switch the join-back to a shuffle join")
+  }
+
+  test("topSupplierRevenue: decimal-exact max keeps BOTH tied suppliers") {
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, ts("1997-02-01"), 100.0, 0.10),            // supp 1: 90.00
+      (2L, ts("1997-02-01"), 50.0, 0.10),             // supp 2: 45 + 45
+      (2L, ts("1997-03-01"), 50.0, 0.10),             //   = 90.00 → exact tie
+      (3L, ts("1997-02-01"), 80.0, 0.00),             // supp 3: 80 < max
+      (4L, ts("1997-06-01"), 99999.0, 0.00))          // outside the window
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val supp = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"), (4L, "S4"))
+      .toDF("s_suppkey", "s_name")
+    val out = Analytics.topSupplierRevenue(li, supp, "1997-01-01", "1997-04-01")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 90.0), (2L, 90.0)),
+      s"a decimal-exact tie must keep both suppliers: ${out.toSeq}")
+  }
+
+  test("revenueConcentration: share-vs-average gate is strict; boundary part excluded") {
+    // parts with revenue 10, 20, 30 → np=3, avg=20. Gate num/den = 1/1:
+    // r·np > tot ⟺ r > 20. The 20-part lands EXACTLY on the average and
+    // the strict > must exclude it; only the 30-part reports, x_avg = 1.5.
+    val li = Seq(
+      (1L, 10.0, 0.0),
+      (2L, 20.0, 0.0),
+      (3L, 15.0, 0.0), (3L, 15.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val out = Analytics.revenueConcentration(li, 1, 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((3L, 30.0, 2L, 1.5)), s"got ${out.toSeq}")
+  }
+
+  test("cheapestSupplierPerPart: decimal-exact tie kept; wrong-region and " +
+    "wrong-part offers never win") {
+    val region = Seq((1, "EUROPE"), (2, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10, "FRANCE", 1), (20, "CHINA", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supp = Seq(
+      (1L, "S1", 500.0, 10), (2L, "S2", 100.0, 10),
+      (3L, "S3", 999.0, 20)) // right price, wrong region → pruned pre-agg
+      .toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val part = Seq((1L, "ECONOMY", 15), (2L, "ECONOMY", 99))
+      .toDF("p_partkey", "p_type", "p_size")
+    val li = Seq(
+      (1L, 1L, 100.0, 0.0),  // s1 offer: 100.00
+      (1L, 1L, 120.0, 0.0),  // s1 worse offer → min keeps 100.00
+      (1L, 2L, 200.0, 0.5),  // s2 offer: 200·(1−0.5) = 100.00 EXACT tie
+      (1L, 3L, 10.0, 0.0),   // cheapest of all, but wrong region
+      (2L, 1L, 1.0, 0.0))    // wrong part (size 99)
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = Analytics.cheapestSupplierPerPart(li, part, supp, nation,
+      region, "ECONOMY", 15, "EUROPE", 100).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getDouble(5)))
+    assert(out.toSeq == Seq(("S1", 1L, 100.0), ("S2", 1L, 100.0)),
+      s"decimal tie must keep both; got ${out.toSeq}")
+  }
+
+  test("priorityShipping: one-pass conditional counts; window excludes") {
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, "A", ts("1997-06-01")),  // critical (order 1 urgent)
+      (2L, "A", ts("1997-06-01")),  // other (order 2 low)
+      (3L, "A", ts("1998-06-01")),  // out of window despite urgent order
+      (1L, "N", ts("1997-06-01")))  // critical, flag N
+      .toDF("l_orderkey", "l_returnflag", "l_shipdate")
+    val ords = Seq((1L, "1-URGENT"), (2L, "5-LOW"), (3L, "1-URGENT"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val out = Analytics.priorityShipping(li, ords, "1997-01-01", "1998-01-01",
+      Seq("1-URGENT", "2-HIGH")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("A", 1L, 1L), ("N", 1L, 0L)), s"got ${out.toSeq}")
+  }
+
+  test("supplierDiversity: pair dedup before the count; at-risk, excluded-brand " +
+    "and off-size rows never reach a bucket") {
+    val part = Seq(
+      (1L, "Brand#1", "T", 4),   // in
+      (2L, "Brand#1", "T", 4),   // same bucket, different part
+      (3L, "Brand#45", "T", 4),  // excluded brand
+      (4L, "Brand#1", "T", 7))   // size outside the class set
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supp = Seq((1L, 10.0), (2L, -5.0), (3L, 0.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val li = Seq(
+      (1L, 1L), (1L, 1L),  // duplicate pair → one supplier
+      (2L, 1L),            // same bucket via part 2, same supplier → still 1
+      (1L, 2L),            // at-risk supplier (bal < 0) → anti-joined away
+      (1L, 3L),            // bal 0 is NOT at risk → counts
+      (3L, 1L), (4L, 1L))  // excluded brand / size
+      .toDF("l_partkey", "l_suppkey")
+    val out = Analytics.supplierDiversity(li, part, supp, "Brand#45",
+      Seq(1, 4, 9)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("Brand#1", "T", 4, 2L)), s"got ${out.toSeq}")
+  }
+
+  test("dominantSuppliers: exactly-half share excluded by the strict gate; " +
+    "sole supplier of a part qualifies") {
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    val li = Seq(
+      (1L, 1L, 5.0, ts("1997-06-01")),   // part 1: 5 of 10 — EXACTLY half
+      (1L, 2L, 5.0, ts("1997-06-01")),   //   → 2q = total, strict > excludes
+      (2L, 1L, 6.0, ts("1997-06-01")),   // part 2: 6 of 10 → s1 dominates
+      (2L, 2L, 4.0, ts("1997-06-01")),
+      (3L, 3L, 3.0, ts("1997-06-01")),   // part 3: sole supplier → qualifies
+      (4L, 4L, 99.0, ts("1998-06-01")))  // out of window
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val supp = Seq((1L, "SA", 10), (2L, "SB", 10), (3L, "SC", 10), (4L, "SD", 10))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((10, "FRANCE")).toDF("n_nationkey", "n_name")
+    val out = Analytics.dominantSuppliers(li, supp, nation,
+      "1997-01-01", "1998-01-01", 1, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "SA"), (3L, "SC")), s"got ${out.toSeq}")
+  }
+
+  test("soleSupplierOrders: multi-lineitem same-supplier order still counts; " +
+    "shared order counts for nobody") {
+    val li = Seq(
+      (1L, 7L), (1L, 7L),  // order 1: two items, ONE distinct supplier → solo 7
+      (2L, 7L), (2L, 8L),  // order 2: two suppliers → excluded entirely
+      (3L, 8L),            // order 3: solo 8
+      (4L, 7L))            // order 4: solo 7
+      .toDF("l_orderkey", "l_suppkey")
+    val supp = Seq((7L, "S7"), (8L, "S8")).toDF("s_suppkey", "s_name")
+    val out = Analytics.soleSupplierOrders(li, supp, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((7L, 2L), (8L, 1L)), s"got ${out.toSeq}")
+  }
 }

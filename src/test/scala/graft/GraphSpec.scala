@@ -54,6 +54,30 @@ class GraphSpec extends SparkSpec {
       "PageRank must be a pure function of the edge list")
   }
 
+  test("fused and checkpointed-loop strategies are bit-identical on the " +
+    "corpus graph and on the crafted star") {
+    // iters=3 ≤ FuseMaxIters → public API takes the fused path; call the
+    // looped strategy directly for the other side of the differential
+    val star = Graph.symmetrize(
+      Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("src", "dst"))
+    val fusedStar = Graph.pageRank(star, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loopStar = Graph.pageRankLooped(star, 3, 85, 100, reliable = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fusedStar == loopStar, s"star: fused $fusedStar != loop $loopStar")
+
+    val edges = Graph.symmetrize(Tables.lineitem(spark, sf0001)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct())
+    val fused = Graph.pageRank(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val looped = Graph.pageRankLooped(edges, 3, 85, 100, reliable = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == looped,
+      s"corpus graph: ${fused.size} fused vs ${looped.size} looped nodes; " +
+        s"first diff: ${(fused.toSet diff looped.toSet).take(3)}")
+  }
+
   test("symmetrize: both directions present exactly once") {
     val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 1L)).toDF("src", "dst")
     val sym = Graph.symmetrize(e).collect()
