@@ -2414,7 +2414,8 @@ object OracleSql {
          |  WHERE r_name = '$Q2Region'),
          |pk AS (
          |  SELECT p_partkey FROM part
-         |  WHERE p_type = '$Q2Type' AND p_size = $Q2Size),
+         |  WHERE p_type = '$Q2Type'
+         |    AND p_size IN (${Q2Sizes.mkString(", ")})),
          |offers AS (
          |  SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
          |    min(CAST(l_extendedprice AS DECIMAL(12,2))

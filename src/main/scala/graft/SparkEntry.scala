@@ -214,7 +214,16 @@ object SparkEntry {
                                 // (2/29/252 parts at sf0.001/0.01/0.1)
     val Q21TopN = 50            // q108 sole-supplier census depth
     val Q2Type = "ECONOMY"      // q109 part class (p_type is single-
-    val Q2Size = 15             // word in this corpus) + size gate
+                                // word in this corpus, so Q2's LIKE
+                                // suffix collapses to equality)
+    val Q2Sizes = Seq(1, 10, 25) // q109 size classes — a SET, not Q2's
+                                // point equality: one (type,size) cell
+                                // can be empty on a small corpus (the
+                                // r12 sf0.001 gate failure at size 15);
+                                // AnalyticsOpsSpec pins this set
+                                // non-empty through the full
+                                // part⋈lineitem⋈EUROPE-supplier join
+                                // at the smallest gate scale
     val Q2Region = "EUROPE"     // q109 supplier region
     val Q2TopN = 100            // q109 report depth (Q2's value)
     val Q12From = "1997-01-01"  // q110 ship-year window (Q12's 1-year
@@ -572,7 +581,7 @@ object SparkEntry {
     "q109_cheapest_supplier" -> ((s, d) =>
       Analytics.cheapestSupplierPerPart(Tables.lineitem(s, d),
         Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
-        Tables.region(s, d), Q2Type, Q2Size, Q2Region, Q2TopN)),
+        Tables.region(s, d), Q2Type, Q2Sizes, Q2Region, Q2TopN)),
     "q110_priority_shipping" -> ((s, d) =>
       Analytics.priorityShipping(Tables.lineitem(s, d), Tables.orders(s, d),
         Q12From, Q12Until, Q12Critical)),

@@ -37,6 +37,13 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampType}
+    // The TIMESTAMP_NTZ→TimestampType fallback below is
+    // instant-preserving ONLY under a UTC session timezone. Every graft
+    // entrypoint sets it, but this loader is also the first call an
+    // ad-hoc spark-shell makes — enforce the invariant here rather than
+    // trusting every caller (a non-UTC session would silently shift
+    // every event timestamp).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {

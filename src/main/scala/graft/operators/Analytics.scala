@@ -639,33 +639,42 @@ object Analytics {
       .limit(topN)
 
   /** Cheapest-supplier-per-part report (q109, TPC-H Q2 shape): for
-    * each part of a given type/size in a given region, the supplier(s)
-    * offering the MINIMUM observed price — the correlated
-    * min-per-group-subquery class (Q2's `ps_supplycost = (SELECT
-    * min ...)`), with lineitem history standing in for partsupp (this
-    * corpus has no supply-cost table). The per-(part,supplier) offer is
-    * min discounted price in DECIMAL (no unit-price division — decimal
-    * min is exact, so the tie-keeping equality join-back can't split on
-    * float noise). Region filter prunes suppliers BEFORE the offer
-    * aggregate (25-row nation ⋈ 5-row region broadcast into supplier);
-    * part filter broadcasts. Two partkey-partitioned aggregates, the
-    * second reusing the first's shuffle output (AQE exchange reuse);
-    * ties kept, like Q2. */
+    * each part of a given type in the size classes of interest, in a
+    * given region, the supplier(s) offering the MINIMUM observed price
+    * — the correlated min-per-group-subquery class (Q2's
+    * `ps_supplycost = (SELECT min ...)`), with lineitem history
+    * standing in for partsupp (this corpus has no supply-cost table).
+    * The per-(part,supplier) offer is min discounted price in DECIMAL
+    * (no unit-price division — decimal min is exact, so the
+    * tie-keeping equality join-back can't split on float noise). The
+    * size gate is a CLASS SET, not a point equality: a single (type,
+    * size) cell holds O(|part|/types/sizes) parts, thin enough to be
+    * EMPTY on a small corpus (the round-12 gate failure), so the
+    * parameter sits on a set whose non-emptiness at every gate scale
+    * AnalyticsOpsSpec pins. Only the fixed-cardinality dimensions
+    * (25-row nation, 5-row region) carry broadcast hints; the
+    * region-filtered supplier and type-filtered part sides both grow
+    * linearly with SF, so their join strategy is left to AQE's
+    * measured sizes (q76 discipline: never force-broadcast an
+    * SF-growing side). Two partkey-partitioned aggregates, the second
+    * reusing the first's shuffle output (AQE exchange reuse); ties
+    * kept, like Q2. */
   def cheapestSupplierPerPart(lineitem: DataFrame, part: DataFrame,
                               supplier: DataFrame, nation: DataFrame,
-                              region: DataFrame, pType: String, pSize: Int,
-                              rName: String, topN: Int): DataFrame = {
+                              region: DataFrame, pType: String,
+                              pSizes: Seq[Int], rName: String,
+                              topN: Int): DataFrame = {
     val regionSupp = supplier
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region.where(col("r_name") === rName)),
         col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     val parts = part
-      .where(col("p_type") === pType && col("p_size") === pSize)
+      .where(col("p_type") === pType && col("p_size").isin(pSizes: _*))
       .select("p_partkey")
     val offers = lineitem
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"), col("s_name"),
         col("s_acctbal"), col("n_name"))
       .agg(min(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
@@ -711,11 +720,15 @@ object Analytics {
     * distinct-count + NOT-IN-anti-join class. The exclusion subquery
     * (s_acctbal < 0, Q16's complaint-supplier stand-in) runs as a
     * LEFT ANTI join (NULL-safe, unlike a naive NOT IN translation);
-    * part attributes broadcast into the (partkey, suppkey) pair set,
-    * which distincts BEFORE the per-bucket count so a supplier shipping
-    * a part 50 times counts once. countDistinct re-shuffles the
-    * deduped pairs on the 3-column bucket key — O(pairs), not
-    * O(lineitem). */
+    * the pair set distincts BEFORE the per-bucket count so a supplier
+    * shipping a part 50 times counts once. countDistinct re-shuffles
+    * the deduped pairs on the 3-column bucket key — O(pairs), not
+    * O(lineitem). Neither filtered side carries a broadcast hint:
+    * brand+size keeps ~15% of part and the at-risk set ~9% of
+    * supplier — both grow linearly with SF, so forcing a broadcast
+    * would OOM the build side at the 100 TB point; AQE picks the
+    * strategy from measured sizes instead (broadcast at bench scale,
+    * shuffle at cluster scale). */
   def supplierDiversity(lineitem: DataFrame, part: DataFrame,
                         supplier: DataFrame, exclBrand: String,
                         sizes: Seq[Int]): DataFrame = {
@@ -724,9 +737,8 @@ object Analytics {
       .select("p_partkey", "p_brand", "p_type", "p_size")
     val atRisk = supplier.where(col("s_acctbal") < 0).select("s_suppkey")
     lineitem.select("l_partkey", "l_suppkey")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(atRisk), col("l_suppkey") === col("s_suppkey"),
-        "left_anti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(atRisk, col("l_suppkey") === col("s_suppkey"), "left_anti")
       .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -742,9 +754,12 @@ object Analytics {
     * per-part total arrives by window over partkey (aggregated rows ≪
     * lineitem); the share gate is integer cross-multiplied (den·q >
     * num·total — no float share at the boundary). The qualifying
-    * suppkey set distincts small and broadcast-SEMI-joins into
-    * supplier: the outer table is never shuffled, matching how Q20's
-    * EXISTS should plan. */
+    * suppkey set distincts small and SEMI-joins into supplier; its
+    * cardinality is bounded only by |suppliers|, which grows with SF,
+    * so it carries no broadcast hint — AQE broadcasts it when its
+    * measured size allows and falls back to a shuffled semi-join when
+    * it doesn't, which is how Q20's EXISTS should plan at every
+    * scale. Only the 25-row nation dimension is force-broadcast. */
   def dominantSuppliers(lineitem: DataFrame, supplier: DataFrame,
                         nation: DataFrame, from: String, until: String,
                         num: Int, den: Int): DataFrame = {
@@ -757,8 +772,7 @@ object Analytics {
       .where(col("q") * den > col("total") * num)
       .select("l_suppkey").distinct()
     supplier
-      .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"),
-        "left_semi")
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
       .orderBy("s_name")

@@ -38,6 +38,12 @@ object Events {
       // exactly: Spark's BigDecimal saw ...2499 and rounded down,
       // DuckDB rounded its scaled double up); integer half-up has no
       // ulp to disagree about. cents·2·10⁴ stays far under 2⁶³.
+      // PRECONDITION: cents >= 0. The formula (and the `div`-vs-`//`
+      // cross-engine agreement — Spark truncates toward zero, DuckDB
+      // floors) is only half-up for NON-NEGATIVE sums; events.value is
+      // money, min 0.01 in this corpus. A signed-value corpus needs a
+      // sign-symmetric rounding on both sides first. (Same formula in
+      // streaming/EventsStream.scala and OracleSql q17.)
       .withColumn("avg_value",
         expr("(2 * cents * 10000 + n_events) div (2 * n_events)")
           .cast("double") / lit(1000000.0))

@@ -135,19 +135,39 @@ object Graph {
 
   /** The fused strategy behind [[pageRank]] for shallow fixed depths:
     * the whole `iters`-round recurrence as ONE Catalyst plan, no
-    * checkpoint barriers. The edge and degree frames are `.cache()`d —
-    * the first round's scan materializes them, later rounds hit the
-    * cache (CacheManager keys on the logical plan, so repeated calls
-    * over the same input reuse the same entry rather than stacking
-    * copies) — and every round's frames carry string aliases so the
-    * repeated appearance of the same source in one plan can't trip
-    * ambiguous-self-join resolution. Arithmetic is identical to the
-    * loop: floor `div` contributions, integer damping + teleport. */
+    * per-round checkpoint barriers. The edge and degree frames are
+    * `.cache()`d — the first round's scan materializes them, later
+    * rounds hit the cache — and every round's frames carry string
+    * aliases so the repeated appearance of the same source in one plan
+    * can't trip ambiguous-self-join resolution. Arithmetic is
+    * identical to the loop: floor `div` contributions, integer
+    * damping + teleport.
+    *
+    * Cache lifecycle (the r12 leak): CacheManager entries are keyed on
+    * the logical plan and held by the SESSION, so with no release path
+    * a long-lived session would pin one cached edge+degree pair per
+    * DISTINCT input graph forever. An eager materialize-then-unpersist
+    * in-call was tried and rejected — it executes the whole fused plan
+    * an extra time (+70% on the q88 bench). Instead a one-slot
+    * registry scopes the caches ACROSS calls: each fused call releases
+    * the previous call's pair unless it is plan-identical
+    * (`sameSemantics` — repeated calls over the same input, the bench
+    * shape, keep their shared entry). Steady state is at most one live
+    * pair per session, the returned frame stays lazy, and a release
+    * never affects correctness (an unpersisted input recomputes from
+    * lineage). GraphSpec pins the bound. */
+  private val liveCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   private def pageRankFused(edges: DataFrame, iters: Int,
                             dampNum: Int, dampDen: Int): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .cache()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    val pair = Seq(e, deg)
+    liveCaches.getAndSet(pair)
+      .filterNot(prev => pair.exists(_.sameSemantics(prev)))
+      .foreach(_.unpersist(blocking = false))
     val nodes = deg.select(col("src").as("node_id"))
     val n = deg.count() // materializes both caches; N is a plan literal
     require(n > 0, "empty edge list")

@@ -354,10 +354,52 @@ class AnalyticsOpsSpec extends SparkSpec {
       (2L, 1L, 1.0, 0.0))    // wrong part (size 99)
       .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
     val out = Analytics.cheapestSupplierPerPart(li, part, supp, nation,
-      region, "ECONOMY", 15, "EUROPE", 100).collect()
+      region, "ECONOMY", Seq(15), "EUROPE", 100).collect()
       .map(r => (r.getString(1), r.getLong(3), r.getDouble(5)))
     assert(out.toSeq == Seq(("S1", 1L, 100.0), ("S2", 1L, 100.0)),
       s"decimal tie must keep both; got ${out.toSeq}")
+  }
+
+  test("cheapestSupplierPerPart: the Q2 parameter set is non-empty at the " +
+    "smallest gate scale") {
+    // The r12 snapshot went red because a single (type, size) cell held
+    // zero parts at sf0.001. The parameters are now a size CLASS SET;
+    // this pins the data assumption the smoke gate depends on: at least
+    // one in-class part has a lineitem from a EUROPE supplier on the
+    // smallest corpus the driver smokes.
+    import SparkEntry.Params.{Q2Type, Q2Sizes, Q2Region}
+    val survivors = Analytics.cheapestSupplierPerPart(
+      Tables.lineitem(spark, sf0001), Tables.part(spark, sf0001),
+      Tables.supplier(spark, sf0001), Tables.nation(spark, sf0001),
+      Tables.region(spark, sf0001), Q2Type, Q2Sizes, Q2Region, 100).count()
+    assert(survivors > 0,
+      s"Q2 parameters ($Q2Type, sizes ${Q2Sizes.mkString(",")}, $Q2Region) " +
+        "match nothing at sf0.001 — widen Q2Sizes")
+  }
+
+  test("q109/q111/q112: no forced broadcast hint on an SF-growing side — " +
+    "only fixed-cardinality dimensions may carry hints") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import SparkEntry.Params._
+    val frames = Map(
+      "q109" -> Analytics.cheapestSupplierPerPart(
+        Tables.lineitem(spark, sf001), Tables.part(spark, sf001),
+        Tables.supplier(spark, sf001), Tables.nation(spark, sf001),
+        Tables.region(spark, sf001), Q2Type, Q2Sizes, Q2Region, Q2TopN),
+      "q111" -> Analytics.supplierDiversity(
+        Tables.lineitem(spark, sf001), Tables.part(spark, sf001),
+        Tables.supplier(spark, sf001), Q16ExclBrand, Q16Sizes),
+      "q112" -> Analytics.dominantSuppliers(
+        Tables.lineitem(spark, sf001), Tables.supplier(spark, sf001),
+        Tables.nation(spark, sf001), Q20From, Q20Until, Q20Num, Q20Den))
+    frames.foreach { case (name, df) =>
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      hints.foreach { h =>
+        val leaves = h.child.collectLeaves().map(_.toString).mkString("\n")
+        assert(leaves.contains("nation") || leaves.contains("region"),
+          s"$name force-broadcasts a non-dimension (SF-growing) input:\n$leaves")
+      }
+    }
   }
 
   test("priorityShipping: one-pass conditional counts; window excludes") {

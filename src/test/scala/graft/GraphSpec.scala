@@ -78,6 +78,30 @@ class GraphSpec extends SparkSpec {
         s"first diff: ${(fused.toSet diff looped.toSet).take(3)}")
   }
 
+  test("fused path caches are bounded: a new input graph releases the " +
+    "previous pair (r12 session leak)") {
+    // pageRankFused caches its edge/degree inputs; the one-slot registry
+    // must release the previous call's pair when a DIFFERENT graph
+    // arrives — a long-lived session holds at most one cached pair, not
+    // one per distinct input. Persistent-RDD count is the observable:
+    // each materialized cached frame contributes one entry.
+    val sc = spark.sparkContext
+    val a = Graph.symmetrize(Seq((0L, 1L), (0L, 2L)).toDF("src", "dst"))
+    val b = Graph.symmetrize(Seq((10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("src", "dst"))
+    assert(Graph.pageRank(a, 2).count() == 3)
+    val afterA = sc.getPersistentRDDs.size
+    assert(Graph.pageRank(b, 2).count() == 3)
+    val afterB = sc.getPersistentRDDs.size
+    assert(afterB <= afterA,
+      s"fused caches accumulate: $afterA persistent RDDs after graph A, " +
+        s"$afterB after graph B — the previous pair was not released")
+    // same-input repeat keeps its shared entry (the bench shape): the
+    // registry must NOT unpersist a plan-identical pair
+    assert(Graph.pageRank(b, 2).count() == 3)
+    assert(sc.getPersistentRDDs.size <= afterB)
+  }
+
   test("symmetrize: both directions present exactly once") {
     val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 1L)).toDF("src", "dst")
     val sym = Graph.symmetrize(e).collect()
