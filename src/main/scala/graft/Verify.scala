@@ -46,6 +46,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sf1-bounded PQ-family variants (scripts/sf1_pq_check.py): exact
+    // verdicts at scales where the naive mirrors time out.
+    val bounded = OracleSql.sf1Bounded
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_sf1bounded.json"), bounded)
     spark.stop()
   }
 }
