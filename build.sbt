@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g, not 8g: the r13 bench isolated a 3.3x q88 inflation (8.4s vs
+  // 2.6s) to old-gen GC pressure late in the 130-key run at 8g — the
+  // min-of-3 estimator can't recover when every rep pays full GCs.
+  // The machine has 128 GiB; 16g keeps the full-suite heap headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -2484,7 +2484,57 @@ object OracleSql {
          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
          |WHERE s_suppkey IN
          |  (SELECT DISTINCT l_suppkey FROM tot WHERE q * $Q20Den > total * $Q20Num)
-         |ORDER BY s_name""".stripMargin
+         |ORDER BY s_name""".stripMargin,
+
+    // q113: TPC-H Q7 shape — revenue in DECIMAL, year() integral, the
+    // symmetric disjunctive pair predicate verbatim on both engines.
+    "q113_binational_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '$Q7From 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '$Q7Until 00:00:00'
+         |  AND ((n1.n_name = '$Q7NationA' AND n2.n_name = '$Q7NationB')
+         |    OR (n1.n_name = '$Q7NationB' AND n2.n_name = '$Q7NationA'))
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q114: TPC-H Q8 shape — numerator/denominator as exact DECIMAL
+    // sums in one conditional pass, then the q98 share recipe: each
+    // sum casts to double once (exact below 2^53 scale-units), one
+    // shared-IEEE division, round 6.
+    "q114_market_share" ->
+      s"""WITH vol AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |    CAST(l_extendedprice AS DECIMAL(12,2))
+         |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS disc,
+         |    n2.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = '$Q8Region'
+         |    AND o_orderdate >= TIMESTAMP '$Q8From 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '$Q8Until 00:00:00'
+         |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = '$Q8Type'))
+         |SELECT o_year,
+         |  round(CAST(sum(CASE WHEN supp_nation = '$Q8Nation' THEN disc
+         |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |    / CAST(sum(disc) AS DOUBLE), 6) AS mkt_share,
+         |  round(CAST(sum(CASE WHEN supp_nation = '$Q8Nation' THEN disc
+         |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE), 6) AS nation_revenue,
+         |  round(CAST(sum(disc) AS DOUBLE), 6) AS total_revenue
+         |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin
   )
 
   // ---------------------------------------------------------------------

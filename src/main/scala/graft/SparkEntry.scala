@@ -235,6 +235,20 @@ object SparkEntry {
       Seq(1, 4, 9, 14, 19, 23, 36, 45)
     val Q20From = "1997-01-01"  // q112 shipment window (Q20's 1-year
     val Q20Until = "1998-01-01" // grain)
+    val Q7NationA = "NATION_12" // q113 nation pair — picked for
+    val Q7NationB = "NATION_11" // bidirectional traffic at sf0.001
+                                // (AnalyticsOpsSpec pins non-emptiness
+                                // at the smallest gate scale)
+    val Q7From = "1996-01-01"   // q113 ship window (Q7's 2-year grain)
+    val Q7Until = "1998-01-01"
+    val Q8Region = "ASIA"       // q114 market region
+    val Q8Type = "STANDARD"     // q114 product class
+    val Q8Nation = "NATION_18"  // q114 share nation; output is one row
+                                // per in-window order-year regardless
+                                // of the numerator, so non-emptiness
+                                // needs only in-window region orders
+    val Q8From = "1996-01-01"   // q114 order window (Q8's 2-year grain)
+    val Q8Until = "1998-01-01"
     val Q20Num = 1              // q112 dominance gate: supplier ships
     val Q20Den = 2              // > 1/2 of a part's in-window volume
                                 // (Q20's 0.5 availability factor)
@@ -591,7 +605,16 @@ object SparkEntry {
     "q112_dominant_suppliers" -> ((s, d) =>
       Analytics.dominantSuppliers(Tables.lineitem(s, d),
         Tables.supplier(s, d), Tables.nation(s, d), Q20From, Q20Until,
-        Q20Num, Q20Den))
+        Q20Num, Q20Den)),
+    "q113_binational_volume" -> ((s, d) =>
+      Analytics.biNationVolume(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Q7NationA, Q7NationB, Q7From, Q7Until)),
+    "q114_market_share" -> ((s, d) =>
+      Analytics.marketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.part(s, d),
+        Tables.nation(s, d), Tables.region(s, d), Q8Type, Q8Region,
+        Q8Nation, Q8From, Q8Until))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

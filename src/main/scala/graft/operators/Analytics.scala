@@ -777,4 +777,107 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
       .orderBy("s_name")
   }
+
+  /** Bi-nation shipping volume (q113, TPC-H Q7 shape): revenue shipped
+    * between two named nations per (supp_nation, cust_nation, year) —
+    * the symmetric-disjunctive-join-predicate class (Q7's
+    * `(n1=F AND n2=G) OR (n1=G AND n2=F)`). The 2-row filtered nation
+    * dim broadcasts into BOTH supplier and customer before the fact
+    * joins, so each filtered side shrinks to ~2/25 of its table ahead
+    * of the orderkey/suppkey shuffles — a semi-join reduction the
+    * disjunction cannot defeat because each half of the OR is an
+    * equality on an already-attached 2-value dim column (evaluated
+    * post-join on tiny strings, pushed nowhere, costing nothing).
+    * Neither filtered fact-side carries a broadcast hint (both grow
+    * with SF — the q76/q109 discipline); the date window pushes to the
+    * lineitem scan. Revenue in DECIMAL(12,2); year is an integer
+    * extraction both engines share. */
+  def biNationVolume(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame,
+                     nation: DataFrame, nationA: String, nationB: String,
+                     from: String, until: String): DataFrame = {
+    val pair = nation.where(col("n_name").isin(nationA, nationB))
+    val supp = supplier
+      .join(broadcast(pair.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val cust = customer
+      .join(broadcast(pair.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey", "cust_nation")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .as("disc"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("disc")).as("rev"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        round(col("rev").cast("double"), 6).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** National market share (q114, TPC-H Q8 shape): one nation's share
+    * of a region's market for a product type, per order-year — the
+    * conditional-share-aggregation class (Q8's `sum(case when
+    * nation then volume else 0) / sum(volume)`). Numerator and
+    * denominator come from ONE pass (a when/otherwise pair under two
+    * decimal sums — the q110 one-pass discipline applied to money);
+    * the share division follows q98's exact recipe: DECIMAL sums are
+    * exact, each casts to double once (exact below 2⁵³ scale-units),
+    * one shared-IEEE division, round 6. Type filter pushes to the
+    * part scan, the window to the orders scan; region prunes customer
+    * through broadcast nation/region dims; the supplier side carries
+    * its nation name only to feed the conditional. No SF-growing side
+    * is hint-broadcast. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame, part: DataFrame,
+                  nation: DataFrame, region: DataFrame, pType: String,
+                  rName: String, shareNation: String,
+                  from: String, until: String): DataFrame = {
+    val regionCust = customer
+      .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey"))), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region.where(col("r_name") === rName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val supp = supplier
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val disc = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(part.where(col("p_type") === pType).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(orders
+        .filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(regionCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === shareNation, disc)
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("nation_rev"),
+        sum(disc).as("total_rev"))
+      .select(col("o_year"),
+        round(col("nation_rev").cast("double") /
+          col("total_rev").cast("double"), 6).as("mkt_share"),
+        round(col("nation_rev").cast("double"), 6).as("nation_revenue"),
+        round(col("total_rev").cast("double"), 6).as("total_revenue"))
+      .orderBy("o_year")
+  }
 }

@@ -461,6 +461,67 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "SA"), (3L, "SC")), s"got ${out.toSeq}")
   }
 
+  test("biNationVolume: only the two cross-nation directions count; " +
+    "same-nation and third-nation flows excluded; window excludes") {
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    val nation = Seq((1, "FR"), (2, "DE"), (3, "IT"))
+      .toDF("n_nationkey", "n_name")
+    val supp = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("s_suppkey", "s_nationkey")
+    val cust = Seq((100L, 1), (200L, 2), (300L, 3)).toDF("c_custkey", "c_nationkey")
+    val ords = Seq((1L, 200L), (2L, 100L), (3L, 100L), (4L, 300L), (5L, 200L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (1L, 10L, ts("1996-06-01"), 100.0, 0.0),  // FR→DE 1996: 100
+      (2L, 20L, ts("1997-06-01"), 200.0, 0.5),  // DE→FR 1997: 100
+      (3L, 10L, ts("1996-06-01"), 999.0, 0.0),  // FR→FR: same nation, out
+      (4L, 10L, ts("1996-06-01"), 999.0, 0.0),  // FR→IT: third nation, out
+      (5L, 10L, ts("1999-06-01"), 999.0, 0.0))  // FR→DE but out of window
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val out = Analytics.biNationVolume(li, ords, cust, supp, nation,
+      "FR", "DE", "1996-01-01", "1998-01-01").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("DE", "FR", 1997, 100.0), ("FR", "DE", 1996, 100.0)),
+      s"got ${out.toSeq}")
+  }
+
+  test("biNationVolume: the Q7 nation pair is non-empty at the smallest " +
+    "gate scale") {
+    import SparkEntry.Params.{Q7NationA, Q7NationB, Q7From, Q7Until}
+    val n = Analytics.biNationVolume(Tables.lineitem(spark, sf0001),
+      Tables.orders(spark, sf0001), Tables.customer(spark, sf0001),
+      Tables.supplier(spark, sf0001), Tables.nation(spark, sf0001),
+      Q7NationA, Q7NationB, Q7From, Q7Until).count()
+    assert(n > 0, s"Q7 pair ($Q7NationA, $Q7NationB) has no in-window " +
+      "traffic at sf0.001 — pick a busier pair")
+  }
+
+  test("marketShare: conditional share exact on crafted rows; wrong-type " +
+    "and out-of-region rows never enter the denominator") {
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    val nation = Seq((1, "FR", 1), (2, "CN", 2)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((1, "EUROPE"), (2, "ASIA")).toDF("r_regionkey", "r_name")
+    val part = Seq((1L, "STANDARD"), (2L, "PROMO")).toDF("p_partkey", "p_type")
+    val supp = Seq((10L, 1), (20L, 2)).toDF("s_suppkey", "s_nationkey")
+    val cust = Seq((100L, 1), (200L, 2)).toDF("c_custkey", "c_nationkey")
+    val ords = Seq(
+      (1L, 100L, ts("1996-03-01")),  // EUROPE customer, 1996
+      (2L, 100L, ts("1997-03-01")),  // EUROPE customer, 1997
+      (3L, 200L, ts("1996-03-01")))  // ASIA customer → out of region
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (1L, 1L, 10L, 100.0, 0.0),  // FR supplier: numerator 100
+      (1L, 1L, 20L, 300.0, 0.0),  // CN supplier: denominator only
+      (1L, 2L, 10L, 999.0, 0.0),  // wrong part type → excluded
+      (2L, 1L, 20L, 50.0, 0.0),   // 1997: denominator only → share 0
+      (3L, 1L, 10L, 999.0, 0.0))  // out-of-region order → excluded
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = Analytics.marketShare(li, ords, cust, supp, part, nation,
+      region, "STANDARD", "EUROPE", "FR", "1996-01-01", "1998-01-01")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1996, 0.25, 100.0, 400.0), (1997, 0.0, 0.0, 50.0)),
+      s"got ${out.toSeq}")
+  }
+
   test("soleSupplierOrders: multi-lineitem same-supplier order still counts; " +
     "shared order counts for nobody") {
     val li = Seq(
