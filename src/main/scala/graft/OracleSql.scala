@@ -197,6 +197,34 @@ object OracleSql {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Shared by q36 (plain) and q115 (Bloom-pruned): the Bloom gate is
+    * an exactness-preserving plan optimization — no false negatives,
+    * false positives die in the equi-join — so BOTH keys verify
+    * against the SAME exact statement. */
+  private val ngramContamSql: String = {
+    val hit = "CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    s"""WITH tagged AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN ${hash60("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
+       |         THEN 'train' ELSE 'eval' END AS split
+       |  FROM documents),
+       |ev AS (
+       |  SELECT doc_id, ${hash60("s")} AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s
+       |        FROM (SELECT doc_id, ${shingles("text", ContamK)} AS sh FROM tagged WHERE split = 'eval'))),
+       |tr AS (
+       |  SELECT DISTINCT ${hash60("s")} AS h
+       |  FROM (SELECT unnest(sh) AS s
+       |        FROM (SELECT ${shingles("text", ContamK)} AS sh FROM tagged WHERE split = 'train')))
+       |SELECT e.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  $hit AS n_overlap,
+       |  round(CAST($hit AS DOUBLE) / count(*), 6) AS overlap_frac,
+       |  CAST(round(CAST($hit AS DOUBLE) / count(*), 6) >= $ContamFlagFrac AS INT) AS flagged
+       |FROM ev e LEFT JOIN tr t ON e.h = t.h
+       |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1803,29 +1831,7 @@ object OracleSql {
          |  round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6) AS dup_gram_frac
          |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q36_ngram_contam" -> {
-      val hit = "CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
-      s"""WITH tagged AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN ${hash60("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
-         |         THEN 'train' ELSE 'eval' END AS split
-         |  FROM documents),
-         |ev AS (
-         |  SELECT doc_id, ${hash60("s")} AS h
-         |  FROM (SELECT doc_id, unnest(sh) AS s
-         |        FROM (SELECT doc_id, ${shingles("text", ContamK)} AS sh FROM tagged WHERE split = 'eval'))),
-         |tr AS (
-         |  SELECT DISTINCT ${hash60("s")} AS h
-         |  FROM (SELECT unnest(sh) AS s
-         |        FROM (SELECT ${shingles("text", ContamK)} AS sh FROM tagged WHERE split = 'train')))
-         |SELECT e.doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_shingles,
-         |  $hit AS n_overlap,
-         |  round(CAST($hit AS DOUBLE) / count(*), 6) AS overlap_frac,
-         |  CAST(round(CAST($hit AS DOUBLE) / count(*), 6) >= $ContamFlagFrac AS INT) AS flagged
-         |FROM ev e LEFT JOIN tr t ON e.h = t.h
-         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
-    },
+    "q36_ngram_contam" -> ngramContamSql,
 
     "q37_domain_mix" ->
       s"""WITH tagged AS (
@@ -2534,7 +2540,29 @@ object OracleSql {
          |  round(CAST(sum(CASE WHEN supp_nation = '$Q8Nation' THEN disc
          |      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE), 6) AS nation_revenue,
          |  round(CAST(sum(disc) AS DOUBLE), 6) AS total_revenue
-         |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin
+         |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // q115: the Bloom gate is exactness-preserving (see ngramContamSql
+    // scaladoc) — identical oracle to q36.
+    "q115_bloom_decontam" -> ngramContamSql,
+
+    // q116: fvecs export → DSv2 re-ingest differential. The oracle
+    // re-derives idx as the id rank over the SAME clean set the writer
+    // exports, and norms go integer (round·1e6, the q82 recipe) before
+    // the bucket sum — a lost/dup/corrupt record anywhere in the
+    // roundtrip breaks the hash.
+    "q116_fvecs_roundtrip" ->
+      s"""WITH clean AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE len(embedding) = 64 AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |idxd AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx,
+         |    CAST(round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) * 1000000) AS BIGINT) AS norm_u
+         |  FROM clean)
+         |SELECT idx % 16 AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(norm_u) AS BIGINT) AS sum_norm_u
+         |FROM idxd GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   // ---------------------------------------------------------------------

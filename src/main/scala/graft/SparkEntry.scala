@@ -614,7 +614,16 @@ object SparkEntry {
       Analytics.marketShare(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.part(s, d),
         Tables.nation(s, d), Tables.region(s, d), Q8Type, Q8Region,
-        Q8Nation, Q8From, Q8Until))
+        Q8Nation, Q8From, Q8Until)),
+    "q115_bloom_decontam" -> ((s, d) =>
+      CorpusPipeline.bloomNgramContamination(Tables.documents(s, d), ContamK,
+        TrainPct, ContamFlagFrac)),
+    "q116_fvecs_roundtrip" -> ((s, d) => {
+      // Fixed path per sf dir, same rationale as q10's index dir.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_fvecs_" +
+        Integer.toHexString(d.hashCode)
+      graft.sources.Fvecs.roundtripReport(Tables.embeddings(s, d), path)
+    })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -114,6 +114,101 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** Bloom-pruned n-gram decontamination — EXACTLY
+    * [[ngramContamination]]'s answer, with the train-side heavy lifting
+    * gated behind a Bloom filter of the eval shingle set. This is the
+    * 100 TB formulation: eval suites are tiny and fixed while the train
+    * corpus is the whole crawl, so shuffling every distinct train
+    * shingle (ngramContamination's unavoidable exchange) means an
+    * exchange proportional to the CORPUS. Here the filter built from
+    * the eval side rides to the train scan as a plan literal, and only
+    * train shingles that MIGHT hit eval survive into the
+    * distinct+join — the exchange shrinks from O(distinct train
+    * shingles) to O(true hits + false positives), i.e. from
+    * corpus-sized to benchmark-sized.
+    *
+    * Exactness: a Bloom filter has no false negatives, so every train
+    * shingle hash equal to some eval hash passes the gate; false
+    * positives are hashes NOT equal to any eval hash, and the
+    * subsequent equi-join discards them. The result is therefore
+    * bit-identical to [[ngramContamination]] (BloomSpec runs the
+    * differential), and the SQL oracle is the same exact statement.
+    *
+    * Engineering: the filter is pure Column arithmetic end to end — no
+    * UDF, nothing leaves whole-stage codegen. Build: distinct eval
+    * hashes explode to `nProbes` double-hashed bit positions
+    * (p_j = (h1 + j·h2) & (m-1), h2 forced odd), one bit_or groupBy
+    * over ≤ m/64 words, and the ≤ m/64-long dense word array is the
+    * bounded driver collect (128 KiB at the default m=2^20 — same
+    * bounded class as the IVF centroid collects). Probe: `nProbes`
+    * element_at + mask conjunctions against the typedlit word array,
+    * codegen'd into the train scan's filter. Sizing: m=2^20, k=5 holds
+    * fpp under ~1% up to ~10^5 distinct eval shingles; m is a
+    * parameter because a bigger eval suite just wants more bits, not a
+    * different plan. */
+  /** Build a Bloom membership predicate over the `h` column of
+    * `hashes` (non-negative 60-bit longs) and return it as a pure
+    * Column testable against any frame's `h` column. Eagerly runs the
+    * build job (one bit_or groupBy, ≤ mBits/64-row bounded collect);
+    * the returned predicate is `nProbes` codegen'd element_at + mask
+    * conjunctions over a typedlit word array — no UDF, no broadcast
+    * variable, survives into whole-stage codegen of whatever scan it
+    * gates. Double hashing: p_j = ((h & M) + j·((h>>29)|1 & M)) & M,
+    * the step forced odd so probes cycle the whole table. */
+  private[graft] def bloomGate(hashes: DataFrame, mBits: Int,
+                               nProbes: Int): org.apache.spark.sql.Column = {
+    require((mBits & (mBits - 1)) == 0, "mBits must be a power of two")
+    val mask = (mBits - 1).toLong
+    val nWords = mBits / 64
+    // ONE SQL-expression builder over a column named `h`, shared
+    // verbatim by build and probe — the filter can never test
+    // different bits than the build set.
+    def posSql(j: Int): String =
+      s"(((h & $mask) + $j * ((shiftright(h, 29) | 1) & $mask)) & $mask)"
+    val words = hashes.select(col("h")).distinct()
+      .select((0 until nProbes).map(j => expr(posSql(j)).as(s"p$j")): _*)
+      .select(explode(array((0 until nProbes).map(j => col(s"p$j")): _*)).as("p"))
+      .select(shiftright(col("p"), 6).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("b"))
+      .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+      .collect()
+    val dense = new Array[Long](nWords)
+    words.foreach(r => dense(r.getInt(0)) = r.getLong(1))
+    val bitsLit = typedlit(dense.toSeq)
+    (0 until nProbes).map { j =>
+      val p = posSql(j)
+      element_at(bitsLit, expr(s"CAST(shiftright($p, 6) AS INT)") + 1)
+        .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))"))
+        .notEqual(lit(0L))
+    }.reduce(_ && _)
+  }
+
+  def bloomNgramContamination(docs: DataFrame, k: Int, trainPct: Int = 90,
+                              flagFrac: Double = 0.25, mBits: Int = 1 << 20,
+                              nProbes: Int = 5): DataFrame = {
+    val tagged = docs.withColumn("split", splitCol(trainPct))
+    val evalSh = Dedup.shingleRows(tagged.where(col("split") === "eval"), k)
+      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
+
+    val mightContain = bloomGate(evalSh.select(col("h")), mBits, nProbes)
+    val trainSh = Dedup.shingleRows(tagged.where(col("split") === "train"), k)
+      .select(Dedup.hash60(col("s")).as("h"))
+      .where(mightContain)
+      .distinct().withColumn("hit", lit(1L))
+
+    val frac = round(
+      sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 6)
+    evalSh
+      .join(trainSh, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+        frac.as("overlap_frac"),
+        (frac >= flagFrac).cast("int").as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** Domain mixing: downsample each source so the kept corpus hits
     * target per-source proportions (ppm shares) — the mixture step
     * every pretraining recipe runs after cleaning (e.g. re-weighting

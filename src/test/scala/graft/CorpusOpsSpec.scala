@@ -50,6 +50,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nOv2 == 0 && frac2 == 0.0 && flag2 == 0)
   }
 
+  test("bloomNgramContamination is bit-identical to the plain operator (differential, real corpus)") {
+    val docs = Tables.documents(spark, sf0001)
+    val plain = CorpusPipeline.ngramContamination(docs, k = 3, trainPct = 90, flagFrac = 0.25)
+    val bloom = CorpusPipeline.bloomNgramContamination(docs, k = 3, trainPct = 90,
+      flagFrac = 0.25, mBits = 1 << 18, nProbes = 5)
+    assert(plain.collect().toSeq == bloom.collect().toSeq)
+  }
+
+  test("bloomNgramContamination: the gate passes all true hits and prunes the train side") {
+    val leaked = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (trainIds(0), leaked),
+      (trainIds(1), "one two three four five six seven eight nine ten"),
+      (evalIds(0), leaked),
+      (evalIds(1), "unique words never seen anywhere here")
+    ).toDF("doc_id", "text")
+    // Exactness on the crafted leak (no false negatives by construction).
+    val out = CorpusPipeline.bloomNgramContamination(docs, k = 3, trainPct = 90,
+      flagFrac = 0.25, mBits = 1 << 12, nProbes = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(out(evalIds(0)) == ((4L, 4L, 1.0, 1)))
+    assert(out(evalIds(1))._2 == 0L)
+    // Pruning: on the real corpus the gated train-side candidate set
+    // must be a superset of the true hits (no false negatives) and a
+    // strict subset of the full distinct train set — the 100 TB claim
+    // is exactly "candidate << corpus, ⊇ truth".
+    val real = Tables.documents(spark, sf0001)
+    val k = 3
+    val tagged = real.withColumn("split", CorpusPipeline.splitCol(90))
+    import graft.operators.Dedup
+    val trainAll = Dedup.shingleRows(tagged.where(col("split") === "train"), k)
+      .select(Dedup.hash60(col("s")).as("h")).distinct()
+    val evalH = Dedup.shingleRows(tagged.where(col("split") === "eval"), k)
+      .select(Dedup.hash60(col("s")).as("h")).distinct()
+    val gate = CorpusPipeline.bloomGate(evalH, mBits = 1 << 18, nProbes = 5)
+    val nAll = trainAll.count()
+    val nCandidate = trainAll.where(gate).count()
+    val trueHits = trainAll.join(evalH, Seq("h"), "left_semi").count()
+    val hitsSurviving = trainAll.join(evalH, Seq("h"), "left_semi").where(gate).count()
+    assert(hitsSurviving == trueHits, "Bloom gate dropped a true hit (false negative)")
+    assert(nCandidate >= trueHits && nCandidate < nAll,
+      s"gate should prune: candidate=$nCandidate, all=$nAll, hits=$trueHits")
+  }
+
   test("domainMix water-fills to the binding source and keeps rates integral") {
     // A: 100 docs at 50% target, B: 10 docs at 50% → B binds:
     // budget = 20, target 10 each, keep_ppm A=100000 B=1000000.
