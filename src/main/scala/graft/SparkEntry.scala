@@ -623,13 +623,22 @@ object SparkEntry {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_fvecs_" +
         Integer.toHexString(d.hashCode)
       graft.sources.Fvecs.roundtripReport(Tables.embeddings(s, d), path)
+    }),
+    "q117_nsw_search" -> ((s, d) => {
+      // Rows-only (approximate graph walk isn't SQL-expressible);
+      // NswSpec pins determinism, the exact-mode differential, and
+      // recall ≥ 0.8 at these defaults.
+      val emb = Tables.embeddings(s, d)
+      val graph = Nsw.build(emb, IvfStep, m = 8, efC = 32)
+      Nsw.search(graph, Ivf.centroids(emb, IvfStep),
+        Knn.queryVector(emb, QueryVecId), nprobe = 4, k = K, ef = 64)
     })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
-    * q10, q18, q61b, q75) are non-SQL-expressible (footer metadata /
-    * trained-vocab BPE / index file I/O / binary feature plumbing /
-    * SVD-learned rotation / sequential greedy MMR) → driver records a
-    * rows-only check. */
+    * q10, q18, q61b, q75, q94, q117) are non-SQL-expressible (footer
+    * metadata / trained-vocab BPE / index file I/O / binary feature
+    * plumbing / SVD-learned rotation / sequential greedy MMR /
+    * approximate graph walk) → driver records a rows-only check. */
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -131,21 +131,39 @@ object CorpusPipeline {
     * shingle hash equal to some eval hash passes the gate; false
     * positives are hashes NOT equal to any eval hash, and the
     * subsequent equi-join discards them. The result is therefore
-    * bit-identical to [[ngramContamination]] (BloomSpec runs the
+    * bit-identical to [[ngramContamination]] (CorpusOpsSpec runs the
     * differential), and the SQL oracle is the same exact statement.
     *
-    * Engineering: the filter is pure Column arithmetic end to end — no
-    * UDF, nothing leaves whole-stage codegen. Build: distinct eval
-    * hashes explode to `nProbes` double-hashed bit positions
-    * (p_j = (h1 + j·h2) & (m-1), h2 forced odd), one bit_or groupBy
-    * over ≤ m/64 words, and the ≤ m/64-long dense word array is the
-    * bounded driver collect (128 KiB at the default m=2^20 — same
-    * bounded class as the IVF centroid collects). Probe: `nProbes`
-    * element_at + mask conjunctions against the typedlit word array,
-    * codegen'd into the train scan's filter. Sizing: m=2^20, k=5 holds
-    * fpp under ~1% up to ~10^5 distinct eval shingles; m is a
+    * Sizing: the [[bloomGate]] defaults (m=2^20 bits, k=5) hold fpp
+    * under ~1% up to ~10^5 distinct eval shingles; `mBits` is a
     * parameter because a bigger eval suite just wants more bits, not a
     * different plan. */
+  def bloomNgramContamination(docs: DataFrame, k: Int, trainPct: Int = 90,
+                              flagFrac: Double = 0.25, mBits: Int = 1 << 20,
+                              nProbes: Int = 5): DataFrame = {
+    val tagged = docs.withColumn("split", splitCol(trainPct))
+    val evalSh = Dedup.shingleRows(tagged.where(col("split") === "eval"), k)
+      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
+
+    val mightContain = bloomGate(evalSh.select(col("h")), mBits, nProbes)
+    val trainSh = Dedup.shingleRows(tagged.where(col("split") === "train"), k)
+      .select(Dedup.hash60(col("s")).as("h"))
+      .where(mightContain)
+      .distinct().withColumn("hit", lit(1L))
+
+    val frac = round(
+      sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 6)
+    evalSh
+      .join(trainSh, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
+        frac.as("overlap_frac"),
+        (frac >= flagFrac).cast("int").as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** Build a Bloom membership predicate over the `h` column of
     * `hashes` (non-negative 60-bit longs) and return it as a pure
     * Column testable against any frame's `h` column. Eagerly runs the
@@ -181,32 +199,6 @@ object CorpusPipeline {
         .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))"))
         .notEqual(lit(0L))
     }.reduce(_ && _)
-  }
-
-  def bloomNgramContamination(docs: DataFrame, k: Int, trainPct: Int = 90,
-                              flagFrac: Double = 0.25, mBits: Int = 1 << 20,
-                              nProbes: Int = 5): DataFrame = {
-    val tagged = docs.withColumn("split", splitCol(trainPct))
-    val evalSh = Dedup.shingleRows(tagged.where(col("split") === "eval"), k)
-      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
-
-    val mightContain = bloomGate(evalSh.select(col("h")), mBits, nProbes)
-    val trainSh = Dedup.shingleRows(tagged.where(col("split") === "train"), k)
-      .select(Dedup.hash60(col("s")).as("h"))
-      .where(mightContain)
-      .distinct().withColumn("hit", lit(1L))
-
-    val frac = round(
-      sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1)), 6)
-    evalSh
-      .join(trainSh, Seq("h"), "left")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"),
-        frac.as("overlap_frac"),
-        (frac >= flagFrac).cast("int").as("flagged"))
-      .orderBy("doc_id")
   }
 
   /** Domain mixing: downsample each source so the kept corpus hits

@@ -1,0 +1,236 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One vertex of a per-cell navigable-small-world graph: the vector,
+  * its cell, and its adjacency (vec_ids, sorted — canonical form so
+  * builds are bit-reproducible). */
+case class NswNode(centroid_id: Long, vec_id: Long,
+                   embedding: Array[Float], neighbors: Array[Long])
+
+/** Graph-based ANN — the reference's actual index structure
+  * (HNSW.Net, Program.cs:125-204: M=10, dot-product distance,
+  * incremental insert), re-expressed for a cluster.
+  *
+  * The reference's graph is ONE driver-resident object; nothing about
+  * a monolithic small-world graph survives 100 TB (every insert walks
+  * the whole graph; every search starts at one global entry point; the
+  * structure can't shard without cutting edges). The distributed
+  * design splits HNSW's two roles:
+  *
+  *  - **The upper layers' job — coarse routing — goes to the IVF
+  *    centroid table.** HNSW's sparse top layers exist to land a query
+  *    near its neighborhood in O(log n) hops; a k-centroid argmin over
+  *    a broadcast table does the same landing in one codegen'd pass
+  *    (and is how this library already routes every other index
+  *    family: q12c/q48/q57/q81).
+  *  - **The bottom layer's job — fine navigation — stays a true NSW
+  *    graph, but PER CELL.** Within a cell (√n expected occupancy,
+  *    [[Ivf.splitOversized]] bounds the tail), vectors form a
+  *    navigable graph built by the classic incremental-insert rule:
+  *    beam-search the partial graph for each new point's `m` nearest,
+  *    link bidirectionally, trim every list to `maxM` by distance.
+  *    Build is `flatMapGroups` per cell — embarrassingly parallel,
+  *    one hash exchange of (cell, vector) rows, local O(n·ef·m·dim)
+  *    work, no driver state, no cross-cell edges to cut.
+  *
+  * Search probes the `nprobe` nearest cells' graphs (partition-pruned
+  * when the graph is [[save]]d partitioned by cell), runs an
+  * ef-bounded beam walk per cell from the cell's deterministic entry
+  * point (lowest vec_id — the first inserted, so it is every cell
+  * graph's natural hub), and merges per-cell candidates with the same
+  * `(round(score,6) desc, vec_id)` rule as every other search key.
+  *
+  * Determinism: insert order is vec_id-ascending, every heap orders by
+  * (distance, id), neighbor lists are emitted sorted — two builds of
+  * the same corpus are bit-identical (NswSpec pins it), so the
+  * rows-only driver check plus the recall/exact-mode differentials are
+  * stable run to run.
+  *
+  * Exact-mode property (the spec's strongest check): incremental
+  * insert always links each new vertex to at least one predecessor, so
+  * every cell graph is CONNECTED; with `ef ≥ cell size` the beam
+  * termination rule (`best candidate farther than the worst of a FULL
+  * result heap`) can never fire early, the walk visits the whole
+  * component, and `nprobe ≥ #cells` makes the union of cells the whole
+  * corpus — the search must equal brute force bit for bit. Dirty rows
+  * (null / off-dim / null-element embeddings) are dropped by the same
+  * assignability rule as every IVF consumer ([[Ivf.assignWithEmbedding]]).
+  */
+object Nsw {
+
+  /** Negated dot product as the walk's distance (lower = closer), so
+    * internal ordering and the emitted score agree: the reference
+    * maximizes dot (Program.cs:207-227); all heaps here minimize d. */
+  private def dist(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    -acc
+  }
+
+  /** Beam search over one cell's adjacency, classic HNSW SEARCH-LAYER:
+    * min-heap of frontier candidates, bounded max-heap of results,
+    * stop when the nearest frontier point is farther than a full
+    * result heap's worst. Returns (dist, localIdx) sorted by
+    * (dist, vec_id). Only vertices with localIdx < active participate
+    * (the build walks the PARTIAL graph; pass n for a full search). */
+  private def beam(q: Array[Float], entry: Int, ef: Int, active: Int,
+                   pts: Array[(Long, Array[Float])],
+                   adj: Array[mutable.ArrayBuffer[Int]]): Array[(Double, Int)] = {
+    // Orderings by (dist, vec_id): deterministic under distance ties.
+    val nearFirst: Ordering[(Double, Int)] =
+      Ordering.by { t: (Double, Int) => (-t._1, -pts(t._2)._1) }
+    val farFirst: Ordering[(Double, Int)] =
+      Ordering.by { t: (Double, Int) => (t._1, pts(t._2)._1) }
+    val frontier = mutable.PriorityQueue.empty[(Double, Int)](nearFirst)
+    val worst = mutable.PriorityQueue.empty[(Double, Int)](farFirst)
+    val visited = new java.util.BitSet(active)
+    val d0 = dist(q, pts(entry)._2)
+    frontier.enqueue((d0, entry)); worst.enqueue((d0, entry)); visited.set(entry)
+    while (frontier.nonEmpty) {
+      val (dc, c) = frontier.dequeue()
+      if (worst.length >= ef && dc > worst.head._1) {
+        frontier.clear()
+      } else {
+        val nbrs = adj(c)
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          if (nb < active && !visited.get(nb)) {
+            visited.set(nb)
+            val dn = dist(q, pts(nb)._2)
+            if (worst.length < ef) {
+              frontier.enqueue((dn, nb)); worst.enqueue((dn, nb))
+            } else if (dn < worst.head._1 ||
+              (dn == worst.head._1 && pts(nb)._1 < pts(worst.head._2)._1)) {
+              frontier.enqueue((dn, nb))
+              worst.dequeue(); worst.enqueue((dn, nb))
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    worst.dequeueAll.toArray
+      .sortBy { case (d, i) => (d, pts(i)._1) }
+  }
+
+  /** Incremental NSW construction for one cell's points (pre-sorted by
+    * vec_id). Every insert beam-searches the partial graph, links to
+    * the `m` nearest, and trims any over-degree neighbor back to
+    * `maxM` closest — the degree bound that keeps search O(ef·m). */
+  private def buildCell(cell: Long, pts: Array[(Long, Array[Float])],
+                        m: Int, efC: Int): Iterator[NswNode] = {
+    val n = pts.length
+    val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    val maxM = m
+    def trim(j: Int): Unit = if (adj(j).length > maxM) {
+      val kept = adj(j).map(x => ((dist(pts(j)._2, pts(x)._2), pts(x)._1), x))
+        .sortBy(_._1).take(maxM).map(_._2)
+      adj(j).clear(); adj(j) ++= kept
+    }
+    var i = 1
+    while (i < n) {
+      val found = beam(pts(i)._2, 0, efC, i, pts, adj)
+      val links = found.take(m)
+      links.foreach { case (_, j) =>
+        adj(i) += j; adj(j) += i; trim(j)
+      }
+      trim(i)
+      i += 1
+    }
+    (0 until n).iterator.map { idx =>
+      NswNode(cell, pts(idx)._1, pts(idx)._2,
+        adj(idx).map(x => pts(x)._1).sorted.toArray)
+    }
+  }
+
+  /** Build the per-cell NSW graphs: one hash exchange of
+    * (cell, vec_id, embedding), then pure executor-local construction.
+    * Returns (centroid_id, vec_id, embedding, neighbors). */
+  def build(vectors: DataFrame, step: Int, m: Int = 8, efC: Int = 32): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = Ivf.centroids(vectors, step)
+    Ivf.assignWithEmbedding(vectors, cents)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Long, it: Iterator[(Long, Long, Array[Float])]) =>
+        val pts = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        buildCell(cell, pts, m, efC)
+      }
+      .toDF()
+  }
+
+  /** ANN search over a built graph: route to the `nprobe` nearest
+    * cells (same centroid rule as [[Ivf.search]]), beam-walk each
+    * cell's graph from its lowest-id entry, merge with the library's
+    * standard (score desc, vec_id) top-k. The per-cell walk runs in
+    * `flatMapGroups` after a centroid_id semi-join — only probed
+    * cells' rows move, and a [[save]]d graph partition-prunes them at
+    * the scan. The 1-row query collect is the bounded class every
+    * imperative-kernel op documents (centroids, codebooks, queries). */
+  def search(graph: DataFrame, cents: DataFrame, query: DataFrame,
+             nprobe: Int, k: Int, ef: Int = 64): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val qv: Array[Float] = query.select(col("qv").cast("array<float>"))
+      .head().getSeq[Float](0).toArray
+    val probed = cents.crossJoin(broadcast(query))
+      .where(Pq.cleanCentroid(col("c_emb"), size(col("qv"))))
+      .select(col("centroid_id"),
+        round(graft.functions.VectorFunctions.l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
+      .orderBy(col("cdist"), col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    val efEff = math.max(ef, k)
+    graph
+      .join(broadcast(probed), "centroid_id")
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("neighbors"))
+      .as[NswNode]
+      .groupByKey(_.centroid_id)
+      .flatMapGroups { (_: Long, it: Iterator[NswNode]) =>
+        val nodes = it.toArray.sortBy(_.vec_id)
+        val pts = nodes.map(nd => (nd.vec_id, nd.embedding))
+        val idOf = pts.iterator.map(_._1).zipWithIndex.toMap
+        val adj = nodes.map(nd => mutable.ArrayBuffer(
+          nd.neighbors.flatMap(idOf.get): _*))
+        beam(qv, 0, efEff, pts.length, pts, adj).iterator
+          .map { case (d, idx) => (pts(idx)._1, -d) }
+      }
+      .toDF("vec_id", "raw")
+      .select(col("vec_id"), round(col("raw"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Persist the graph partitioned by cell — probes of a loaded graph
+    * prune to nprobe partition directories, the same layout contract
+    * as [[Ivf.save]]. */
+  def save(graph: DataFrame, path: String): Unit =
+    graph.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Graph-health report (the q63 dial for the NSW family): per-cell
+    * vertex count, mean/max degree, and isolated-vertex count — degree
+    * collapse or isolation means efC/m were sized wrong for the cell's
+    * local geometry and recall will sag there. One narrow pass over
+    * the graph table + a per-cell partial agg. */
+  def health(graph: DataFrame): DataFrame =
+    graph
+      .select(col("centroid_id"), size(col("neighbors")).as("deg"))
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n_vertices"),
+        round(avg("deg"), 2).as("mean_degree"),
+        max("deg").as("max_degree"),
+        sum(when(col("deg") === 0, 1L).otherwise(0L)).as("n_isolated"))
+      .orderBy("centroid_id")
+}

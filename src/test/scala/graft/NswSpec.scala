@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, Knn, Nsw}
+
+/** Per-cell NSW graph ANN: deterministic builds, degree bounds,
+  * exact-mode equivalence with brute force, recall at defaults,
+  * save/load parity. */
+class NswSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+  private lazy val query = Knn.queryVector(emb, 0L)
+  private val step = 25
+
+  test("build is deterministic: two builds are bit-identical") {
+    def snap() = Nsw.build(emb, step, m = 8, efC = 32)
+      .select("centroid_id", "vec_id", "neighbors")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(snap() == snap())
+  }
+
+  test("degree bound and connectivity: every list ≤ m; no isolated vertex in cells of ≥ 2") {
+    val g = Nsw.build(emb, step, m = 8, efC = 32)
+    val h = Nsw.health(g).collect()
+    assert(h.nonEmpty)
+    h.foreach { r =>
+      val (n, maxDeg, isolated) = (r.getLong(1), r.getInt(3), r.getLong(4))
+      assert(maxDeg <= 8, s"cell ${r.getLong(0)}: degree $maxDeg > m")
+      if (n >= 2) assert(isolated == 0,
+        s"cell ${r.getLong(0)}: $isolated isolated of $n (insert must always link)")
+    }
+  }
+
+  test("exact mode: ef ≥ cell size and nprobe ≥ #cells equals brute force bit for bit") {
+    val cents = Ivf.centroids(emb, step)
+    val g = Nsw.build(emb, step, m = 8, efC = 32)
+    val nsw = Nsw.search(g, cents, query, nprobe = 10000, k = 20, ef = 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Ivf.searchInline(emb, step, query, nprobe = 10000, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(nsw == exact)
+  }
+
+  test("recall@20 at default ef/nprobe clears 0.8 on the real corpus") {
+    val cents = Ivf.centroids(emb, step)
+    val g = Nsw.build(emb, step, m = 8, efC = 32)
+    val approx = Nsw.search(g, cents, query, nprobe = 4, k = 20, ef = 64)
+      .collect().map(_.getLong(0)).toSet
+    val exact = Ivf.searchInline(emb, step, query, nprobe = 10000, k = 20)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@20 = $recall")
+  }
+
+  test("save/load roundtrip searches identically and partition-prunes probed cells") {
+    val dir = Files.createTempDirectory("graft_nsw").toString
+    val cents = Ivf.centroids(emb, step)
+    val g = Nsw.build(emb, step, m = 8, efC = 32)
+    Nsw.save(g, dir)
+    val loaded = Nsw.load(spark, dir)
+    val a = Nsw.search(g, cents, query, nprobe = 4, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Nsw.search(loaded, cents, query, nprobe = 4, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+    // Partition pruning: the probed-cell filter must reach the scan as
+    // a partition filter, not a post-scan one.
+    val probedPlan = loaded.where(col("centroid_id") === 0L)
+      .queryExecution.executedPlan.toString
+    assert(probedPlan.contains("PartitionFilters: [isnotnull(centroid_id"),
+      s"expected centroid_id partition filter in:\n$probedPlan")
+  }
+
+  test("tiny crafted cell: neighbors are the true nearest under dot distance") {
+    import spark.implicits._
+    // 5 colinear vectors — nearest by dot = largest magnitude pairs.
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)), (2L, Array(3.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    // step ≥ n → single centroid/cell.
+    val g = Nsw.build(vs, step = 5, m = 2, efC = 8)
+    val nodes = g.select("vec_id", "neighbors").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(nodes.size == 5)
+    // Graph connected: union-find over edges reaches all 5.
+    val edges = nodes.toSeq.flatMap { case (v, ns) => ns.map(v -> _) }
+    val reach = collection.mutable.Set(0L)
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (a, b) =>
+        if (reach(a) && !reach(b)) { reach += b; changed = true }
+        if (reach(b) && !reach(a)) { reach += a; changed = true }
+      }
+    }
+    assert(reach.size == 5, s"graph not connected: $nodes")
+  }
+}
