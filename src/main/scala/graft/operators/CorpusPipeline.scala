@@ -134,18 +134,34 @@ object CorpusPipeline {
     * bit-identical to [[ngramContamination]] (CorpusOpsSpec runs the
     * differential), and the SQL oracle is the same exact statement.
     *
-    * Sizing: the [[bloomGate]] defaults (m=2^20 bits, k=5) hold fpp
-    * under ~1% up to ~10^5 distinct eval shingles; `mBits` is a
-    * parameter because a bigger eval suite just wants more bits, not a
-    * different plan. */
+    * Sizing: `mBits = 0` (the default) self-sizes — one
+    * approx_count_distinct pass over the eval hashes picks the next
+    * power of two ≥ 16× the estimate (~11 bits/element → fpp well
+    * under 1% at k=5), clamped to [2^20, 2^26] (128 KiB – 8 MiB of
+    * word array — it rides the ONE per-stage task-binary broadcast,
+    * not per-task traffic). A fixed m would silently rot: the sf1 sweep
+    * measured exactly that — 2^20 bits over sf1's ~10⁶ distinct eval
+    * shingles is ~1 bit/element, fpp ≈ 50%, and the gate stopped
+    * pruning. An explicit `mBits` still wins when the caller knows the
+    * suite size (and is what the specs pin). */
   def bloomNgramContamination(docs: DataFrame, k: Int, trainPct: Int = 90,
-                              flagFrac: Double = 0.25, mBits: Int = 1 << 20,
+                              flagFrac: Double = 0.25, mBits: Int = 0,
                               nProbes: Int = 5): DataFrame = {
     val tagged = docs.withColumn("split", splitCol(trainPct))
     val evalSh = Dedup.shingleRows(tagged.where(col("split") === "eval"), k)
       .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
 
-    val mightContain = bloomGate(evalSh.select(col("h")), mBits, nProbes)
+    val m =
+      if (mBits > 0) mBits
+      else {
+        val est = evalSh.select(approx_count_distinct("h").as("n"))
+          .head().getLong(0)
+        val want = 16L * math.max(est, 1L)
+        var p = 1L << 20
+        while (p < want && p < (1L << 26)) p <<= 1
+        p.toInt
+      }
+    val mightContain = bloomGate(evalSh.select(col("h")), m, nProbes)
     val trainSh = Dedup.shingleRows(tagged.where(col("split") === "train"), k)
       .select(Dedup.hash60(col("s")).as("h"))
       .where(mightContain)
