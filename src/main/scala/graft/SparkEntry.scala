@@ -632,11 +632,25 @@ object SparkEntry {
       val graph = Nsw.build(emb, IvfStep, m = 8, efC = 32)
       Nsw.search(graph, Ivf.centroids(emb, IvfStep),
         Knn.queryVector(emb, QueryVecId), nprobe = 4, k = K, ef = 64)
+    }),
+    "q118_nsw_append" -> ((s, d) => {
+      // Rows-only: incremental graph maintenance (q55's contract for
+      // the NSW family) — build on the first 80% of ids, append the
+      // rest against frozen centroids, serve. NswSpec pins
+      // append == rebuild bit-for-bit for this higher-ids delta shape.
+      val emb = Tables.embeddings(s, d)
+      val cut = emb.agg(max("vec_id")).head().getLong(0) * 4 / 5
+      val base = emb.where(col("vec_id") <= cut)
+      val cents = Ivf.centroids(base, IvfStep)
+      val g = Nsw.append(Nsw.build(base, IvfStep),
+        cents, emb.where(col("vec_id") > cut))
+      Nsw.search(g, cents, Knn.queryVector(emb, QueryVecId),
+        nprobe = 4, k = K, ef = 64)
     })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
-    * q10, q18, q61b, q75, q94, q117) are non-SQL-expressible (footer
+    * q10, q18, q61b, q75, q94, q117, q118) are non-SQL-expressible (footer
     * metadata / trained-vocab BPE / index file I/O / binary feature
     * plumbing / SVD-learned rotation / sequential greedy MMR /
     * approximate graph walk) → driver records a rows-only check. */

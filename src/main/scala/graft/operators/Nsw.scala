@@ -122,18 +122,23 @@ object Nsw {
   /** Incremental NSW construction for one cell's points (pre-sorted by
     * vec_id). Every insert beam-searches the partial graph, links to
     * the `m` nearest, and trims any over-degree neighbor back to
-    * `maxM` closest — the degree bound that keeps search O(ef·m). */
+    * `maxM` closest — the degree bound that keeps search O(ef·m).
+    * `adjInit` seeds the adjacency of the first `startFrom` points
+    * ([[append]]'s resume path); a fresh build passes none and starts
+    * inserting at index 1. */
   private def buildCell(cell: Long, pts: Array[(Long, Array[Float])],
-                        m: Int, efC: Int): Iterator[NswNode] = {
+                        m: Int, efC: Int, startFrom: Int = 1,
+                        adjInit: Array[Array[Int]] = Array.empty): Iterator[NswNode] = {
     val n = pts.length
     val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    adjInit.iterator.zipWithIndex.foreach { case (ns, i) => adj(i) ++= ns }
     val maxM = m
     def trim(j: Int): Unit = if (adj(j).length > maxM) {
       val kept = adj(j).map(x => ((dist(pts(j)._2, pts(x)._2), pts(x)._1), x))
         .sortBy(_._1).take(maxM).map(_._2)
       adj(j).clear(); adj(j) ++= kept
     }
-    var i = 1
+    var i = math.max(startFrom, 1)
     while (i < n) {
       val found = beam(pts(i)._2, 0, efC, i, pts, adj)
       val links = found.take(m)
@@ -152,10 +157,15 @@ object Nsw {
   /** Build the per-cell NSW graphs: one hash exchange of
     * (cell, vec_id, embedding), then pure executor-local construction.
     * Returns (centroid_id, vec_id, embedding, neighbors). */
-  def build(vectors: DataFrame, step: Int, m: Int = 8, efC: Int = 32): DataFrame = {
+  def build(vectors: DataFrame, step: Int, m: Int = 8, efC: Int = 32): DataFrame =
+    buildWith(vectors, Ivf.centroids(vectors, step), m, efC)
+
+  /** [[build]] against a caller-supplied (e.g. frozen) centroid table
+    * — the routing layer [[append]] holds fixed across deltas. */
+  def buildWith(vectors: DataFrame, cents: DataFrame, m: Int = 8,
+                efC: Int = 32): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val cents = Ivf.centroids(vectors, step)
     Ivf.assignWithEmbedding(vectors, cents)
       .select(col("centroid_id"), col("vec_id"), col("embedding"))
       .as[(Long, Long, Array[Float])]
@@ -165,6 +175,77 @@ object Nsw {
         buildCell(cell, pts, m, efC)
       }
       .toDF()
+  }
+
+  /** Incremental maintenance — the q55 contract for the graph family
+    * (IVF has [[Ivf.append]], PQ has [[Pq.append]]): insert `delta`
+    * vectors into an existing graph against FROZEN centroids, touching
+    * only the cells that receive deltas. Untouched cells pass through
+    * without a shuffle of their payloads (left-anti on the broadcast
+    * touched-cell list); touched cells replay the incremental-insert
+    * rule on top of their existing adjacency. When delta ids are
+    * higher than every base id (the common append pattern — new data
+    * gets new ids), the insert order equals a from-scratch build's, so
+    * append(base, delta) == build(base ∪ delta) BIT FOR BIT (NswSpec
+    * pins it); interleaved ids yield a different — equally valid —
+    * navigable graph. */
+  def append(graph: DataFrame, cents: DataFrame, delta: DataFrame,
+             m: Int = 8, efC: Int = 32): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val assigned = Ivf.assignWithEmbedding(delta, cents)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+      // An id already in the graph is not an append — drop it rather
+      // than corrupt the cell's point set (AQE picks the join
+      // strategy; both sides grow with SF, so no hint).
+      .join(graph.select("vec_id"), Seq("vec_id"), "left_anti")
+    val touched = assigned.select("centroid_id").distinct()
+    val untouched = graph
+      .join(broadcast(touched), Seq("centroid_id"), "left_anti")
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("neighbors"))
+    val rebuilt = graph
+      .join(broadcast(touched), Seq("centroid_id"), "left_semi")
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("neighbors"))
+      .as[NswNode]
+      .map(n => (n, true))
+      .union(assigned
+        .withColumn("neighbors", typedlit(Array.empty[Long]))
+        .as[NswNode].map(n => (n, false)))
+      .groupByKey(_._1.centroid_id)
+      .flatMapGroups { (cell: Long, it: Iterator[(NswNode, Boolean)]) =>
+        val all = it.toArray
+        val olds = all.filter(_._2).map(_._1).sortBy(_.vec_id)
+        val pts = all.map(_._1).sortBy(_.vec_id).map(nd => (nd.vec_id, nd.embedding))
+        val idOf = pts.iterator.map(_._1).zipWithIndex.toMap
+        // Existing adjacency re-indexed against the merged point set.
+        val adjInit = Array.fill(pts.length)(Array.empty[Int])
+        olds.foreach { nd =>
+          adjInit(idOf(nd.vec_id)) = nd.neighbors.flatMap(idOf.get)
+        }
+        if (olds.length == all.length) {
+          // Degenerate: a "touched" cell whose deltas were all dirty
+          // duplicates — nothing to insert, emit as-is.
+          olds.iterator.map(identity)
+        } else if (olds.isEmpty) {
+          buildCell(cell, pts, m, efC)
+        } else {
+          // Deltas sort AFTER base iff their ids are higher; either
+          // way the first startFrom indices are exactly the olds only
+          // when ids don't interleave. Recompute the resume point as
+          // the first index holding a new id.
+          val oldIds = olds.map(_.vec_id).toSet
+          val firstNew = pts.indexWhere(p => !oldIds.contains(p._1))
+          if (pts.drop(firstNew).forall(p => !oldIds.contains(p._1))) {
+            buildCell(cell, pts, m, efC, startFrom = firstNew, adjInit = adjInit)
+          } else {
+            // Interleaved ids: replay the whole cell from scratch in
+            // id order (deterministic, self-consistent).
+            buildCell(cell, pts, m, efC)
+          }
+        }
+      }
+      .toDF()
+    untouched.unionByName(rebuilt)
   }
 
   /** ANN search over a built graph: route to the `nprobe` nearest

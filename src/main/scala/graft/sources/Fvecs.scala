@@ -54,24 +54,40 @@ object Fvecs {
 
   val IdxField = "idx"
   val VecField = "vec"
-  val Schema: StructType = StructType(Seq(
+  /** float32 payloads (.fvecs) or int32 payloads (.ivecs — ANN
+    * ground-truth neighbor lists); identical record layout, 4-byte
+    * components, so splits/ids/pruning are shared verbatim. */
+  def schemaFor(ints: Boolean): StructType = StructType(Seq(
     StructField(IdxField, LongType, nullable = false),
-    StructField(VecField, ArrayType(FloatType, containsNull = false), nullable = false)))
+    StructField(VecField,
+      ArrayType(if (ints) IntegerType else FloatType, containsNull = false),
+      nullable = false)))
+  val Schema: StructType = schemaFor(ints = false)
 
   /** Write `df`'s (idCol, vecCol) as a directory of fvecs part files in
     * global idCol order. `numFiles` bounds write parallelism; boundary
     * placement is sampling-dependent but the concatenated order (the
     * only thing the format encodes) is exactly the id order. */
   def write(df: DataFrame, idCol: String, vecCol: String, dir: String,
-            numFiles: Int = 8): Unit = {
+            numFiles: Int = 8): Unit =
+    writeAs(df, idCol, vecCol, dir, numFiles, ints = false)
+
+  /** ivecs twin (int32 payloads — ground-truth neighbor lists). */
+  def writeIvecs(df: DataFrame, idCol: String, vecCol: String, dir: String,
+                 numFiles: Int = 8): Unit =
+    writeAs(df, idCol, vecCol, dir, numFiles, ints = true)
+
+  private def writeAs(df: DataFrame, idCol: String, vecCol: String, dir: String,
+                      numFiles: Int, ints: Boolean): Unit = {
     val spark = df.sparkSession
     val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val out = new Path(dir)
     val fs = out.getFileSystem(confSer.value)
     if (fs.exists(out)) fs.delete(out, true)
     fs.mkdirs(out)
+    val elemSql = if (ints) "array<int>" else "array<float>"
     df.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("v"))
+        col(vecCol).cast(elemSql).as("v"))
       .repartitionByRange(numFiles, col("id"))
       .sortWithinPartitions("id")
       .foreachPartition { (it: Iterator[Row]) =>
@@ -80,10 +96,11 @@ object Fvecs {
         val stream = p.getFileSystem(confSer.value).create(p, true)
         try {
           it.foreach { r =>
-            val v = r.getSeq[Float](1)
-            val buf = ByteBuffer.allocate(4 + 4 * v.length).order(ByteOrder.LITTLE_ENDIAN)
-            buf.putInt(v.length)
-            v.foreach(buf.putFloat)
+            val n = r.getSeq[Any](1).length
+            val buf = ByteBuffer.allocate(4 + 4 * n).order(ByteOrder.LITTLE_ENDIAN)
+            buf.putInt(n)
+            if (ints) r.getSeq[Int](1).foreach(buf.putInt)
+            else r.getSeq[Float](1).foreach(buf.putFloat)
             stream.write(buf.array())
           }
         } finally stream.close()
@@ -94,6 +111,10 @@ object Fvecs {
     * `.fvecs` part under `dir`, name-sorted. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("fvecs").load(dir)
+
+  /** ivecs twin: `(idx, vec: array<int>)`. */
+  def readIvecs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("fvecs").option("elements", "int").load(dir)
 
   /** q116: the export → DSv2 re-ingest differential, summarized as a
     * per-`idx%16`-bucket (count, Σ norm-micros) report the DuckDB
@@ -126,30 +147,31 @@ object Fvecs {
   * `format("graft.sources.FvecsDataSource")`). */
 class FvecsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "fvecs"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Fvecs.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Fvecs.schemaFor("int".equalsIgnoreCase(options.get("elements")))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "fvecs source requires a path")
-    new FvecsTable(path)
+    new FvecsTable(path, "int".equalsIgnoreCase(properties.get("elements")))
   }
 }
 
-class FvecsTable(path: String) extends Table with SupportsRead {
+class FvecsTable(path: String, ints: Boolean = false) extends Table with SupportsRead {
   override def name(): String = s"fvecs:$path"
-  override def schema(): StructType = Fvecs.Schema
+  override def schema(): StructType = Fvecs.schemaFor(ints)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FvecsScanBuilder(path)
+    new FvecsScanBuilder(path, ints)
 }
 
-class FvecsScanBuilder(path: String)
+class FvecsScanBuilder(path: String, ints: Boolean)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = Fvecs.Schema
+  private var required: StructType = Fvecs.schemaFor(ints)
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Preserve our field order; an empty prune (count(*)) keeps zero fields.
-    required = StructType(Fvecs.Schema.fields.filter(f =>
+    required = StructType(Fvecs.schemaFor(ints).fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
   }
   override def build(): Scan = {
@@ -240,6 +262,10 @@ class FvecsPartitionReader(p: FvecsInputPartition, required: StructType,
 
   private val needIdx = required.fieldNames.contains(Fvecs.IdxField)
   private val needVec = required.fieldNames.contains(Fvecs.VecField)
+  // int32 (.ivecs) and float32 (.fvecs) share the record layout; the
+  // pruned schema's element type says which conversion to run.
+  private val intElems = required.fields.find(_.name == Fvecs.VecField)
+    .exists(_.dataType == ArrayType(IntegerType, containsNull = false))
   private val recordSize = 4 + 4 * p.dim
   private val path = new Path(p.file)
   private val in = path.getFileSystem(confSer.value).open(path)
@@ -256,9 +282,16 @@ class FvecsPartitionReader(p: FvecsInputPartition, required: StructType,
       val bb = ByteBuffer.wrap(recBuf).order(ByteOrder.LITTLE_ENDIAN)
       val d = bb.getInt
       require(d == p.dim, s"fvecs record $i in ${p.file}: dim $d != ${p.dim}")
-      val floats = new Array[Float](p.dim)
-      bb.asFloatBuffer().get(floats)
-      val vec = UnsafeArrayData.fromPrimitiveArray(floats)
+      val vec =
+        if (intElems) {
+          val ints = new Array[Int](p.dim)
+          bb.asIntBuffer().get(ints)
+          UnsafeArrayData.fromPrimitiveArray(ints)
+        } else {
+          val floats = new Array[Float](p.dim)
+          bb.asFloatBuffer().get(floats)
+          UnsafeArrayData.fromPrimitiveArray(floats)
+        }
       current =
         if (needIdx) new GenericInternalRow(Array[Any](p.globalStart + i, vec))
         else new GenericInternalRow(Array[Any](vec))

@@ -87,6 +87,17 @@ class FvecsSpec extends SparkSpec {
     assert(report.toSeq == expected.toSeq)
   }
 
+  test("ivecs twin: int32 ground-truth lists roundtrip exactly (incl. negatives)") {
+    val dir = tmpDir("ivecs")
+    val lists: Seq[(Long, Seq[Int])] =
+      (0L until 50L).map(i => i -> Seq(i.toInt * 3, -(i.toInt) - 1, Int.MaxValue - i.toInt))
+    Fvecs.writeIvecs(lists.toDF("id", "v"), "id", "v", dir, numFiles = 3)
+    val back = Fvecs.readIvecs(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(back.size == 50)
+    lists.foreach { case (id, v) => assert(back(id) == v) }
+  }
+
   test("malformed file (truncated record) is rejected at plan time") {
     val dir = tmpDir("bad")
     // One valid 2-float record followed by 3 stray bytes, written raw

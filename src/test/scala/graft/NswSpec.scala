@@ -74,6 +74,24 @@ class NswSpec extends SparkSpec {
       s"expected centroid_id partition filter in:\n$probedPlan")
   }
 
+  test("append == rebuild bit for bit when delta ids are higher (the q55 contract)") {
+    val base = emb.where(col("vec_id") < 1000L)
+    val delta = emb.where(col("vec_id") >= 1000L)
+    // FROZEN centroids from the base corpus — the append contract.
+    val cents = Ivf.centroids(base, step)
+    val g0 = Nsw.build(base, step, m = 8, efC = 32)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("centroid_id", "vec_id", "neighbors")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val appended = Nsw.append(g0, cents, delta, m = 8, efC = 32)
+    // Rebuild against the SAME frozen centroids over the union.
+    val rebuilt = Nsw.buildWith(emb, cents, m = 8, efC = 32)
+    assert(canon(appended) == canon(rebuilt))
+    // Re-appending the same delta is a no-op (ids already present).
+    assert(canon(Nsw.append(appended, cents, delta, m = 8, efC = 32)) == canon(appended))
+  }
+
   test("tiny crafted cell: neighbors are the true nearest under dot distance") {
     import spark.implicits._
     // 5 colinear vectors — nearest by dot = largest magnitude pairs.
