@@ -2562,7 +2562,47 @@ object OracleSql {
          |SELECT idx % 16 AS bucket,
          |  CAST(count(*) AS BIGINT) AS n_vecs,
          |  CAST(sum(norm_u) AS BIGINT) AS sum_norm_u
-         |FROM idxd GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM idxd GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q119: embedding drift — reference geography from the even-id half
+    // (stride 2·IvfStep rows are all even), one argmin pass, integer
+    // ppm shares (floor) + micro-unit means (the q51 recipe).
+    "q119_embedding_drift" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id // ${2 * IvfStep} AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % ${2 * IvfStep} = 0 AND ${cleanEmb("embedding")}),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c
+         |  WHERE ${cleanEmb("v.embedding")}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id, dist FROM (
+         |    SELECT vec_id, centroid_id, dist,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |micro AS (
+         |  SELECT centroid_id, vec_id % 2 AS half,
+         |    CAST(round(dist * 1000000) AS BIGINT) AS dist_micro
+         |  FROM assigned),
+         |percell AS (
+         |  SELECT centroid_id,
+         |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+         |    CAST(sum(CASE WHEN half = 0 THEN dist_micro ELSE 0 END) AS BIGINT) AS s_ref,
+         |    CAST(sum(CASE WHEN half = 1 THEN dist_micro ELSE 0 END) AS BIGINT) AS s_cur
+         |  FROM micro GROUP BY centroid_id),
+         |tot AS (
+         |  SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+         |    CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM percell)
+         |SELECT centroid_id, n_ref, n_cur,
+         |  CAST(n_ref * 1000000 // tot_ref AS BIGINT) AS share_ref_ppm,
+         |  CAST(n_cur * 1000000 // tot_cur AS BIGINT) AS share_cur_ppm,
+         |  CAST(n_cur * 1000000 // tot_cur - n_ref * 1000000 // tot_ref AS BIGINT) AS delta_ppm,
+         |  CAST(CASE WHEN n_ref > 0 THEN s_ref // n_ref ELSE -1 END AS BIGINT) AS mean_ref_micro,
+         |  CAST(CASE WHEN n_cur > 0 THEN s_cur // n_cur ELSE -1 END AS BIGINT) AS mean_cur_micro,
+         |  CAST(abs(n_cur * 1000000 // tot_cur - n_ref * 1000000 // tot_ref) >= 2000 AS INT) AS drifted
+         |FROM percell CROSS JOIN tot ORDER BY centroid_id""".stripMargin
   )
 
   // ---------------------------------------------------------------------

@@ -646,7 +646,9 @@ object SparkEntry {
         cents, emb.where(col("vec_id") > cut))
       Nsw.search(g, cents, Knn.queryVector(emb, QueryVecId),
         nprobe = 4, k = K, ef = 64)
-    })
+    }),
+    "q119_embedding_drift" -> ((s, d) =>
+      Clusters.embeddingDrift(Tables.embeddings(s, d), IvfStep))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -220,4 +220,54 @@ object Clusters {
           .cast("int").as("is_outlier"))
       .orderBy("vec_id")
   }
+
+  /** Embedding-space drift report (q119) — the embedding twin of q86's
+    * token-distribution drift, the dial that says when a corpus's
+    * vector GEOGRAPHY moved (new domain mix, re-embedded model, data
+    * bug) and the ANN index family needs re-training. Reference half =
+    * even vec_ids, current half = odd; centroids come from stride
+    * 2·step, whose rows are all even ids — the cell geography is
+    * defined by the REFERENCE half by construction, so drift reads as
+    * "where does the current half sit in the reference's map".
+    *
+    * Per cell: member counts per half, occupancy shares in integer ppm
+    * (floor division of exact counts — the domainMix recipe), the
+    * share delta, per-half mean assignment distance in integer
+    * micro-units (dist is 6-dp-rounded so dist·10⁶ is integer-valued —
+    * the q51 recipe; means are floor divisions of non-negative longs,
+    * identical in both engines), and an |Δppm| ≥ flagPpm drift flag.
+    * Plan: ONE zero-shuffle argmin scan over all vectors (half is a
+    * pmod of vec_id in the same pass), one k-cell partial agg, a 1-row
+    * totals broadcast — scan-speed at any corpus size, exactly the
+    * q63/q86 report class. */
+  def embeddingDrift(vectors: DataFrame, step: Int,
+                     flagPpm: Long = 2000): DataFrame = {
+    val cents = Ivf.centroids(vectors, 2 * step)
+    val withHalf = Ivf.assign(vectors, cents)
+      .where(col("centroid_id").isNotNull)
+      .select(col("centroid_id"),
+        pmod(col("vec_id"), lit(2L)).as("half"),
+        round(col("dist") * 1e6).cast("long").as("dist_micro"))
+    val perCell = withHalf.groupBy("centroid_id").agg(
+      sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"),
+      sum(when(col("half") === 0, col("dist_micro")).otherwise(0L)).as("s_ref"),
+      sum(when(col("half") === 1, col("dist_micro")).otherwise(0L)).as("s_cur"))
+    val totals = perCell.agg(
+      sum("n_ref").as("tot_ref"), sum("n_cur").as("tot_cur"))
+    val shareRef = expr("n_ref * 1000000 div tot_ref")
+    val shareCur = expr("n_cur * 1000000 div tot_cur")
+    perCell.crossJoin(broadcast(totals))
+      .select(
+        col("centroid_id"), col("n_ref"), col("n_cur"),
+        shareRef.as("share_ref_ppm"),
+        shareCur.as("share_cur_ppm"),
+        (shareCur - shareRef).as("delta_ppm"),
+        when(col("n_ref") > 0, expr("s_ref div n_ref")).otherwise(-1L)
+          .as("mean_ref_micro"),
+        when(col("n_cur") > 0, expr("s_cur div n_cur")).otherwise(-1L)
+          .as("mean_cur_micro"),
+        (abs(shareCur - shareRef) >= flagPpm).cast("int").as("drifted"))
+      .orderBy("centroid_id")
+  }
 }

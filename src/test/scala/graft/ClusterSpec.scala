@@ -103,4 +103,34 @@ class ClusterSpec extends SparkSpec {
         / (col("l.nrm") * col("r.nrm")) >= 0.4)
     assert(crossing.isEmpty)
   }
+
+  test("embeddingDrift: identical halves read zero drift; a shifted half flags its cell") {
+    import spark.implicits._
+    import graft.operators.Clusters
+    // 2 cells (step=2 → stride-4 centroids at ids 0 and 4): even/odd
+    // halves built IDENTICAL per cell → every delta_ppm must be 0.
+    def vec(x: Float, y: Float) = Array(x, y)
+    val balanced = Seq(
+      0L -> vec(0f, 0f), 1L -> vec(0f, 0f), 2L -> vec(0.1f, 0f), 3L -> vec(0.1f, 0f),
+      4L -> vec(5f, 5f), 5L -> vec(5f, 5f), 6L -> vec(5.1f, 5f), 7L -> vec(5.1f, 5f)
+    ).toDF("vec_id", "embedding")
+    val even = Clusters.embeddingDrift(balanced, step = 2).collect()
+    assert(even.length == 2)
+    even.foreach { r =>
+      assert(r.getLong(5) == 0L, s"delta_ppm nonzero in balanced corpus: $r")
+      assert(r.getInt(8) == 0)
+    }
+    // Move every odd-id (current-half) row into cell 1's neighborhood:
+    // cell 1 over-represents in the current half → both cells flag.
+    val shifted = Seq(
+      0L -> vec(0f, 0f), 1L -> vec(5f, 5f), 2L -> vec(0.1f, 0f), 3L -> vec(5.1f, 5f),
+      4L -> vec(5f, 5f), 5L -> vec(5f, 5f), 6L -> vec(5.1f, 5f), 7L -> vec(5.1f, 5f)
+    ).toDF("vec_id", "embedding")
+    val out = Clusters.embeddingDrift(shifted, step = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(5) < 0 && out(0L).getInt(8) == 1)   // cell 0 lost current share
+    assert(out(1L).getLong(5) > 0 && out(1L).getInt(8) == 1)   // cell 1 gained it
+    // Share columns are exact floor-ppm of the halves.
+    assert(out(1L).getLong(1) == 2L || out(0L).getLong(1) == 2L)
+  }
 }
