@@ -290,6 +290,79 @@ object Nsw {
       .limit(k)
   }
 
+  /** Batched ANN serving over the graph — the cluster shape for
+    * offline inference, parity with [[Ivf.searchBatch]] /
+    * [[Bq.searchBatch]]: ONE plan answers the whole query table, no
+    * per-query driver loop. Queries are a bounded panel (the q67
+    * class), so they collect once and ride to the probed cells as a
+    * broadcast routing map (cell → queries probing it, built with the
+    * same (cdist, centroid_id) rule as [[search]]); each probed cell
+    * walks every query routed to it in one `flatMapGroups` pass over
+    * the cell's rows (the graph loads ONCE per cell regardless of how
+    * many queries probe it — the batching win), and a GroupedTopK heap
+    * takes per-query top-k without a sort. Exact-mode equivalence with
+    * per-query [[search]] is pinned by NswSpec. */
+  def searchBatch(graph: DataFrame, cents: DataFrame, queries: DataFrame,
+                  nprobe: Int, k: Int, ef: Int = 64): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val cs = Ivf.collectCentroids(cents)
+    // Bounded panel collect (documented class): route each query to
+    // its nprobe nearest clean centroids with the search() rule.
+    val qRows = queries.select(col("query_id").cast("long"),
+        col("qv").cast("array<float>"))
+      .collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val routing: Map[Long, Array[(Long, Array[Float])]] = {
+      val pairs = for {
+        (qid, qv) <- qRows.toSeq
+        cid <- cs.cids.indices.iterator
+          .filter(j => cs.mat(j).length == qv.length)
+          .map { j =>
+            val emb = cs.mat(j)
+            var acc = 0.0
+            var i = 0
+            while (i < qv.length) {
+              val dlt = qv(i).toDouble - emb(i); acc += dlt * dlt; i += 1
+            }
+            (BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              cs.cids(j))
+          }
+          .toSeq.sorted.take(nprobe).map(_._2)
+      } yield (cid, (qid, qv))
+      pairs.groupBy(_._1).map { case (c, qs) =>
+        c -> qs.map(_._2).sortBy(_._1).toArray
+      }
+    }
+    val routingB = spark.sparkContext.broadcast(routing)
+    val efEff = math.max(ef, k)
+    val probedCells = routing.keySet.toSeq.sorted
+    val walked = graph
+      .where(col("centroid_id").isin(probedCells: _*))
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("neighbors"))
+      .as[NswNode]
+      .groupByKey(_.centroid_id)
+      .flatMapGroups { (cell: Long, it: Iterator[NswNode]) =>
+        val nodes = it.toArray.sortBy(_.vec_id)
+        val pts = nodes.map(nd => (nd.vec_id, nd.embedding))
+        val idOf = pts.iterator.map(_._1).zipWithIndex.toMap
+        val adj = nodes.map(nd => mutable.ArrayBuffer(
+          nd.neighbors.flatMap(idOf.get): _*))
+        routingB.value.getOrElse(cell, Array.empty).iterator.flatMap {
+          case (qid, qv) =>
+            beam(qv, 0, efEff, pts.length, pts, adj).iterator
+              .map { case (d, idx) => (qid, pts(idx)._1, -d) }
+        }
+      }
+      .toDF("query_id", "vec_id", "raw")
+      .select(col("query_id"), col("vec_id"), round(col("raw"), 6).as("score"))
+    graft.plans.GroupedTopK.topK(walked, Seq(col("query_id")),
+        Seq(col("score").desc, col("vec_id").asc), k)
+      .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+  }
+
   /** Persist the graph partitioned by cell — probes of a loaded graph
     * prune to nprobe partition directories, the same layout contract
     * as [[Ivf.save]]. */

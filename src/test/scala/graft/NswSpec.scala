@@ -74,6 +74,20 @@ class NswSpec extends SparkSpec {
       s"expected centroid_id partition filter in:\n$probedPlan")
   }
 
+  test("searchBatch equals the per-query loop (routing + walks + top-k, bit for bit)") {
+    val cents = Ivf.centroids(emb, step)
+    val g = Nsw.build(emb, step, m = 8, efC = 32)
+    val ids = Seq(0L, 25L, 111L)
+    val batch = Nsw.searchBatch(g, cents, Knn.queryPanel(emb, ids),
+        nprobe = 4, k = 10, ef = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val singles = ids.flatMap { qid =>
+      Nsw.search(g, cents, Knn.queryVector(emb, qid), nprobe = 4, k = 10, ef = 64)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }
+    assert(batch == singles)
+  }
+
   test("append == rebuild bit for bit when delta ids are higher (the q55 contract)") {
     val base = emb.where(col("vec_id") < 1000L)
     val delta = emb.where(col("vec_id") >= 1000L)
