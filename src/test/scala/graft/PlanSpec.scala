@@ -137,4 +137,31 @@ class PlanSpec extends SparkSpec {
     val p = physical(df)
     assert(p.contains("LeftSemi"), s"expected a LeftSemi join:\n$p")
   }
+
+  test("bloom decontamination's gate is a narrow filter: no exchange added over the plain plan") {
+    def exchanges(df: DataFrame): Int =
+      "(?<!Reused)Exchange".r.findAllIn(physical(df)).length
+    val plain = CorpusPipeline.ngramContamination(docs, 3)
+    val bloom = CorpusPipeline.bloomNgramContamination(docs, 3, mBits = 1 << 18)
+    // The bloom build runs as separate bounded jobs at construction
+    // time; the MAIN plan must shuffle no more than the ungated one —
+    // the gate rides the train scan as a codegen'd filter.
+    assert(exchanges(bloom) <= exchanges(plain),
+      s"gate added an exchange: plain=${exchanges(plain)} bloom=${exchanges(bloom)}")
+    assert(physical(bloom).contains("element_at"),
+      "expected the bloom word-array probe inside the main plan")
+  }
+
+  test("embedding drift is one argmin pass: no exchange below the per-cell aggregate") {
+    val df = Clusters.embeddingDrift(emb, 25)
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct"), s"drift plan has a CartesianProduct:\n$p")
+    // The vectors scan must feed a partial aggregate directly — the
+    // q09 map-only-assignment claim carried into the drift report.
+    val scanIdx = p.indexOf("FileScan parquet")
+    assert(scanIdx >= 0)
+    val aboveScan = p.substring(0, scanIdx)
+    assert(aboveScan.contains("HashAggregate"),
+      s"expected a partial aggregate above the vectors scan:\n$p")
+  }
 }
