@@ -2602,7 +2602,19 @@ object OracleSql {
          |  CAST(CASE WHEN n_ref > 0 THEN s_ref // n_ref ELSE -1 END AS BIGINT) AS mean_ref_micro,
          |  CAST(CASE WHEN n_cur > 0 THEN s_cur // n_cur ELSE -1 END AS BIGINT) AS mean_cur_micro,
          |  CAST(abs(n_cur * 1000000 // tot_cur - n_ref * 1000000 // tot_ref) >= 2000 AS INT) AS drifted
-         |FROM percell CROSS JOIN tot ORDER BY centroid_id""".stripMargin
+         |FROM percell CROSS JOIN tot ORDER BY centroid_id""".stripMargin,
+
+    "q120_corpus_shuffle" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |    ${hash60(s"(CAST(doc_id AS VARCHAR) || ':$ShuffleEpoch')")} AS skey
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(skey % $ShuffleShards AS INT) AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY skey % $ShuffleShards
+         |    ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+         |FROM keyed ORDER BY shard, pos""".stripMargin
   )
 
   // ---------------------------------------------------------------------

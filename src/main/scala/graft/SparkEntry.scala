@@ -252,6 +252,16 @@ object SparkEntry {
     val Q20Num = 1              // q112 dominance gate: supplier ships
     val Q20Den = 2              // > 1/2 of a part's in-window volume
                                 // (Q20's 0.5 availability factor)
+    val ShuffleEpoch = 1        // q120 epoch seed — epoch 0 is "no
+                                // shuffle yet" by convention; 1 is the
+                                // first trained epoch
+    val ShuffleShards = 8       // q120 shard count (a training run's
+                                // data-parallel reader count)
+    val BpeTrainMerges = 24     // q121 merge budget: enough rounds to
+                                // exercise merge-of-merged-token pairs
+                                // (rank>10 merges here have composite
+                                // sides) while keeping the per-round
+                                // collect loop a small fixed cost
   }
   import Params._
 
@@ -648,7 +658,11 @@ object SparkEntry {
         nprobe = 4, k = K, ef = 64)
     }),
     "q119_embedding_drift" -> ((s, d) =>
-      Clusters.embeddingDrift(Tables.embeddings(s, d), IvfStep))
+      Clusters.embeddingDrift(Tables.embeddings(s, d), IvfStep)),
+    "q120_corpus_shuffle" -> ((s, d) =>
+      CorpusPipeline.corpusShuffle(Tables.documents(s, d), ShuffleEpoch, ShuffleShards)),
+    "q121_bpe_train" -> ((s, d) =>
+      BpeTrain.train(Tables.documents(s, d), BpeTrainMerges))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -98,8 +98,11 @@ object Bpe {
   }
 
   /** Pre-tokenize into byte-piece words (each an array of 1-byte latin-1
-    * strings, ready for the merge loop). */
-  private def preTokenize(text: String): Iterator[Array[String]] = {
+    * strings, ready for the merge loop). `private[graft]` so
+    * [[graft.operators.BpeTrain]]'s distributed learner shares the ONE
+    * pre-tokenizer definition with [[learn]] and [[countTokens]] —
+    * train/encode skew is how tokenizers silently break. */
+  private[graft] def preTokenize(text: String): Iterator[Array[String]] = {
     val m = Cl100kPattern.matcher(text)
     new Iterator[Array[String]] {
       private var has = m.find()

@@ -360,4 +360,33 @@ object CorpusPipeline {
       minTokens, maxMeanTokenLen)
       .orderBy("doc_id")
   }
+
+  /** Deterministic epoch shuffle: the reproducible global reordering a
+    * training run needs per epoch (data order changes loss curves;
+    * `rand()` would give every retry of a failed job a DIFFERENT order,
+    * so resumption and A/B comparisons demand a seeded permutation).
+    * The shuffle key is [[Dedup.hash60]] over `doc_id:epoch` — the same
+    * cross-engine md5 bucket rule [[splitCol]] uses — so the order is a
+    * pure function of (doc_id, epoch): epoch n+1 reshuffles, re-running
+    * epoch n reproduces it exactly.
+    *
+    * Scale shape: one hash exchange on `shard` (each shard's rows
+    * co-locate), then a PER-SHARD sort for `pos` — the window never
+    * sees more than |corpus|/nShards rows, and writing shard files is
+    * `partitionBy(shard)` + `sortWithinPartitions(skey)` with no global
+    * sort anywhere. Tie-break (skey, doc_id) makes `pos` total even if
+    * two ids collide in the 60-bit key space. */
+  def corpusShuffle(docs: DataFrame, epoch: Int, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"),
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(":" + epoch)))
+          .as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy("shard").orderBy("skey", "doc_id"))
+          - 1).cast("bigint"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+import graft.operators.BpeTrain
+
+/** Distributed BPE trainer (q121): the distributed merge loop must be
+  * BIT-IDENTICAL to the driver-side [[Bpe.learn]] run over the same
+  * texts — same pre-tokenizer, same weighted pair counts, same
+  * (max-count, lexicographically-smallest) tie-break, same
+  * left-to-right merge application. Any divergence is train/encode skew.
+  */
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMerge is left-to-right non-overlapping (the learn/tiktoken rule)") {
+    // aaa + merge (a,a): leftmost pair wins, no overlap → [aa, a]
+    assert(BpeTrain.applyMerge(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(BpeTrain.applyMerge(Seq("a", "a", "a", "a"), "a", "a") == Seq("aa", "aa"))
+    assert(BpeTrain.applyMerge(Seq("x", "a", "b", "y"), "a", "b") == Seq("x", "ab", "y"))
+    assert(BpeTrain.applyMerge(Seq("x", "y"), "a", "b") == Seq("x", "y"))
+  }
+
+  test("distributed train == driver learn, bit for bit (crafted corpus)") {
+    // Repetition-heavy texts so merges chain into composite tokens, plus
+    // a tie at round 1 ("ab" vs "ba" shapes) to exercise the tie-break.
+    val texts = Seq(
+      "banana banana bandana",
+      "an analyst ban bananas",
+      "a banana and an anaconda",
+      "nab nab nab")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val n = 16
+    val got = BpeTrain.train(docs, n)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val want = Bpe.learn(texts, n)
+    // learn returns Ranks((l, r) -> rank); compare as rank-ordered pairs.
+    val wantPairs = want.ranks.toSeq.sortBy(_._2).map { case ((a, b), r) => (r, a, b) }
+    assert(got == wantPairs)
+    // Sanity: merges happened and chained into composite tokens.
+    assert(got.nonEmpty)
+    assert(got.exists { case (_, a, b) => a.length > 1 || b.length > 1 })
+  }
+
+  test("distributed train == driver learn on a real corpus slice") {
+    val docs = Tables.documents(spark, sf0001)
+      .where(col("doc_id") < 40).select("doc_id", "text")
+    val texts = docs.orderBy("doc_id").select("text").as[String].collect().toSeq
+    val n = 12
+    val got = BpeTrain.train(docs, n)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val wantPairs = Bpe.learn(texts, n).ranks.toSeq.sortBy(_._2)
+      .map { case ((a, b), r) => (r, a, b) }
+    assert(got == wantPairs)
+  }
+
+  test("train exhausts gracefully when the corpus runs out of pairs") {
+    // Tiny corpus; a large budget must stop at exhaustion, not loop.
+    // Pre-tokens: "ab" ×2 and " ab" ×1 (the cl100k pattern keeps the
+    // leading space) → merge (a,b), then (" ", "ab"), then nothing.
+    val docs = Seq((0L, "ab ab"), (1L, "ab")).toDF("doc_id", "text")
+    val out = BpeTrain.train(docs, 100).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq((0, "a", "b"), (1, " ", "ab")))
+  }
+
+  test("toRanks plugs the trained table into the shared encode loop") {
+    val texts = Seq("banana banana", "bandana")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val ranks = BpeTrain.toRanks(BpeTrain.train(docs, 8))
+    // Trained merges must COMPRESS the training text vs raw bytes, and
+    // the count must equal the driver learner's own encode.
+    val wantRanks = Bpe.learn(texts, 8)
+    texts.foreach { t =>
+      val bytes = t.getBytes("UTF-8").length
+      val enc = Bpe.countTokens(org.apache.spark.unsafe.types.UTF8String.fromString(t), ranks)
+      val ref = Bpe.countTokens(org.apache.spark.unsafe.types.UTF8String.fromString(t), wantRanks)
+      assert(enc == ref)
+      assert(enc < bytes)
+    }
+  }
+
+  test("q121 output is non-empty and rank-dense on the gate corpus") {
+    val out = SparkEntry.queries("q121_bpe_train")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getInt(0)).toSeq == out.indices.map(identity))
+    // every winning pair was counted from at least one adjacent occurrence
+    assert(out.forall(_.getLong(3) >= 1L))
+  }
+}

@@ -247,4 +247,33 @@ class CorpusOpsSpec extends SparkSpec {
     val ids = LanguageModel.lmScore(docs, 90).collect().map(_.getLong(0)).toSet
     assert(ids == Set(trainIds(0)))
   }
+
+  test("corpusShuffle is a total, dense, seed-reproducible assignment") {
+    val docs = (0L until 200L).toDF("doc_id")
+    val a = CorpusPipeline.corpusShuffle(docs, epoch = 1, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // total: every doc exactly once; shards in range
+    assert(a.map(_._1).sorted.toSeq == (0L until 200L))
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    // dense: each shard's positions are exactly 0..n-1
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == rows.indices.map(_.toLong))
+    }
+    // reproducible: a second run is bit-identical
+    val b = CorpusPipeline.corpusShuffle(docs, epoch = 1, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("corpusShuffle reshuffles across epochs and actually permutes") {
+    val docs = (0L until 200L).toDF("doc_id")
+    def order(epoch: Int): Seq[Long] =
+      CorpusPipeline.corpusShuffle(docs, epoch, nShards = 4)
+        .orderBy("shard", "pos").collect().map(_.getLong(0)).toSeq
+    val e1 = order(1)
+    val e2 = order(2)
+    assert(e1 != e2)               // epoch seed changes the order
+    assert(e1 != (0L until 200L))  // and it is not the identity order
+    assert(e1.sorted == (0L until 200L)) // but still a permutation
+  }
 }
