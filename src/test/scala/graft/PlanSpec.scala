@@ -164,4 +164,17 @@ class PlanSpec extends SparkSpec {
     assert(aboveScan.contains("HashAggregate"),
       s"expected a partial aggregate above the vectors scan:\n$p")
   }
+
+  test("corpusShuffle windows per shard, never over a single partition") {
+    val df = CorpusPipeline.corpusShuffle(docs, epoch = 1, nShards = 8)
+    val p = physical(df)
+    // The position window must partition by shard — a bare
+    // Window.orderBy would plan Exchange SinglePartition and serialize
+    // the whole corpus through one task at 100 TB.
+    assert(!p.contains("SinglePartition"),
+      s"corpusShuffle collapsed to a single-partition window:\n$p")
+    assert(p.contains("Window"), s"expected a window operator:\n$p")
+    assert("hashpartitioning\\(shard".r.findFirstIn(p).isDefined,
+      s"expected the window exchange keyed on shard:\n$p")
+  }
 }
