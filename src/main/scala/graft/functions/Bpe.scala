@@ -87,6 +87,27 @@ object Bpe {
     } finally src.close()
   }
 
+  /** Write a [[Ranks]] table in tiktoken's shipped format — one
+    * `<base64-token> <rank>` line per merged token (the format
+    * [[loadTiktoken]] reads back). Pair-keyed ranks serialize as their
+    * CONCATENATED bytes, which is exactly how tiktoken keys its vocab
+    * and how [[Ranks.pairRank]]'s concat path scores candidates — so
+    * save → load → encode is count-identical to encoding with the
+    * original pair-keyed table (BpeTrainSpec pins the roundtrip).
+    * Driver-side by design: a merge table is KB-to-MB at any corpus
+    * scale (cl100k is ~1.7 MB). */
+  def saveTiktoken(r: Ranks, path: String): Unit = {
+    val enc = java.util.Base64.getEncoder
+    val lines = (r.ranks.map { case ((a, b), rank) => (a + b, rank) } ++ r.concat)
+      .toSeq.sortBy(_._2)
+      .map { case (tok, rank) =>
+        enc.encodeToString(tok.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) +
+          " " + rank
+      }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private def latin1(bytes: Array[Byte]): Array[String] = {
     val out = new Array[String](bytes.length)
     var i = 0

@@ -83,6 +83,26 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("saveTiktoken → loadTiktoken → encode matches the pair-keyed table") {
+    // The full lifecycle: distributed train → vocab file on disk →
+    // reload → encode. Counts must match encoding with the original
+    // pair-keyed ranks on training AND unseen text.
+    val docs = Tables.documents(spark, sf0001)
+      .where(col("doc_id") < 60).select("doc_id", "text")
+    val trained = BpeTrain.toRanks(BpeTrain.train(docs, 16))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_trained.tiktoken"
+    Bpe.saveTiktoken(trained, path)
+    val loaded = Bpe.loadTiktoken(path)
+    assert(loaded.concat.size == trained.ranks.size)
+    val texts = docs.orderBy("doc_id").select("text").as[String].collect().toSeq :+
+      "wholly unseen zebra-text 12345 !!"
+    texts.foreach { t =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      assert(Bpe.countTokens(u, loaded) == Bpe.countTokens(u, trained),
+        s"roundtrip count drift on: ${t.take(40)}")
+    }
+  }
+
   test("q121 output is non-empty and rank-dense on the gate corpus") {
     val out = SparkEntry.queries("q121_bpe_train")(spark, sf0001).collect()
     assert(out.nonEmpty)
