@@ -2614,7 +2614,27 @@ object OracleSql {
          |  CAST(row_number() OVER (
          |    PARTITION BY skey % $ShuffleShards
          |    ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
-         |FROM keyed ORDER BY shard, pos""".stripMargin
+         |FROM keyed ORDER BY shard, pos""".stripMargin,
+
+    "q122_maxsim" ->
+      s"""WITH toks AS (
+         |  SELECT vec_id // $MaxSimTokensPerDoc AS mdoc_id, vec_id, embedding
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS qv FROM toks
+         |  WHERE mdoc_id = $MaxSimQueryDoc),
+         |scored AS (
+         |  SELECT t.mdoc_id, q.q_id,
+         |    CAST(round(round(${dotd("t.embedding", "q.qv")}, 6) * 1000000) AS BIGINT) AS dot_micro
+         |  FROM toks t CROSS JOIN q),
+         |best AS (
+         |  SELECT mdoc_id, q_id, max(dot_micro) AS best_micro
+         |  FROM scored GROUP BY 1, 2)
+         |SELECT mdoc_id,
+         |  CAST(sum(best_micro) AS BIGINT) AS maxsim_micro,
+         |  CAST(count(*) AS BIGINT) AS n_qtokens
+         |FROM best GROUP BY mdoc_id
+         |ORDER BY maxsim_micro DESC, mdoc_id LIMIT $MaxSimTopN""".stripMargin
   )
 
   // ---------------------------------------------------------------------

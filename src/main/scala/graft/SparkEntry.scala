@@ -262,6 +262,14 @@ object SparkEntry {
                                 // (rank>10 merges here have composite
                                 // sides) while keeping the per-round
                                 // collect loop a small fixed cost
+    val MaxSimTokensPerDoc = 16 // q122 multi-vector doc granularity
+                                // (contiguous-id groups, the q119
+                                // convention): ≥3 docs at the sf0.001
+                                // gate, 125 at sf0.01
+    val MaxSimQueryDoc = 0L     // q122 query = doc 0's own token set
+                                // (contains QueryVecId, the reference's
+                                // sample query vector)
+    val MaxSimTopN = 20         // q122 report depth (the reference's K)
   }
   import Params._
 
@@ -662,7 +670,9 @@ object SparkEntry {
     "q120_corpus_shuffle" -> ((s, d) =>
       CorpusPipeline.corpusShuffle(Tables.documents(s, d), ShuffleEpoch, ShuffleShards)),
     "q121_bpe_train" -> ((s, d) =>
-      BpeTrain.train(Tables.documents(s, d), BpeTrainMerges))
+      BpeTrain.train(Tables.documents(s, d), BpeTrainMerges)),
+    "q122_maxsim" -> ((s, d) =>
+      Knn.maxSim(Tables.embeddings(s, d), MaxSimTokensPerDoc, MaxSimQueryDoc, MaxSimTopN))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

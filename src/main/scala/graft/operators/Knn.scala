@@ -178,4 +178,43 @@ object Knn {
     * searches with `sampleVectors[0]`, Program.cs:210). */
   def queryVector(vectors: DataFrame, vecId: Long): DataFrame =
     vectors.filter(col("vec_id") === vecId).select(col("embedding").as("qv"))
+
+  /** Late-interaction (ColBERT-style) MaxSim retrieval: documents are
+    * SETS of token vectors, and a document's score against a query
+    * token set is Σ_q max_d ⟨q, d⟩ — each query token finds its best
+    * match in the doc, matches sum. This is the retrieval model
+    * multi-vector encoders serve; the single-vector [[topKDot]] is its
+    * k=1 degenerate case.
+    *
+    * The corpus carries one vector per row, so documents are the
+    * contiguous-id groups `vec_id div tokensPerDoc` (the q119
+    * convention for deriving structure from the synthetic corpus); the
+    * query is doc `queryDocId`'s own token set. Plan shape is the
+    * SERVING shape at any scale: the query's ≤ tokensPerDoc vectors
+    * broadcast into the corpus scan (never a shuffle of the big side),
+    * dots run in the codegen'd [[graft.functions.VectorFunctions.dot]]
+    * kernel, and the two aggregations — max per (doc, query-token),
+    * sum per doc — partial-aggregate map-side first, so their
+    * exchanges carry docs×qtokens and docs rows respectively, never
+    * corpus-sized traffic. Scores move
+    * through integer micro-units after a 6-dp round (SURVEY §6: max
+    * and sum stay exact 64-bit, no cross-engine float-sum drift). */
+  def maxSim(vectors: DataFrame, tokensPerDoc: Int, queryDocId: Long,
+             topN: Int): DataFrame = {
+    val docd = vectors.select(
+      expr(s"vec_id DIV $tokensPerDoc").as("mdoc_id"),
+      col("embedding"))
+    val qTokens = vectors
+      .where(expr(s"vec_id DIV $tokensPerDoc") === queryDocId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    docd.crossJoin(broadcast(qTokens))
+      .select(col("mdoc_id"), col("q_id"),
+        round(round(dot(col("embedding"), col("qv")), 6) * 1e6).cast("long")
+          .as("dot_micro"))
+      .groupBy("mdoc_id", "q_id").agg(max("dot_micro").as("best_micro"))
+      .groupBy("mdoc_id")
+      .agg(sum("best_micro").as("maxsim_micro"), count(lit(1)).as("n_qtokens"))
+      .orderBy(desc("maxsim_micro"), asc("mdoc_id"))
+      .limit(topN)
+  }
 }
