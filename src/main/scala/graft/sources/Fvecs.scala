@@ -54,15 +54,28 @@ object Fvecs {
 
   val IdxField = "idx"
   val VecField = "vec"
-  /** float32 payloads (.fvecs) or int32 payloads (.ivecs — ANN
-    * ground-truth neighbor lists); identical record layout, 4-byte
-    * components, so splits/ids/pruning are shared verbatim. */
-  def schemaFor(ints: Boolean): StructType = StructType(Seq(
+
+  /** Payload element kind. fvecs (float32) and ivecs (int32) share the
+    * 4-byte component layout; bvecs (SIFT1B's base/query format) packs
+    * UNSIGNED 1-byte components — surfaced widened to int, the lossless
+    * Spark type for 0-255. The kind travels through the plan (not
+    * inferred from the schema: bvecs and ivecs both read as
+    * `array<int>`, only the record width differs). */
+  sealed abstract class Elem(val bytes: Int, val ints: Boolean)
+  case object F32 extends Elem(4, ints = false)
+  case object I32 extends Elem(4, ints = true)
+  case object U8 extends Elem(1, ints = true)
+  def elemOf(s: String): Elem =
+    if ("int".equalsIgnoreCase(s)) I32
+    else if ("byte".equalsIgnoreCase(s)) U8
+    else F32
+
+  def schemaFor(e: Elem): StructType = StructType(Seq(
     StructField(IdxField, LongType, nullable = false),
     StructField(VecField,
-      ArrayType(if (ints) IntegerType else FloatType, containsNull = false),
+      ArrayType(if (e.ints) IntegerType else FloatType, containsNull = false),
       nullable = false)))
-  val Schema: StructType = schemaFor(ints = false)
+  val Schema: StructType = schemaFor(F32)
 
   /** Write `df`'s (idCol, vecCol) as a directory of fvecs part files in
     * global idCol order. `numFiles` bounds write parallelism; boundary
@@ -70,22 +83,31 @@ object Fvecs {
     * only thing the format encodes) is exactly the id order. */
   def write(df: DataFrame, idCol: String, vecCol: String, dir: String,
             numFiles: Int = 8): Unit =
-    writeAs(df, idCol, vecCol, dir, numFiles, ints = false)
+    writeAs(df, idCol, vecCol, dir, numFiles, F32)
 
   /** ivecs twin (int32 payloads — ground-truth neighbor lists). */
   def writeIvecs(df: DataFrame, idCol: String, vecCol: String, dir: String,
                  numFiles: Int = 8): Unit =
-    writeAs(df, idCol, vecCol, dir, numFiles, ints = true)
+    writeAs(df, idCol, vecCol, dir, numFiles, I32)
+
+  /** bvecs twin (unsigned-byte payloads — SIFT1B base/query vectors).
+    * Values must already be 0-255; out-of-range components fail the
+    * write rather than silently truncating a corpus. */
+  def writeBvecs(df: DataFrame, idCol: String, vecCol: String, dir: String,
+                 numFiles: Int = 8): Unit =
+    writeAs(df, idCol, vecCol, dir, numFiles, U8)
 
   private def writeAs(df: DataFrame, idCol: String, vecCol: String, dir: String,
-                      numFiles: Int, ints: Boolean): Unit = {
+                      numFiles: Int, elem: Elem): Unit = {
     val spark = df.sparkSession
     val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val out = new Path(dir)
     val fs = out.getFileSystem(confSer.value)
     if (fs.exists(out)) fs.delete(out, true)
     fs.mkdirs(out)
-    val elemSql = if (ints) "array<int>" else "array<float>"
+    val elemSql = if (elem.ints) "array<int>" else "array<float>"
+    val elemBytes = elem.bytes
+    val u8 = elem == U8
     df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast(elemSql).as("v"))
       .repartitionByRange(numFiles, col("id"))
@@ -97,9 +119,13 @@ object Fvecs {
         try {
           it.foreach { r =>
             val n = r.getSeq[Any](1).length
-            val buf = ByteBuffer.allocate(4 + 4 * n).order(ByteOrder.LITTLE_ENDIAN)
+            val buf = ByteBuffer.allocate(4 + elemBytes * n).order(ByteOrder.LITTLE_ENDIAN)
             buf.putInt(n)
-            if (ints) r.getSeq[Int](1).foreach(buf.putInt)
+            if (u8) r.getSeq[Int](1).foreach { v =>
+              require(v >= 0 && v <= 255, s"bvecs component $v out of unsigned-byte range")
+              buf.put(v.toByte)
+            }
+            else if (elem.ints) r.getSeq[Int](1).foreach(buf.putInt)
             else r.getSeq[Float](1).foreach(buf.putFloat)
             stream.write(buf.array())
           }
@@ -115,6 +141,10 @@ object Fvecs {
   /** ivecs twin: `(idx, vec: array<int>)`. */
   def readIvecs(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("fvecs").option("elements", "int").load(dir)
+
+  /** bvecs twin: `(idx, vec: array<int>)`, components widened 0-255. */
+  def readBvecs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("fvecs").option("elements", "byte").load(dir)
 
   /** q116: the export → DSv2 re-ingest differential, summarized as a
     * per-`idx%16`-bucket (count, Σ norm-micros) report the DuckDB
@@ -148,30 +178,30 @@ object Fvecs {
 class FvecsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "fvecs"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Fvecs.schemaFor("int".equalsIgnoreCase(options.get("elements")))
+    Fvecs.schemaFor(Fvecs.elemOf(options.get("elements")))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "fvecs source requires a path")
-    new FvecsTable(path, "int".equalsIgnoreCase(properties.get("elements")))
+    new FvecsTable(path, Fvecs.elemOf(properties.get("elements")))
   }
 }
 
-class FvecsTable(path: String, ints: Boolean = false) extends Table with SupportsRead {
+class FvecsTable(path: String, elem: Fvecs.Elem = Fvecs.F32) extends Table with SupportsRead {
   override def name(): String = s"fvecs:$path"
-  override def schema(): StructType = Fvecs.schemaFor(ints)
+  override def schema(): StructType = Fvecs.schemaFor(elem)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FvecsScanBuilder(path, ints)
+    new FvecsScanBuilder(path, elem)
 }
 
-class FvecsScanBuilder(path: String, ints: Boolean)
+class FvecsScanBuilder(path: String, elem: Fvecs.Elem)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = Fvecs.schemaFor(ints)
+  private var required: StructType = Fvecs.schemaFor(elem)
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // Preserve our field order; an empty prune (count(*)) keeps zero fields.
-    required = StructType(Fvecs.schemaFor(ints).fields.filter(f =>
+    required = StructType(Fvecs.schemaFor(elem).fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
   }
   override def build(): Scan = {
@@ -179,17 +209,18 @@ class FvecsScanBuilder(path: String, ints: Boolean)
     val confSer = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val targetSplitBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    new FvecsScan(path, required, confSer, targetSplitBytes)
+    new FvecsScan(path, required, elem, confSer, targetSplitBytes)
   }
 }
 
 /** One record-aligned byte range of one file. `globalStart` is the
   * corpus position of the range's first record (plan-time cumulative
   * sum over the name-sorted file list). */
-case class FvecsInputPartition(file: String, dim: Int, startRecord: Long,
-                               nRecords: Long, globalStart: Long) extends InputPartition
+case class FvecsInputPartition(file: String, dim: Int, elemBytes: Int,
+                               startRecord: Long, nRecords: Long,
+                               globalStart: Long) extends InputPartition
 
-class FvecsScan(path: String, required: StructType,
+class FvecsScan(path: String, required: StructType, elem: Fvecs.Elem,
                 confSer: SerializableConfiguration, targetSplitBytes: Long)
   extends Scan with Batch with SupportsReportStatistics {
 
@@ -213,7 +244,7 @@ class FvecsScan(path: String, required: StructType,
       try in.readFully(0L, dimBuf) finally in.close()
       val dim = ByteBuffer.wrap(dimBuf).order(ByteOrder.LITTLE_ENDIAN).getInt
       require(dim > 0 && dim < (1 << 24), s"implausible fvecs dim $dim in ${s.getPath}")
-      val recordSize = 4L + 4L * dim
+      val recordSize = 4L + elem.bytes.toLong * dim
       require(s.getLen % recordSize == 0,
         s"${s.getPath}: length ${s.getLen} not a multiple of record size $recordSize")
       (s.getPath.toString, s.getLen / recordSize, dim)
@@ -224,12 +255,12 @@ class FvecsScan(path: String, required: StructType,
     val parts = Seq.newBuilder[InputPartition]
     var globalStart = 0L
     for ((file, nRecs, dim) <- files) {
-      val recordSize = 4L + 4L * dim
+      val recordSize = 4L + elem.bytes.toLong * dim
       val splitRecs = math.max(1L, targetSplitBytes / recordSize)
       var start = 0L
       while (start < nRecs) {
         val n = math.min(splitRecs, nRecs - start)
-        parts += FvecsInputPartition(file, dim, start, n, globalStart + start)
+        parts += FvecsInputPartition(file, dim, elem.bytes, start, n, globalStart + start)
         start += n
       }
       globalStart += nRecs
@@ -242,7 +273,7 @@ class FvecsScan(path: String, required: StructType,
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val rows = files.map(_._2).sum
-    private val bytes = files.map(f => f._2 * (4L + 4L * f._3)).sum
+    private val bytes = files.map(f => f._2 * (4L + elem.bytes.toLong * f._3)).sum
     override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
     override def numRows(): OptionalLong = OptionalLong.of(rows)
   }
@@ -262,11 +293,14 @@ class FvecsPartitionReader(p: FvecsInputPartition, required: StructType,
 
   private val needIdx = required.fieldNames.contains(Fvecs.IdxField)
   private val needVec = required.fieldNames.contains(Fvecs.VecField)
-  // int32 (.ivecs) and float32 (.fvecs) share the record layout; the
-  // pruned schema's element type says which conversion to run.
+  // The partition carries the component WIDTH (1 for .bvecs, 4 for
+  // .fvecs/.ivecs); the pruned schema's element type resolves the
+  // remaining 4-byte ambiguity (int32 vs float32). bvecs components
+  // widen unsigned (& 0xff) to int.
+  private val byteElems = p.elemBytes == 1
   private val intElems = required.fields.find(_.name == Fvecs.VecField)
     .exists(_.dataType == ArrayType(IntegerType, containsNull = false))
-  private val recordSize = 4 + 4 * p.dim
+  private val recordSize = 4 + p.elemBytes * p.dim
   private val path = new Path(p.file)
   private val in = path.getFileSystem(confSer.value).open(path)
   in.seek(p.startRecord * recordSize)
@@ -283,7 +317,12 @@ class FvecsPartitionReader(p: FvecsInputPartition, required: StructType,
       val d = bb.getInt
       require(d == p.dim, s"fvecs record $i in ${p.file}: dim $d != ${p.dim}")
       val vec =
-        if (intElems) {
+        if (byteElems) {
+          val ints = new Array[Int](p.dim)
+          var j = 0
+          while (j < p.dim) { ints(j) = bb.get() & 0xff; j += 1 }
+          UnsafeArrayData.fromPrimitiveArray(ints)
+        } else if (intElems) {
           val ints = new Array[Int](p.dim)
           bb.asIntBuffer().get(ints)
           UnsafeArrayData.fromPrimitiveArray(ints)

@@ -98,6 +98,41 @@ class FvecsSpec extends SparkSpec {
     lists.foreach { case (id, v) => assert(back(id) == v) }
   }
 
+  test("bvecs twin: unsigned-byte payloads roundtrip widened, splits stay record-aligned") {
+    val dir = tmpDir("bvecs")
+    // Full unsigned range incl. 0 and 255 (the & 0xff widening's edges).
+    val lists: Seq[(Long, Seq[Int])] =
+      (0L until 60L).map(i => i -> Seq(0, 255, (i % 256).toInt, ((i * 7) % 256).toInt))
+    Fvecs.writeBvecs(lists.toDF("id", "v"), "id", "v", dir, numFiles = 3)
+    val back = Fvecs.readBvecs(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(back.size == 60)
+    lists.foreach { case (id, v) => assert(back(id) == v) }
+    // 1-byte components change the record width: a split bound sized
+    // for ~3 records must still land on record boundaries (8-byte
+    // records here: 4-byte dim header + 4 payload bytes).
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "24")
+      val df = Fvecs.readBvecs(spark, dir)
+      assert(df.rdd.getNumPartitions > 10)
+      assert(df.count() == 60)
+      assert(df.select(sum("idx")).head.getLong(0) == (0L until 60L).sum)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
+  test("bvecs write rejects out-of-range components instead of truncating") {
+    val dir = tmpDir("bvecs_bad")
+    val bad = Seq((0L, Seq(1, 2, 300))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      Fvecs.writeBvecs(bad, "id", "v", dir, numFiles = 1)
+    }
+    assert(ex.getMessage.contains("out of unsigned-byte range"))
+  }
+
   test("malformed file (truncated record) is rejected at plan time") {
     val dir = tmpDir("bad")
     // One valid 2-float record followed by 3 stray bytes, written raw
