@@ -648,6 +648,20 @@ object OracleSql {
          |WHERE $minhashEst >= $MinEstJaccard
          |ORDER BY a, b""".stripMargin,
 
+    // Semantically q14 restricted to pairs touching the delta split —
+    // the SPARK side computes it incrementally (broadcast delta bands
+    // into one scan of the persisted corpus index; DedupSpec pins the
+    // equivalence), but the answer is batch-definable, so the oracle
+    // states it directly.
+    "q123_incremental_dedup" ->
+      s"""WITH $minhashCtes
+         |SELECT a, b,
+         |  $minhashEst AS est_jaccard
+         |FROM cand
+         |WHERE $minhashEst >= $MinEstJaccard
+         |  AND (a % $IncDeltaMod = $IncDeltaRem OR b % $IncDeltaMod = $IncDeltaRem)
+         |ORDER BY a, b""".stripMargin,
+
     "q43_dup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
          |lshpairs AS (

@@ -270,6 +270,9 @@ object SparkEntry {
                                 // (contains QueryVecId, the reference's
                                 // sample query vector)
     val MaxSimTopN = 20         // q122 report depth (the reference's K)
+    val IncDeltaMod = 10        // q123 pseudo-delta: doc_id % 10 == 3
+    val IncDeltaRem = 3         // is "today's batch" (~10% of corpus),
+                                // the rest is the persisted-index corpus
   }
   import Params._
 
@@ -672,7 +675,24 @@ object SparkEntry {
     "q121_bpe_train" -> ((s, d) =>
       BpeTrain.train(Tables.documents(s, d), BpeTrainMerges)),
     "q122_maxsim" -> ((s, d) =>
-      Knn.maxSim(Tables.embeddings(s, d), MaxSimTokensPerDoc, MaxSimQueryDoc, MaxSimTopN))
+      Knn.maxSim(Tables.embeddings(s, d), MaxSimTokensPerDoc, MaxSimQueryDoc, MaxSimTopN)),
+    "q123_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isDelta = pmod(col("doc_id"), lit(IncDeltaMod.toLong)) === IncDeltaRem
+      // Fixed path per sf dir (the q10 overwrite convention).
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_band_index_" +
+        Integer.toHexString(d.hashCode)
+      Dedup.saveBandIndex(docs.where(!isDelta), path, ShingleK, NumHashes, RowsPerBand)
+      // The report normalizes pair orientation to (min, max) so the
+      // oracle can state the batch-equivalent answer; the operator's
+      // own (corpus, delta) orientation is what a pipeline acts on
+      // (drop the NEW copy).
+      Dedup.incrementalPairs(path, docs.where(isDelta), ShingleK, NumHashes,
+          RowsPerBand, MinEstJaccard)
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"), col("est_jaccard"))
+        .orderBy("a", "b")
+    })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -431,4 +431,62 @@ object Dedup {
       .select(col("lang"), col("a"), col("b"), col("dist"))
       .orderBy("a", "b")
   }
+
+  /** Persist a corpus's MinHash band index — (band_id, band_key,
+    * doc_id, sig), partitioned by band_id — so later DELTA batches
+    * dedup against the corpus without recomputing or reshuffling it
+    * ([[incrementalPairs]]). Built once per corpus snapshot; the same
+    * [[bandStructs]] encoding as the batch join, so the two can never
+    * drift. */
+  def saveBandIndex(docs: DataFrame, path: String, k: Int = 3,
+                    numHashes: Int = 12, rowsPerBand: Int = 2): Unit = {
+    val numBands = numHashes / rowsPerBand
+    minhashSignatures(docs, k, numHashes)
+      .select(col("doc_id"), col("sig"),
+        explode(bandStructs(col("sig"), numBands, rowsPerBand)).as("band"))
+      .select(col("band.band_key").as("band_key"), col("doc_id"), col("sig"),
+        col("band.band_id").as("band_id"))
+      .write.mode("overwrite").partitionBy("band_id").parquet(path)
+  }
+
+  /** Incremental near-dup detection: a NEW batch against a PERSISTED
+    * corpus band index — the daily-crawl-increment pattern, where
+    * re-running [[minhashLsh]] over corpus+delta would re-shuffle 100 TB
+    * to dedup a 100 GB day. Two legs, both delta-sized:
+    *
+    *  - **cross** (delta × corpus): the delta's banded signatures
+    *    BROADCAST into a single scan of the saved index — the corpus
+    *    side is never shuffled, and the signatures needed for
+    *    verification ride the matched rows (no corpus-wide distinct to
+    *    rebuild them). Output pairs are (a = corpus doc, b = delta doc).
+    *  - **intra** (delta × delta): a new batch can self-duplicate, so
+    *    the plain batch join runs over the delta alone.
+    *
+    * Same band encoding, same signature-agreement estimate, same
+    * threshold as the batch operator — DedupSpec pins the union equal
+    * to full-batch [[minhashLsh]] pairs restricted to pairs touching
+    * the delta. */
+  def incrementalPairs(corpusIndexPath: String, delta: DataFrame, k: Int = 3,
+                       numHashes: Int = 12, rowsPerBand: Int = 2,
+                       minEstJaccard: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val store = delta.sparkSession.read.parquet(corpusIndexPath)
+    val dsig = minhashSignatures(delta, k, numHashes)
+    val dband = dsig
+      .select(col("doc_id"), col("sig"),
+        explode(bandStructs(col("sig"), numBands, rowsPerBand)).as("band"))
+      .select(col("band.band_id").as("band_id"), col("band.band_key").as("band_key"),
+        col("doc_id").as("b"), col("sig").as("sig_b"))
+    val cross = store
+      .join(broadcast(dband), Seq("band_id", "band_key"))
+      .select(col("doc_id").as("a"), col("sig").as("sig_a"), col("b"), col("sig_b"))
+      .distinct() // a pair colliding in several bands scores once
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+          .cast("double") / lit(numHashes.toDouble), 6))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select("a", "b", "est_jaccard")
+    cross.union(minhashLsh(delta, k, numHashes, rowsPerBand, minEstJaccard))
+      .orderBy("a", "b")
+  }
 }
