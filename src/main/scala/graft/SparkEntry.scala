@@ -676,6 +676,17 @@ object SparkEntry {
       BpeTrain.train(Tables.documents(s, d), BpeTrainMerges)),
     "q122_maxsim" -> ((s, d) =>
       Knn.maxSim(Tables.embeddings(s, d), MaxSimTokensPerDoc, MaxSimQueryDoc, MaxSimTopN)),
+    "q124_nsw_filtered" -> ((s, d) => {
+      // Rows-only (approximate filtered walk); NswSpec pins the
+      // exact-mode bit-equality to brute-force filtered KNN and the
+      // selective-predicate traversal property.
+      val emb = Tables.embeddings(s, d)
+      val graph = Nsw.build(emb, IvfStep, m = 8, efC = 32)
+      Nsw.searchFiltered(graph, Ivf.centroids(emb, IvfStep),
+        Knn.queryVector(emb, QueryVecId),
+        emb.where(col("label") === FilterLabel).select("vec_id"),
+        nprobe = 4, k = K, ef = 64)
+    }),
     "q123_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val isDelta = pmod(col("doc_id"), lit(IncDeltaMod.toLong)) === IncDeltaRem

@@ -77,10 +77,18 @@ object Nsw {
     * stop when the nearest frontier point is farther than a full
     * result heap's worst. Returns (dist, localIdx) sorted by
     * (dist, vec_id). Only vertices with localIdx < active participate
-    * (the build walks the PARTIAL graph; pass n for a full search). */
+    * (the build walks the PARTIAL graph; pass n for a full search).
+    *
+    * `allowed` is the filtered-search hook (the hnswlib/FAISS
+    * IDSelector semantics): a non-matching vertex is still TRAVERSED —
+    * pruning it from the frontier would disconnect the walk wherever
+    * the predicate is selective — but never enters the result heap, so
+    * the ef bound spends entirely on matching results. The default
+    * (always true) leaves the unfiltered walk bit-identical. */
   private def beam(q: Array[Float], entry: Int, ef: Int, active: Int,
                    pts: Array[(Long, Array[Float])],
-                   adj: Array[mutable.ArrayBuffer[Int]]): Array[(Double, Int)] = {
+                   adj: Array[mutable.ArrayBuffer[Int]],
+                   allowed: Int => Boolean = _ => true): Array[(Double, Int)] = {
     // Orderings by (dist, vec_id): deterministic under distance ties.
     val nearFirst: Ordering[(Double, Int)] =
       Ordering.by { t: (Double, Int) => (-t._1, -pts(t._2)._1) }
@@ -90,7 +98,9 @@ object Nsw {
     val worst = mutable.PriorityQueue.empty[(Double, Int)](farFirst)
     val visited = new java.util.BitSet(active)
     val d0 = dist(q, pts(entry)._2)
-    frontier.enqueue((d0, entry)); worst.enqueue((d0, entry)); visited.set(entry)
+    frontier.enqueue((d0, entry))
+    if (allowed(entry)) worst.enqueue((d0, entry))
+    visited.set(entry)
     while (frontier.nonEmpty) {
       val (dc, c) = frontier.dequeue()
       if (worst.length >= ef && dc > worst.head._1) {
@@ -104,11 +114,12 @@ object Nsw {
             visited.set(nb)
             val dn = dist(q, pts(nb)._2)
             if (worst.length < ef) {
-              frontier.enqueue((dn, nb)); worst.enqueue((dn, nb))
+              frontier.enqueue((dn, nb))
+              if (allowed(nb)) worst.enqueue((dn, nb))
             } else if (dn < worst.head._1 ||
               (dn == worst.head._1 && pts(nb)._1 < pts(worst.head._2)._1)) {
               frontier.enqueue((dn, nb))
-              worst.dequeue(); worst.enqueue((dn, nb))
+              if (allowed(nb)) { worst.dequeue(); worst.enqueue((dn, nb)) }
             }
           }
           i += 1
@@ -282,6 +293,56 @@ object Nsw {
         val adj = nodes.map(nd => mutable.ArrayBuffer(
           nd.neighbors.flatMap(idOf.get): _*))
         beam(qv, 0, efEff, pts.length, pts, adj).iterator
+          .map { case (d, idx) => (pts(idx)._1, -d) }
+      }
+      .toDF("vec_id", "raw")
+      .select(col("vec_id"), round(col("raw"), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Attribute-filtered graph ANN — the q65 filtered-search contract
+    * extended to the NSW family. `allowedIds` is the predicate's id set
+    * (a pushed-down filtered scan of the metadata table, column-pruned
+    * to vec_id); it tags probed rows via a hash join keyed on vec_id —
+    * AFTER the centroid semi-join, so only probed cells' rows join, and
+    * with NO broadcast hint: the allowed set grows with SF (the q76
+    * discipline — AQE broadcasts at toy scale, shuffles at cluster
+    * scale). The walk then runs the IDSelector semantics ([[beam]]'s
+    * `allowed` hook): non-matching vertices route, matching vertices
+    * score, so selective predicates cannot disconnect the graph.
+    * Exact-mode property (NswSpec): ef ≥ cell size + nprobe ≥ #cells ⇒
+    * bit-equal to brute-force filtered KNN ([[Knn.topKDotFiltered]]). */
+  def searchFiltered(graph: DataFrame, cents: DataFrame, query: DataFrame,
+                     allowedIds: DataFrame, nprobe: Int, k: Int,
+                     ef: Int = 64): DataFrame = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val qv: Array[Float] = query.select(col("qv").cast("array<float>"))
+      .head().getSeq[Float](0).toArray
+    val probed = cents.crossJoin(broadcast(query))
+      .where(Pq.cleanCentroid(col("c_emb"), size(col("qv"))))
+      .select(col("centroid_id"),
+        round(graft.functions.VectorFunctions.l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
+      .orderBy(col("cdist"), col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    val efEff = math.max(ef, k)
+    graph
+      .join(broadcast(probed), "centroid_id")
+      .join(allowedIds.select(col("vec_id"), lit(true).as("m")),
+        Seq("vec_id"), "left")
+      .select(col("centroid_id"), col("vec_id"), col("embedding"),
+        col("neighbors"), coalesce(col("m"), lit(false)).as("matched"))
+      .as[(Long, Long, Array[Float], Array[Long], Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Array[Float], Array[Long], Boolean)]) =>
+        val nodes = it.toArray.sortBy(_._2)
+        val pts = nodes.map(nd => (nd._2, nd._3))
+        val idOf = pts.iterator.map(_._1).zipWithIndex.toMap
+        val adj = nodes.map(nd => mutable.ArrayBuffer(nd._4.flatMap(idOf.get): _*))
+        val matched = nodes.map(_._5)
+        beam(qv, 0, efEff, pts.length, pts, adj, idx => matched(idx)).iterator
           .map { case (d, idx) => (pts(idx)._1, -d) }
       }
       .toDF("vec_id", "raw")

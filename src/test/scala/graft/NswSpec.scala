@@ -44,6 +44,40 @@ class NswSpec extends SparkSpec {
     assert(nsw == exact)
   }
 
+  test("filtered exact mode equals brute-force filtered KNN bit for bit") {
+    import org.apache.spark.sql.functions._
+    val cents = Ivf.centroids(emb, step)
+    val g = Nsw.build(emb, step, m = 8, efC = 32)
+    val pred = col("label") === 3
+    val nsw = Nsw.searchFiltered(g, cents, query,
+        emb.where(pred).select("vec_id"), nprobe = 10000, k = 20, ef = 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Knn.topKDotFiltered(emb, pred, query, 20)
+      .select("vec_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(nsw == exact)
+    assert(nsw.nonEmpty)
+  }
+
+  test("filtered walk traverses non-matching vertices (sparse scattered predicate)") {
+    import org.apache.spark.sql.functions._
+    val cents = Ivf.centroids(emb, step)
+    val g = Nsw.build(emb, step, m = 8, efC = 32)
+    // ~6% of ids, scattered across every cell: if the walk pruned
+    // non-matching vertices from the FRONTIER, it could not reach
+    // matched nodes routed behind them and would drop results the
+    // brute-force filter finds.
+    val pred = pmod(col("vec_id"), lit(17L)) === 5
+    val nsw = Nsw.searchFiltered(g, cents, query,
+        emb.where(pred).select("vec_id"), nprobe = 10000, k = 10, ef = 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Knn.topKDotFiltered(emb, pred, query, 10)
+      .select("vec_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(nsw == exact)
+    assert(nsw.forall(_._1 % 17 == 5))
+  }
+
   test("recall@20 at default ef/nprobe clears 0.8 on the real corpus") {
     val cents = Ivf.centroids(emb, step)
     val g = Nsw.build(emb, step, m = 8, efC = 32)
