@@ -2648,7 +2648,36 @@ object OracleSql {
          |  CAST(sum(best_micro) AS BIGINT) AS maxsim_micro,
          |  CAST(count(*) AS BIGINT) AS n_qtokens
          |FROM best GROUP BY mdoc_id
-         |ORDER BY maxsim_micro DESC, mdoc_id LIMIT $MaxSimTopN""".stripMargin
+         |ORDER BY maxsim_micro DESC, mdoc_id LIMIT $MaxSimTopN""".stripMargin,
+
+    "q122b_maxsim_batch" -> {
+      val panel = MaxSimPanel.mkString("(", ", ", ")")
+      s"""WITH toks AS (
+         |  SELECT vec_id // $MaxSimTokensPerDoc AS mdoc_id, vec_id, embedding
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT mdoc_id AS q_doc, vec_id AS q_id, embedding AS qv FROM toks
+         |  WHERE mdoc_id IN $panel),
+         |scored AS (
+         |  SELECT q.q_doc, t.mdoc_id, q.q_id,
+         |    CAST(round(round(${dotd("t.embedding", "q.qv")}, 6) * 1000000) AS BIGINT) AS dot_micro
+         |  FROM toks t CROSS JOIN q),
+         |best AS (
+         |  SELECT q_doc, mdoc_id, q_id, max(dot_micro) AS best_micro
+         |  FROM scored GROUP BY 1, 2, 3),
+         |agg AS (
+         |  SELECT q_doc, mdoc_id,
+         |    CAST(sum(best_micro) AS BIGINT) AS maxsim_micro,
+         |    CAST(count(*) AS BIGINT) AS n_qtokens
+         |  FROM best GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_doc ORDER BY maxsim_micro DESC, mdoc_id) AS rn
+         |  FROM agg)
+         |SELECT q_doc, mdoc_id, maxsim_micro, n_qtokens
+         |FROM ranked WHERE rn <= $MaxSimTopN
+         |ORDER BY q_doc, maxsim_micro DESC, mdoc_id""".stripMargin
+    }
   )
 
   // ---------------------------------------------------------------------

@@ -270,6 +270,9 @@ object SparkEntry {
                                 // (contains QueryVecId, the reference's
                                 // sample query vector)
     val MaxSimTopN = 20         // q122 report depth (the reference's K)
+    val MaxSimPanel = Seq(0L, 1L, 2L) // q122b query-doc panel (the
+                                // RecallQueryIds convention: a bounded
+                                // set present at every SF)
     val IncDeltaMod = 10        // q123 pseudo-delta: doc_id % 10 == 3
     val IncDeltaRem = 3         // is "today's batch" (~10% of corpus),
                                 // the rest is the persisted-index corpus
@@ -676,6 +679,8 @@ object SparkEntry {
       BpeTrain.train(Tables.documents(s, d), BpeTrainMerges)),
     "q122_maxsim" -> ((s, d) =>
       Knn.maxSim(Tables.embeddings(s, d), MaxSimTokensPerDoc, MaxSimQueryDoc, MaxSimTopN)),
+    "q122b_maxsim_batch" -> ((s, d) =>
+      Knn.maxSimBatch(Tables.embeddings(s, d), MaxSimTokensPerDoc, MaxSimPanel, MaxSimTopN)),
     "q124_nsw_filtered" -> ((s, d) => {
       // Rows-only (approximate filtered walk); NswSpec pins the
       // exact-mode bit-equality to brute-force filtered KNN and the

@@ -217,4 +217,33 @@ object Knn {
       .orderBy(desc("maxsim_micro"), asc("mdoc_id"))
       .limit(topN)
   }
+
+  /** Batched [[maxSim]] — a PANEL of query documents answered in one
+    * plan, the serving-batch parity every index family carries
+    * ([[Ivf.searchBatch]], [[Bq.searchBatch]], [[Nsw.searchBatch]]).
+    * All panel token sets ride ONE broadcast into ONE corpus scan (the
+    * corpus is read once regardless of panel size), `q_doc` joins the
+    * aggregation keys, and the per-query top-n is a [[graft.plans.GroupedTopK]]
+    * heap — no global sort at any panel size. Bit-equal per query to
+    * the [[maxSim]] loop (MaxSimSpec). */
+  def maxSimBatch(vectors: DataFrame, tokensPerDoc: Int,
+                  queryDocIds: Seq[Long], topN: Int): DataFrame = {
+    val docd = vectors.select(
+      expr(s"vec_id DIV $tokensPerDoc").as("mdoc_id"),
+      col("embedding"))
+    val qTokens = vectors
+      .where(expr(s"vec_id DIV $tokensPerDoc").isin(queryDocIds: _*))
+      .select(expr(s"vec_id DIV $tokensPerDoc").as("q_doc"),
+        col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val scored = docd.crossJoin(broadcast(qTokens))
+      .select(col("q_doc"), col("mdoc_id"), col("q_id"),
+        round(round(dot(col("embedding"), col("qv")), 6) * 1e6).cast("long")
+          .as("dot_micro"))
+      .groupBy("q_doc", "mdoc_id", "q_id").agg(max("dot_micro").as("best_micro"))
+      .groupBy("q_doc", "mdoc_id")
+      .agg(sum("best_micro").as("maxsim_micro"), count(lit(1)).as("n_qtokens"))
+    graft.plans.GroupedTopK.topK(scored, Seq(col("q_doc")),
+        Seq(col("maxsim_micro").desc, col("mdoc_id").asc), topN)
+      .orderBy(col("q_doc"), desc("maxsim_micro"), asc("mdoc_id"))
+  }
 }

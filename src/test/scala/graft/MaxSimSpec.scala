@@ -43,6 +43,18 @@ class MaxSimSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus side got shuffled for the join:\n$plan")
   }
 
+  test("maxSimBatch equals the per-query maxSim loop, bit for bit") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val panel = Seq(0L, 1L, 2L)
+    val batch = Knn.maxSimBatch(emb, 16, panel, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val loop = panel.flatMap { qd =>
+      Knn.maxSim(emb, 16, qd, 20)
+        .collect().map(r => (qd, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(batch == loop)
+  }
+
   test("a doc containing the query's own tokens ranks first (self-retrieval)") {
     val out = SparkEntry.queries("q122_maxsim")(spark, sf0001).collect()
     assert(out.nonEmpty)
