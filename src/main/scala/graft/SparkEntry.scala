@@ -276,6 +276,11 @@ object SparkEntry {
     val IncDeltaMod = 10        // q123 pseudo-delta: doc_id % 10 == 3
     val IncDeltaRem = 3         // is "today's batch" (~10% of corpus),
                                 // the rest is the persisted-index corpus
+    val CompressMinRatioMicro = 300000L // q125 gate: deflate/raw below
+                                // 0.30 flags machine-repetitive text
+                                // (natural prose on this corpus sits
+                                // ~0.45-0.75; the synthetic repeats
+                                // dip below 0.30)
   }
   import Params._
 
@@ -681,6 +686,10 @@ object SparkEntry {
       Knn.maxSim(Tables.embeddings(s, d), MaxSimTokensPerDoc, MaxSimQueryDoc, MaxSimTopN)),
     "q122b_maxsim_batch" -> ((s, d) =>
       Knn.maxSimBatch(Tables.embeddings(s, d), MaxSimTokensPerDoc, MaxSimPanel, MaxSimTopN)),
+    "q125_compress_signal" -> ((s, d) =>
+      // Rows-only: DEFLATE bytes are encoder-version-dependent (see
+      // functions/Deflate.scala); invariants are spec-pinned.
+      TextAnalysis.compressionSignal(Tables.documents(s, d), CompressMinRatioMicro)),
     "q124_nsw_filtered" -> ((s, d) => {
       // Rows-only (approximate filtered walk); NswSpec pins the
       // exact-mode bit-equality to brute-force filtered KNN and the

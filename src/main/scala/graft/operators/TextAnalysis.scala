@@ -113,6 +113,32 @@ object TextAnalysis {
         round((sum("c") - count(lit(1))).cast("double") / sum("c"), 6).as("dup_gram_frac"))
       .orderBy("doc_id")
 
+  /** Compressibility quality signal (q125): per-document DEFLATE
+    * compressed/raw byte ratio in integer micro-units, plus the
+    * curation gate — boilerplate, generated spam and scraped templates
+    * compress abnormally well (low ratio), natural prose sits in a
+    * stable band. One narrow codegen'd pass over the text scan
+    * ([[graft.functions.DeflateLen]] — no UDF, no shuffle before the
+    * output sort); docs below `minRatioMicro` flag `too_compressible`.
+    * Rows-only by contract: DEFLATE bytes are encoder-version-
+    * dependent (see the kernel's scaladoc), the signal's invariants
+    * are spec-pinned instead. */
+  def compressionSignal(docs: DataFrame, minRatioMicro: Long = 300000L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    import graft.functions.DeflateLen
+    docs
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        SqlBridge.column(DeflateLen(SqlBridge.expression(col("text"))))
+          .cast("long").as("n_deflate"))
+      .withColumn("ratio_micro",
+        expr("n_deflate * 1000000L DIV n_bytes"))
+      .withColumn("too_compressible",
+        (col("ratio_micro") < minRatioMicro).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document token counts (reference Program.cs:80,88). */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(

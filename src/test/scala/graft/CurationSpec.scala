@@ -337,4 +337,41 @@ class CurationSpec extends SparkSpec {
     // six single-event paths all tie at count 1 → first 4 by path asc
     assert(out == Seq("t0", "t1", "t2", "t3"))
   }
+
+  test("compressionSignal: repetitive text flags, varied text passes, values recompute") {
+    import graft.functions.Deflate
+    import graft.operators.TextAnalysis
+    import org.apache.spark.unsafe.types.UTF8String
+    val boiler = "click here click here click here " * 30
+    val prose = "The quick brown fox jumps over the lazy dog while seventeen " +
+      "astronomers quarrel about parallax, cepheids, and the distance ladder."
+    val docs = Seq((1L, boiler), (2L, prose), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionSignal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    // empty/null rows are absent by contract
+    assert(out.keySet == Set(1L, 2L))
+    val (bBytes, bDef, bRatio, bFlag) = out(1L)
+    val (pBytes, pDef, pRatio, pFlag) = out(2L)
+    // exact recompute against the kernel
+    assert(bDef == Deflate.deflateLen(UTF8String.fromString(boiler)).toLong)
+    assert(bRatio == bDef * 1000000L / bBytes)
+    assert(pRatio == pDef * 1000000L / pBytes)
+    // the signal: boilerplate compresses far better than prose, and only it flags
+    assert(bRatio < pRatio / 3)
+    assert(bFlag == 1 && pFlag == 0)
+  }
+
+  test("compressionSignal on the real corpus: ratios bounded, gate fires on a minority") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.compressionSignal(Tables.documents(spark, sf0001)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val ratio = r.getLong(3)
+      ratio > 0 && ratio < 1200000L // deflate overhead can exceed 1.0 only slightly
+    })
+    val flagged = out.count(_.getInt(4) == 1)
+    assert(flagged < out.length, "gate must not flag the whole corpus")
+  }
 }
