@@ -635,6 +635,26 @@ object OracleSql {
          |WHERE rn <= $K
          |ORDER BY query_id, score DESC, vec_id""".stripMargin,
 
+    // q126: hard-negative mining — q67's row_number formulation with
+    // the different-label predicate and the near-dup ceiling applied
+    // to the ROUNDED cosine on both engines (the 6-dp-exact literal
+    // cannot sit between two engines' rounded values).
+    "q126_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings
+         |  WHERE vec_id IN (${RecallQueryIds.mkString(", ")}))
+         |SELECT query_id, vec_id, label, score FROM (
+         |  SELECT q.query_id, v.vec_id, v.label,
+         |    round(${cosine("v.embedding", "q.qv")}, 6) AS score,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(${cosine("v.embedding", "q.qv")}, 6) DESC, v.vec_id) AS rn
+         |  FROM embeddings v CROSS JOIN q
+         |  WHERE v.label <> q.qlabel
+         |    AND round(${cosine("v.embedding", "q.qv")}, 6) < $NegCeiling)
+         |WHERE rn <= $K
+         |ORDER BY query_id, score DESC, vec_id""".stripMargin,
+
     "q13_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_copies,
         |  min(doc_id) AS keeper_id

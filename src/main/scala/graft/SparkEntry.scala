@@ -281,6 +281,12 @@ object SparkEntry {
                                 // (natural prose on this corpus sits
                                 // ~0.45-0.75; the synthetic repeats
                                 // dip below 0.30)
+    val NegCeiling = 0.995      // q126 near-duplicate ceiling: cosine
+                                // at/above this under a DIFFERENT
+                                // label is a labeling error or unmarked
+                                // dup, not a trainable negative. The
+                                // literal is 6-dp-exact so the rounded
+                                // score comparison cannot straddle it
   }
   import Params._
 
@@ -700,6 +706,10 @@ object SparkEntry {
         Knn.queryVector(emb, QueryVecId),
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
+    }),
+    "q126_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.hardNegatives(emb, Knn.labeledPanel(emb, RecallQueryIds), K, NegCeiling)
     }),
     "q123_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)

@@ -246,4 +246,47 @@ object Knn {
         Seq(col("maxsim_micro").desc, col("mdoc_id").asc), topN)
       .orderBy(col("q_doc"), desc("maxsim_micro"), asc("mdoc_id"))
   }
+
+  /** (query_id, qv, qlabel) panel from corpus ids — the labeled input
+    * shape [[hardNegatives]] mines against. */
+  def labeledPanel(vectors: DataFrame, ids: Seq[Long]): DataFrame =
+    vectors.where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+
+  /** Hard-negative mining for contrastive embedding training (the
+    * DPR/SBERT recipe): per training query, the top-k HIGHEST-cosine
+    * corpus vectors carrying a DIFFERENT label, capped below a
+    * near-duplicate ceiling. The top of the score range that is not a
+    * positive is precisely what a contrastive loss wants as negatives
+    * — random negatives are trivially separable and teach nothing.
+    * The ceiling guards the known failure mode: cosine ≈ 1 under a
+    * different label is almost always a labeling error or an unmarked
+    * duplicate, and training against it teaches the model to separate
+    * identical texts (false negatives poison the loss). The query's
+    * own row is excluded for free — it shares the query's label.
+    *
+    * Scale shape: the labeled query panel BROADCASTS into ONE corpus
+    * scan regardless of panel size (the corpus never shuffles for the
+    * join — the [[topKDotBatch]]/[[maxSimBatch]] serving shape); the
+    * label-mismatch predicate and the ceiling both evaluate inside
+    * whole-stage codegen on the rounded score BEFORE any exchange, so
+    * only surviving candidates reach [[graft.plans.GroupedTopK]]'s
+    * bounded per-query heaps (≤ k rows per query per partition cross
+    * the exchange — no sort, no rank column). Scores round to 6 dp
+    * with vec_id tie-breaks (SURVEY §6), and the ceiling compares the
+    * ROUNDED score on both engines, so the boundary cannot flip on
+    * float noise. */
+  def hardNegatives(vectors: DataFrame, queries: DataFrame, k: Int,
+                    dupCeiling: Double): DataFrame = {
+    import graft.plans.GroupedTopK
+    val scored = vectors.crossJoin(broadcast(queries))
+      .where(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("qv")), 6).as("score"))
+      .where(col("score") < dupCeiling)
+    GroupedTopK.topK(scored, Seq(col("query_id")),
+        Seq(col("score").desc, col("vec_id").asc), k)
+      .orderBy(col("query_id"), col("score").desc, col("vec_id"))
+  }
 }

@@ -69,6 +69,47 @@ class KnnServeSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: different-label top-k, near-dup ceiling evicts a planted mislabeled " +
+    "twin, and the mined set is exactly the top-k of the eligible pool") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val ids = Seq(0L, 7L)
+    val mined = Knn.hardNegatives(corpus, Knn.labeledPanel(corpus, ids), 5, 0.995)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val qLabel = corpus.where(col("vec_id").isin(ids: _*))
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ids.foreach { qid =>
+      val hits = mined.filter(_._1 == qid)
+      assert(hits.length == 5, s"query $qid: expected 5 negatives")
+      assert(hits.forall(_._3 != qLabel(qid)), s"query $qid: a negative shares the query label")
+      assert(hits.forall(_._4 < 0.995), s"query $qid: a score breached the ceiling")
+      // Exactly the top-k of the ELIGIBLE pool: every eligible
+      // candidate outside the mined set scores <= the mined minimum.
+      val exact = Knn.topKCosine(
+          corpus.where(col("label") =!= qLabel(qid)),
+          Knn.queryVector(corpus, qid), 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      if (exact.forall(_._2 < 0.995))
+        assert(hits.map(h => (h._2, h._4)).toSeq == exact.toSeq,
+          s"query $qid: mined set != filtered exact top-5")
+    }
+    // Plant an exact copy of query 0 under a DIFFERENT label: cosine
+    // 1.0 >= ceiling, so it must NOT be mined — but with the ceiling
+    // lifted it must take rank 1 (it is the highest-scoring
+    // different-label row by construction).
+    val twin = corpus.where(col("vec_id") === 0L)
+      .select(lit(90001L).as("vec_id"), col("embedding"),
+        (col("label") + 1).cast("int").as("label"))
+    val planted = corpus.select("vec_id", "embedding", "label").union(twin)
+    val panel0 = Knn.labeledPanel(corpus, Seq(0L))
+    val capped = Knn.hardNegatives(planted, panel0, 5, 0.995)
+      .collect().map(_.getLong(1))
+    assert(!capped.contains(90001L), "ceiling failed to evict the mislabeled twin")
+    val uncapped = Knn.hardNegatives(planted, panel0, 5, 2.0)
+      .collect().map(_.getLong(1))
+    assert(uncapped.head == 90001L, "with no ceiling the planted twin must rank first")
+  }
+
   test("IVF-probed serving == offline batched ANN search on a persisted index") {
     import graft.operators.Ivf
     val corpus = Tables.embeddings(spark, sf0001)
