@@ -1404,6 +1404,34 @@ object OracleSql {
          |FROM hashed s JOIN firsts f USING (h)
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // q127: frequency-threshold boilerplate removal — q46's span CTE
+    // with the verdict flipped from first-occurrence-survives to
+    // every-occurrence-of-a-common-span-removed (document-frequency
+    // gate over DISTINCT doc_ids).
+    "q127_boilerplate" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)
+         |  WHERE len(ts) > 0),
+         |spans AS (
+         |  SELECT doc_id, CAST(i AS INT) AS span_idx,
+         |    array_to_string(list_slice(ts, CAST(i * $SpanTokens + 1 AS INT), CAST(i * $SpanTokens + $SpanTokens AS INT)), ' ') AS span
+         |  FROM (SELECT doc_id, ts,
+         |          unnest(range(0, CAST(ceil(len(ts) / CAST($SpanTokens AS DOUBLE)) AS BIGINT))) AS i
+         |        FROM sized)),
+         |hashed AS (
+         |  SELECT doc_id, span_idx, span, ${hash60("span")} AS h
+         |  FROM spans),
+         |common AS (
+         |  SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS nd FROM hashed GROUP BY h)
+         |  WHERE nd >= $BoilerMinDocs)
+         |SELECT s.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  coalesce(string_agg(CASE WHEN c.h IS NULL THEN s.span END, ' ' ORDER BY s.span_idx), '') AS clean_text
+         |FROM hashed s LEFT JOIN common c ON s.h = c.h
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
     "q47_profile" -> {
       val per = ProfileCols.map { c =>
         s"""  SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

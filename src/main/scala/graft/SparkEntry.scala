@@ -281,6 +281,12 @@ object SparkEntry {
                                 // (natural prose on this corpus sits
                                 // ~0.45-0.75; the synthetic repeats
                                 // dip below 0.30)
+    val BoilerMinDocs = 2       // q127 boilerplate gate: a span in >=2
+                                // DISTINCT documents is cross-document
+                                // boilerplate (RefinedWeb removes at
+                                // small absolute thresholds too; the
+                                // corpus-fraction variant is a Column
+                                // swap)
     val NegCeiling = 0.995      // q126 near-duplicate ceiling: cosine
                                 // at/above this under a DIFFERENT
                                 // label is a labeling error or unmarked
@@ -707,6 +713,8 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q127_boilerplate" -> ((s, d) =>
+      CorpusPipeline.boilerplateRemoval(Tables.documents(s, d), SpanTokens, BoilerMinDocs)),
     "q126_hard_negatives" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Knn.hardNegatives(emb, Knn.labeledPanel(emb, RecallQueryIds), K, NegCeiling)

@@ -346,6 +346,62 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** Corpus-frequency boilerplate removal (the RefinedWeb/CCNet
+    * line-dedup semantic on token spans): a span occurring in
+    * >= `minDocs` DISTINCT documents is boilerplate — remove EVERY
+    * occurrence (including the first) and reassemble each document
+    * from its surviving spans. The frequency-threshold complement of
+    * [[spanDedup]]: there the first occurrence SURVIVES (dedup — keep
+    * one copy of repeated content); here no copy survives (headers,
+    * footers, cookie banners, license blocks are noise in every copy,
+    * and keeping "the first" would keep noise in one arbitrary
+    * document). The gate counts DISTINCT documents, not occurrences,
+    * so a phrase repeated inside one document is untouched — that is
+    * in-document repetition ([[TextAnalysis.repetitionSignals]]'
+    * territory), not cross-document boilerplate.
+    *
+    * Scale shape (the [[spanDedup]] shape): spans collapse to 60-bit
+    * hashes BEFORE any exchange; the document-frequency count is a
+    * two-level aggregate — distinct (h, doc_id) pairs first (map-side
+    * partial collapses in-document repeats), then counts per h — so
+    * exchanges carry 16-byte pairs bounded by the corpus span count,
+    * never span text; the verdict LEFT-joins back on the 8-byte hash
+    * (no broadcast hint: the common-span set grows with the corpus —
+    * AQE decides from measured sizes). One per-doc rollup reassembles.
+    * Never pairs, never a global sort. */
+  def boilerplateRemoval(docs: DataFrame, spanTokens: Int = 8,
+                         minDocs: Int = 2): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    require(minDocs > 1, s"minDocs must exceed 1 (1 would remove everything), got $minDocs")
+    val n = size(col("__ts"))
+    val nSpans = ceil(n.cast("double") / lit(spanTokens.toDouble)).cast("int")
+    val spans = docs
+      .select(col("doc_id"), tokens(col("text")).as("__ts"))
+      .where(n > 0)
+      .select(col("doc_id"), col("__ts"), explode(sequence(lit(0), nSpans - 1)).as("span_idx"))
+      .select(
+        col("doc_id"), col("span_idx"),
+        concat_ws(" ", slice(col("__ts"), col("span_idx") * spanTokens + 1, lit(spanTokens))).as("span"))
+      .withColumn("h", Dedup.hash60(col("span")))
+    val common = spans.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("h"), lit(true).as("boiler"))
+    spans.join(common, Seq("h"), "left")
+      .withColumn("kept", col("boiler").isNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            filter(sort_array(collect_list(struct(col("span_idx"), col("kept"), col("span")))),
+              x => x.getField("kept")),
+            x => x.getField("span")),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   def prepare(docs: DataFrame, k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
               minEstJaccard: Double = 0.5, minTokens: Int = 5,
               maxMeanTokenLen: Double = 15.0): DataFrame = {

@@ -95,6 +95,40 @@ class CorpusOpsSpec extends SparkSpec {
       s"gate should prune: candidate=$nCandidate, all=$nAll, hits=$trueHits")
   }
 
+  test("boilerplateRemoval drops EVERY copy of a cross-doc span, keeps in-doc repeats, " +
+    "and differs from spanDedup exactly on the first occurrence") {
+    import graft.operators.CorpusPipeline
+    val boiler = "cookie notice accept all"                // 4-token span, planted in 3 docs
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),
+      (3L, s"$boiler iota kappa lambda mu"),
+      (4L, "solo solo solo solo solo solo solo solo"),     // in-DOC repeat: two identical
+                                                           // spans, ONE document — not boilerplate
+      (5L, "unique words appearing nowhere else")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.boilerplateRemoval(docs, spanTokens = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      val (nSpans, nRemoved, clean) = out(id)
+      assert(nSpans == 2 && nRemoved == 1, s"doc $id: expected the planted span removed")
+      assert(!clean.contains("cookie"), s"doc $id kept a boilerplate copy: $clean")
+    }
+    assert(out(4L) == ((2L, 0L, "solo solo solo solo solo solo solo solo")),
+      "in-document repetition must not trip the cross-document gate")
+    assert(out(5L)._2 == 0L)
+    // spanDedup on the same corpus KEEPS the first copy (doc 1) — the
+    // two operators must disagree exactly there.
+    val dedup = CorpusPipeline.spanDedup(docs, spanTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(dedup(1L).contains("cookie") && !dedup(2L).contains("cookie"),
+      "spanDedup first-occurrence baseline changed — differential premise broken")
+    // In-doc repeat IS dedup'd by spanDedup (second span dropped) but
+    // untouched here: the operators' scopes are genuinely different.
+    assert(dedup(4L) == "solo solo solo solo")
+  }
+
   test("domainMix water-fills to the binding source and keeps rates integral") {
     // A: 100 docs at 50% target, B: 10 docs at 50% → B binds:
     // budget = 20, target 10 each, keep_ppm A=100000 B=1000000.
