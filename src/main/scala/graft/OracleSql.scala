@@ -2145,6 +2145,31 @@ object OracleSql {
          |  CAST(fresh AS INTEGER) AS attributed
          |FROM j ORDER BY event_id""".stripMargin,
 
+    // q128: attribution touchpoint log folded to per-purchase report —
+    // the batch face of the stream-stream interval join (q91's as-of
+    // answers "the one last click"; this keeps every in-window
+    // touchpoint, then resolves most-recent by (secs, click_id DESC)).
+    "q128_attribution_log" ->
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, ts FROM events
+         |  WHERE event_type = 'purchase'),
+         |c AS (
+         |  SELECT event_id AS click_id, user_id, ts FROM events
+         |  WHERE event_type = 'click'),
+         |log AS (
+         |  SELECT p.event_id, c.click_id,
+         |    date_diff('second', c.ts, p.ts) AS secs_before
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.ts <= p.ts
+         |    AND date_diff('second', c.ts, p.ts) <= $AttribWindowSec)
+         |SELECT event_id, n_clicks, click_id, secs_before FROM (
+         |  SELECT event_id, click_id, secs_before,
+         |    CAST(count(*) OVER (PARTITION BY event_id) AS BIGINT) AS n_clicks,
+         |    row_number() OVER (PARTITION BY event_id
+         |      ORDER BY secs_before, click_id DESC) AS rn
+         |  FROM log)
+         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     // q92: copy-on-write MERGE — NOT EXISTS (not NOT IN) mirrors the
     // anti-join's null-key semantics: a null-keyed base row persists.
     "q92_upsert" ->

@@ -713,6 +713,13 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q128_attribution_log" -> ((s, d) =>
+      // The BATCH face of the stream-stream interval join twin
+      // (touchpoints is batch/stream identical — withWatermark is a
+      // no-op on a static frame; StreamingSpec pins streamed == batch
+      // and report == q91's as-of pick on attributed purchases).
+      graft.streaming.AttributionStream.toReport(
+        graft.streaming.AttributionStream.touchpoints(Tables.events(s, d), AttribWindowSec))),
     "q127_boilerplate" -> ((s, d) =>
       CorpusPipeline.boilerplateRemoval(Tables.documents(s, d), SpanTokens, BoilerMinDocs)),
     "q126_hard_negatives" -> ((s, d) => {

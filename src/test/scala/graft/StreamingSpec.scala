@@ -248,6 +248,46 @@ class StreamingSpec extends SparkSpec {
       "checkpointed restart double-appended the delta")
   }
 
+  test("stream-stream interval join: streamed touchpoints == batch twin, report == as-of " +
+    "attribution on every attributed purchase") {
+    import graft.streaming.AttributionStream
+    import graft.operators.AsOf
+    val windowSec = 86400L
+    // Raw stream — touchpoints defines its OWN per-side watermarks on
+    // the renamed time columns (readEvents' ts watermark would clash).
+    val streamed = AttributionStream.touchpoints(
+      spark.readStream.schema(spark.read.parquet(stageDir).schema).parquet(stageDir),
+      windowSec)
+    val q = streamed.writeStream
+      .format("memory").queryName("attr_sink").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("attr_sink")
+    assert(got.count() > 0, "no touchpoints emitted")
+    // The SAME function on the static frame is the differential
+    // (withWatermark is a no-op on batch).
+    val want = AttributionStream.touchpoints(Tables.events(spark, sf0001), windowSec)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(2), r.getLong(3))
+    assert(got.select("event_id", "user_id", "click_id", "secs_before")
+        .collect().map(key).toSet ===
+      want.collect().map(key).toSet,
+      "streamed touchpoint log != batch interval join")
+    // Folding the log must reproduce the q91 as-of attribution on
+    // every ATTRIBUTED purchase (same window, same tie rule).
+    val rep = AttributionStream.toReport(got).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val asof = AsOf.clickAttribution(Tables.events(spark, sf0001), windowSec)
+      .where(col("attributed") === 1)
+      .select("event_id", "click_id", "secs_since_click").collect()
+    assert(asof.nonEmpty)
+    assert(rep.size === asof.length, "report rows != attributed purchases")
+    asof.foreach { r =>
+      assert(rep(r.getLong(0)) === ((r.getLong(1), r.getLong(2))),
+        s"purchase ${r.getLong(0)}: report's most-recent click diverged from as-of")
+    }
+  }
+
   test("stateful streaming sessionization matches the batch sessionize") {
     import spark.implicits._
     val events = spark.readStream
