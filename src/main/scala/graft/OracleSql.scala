@@ -1432,6 +1432,48 @@ object OracleSql {
          |FROM hashed s LEFT JOIN common c ON s.h = c.h
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // q129: one-pass Poisson bootstrap — weights from the SAME 60-bit
+    // hash and the SAME inverse-CDF double thresholds as the Spark
+    // side (Profile.PoissonCum; Double.toString round-trips), all sums
+    // cast to BIGINT before the integer-micro floor division (DuckDB
+    // sums BIGINT into HUGEINT).
+    "q129_bootstrap_ci" -> {
+      val reps = BootstrapReps
+      val cum = graft.operators.Profile.PoissonCum
+      val uCols = (0 until reps).map { i =>
+        s"(${hash60(s"CAST(doc_id AS VARCHAR) || ':$i'")}) / 1152921504606846976.0 AS u$i"
+      }.mkString(",\n    ")
+      val wCols = (0 until reps).map { i =>
+        val whens = cum.zipWithIndex
+          .map { case (c, k) => s"WHEN u$i < $c THEN $k" }.mkString(" ")
+        s"CASE $whens ELSE ${cum.size} END AS w$i"
+      }.mkString(",\n    ")
+      val sums = (0 until reps).map { i =>
+        s"CAST(sum(w$i * n_chars) AS BIGINT) AS swx$i, CAST(sum(w$i) AS BIGINT) AS sw$i"
+      }.mkString(",\n    ")
+      val means = (0 until reps).map(i => s"((swx$i * 1000000) // sw$i)")
+      s"""WITH u AS (
+         |  SELECT source, n_chars,
+         |    ${uCols}
+         |  FROM documents),
+         |w AS (
+         |  SELECT source, n_chars,
+         |    ${wCols}
+         |  FROM u),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sx,
+         |    ${sums}
+         |  FROM w GROUP BY source)
+         |SELECT source, n_docs,
+         |  (sx * 1000000) // n_docs AS mean_chars_micro,
+         |  least(${means.mkString(", ")}) AS boot_lo_micro,
+         |  greatest(${means.mkString(", ")}) AS boot_hi_micro
+         |FROM g
+         |WHERE ${(0 until reps).map(i => s"sw$i > 0").mkString(" AND ")}
+         |ORDER BY source""".stripMargin
+    },
+
     "q47_profile" -> {
       val per = ProfileCols.map { c =>
         s"""  SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,

@@ -281,6 +281,10 @@ object SparkEntry {
                                 // (natural prose on this corpus sits
                                 // ~0.45-0.75; the synthetic repeats
                                 // dip below 0.30)
+    val BootstrapReps = 32      // q129 Poisson-bootstrap replicates:
+                                // 32 replicate means per source in ONE
+                                // aggregation pass; the interval is
+                                // their integer min/max
     val BoilerMinDocs = 2       // q127 boilerplate gate: a span in >=2
                                 // DISTINCT documents is cross-document
                                 // boilerplate (RefinedWeb removes at
@@ -713,6 +717,8 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q129_bootstrap_ci" -> ((s, d) =>
+      Profile.bootstrapMeans(Tables.documents(s, d), BootstrapReps)),
     "q128_attribution_log" -> ((s, d) =>
       // The BATCH face of the stream-stream interval join twin
       // (touchpoints is batch/stream identical — withWatermark is a

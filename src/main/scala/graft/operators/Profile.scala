@@ -352,4 +352,77 @@ object Profile {
       .orderBy(desc("chi2"), asc("term"))
       .limit(topN)
   }
+
+  /** Cumulative Poisson(1) CDF at k = 0..5 (e⁻¹·Σ_{j≤k} 1/j!) — the
+    * inverse-CDF thresholds for the bootstrap's per-replicate weights.
+    * Shared verbatim with the DuckDB oracle (Double.toString round-trips
+    * to the identical IEEE value on both engines), so a uniform draw
+    * can never land on different weights per engine. Tail above k=6 is
+    * ~5.9e-4 — draws there take weight 6. */
+  val PoissonCum: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /** One-pass Poisson-bootstrap confidence intervals for per-source
+    * mean document length (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams" — the Google recipe for
+    * CIs when the data cannot be resampled). Classical bootstrap
+    * redraws the corpus `reps` times — `reps` full shuffles at 100 TB.
+    * The Poisson trick vectorizes ALL replicates into ONE aggregation
+    * pass: each row carries `reps` independent Poisson(1) weights
+    * (multinomial resampling converges to independent Poissons as
+    * n → ∞), so replicate b's "resample" is just the weighted sums
+    * Σw_b·x / Σw_b accumulated alongside every other replicate —
+    * map-side partial aggregation, one exchange of O(sources × reps)
+    * longs, zero extra rows.
+    *
+    * Determinism/exactness: weights derive from the 60-bit md5 hash of
+    * (doc_id, replicate) through the shared [[PoissonCum]] inverse-CDF
+    * thresholds — a pure function of the row, so retries, engines and
+    * A/B runs agree bit-for-bit ([[CorpusPipeline.corpusShuffle]]'s
+    * rand()-would-unshuffle argument). All sums are exact 64-bit;
+    * per-replicate means land as `(Σw·x · 10⁶) div Σw` integer
+    * micro-units (floor-consistent: both inputs non-negative, SURVEY
+    * §6 q54 lesson), and the interval is the least/greatest over the
+    * replicate means — integer min/max, no float percentile to
+    * disagree about. Headroom: Σw·x ≤ 6·Σchars per source; ×10⁶ stays
+    * under 2⁶³ below ~1.5 PB of text per source (beyond that, scale
+    * the micro factor down).
+    *
+    * Sources where ANY replicate draws all-zero weights are dropped
+    * (identically on both engines) — with n docs the probability is
+    * ≤ reps·e⁻ⁿ, i.e. gone by n ≈ 40. */
+  def bootstrapMeans(docs: DataFrame, reps: Int = 32): DataFrame = {
+    require(reps >= 2 && reps <= 64, s"reps must be in [2, 64], got $reps")
+    val two60 = 1152921504606846976d // 2^60, exactly representable
+    val base = docs.select(col("doc_id"), col("source"), col("n_chars"))
+    // Step 1: materialize each replicate's uniform draw u_i = h/2^60
+    // as its OWN column (one md5 per replicate per row; the CASE chain
+    // then references a cheap column, not 7 copies of the hash).
+    val withU = (0 until reps).foldLeft(base) { (d, i) =>
+      d.withColumn(s"__u$i",
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(s":$i")))
+          .cast("double") / lit(two60))
+    }
+    // Step 2: inverse-CDF the draw into a Poisson(1) weight.
+    val withW = (0 until reps).foldLeft(withU) { (d, i) =>
+      val w = PoissonCum.zipWithIndex.foldRight(lit(PoissonCum.size): Column) {
+        case ((c, k), acc) => when(col(s"__u$i") < c, lit(k)).otherwise(acc)
+      }
+      d.withColumn(s"__w$i", w.cast("long"))
+    }
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("__sx")) ++
+        (0 until reps).flatMap(i => Seq(
+          sum(col(s"__w$i") * col("n_chars")).as(s"__swx$i"),
+          sum(col(s"__w$i")).as(s"__sw$i")))
+    val repMeans = (0 until reps).map(i => expr(s"(__swx$i * 1000000) div __sw$i"))
+    withW.groupBy("source").agg(aggs.head, aggs.tail: _*)
+      .where((0 until reps).map(i => col(s"__sw$i") > 0).reduce(_ && _))
+      .select(col("source"), col("n_docs"),
+        expr("(__sx * 1000000) div n_docs").as("mean_chars_micro"),
+        least(repMeans: _*).as("boot_lo_micro"),
+        greatest(repMeans: _*).as("boot_hi_micro"))
+      .orderBy("source")
+  }
 }

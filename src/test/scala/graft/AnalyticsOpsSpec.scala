@@ -535,4 +535,29 @@ class AnalyticsOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(out.toSeq == Seq((7L, 2L), (8L, 1L)), s"got ${out.toSeq}")
   }
+
+  test("bootstrapMeans: constant column collapses the interval to the mean; deterministic; " +
+    "interval brackets the point estimate on the real corpus") {
+    // Constant length: every Poisson resample's mean IS the constant,
+    // so lo == mean == hi exactly (in micro-units).
+    val const = (0L until 200L).map(i => (i, s"src${i % 4}", 100L))
+      .toDF("doc_id", "source", "n_chars")
+    Profile.bootstrapMeans(const, reps = 16).collect().foreach { r =>
+      assert(r.getLong(2) == 100000000L && r.getLong(3) == 100000000L &&
+        r.getLong(4) == 100000000L, s"constant column widened the interval: $r")
+    }
+    // Hash-seeded weights: two runs are bit-identical (rand() would not be).
+    val docs = Tables.documents(spark, sf0001)
+    val a = Profile.bootstrapMeans(docs).collect().toSeq
+    val b = Profile.bootstrapMeans(docs).collect().toSeq
+    assert(a == b, "bootstrap is not deterministic")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (mean, lo, hi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo <= hi, s"inverted interval: $r")
+      assert(lo <= mean && mean <= hi,
+        s"replicate envelope misses the point estimate (deterministic check): $r")
+      assert(lo < hi, s"real data produced a degenerate interval: $r")
+    }
+  }
 }
