@@ -1432,6 +1432,27 @@ object OracleSql {
          |FROM hashed s LEFT JOIN common c ON s.h = c.h
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // q130: snapshot chain (v1 = non-delta load, v2 = +delta append,
+    // v3 = CoW merge of the q92 change rule) — the oracle states each
+    // snapshot's content directly over the documents table; the Spark
+    // side must reproduce it by actually committing and time-travel
+    // reading the manifests.
+    "q130_time_travel" ->
+      s"""SELECT CAST(1 AS BIGINT) AS snapshot, 'overwrite' AS op,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents WHERE doc_id % $IncDeltaMod <> $IncDeltaRem
+         |UNION ALL
+         |SELECT 2, 'append', CAST(count(*) AS BIGINT),
+         |  CAST(sum(n_chars) AS BIGINT)
+         |FROM documents
+         |UNION ALL
+         |SELECT 3, 'overwrite', CAST(count(*) AS BIGINT),
+         |  CAST(sum(CASE WHEN doc_id % $UpsertChangeMod = 0
+         |               THEN n_chars + 1000 ELSE n_chars END) AS BIGINT)
+         |FROM documents
+         |ORDER BY snapshot""".stripMargin,
+
     // q129: one-pass Poisson bootstrap — weights from the SAME 60-bit
     // hash and the SAME inverse-CDF double thresholds as the Spark
     // side (Profile.PoissonCum; Double.toString round-trips), all sums

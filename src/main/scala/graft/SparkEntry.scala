@@ -717,6 +717,29 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q130_time_travel" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      // Fresh snapshot chain per run (the q10 overwrite convention).
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_snap_" +
+        Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val isDelta = pmod(col("doc_id"), lit(IncDeltaMod.toLong)) === IncDeltaRem
+      Snapshots.overwrite(docs.where(!isDelta), path)        // v1: initial load
+      Snapshots.append(docs.where(isDelta), path)            // v2: daily increment
+      Snapshots.mergeCommit(path,                            // v3: CoW corrections
+        docs.where(pmod(col("doc_id"), lit(UpsertChangeMod)) === 0)
+          .withColumn("n_chars", col("n_chars") + 1000), "doc_id")
+      (1L to 3L).map { id =>
+        Snapshots.read(s, path, id)
+          .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
+          .select(lit(id).as("snapshot"), col("n_rows"), col("sum_chars"))
+      }.reduce(_ unionByName _)
+        .join(Snapshots.log(s, path), "snapshot")
+        .select("snapshot", "op", "n_rows", "sum_chars")
+        .orderBy("snapshot")
+    }),
     "q129_bootstrap_ci" -> ((s, d) =>
       Profile.bootstrapMeans(Tables.documents(s, d), BootstrapReps)),
     "q128_attribution_log" -> ((s, d) =>

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** Snapshot / time-travel table layer — the commit protocol face of a
+  * table format (Iceberg/Delta distilled to its load-bearing core).
+  * At 100 TB a corpus cannot be rewritten per day: ingest lands as
+  * APPEND commits, corrections as copy-on-write OVERWRITE commits
+  * ([[Merge.upsert]] produces the rows), and every historical snapshot
+  * stays readable until expired — reproducibility of a training run
+  * REQUIRES pinning the exact snapshot it read ("trained on v12"), not
+  * "whatever the directory held that day".
+  *
+  * Design (Iceberg's two load-bearing ideas, nothing else):
+  *  - Each commit's data is an immutable directory (`data/s<id>/`);
+  *    nothing ever rewrites another commit's files.
+  *  - Each manifest `meta/v<id>.json` lists the COMPLETE directory set
+  *    of its snapshot (full-state manifests, not a delta log) — a read
+  *    is one tiny manifest fetch + a parquet scan of the listed dirs;
+  *    no log replay, no O(history) planning cost.
+  *
+  * Commit atomicity: the manifest is written to a temp name and
+  * RENAMEd into place — on HDFS-like stores rename is atomic, so a
+  * reader sees either the old table or the new one, never a torn
+  * manifest; a crash between data-write and rename leaves orphan data
+  * dirs that [[vacuum]] reclaims (the unreferenced-files sweep every
+  * format runs). Readers never lock: snapshots are immutable, and
+  * [[vacuum]] only deletes dirs no surviving manifest references.
+  *
+  * The driver-side work per commit is one ≤ KB-scale manifest write —
+  * the same bounded class as [[Pq.distTables]]; all data movement is
+  * executor-side parquet I/O.
+  */
+object Snapshots {
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metaDir(path: String) = new Path(path, "meta")
+
+  /** Highest committed snapshot id, 0 if none. */
+  def latest(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val md = metaDir(path)
+    if (!f.exists(md)) 0L
+    else
+      f.listStatus(md).map(_.getPath.getName)
+        .collect { case VPat(id) => id.toLong }
+        .foldLeft(0L)(math.max)
+  }
+
+  private val VPat = "v(\\d+)\\.json".r
+  private val DirsPat = "\"dirs\":\\[(.*?)\\]".r
+  private val OpPat = "\"op\":\"(.*?)\"".r
+
+  private def readManifest(spark: SparkSession, path: String, id: Long): (String, Seq[String]) = {
+    val f = fs(spark, path)
+    val p = new Path(metaDir(path), s"v$id.json")
+    require(f.exists(p), s"snapshot $id does not exist under $path")
+    val in = f.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val dirs = DirsPat.findFirstMatchIn(body).map(_.group(1)) match {
+      case Some("") => Seq.empty
+      case Some(l)  => l.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+      case None     => throw new IllegalStateException(s"torn manifest v$id.json")
+    }
+    (OpPat.findFirstMatchIn(body).map(_.group(1)).getOrElse("?"), dirs)
+  }
+
+  private def commit(df: DataFrame, path: String, op: String,
+                     carry: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val id = latest(spark, path) + 1
+    val dataDir = s"data/s$id"
+    df.write.mode("errorifexists").parquet(new Path(path, dataDir).toString)
+    val dirs = carry :+ dataDir
+    val body = s"""{"snapshot":$id,"op":"$op","dirs":[${
+      dirs.map(d => "\"" + d + "\"").mkString(",")}]}"""
+    val tmp = new Path(metaDir(path), s".v$id.json.tmp")
+    val dst = new Path(metaDir(path), s"v$id.json")
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"commit conflict: snapshot $id already exists under $path")
+    id
+  }
+
+  /** First commit / full replace: the new snapshot references ONLY the
+    * new data (prior snapshots stay readable — their files are not
+    * touched until [[vacuum]]). */
+  def overwrite(df: DataFrame, path: String): Long =
+    commit(df, path, "overwrite", Seq.empty)
+
+  /** Append commit: the new snapshot = parent's directory set + one
+    * new directory. No data movement for existing rows — the append
+    * cost is the delta's write alone, at any table size. */
+  def append(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val parent = latest(spark, path)
+    val carry = if (parent == 0) Seq.empty
+                else readManifest(spark, path, parent)._2
+    commit(df, path, "append", carry)
+  }
+
+  /** Copy-on-write MERGE commit: [[Merge.upsert]] resolves the rows,
+    * the result lands as a full-replace snapshot. (A file-pruned CoW —
+    * rewrite only intersecting files — is the [[Ivf.compact]]
+    * affected-cells discipline at table scope; rows here model the
+    * post-prune rewrite set, same as q92.) */
+  def mergeCommit(base: String, updates: DataFrame, key: String): Long = {
+    val cur = read(updates.sparkSession, base)
+    overwrite(Merge.upsert(cur, updates, key), base)
+  }
+
+  /** Read snapshot `asOf` (default: latest). One manifest fetch, then
+    * a parquet scan of the listed immutable dirs — column pruning and
+    * predicate pushdown apply exactly as on a plain parquet table. */
+  def read(spark: SparkSession, path: String, asOf: Long = 0L): DataFrame = {
+    val id = if (asOf > 0) asOf else latest(spark, path)
+    val (_, dirs) = readManifest(spark, path, id)
+    require(dirs.nonEmpty, s"snapshot $id of $path lists no data")
+    spark.read.parquet(dirs.map(d => new Path(path, d).toString): _*)
+  }
+
+  /** Commit log as a DataFrame: (snapshot, op, n_dirs). */
+  def log(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    (1L to latest(spark, path)).map { id =>
+      val (op, dirs) = readManifest(spark, path, id)
+      (id, op, dirs.size.toLong)
+    }.toDF("snapshot", "op", "n_dirs")
+  }
+
+  /** Expire history: drop manifests below `keepFrom`, then delete data
+    * dirs no SURVIVING manifest references. Ordering is crash-safe in
+    * the conservative direction — manifests go first, so a crash
+    * mid-vacuum strands unreferenced dirs (re-vacuum reclaims) but can
+    * never leave a manifest pointing at deleted data. Returns the
+    * number of data dirs removed. */
+  def vacuum(spark: SparkSession, path: String, keepFrom: Long): Int = {
+    val f = fs(spark, path)
+    val last = latest(spark, path)
+    require(keepFrom >= 1 && keepFrom <= last,
+      s"keepFrom must be in [1, $last], got $keepFrom")
+    (1L until keepFrom).foreach { id =>
+      f.delete(new Path(metaDir(path), s"v$id.json"), false)
+    }
+    val live = (keepFrom to last)
+      .flatMap(id => readManifest(spark, path, id)._2).toSet
+    val dataRoot = new Path(path, "data")
+    val dead = f.listStatus(dataRoot).map(_.getPath)
+      .filter(p => !live.contains(s"data/${p.getName}"))
+    dead.foreach(p => f.delete(p, true))
+    dead.length
+  }
+}

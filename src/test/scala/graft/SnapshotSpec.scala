@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshots
+
+/** The snapshot layer's contract: immutable history, atomic commits,
+  * conservative vacuum. */
+class SnapshotSpec extends SparkSpec {
+
+  private def freshPath(tag: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_snapspec_$tag"
+    val hp = new Path(p)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(hp)) f.delete(hp, true)
+    p
+  }
+
+  test("append chains onto the parent; every historical snapshot stays readable unchanged") {
+    import spark.implicits._
+    val path = freshPath("chain")
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars")
+    val delta = Seq((3L, 30L)).toDF("doc_id", "n_chars")
+    assert(Snapshots.overwrite(base, path) == 1L)
+    assert(Snapshots.append(delta, path) == 2L)
+    val v1 = Snapshots.read(spark, path, 1L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v2 = Snapshots.read(spark, path, 2L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v1 == Set((1L, 10L), (2L, 20L)))
+    assert(v2 == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // Default read = latest.
+    assert(Snapshots.read(spark, path).count() == 3L)
+    // A merge commit rewrites forward; v2 is untouched (time travel is
+    // the reproducibility contract: "trained on v2" must re-read v2).
+    Snapshots.mergeCommit(path,
+      Seq((2L, 999L)).toDF("doc_id", "n_chars"), "doc_id")
+    val v3 = Snapshots.read(spark, path, 3L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v3 == Set((1L, 10L), (2L, 999L), (3L, 30L)))
+    assert(Snapshots.read(spark, path, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == v2,
+      "history mutated by a later commit")
+    assert(Snapshots.log(spark, path).collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.sortBy(_._1) == Seq((1L, "overwrite"), (2L, "append"), (3L, "overwrite")))
+  }
+
+  test("a torn (un-renamed) manifest is invisible; commit ids advance past it only on rename") {
+    import spark.implicits._
+    val path = freshPath("torn")
+    Snapshots.overwrite(Seq((1L, 10L)).toDF("doc_id", "n_chars"), path)
+    // Simulate a writer that crashed before rename: temp manifest present.
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/meta/.v2.json.tmp")
+    val out = f.create(tmp, true)
+    out.write("{\"snapshot\":2,\"op\":\"append\",\"dirs\":[\"data/s2\"]}".getBytes("UTF-8"))
+    out.close()
+    assert(Snapshots.latest(spark, path) == 1L, "a torn manifest became visible")
+    assert(Snapshots.read(spark, path).count() == 1L)
+  }
+
+  test("vacuum drops expired manifests and unreferenced data dirs, keeps live snapshots whole") {
+    import spark.implicits._
+    val path = freshPath("vac")
+    Snapshots.overwrite(Seq((1L, 10L)).toDF("doc_id", "n_chars"), path)   // v1 (replaced below)
+    Snapshots.overwrite(Seq((2L, 20L)).toDF("doc_id", "n_chars"), path)   // v2: only data/s2 live
+    Snapshots.append(Seq((3L, 30L)).toDF("doc_id", "n_chars"), path)      // v3: s2 + s3
+    // Orphan from a crashed commit (data written, never renamed in).
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((9L, 90L)).toDF("doc_id", "n_chars").write.parquet(s"$path/data/s99")
+    val removed = Snapshots.vacuum(spark, path, keepFrom = 2L)
+    // data/s1 (expired with v1) and data/s99 (orphan) go; s2/s3 stay.
+    assert(removed == 2, s"expected 2 dirs reclaimed, got $removed")
+    assert(!f.exists(new Path(s"$path/data/s1")) && !f.exists(new Path(s"$path/data/s99")))
+    assert(Snapshots.read(spark, path, 2L).count() == 1L)
+    assert(Snapshots.read(spark, path, 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 20L), (3L, 30L)))
+    intercept[IllegalArgumentException](Snapshots.read(spark, path, 1L))
+  }
+}
