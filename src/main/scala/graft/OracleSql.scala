@@ -1919,6 +1919,13 @@ object OracleSql {
          |$bm25Select
          |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin,
 
+    // q131: BM25 from the persisted bucket-partitioned index is
+    // bit-equal to inline BM25 (SearchSpec pins it), so the oracle is
+    // q34's statement verbatim.
+    "q131_text_index_serve" -> s"""$bm25Ctes
+         |$bm25Select
+         |ORDER BY score DESC, doc_id LIMIT $K""".stripMargin,
+
     "q34b_hybrid_rrf" ->
       s"""$bm25Ctes,
          |bm AS (

@@ -717,6 +717,16 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q131_text_index_serve" -> ((s, d) => {
+      // Persisted-inverted-index BM25: bit-equal to inline q34 by
+      // construction, so the oracle is the SAME statement — the Spark
+      // side must reproduce it from the saved bucket-partitioned
+      // postings alone (the Ivf.save → search lifecycle, sparse twin).
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_index_" +
+        Integer.toHexString(d.hashCode)
+      Search.saveTextIndex(Tables.documents(s, d), path)
+      Search.searchTextIndex(s, path, Bm25Terms, K, k1 = Bm25K1, b = Bm25B)
+    }),
     "q130_time_travel" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
       // Fresh snapshot chain per run (the q10 overwrite convention).

@@ -171,4 +171,80 @@ object Search {
       .orderBy(desc("lift"), col("tok_a"), col("tok_b"))
       .limit(k)
   }
+
+  /** JVM-side twin of [[Dedup.hash60]] — the driver needs the SAME
+    * 60-bit hash to compute which index buckets a query's terms live
+    * in without touching the cluster (15 hex chars of md5 = 60 bits,
+    * always non-negative, bit-identical to Spark's
+    * `conv(substring(md5(s), 1, 15), 16, 10)`). */
+  private[graft] def hash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def bucketOf(term: String, nBuckets: Int): Int =
+    (hash60Jvm(term) % nBuckets).toInt
+
+  /** Persist the corpus's inverted index: the sparse-retrieval twin of
+    * [[Ivf.save]]'s dense index lifecycle. Postings (term, doc_id, tf,
+    * dl) land partitioned by a term-hash BUCKET — the lexical analog
+    * of partition-by-cell: a query's terms map to a handful of buckets
+    * and the serve path scans ONLY those partitions (partition pruning
+    * on disk), never the corpus-wide posting store. Corpus stats
+    * (n_docs, avgdl under the shared 6-dp definition) persist beside
+    * them, so serving needs no pass over the documents table at all.
+    * Per-term document frequency is NOT materialized: df for the
+    * queried terms is exact from the probed buckets alone (every
+    * posting of a term lives in its one bucket), so the index carries
+    * no vocabulary-sized side table to keep consistent on append. */
+  def saveTextIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0)
+    val lens = docs
+      .select(col("doc_id"), tokens(col("text")).as("__ts"))
+      .select(col("doc_id"), col("__ts"), size(col("__ts")).as("dl"))
+    lens
+      .select(col("doc_id"), col("dl"), explode(col("__ts")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(graft.operators.Dedup.hash60(col("term")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    lens.agg(
+        count(lit(1)).as("n_docs"),
+        round(sum("dl").cast("double") / count(lit(1)), 6).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 served from the persisted index — bit-equal to the inline
+    * [[bm25]] by construction (same idf/tfN/avgdl formulas over the
+    * same exact tf/dl/df integers; SearchSpec pins the differential).
+    * The plan reads the 1-row stats file and the query terms' bucket
+    * partitions only: `bucket IN (...)` prunes at the directory level
+    * and the residual `term IN (...)` prunes row-groups via
+    * dictionary/stats — serving cost scales with the probed buckets'
+    * posting mass, not the corpus. */
+  def searchTextIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      terms: Seq[String], k: Int, nBuckets: Int = 64,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    val buckets = terms.map(t => bucketOf(t, nBuckets)).distinct
+    val stats = spark.read.parquet(s"$path/stats")
+    val tf = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms_matched"),
+        round(sum(idf * tfNorm), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
 }

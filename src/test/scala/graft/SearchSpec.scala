@@ -80,4 +80,27 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
+
+  test("persisted text index: served BM25 == inline BM25 bit-for-bit; bucket pruning " +
+    "reaches the postings scan; hash60Jvm matches the Spark hash") {
+    val corpus = Tables.documents(spark, sf0001)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_text_index_spec"
+    Search.saveTextIndex(corpus, path)
+    val terms = Seq("vector", "hash", "spark")
+    val served = Search.searchTextIndex(spark, path, terms, 20)
+    val inline = Search.bm25(corpus, terms, 20)
+    assert(served.collect().toSeq == inline.collect().toSeq,
+      "index-served BM25 diverged from the inline plan")
+    // The bucket predicate must prune PARTITIONS (directory-level),
+    // not filter post-scan.
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket pruning missing from the postings scan:\n$plan")
+    // Driver-side bucket routing uses the same 60-bit hash as the
+    // executor-side partitioner.
+    val sparkSide = corpus.sparkSession.range(1)
+      .select(graft.operators.Dedup.hash60(lit("vector"))).head().getLong(0)
+    assert(Search.hash60Jvm("vector") == sparkSide,
+      "JVM hash60 twin diverged from Spark's conv(md5) hash")
+  }
 }
