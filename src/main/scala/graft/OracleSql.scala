@@ -1650,6 +1650,33 @@ object OracleSql {
     // 6-dp hash once sf1 made the hourly groups 10× deeper. The avg is
     // integer HALF-UP micro-units ((2a + b) // (2b)) — a double
     // quotient disagreed at an exact 6-dp tie (13911.3/320).
+    // q132: RANGE-frame trailing window over the daily pre-aggregate —
+    // the frame slides over the integer day NUMBER (gap-aware: absent
+    // days contribute nothing), cents-long sums, integer-micro average
+    // over PRESENT days.
+    "q132_moving_revenue" ->
+      s"""WITH daily0 AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+         |daily AS (
+         |  SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS day_num
+         |  FROM daily0),
+         |w AS (
+         |  SELECT event_type, day, cents,
+         |    CAST(sum(cents) OVER win AS BIGINT) AS win_cents,
+         |    CAST(count(*) OVER win AS BIGINT) AS win_days
+         |  FROM daily
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY day_num
+         |    RANGE BETWEEN ${MovingDays - 1} PRECEDING AND CURRENT ROW))
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         |  round(CAST(cents AS DOUBLE) / 100, 6) AS day_value,
+         |  round(CAST(win_cents AS DOUBLE) / 100, 6) AS win_value,
+         |  win_days,
+         |  CAST(CAST((win_cents * 10000) // win_days AS BIGINT) AS DOUBLE)
+         |    / 1000000 AS avg_day_value
+         |FROM w ORDER BY event_type, day""".stripMargin,
+
     "q17_events_rollup" ->
       """WITH agg AS (
         |  SELECT event_type,

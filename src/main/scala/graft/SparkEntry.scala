@@ -281,6 +281,8 @@ object SparkEntry {
                                 // (natural prose on this corpus sits
                                 // ~0.45-0.75; the synthetic repeats
                                 // dip below 0.30)
+    val MovingDays = 7          // q132 trailing RANGE-frame window:
+                                // "last 7 calendar days", gap-aware
     val BootstrapReps = 32      // q129 Poisson-bootstrap replicates:
                                 // 32 replicate means per source in ONE
                                 // aggregation pass; the interval is
@@ -717,6 +719,8 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q132_moving_revenue" -> ((s, d) =>
+      Events.movingDailyRevenue(Tables.events(s, d), MovingDays)),
     "q131_text_index_serve" -> ((s, d) => {
       // Persisted-inverted-index BM25: bit-equal to inline q34 by
       // construction, so the oracle is the SAME statement — the Spark

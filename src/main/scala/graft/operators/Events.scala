@@ -315,5 +315,44 @@ object Events {
           .as("retention"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** Gap-aware trailing moving window over daily revenue — the RANGE
+    * frame class of window analytics, distinct from q24's ROWS frame
+    * in exactly the way that matters on real calendars: a ROWS frame
+    * slides over whatever rows EXIST ("last 7 rows" spans 7 weeks on a
+    * sparse series), a RANGE frame slides over the ordering VALUE
+    * ("last `days` calendar days", absent days contribute nothing).
+    * Revenue days are usually dense; per-type × per-day often is not —
+    * the distinction is where trailing-7-day dashboards silently lie.
+    *
+    * Plan: the daily pre-aggregation collapses the event stream to
+    * O(types × days) rows (map-side partials — the q17 shape), and the
+    * window runs over THAT, so the sort under the window frame touches
+    * the tiny aggregate, never the corpus; one exchange on event_type.
+    * Money in exact cents-longs; the trailing average divides cents by
+    * PRESENT days in integer micro-units (`div` — floor-consistent,
+    * cents ≥ 0, the q17 precondition) so no float sum or quotient can
+    * drift cross-engine. */
+  def movingDailyRevenue(events: DataFrame, days: Int): DataFrame = {
+    require(days >= 1, s"days must be positive, got $days")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+      .rangeBetween(-(days - 1L), 0L)
+    daily
+      .withColumn("win_cents", sum("cents").over(w))
+      .withColumn("win_days", count(lit(1)).over(w))
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(col("cents").cast("double") / 100, 6).as("day_value"),
+        round(col("win_cents").cast("double") / 100, 6).as("win_value"),
+        col("win_days"),
+        (expr("(win_cents * 10000) div win_days").cast("double") / lit(1000000.0))
+          .as("avg_day_value"))
+      .orderBy("event_type", "day")
+  }
 }
 

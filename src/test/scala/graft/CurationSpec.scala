@@ -374,4 +374,24 @@ class CurationSpec extends SparkSpec {
     val flagged = out.count(_.getInt(4) == 1)
     assert(flagged < out.length, "gate must not flag the whole corpus")
   }
+
+  test("movingDailyRevenue: RANGE frame is calendar-aware — gaps shrink the window where " +
+    "a ROWS frame would lie; exact cents and integer-micro averages") {
+    val ev = Seq(
+      ("purchase", "2026-01-01 10:00:00", 10.0),
+      ("purchase", "2026-01-02 10:00:00", 20.0),
+      ("purchase", "2026-01-10 10:00:00", 40.0),   // 8-day gap
+      ("view",     "2026-01-02 09:00:00", 99.0)    // other type: separate partition
+    ).toDF("event_type", "ts_s", "value")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"), col("value"))
+    val out = Events.movingDailyRevenue(ev, 7).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(("purchase", "2026-01-02")) == ((30.0, 2L, 15.0)))
+    // Day 10's 7-day window spans days 4-10: ONLY itself — a last-3-ROWS
+    // frame would have smuggled in days 1 and 2.
+    assert(out(("purchase", "2026-01-10")) == ((40.0, 1L, 40.0)))
+    assert(out(("view", "2026-01-02")) == ((99.0, 1L, 99.0)))
+    assert(out.size == 4)
+  }
 }
