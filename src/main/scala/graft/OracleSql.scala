@@ -1432,6 +1432,17 @@ object OracleSql {
          |FROM hashed s LEFT JOIN common c ON s.h = c.h
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // q133: incremental MV refresh must equal the full-table summary —
+    // the oracle states the recomputed answer; the Spark side builds
+    // the snapshot chain and merges v1's summary with v2's delta only.
+    "q133_mv_refresh" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         |  (CAST(sum(n_chars) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         |    AS mean_chars_micro
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     // q130: snapshot chain (v1 = non-delta load, v2 = +delta append,
     // v3 = CoW merge of the q92 change rule) — the oracle states each
     // snapshot's content directly over the documents table; the Spark

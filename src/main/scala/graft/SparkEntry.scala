@@ -719,6 +719,24 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q133_mv_refresh" -> ((s, d) => {
+      // Incremental MV over the snapshot layer: summarize v1 (base
+      // load), refresh with v2's APPENDED delta only — the oracle
+      // states the full-table summary, which the algebraic merge must
+      // reproduce bit-for-bit without rescanning v1's data.
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mv_snap_" +
+        Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val isDelta = pmod(col("doc_id"), lit(IncDeltaMod.toLong)) === IncDeltaRem
+      Snapshots.overwrite(docs.where(!isDelta), path)
+      Snapshots.append(docs.where(isDelta), path)
+      Mv.report(Mv.refresh(
+        Mv.summarize(Snapshots.read(s, path, 1L)),
+        Snapshots.deltaOf(s, path, 2L)))
+    }),
     "q132_moving_revenue" -> ((s, d) =>
       Events.movingDailyRevenue(Tables.events(s, d), MovingDays)),
     "q131_text_index_serve" -> ((s, d) => {

@@ -128,6 +128,21 @@ object Snapshots {
     spark.read.parquet(dirs.map(d => new Path(path, d).toString): _*)
   }
 
+  /** The rows snapshot `id` ADDED over its parent — the delta an
+    * incremental consumer (index append, materialized-view refresh,
+    * downstream CDC) processes instead of rescanning the table. For an
+    * append commit this is exactly the appended directory set; for an
+    * overwrite it is the whole new snapshot (dir sets are disjoint by
+    * construction — every commit writes a fresh `data/s<id>`). */
+  def deltaOf(spark: SparkSession, path: String, id: Long): DataFrame = {
+    val (_, dirs) = readManifest(spark, path, id)
+    val parentDirs = if (id <= 1) Set.empty[String]
+                     else readManifest(spark, path, id - 1)._2.toSet
+    val added = dirs.filterNot(parentDirs)
+    require(added.nonEmpty, s"snapshot $id added no data over ${id - 1}")
+    spark.read.parquet(added.map(d => new Path(path, d).toString): _*)
+  }
+
   /** Commit log as a DataFrame: (snapshot, op, n_dirs). */
   def log(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

@@ -74,4 +74,28 @@ class SnapshotSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 20L), (3L, 30L)))
     intercept[IllegalArgumentException](Snapshots.read(spark, path, 1L))
   }
+
+  test("MV maintenance: refresh(summary(v1), deltaOf(v2)) == summarize(read(v2)) bit-for-bit; " +
+    "merge is associative and min/max survive partial views") {
+    import graft.operators.Mv
+    val path = freshPath("mv")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "n_chars")
+    val isDelta = pmod(col("doc_id"), lit(10L)) === 3
+    Snapshots.overwrite(docs.where(!isDelta), path)
+    Snapshots.append(docs.where(isDelta), path)
+    val incremental = Mv.report(Mv.refresh(
+      Mv.summarize(Snapshots.read(spark, path, 1L)),
+      Snapshots.deltaOf(spark, path, 2L))).collect().toSeq
+    val recomputed = Mv.report(Mv.summarize(Snapshots.read(spark, path, 2L)))
+      .collect().toSeq
+    assert(incremental == recomputed, "incremental refresh diverged from recompute")
+    // deltaOf(2) must be exactly the appended split.
+    assert(Snapshots.deltaOf(spark, path, 2L).count() == docs.where(isDelta).count())
+    // Associativity across a three-way split (the multi-day chain).
+    val Seq(a, b, c) = Seq(0, 1, 2).map(r => docs.where(pmod(col("doc_id"), lit(3L)) === r))
+    val chained = Mv.report(Mv.merge(Mv.merge(Mv.summarize(a), Mv.summarize(b)), Mv.summarize(c)))
+      .collect().toSeq
+    val whole = Mv.report(Mv.summarize(docs)).collect().toSeq
+    assert(chained == whole, "three-way merge diverged from whole-table summary")
+  }
 }
