@@ -1432,6 +1432,17 @@ object OracleSql {
          |FROM hashed s LEFT JOIN common c ON s.h = c.h
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // q134: CDC between the full table (v2) and its CoW merge (v3) —
+    // the oracle states the expected change feed directly: one
+    // delete(old)/insert(new) pair per changed doc, nothing else.
+    "q134_snapshot_diff" ->
+      s"""SELECT doc_id, 'delete' AS change, source, n_chars
+         |FROM documents WHERE doc_id % $UpsertChangeMod = 0
+         |UNION ALL
+         |SELECT doc_id, 'insert', source, n_chars + 1000
+         |FROM documents WHERE doc_id % $UpsertChangeMod = 0
+         |ORDER BY doc_id, change""".stripMargin,
+
     // q133: incremental MV refresh must equal the full-table summary —
     // the oracle states the recomputed answer; the Spark side builds
     // the snapshot chain and merges v1's summary with v2's delta only.

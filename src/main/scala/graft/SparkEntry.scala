@@ -719,6 +719,26 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q134_snapshot_diff" -> ((s, d) => {
+      // CDC between v2 (full table) and v3 (CoW merge of the q92
+      // change rule): every doc_id % UpsertChangeMod == 0 row must
+      // surface as a delete(old)+insert(new) pair and nothing else.
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_snap_" +
+        Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val isDelta = pmod(col("doc_id"), lit(IncDeltaMod.toLong)) === IncDeltaRem
+      Snapshots.overwrite(docs.where(!isDelta), path)
+      Snapshots.append(docs.where(isDelta), path)
+      Snapshots.mergeCommit(path,
+        docs.where(pmod(col("doc_id"), lit(UpsertChangeMod)) === 0)
+          .withColumn("n_chars", col("n_chars") + 1000), "doc_id")
+      Snapshots.diff(s, path, 2L, 3L)
+        .select("doc_id", "change", "source", "n_chars")
+        .orderBy("doc_id", "change")
+    }),
     "q133_mv_refresh" -> ((s, d) => {
       // Incremental MV over the snapshot layer: summarize v1 (base
       // load), refresh with v2's APPENDED delta only — the oracle

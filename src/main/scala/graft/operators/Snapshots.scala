@@ -143,6 +143,30 @@ object Snapshots {
     spark.read.parquet(added.map(d => new Path(path, d).toString): _*)
   }
 
+  /** Row-level change feed between two snapshots — the CDC read every
+    * downstream consumer (search-index sync, replication, audit) wants
+    * from a table format: what would I have to apply to `from`'s rows
+    * to get `to`'s? Computed as symmetric multiset difference
+    * (`exceptAll` both ways, bag semantics — duplicate rows carry
+    * their multiplicity), so an updated row surfaces as a
+    * ('delete', old) + ('insert', new) pair, a pure append as inserts
+    * only, and untouched rows — the overwhelming mass — appear
+    * nowhere. No row ids or merge keys are assumed: the diff is
+    * defined on row VALUES, which is the only contract a format-level
+    * feed can promise about arbitrary tables.
+    *
+    * Scale shape: Catalyst plans `exceptAll` as a counted hash
+    * aggregate + join on the full row — one exchange per side keyed on
+    * row content. For append-heavy histories the practical fast path
+    * is [[deltaOf]] (zero comparison work); this is the general-case
+    * read that also covers overwrites and merges. */
+  def diff(spark: SparkSession, path: String, from: Long, to: Long): DataFrame = {
+    val a = read(spark, path, from)
+    val b = read(spark, path, to)
+    b.exceptAll(a).withColumn("change", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("delete")))
+  }
+
   /** Commit log as a DataFrame: (snapshot, op, n_dirs). */
   def log(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

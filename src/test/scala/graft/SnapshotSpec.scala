@@ -98,4 +98,22 @@ class SnapshotSpec extends SparkSpec {
     val whole = Mv.report(Mv.summarize(docs)).collect().toSeq
     assert(chained == whole, "three-way merge diverged from whole-table summary")
   }
+
+  test("diff: appends read as pure inserts, a CoW update reads as delete+insert, and bag " +
+    "semantics count duplicate-row multiplicity") {
+    import spark.implicits._
+    val path = freshPath("cdc")
+    // Base holds TWO identical (5, 50) rows — multiplicity matters below.
+    Snapshots.overwrite(Seq((1L, 10L), (5L, 50L), (5L, 50L)).toDF("doc_id", "n_chars"), path)
+    Snapshots.append(Seq((2L, 20L)).toDF("doc_id", "n_chars"), path)
+    val d12 = Snapshots.diff(spark, path, 1L, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(d12.toSeq == Seq((2L, 20L, "insert")), s"append diff wrong: ${d12.toSeq}")
+    // v3 drops ONE of the duplicate (5, 50) rows and rewrites doc 1.
+    Snapshots.overwrite(Seq((1L, 11L), (2L, 20L), (5L, 50L)).toDF("doc_id", "n_chars"), path)
+    val d23 = Snapshots.diff(spark, path, 2L, 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(x => (x._1, x._3)).toSeq
+    assert(d23 == Seq((1L, 10L, "delete"), (1L, 11L, "insert"), (5L, 50L, "delete")),
+      s"CoW diff wrong (bag semantics must yield exactly one (5,50) delete): $d23")
+  }
 }
