@@ -308,4 +308,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.length === want.length)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("streaming MV maintenance: the folded view equals the batch summary bit-for-bit and " +
+    "each micro-batch left a time-travelable view version") {
+    import graft.operators.{Mv, Snapshots}
+    import graft.streaming.MvStream
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "n_chars")
+    // Stage as MULTIPLE files + maxFilesPerTrigger=1 so the fold runs
+    // across several micro-batches, not one.
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft_mv_stream_src"
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val viewPath = s"${System.getProperty("java.io.tmpdir")}/graft_mv_stream_view"
+    val vp = new org.apache.hadoop.fs.Path(viewPath)
+    val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(vp)) fs.delete(vp, true)
+    val stream = spark.readStream.schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = MvStream.maintain(stream, viewPath)
+    q.processAllAvailable(); q.stop()
+    val versions = Snapshots.latest(spark, viewPath)
+    assert(versions >= 3, s"expected one view version per micro-batch, got $versions")
+    val folded = Mv.report(Snapshots.read(spark, viewPath)).collect().toSeq
+    val direct = Mv.report(Mv.summarize(docs)).collect().toSeq
+    assert(folded == direct, "continuously-folded view diverged from the batch summary")
+    // Earlier view versions remain readable (fewer docs accounted).
+    val v1n = Snapshots.read(spark, viewPath, 1L)
+      .agg(sum("n_docs")).head().getLong(0)
+    assert(v1n < docs.count(), "version 1 should cover only the first micro-batch")
+  }
 }
