@@ -655,6 +655,49 @@ object OracleSql {
          |WHERE rn <= $K
          |ORDER BY query_id, score DESC, vec_id""".stripMargin,
 
+    // q136: graded ranking metrics — per-rank discounts round to
+    // integer micro BEFORE summation (exact 64-bit DCG/IDCG), nDCG is
+    // one shared-IEEE division; ln (not log2) because the ratio is
+    // base-invariant and ln is the cross-engine-identical log (q34).
+    "q136_rank_metrics" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+         |  FROM embeddings
+         |  WHERE vec_id IN (${RecallQueryIds.mkString(", ")})),
+         |ranked AS (
+         |  SELECT query_id, qlabel, vec_id, label,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id) AS rank
+         |  FROM (SELECT q.query_id, q.qlabel, v.vec_id, v.label,
+         |          round(${dotd("v.embedding", "q.qv")}, 6) AS score
+         |        FROM embeddings v CROSS JOIN q)),
+         |topk AS (SELECT * FROM ranked WHERE rank <= $K),
+         |per AS (
+         |  SELECT query_id, qlabel,
+         |    CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,
+         |    CAST(min(CASE WHEN label = qlabel THEN rank END) AS BIGINT) AS first_rel_rank,
+         |    CAST(sum(CASE WHEN label = qlabel
+         |                 THEN CAST(round(1000000.0 / ln(rank + 1.0)) AS BIGINT)
+         |                 ELSE 0 END) AS BIGINT) AS dcg_micro
+         |  FROM topk GROUP BY 1, 2),
+         |sizes AS (
+         |  SELECT label AS qlabel, CAST(count(*) AS BIGINT) AS n_rel_corpus
+         |  FROM embeddings GROUP BY 1),
+         |ideals AS (
+         |  SELECT s.qlabel,
+         |    CAST(sum(CASE WHEN t.i <= least($K, s.n_rel_corpus)
+         |                 THEN CAST(round(1000000.0 / ln(t.i + 1.0)) AS BIGINT)
+         |                 ELSE 0 END) AS BIGINT) AS idcg_micro
+         |  FROM sizes s CROSS JOIN range(1, $K + 1) t(i)
+         |  GROUP BY s.qlabel)
+         |SELECT p.query_id, p.n_rel_at_k, p.first_rel_rank,
+         |  CASE WHEN p.first_rel_rank IS NULL THEN 0
+         |       ELSE 1000000 // p.first_rel_rank END AS mrr_micro,
+         |  p.dcg_micro, i.idcg_micro,
+         |  round(CAST(p.dcg_micro AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE), 6) AS ndcg
+         |FROM per p JOIN ideals i USING (qlabel)
+         |ORDER BY p.query_id""".stripMargin,
+
     "q13_dedup_exact" ->
       """SELECT sha256(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_copies,
         |  min(doc_id) AS keeper_id

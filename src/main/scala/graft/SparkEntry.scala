@@ -719,6 +719,8 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q136_rank_metrics" -> ((s, d) =>
+      RecallAudit.rankMetricsReport(Tables.embeddings(s, d), RecallQueryIds, K)),
     "q134_snapshot_diff" -> ((s, d) => {
       // CDC between v2 (full table) and v3 (CoW merge of the q92
       // change rule): every doc_id % UpsertChangeMod == 0 row must

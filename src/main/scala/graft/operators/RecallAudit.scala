@@ -116,4 +116,65 @@ object RecallAudit {
     }
     np // unreachable
   }
+
+  /** Graded ranking metrics — the serving-eval face beyond recall@k
+    * (q62 answers "did the right ids come back"; MRR and nDCG answer
+    * "in the right ORDER"): per panel query, exact top-k under
+    * label-match relevance (a labeled corpus's standard qrels; the
+    * query's own row is relevant to itself and ranks first by
+    * construction — documented, and the spec pins the no-self case).
+    * MRR = 1/first-relevant-rank; nDCG = DCG/IDCG with IDCG from the
+    * CORPUS-side relevant count capped at k (a query whose label has
+    * only 3 corpus members can't be punished for k=20).
+    *
+    * Exactness discipline (SURVEY §6): each rank's discount
+    * 1/ln(rank+1) rounds to integer MICRO-UNITS before summation, so
+    * DCG and IDCG are exact 64-bit sums (a double Σ of 20 discounts
+    * would be partial-agg-order-dependent); nDCG is one shared-IEEE
+    * division of two longs, rounded 6 dp; MRR is a pure integer
+    * division. Base-invariance makes ln correct here: nDCG is a ratio,
+    * so the conventional log₂ cancels — and ln is the one log both
+    * engines compute bit-identically (the q34 precedent).
+    *
+    * Plan shape: the q67 one-scan batched serve + per-query rank
+    * windows over ≤ k·|panel| rows; label sizes are a broadcast
+    * O(labels) aggregate; IDCG unrolls a ≤ k-element `sequence` per
+    * query — panel-bounded driver-free arithmetic. */
+  def rankMetricsReport(vectors: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val queries = Knn.labeledPanel(vectors, queryIds)
+    val scored = vectors.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        round(dot(col("embedding"), col("qv")), 6).as("score"))
+    val top = GroupedTopK.topK(scored, Seq(col("query_id")),
+      Seq(col("score").desc, col("vec_id").asc), k)
+    val ranked = top
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)))
+      .withColumn("rel", (col("label") === col("qlabel")).cast("int"))
+      .withColumn("gain_micro",
+        when(col("rel") === 1,
+          round(lit(1000000.0) / log(col("rank") + lit(1.0))).cast("long"))
+          .otherwise(0L))
+    val perQuery = ranked.groupBy("query_id", "qlabel").agg(
+      sum("rel").cast("long").as("n_rel_at_k"),
+      min(when(col("rel") === 1, col("rank"))).cast("long").as("first_rel_rank"),
+      sum("gain_micro").as("dcg_micro"))
+    val labelSizes = vectors.groupBy(col("label").as("qlabel"))
+      .agg(count(lit(1)).as("n_rel_corpus"))
+    perQuery.join(broadcast(labelSizes), "qlabel")
+      .withColumn("idcg_micro",
+        aggregate(sequence(lit(1L), least(lit(k.toLong), col("n_rel_corpus"))),
+          lit(0L),
+          (acc, i) => acc +
+            round(lit(1000000.0) / log(i.cast("double") + lit(1.0))).cast("long")))
+      .select(
+        col("query_id"), col("n_rel_at_k"), col("first_rel_rank"),
+        when(col("first_rel_rank").isNull, 0L)
+          .otherwise(expr("1000000 div first_rel_rank")).as("mrr_micro"),
+        col("dcg_micro"), col("idcg_micro"),
+        round(col("dcg_micro").cast("double") / col("idcg_micro").cast("double"), 6)
+          .as("ndcg"))
+      .orderBy("query_id")
+  }
 }

@@ -83,4 +83,39 @@ class RecallAuditSpec extends SparkSpec {
         s"query $q: full-probe ivfpq != flat ADC")
     }
   }
+
+  test("rankMetrics: hand-computed MRR/DCG/IDCG on a crafted ranking, capped ideal, " +
+    "micro-exact discounts") {
+    import spark.implicits._
+    import graft.operators.RecallAudit
+    // Dots vs query [1,0]: self 1.0 (rel, rank 1), B 0.9 (rank 2),
+    // A 0.8 (rel, rank 3), B 0.5 (rank 4).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f), 7),
+      (1L, Array(0.9f, 0f), 8),
+      (2L, Array(0.8f, 0f), 7),
+      (3L, Array(0.5f, 0f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val r = RecallAudit.rankMetricsReport(vecs, Seq(0L), 4).collect()
+    assert(r.length == 1)
+    val row = r.head
+    def disc(rank: Int) = math.round(1000000.0 / math.log(rank + 1.0))
+    assert(row.getLong(1) == 2L, "n_rel_at_k")
+    assert(row.getLong(2) == 1L && row.getLong(3) == 1000000L, "self at rank 1 -> MRR 1.0")
+    val dcg = disc(1) + disc(3)
+    val idcg = disc(1) + disc(2)          // corpus has only 2 label-7 rows: ideal CAPPED at 2
+    assert(row.getLong(4) == dcg, s"dcg: got ${row.getLong(4)}, want $dcg")
+    assert(row.getLong(5) == idcg, s"idcg capped at corpus-relevant count: got ${row.getLong(5)}")
+    val ndcg = BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(6) == ndcg)
+    // Real corpus: metrics well-formed for every panel query.
+    val real = RecallAudit.rankMetricsReport(
+      Tables.embeddings(spark, sf0001), Seq(0L, 7L, 42L), 20).collect()
+    assert(real.length == 3)
+    real.foreach { x =>
+      assert(x.getLong(5) > 0 && x.getDouble(6) > 0 && x.getDouble(6) <= 1.0,
+        s"ndcg out of range: $x")
+    }
+  }
 }
