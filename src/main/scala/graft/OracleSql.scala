@@ -1475,6 +1475,48 @@ object OracleSql {
          |FROM hashed s LEFT JOIN common c ON s.h = c.h
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
+    // q137: data-quality constraint suite — each check's violation
+    // count stated directly; the regex mirrors java rlike via DuckDB
+    // regexp_matches (both are unanchored-match-with-anchors-in-
+    // pattern engines for this pattern class).
+    "q137_quality_constraints" ->
+      s"""SELECT check_name, n_violations, n_violations = 0 AS pass FROM (
+         |  SELECT 'not_null(doc_id)' AS check_name,
+         |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'non_negative(n_chars)',
+         |    CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'range(n_chars,1,400)',
+         |    CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 400
+         |                 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'in_set(lang)',
+         |    CAST(sum(CASE WHEN lang IN ('en','de','fr','es','zh') THEN 0 ELSE 1 END) AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'not_null(text)',
+         |    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'matches(source)',
+         |    CAST(sum(CASE WHEN source IS NOT NULL AND regexp_matches(source, '^src[0-9]+$$')
+         |                 THEN 0 ELSE 1 END) AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'unique(doc_id)',
+         |    CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM (SELECT doc_id, count(*) AS c FROM documents GROUP BY doc_id)
+         |  UNION ALL
+         |  SELECT 'ref(user_id)',
+         |    CAST(count(*) AS BIGINT)
+         |  FROM events e
+         |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+         |ORDER BY check_name""".stripMargin,
+
     // q134: CDC between the full table (v2) and its CoW merge (v3) —
     // the oracle states the expected change feed directly: one
     // delete(old)/insert(new) pair per changed doc, nothing else.

@@ -719,6 +719,9 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q137_quality_constraints" -> ((s, d) =>
+      Quality.corpusReport(Tables.documents(s, d), Tables.events(s, d),
+        Tables.customer(s, d))),
     "q136_rank_metrics" -> ((s, d) =>
       RecallAudit.rankMetricsReport(Tables.embeddings(s, d), RecallQueryIds, K)),
     "q134_snapshot_diff" -> ((s, d) => {
