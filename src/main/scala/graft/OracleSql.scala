@@ -1517,6 +1517,31 @@ object OracleSql {
          |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
          |ORDER BY check_name""".stripMargin,
 
+    // q138: native session_window == the lag/cumsum islands (Spark's
+    // session merge is inclusive on the window close, so duration =
+    // gap splits at exactly diff > gap); session_end = last ts + gap.
+    "q138_session_window" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR date_diff('second', lag(ts) OVER w, ts) > ${SessionGapMin * 60}
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         |sess AS (
+         |  SELECT user_id, ts, value,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS seq
+         |  FROM marked)
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |  strftime(max(ts) + INTERVAL ${SessionGapMin * 60} SECOND,
+         |    '%Y-%m-%d %H:%M:%S') AS session_end,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  round(sum(value), 6) AS sum_value
+         |FROM sess GROUP BY user_id, seq
+         |ORDER BY user_id, session_start""".stripMargin,
+
     // q134: CDC between the full table (v2) and its CoW merge (v3) —
     // the oracle states the expected change feed directly: one
     // delete(old)/insert(new) pair per changed doc, nothing else.

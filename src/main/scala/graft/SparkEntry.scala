@@ -719,6 +719,8 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q138_session_window" -> ((s, d) =>
+      Events.sessionizeNative(Tables.events(s, d), SessionGapMin)),
     "q137_quality_constraints" -> ((s, d) =>
       Quality.corpusReport(Tables.documents(s, d), Tables.events(s, d),
         Tables.customer(s, d))),

@@ -93,6 +93,31 @@ object Events {
       .orderBy("user_id", "session_seq")
   }
 
+  /** [[sessionize]] through Spark's NATIVE `session_window` — the
+    * declarative face of the same gaps-and-islands semantics (Catalyst
+    * plans merging session aggregation; in streaming this is the
+    * form that gets watermark-driven state eviction for free, where
+    * the lag/cumsum formulation cannot run at all). Boundary
+    * alignment, the subtle part: [[sessionize]] SPLITS at
+    * `diff > gap` (a gap of exactly `gap` chains), and Spark's session
+    * merge is INCLUSIVE on the window close (`next.start <= prev.end`
+    * — touching windows merge), so `d = gap` splits at exactly
+    * `diff > gap`: the two split sets are identical and the
+    * differential against [[sessionize]] is exact (EventsStream's
+    * stateful twin shares the same contract). `session_end` is the
+    * window's close, `last_ts + gap` — the "session expires at"
+    * instant a serving cache would use. */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapMinutes * 60} seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** Ordered conversion funnel: how many users performed `steps(0)`,
     * then `steps(1)` STRICTLY AFTER it, then `steps(2)` strictly after
     * that, … Each stage keeps the user's EARLIEST qualifying timestamp

@@ -394,4 +394,29 @@ class CurationSpec extends SparkSpec {
     assert(out(("view", "2026-01-02")) == ((99.0, 1L, 99.0)))
     assert(out.size == 4)
   }
+
+  test("sessionizeNative == sessionize on the real corpus; an exact-gap pair chains in BOTH " +
+    "(the inclusive-merge boundary)") {
+    val events = Tables.events(spark, sf0001)
+    val native = graft.operators.Events.sessionizeNative(events, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val classic = graft.operators.Events.sessionize(events, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(native == classic,
+      "native session_window sessions != lag/cumsum sessions (as multisets)")
+    // Exactly-gap pair: 30:00 apart — sessionize chains (> gap splits),
+    // and Spark's inclusive window merge must chain too.
+    val pair = Seq(
+      (1L, "2026-01-01 10:00:00", 5.0),
+      (1L, "2026-01-01 10:30:00", 7.0)
+    ).toDF("user_id", "ts_s", "value")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"), col("value"))
+    val one = graft.operators.Events.sessionizeNative(pair, 30).collect()
+    assert(one.length == 1 && one.head.getLong(3) == 2L,
+      s"exact-gap pair must form ONE session: ${one.toSeq}")
+    assert(one.head.getString(2) == "2026-01-01 11:00:00",
+      "session_end should be last_ts + gap")
+  }
 }
