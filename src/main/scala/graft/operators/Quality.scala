@@ -38,7 +38,9 @@ object Quality {
   def checkRows(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
     val aggs = count(lit(1)).as("__n") +: checks.zipWithIndex.map { case (c, i) =>
-      sum(when(c.pred, 0L).otherwise(1L)).as(s"__v$i")
+      // coalesce: sum over ZERO rows is NULL — an empty table has no
+      // violations, not unknown ones.
+      coalesce(sum(when(c.pred, 0L).otherwise(1L)), lit(0L)).as(s"__v$i")
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val pairs = checks.zipWithIndex.flatMap { case (c, i) =>
@@ -55,8 +57,9 @@ object Quality {
   def checkUnique(df: DataFrame, key: String): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("__c"))
       .agg(
-        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dup_keys"),
-        sum(when(col("__c") > 1, col("__c") - 1).otherwise(0L)).as("surplus_rows"))
+        coalesce(sum(when(col("__c") > 1, 1L).otherwise(0L)), lit(0L)).as("dup_keys"),
+        coalesce(sum(when(col("__c") > 1, col("__c") - 1).otherwise(0L)), lit(0L))
+          .as("surplus_rows"))
       .select(lit(s"unique($key)").as("check_name"),
         col("dup_keys"), col("surplus_rows"),
         (col("dup_keys") === 0L).as("pass"))

@@ -327,4 +327,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Dedup.exact(df).collect()
       .forall(_.getLong(1) == 1L))
   }
+
+  test("r13 operators degrade cleanly: empty/degenerate inputs") {
+    import graft.operators.{Knn, Quality, Snapshots}
+    // Boilerplate removal: empty and whitespace docs drop out (no
+    // tokens -> no spans -> no output row), clean docs untouched.
+    val bp = CorpusPipeline.boilerplateRemoval(oddDocs, spanTokens = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!bp.contains(1L) && !bp.contains(2L), "token-less docs must not emit rows")
+    assert(bp(4L) == 1L && bp(5L) == 1L, "the cross-block dup span is corpus-boilerplate")
+    // Bootstrap on a single-row group: every resample is that row or
+    // empty; sources with any all-zero replicate drop deterministically,
+    // survivors collapse to the exact mean.
+    val one = Seq((1L, "solo", 100L)).toDF("doc_id", "source", "n_chars")
+    Profile.bootstrapMeans(one, reps = 4).collect().foreach { r =>
+      assert(r.getLong(2) == 100000000L && r.getLong(3) == 100000000L &&
+        r.getLong(4) == 100000000L)
+    }
+    // Hard negatives when k exceeds the eligible pool: returns the
+    // whole pool, never pads.
+    val tiny = Seq(
+      (0L, Array(1.0f, 0f), 1), (1L, Array(0.5f, 0.1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    assert(Knn.hardNegatives(tiny, Knn.labeledPanel(tiny, Seq(0L)), 5, 2.0).count() == 1L)
+    // Reading a snapshot that never existed is a clear error, not an
+    // empty frame.
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, s"${System.getProperty("java.io.tmpdir")}/graft_no_such_table", 1L)
+    }
+    // checkRows on an empty table: zero rows, zero violations, pass.
+    val emptyDocs = oddDocs.where(lit(false))
+    Quality.checkRows(emptyDocs, Seq(Quality.notNull("doc_id"))).collect().foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getBoolean(3))
+    }
+  }
 }

@@ -177,4 +177,42 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(shard".r.findFirstIn(p).isDefined,
       s"expected the window exchange keyed on shard:\n$p")
   }
+
+  test("bootstrap CIs are ONE aggregation pass: a single shuffle exchange, no joins") {
+    val p = physical(Profile.bootstrapMeans(docs, reps = 8))
+    // rangepartitioning for the final orderBy + ONE hashpartitioning
+    // for the per-source aggregate — nothing else moves data.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"bootstrap should shuffle once, found $hashEx hash exchanges:\n$p")
+    assert(!p.contains("Join"), s"bootstrap plan should not join:\n$p")
+  }
+
+  test("boilerplate removal: no CartesianProduct, no forced broadcast of the growing common-span side") {
+    val df = CorpusPipeline.boilerplateRemoval(docs, 8, 2)
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct"), s"boilerplate plan has a CartesianProduct:\n$p")
+    // The verdict join keys on the 8-byte span hash.
+    assert(p.contains("h#") || p.contains("[h"), "span-hash join key missing from the plan")
+  }
+
+  test("hard negatives: panel broadcast into one corpus scan, predicates inside the join, " +
+    "GroupedTopK heads (no sort-based rank)") {
+    val mined = Knn.hardNegatives(emb, Knn.labeledPanel(emb, Seq(0L, 7L)), 5, 0.995)
+    val p = physical(mined)
+    assert(p.contains("BroadcastNestedLoopJoin"), "panel should broadcast into the scan")
+    assert(p.contains("GroupedTopKPartial"), "per-query heads should use the bounded heaps")
+    assert(!p.contains("SortMergeJoin"), s"corpus should never shuffle for the panel join:\n$p")
+    assert(!p.contains("Window"), "rank should come from heaps, not a window")
+  }
+
+  test("moving revenue: the RANGE window runs over the daily PRE-AGGREGATE, not the event stream") {
+    val df = Events.movingDailyRevenue(Tables.events(spark, sf0001), 7)
+    val p = physical(df)
+    // The window must sit ABOVE a HashAggregate (daily rollup), i.e.
+    // the aggregate appears below the Window operator in the plan tree.
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"expected Window over the daily HashAggregate:\n$p")
+  }
 }
