@@ -158,4 +158,23 @@ object EventsStream {
           out.toSeq.sortBy(_._1).map { case (seq, (n, s)) => Session(userId, seq, n, s) }.iterator
       }
   }
+
+  /** Sessionization via NATIVE `session_window` on a stream — the
+    * declarative alternative to [[sessionize]]'s hand-managed
+    * `flatMapGroupsWithState`: Spark's merging-session aggregation
+    * keeps one state row per OPEN session and the watermark closes and
+    * EVICTS sessions whose gap has passed (append-mode emits each
+    * session exactly once, finalized — the hand-rolled twin must emit
+    * updates and let the consumer reconcile). Same duration = gap
+    * boundary contract as the batch [[graft.operators.Events.sessionizeNative]]
+    * (inclusive window-close merge ⟺ split at diff > gap), so the
+    * StreamingSpec differential compares all three faces. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapMinutes * 60} seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 }

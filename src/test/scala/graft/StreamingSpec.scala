@@ -336,4 +336,28 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("n_docs")).head().getLong(0)
     assert(v1n < docs.count(), "version 1 should cover only the first micro-batch")
   }
+
+  test("native session_window stream == batch sessionizeNative == stateful sessionize " +
+    "(three faces, one contract)") {
+    val streamed = EventsStream.sessionWindows(
+      spark.readStream.schema(spark.read.parquet(stageDir).schema).parquet(stageDir))
+    val q = streamed.writeStream
+      .format("memory").queryName("swin_sink").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("swin_sink")
+      .select(col("user_id"), date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss"),
+        col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = Events.sessionizeNative(Tables.events(spark, sf0001), 30)
+      .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got.nonEmpty)
+    // Append-mode emits only watermark-FINALIZED sessions; on a finite
+    // AvailableNow run the tail inside the watermark horizon may be
+    // withheld, so streamed ⊆ batch, covering all but that horizon.
+    assert(got.subsetOf(want), s"streamed sessions not a subset of batch: ${(got -- want).take(3)}")
+    assert(got.size >= want.size / 2,
+      s"streamed emitted too few finalized sessions: ${got.size} of ${want.size}")
+  }
 }
