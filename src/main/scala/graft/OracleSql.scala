@@ -472,6 +472,40 @@ object OracleSql {
 
     // q84: z-order layout report — pure integer bit interleave, the
     // bucket a shift of the z-value's high bits. No float anywhere.
+    // q139: Hilbert report — the quadrant-rotation walk unrolled as one
+    // generated CTE per bit level (SQL's named columns give the sharing
+    // the Spark side gets from its codegen'd loop); all integer.
+    "q139_hilbert_report" -> {
+      val steps = (0 until ZBits).map { step =>
+        val s = 1L << (ZBits - 1 - step)
+        val prev = if (step == 0) "h_init" else s"h${step - 1}"
+        s"""h$step AS (
+           |  SELECT a, b,
+           |    d + CAST(${s * s} AS BIGINT) * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+           |                      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d,
+           |    CASE WHEN (y & $s) = 0
+           |         THEN CASE WHEN (x & $s) > 0 THEN $s - 1 - y ELSE y END
+           |         ELSE x END AS x,
+           |    CASE WHEN (y & $s) = 0
+           |         THEN CASE WHEN (x & $s) > 0 THEN $s - 1 - x ELSE x END
+           |         ELSE y END AS y
+           |  FROM $prev)"""
+      }.mkString(",\n")
+      s"""WITH h_init AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b,
+         |    CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM lineitem
+         |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+         |    AND l_partkey >= 0 AND l_suppkey >= 0),
+         |$steps
+         |SELECT (d >> ${2 * ZBits - ZLbBuckets}) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(a) AS min_l_partkey, max(a) AS max_l_partkey,
+         |  min(b) AS min_l_suppkey, max(b) AS max_l_suppkey
+         |FROM h${ZBits - 1} GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
     "q84_zorder_report" -> {
       val zExpr = (0 until ZBits).map(i =>
         s"(((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1})")

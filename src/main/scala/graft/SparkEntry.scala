@@ -719,6 +719,9 @@ object SparkEntry {
         emb.where(col("label") === FilterLabel).select("vec_id"),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q139_hilbert_report" -> ((s, d) =>
+      Layout.hilbertReport(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
+        ZBits, ZLbBuckets)),
     "q138_session_window" -> ((s, d) =>
       Events.sessionizeNative(Tables.events(s, d), SessionGapMin)),
     "q137_quality_constraints" -> ((s, d) =>

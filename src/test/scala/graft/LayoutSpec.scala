@@ -81,4 +81,49 @@ class LayoutSpec extends SparkSpec {
     assert(back.count() == 32L * 32L)
     assert(back.columns.toSeq.sorted == Seq("a", "b"), "__z must not leak")
   }
+
+  test("Hilbert: canonical first quad, bijective on the grid, unit-step adjacency " +
+    "(the property Morton lacks), and tighter buckets than Morton on an odd split") {
+    import graft.functions.Hilbert.hilbertIndex
+    // The canonical 2x2 U: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3.
+    assert(hilbertIndex(0, 0, 1) == 0 && hilbertIndex(0, 1, 1) == 1 &&
+      hilbertIndex(1, 1, 1) == 2 && hilbertIndex(1, 0, 1) == 3)
+    // Bijective on 8x8 and every consecutive pair of curve positions
+    // is one grid step apart — Morton's diagonal jumps would fail this.
+    val grid = for (x <- 0 until 8; y <- 0 until 8) yield (x, y, hilbertIndex(x, y, 3))
+    assert(grid.map(_._3).toSet == (0L until 64L).toSet, "not a bijection on 8x8")
+    val byD = grid.sortBy(_._3)
+    byD.sliding(2).foreach { case Seq((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumped: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // Spark expression == JVM kernel on real keys.
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey").cast("long").as("a"), col("l_suppkey").cast("long").as("b"))
+    val rows = li.withColumn("h", graft.functions.Hilbert.hilbert(col("a"), col("b"), 12))
+      .collect()
+    rows.foreach(r => assert(r.getLong(2) == hilbertIndex(r.getLong(0), r.getLong(1), 12)))
+    // The measured claim, full 64x64 grid cut into 24 EQUAL CURVE
+    // RANGES — power-of-two cuts land exactly on both curves' aligned
+    // subsquares and tie; real row-group boundaries land anywhere, and
+    // there Morton ranges straddle quadrant jumps while Hilbert
+    // segments stay connected. Deterministic: 6880 vs 7936 summed
+    // bounding-box area (13% tighter stats for the same write cost).
+    import spark.implicits._
+    val g = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("a", "b")
+    def rangeBoxArea(curve: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): Long =
+      g.select(col("a"), col("b"), curve(col("a"), col("b")).as("d"))
+        .withColumn("bucket", expr("(d * 24) div 4096"))
+        .groupBy("bucket")
+        .agg(min("a").as("mna"), max("a").as("mxa"), min("b").as("mnb"), max("b").as("mxb"))
+        .collect().map(r =>
+          (r.getLong(2) - r.getLong(1) + 1) * (r.getLong(4) - r.getLong(3) + 1)).sum
+    val hil = rangeBoxArea((a, b) => graft.functions.Hilbert.hilbert(a, b, 6))
+    val mor = rangeBoxArea((a, b) => graft.operators.Layout.zValue(a, b, 6))
+    assert(hil == 6880L && mor == 7936L,
+      s"curve locality regressed: hilbert=$hil (want 6880) morton=$mor (want 7936)")
+    assert(hil < mor)
+  }
 }
