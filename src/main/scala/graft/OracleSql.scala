@@ -475,6 +475,16 @@ object OracleSql {
     // q139: Hilbert report — the quadrant-rotation walk unrolled as one
     // generated CTE per bit level (SQL's named columns give the sharing
     // the Spark side gets from its codegen'd loop); all integer.
+    // q140: the Spark side answers from the hourly bitmap rollup
+    // (build → OR-merge → popcount); the oracle states the raw-scan
+    // ground truth the pre-aggregate must reproduce exactly.
+    "q140_bitmap_distinct" ->
+      """SELECT event_type,
+        |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q139_hilbert_report" -> {
       val steps = (0 until ZBits).map { step =>
         val s = 1L << (ZBits - 1 - step)

@@ -722,6 +722,11 @@ object SparkEntry {
     "q139_hilbert_report" -> ((s, d) =>
       Layout.hilbertReport(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
         ZBits, ZLbBuckets)),
+    "q140_bitmap_distinct" -> ((s, d) =>
+      // The answer must come FROM the hourly bitmap rollup (build →
+      // OR-merge → popcount), never a direct distinct over raw rows —
+      // the oracle states the raw-scan truth the rollup must equal.
+      Events.distinctDaily(Events.userBitmapRollup(Tables.events(s, d)))),
     "q138_session_window" -> ((s, d) =>
       Events.sessionizeNative(Tables.events(s, d), SessionGapMin)),
     "q137_quality_constraints" -> ((s, d) =>

@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Compact integer-set bitmaps as aggregation state — the
+  * pre-aggregated COUNT DISTINCT pattern (ClickHouse `groupBitmap` /
+  * Druid's bitmap metrics / Roaring in Pinot): a rollup table stores,
+  * per fine-grained bucket, the SET of ids as a serialized bitmap; any
+  * coarser or ad-hoc range query answers exact distinct counts by
+  * OR-merging the bucket bitmaps instead of rescanning raw rows. At
+  * 100 TB this is the difference between one scan ever (build the
+  * hourly rollup once) and one scan per dashboard query: distinct
+  * counts are not algebraic over plain counters, but they ARE algebraic
+  * over id-sets, and the bitmap is the id-set representation whose
+  * union is cheap and whose size is O(distinct/8) bytes worst-case.
+  *
+  * Representation: a sparse map of 64-bit words keyed by `id >> 6`
+  * (floor semantics, so negative ids work). Serialization sorts the
+  * word index — the bytes are a CANONICAL function of the set, so two
+  * plans that build the same set byte-match (spec-pinned), and the
+  * format is self-describing enough to persist in a parquet rollup.
+  * A dense id space costs 16 bytes per 64 ids in flight and 12 on
+  * disk; a production roaring container would add run-length cases,
+  * which this corpus's id distributions never reward.
+  *
+  * Both aggregates are [[TypedImperativeAggregate]]s: the buffer stays
+  * an object (no per-row serialization), Spark serializes only at the
+  * partial/final exchange, and ObjectHashAggregateExec gives map-side
+  * partials — each task ships one bitmap per (group) rather than its
+  * raw ids, which is what makes the rollup build itself scan-shaped.
+  */
+object Bitmap {
+
+  /** Mutable sparse bitmap: word index (`id >> 6`) → 64-bit word. */
+  final class ChunkedBitmap(
+      val words: scala.collection.mutable.LongMap[Long] =
+        scala.collection.mutable.LongMap.empty[Long]) {
+
+    def add(v: Long): Unit = {
+      val w = v >> 6 // arithmetic shift = floorDiv(v, 64): negatives OK
+      val bit = 1L << (v & 63L)
+      words(w) = words.getOrElse(w, 0L) | bit
+    }
+
+    def or(other: ChunkedBitmap): Unit =
+      other.words.foreachEntry((k, v) => words(k) = words.getOrElse(k, 0L) | v)
+
+    def orBytes(bytes: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt
+      var i = 0
+      while (i < n) {
+        val k = bb.getLong
+        val v = bb.getLong
+        words(k) = words.getOrElse(k, 0L) | v
+        i += 1
+      }
+    }
+
+    def cardinality: Long = {
+      var c = 0L
+      words.foreachValue(w => c += java.lang.Long.bitCount(w))
+      c
+    }
+
+    /** Canonical bytes: count, then (wordIdx, word) pairs sorted by
+      * wordIdx — equal sets serialize to equal bytes. */
+    def serialize: Array[Byte] = {
+      val ks = words.keys.toArray
+      java.util.Arrays.sort(ks)
+      val bb = java.nio.ByteBuffer.allocate(4 + 16 * ks.length)
+      bb.putInt(ks.length)
+      ks.foreach { k => bb.putLong(k); bb.putLong(words(k)) }
+      bb.array()
+    }
+  }
+
+  object ChunkedBitmap {
+    def deserialize(bytes: Array[Byte]): ChunkedBitmap = {
+      val bm = new ChunkedBitmap
+      bm.orBytes(bytes)
+      bm
+    }
+  }
+
+  /** Static popcount over serialized bytes — the codegen target of
+    * [[BitmapCardinality]] (no deserialization, one pass over the
+    * buffer). */
+  def cardinalityOf(bytes: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      bb.getLong // word index
+      c += java.lang.Long.bitCount(bb.getLong)
+      i += 1
+    }
+    c
+  }
+
+  private abstract class BitmapAggBase extends TypedImperativeAggregate[ChunkedBitmap] {
+    override def createAggregationBuffer(): ChunkedBitmap = new ChunkedBitmap
+    override def merge(buffer: ChunkedBitmap, input: ChunkedBitmap): ChunkedBitmap = {
+      buffer.or(input); buffer
+    }
+    override def eval(buffer: ChunkedBitmap): Any = buffer.serialize
+    override def serialize(buffer: ChunkedBitmap): Array[Byte] = buffer.serialize
+    override def deserialize(bytes: Array[Byte]): ChunkedBitmap =
+      ChunkedBitmap.deserialize(bytes)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+  }
+
+  /** LONG ids → serialized bitmap of the distinct id set. */
+  private case class BitmapBuildAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0) extends BitmapAggBase {
+    override def update(buffer: ChunkedBitmap, row: InternalRow): ChunkedBitmap = {
+      val v = child.eval(row)
+      if (v != null) buffer.add(v.asInstanceOf[Long])
+      buffer
+    }
+    override def children: Seq[Expression] = Seq(child)
+    override def withNewMutableAggBufferOffset(o: Int): BitmapBuildAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BitmapBuildAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): BitmapBuildAgg = copy(child = c.head)
+    override def prettyName: String = "bitmap_build"
+  }
+
+  /** Serialized bitmaps → their OR (the re-aggregation face: coarser
+    * buckets from finer ones without touching raw rows). */
+  private case class BitmapOrAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0) extends BitmapAggBase {
+    override def update(buffer: ChunkedBitmap, row: InternalRow): ChunkedBitmap = {
+      val v = child.eval(row)
+      if (v != null) buffer.orBytes(v.asInstanceOf[Array[Byte]])
+      buffer
+    }
+    override def children: Seq[Expression] = Seq(child)
+    override def withNewMutableAggBufferOffset(o: Int): BitmapOrAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BitmapOrAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): BitmapOrAgg = copy(child = c.head)
+    override def prettyName: String = "bitmap_or"
+  }
+
+  /** Column API: distinct-id bitmap of a LONG column. */
+  def bitmapBuild(c: Column): Column =
+    SqlBridge.column(
+      BitmapBuildAgg(SqlBridge.eagerExpression(c)).toAggregateExpression())
+
+  /** Column API: OR-merge of serialized bitmaps. */
+  def bitmapOr(c: Column): Column =
+    SqlBridge.column(
+      BitmapOrAgg(SqlBridge.eagerExpression(c)).toAggregateExpression())
+
+  /** Column API: exact cardinality of a serialized bitmap. */
+  def bitmapCard(c: Column): Column =
+    SqlBridge.column(BitmapCardinality(SqlBridge.eagerExpression(c)))
+}
+
+/** Popcount of a serialized bitmap — scalar, codegen'd (the serving
+  * query stays inside whole-stage codegen after the merge agg). */
+case class BitmapCardinality(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary input, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    Bitmap.cardinalityOf(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.functions.Bitmap.cardinalityOf($b)")
+  override protected def withNewChildInternal(c: Expression): BitmapCardinality =
+    copy(child = c)
+  override def prettyName: String = "bitmap_card"
+}

@@ -379,5 +379,45 @@ object Events {
           .as("avg_day_value"))
       .orderBy("event_type", "day")
   }
+
+  /** Hourly distinct-user BITMAP rollup — the pre-aggregated
+    * COUNT DISTINCT pattern ([[graft.functions.Bitmap]]; ClickHouse
+    * groupBitmap / Druid bitmap metrics). One scan of the raw events
+    * builds, per (event_type, hour), the exact user-id SET as a
+    * serialized bitmap plus the algebraic counters. Distinct counts
+    * are not algebraic over counters (hours can't sum to a day), but
+    * they are over id-sets — so ANY coarser rollup or ad-hoc range
+    * question answers exactly from this table via [[distinctDaily]]
+    * without touching raw rows again.
+    *
+    * Scale shape: ObjectHashAggregate with map-side partials — each
+    * task ships ONE bitmap per (type, hour) group, not its raw ids;
+    * the exchange carries O(groups × distinct-users/8) bytes. The
+    * rollup persists as plain parquet (binary column), partitionable
+    * by day for range pruning at serve time. */
+  def userBitmapRollup(events: DataFrame): DataFrame = {
+    import graft.functions.Bitmap.bitmapBuild
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        bitmapBuild(col("user_id")).as("user_bm"))
+  }
+
+  /** Serve exact daily distinct users FROM THE ROLLUP: OR-merge the
+    * 24 hourly bitmaps per (event_type, day) and popcount — never
+    * rescanning raw events. n_events re-aggregates algebraically.
+    * The merge agg is O(day-groups) tiny bitmaps; the popcount is a
+    * codegen'd scalar over the merged buffer. */
+  def distinctDaily(rollup: DataFrame): DataFrame = {
+    import graft.functions.Bitmap.{bitmapCard, bitmapOr}
+    rollup
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("hour")), "yyyy-MM-dd").as("day"))
+      .agg(
+        sum("n_events").as("n_events"),
+        bitmapCard(bitmapOr(col("user_bm"))).as("n_users"))
+      .orderBy("event_type", "day")
+  }
 }
 

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bitmap
+import graft.functions.Bitmap.ChunkedBitmap
+import graft.operators.Events
+
+/** Bitmap rollup (q140): the kernel's set semantics, the canonical
+  * serialization contract, and the load-bearing algebra — distinct
+  * counts served from the pre-aggregated hourly rollup must equal a
+  * direct distinct over the raw rows. */
+class BitmapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kernel: add/union/cardinality, negative ids included") {
+    val a = new ChunkedBitmap
+    Seq(0L, 1L, 63L, 64L, 65L, -1L, -64L, 1000000L).foreach(a.add)
+    a.add(63L) // idempotent
+    assert(a.cardinality === 8)
+
+    val b = new ChunkedBitmap
+    Seq(65L, 2L, -1L).foreach(b.add)
+    a.or(b)
+    assert(a.cardinality === 9) // only 2L is new
+
+    val rt = ChunkedBitmap.deserialize(a.serialize)
+    assert(rt.cardinality === 9)
+    assert(Bitmap.cardinalityOf(a.serialize) === 9)
+  }
+
+  test("serialization is canonical: insert order never shows in the bytes") {
+    val xs = (0L until 500L).map(i => i * 37 % 1009)
+    val fwd = new ChunkedBitmap
+    val rev = new ChunkedBitmap
+    xs.foreach(fwd.add)
+    xs.reverse.foreach(rev.add)
+    assert(java.util.Arrays.equals(fwd.serialize, rev.serialize))
+  }
+
+  test("empty bitmap: zero bytes-payload, zero cardinality") {
+    val e = new ChunkedBitmap
+    assert(e.cardinality === 0)
+    assert(Bitmap.cardinalityOf(e.serialize) === 0)
+    assert(ChunkedBitmap.deserialize(e.serialize).cardinality === 0)
+  }
+
+  test("rollup-served daily distincts equal the raw-scan truth") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val served = Events.distinctDaily(Events.userBitmapRollup(events))
+    val direct = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type", "day")
+    assert(served.collect().toSeq === direct.collect().toSeq)
+  }
+
+  test("re-aggregation is real: hour bitmaps OR to the day set, not a rescan") {
+    // A user active in two different hours of one day must count once
+    // in the day total; two users sharing an hour count twice.
+    val rows = Seq(
+      ("click", "2026-01-05 01:10:00", 7L),
+      ("click", "2026-01-05 09:45:00", 7L), // same user, later hour
+      ("click", "2026-01-05 09:50:00", 8L),
+      ("click", "2026-01-06 03:00:00", 7L)  // next day: counts again
+    ).toDF("event_type", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val rollup = Events.userBitmapRollup(rows)
+    assert(rollup.count() === 3) // hours 01,09 on day 1 + hour 03 on day 2
+    val byDay = Events.distinctDaily(rollup).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(byDay("2026-01-05") === ((3L, 2L)))
+    assert(byDay("2026-01-06") === ((1L, 1L)))
+  }
+
+  test("BitmapCardinality survives codegen over a persisted rollup") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm_rollup"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    // The rollup is a plain parquet table (binary column) — persist,
+    // reload, and serve from the REREAD bytes.
+    Events.userBitmapRollup(events).write.parquet(path)
+    val served = Events.distinctDaily(spark.read.parquet(path))
+    val direct = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type", "day")
+    assert(served.collect().toSeq === direct.collect().toSeq)
+  }
+}
