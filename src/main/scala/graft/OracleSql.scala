@@ -475,6 +475,36 @@ object OracleSql {
     // q139: Hilbert report — the quadrant-rotation walk unrolled as one
     // generated CTE per bit level (SQL's named columns give the sharing
     // the Spark side gets from its codegen'd loop); all integer.
+    // q141: SCD2 over the same deterministic 3-version feed; the
+    // restated (unchanged) v2 rows must COLLAPSE (no history row).
+    // IS DISTINCT FROM mirrors Spark's null-safe struct <=>.
+    "q141_scd2_history" ->
+      s"""WITH feed AS (
+         |  SELECT doc_id, source, n_chars, CAST(1 AS BIGINT) AS version FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars + 1000, 2 FROM documents WHERE doc_id % $ScdChangeMod = 0
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars, 2 FROM documents WHERE doc_id % $ScdChangeMod = 1
+         |  UNION ALL
+         |  SELECT doc_id, source, n_chars + 2000, 3 FROM documents WHERE doc_id % $ScdDeepMod = 0),
+         |marked AS (
+         |  SELECT doc_id, source, n_chars, version,
+         |    lag(version) OVER w AS __pv,
+         |    lag(source) OVER w AS __ps,
+         |    lag(n_chars) OVER w AS __pn
+         |  FROM feed WINDOW w AS (PARTITION BY doc_id ORDER BY version)),
+         |kept AS (
+         |  SELECT doc_id, source, n_chars, version FROM marked
+         |  WHERE __pv IS NULL
+         |     OR __ps IS DISTINCT FROM source
+         |     OR __pn IS DISTINCT FROM n_chars)
+         |SELECT doc_id, source, n_chars,
+         |  version AS valid_from,
+         |  lead(version) OVER w2 AS valid_to,
+         |  (lead(version) OVER w2 IS NULL) AS is_current
+         |FROM kept WINDOW w2 AS (PARTITION BY doc_id ORDER BY version)
+         |ORDER BY doc_id, valid_from""".stripMargin,
+
     // q140: the Spark side answers from the hourly bitmap rollup
     // (build → OR-merge → popcount); the oracle states the raw-scan
     // ground truth the pre-aggregate must reproduce exactly.

@@ -174,6 +174,12 @@ object SparkEntry {
                                     // above every corpus's id range
                                     // (sf1 tops out ~9e8), so inserts
                                     // stay true inserts at every SF
+    val ScdChangeMod = 7L    // q141 v2 feed: every 7th doc's n_chars
+                             // changes; every 7th+1 is RESTATED
+                             // unchanged (must not open history)
+    val ScdDeepMod = 21L     // q141 v3 feed: every 21st doc changes
+                             // again (three-row history; non-empty
+                             // from 22 docs up — every gate scale)
     val PcaComponents = 8       // q94: 8 of 64 dims — the 8x reduction
                                 // the MRL/prefix serving plans assume
     val PcaSampleStride = 2     // q94 fit sample (the OPQ stride)
@@ -722,6 +728,25 @@ object SparkEntry {
     "q139_hilbert_report" -> ((s, d) =>
       Layout.hilbertReport(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
         ZBits, ZLbBuckets)),
+    "q141_scd2_history" -> ((s, d) => {
+      // Deterministic 3-version change feed over documents: v1 = full
+      // extract, v2 = every ScdChangeMod-th doc changed PLUS every
+      // (ScdChangeMod+1)-th RESTATED unchanged (the collapse case a
+      // real nightly extract exercises), v3 = every ScdDeepMod-th
+      // changed again.
+      val base = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val feed = base.withColumn("version", lit(1L))
+        .unionByName(base.where(pmod(col("doc_id"), lit(ScdChangeMod)) === 0)
+          .withColumn("n_chars", col("n_chars") + 1000)
+          .withColumn("version", lit(2L)))
+        .unionByName(base.where(pmod(col("doc_id"), lit(ScdChangeMod)) === 1)
+          .withColumn("version", lit(2L)))
+        .unionByName(base.where(pmod(col("doc_id"), lit(ScdDeepMod)) === 0)
+          .withColumn("n_chars", col("n_chars") + 2000)
+          .withColumn("version", lit(3L)))
+      Merge.scd2(feed, "doc_id", "version", Seq("source", "n_chars"))
+        .orderBy("doc_id", "valid_from")
+    }),
     "q140_bitmap_distinct" -> ((s, d) =>
       // The answer must come FROM the hourly bitmap rollup (build →
       // OR-merge → popcount), never a direct distinct over raw rows —

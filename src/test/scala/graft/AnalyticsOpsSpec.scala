@@ -560,4 +560,48 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(lo < hi, s"real data produced a degenerate interval: $r")
     }
   }
+
+  test("scd2: restated rows collapse, changes open history, bounds chain") {
+    import spark.implicits._
+    import graft.operators.Merge
+    // key 1: v1 state A, v2 RESTATED A (must collapse), v3 changed B
+    // key 2: v1 only (single open row)
+    // key 3: null -> value transition must count as a change
+    val feed = Seq(
+      (1L, 1L, "web", 100L), (1L, 2L, "web", 100L), (1L, 3L, "web", 250L),
+      (2L, 1L, "book", 50L),
+      (3L, 1L, null.asInstanceOf[String], 10L), (3L, 2L, "wiki", 10L)
+    ).toDF("doc_id", "version", "source", "n_chars")
+    val out = Merge.scd2(feed, "doc_id", "version", Seq("source", "n_chars"))
+      .orderBy("doc_id", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1L, "web", 100L, 1L, 3L, false),   // v2 restate collapsed: valid_to jumps to 3
+      (1L, "web", 250L, 3L, -1L, true),
+      (2L, "book", 50L, 1L, -1L, true),
+      (3L, null, 10L, 1L, 2L, false),     // null -> value IS a change
+      (3L, "wiki", 10L, 2L, -1L, true)))
+  }
+
+  test("scd2: exactly one current row per key; one exchange serves both windows") {
+    import graft.operators.Merge
+    val base = Tables.documents(spark, sf0001).select("doc_id", "source", "n_chars")
+    val feed = base.withColumn("version", lit(1L))
+      .unionByName(base.where(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .withColumn("version", lit(2L)))
+    val hist = Merge.scd2(feed, "doc_id", "version", Seq("source", "n_chars"))
+    val perKey = hist.groupBy("doc_id")
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("n_cur"))
+      .where(col("n_cur") =!= 1L)
+    assert(perKey.count() === 0, "a key without exactly one current row")
+    // Plan shape: the two windows (lag change-detect, lead bounds) must
+    // share ONE hash exchange and ONE sort — a second sort would mean
+    // the filter broke ordering propagation.
+    val plan = hist.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size === 1, plan)
+    assert("\\+- Sort \\[doc_id".r.findAllIn(plan).size === 1, plan)
+  }
 }
