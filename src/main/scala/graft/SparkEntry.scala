@@ -752,6 +752,10 @@ object SparkEntry {
       // OR-merge → popcount), never a direct distinct over raw rows —
       // the oracle states the raw-scan truth the rollup must equal.
       Events.distinctDaily(Events.userBitmapRollup(Tables.events(s, d)))),
+    "q140b_hll_distinct" -> ((s, d) =>
+      // Rows-only: Datasketches HLL estimates have no engine-portable
+      // oracle; BitmapSpec pins exact mergeability + the error band.
+      Events.approxDistinctDaily(Events.userSketchRollup(Tables.events(s, d)))),
     "q138_session_window" -> ((s, d) =>
       Events.sessionizeNative(Tables.events(s, d), SessionGapMin)),
     "q137_quality_constraints" -> ((s, d) =>

@@ -404,6 +404,38 @@ object Events {
         bitmapBuild(col("user_id")).as("user_bm"))
   }
 
+  /** Fixed-size sketch twin of [[userBitmapRollup]] — Datasketches HLL
+    * via Spark's built-in `hll_sketch_agg` (codegen'd, mergeable). The
+    * bitmap rollup is EXACT but its bytes grow with the distinct count
+    * (O(distinct/8) worst case); the HLL sketch is capped at ~2^lgK
+    * bytes NO MATTER the cardinality — the right rollup column when
+    * the id space is unbounded (web client ids, not bounded user
+    * tables) and ±1-2 % is acceptable. Mergeability is exact by
+    * construction (register-wise max), so serving coarser buckets from
+    * finer sketches loses NOTHING vs sketching the coarse bucket
+    * directly — spec-pinned bit-equality of the two estimates. */
+  def userSketchRollup(events: DataFrame, lgK: Int = 12): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        hll_sketch_agg(col("user_id"), lgK).as("user_hll"))
+
+  /** Serve approximate daily distinct users from the HLL rollup:
+    * union the hour sketches per day, estimate once at emission
+    * (LONG — Spark's hll_sketch_estimate rounds the Datasketches
+    * double internally). Rows-only key (no engine-portable oracle —
+    * DuckDB's approx_count_distinct is a different HLL), differential
+    * spec vs the exact path bounds the error. */
+  def approxDistinctDaily(sketchRollup: DataFrame): DataFrame =
+    sketchRollup
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("hour")), "yyyy-MM-dd").as("day"))
+      .agg(
+        sum("n_events").as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("user_hll"))).as("n_users_est"))
+      .orderBy("event_type", "day")
+
   /** Serve exact daily distinct users FROM THE ROLLUP: OR-merge the
     * 24 hourly bitmaps per (event_type, day) and popcount — never
     * rescanning raw events. n_events re-aggregates algebraically.

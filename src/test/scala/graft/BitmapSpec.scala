@@ -74,6 +74,53 @@ class BitmapSpec extends SparkSpec {
     assert(byDay("2026-01-06") === ((1L, 1L)))
   }
 
+  test("HLL twin: merged-hour estimates EQUAL direct-day estimates (exact mergeability)") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val merged = Events.approxDistinctDaily(Events.userSketchRollup(events))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // Direct: sketch each (type, day) bucket from raw rows — no hour step.
+    val direct = events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged.keySet === direct.keySet)
+    // Register-wise max union loses nothing: the union of hour sketches
+    // IS the day sketch, so estimates are bit-identical, not just close.
+    merged.foreach { case (k, v) => assert(v === direct(k), s"merge lost info at $k") }
+  }
+
+  test("HLL twin: estimates land within 5% of the exact bitmap path") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val approx = Events.approxDistinctDaily(Events.userSketchRollup(events))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val exact = Events.distinctDaily(Events.userBitmapRollup(events))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err <= 0.05, s"$k: est ${approx(k)} vs exact $n (err $err)")
+    }
+  }
+
+  test("HLL sketch bytes stay capped where bitmap bytes grow with cardinality") {
+    import spark.implicits._
+    // 200k distinct ids in ONE bucket: bitmap ~ O(distinct/8) bytes,
+    // HLL capped near 2^lgK regardless.
+    val rows = (0L until 200000L)
+      .toDF("user_id")
+      .withColumn("event_type", lit("x"))
+      .withColumn("ts", lit("2026-01-05 01:00:00").cast("timestamp"))
+    val bmBytes = Events.userBitmapRollup(rows)
+      .select(max(length(col("user_bm")))).collect()(0).getInt(0)
+    val hllBytes = Events.userSketchRollup(rows)
+      .select(max(length(col("user_hll")))).collect()(0).getInt(0)
+    assert(bmBytes > 200000 / 8, s"bitmap unexpectedly small: $bmBytes")
+    assert(hllBytes < 8192, s"sketch not fixed-size: $hllBytes")
+    assert(hllBytes * 10 < bmBytes,
+      s"sketch ($hllBytes B) should be >10x smaller than bitmap ($bmBytes B) here")
+  }
+
   test("BitmapCardinality survives codegen over a persisted rollup") {
     val events = spark.read.parquet(s"$sf0001/events.parquet")
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm_rollup"
