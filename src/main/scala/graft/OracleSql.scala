@@ -475,6 +475,34 @@ object OracleSql {
     // q139: Hilbert report — the quadrant-rotation walk unrolled as one
     // generated CTE per bit level (SQL's named columns give the sharing
     // the Spark side gets from its codegen'd loop); all integer.
+    // q142: range-checksum drift localization; hash60 + bit_xor fold,
+    // nulls sentinel-coalesced BEFORE concat on both sides.
+    "q142_checksum_drift" -> {
+      def fold(src: String, suffix: String) =
+        s"""SELECT doc_id % $ChecksumBuckets AS bucket,
+           |    CAST(count(*) AS BIGINT) AS n_rows_$suffix,
+           |    bit_xor(('0x' || substr(md5(concat_ws('|',
+           |      coalesce(CAST(doc_id AS VARCHAR), '<NULL>'),
+           |      coalesce(text, '<NULL>'),
+           |      coalesce(lang, '<NULL>'),
+           |      coalesce(source, '<NULL>'),
+           |      coalesce(CAST(n_chars AS VARCHAR), '<NULL>'))), 1, 15))::BIGINT)
+           |      AS checksum_$suffix
+           |  FROM $src GROUP BY 1""".stripMargin
+      s"""WITH b_src AS (
+         |  SELECT doc_id, text, lang, source,
+         |    CASE WHEN doc_id % $ChecksumDriftMod = $ChecksumDriftRem
+         |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+         |  FROM documents),
+         |a AS (${fold("documents", "a")}),
+         |b AS (${fold("b_src", "b")})
+         |SELECT bucket, n_rows_a, checksum_a, n_rows_b, checksum_b
+         |FROM a FULL JOIN b USING (bucket)
+         |WHERE n_rows_a IS DISTINCT FROM n_rows_b
+         |   OR checksum_a IS DISTINCT FROM checksum_b
+         |ORDER BY bucket""".stripMargin
+    },
+
     // q141: SCD2 over the same deterministic 3-version feed; the
     // restated (unchanged) v2 rows must COLLAPSE (no history row).
     // IS DISTINCT FROM mirrors Spark's null-safe struct <=>.

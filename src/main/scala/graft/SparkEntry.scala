@@ -180,6 +180,12 @@ object SparkEntry {
     val ScdDeepMod = 21L     // q141 v3 feed: every 21st doc changes
                              // again (three-row history; non-empty
                              // from 22 docs up — every gate scale)
+    val ChecksumBuckets = 32 // q142 range granularity: drift localizes
+                             // to key ranges of corpus/32
+    val ChecksumDriftMod = 97L // q142 simulated replica drift: every
+    val ChecksumDriftRem = 5L  // 97th doc (rem 5) differs — SPARSE, so
+                               // the diff isolates a few buckets, and
+                               // doc_id 5 exists at every gate scale
     val PcaComponents = 8       // q94: 8 of 64 dims — the 8x reduction
                                 // the MRL/prefix serving plans assume
     val PcaSampleStride = 2     // q94 fit sample (the OPQ stride)
@@ -728,6 +734,18 @@ object SparkEntry {
     "q139_hilbert_report" -> ((s, d) =>
       Layout.hilbertReport(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
         ZBits, ZLbBuckets)),
+    "q142_checksum_drift" -> ((s, d) => {
+      // Two "replicas" of documents: B silently drifted on a sparse
+      // mod-rule. The diff must localize drift to the few buckets
+      // holding a drifted key — each side folds to 32 checksum rows
+      // before anything joins.
+      val a = Tables.documents(s, d)
+      val b = a.withColumn("n_chars",
+        when(pmod(col("doc_id"), lit(ChecksumDriftMod)) === ChecksumDriftRem,
+          col("n_chars") + 1000).otherwise(col("n_chars")))
+      Profile.checksumDiff(a, b, "doc_id",
+        Seq("doc_id", "text", "lang", "source", "n_chars"), ChecksumBuckets)
+    }),
     "q141_scd2_history" -> ((s, d) => {
       // Deterministic 3-version change feed over documents: v1 = full
       // extract, v2 = every ScdChangeMod-th doc changed PLUS every

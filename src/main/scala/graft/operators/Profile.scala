@@ -425,4 +425,54 @@ object Profile {
         greatest(repMeans: _*).as("boot_hi_micro"))
       .orderBy("source")
   }
+
+  /** Merkle-style order-free range checksums — the anti-entropy
+    * primitive behind cross-replica / cross-region table validation
+    * (Cassandra repair, DynamoDB global-table verification, lake
+    * copy audits): hash every row canonically, bucket rows by key
+    * range, and fold each bucket to (n_rows, XOR of row hashes). Two
+    * replicas compare O(nBuckets) tiny rows to LOCALIZE drift to the
+    * buckets that differ — re-shipping only those key ranges — instead
+    * of moving 100 TB to diff it. XOR is order-free and
+    * overflow-free (the portable fold: engines disagree on sum
+    * widening, never on XOR); the count pairs with it so multiplicity
+    * changes of an identical row can't cancel out. A forged collision
+    * needs equal counts AND equal 60-bit XOR within one bucket —
+    * vanishing for drift detection (this guards against replication
+    * bugs, not adversaries).
+    *
+    * One scan, one nBuckets-group exchange of pre-folded partials;
+    * output is O(nBuckets) regardless of table size. Nulls are
+    * sentinel-coalesced BEFORE concat (concat_ws silently drops nulls,
+    * which would hash ("a", null) equal to (null, "a")). */
+  def checksumRanges(df: DataFrame, key: String, cols: Seq[String],
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    require(cols.nonEmpty, "at least one checksummed column required")
+    val rowStr = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)
+    df.select(
+        pmod(col(key), lit(nBuckets.toLong)).as("bucket"),
+        Dedup.hash60(rowStr).as("__h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), bit_xor(col("__h")).as("checksum"))
+      .orderBy("bucket")
+  }
+
+  /** Compare two replicas' range checksums: the buckets that differ
+    * (present-in-one counts as drift). Each side folds locally to
+    * O(nBuckets) rows BEFORE the join — the network never carries
+    * data, only checksums. */
+  def checksumDiff(a: DataFrame, b: DataFrame, key: String,
+      cols: Seq[String], nBuckets: Int): DataFrame = {
+    val ca = checksumRanges(a, key, cols, nBuckets)
+      .withColumnsRenamed(Map("n_rows" -> "n_rows_a", "checksum" -> "checksum_a"))
+    val cb = checksumRanges(b, key, cols, nBuckets)
+      .withColumnsRenamed(Map("n_rows" -> "n_rows_b", "checksum" -> "checksum_b"))
+    ca.join(cb, Seq("bucket"), "full_outer")
+      .where(
+        !(col("n_rows_a") <=> col("n_rows_b")) ||
+        !(col("checksum_a") <=> col("checksum_b")))
+      .orderBy("bucket")
+  }
 }

@@ -604,4 +604,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).size === 1, plan)
     assert("\\+- Sort \\[doc_id".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("checksum ranges: row order and partitioning never change the fold") {
+    val docs = Tables.documents(spark, sf0001)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val base = Profile.checksumRanges(docs, "doc_id", cols, 8).collect().toSeq
+    val shuffled = Profile.checksumRanges(
+      docs.orderBy(col("n_chars").desc).repartition(7), "doc_id", cols, 8)
+      .collect().toSeq
+    assert(base === shuffled, "checksum depends on physical layout")
+    assert(Profile.checksumDiff(docs, docs.repartition(3), "doc_id", cols, 8)
+      .count() === 0, "identical replicas reported drift")
+  }
+
+  test("checksum diff: drift localizes to exactly the buckets holding changed keys") {
+    import spark.implicits._
+    val a = Seq((0L, "x", 10L), (1L, "y", 20L), (2L, "z", 30L), (9L, "w", 40L))
+      .toDF("doc_id", "text", "n_chars")
+    // replica b: key 9 changed (bucket 9 % 4 = 1), key 2 dropped (bucket 2)
+    val b = Seq((0L, "x", 10L), (1L, "y", 20L), (9L, "w", 41L))
+      .toDF("doc_id", "text", "n_chars")
+    val drift = Profile.checksumDiff(a, b, "doc_id",
+      Seq("doc_id", "text", "n_chars"), 4).collect()
+    assert(drift.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // bucket 2: present in a only -> b side null counts as drift
+    val b2 = drift.find(_.getLong(0) == 2L).get
+    assert(!b2.isNullAt(1) && b2.isNullAt(3), s"missing-bucket drift wrong: $b2")
+  }
+
+  test("checksum: null placement is load-bearing (concat_ws would erase it)") {
+    import spark.implicits._
+    val a = Seq((0L, "a", null.asInstanceOf[String])).toDF("doc_id", "u", "v")
+    val b = Seq((0L, null.asInstanceOf[String], "a")).toDF("doc_id", "u", "v")
+    assert(Profile.checksumDiff(a, b, "doc_id", Seq("u", "v"), 2).count() === 1,
+      "(a, null) and (null, a) hashed equal — sentinel coalesce broken")
+  }
 }
