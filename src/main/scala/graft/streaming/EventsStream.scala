@@ -36,6 +36,30 @@ object EventsStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
 
+  /** EXACT distinct users per hourly window on an unbounded stream —
+    * closing the gap [[rollup]] documents (Spark's countDistinct is
+    * unsupported in streaming aggregation; approx_count_distinct is
+    * the usual fallback). The bitmap aggregate
+    * ([[graft.functions.Bitmap]]) is a plain TypedImperativeAggregate,
+    * so streaming state handles it like any other buffer: state per
+    * OPEN window is the window's id bitmap (O(distinct-ids-that-hour/8)
+    * bytes), evicted when the watermark closes the window — bounded
+    * state on an unbounded stream, and the count is exact, not a
+    * sketch. The same state-compatibility holds for the HLL twin
+    * (swap bitmapCard∘bitmapBuild for hll_sketch_agg) when the id
+    * space is unbounded. */
+  def distinctRollup(events: DataFrame): DataFrame = {
+    import graft.functions.Bitmap.{bitmapBuild, bitmapCard}
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        bitmapCard(bitmapBuild(col("user_id"))).as("n_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("n_users"))
+  }
+
   /** Open a parquet directory as a stream with watermarked event time. */
   def readEvents(spark: SparkSession, path: String, watermark: String = "2 hours"): DataFrame = {
     val schema = spark.read.parquet(path).schema

@@ -33,6 +33,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+
+  test("streaming EXACT distinct rollup matches the batch bitmap path") {
+    val streamed = EventsStream.distinctRollup(
+      EventsStream.readEvents(spark, stageDir))
+    val q = streamed.writeStream
+      .format("memory").queryName("bm_rollup_sink").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("bm_rollup_sink")
+      .orderBy("event_type", "hour").collect()
+    // Batch truth: exact countDistinct per (type, hour) over the same rows.
+    val want = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+      .select("hour", "event_type", "n_events", "n_users")
+      .orderBy("event_type", "hour").collect()
+    assert(got.length === want.length)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     val dupDir = s"${System.getProperty("java.io.tmpdir")}/graft_events_dup_src"
     val events = Tables.events(spark, sf0001)
