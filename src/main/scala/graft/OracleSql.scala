@@ -475,6 +475,14 @@ object OracleSql {
     // q139: Hilbert report — the quadrant-rotation walk unrolled as one
     // generated CTE per bit level (SQL's named columns give the sharing
     // the Spark side gets from its codegen'd loop); all integer.
+    // q143: the reconstructed v3 — the CDC-apply result must equal the
+    // q92 change rule applied directly.
+    "q143_cdc_apply" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN doc_id % $UpsertChangeMod = 0 THEN n_chars + 1000
+         |       ELSE n_chars END AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     // q142: range-checksum drift localization; hash60 + bit_xor fold,
     // nulls sentinel-coalesced BEFORE concat on both sides.
     "q142_checksum_drift" -> {

@@ -734,6 +734,27 @@ object SparkEntry {
     "q139_hilbert_report" -> ((s, d) =>
       Layout.hilbertReport(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
         ZBits, ZLbBuckets)),
+    "q143_cdc_apply" -> ((s, d) => {
+      // Follow a table by CONSUMING its change feed: build the q134
+      // snapshot history, then reconstruct v3 as v2 + diff(v2, v3) —
+      // the oracle states v3 directly (the q92 change rule), which the
+      // feed application must reproduce bit-for-bit.
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_cdcapply_snap_" +
+        Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val isDelta = pmod(col("doc_id"), lit(IncDeltaMod.toLong)) === IncDeltaRem
+      Snapshots.overwrite(docs.where(!isDelta), path)
+      Snapshots.append(docs.where(isDelta), path)
+      Snapshots.mergeCommit(path,
+        docs.where(pmod(col("doc_id"), lit(UpsertChangeMod)) === 0)
+          .withColumn("n_chars", col("n_chars") + 1000), "doc_id")
+      val v2 = Snapshots.read(s, path, 2L)
+      Snapshots.applyCdc(v2, Snapshots.diff(s, path, 2L, 3L))
+        .orderBy("doc_id")
+    }),
     "q142_checksum_drift" -> ((s, d) => {
       // Two "replicas" of documents: B silently drifted on a sparse
       // mod-rule. The diff must localize drift to the few buckets

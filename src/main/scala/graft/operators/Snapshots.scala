@@ -167,6 +167,28 @@ object Snapshots {
       .unionByName(a.exceptAll(b).withColumn("change", lit("delete")))
   }
 
+  /** Apply a [[diff]]-shaped CDC feed to a table: multiset-subtract
+    * the delete rows, union the insert rows. This is the exact
+    * algebraic inverse of [[diff]] — `applyCdc(a, diff(a, b)) == b`
+    * as MULTISETS by construction (diff emits per-occurrence rows via
+    * exceptAll; key-based application would break on legitimate
+    * duplicate rows) — which is the contract a downstream replica
+    * needs to follow a table by consuming its change feed instead of
+    * re-copying snapshots.
+    *
+    * Scale shape: one full-row hash exchange for the exceptAll (the
+    * same cost class as producing the diff); the feed side is
+    * change-sized, not table-sized, so AQE broadcasts it when small.
+    * A keyed table with a uniqueness contract can use
+    * [[Merge.upsert]]-style keyed application instead; this is the
+    * contract-free general case. */
+  def applyCdc(base: DataFrame, feed: DataFrame): DataFrame = {
+    val cols = base.columns.map(col)
+    val deletes = feed.where(col("change") === "delete").select(cols: _*)
+    val inserts = feed.where(col("change") === "insert").select(cols: _*)
+    base.exceptAll(deletes).unionByName(inserts)
+  }
+
   /** Commit log as a DataFrame: (snapshot, op, n_dirs). */
   def log(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

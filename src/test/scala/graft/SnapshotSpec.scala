@@ -116,4 +116,23 @@ class SnapshotSpec extends SparkSpec {
     assert(d23 == Seq((1L, 10L, "delete"), (1L, 11L, "insert"), (5L, 50L, "delete")),
       s"CoW diff wrong (bag semantics must yield exactly one (5,50) delete): $d23")
   }
+
+  test("applyCdc is the algebraic inverse of diff, multiset semantics included") {
+    import spark.implicits._
+    // Duplicate rows on BOTH sides: a has (5,50) twice, b keeps one and
+    // adds (7,70) twice — keyed application would collapse these.
+    val a = Seq((1L, 10L), (2L, 20L), (5L, 50L), (5L, 50L)).toDF("doc_id", "n_chars")
+    val b = Seq((1L, 11L), (2L, 20L), (5L, 50L), (7L, 70L), (7L, 70L)).toDF("doc_id", "n_chars")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val feed = b.exceptAll(a).withColumn("change", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("change", lit("delete")))
+    assert(multiset(Snapshots.applyCdc(a, feed)) === multiset(b),
+      "apply(a, diff(a,b)) != b")
+    // Degenerate feeds: empty diff is identity; delete-only shrinks.
+    assert(multiset(Snapshots.applyCdc(a, feed.where(lit(false)))) === multiset(a))
+    val delOnly = a.where(col("doc_id") === 5L).limit(1).withColumn("change", lit("delete"))
+    assert(multiset(Snapshots.applyCdc(a, delOnly)) ===
+      Seq((1L, 10L), (2L, 20L), (5L, 50L)), "one delete must remove ONE occurrence")
+  }
 }
