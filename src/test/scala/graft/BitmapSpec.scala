@@ -139,4 +139,32 @@ class BitmapSpec extends SparkSpec {
       .orderBy("event_type", "day")
     assert(served.collect().toSeq === direct.collect().toSeq)
   }
+
+  test("day-partitioned rollup: a range probe prunes partitions at the scan") {
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_bm_rollup_part"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    Events.userBitmapRollup(events)
+      .withColumn("day", to_date(col("hour")))
+      .write.partitionBy("day").parquet(path)
+    val days = spark.read.parquet(path).select("day").distinct()
+      .orderBy("day").collect().map(_.getDate(0).toString)
+    assert(days.length >= 2, s"need >=2 days to show pruning, got ${days.toSeq}")
+    val probe = spark.read.parquet(path).where(col("day") === days.head)
+    val served = Events.distinctDaily(probe.drop("day"))
+    // The scan must list ONLY the probed day's directory.
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter did not reach partition pruning:\n$plan")
+    // And the pruned serve still answers exactly for that day.
+    val want = events
+      .where(to_date(col("ts")) === days.head)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+      .orderBy("event_type", "day")
+    assert(served.collect().toSeq === want.collect().toSeq)
+  }
 }
