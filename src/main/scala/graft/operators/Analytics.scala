@@ -523,13 +523,17 @@ object Analytics {
     * (n, Σqty) to every row — no second scan or self-join, one shuffle
     * on partkey. Quantities are integral in this corpus, so the gate
     * is cross-multiplied in longs (fracInv·qty·n < Σqty ⟺
-    * qty < Σqty/(fracInv·n)) — no float average at the boundary. */
+    * qty < Σqty/(fracInv·n)) — no float average at the boundary.
+    * The brand-filtered part leg carries NO forced broadcast: one
+    * brand is ~1/25 of part and part grows with SF, so at 100 TB a
+    * hint would OOM the driver. AQE picks broadcast-vs-shuffle from
+    * the measured post-filter size at each scale instead. */
   def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
                            brand: String, fracInv: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
     val qtyU = round(col("l_quantity")).cast("long")
     lineitem
-      .join(broadcast(part.where(col("p_brand") === brand).select("p_partkey")),
+      .join(part.where(col("p_brand") === brand).select("p_partkey"),
         col("l_partkey") === col("p_partkey"))
       .withColumn("qty_u", qtyU)
       .withColumn("n_part", count(lit(1)).over(w))
@@ -543,17 +547,18 @@ object Analytics {
   /** Large-volume orders (q105, TPC-H Q18 shape): orders whose total
     * quantity exceeds a threshold, joined back to orders+customer —
     * the HAVING-filter-then-rejoin class. The per-order aggregate is
-    * the only full shuffle; the surviving set (p99 of order volume is
-    * ~60% of the threshold, so survivors are a thin tail at every SF)
-    * BROADCASTS into orders and customer — the join-back never
-    * re-shuffles the fact table. Integer quantity sums. */
+    * the only full shuffle; the surviving set is a thin tail of
+    * orders at every SF, but it GROWS with SF (5% of a 100 TB orders
+    * table is not a broadcast), so the join-back carries no forced
+    * hint — AQE broadcasts it when the measured survivor size fits
+    * and shuffle-joins when it doesn't. Integer quantity sums. */
   def largeOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
                   minQty: Long, topN: Int): DataFrame = {
     val big = lineitem
       .groupBy("l_orderkey")
       .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
       .where(col("total_qty") > minQty)
-    orders.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
       .join(customer.select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),

@@ -391,7 +391,13 @@ class AnalyticsOpsSpec extends SparkSpec {
         Tables.supplier(spark, sf001), Q16ExclBrand, Q16Sizes),
       "q112" -> Analytics.dominantSuppliers(
         Tables.lineitem(spark, sf001), Tables.supplier(spark, sf001),
-        Tables.nation(spark, sf001), Q20From, Q20Until, Q20Num, Q20Den))
+        Tables.nation(spark, sf001), Q20From, Q20Until, Q20Num, Q20Den),
+      "q104" -> Analytics.smallQuantityRevenue(
+        Tables.lineitem(spark, sf001), Tables.part(spark, sf001),
+        Q17Brand, Q17FracInv),
+      "q105" -> Analytics.largeOrders(
+        Tables.lineitem(spark, sf001), Tables.orders(spark, sf001),
+        Tables.customer(spark, sf001), Q18MinQty, Q18TopN))
     frames.foreach { case (name, df) =>
       val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
       hints.foreach { h =>
