@@ -57,50 +57,84 @@ object Sampling {
     * ·1e6) — so the per-doc accumulation is exact integer arithmetic,
     * immune to float summation order.
     *
-    * Scale shape: both "models" are ≤ B-row bucket count tables built
-    * by ONE shared partial-agg pass over the exploded token stream
-    * (the exchange carries per-task partial counts, bounded by B);
-    * totals ride the same pass. Scoring joins each token row against
-    * the BROADCAST tables and partial-aggs straight to one row per doc
-    * — the only per-doc shuffle is O(n_docs). Selection composes
-    * downstream: rank `avg_lw_micro` through GroupedTopK (resampling-
-    * by-weight without RNG state), exactly like [[stratifiedSample]].
+    * Scale shape (restructured r14 after the 12×-DuckDB flag): ONE
+    * tokenize+hash pass pre-aggregates to (doc, bucket, cnt) — every
+    * downstream exchange carries one row per doc-bucket pair, never
+    * per token. The ≤ B-row bucket model is a window over b on that
+    * pre-agg (a separate aggregate branch would re-execute the
+    * tokenize lineage — Spark recomputes DAG branches); the 2-number
+    * global totals come from a split-count-only scan that skips md5
+    * and explode entirely. Measured at sf0.1: 1.52 → 0.69 s, output
+    * bit-identical. The remaining floor is the explode+md5 of the
+    * full token stream itself (0.28 s measured alone). Selection
+    * composes downstream: rank `avg_lw_micro` through GroupedTopK
+    * (resampling-by-weight without RNG state), like
+    * [[stratifiedSample]].
     *
     * Docs with no tokens yield no rows (no weight evidence either
     * way); docs with NULL source count as raw-only, never target. */
   def dsirWeights(docs: DataFrame, targetSources: Seq[String],
                   buckets: Int): DataFrame = {
     require(buckets > 0, s"bucket count must be positive, got $buckets")
+    import org.apache.spark.sql.expressions.Window
     val isTarget = col("source").isin(targetSources.map(x => x: Any): _*)
-    val toks = docs
-      .select(col("doc_id"), isTarget.as("__tgt"),
-        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), col("__tgt"),
-        pmod(Dedup.hash60(col("t")), lit(buckets.toLong)).as("b"))
-    // One partial-agg exchange builds BOTH count tables (raw = all rows,
-    // target = the conditional sum) — ≤ B result rows.
-    val model = toks.groupBy("b").agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("ct"))
-    val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val toksCol = graft.operators.TextAnalysis.tokens(col("text"))
+    // Bucket assignment: pmod(hash60, B). For power-of-two B the mod
+    // depends only on the trailing ⌈log₁₆B⌉ hex chars of the md5
+    // window, so convert just those (conv of a 15-char string was the
+    // single hottest expression in the r13 profile: 0.36 → 0.28 s/pass
+    // at sf0.1). Pure number theory — B | 16^k makes the higher hex
+    // digits ≡ 0 (mod B) — so the bucket ids are bit-identical to the
+    // general path (spec-pinned) and the DuckDB oracle needs no change.
+    val b = {
+      val m = java.lang.Long.numberOfTrailingZeros(buckets.toLong)
+      if ((buckets & (buckets - 1)) == 0 && m <= 60) {
+        val k = (m + 3) / 4
+        pmod(conv(substring(md5(col("t")), 16 - k, k), 16, 10).cast("long"),
+          lit(buckets.toLong))
+      } else pmod(Dedup.hash60(col("t")), lit(buckets.toLong))
+    }
+    // ONE tokenize+hash pass, pre-aggregated to (doc, bucket) counts —
+    // the r13 shape tokenized twice (model branch + scoring branch) and
+    // carried one row PER TOKEN through the model join and the per-doc
+    // shuffle; this carries one row per (doc, bucket) with a count.
+    val db = docs
+      .select(col("doc_id"), isTarget.as("__tgt"), explode(toksCol).as("t"))
+      .select(col("doc_id"), col("__tgt"), b.as("b"))
+      .groupBy("doc_id", "__tgt", "b").agg(count(lit(1)).as("cnt"))
+    // Global totals from a split-count-only scan (no md5, no explode) —
+    // the cheap half of tokenization; this is what lets the scoring
+    // side be a single hashed pass instead of two.
+    val totals = docs
+      .select(size(toksCol).as("n"), isTarget.as("__tgt"))
+      .agg(sum("n").as("nr"),
+        sum(when(col("__tgt"), col("n")).otherwise(0L)).as("nt"))
+    // The ≤ B-row bucket model rides a WINDOW over b instead of a
+    // separate aggregate branch: a branch would recompute the tokenize
+    // pass (Spark DAG branches re-execute their lineage), a window is
+    // one exchange on b with an unbounded frame.
+    val wb = Window.partitionBy("b")
     val lw = floor(log(
       ((col("ct") + 1L).cast("double") * (col("nr") + buckets).cast("double")) /
         ((col("cr") + 1L).cast("double") * (col("nt") + buckets).cast("double")))
       * 1000000.0).cast("long")
-    toks
-      .join(broadcast(model), "b")
+    db
+      .withColumn("cr", sum("cnt").over(wb))
+      .withColumn("ct", sum(when(col("__tgt"), col("cnt")).otherwise(0L)).over(wb))
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"), lw.as("lw"))
+      .select(col("doc_id"), col("cnt"), lw.as("lw"))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum("lw").as("sum_lw_micro"),
+        sum("cnt").as("n_tokens"),
+        // lw is constant per bucket, so Σ_tokens lw = Σ_buckets cnt·lw.
+        sum(col("lw") * col("cnt")).as("sum_lw_micro"),
         // per-token mean ALSO in integer micro-units: floor(sum/n) of the
         // exact-integer doubles — a 6-dp rounded double mean hits .5
         // midpoint ties (sum divisible by n/2) that HALF_UP (Spark,
         // decimal-string) and binary-double rounding (DuckDB) resolve
         // differently; floor of the same IEEE quotient cannot diverge.
-        floor(sum("lw").cast("double") / count(lit(1))).cast("long").as("avg_lw_micro"))
+        floor(sum(col("lw") * col("cnt")).cast("double") / sum("cnt"))
+          .cast("long").as("avg_lw_micro"))
       .orderBy("doc_id")
   }
 

@@ -240,6 +240,29 @@ class CurationSpec extends SparkSpec {
     assert(again == out, "weights must be a pure function of the data")
   }
 
+  test("dsir: power-of-two bucket fast path equals the general pmod(hash60) " +
+    "bucket for every token (and a non-power-of-two B still works)") {
+    import graft.operators.Dedup
+    // The r14 rewrite converts only the trailing ⌈m/4⌉ hex chars of the
+    // md5 window when B = 2^m (B | 16^k ⟹ higher digits ≡ 0 mod B).
+    // Pin the number theory over real corpus tokens for the shipped
+    // B=256 and a second power of two that is NOT a whole hex-digit
+    // boundary (B=32, m=5 → k=2, pmod still required).
+    val toks = docs.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+    for (b <- Seq(32, 256)) {
+      val k = (java.lang.Long.numberOfTrailingZeros(b.toLong) + 3) / 4
+      val mismatches = toks.select(
+          pmod(Dedup.hash60(col("t")), lit(b.toLong)).as("full"),
+          pmod(conv(substring(md5(col("t")), (16 - k).toInt, k.toInt), 16, 10)
+            .cast("long"), lit(b.toLong)).as("fast"))
+        .where(col("full") =!= col("fast")).count()
+      assert(mismatches == 0L, s"trailing-hex bucket diverges at B=$b")
+    }
+    // Non-power-of-two B exercises the general path end-to-end.
+    val odd = graft.operators.Sampling.dsirWeights(docs, Seq("src0"), buckets = 100)
+    assert(odd.count() > 0)
+  }
+
   test("dsir: empty docs drop out; per-doc sum is n_tokens-consistent") {
     import graft.operators.Sampling
     val out = Sampling.dsirWeights(docs, Seq("src0", "src1"), buckets = 256)
