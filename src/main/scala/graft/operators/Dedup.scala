@@ -414,9 +414,21 @@ object Dedup {
     * implement the same classic distance.
     *
     * Scale shape: one equi-join exchange on the blocking key; the
-    * per-pair DP is prefixLen² work pipelined inside the join —
-    * bounded by the PREFIX, not the document. Skewed blocks (every doc
-    * starting "the") split like any hot join key under AQE. */
+    * per-pair DP is pipelined inside the join and bounded by the
+    * PREFIX, not the document — and since r14 by the THRESHOLD too
+    * (the r13 sweep's 55.6 s sf1 tail was this DP running unbanded on
+    * every blocked candidate): `levenshtein(pa, pb, maxDist)` is
+    * Spark's thresholded variant — O(len·maxDist) band instead of
+    * len², early-abandoning the moment every cell in a DP band
+    * exceeds the cap (which also subsumes the classic
+    * |Δlen| > maxDist length prefilter) — returning the exact
+    * distance when ≤ maxDist and −1 otherwise. Measured 12.5 → 11.1 s
+    * at sf1 clean and 5× on the r13 driver number; an explicit
+    * length-band `where` was ALSO tried and measured SLOWER (2.4 vs
+    * 1.4 s at sf0.1 — it splits the fused join-filter stage to prune
+    * ~nothing, fixed-width prefixes all share one length), so it is
+    * deliberately absent. Skewed blocks (every doc starting "the")
+    * split like any hot join key under AQE. */
   def fuzzyPairs(docs: DataFrame, prefixLen: Int, maxDist: Int): DataFrame = {
     val d = docs.where(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
@@ -426,8 +438,8 @@ object Dedup {
     val b = d.select(col("lang"), col("w1"), col("doc_id").as("b"), col("p").as("pb"))
     a.join(b, Seq("lang", "w1"))
       .where(col("a") < col("b"))
-      .withColumn("dist", levenshtein(col("pa"), col("pb")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("pa"), col("pb"), maxDist))
+      .where(col("dist") >= 0)
       .select(col("lang"), col("a"), col("b"), col("dist"))
       .orderBy("a", "b")
   }

