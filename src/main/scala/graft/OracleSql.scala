@@ -483,18 +483,23 @@ object OracleSql {
          |       ELSE n_chars END AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // q142: range-checksum drift localization; hash60 + bit_xor fold,
-    // nulls sentinel-coalesced BEFORE concat on both sides.
+    // q142: range-checksum drift localization; hash60 + bit_xor fold
+    // over FIXED-WIDTH per-column md5 digests (r14: the delimited
+    // concat_ws had an aliasing channel — ("a|b","c") == ("a","b|c") —
+    // and a literal '<NULL>' string collided with NULL; 32-char
+    // digests cannot alias a boundary and the NULL sentinel is outside
+    // the hex alphabet).
     "q142_checksum_drift" -> {
+      val sentinel = "*".repeat(32)
       def fold(src: String, suffix: String) =
         s"""SELECT doc_id % $ChecksumBuckets AS bucket,
            |    CAST(count(*) AS BIGINT) AS n_rows_$suffix,
-           |    bit_xor(('0x' || substr(md5(concat_ws('|',
-           |      coalesce(CAST(doc_id AS VARCHAR), '<NULL>'),
-           |      coalesce(text, '<NULL>'),
-           |      coalesce(lang, '<NULL>'),
-           |      coalesce(source, '<NULL>'),
-           |      coalesce(CAST(n_chars AS VARCHAR), '<NULL>'))), 1, 15))::BIGINT)
+           |    bit_xor(('0x' || substr(md5(concat(
+           |      coalesce(md5(CAST(doc_id AS VARCHAR)), '$sentinel'),
+           |      coalesce(md5(text), '$sentinel'),
+           |      coalesce(md5(lang), '$sentinel'),
+           |      coalesce(md5(source), '$sentinel'),
+           |      coalesce(md5(CAST(n_chars AS VARCHAR)), '$sentinel'))), 1, 15))::BIGINT)
            |      AS checksum_$suffix
            |  FROM $src GROUP BY 1""".stripMargin
       s"""WITH b_src AS (
@@ -573,7 +578,8 @@ object OracleSql {
          |    CAST(0 AS BIGINT) AS d
          |  FROM lineitem
          |  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
-         |    AND l_partkey >= 0 AND l_suppkey >= 0),
+         |    AND l_partkey >= 0 AND l_suppkey >= 0
+         |    AND l_partkey < ${1L << ZBits} AND l_suppkey < ${1L << ZBits}),
          |$steps
          |SELECT (d >> ${2 * ZBits - ZLbBuckets}) AS bucket,
          |  CAST(count(*) AS BIGINT) AS n_rows,

@@ -78,7 +78,15 @@ object Layout {
       s"need 2*bits > lbBuckets, got bits=$bits lbBuckets=$lbBuckets")
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    df.where(a.isNotNull && b.isNotNull && a >= 0 && b >= 0)
+    // Domain gate: Hilbert.hilbertIndex documents [0, 2^bits) and keys
+    // beyond it silently WRAP on low bits — deterministic but
+    // locality-meaningless buckets, exactly what this report exists to
+    // measure honestly. Out-of-domain rows are excluded like negatives
+    // are (callers pick `bits` from the observed key range, as q84/q139
+    // do with 30-bit keys).
+    val lim = lit(1L << bits)
+    df.where(a.isNotNull && b.isNotNull && a >= 0 && b >= 0 &&
+        a < lim && b < lim)
       .select(a.as("a"), b.as("b"),
         graft.functions.Hilbert.hilbert(a, b, bits).as("h"))
       .withColumn("bucket", shiftright(col("h"), 2 * bits - lbBuckets))

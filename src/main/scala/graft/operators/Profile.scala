@@ -442,15 +442,22 @@ object Profile {
     * bugs, not adversaries).
     *
     * One scan, one nBuckets-group exchange of pre-folded partials;
-    * output is O(nBuckets) regardless of table size. Nulls are
-    * sentinel-coalesced BEFORE concat (concat_ws silently drops nulls,
-    * which would hash ("a", null) equal to (null, "a")). */
+    * output is O(nBuckets) regardless of table size. The row hash is
+    * built from FIXED-WIDTH per-column digests, not a delimited
+    * concat: each column hashes to its 32-hex-char md5 first, and the
+    * row hash folds the concatenation of those digests. A delimited
+    * concat has an aliasing channel — ("a|b","c") vs ("a","b|c")
+    * collide, exactly the false-negative a drift detector exists to
+    * rule out — while fixed-width fields cannot alias a boundary.
+    * NULL takes a 32-char sentinel OUTSIDE the hex alphabet, so no
+    * real value's digest (and no string value, e.g. a literal
+    * "<NULL>") can collide with it. */
   def checksumRanges(df: DataFrame, key: String, cols: Seq[String],
       nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     require(cols.nonEmpty, "at least one checksummed column required")
-    val rowStr = concat_ws("|",
-      cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)
+    val rowStr = concat(
+      cols.map(c => coalesce(md5(col(c).cast("string")), lit("*" * 32))): _*)
     df.select(
         pmod(col(key), lit(nBuckets.toLong)).as("bucket"),
         Dedup.hash60(rowStr).as("__h"))

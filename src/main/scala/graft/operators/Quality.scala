@@ -37,6 +37,14 @@ object Quality {
     * violating rows. Output: (check, n_rows, n_violations, pass). */
   def checkRows(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
+    // The result rides a map() keyed by check name, and Spark's default
+    // mapKeyDedupPolicy=EXCEPTION turns a duplicate name (the same
+    // builder applied twice) into a whole-suite runtime failure instead
+    // of a per-check report — reject it eagerly with a message that
+    // names the duplicates.
+    val dups = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate check name(s): ${dups.mkString(", ")} — give each check a unique name")
     val aggs = count(lit(1)).as("__n") +: checks.zipWithIndex.map { case (c, i) =>
       // coalesce: sum over ZERO rows is NULL — an empty table has no
       // violations, not unknown ones.

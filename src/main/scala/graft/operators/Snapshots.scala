@@ -28,7 +28,9 @@ import java.nio.charset.StandardCharsets
   * reader sees either the old table or the new one, never a torn
   * manifest; a crash between data-write and rename leaves orphan data
   * dirs that [[vacuum]] reclaims (the unreferenced-files sweep every
-  * format runs). Readers never lock: snapshots are immutable, and
+  * format runs) and that id allocation steps past (ids derive from
+  * manifests AND data dirs, so an orphan never wedges the next
+  * commit). Readers never lock: snapshots are immutable, and
   * [[vacuum]] only deletes dirs no surviving manifest references.
   *
   * The driver-side work per commit is one ≤ KB-scale manifest write —
@@ -42,16 +44,23 @@ object Snapshots {
 
   private def metaDir(path: String) = new Path(path, "meta")
 
-  /** Highest committed snapshot id, 0 if none. */
-  def latest(spark: SparkSession, path: String): Long = {
+  /** All committed snapshot ids, ascending. Not assumed dense: an
+    * orphan-skipping id allocation (see [[nextId]]) can leave gaps
+    * after a crashed commit, so every history walk enumerates what
+    * exists instead of counting 1..latest. */
+  def snapshotIds(spark: SparkSession, path: String): Seq[Long] = {
     val f = fs(spark, path)
     val md = metaDir(path)
-    if (!f.exists(md)) 0L
+    if (!f.exists(md)) Seq.empty
     else
       f.listStatus(md).map(_.getPath.getName)
         .collect { case VPat(id) => id.toLong }
-        .foldLeft(0L)(math.max)
+        .sorted.toSeq
   }
+
+  /** Highest committed snapshot id, 0 if none. */
+  def latest(spark: SparkSession, path: String): Long =
+    snapshotIds(spark, path).lastOption.getOrElse(0L)
 
   private val VPat = "v(\\d+)\\.json".r
   private val DirsPat = "\"dirs\":\\[(.*?)\\]".r
@@ -71,23 +80,55 @@ object Snapshots {
     (OpPat.findFirstMatchIn(body).map(_.group(1)).getOrElse("?"), dirs)
   }
 
+  /** Next free snapshot id, scanning BOTH manifests and data dirs: a
+    * crash between data-write and manifest-rename leaves an orphan
+    * `data/sN` with no `vN.json`, and deriving the id from manifests
+    * alone would re-pick N forever, failing on `errorifexists` until a
+    * manual vacuum. The orphan stays unreferenced (vacuum reclaims
+    * it); new commits simply step past it. */
+  private def nextId(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val dd = new Path(path, "data")
+    val SPat = "s(\\d+)".r
+    val maxData =
+      if (!f.exists(dd)) 0L
+      else f.listStatus(dd).map(_.getPath.getName)
+        .collect { case SPat(id) => id.toLong }
+        .foldLeft(0L)(math.max)
+    math.max(latest(spark, path), maxData) + 1
+  }
+
   private def commit(df: DataFrame, path: String, op: String,
                      carry: Seq[String]): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
-    val id = latest(spark, path) + 1
+    val id = nextId(spark, path)
     val dataDir = s"data/s$id"
     df.write.mode("errorifexists").parquet(new Path(path, dataDir).toString)
     val dirs = carry :+ dataDir
     val body = s"""{"snapshot":$id,"op":"$op","dirs":[${
       dirs.map(d => "\"" + d + "\"").mkString(",")}]}"""
-    val tmp = new Path(metaDir(path), s".v$id.json.tmp")
+    // Writer-UNIQUE temp name: two same-id committers sharing one
+    // .tmp name could interleave write/rename and silently clobber;
+    // with distinct temp files the loser's rename is the one that
+    // observes the existing destination.
+    val tmp = new Path(metaDir(path),
+      s".v$id.json.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     val dst = new Path(metaDir(path), s"v$id.json")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!f.rename(tmp, dst))
+    // Conflict guard: HDFS-like stores make rename fail when dst
+    // exists, so the rename itself is the check. RawLocalFileSystem
+    // delegates to rename(2), which silently REPLACES — the explicit
+    // exists() precheck restores the guard there (local FS is the
+    // test/single-writer environment; concurrent multi-writer safety
+    // is only claimed on stores with non-overwriting atomic rename).
+    val clash = f.exists(dst) || !f.rename(tmp, dst)
+    if (clash) {
+      f.delete(tmp, false)
       throw new IllegalStateException(
         s"commit conflict: snapshot $id already exists under $path")
+    }
     id
   }
 
@@ -136,10 +177,16 @@ object Snapshots {
     * construction — every commit writes a fresh `data/s<id>`). */
   def deltaOf(spark: SparkSession, path: String, id: Long): DataFrame = {
     val (_, dirs) = readManifest(spark, path, id)
-    val parentDirs = if (id <= 1) Set.empty[String]
-                     else readManifest(spark, path, id - 1)._2.toSet
+    // Parent = the latest EXISTING manifest below id (ids can gap past
+    // a crashed commit's orphan; see nextId).
+    val parent = snapshotIds(spark, path).filter(_ < id).lastOption
+    val parentDirs = parent match {
+      case Some(p) => readManifest(spark, path, p)._2.toSet
+      case None    => Set.empty[String]
+    }
     val added = dirs.filterNot(parentDirs)
-    require(added.nonEmpty, s"snapshot $id added no data over ${id - 1}")
+    require(added.nonEmpty,
+      s"snapshot $id added no data over ${parent.getOrElse(0L)}")
     spark.read.parquet(added.map(d => new Path(path, d).toString): _*)
   }
 
@@ -192,7 +239,7 @@ object Snapshots {
   /** Commit log as a DataFrame: (snapshot, op, n_dirs). */
   def log(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    (1L to latest(spark, path)).map { id =>
+    snapshotIds(spark, path).map { id =>
       val (op, dirs) = readManifest(spark, path, id)
       (id, op, dirs.size.toLong)
     }.toDF("snapshot", "op", "n_dirs")
@@ -206,13 +253,14 @@ object Snapshots {
     * number of data dirs removed. */
   def vacuum(spark: SparkSession, path: String, keepFrom: Long): Int = {
     val f = fs(spark, path)
-    val last = latest(spark, path)
+    val ids = snapshotIds(spark, path)
+    val last = ids.lastOption.getOrElse(0L)
     require(keepFrom >= 1 && keepFrom <= last,
       s"keepFrom must be in [1, $last], got $keepFrom")
-    (1L until keepFrom).foreach { id =>
+    ids.filter(_ < keepFrom).foreach { id =>
       f.delete(new Path(metaDir(path), s"v$id.json"), false)
     }
-    val live = (keepFrom to last)
+    val live = ids.filter(_ >= keepFrom)
       .flatMap(id => readManifest(spark, path, id)._2).toSet
     val dataRoot = new Path(path, "data")
     val dead = f.listStatus(dataRoot).map(_.getPath)

@@ -670,4 +670,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(Profile.checksumDiff(a, b, "doc_id", Seq("u", "v"), 2).count() === 1,
       "(a, null) and (null, a) hashed equal — sentinel coalesce broken")
   }
+
+  test("checksum: no field-boundary aliasing and no NULL-sentinel aliasing " +
+    "(the r14 fixed-width per-column digest closes both channels)") {
+    import spark.implicits._
+    // ("a|b","c") vs ("a","b|c"): distinct rows a delimited concat folds
+    // to the same string — a false-negative channel in a drift detector.
+    val a = Seq((0L, "a|b", "c")).toDF("doc_id", "u", "v")
+    val b = Seq((0L, "a", "b|c")).toDF("doc_id", "u", "v")
+    assert(Profile.checksumDiff(a, b, "doc_id", Seq("u", "v"), 2).count() === 1,
+      "delimiter-aliased rows hashed equal")
+    // a literal "<NULL>" STRING must not collide with NULL
+    val c = Seq((0L, "<NULL>")).toDF("doc_id", "u")
+    val d = Seq((0L, null.asInstanceOf[String])).toDF("doc_id", "u")
+    assert(Profile.checksumDiff(c, d, "doc_id", Seq("u"), 2).count() === 1,
+      "string '<NULL>' collided with NULL")
+  }
 }

@@ -56,6 +56,30 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, path).count() == 1L)
   }
 
+  test("an orphan data dir (crash between data-write and manifest-rename) " +
+    "never wedges the next commit; the gapped history stays fully operable") {
+    import spark.implicits._
+    val path = freshPath("orphan")
+    Snapshots.overwrite(Seq((1L, 10L)).toDF("doc_id", "n_chars"), path)
+    // Simulate the crash: data/s2 written, v2.json never renamed in.
+    Seq((99L, 99L)).toDF("doc_id", "n_chars")
+      .write.parquet(s"$path/data/s2")
+    // The r13 allocation re-derived id 2 from manifests alone and died
+    // on errorifexists forever; ids now step past the orphan.
+    val id = Snapshots.append(Seq((3L, 30L)).toDF("doc_id", "n_chars"), path)
+    assert(id == 3L, s"orphan not skipped, got id $id")
+    // The orphan's rows are NOT part of any snapshot.
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // History walks tolerate the gap: log, deltaOf (parent = latest
+    // existing manifest below, i.e. 1 not 2), vacuum.
+    assert(Snapshots.log(spark, path).collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(Snapshots.deltaOf(spark, path, 3L).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // vacuum reclaims the orphan (no surviving manifest references it).
+    val removed = Snapshots.vacuum(spark, path, keepFrom = 1L)
+    assert(removed == 1, s"expected the orphan dir reclaimed, removed=$removed")
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
   test("vacuum drops expired manifests and unreferenced data dirs, keeps live snapshots whole") {
     import spark.implicits._
     val path = freshPath("vac")
