@@ -377,6 +377,12 @@ object SparkEntry {
     "q17_events_rollup" -> ((s, d) => Events.rollup(Tables.events(s, d))),
     "q17b_sessionize" -> ((s, d) => Events.sessionize(Tables.events(s, d), SessionGapMin)),
     "q18_multimodal" -> ((s, d) => graft.multimodal.Multimodal.featurePipeline(s, Tables.documents(s, d))),
+    "q144_audio_stats" -> ((s, d) =>
+      // Rows-only (binary WAV plumbing, like q18): synthesize the media
+      // table, then the REAL javax.sound.sampled decode reports
+      // duration/rate/RMS/clipping per clip — all integer-unit columns.
+      graft.multimodal.Multimodal.audioStats(s,
+        graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d)))),
     "q19_asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
     "q20_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "q21_revenue_by_nation" -> ((s, d) => Analytics.revenueByNation(
@@ -910,9 +916,10 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
-    * q10, q18, q61b, q75, q94, q117, q118) are non-SQL-expressible (footer
-    * metadata / trained-vocab BPE / index file I/O / binary feature
-    * plumbing / SVD-learned rotation / sequential greedy MMR /
-    * approximate graph walk) → driver records a rows-only check. */
+    * q10, q18, q61b, q75, q94, q117, q118, q144) are non-SQL-expressible
+    * (footer metadata / trained-vocab BPE / index file I/O / binary
+    * feature plumbing / SVD-learned rotation / sequential greedy MMR /
+    * approximate graph walk / WAV decode) → driver records a rows-only
+    * check. */
   def oracleSql: Map[String, String] = OracleSql.all
 }

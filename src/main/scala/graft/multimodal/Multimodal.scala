@@ -3,6 +3,7 @@ package graft.multimodal
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -17,15 +18,26 @@ import org.apache.spark.sql.functions._
   * feature vector output ready for the similarity-search operators
   * (graft.operators.Knn / Ivf) — is shared by every media type.
   *
-  * The IMAGE path is REAL end to end: `toMediaTable` synthesizes valid
-  * PNG payloads (deterministic gradient rasters keyed by doc_id),
-  * [[decode]] decodes them with `javax.imageio` (in the JDK — no
-  * external codecs needed) into pixel-luminance features, and [[resize]]
-  * resamples through a Graphics2D raster scale and re-encodes. Audio and
-  * video payloads remain synthetic byte blobs with the decode branch
-  * falling back to byte-histogram features — the container ships no
-  * audio/video codecs; swapping a real demuxer in changes only that
-  * branch, as the image path demonstrates.
+  * TWO modalities are REAL end to end:
+  *  - IMAGE: `toMediaTable` synthesizes valid PNG payloads
+  *    (deterministic gradient rasters keyed by doc_id), [[decode]]
+  *    decodes them with `javax.imageio` (in the JDK) into
+  *    pixel-luminance features, and [[resize]] resamples through a
+  *    Graphics2D raster scale and re-encodes.
+  *  - AUDIO (r14): `toMediaTable` synthesizes valid WAV payloads —
+  *    16-bit signed PCM mono, a deterministic integer triangle wave
+  *    keyed by doc_id (no trig, so the bytes are a pure function of
+  *    the id on any JVM), amplitude-capped so a subset of docs
+  *    genuinely CLIPS — written through
+  *    `javax.sound.sampled.AudioSystem` (also in the JDK; the earlier
+  *    "no audio codecs in the JDK" claim was wrong). [[decode]] reads
+  *    them back through `AudioSystem.getAudioInputStream`, and
+  *    [[audioStats]] reports duration / sample rate / RMS / clipping
+  *    fraction per clip.
+  * Video payloads remain synthetic byte blobs with the decode branch
+  * falling back to byte-histogram features — the JDK ships no video
+  * demuxer; swapping one in changes only that branch, as the image and
+  * audio paths demonstrate.
   */
 object Multimodal {
 
@@ -56,6 +68,49 @@ object Multimodal {
     val g = ((y * 5 + docId * 3) % 256).toInt
     val b = ((x + y + docId * 5) % 256).toInt
     (r << 16) | (g << 8) | b
+  }
+
+  /** Audio synthesis parameters, all pure functions of doc_id. The
+    * nominal amplitude EXCEEDS 16-bit range for ids with
+    * `docId % 12 >= 9` (24000 + 9·1000 > 32767), so those clips carry
+    * real clipped samples — [[audioStats]]'s clipping fraction has
+    * something true to measure. */
+  val AudioRateHz = 8000f
+  def audioParams(docId: Long): (Int, Int, Int) = {
+    val period = 50 + (docId % 50).toInt            // triangle period, frames
+    val nFrames = 400 + (docId % 37).toInt * 8      // clip length
+    val amp = 24000 + (docId % 12).toInt * 1000     // nominal amplitude
+    (period, nFrames, amp)
+  }
+
+  /** One 16-bit sample of the deterministic triangle wave — integer
+    * arithmetic only, capped to the PCM range (the cap IS the clip). */
+  def triSample(i: Int, period: Int, amp: Int): Int = {
+    val ph = i % period
+    val half = period / 2
+    val tri =
+      if (ph < half) -amp + (2 * amp * ph) / half
+      else amp - (2 * amp * (ph - half)) / (period - half)
+    math.max(-32768, math.min(32767, tri))
+  }
+
+  /** A valid WAV payload: 16-bit signed PCM, mono, little-endian,
+    * written through the JDK's own `AudioSystem` WAV writer. */
+  private def encodeWav(docId: Long, buf: ByteArrayOutputStream): Array[Byte] = {
+    val (period, nFrames, amp) = audioParams(docId)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = triSample(i, period, amp)
+      pcm(i * 2) = (s & 0xff).toByte
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioRateHz, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    buf.reset()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
   }
 
   private def encodePng(docId: Long, w: Int, h: Int, buf: ByteArrayOutputStream): Array[Byte] = {
@@ -91,8 +146,11 @@ object Multimodal {
               val h = ((docId % 12) * 4 + 16).toInt
               MediaRecord(docId, "image", "png", w, h, encodePng(docId, w, h, buf))
             case "audio" =>
-              MediaRecord(docId, "audio", "wav",
-                ((docId % 64) * 16 + 16).toInt, 1, text.getBytes("UTF-8"))
+              // REAL WAV payload; width carries the frame count, height
+              // the channel count (the schema is modality-agnostic).
+              val (_, nFrames, _) = audioParams(docId)
+              MediaRecord(docId, "audio", "wav", nFrames, 1,
+                encodeWav(docId, buf))
             case _ =>
               MediaRecord(docId, "video", "mp4",
                 ((docId % 64) * 16 + 16).toInt, ((docId % 48) * 16 + 16).toInt,
@@ -109,10 +167,36 @@ object Multimodal {
     math.rint(sum.toDouble / n * 1e6) / 1e6
   }
 
+  /** Decoded 16-bit mono PCM samples of a WAV payload, or null when no
+    * reader claims the bytes / the body is corrupt (the byte-fallback
+    * trigger, same contract as the image branch). */
+  private[multimodal] def decodeWav(bytes: Array[Byte]): (Array[Int], Float) = {
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) null
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val samples = new Array[Int](n)
+          var i = 0
+          if (fmt.isBigEndian)
+            while (i < n) { samples(i) = (raw(i * 2) << 8) | (raw(i * 2 + 1) & 0xff); i += 1 }
+          else
+            while (i < n) { samples(i) = (raw(i * 2 + 1) << 8) | (raw(i * 2) & 0xff); i += 1 }
+          (samples, fmt.getSampleRate)
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** Decode one record. PNG → real `javax.imageio` decode to a
     * normalized FeatureDim-bin luminance histogram + decoded dims;
-    * other formats → byte-histogram features (documented synthetic
-    * fallback — no audio/video codec in the JDK). */
+    * WAV → real `javax.sound.sampled` decode to a normalized
+    * FeatureDim-bin |amplitude| histogram, decoded_w = sample rate,
+    * decoded_h = frame count; other formats → byte-histogram features
+    * (documented synthetic fallback — the JDK ships no video codec). */
   private[multimodal] def decode(r: MediaRecord): MediaFeatures = {
     val bytes = r.payload
     // Undecodable payloads surface BOTH ways: ImageIO.read returns
@@ -120,6 +204,7 @@ object Multimodal {
     // IIOException when a reader claims it but the body is corrupt or
     // truncated. At lake scale both are certainties — degrade to the
     // byte path, never kill the task.
+    var wav0: (Array[Int], Float) = null
     val img0 = if (r.format == "png")
       try ImageIO.read(new ByteArrayInputStream(bytes))
       // readers also throw unchecked exceptions on malformed bodies
@@ -148,6 +233,20 @@ object Multimodal {
       var j = 0
       while (j < FeatureDim) { feature(j) /= n; j += 1 }
       MediaFeatures(r.doc_id, r.media_type, bytes.length, meanByte(bytes), w, h, feature)
+    } else if (r.format == "wav" && { wav0 = decodeWav(bytes); wav0 != null }) {
+      val (samples, rate) = wav0
+      val feature = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < samples.length) {
+        val a = math.min(math.abs(samples(i)), 32767)
+        feature(a * FeatureDim / 32768) += 1.0f
+        i += 1
+      }
+      val n = math.max(samples.length, 1).toFloat
+      var j = 0
+      while (j < FeatureDim) { feature(j) /= n; j += 1 }
+      MediaFeatures(r.doc_id, r.media_type, bytes.length, meanByte(bytes),
+        rate.toInt, samples.length, feature)
     } else {
       val feature = new Array[Float](FeatureDim)
       var i = 0
@@ -222,6 +321,54 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "frame_idx", "n_bytes", "frame")
+  }
+
+  /** Per-clip audio quality report — the audio twin of the image
+    * decode path: REAL `javax.sound.sampled` WAV decode on the
+    * executors (per-partition iteration, payload bytes never shuffle —
+    * the aggregate happens on the extracted scalars), reporting the
+    * metrics an audio-corpus curation gate filters on:
+    *
+    *  - `duration_us`: exact integer microseconds (frames·10⁶/rate —
+    *    a double-seconds column would float-drift across engines),
+    *  - `sample_rate`, `n_frames`: from the decoded header, not the
+    *    synthesis metadata (the decode is the source of truth),
+    *  - `rms_milli`: RMS amplitude in integer milli-units of
+    *    full-scale (⌊√(Σs²/n)·1000/32768⌋ — loudness proxy),
+    *  - `clip_ppm`: fraction of samples at the PCM rails in integer
+    *    ppm (⌊hits·10⁶/n⌋ — the standard clipping-detection signal).
+    *
+    * Undecodable payloads drop out (they surface through [[decode]]'s
+    * byte-fallback path and q18's rollup instead). */
+  def audioStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .filter((r: MediaRecord) => r.media_type == "audio")
+      .flatMap { r =>
+        val wav = decodeWav(r.payload)
+        if (wav == null) Iterator.empty
+        else {
+          val (samples, rate) = wav
+          val n = samples.length
+          var sumSq = 0L
+          var clipped = 0L
+          var i = 0
+          while (i < n) {
+            val s = samples(i).toLong
+            sumSq += s * s
+            if (s >= 32767L || s <= -32768L) clipped += 1
+            i += 1
+          }
+          val durUs = if (rate > 0) (n.toLong * 1000000L / rate.toLong) else 0L
+          val rmsMilli =
+            if (n == 0) 0L
+            else (math.sqrt(sumSq.toDouble / n) * 1000.0 / 32768.0).toLong
+          val clipPpm = if (n == 0) 0L else clipped * 1000000L / n
+          Iterator.single((r.doc_id, rate.toInt, n.toLong, durUs, rmsMilli, clipPpm))
+        }
+      }
+      .toDF("doc_id", "sample_rate", "n_frames", "duration_us", "rms_milli", "clip_ppm")
+      .orderBy("doc_id")
   }
 
   /** End-to-end pipeline for the q18 rows-only check: media synthesis →

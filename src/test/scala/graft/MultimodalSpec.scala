@@ -62,10 +62,70 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.length === 3 && resized.forall(_.getInt(3) === 4))
   }
 
-  test("non-image rows use the byte fallback (decoded dims = -1)") {
+  test("video rows use the byte fallback (decoded dims = -1)") {
     val feats = Multimodal.extractFeatures(spark,
-      media.where(col("media_type") =!= "image"))
+      media.where(col("media_type") === "video"))
     assert(feats.collect().forall(f => f.decoded_w == -1 && f.decoded_h == -1))
+  }
+
+  test("WAV payloads really decode: sample rate and frame count come from " +
+    "the decoded header, histogram sums to 1") {
+    val audio = media.where(col("media_type") === "audio")
+    val metaFrames = audio.collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val feats = Multimodal.extractFeatures(spark, audio).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.decoded_w == 8000, s"sample rate not decoded: $f")
+      assert(f.decoded_h == metaFrames(f.doc_id),
+        s"decoded frame count ${f.decoded_h} != synthesized ${metaFrames(f.doc_id)}")
+      val s = f.feature.sum
+      assert(math.abs(s - 1.0f) < 1e-4, s"histogram sum $s")
+    }
+  }
+
+  test("audioStats: duration/RMS/clipping recompute from the deterministic " +
+    "wave; exactly the amp>32767 ids clip") {
+    val stats = Multimodal.audioStats(spark, media).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(stats.nonEmpty)
+    stats.foreach { case (docId, (rate, n, durUs, rmsMilli, clipPpm)) =>
+      val (period, nFrames, amp) = Multimodal.audioParams(docId)
+      assert(rate == 8000 && n == nFrames.toLong)
+      assert(durUs == nFrames.toLong * 1000000L / 8000L, s"doc $docId duration")
+      // independent recompute of RMS and clipping from the same wave
+      var sumSq = 0L; var clipped = 0L; var i = 0
+      while (i < nFrames) {
+        val s = Multimodal.triSample(i, period, amp)
+        sumSq += s.toLong * s; if (s >= 32767 || s <= -32768) clipped += 1
+        i += 1
+      }
+      assert(rmsMilli == (math.sqrt(sumSq.toDouble / nFrames) * 1000.0 / 32768.0).toLong,
+        s"doc $docId rms")
+      assert(clipPpm == clipped * 1000000L / nFrames, s"doc $docId clip")
+      // the synthesis contract: nominal amp past the rail ⟺ real clipping
+      assert((clipPpm > 0) == (amp > 32767),
+        s"doc $docId amp=$amp clipPpm=$clipPpm — clipping signal broken")
+    }
+    // both populations must exist or the signal is untested
+    assert(stats.values.exists(_._5 > 0) && stats.values.exists(_._5 == 0L))
+  }
+
+  test("corrupt WAV payloads degrade to the byte fallback, never kill the task") {
+    import spark.implicits._
+    val good = media.where(col("media_type") === "audio").limit(1)
+      .as[Multimodal.MediaRecord].collect()(0)
+    val corrupt = Seq(
+      good.copy(doc_id = 900L, payload = good.payload.take(10)),       // truncated header
+      good.copy(doc_id = 901L, payload = Array[Byte](1, 2, 3, 4, 5))) // garbage
+      .toDF()
+    val feats = Multimodal.extractFeatures(spark, corrupt).collect()
+    assert(feats.length === 2)
+    assert(feats.forall(f => f.decoded_w == -1 && f.decoded_h == -1),
+      "corrupt WAV did not fall back to byte features")
+    // and audioStats simply drops them
+    assert(Multimodal.audioStats(spark, corrupt).count() === 0L)
   }
 
   test("resize really resamples PNGs (decoded dims follow the new raster)") {
