@@ -65,8 +65,20 @@ object Snapshots {
   private val VPat = "v(\\d+)\\.json".r
   private val DirsPat = "\"dirs\":\\[(.*?)\\]".r
   private val OpPat = "\"op\":\"(.*?)\"".r
+  private val SchemaPat = "\"schemaB64\":\"(.*?)\"".r
 
   private def readManifest(spark: SparkSession, path: String, id: Long): (String, Seq[String]) = {
+    val (op, dirs, _) = readManifestFull(spark, path, id)
+    (op, dirs)
+  }
+
+  /** (op, dirs, snapshot schema). The schema rides the manifest
+    * base64-encoded (StructType.json) so reads plan with the SNAPSHOT's
+    * schema — see [[read]] — without touching any file footer; absent
+    * on pre-r14 manifests (None → schema comes from the files, the old
+    * behavior). */
+  private def readManifestFull(spark: SparkSession, path: String,
+      id: Long): (String, Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
     val f = fs(spark, path)
     val p = new Path(metaDir(path), s"v$id.json")
     require(f.exists(p), s"snapshot $id does not exist under $path")
@@ -77,7 +89,12 @@ object Snapshots {
       case Some(l)  => l.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
       case None     => throw new IllegalStateException(s"torn manifest v$id.json")
     }
-    (OpPat.findFirstMatchIn(body).map(_.group(1)).getOrElse("?"), dirs)
+    val schema = SchemaPat.findFirstMatchIn(body).map(_.group(1)).map { b64 =>
+      org.apache.spark.sql.types.DataType.fromJson(new String(
+        java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    (OpPat.findFirstMatchIn(body).map(_.group(1)).getOrElse("?"), dirs, schema)
   }
 
   /** Next free snapshot id, scanning BOTH manifests and data dirs: a
@@ -99,15 +116,19 @@ object Snapshots {
   }
 
   private def commit(df: DataFrame, path: String, op: String,
-                     carry: Seq[String]): Long = {
+                     carry: Seq[String], statsCols: Seq[String] = Seq.empty,
+                     schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val id = nextId(spark, path)
     val dataDir = s"data/s$id"
     df.write.mode("errorifexists").parquet(new Path(path, dataDir).toString)
+    if (statsCols.nonEmpty) writeStats(spark, path, dataDir, statsCols)
     val dirs = carry :+ dataDir
+    val schemaB64 = java.util.Base64.getEncoder.encodeToString(
+      schema.getOrElse(df.schema).json.getBytes(StandardCharsets.UTF_8))
     val body = s"""{"snapshot":$id,"op":"$op","dirs":[${
-      dirs.map(d => "\"" + d + "\"").mkString(",")}]}"""
+      dirs.map(d => "\"" + d + "\"").mkString(",")}],"schemaB64":"$schemaB64"}"""
     // Writer-UNIQUE temp name: two same-id committers sharing one
     // .tmp name could interleave write/rename and silently clobber;
     // with distinct temp files the loser's rename is the one that
@@ -134,19 +155,50 @@ object Snapshots {
 
   /** First commit / full replace: the new snapshot references ONLY the
     * new data (prior snapshots stay readable — their files are not
-    * touched until [[vacuum]]). */
-  def overwrite(df: DataFrame, path: String): Long =
-    commit(df, path, "overwrite", Seq.empty)
+    * touched until [[vacuum]]). `statsCols` (integral columns) records
+    * per-file min/max in a stats sidecar so [[readRange]] can skip
+    * files at planning time. */
+  def overwrite(df: DataFrame, path: String,
+                statsCols: Seq[String] = Seq.empty): Long =
+    commit(df, path, "overwrite", Seq.empty, statsCols)
 
   /** Append commit: the new snapshot = parent's directory set + one
     * new directory. No data movement for existing rows — the append
-    * cost is the delta's write alone, at any table size. */
-  def append(df: DataFrame, path: String): Long = {
+    * cost is the delta's write alone, at any table size. Earlier
+    * commits' stats sidecars stay valid (data dirs are immutable), so
+    * per-commit `statsCols` compose across the history.
+    *
+    * SCHEMA EVOLUTION (add-column, Iceberg semantics): an appended
+    * frame may carry columns the parent lacks — the snapshot schema
+    * becomes parent ∪ new (new fields appended in order), old files
+    * read NULL for them via the manifest schema ([[read]]), and no
+    * byte of existing data is rewritten. A column sharing a name must
+    * share its type (the only safe automatic rule; widenings are a
+    * rewrite, not an append), and dropping columns is not an append
+    * (a delta missing parent columns null-fills its OWN rows — the
+    * parent schema still governs). */
+  def append(df: DataFrame, path: String,
+             statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     val parent = latest(spark, path)
-    val carry = if (parent == 0) Seq.empty
-                else readManifest(spark, path, parent)._2
-    commit(df, path, "append", carry)
+    if (parent == 0) commit(df, path, "append", Seq.empty, statsCols)
+    else {
+      val (_, carry, parentSchema0) = readManifestFull(spark, path, parent)
+      val merged = parentSchema0 match {
+        case None => df.schema // pre-r14 table: schema stays file-derived
+        case Some(ps) =>
+          ps.fields.foreach { pf =>
+            df.schema.fields.find(_.name == pf.name).foreach { nf =>
+              require(nf.dataType == pf.dataType,
+                s"append changes type of ${pf.name}: ${pf.dataType} -> ${nf.dataType}" +
+                  " (type changes need an overwrite commit)")
+            }
+          }
+          val newFields = df.schema.fields.filterNot(f => ps.fieldNames.contains(f.name))
+          org.apache.spark.sql.types.StructType(ps.fields ++ newFields)
+      }
+      commit(df, path, "append", carry, statsCols, Some(merged))
+    }
   }
 
   /** Copy-on-write MERGE commit: [[Merge.upsert]] resolves the rows,
@@ -161,12 +213,134 @@ object Snapshots {
 
   /** Read snapshot `asOf` (default: latest). One manifest fetch, then
     * a parquet scan of the listed immutable dirs — column pruning and
-    * predicate pushdown apply exactly as on a plain parquet table. */
+    * predicate pushdown apply exactly as on a plain parquet table.
+    * The scan plans with the MANIFEST's schema (not the files'): files
+    * from commits that predate an added column read NULL for it — the
+    * add-column backfill — with O(1) planning cost (no mergeSchema
+    * footer sweep; the vectorized reader fills missing columns
+    * natively). Each historical snapshot reads under ITS OWN schema,
+    * so time travel reproduces exactly what that snapshot's readers
+    * saw. */
   def read(spark: SparkSession, path: String, asOf: Long = 0L): DataFrame = {
     val id = if (asOf > 0) asOf else latest(spark, path)
-    val (_, dirs) = readManifest(spark, path, id)
+    val (_, dirs, schema) = readManifestFull(spark, path, id)
     require(dirs.nonEmpty, s"snapshot $id of $path lists no data")
-    spark.read.parquet(dirs.map(d => new Path(path, d).toString): _*)
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(dirs.map(d => new Path(path, d).toString): _*)
+  }
+
+  /** Per-file min/max stats sidecar for one immutable data dir — the
+    * Iceberg-manifest idea at its smallest: planning can skip a file
+    * from KB-scale metadata without opening its footer. ONE delta-sized
+    * executor job (groupBy input file) computes every requested
+    * column's bounds; the sidecar is written BEFORE the manifest
+    * rename, so a visible snapshot always has its stats (a crash in
+    * between orphans sidecar+data together). Integral columns only —
+    * long bounds are exact in JSON; float/string bounds invite the
+    * cross-engine comparison swamps the rest of the repo avoids. */
+  private def writeStats(spark: SparkSession, path: String, dataDir: String,
+                         statsCols: Seq[String]): Unit = {
+    val dirPath = new Path(path, dataDir).toString
+    val df = spark.read.parquet(dirPath)
+    statsCols.foreach { c =>
+      val dt = df.schema(c).dataType.typeName
+      require(Seq("long", "integer", "short", "byte", "date").contains(dt),
+        s"stats column $c has non-integral type $dt")
+    }
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"mn_$c"), max(col(c).cast("long")).as(s"mx_$c")))
+    val rows = df
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per written FILE — bounded by the commit's file count
+    val entries = rows.map { r =>
+      val fileName = r.getString(0).split('/').last
+      val stats = statsCols.zipWithIndex.map { case (c, i) =>
+        val mn = if (r.isNullAt(1 + 2 * i)) "null" else r.getLong(1 + 2 * i).toString
+        val mx = if (r.isNullAt(2 + 2 * i)) "null" else r.getLong(2 + 2 * i).toString
+        s""""$c":[$mn,$mx]"""
+      }.mkString(",")
+      s"""{"f":"$fileName",$stats}"""
+    }
+    val body = s"""{"files":[${entries.mkString(",")}]}"""
+    val f = fs(spark, path)
+    val out = f.create(new Path(path, s"$dataDir.stats.json"), true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private val FileEntryPat = """\{"f":"(.*?)"(.*?)\}""".r
+
+  /** Parsed stats sidecar of one data dir: file → col → (min, max).
+    * None when the dir has no sidecar (commit without statsCols). */
+  private def readStats(spark: SparkSession, path: String,
+      dataDir: String): Option[Map[String, Map[String, (Long, Long)]]] = {
+    val f = fs(spark, path)
+    val p = new Path(path, s"$dataDir.stats.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val ColPat = """"([^"]+)":\[(-?\d+|null),(-?\d+|null)\]""".r
+      Some(FileEntryPat.findAllMatchIn(body).map { m =>
+        val cols = ColPat.findAllMatchIn(m.group(2)).flatMap { cm =>
+          if (cm.group(2) == "null" || cm.group(3) == "null") None
+          else Some(cm.group(1) -> (cm.group(2).toLong, cm.group(3).toLong))
+        }.toMap
+        m.group(1) -> cols
+      }.toMap)
+    }
+  }
+
+  /** The file set a range predicate `lo <= col <= hi` needs from
+    * snapshot `asOf`: (kept, skipped) as absolute paths. A file is
+    * skipped only when its sidecar PROVES disjointness
+    * (max < lo or min > hi); files in dirs without stats — or without
+    * this column's stats, or with an all-null bound — are kept
+    * conservatively. Exposed so callers (and the spec) can count what
+    * planning actually skipped. */
+  def pruneRange(spark: SparkSession, path: String, colName: String,
+                 lo: Long, hi: Long, asOf: Long = 0L): (Seq[String], Seq[String]) = {
+    val id = if (asOf > 0) asOf else latest(spark, path)
+    val (_, dirs) = readManifest(spark, path, id)
+    val f = fs(spark, path)
+    val kept = Seq.newBuilder[String]
+    val skipped = Seq.newBuilder[String]
+    dirs.foreach { d =>
+      val dirAbs = new Path(path, d)
+      readStats(spark, path, d) match {
+        case None => kept += dirAbs.toString
+        case Some(stats) =>
+          f.listStatus(dirAbs).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).foreach { fp =>
+              stats.get(fp.getName).flatMap(_.get(colName)) match {
+                case Some((mn, mx)) if mx < lo || mn > hi => skipped += fp.toString
+                case _ => kept += fp.toString
+              }
+            }
+      }
+    }
+    (kept.result(), skipped.result())
+  }
+
+  /** Range read with MANIFEST-LEVEL file skipping: plan only the files
+    * [[pruneRange]] keeps, then apply the predicate as a normal filter
+    * too (row-group pruning inside kept files, and correctness never
+    * depends on the sidecar — a stats-less dir degrades to a filtered
+    * full scan of that dir). This is what makes
+    * [[graft.operators.Layout.writeClustered]]-style commits cheap to
+    * probe: a clustered table's files cover disjoint key ranges, so a
+    * point/range query opens O(matching) files at any table size. */
+  def readRange(spark: SparkSession, path: String, colName: String,
+                lo: Long, hi: Long, asOf: Long = 0L): DataFrame = {
+    val (kept, _) = pruneRange(spark, path, colName, lo, hi, asOf)
+    require(kept.nonEmpty || pruneRange(spark, path, colName, Long.MinValue,
+      Long.MaxValue, asOf)._1.nonEmpty, s"snapshot of $path lists no data")
+    val base =
+      if (kept.isEmpty)
+        // every file provably disjoint: an empty frame with the right schema
+        read(spark, path, asOf).where(lit(false))
+      else spark.read.parquet(kept: _*)
+    base.where(col(colName).cast("long") >= lo && col(colName).cast("long") <= hi)
   }
 
   /** The rows snapshot `id` ADDED over its parent — the delta an
@@ -176,7 +350,7 @@ object Snapshots {
     * overwrite it is the whole new snapshot (dir sets are disjoint by
     * construction — every commit writes a fresh `data/s<id>`). */
   def deltaOf(spark: SparkSession, path: String, id: Long): DataFrame = {
-    val (_, dirs) = readManifest(spark, path, id)
+    val (_, dirs, schema) = readManifestFull(spark, path, id)
     // Parent = the latest EXISTING manifest below id (ids can gap past
     // a crashed commit's orphan; see nextId).
     val parent = snapshotIds(spark, path).filter(_ < id).lastOption
@@ -187,7 +361,10 @@ object Snapshots {
     val added = dirs.filterNot(parentDirs)
     require(added.nonEmpty,
       s"snapshot $id added no data over ${parent.getOrElse(0L)}")
-    spark.read.parquet(added.map(d => new Path(path, d).toString): _*)
+    // The delta reads under the snapshot's schema too, so incremental
+    // consumers see the same column set a full read would.
+    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(added.map(d => new Path(path, d).toString): _*)
   }
 
   /** Row-level change feed between two snapshots — the CDC read every
@@ -263,9 +440,19 @@ object Snapshots {
     val live = ids.filter(_ >= keepFrom)
       .flatMap(id => readManifest(spark, path, id)._2).toSet
     val dataRoot = new Path(path, "data")
+    // A `sN.stats.json` sidecar shares its data dir's lifetime: live
+    // iff `data/sN` is live (it is metadata OF that dir, and pruning
+    // degrades gracefully without it, so the conservative rule is
+    // simply dir-coupled deletion).
+    def liveName(n: String) =
+      live.contains(s"data/$n") ||
+        (n.endsWith(".stats.json") &&
+          live.contains(s"data/${n.stripSuffix(".stats.json")}"))
     val dead = f.listStatus(dataRoot).map(_.getPath)
-      .filter(p => !live.contains(s"data/${p.getName}"))
+      .filter(p => !liveName(p.getName))
     dead.foreach(p => f.delete(p, true))
-    dead.length
+    // Report reclaimed data DIRS (the sidecars ride along for free and
+    // would double-count the same reclaim).
+    dead.count(!_.getName.endsWith(".stats.json"))
   }
 }

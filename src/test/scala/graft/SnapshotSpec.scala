@@ -80,6 +80,75 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("manifest column stats: a range read PLANS only intersecting files, " +
+    "answers exactly, degrades conservatively without stats, and vacuum " +
+    "couples sidecar lifetime to its data dir") {
+    import spark.implicits._
+    val path = freshPath("stats")
+    // Clustered commit: 8 range-partitioned files over doc_id 0..799,
+    // so each file covers a ~100-id band — the writeClustered shape.
+    val docs = (0L until 800L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
+      .repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    Snapshots.overwrite(docs, path, statsCols = Seq("doc_id"))
+    val (kept, skipped) = Snapshots.pruneRange(spark, path, "doc_id", 150L, 249L)
+    assert(skipped.size >= 5,
+      s"range probe should skip most of 8 clustered files; skipped=${skipped.size}")
+    assert(kept.nonEmpty && kept.size + skipped.size == 8)
+    // exactness: pruned read == filtered full read
+    val got = Snapshots.readRange(spark, path, "doc_id", 150L, 249L)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (150L to 249L).toSeq, "pruned read lost or invented rows")
+    // an APPEND WITHOUT stats stays conservatively un-pruned but correct
+    Snapshots.append(Seq((900L, 1L)).toDF("doc_id", "n_chars"), path)
+    val (kept2, skipped2) = Snapshots.pruneRange(spark, path, "doc_id", 150L, 249L)
+    assert(kept2.exists(_.contains("data/s2")), "stats-less dir must be kept whole")
+    assert(skipped2.size == skipped.size)
+    assert(Snapshots.readRange(spark, path, "doc_id", 150L, 249L).count() == 100L)
+    assert(Snapshots.readRange(spark, path, "doc_id", 900L, 900L).count() == 1L)
+    // a fully-disjoint range returns empty, not an error
+    assert(Snapshots.readRange(spark, path, "doc_id", 5000L, 6000L).count() == 0L)
+    // vacuum to the latest snapshot: s1 (and ITS sidecar) die together;
+    // re-prune still works (no stats anywhere now — all conservative)
+    val v3 = Snapshots.overwrite(Seq((1L, 1L)).toDF("doc_id", "n_chars"), path)
+    assert(Snapshots.vacuum(spark, path, keepFrom = v3) == 2)
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new Path(s"$path/data/s1.stats.json")),
+      "dead dir's stats sidecar survived vacuum")
+    assert(Snapshots.readRange(spark, path, "doc_id", 0L, 10L).count() == 1L)
+  }
+
+  test("schema evolution: an added column null-backfills old files on read, " +
+    "history keeps its own schema, type changes are rejected") {
+    import spark.implicits._
+    val path = freshPath("evolve")
+    Snapshots.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars"), path)
+    // v2 appends WITH a new column
+    Snapshots.append(Seq((3L, 30L, "en")).toDF("doc_id", "n_chars", "lang"), path)
+    val v2 = Snapshots.read(spark, path, 2L)
+    assert(v2.columns.toSeq == Seq("doc_id", "n_chars", "lang"),
+      s"merged schema wrong: ${v2.columns.toSeq}")
+    val rows = v2.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(rows == Map(1L -> null, 2L -> null, 3L -> "en"),
+      "old files must read NULL for the added column")
+    // time travel: v1 still reads with v1's 2-column schema
+    assert(Snapshots.read(spark, path, 1L).columns.toSeq == Seq("doc_id", "n_chars"))
+    // the delta carries the snapshot schema as well
+    assert(Snapshots.deltaOf(spark, path, 2L).columns.toSeq ==
+      Seq("doc_id", "n_chars", "lang"))
+    // a delta MISSING a parent column null-fills its own rows only
+    Snapshots.append(Seq((4L, 40L)).toDF("doc_id", "n_chars"), path)
+    val v3 = Snapshots.read(spark, path, 3L).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(v3 == Map(1L -> null, 2L -> null, 3L -> "en", 4L -> null))
+    // same-name different-type is rejected — that's a rewrite, not an append
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.append(Seq((5L, "wide")).toDF("doc_id", "n_chars"), path)
+    }
+    assert(ex.getMessage.contains("n_chars"))
+  }
+
   test("vacuum drops expired manifests and unreferenced data dirs, keeps live snapshots whole") {
     import spark.implicits._
     val path = freshPath("vac")
