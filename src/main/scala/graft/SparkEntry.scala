@@ -712,6 +712,24 @@ object SparkEntry {
       Nsw.search(g, cents, Knn.queryVector(emb, QueryVecId),
         nprobe = 4, k = K, ef = 64)
     }),
+    "q145_nsw_recall" -> ((s, d) =>
+      // Rows-only (beam walk): the graph family's recall audit — q62's
+      // fourth serving path under its own key (q62's report is
+      // oracle-hashed; an approximate walk can't join it). Same
+      // (query, method, n_hits, recall) schema for union-able dashboards.
+      RecallAudit.nswRecallReport(Tables.embeddings(s, d), IvfStep,
+        RecallQueryIds, nprobe = 4, k = K)),
+    "q146_nsw_rank_metrics" -> ((s, d) => {
+      // Rows-only: MRR/nDCG of the NSW serving plan through the same
+      // micro-unit scorer as q136 — ordering quality of the
+      // approximate path, directly comparable with the exact numbers.
+      val emb = Tables.embeddings(s, d)
+      val queries = Knn.labeledPanel(emb, RecallQueryIds)
+      val res = Nsw.searchBatch(Nsw.build(emb, IvfStep, m = 8, efC = 32),
+        Ivf.centroids(emb, IvfStep),
+        Knn.queryPanel(emb, RecallQueryIds), nprobe = 4, k = K, ef = 64)
+      RecallAudit.rankMetricsOf(emb, queries, res, K)
+    }),
     "q119_embedding_drift" -> ((s, d) =>
       Clusters.embeddingDrift(Tables.embeddings(s, d), IvfStep)),
     "q120_corpus_shuffle" -> ((s, d) =>
@@ -916,10 +934,10 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
-    * q10, q18, q61b, q75, q94, q117, q118, q144) are non-SQL-expressible
-    * (footer metadata / trained-vocab BPE / index file I/O / binary
-    * feature plumbing / SVD-learned rotation / sequential greedy MMR /
-    * approximate graph walk / WAV decode) → driver records a rows-only
-    * check. */
+    * q10, q18, q61b, q75, q94, q117, q118, q144, q145, q146) are
+    * non-SQL-expressible (footer metadata / trained-vocab BPE / index
+    * file I/O / binary feature plumbing / SVD-learned rotation /
+    * sequential greedy MMR / approximate graph walk / WAV decode /
+    * graph-serving audits) → driver records a rows-only check. */
   def oracleSql: Map[String, String] = OracleSql.all
 }

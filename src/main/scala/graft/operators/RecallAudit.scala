@@ -71,6 +71,47 @@ object RecallAudit {
       .orderBy("query_id", "method")
   }
 
+  /** The GRAPH family's recall audit (q145, r14) — [[annRecallReport]]'s
+    * fourth serving path, reported under its own key because the q62
+    * report is oracle-hashed and a beam walk is not SQL-expressible:
+    * [[Nsw.searchBatch]] against exact-DOT truth (the walk minimizes
+    * negated dot — Nsw.dist — so dot top-k is its exact target, the
+    * same truth as the `ivf` leg), same per-(query, method) schema so
+    * operators can union the families into one dashboard. The graph
+    * build runs inside the audit (per-index-build cadence, like the
+    * IVF legs rebuilding their postings); production audits pass over
+    * a [[Nsw.load]]-ed graph via [[nswRecallFor]]. */
+  def nswRecallReport(vectors: DataFrame, step: Int, queryIds: Seq[Long],
+                      nprobe: Int, k: Int, m: Int = 8, efC: Int = 32,
+                      ef: Int = 64): DataFrame = {
+    val cents = Ivf.centroids(vectors, step)
+    nswRecallFor(vectors, Nsw.build(vectors, step, m, efC), cents,
+      queryIds, nprobe, k, ef)
+  }
+
+  /** Audit an EXISTING graph (the serve-side entry point). */
+  def nswRecallFor(vectors: DataFrame, graph: DataFrame, cents: DataFrame,
+                   queryIds: Seq[Long], nprobe: Int, k: Int,
+                   ef: Int = 64): DataFrame = {
+    val queries = Knn.queryPanel(vectors, queryIds)
+    val truthDot = GroupedTopK.topK(
+      vectors.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          round(dot(col("embedding"), col("qv")), 6).as("s")),
+      Seq(col("query_id")), Seq(col("s").desc, col("vec_id").asc), k)
+      .select("query_id", "vec_id")
+    val res = Nsw.searchBatch(graph, cents, queries, nprobe, k, ef)
+      .select("query_id", "vec_id")
+    val hits = res.join(truthDot, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+    queries.select("query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit("nsw").as("method"),
+        coalesce(col("n"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .orderBy("query_id", "method")
+  }
+
   /** The re-tuning rule the q62 audit calls for (r10): pick nprobe by
     * MEASURED recall, not folklore. Doubles nprobe from `start` until
     * the real [[Ivf.searchBatch]] serving plan's mean recall@k over a
@@ -141,13 +182,30 @@ object RecallAudit {
     * O(labels) aggregate; IDCG unrolls a ≤ k-element `sequence` per
     * query — panel-bounded driver-free arithmetic. */
   def rankMetricsReport(vectors: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val queries = Knn.labeledPanel(vectors, queryIds)
     val scored = vectors.crossJoin(broadcast(queries))
       .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
         round(dot(col("embedding"), col("qv")), 6).as("score"))
     val top = GroupedTopK.topK(scored, Seq(col("query_id")),
       Seq(col("score").desc, col("vec_id").asc), k)
+    rankMetricsOf(vectors, queries, top.select("query_id", "vec_id", "score"), k)
+  }
+
+  /** Rank metrics for ANY serving result set (q146's NSW leg, r14) —
+    * the generalized scorer behind [[rankMetricsReport]]: `results`
+    * carries (query_id, vec_id, score) from whatever serving plan is
+    * under audit (exact, IVF, PQ, NSW…); relevance labels join in from
+    * the corpus and the panel, and the identical micro-unit DCG/IDCG
+    * arithmetic applies — so an approximate path's ORDERING quality is
+    * directly comparable with the exact path's numbers. */
+  def rankMetricsOf(vectors: DataFrame, queries: DataFrame,
+                    results: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = results
+      .join(vectors.select(col("vec_id"), col("label")), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qlabel"))), "query_id")
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        col("score"))
     val ranked = top
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)))

@@ -84,6 +84,58 @@ class RecallAuditSpec extends SparkSpec {
     }
   }
 
+  test("nsw audit (q145/q146): exact-mode recall is exactly 1.0; default-mode " +
+    "rows are well-formed measurements; rankMetricsOf on the exact serve " +
+    "equals rankMetricsReport bit-for-bit") {
+    import graft.operators.{Knn, Nsw}
+    import graft.plans.GroupedTopK
+    import graft.functions.VectorFunctions._
+    val nCells = Ivf.centroids(emb, IvfStep).count().toInt
+    val maxCell = Nsw.build(emb, IvfStep).groupBy("centroid_id")
+      .count().agg(max("count")).head().getLong(0).toInt
+    // exact mode: probing every cell with ef >= cell size IS brute force
+    val exact = RecallAudit.nswRecallReport(emb, IvfStep, qids,
+      nprobe = nCells, k = K, ef = maxCell).collect()
+    assert(exact.length == qids.size)
+    exact.foreach(r => assert(r.getLong(2) == K && r.getDouble(3) == 1.0,
+      s"exact-mode nsw recall != 1: $r"))
+    // default serving parameters: the audit MEASURES, it does not
+    // promise — on this 3-query panel at sf0.001 the truth for two
+    // queries concentrates in unprobed cells at nprobe=4 (recall 0.2
+    // and 0.45), which is exactly the regression signal the report
+    // exists to surface (and what tuneNProbe then fixes). Pin the
+    // mechanics: well-formed rows, dominated by the exact mode.
+    val dflt = RecallAudit.nswRecallReport(emb, IvfStep, qids,
+      nprobe = 4, k = K).collect()
+    assert(dflt.length == qids.size && dflt.forall(_.getString(1) == "nsw"))
+    dflt.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= K)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(3) ==
+        BigDecimal(r.getLong(2).toDouble / K)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the generalized rank scorer reproduces q136 exactly when fed the
+    // exact serving results (same inputs -> bit-identical rows)
+    val queries = Knn.labeledPanel(emb, qids)
+    val scored = emb.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("embedding"), col("qv")), 6).as("score"))
+    val top = GroupedTopK.topK(scored, Seq(col("query_id")),
+      Seq(col("score").desc, col("vec_id").asc), K)
+    val viaOf = RecallAudit.rankMetricsOf(emb, queries, top, K)
+      .collect().map(_.toSeq).toSeq
+    val direct = RecallAudit.rankMetricsReport(emb, qids, K)
+      .collect().map(_.toSeq).toSeq
+    assert(viaOf == direct, "generalized scorer diverged from q136 on exact serve")
+    // and the NSW leg emits well-formed metrics for the whole panel
+    val nswRes = Nsw.searchBatch(Nsw.build(emb, IvfStep),
+      Ivf.centroids(emb, IvfStep), Knn.queryPanel(emb, qids), 4, K)
+    val nswMetrics = RecallAudit.rankMetricsOf(emb, queries, nswRes, K).collect()
+    assert(nswMetrics.length == qids.size)
+    nswMetrics.foreach(x => assert(x.getDouble(6) >= 0 && x.getDouble(6) <= 1.0))
+  }
+
   test("rankMetrics: hand-computed MRR/DCG/IDCG on a crafted ranking, capped ideal, " +
     "micro-exact discounts") {
     import spark.implicits._
