@@ -72,7 +72,7 @@ object Graph {
     if (!reliable && iters <= FuseMaxIters)
       pageRankFused(edges, iters, dampNum, dampDen)
     else
-      pageRankLooped(edges, iters, dampNum, dampDen, reliable)
+      pageRankBlocked(edges, iters, dampNum, dampDen, reliable)
   }
 
   /** The checkpointed-loop strategy behind [[pageRank]] for deep
@@ -125,6 +125,76 @@ object Graph {
           .select(col("node_id"),
             expr(s"${teleport}L + (${dampNum}L * coalesce(s, 0L)) div ${dampDen}L")
               .as("pr_micro")))
+      free(prIds)
+      pr = next
+      prIds = nextIds
+    }
+    free(eIds); free(degIds)
+    pr
+  }
+
+  /** The BLOCK-FUSED strategy behind [[pageRank]] for deep iteration
+    * counts (r14, replacing the per-round checkpointed loop on the
+    * dispatch path): fuse [[FuseMaxIters]]-round BLOCKS of the
+    * recurrence into single declarative plans and checkpoint once per
+    * block, so a depth-`iters` run pays ⌈iters/B⌉ materialization
+    * barriers instead of `iters` (each localCheckpoint is a blocking
+    * job with ~0.5 s fixed overhead at bench scale, and the dominant
+    * deep-loop cost at sf1 was exactly those barriers). Lineage stays
+    * bounded — each block's plan is ≤ B rounds deep over the pinned
+    * edge/degree/ranks frames, the property the per-round loop
+    * existed to guarantee. Arithmetic is identical (floor `div`
+    * contributions, integer damping + teleport), so blocked == looped
+    * == fused bit-for-bit at any depth (GraphSpec differential).
+    * [[pageRankLooped]] remains for `reliable` + spec duty. */
+  private[graft] def pageRankBlocked(edges: DataFrame, iters: Int,
+                                     dampNum: Int, dampDen: Int,
+                                     reliable: Boolean,
+                                     blockSize: Int = FuseMaxIters): DataFrame = {
+    require(blockSize >= 1)
+    val sc = edges.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = if (reliable) df.checkpoint() else df.localCheckpoint()
+      (cp, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    val (e, eIds) = checkpointTracked(
+      edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val (deg, degIds) = checkpointTracked(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val nodes = deg.select(col("src").as("node_id"))
+    val n = deg.count()
+    require(n > 0, "empty edge list")
+    val teleport = (1000000L * (dampDen - dampNum)) / (dampDen * n)
+    var (pr, prIds) = checkpointTracked(
+      nodes.withColumn("pr_micro", lit(1000000L / n)))
+    var done = 0
+    while (done < iters) {
+      val rounds = math.min(blockSize, iters - done)
+      var cur = pr
+      (1 to rounds).foreach { _ =>
+        val contrib = cur.as("p")
+          .join(e.as("ed"), col("p.node_id") === col("ed.src"))
+          .join(deg.as("dg"), col("ed.src") === col("dg.src"))
+          .select(col("ed.dst").as("node_id"),
+            expr("p.pr_micro div dg.outdeg").as("contrib"))
+          .groupBy("node_id").agg(sum("contrib").as("s"))
+        cur = nodes.join(contrib, Seq("node_id"), "left")
+          .select(col("node_id"),
+            expr(s"${teleport}L + (${dampNum}L * coalesce(s, 0L)) div ${dampDen}L")
+              .as("pr_micro"))
+      }
+      done += rounds
+      // Block boundary: pin the block's result, free the previous pin.
+      // The FINAL block is pinned too — the looped strategy's return
+      // convention (its data no longer references e/deg, so those pins
+      // can be freed here; a lazy final block would still read the
+      // checkpointed inputs, whose lineage truncation makes
+      // unpersist-then-recompute unsafe, not merely slow).
+      val (next, nextIds) = checkpointTracked(cur)
       free(prIds)
       pr = next
       prIds = nextIds

@@ -78,6 +78,32 @@ class GraphSpec extends SparkSpec {
         s"first diff: ${(fused.toSet diff looped.toSet).take(3)}")
   }
 
+  test("block-fused deep strategy == per-round loop == repeated shallow " +
+    "fusion at depth 7 (odd vs blockSize, so the tail block is short)") {
+    val edges = Graph.symmetrize(Tables.lineitem(spark, sf0001)
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")).distinct())
+    // public API at depth 7 dispatches to the blocked strategy
+    val blocked = Graph.pageRank(edges, 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val looped = Graph.pageRankLooped(edges, 7, 85, 100, reliable = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blocked == looped,
+      s"depth 7: blocked != looped; first diff: " +
+        s"${(blocked.toSet diff looped.toSet).take(3)}")
+    // a degenerate blockSize=1 blocked run IS the per-round loop
+    val b1 = Graph.pageRankBlocked(edges, 7, 85, 100, reliable = false,
+      blockSize = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == looped, "blockSize=1 diverged from the per-round loop")
+    // checkpoint pins do not accumulate past the run (edge/degree/old
+    // rank pins are freed; only the returned frame's pin remains)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Graph.pageRank(edges, 7).count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"deep run leaked checkpoint pins: $before -> $after")
+  }
+
   test("fused path caches are bounded: a new input graph releases the " +
     "previous pair (r12 session leak)") {
     // pageRankFused caches its edge/degree inputs; the one-slot registry
