@@ -173,7 +173,31 @@ object Bench {
           }
           Seq(build, serve).flatten
         }
-      opq ++ text ++ inc
+      // q117: the graph family gets the same split — build once per
+      // index cadence, the partition-pruned beam walk per query.
+      val nsw: Seq[(String, Double)] =
+        if (!inScope("q117_nsw_search")) Seq.empty
+        else {
+          import graft.operators.{Ivf, Knn, Nsw}
+          val emb = Tables.embeddings(spark, sfDir)
+          val build = bestOf("q117_build") {
+            Nsw.build(emb, IvfStep, m = 8, efC = 32)
+              .write.format("noop").mode("overwrite").save()
+          }
+          val serve =
+            try {
+              val cents = Ivf.centroids(emb, IvfStep)
+              val g = Nsw.build(emb, IvfStep, m = 8, efC = 32)
+                .localCheckpoint() // pre-built, untimed — serve rows only
+              val q = Knn.queryVector(emb, QueryVecId)
+              bestOf("q117_serve") {
+                Nsw.search(g, cents, q, nprobe = 4, k = K, ef = 64)
+                  .write.format("noop").mode("overwrite").save()
+              }
+            } catch { case _: Throwable => None }
+          Seq(build, serve).flatten
+        }
+      opq ++ text ++ inc ++ nsw
     }
     // 3-decimal timings (ms precision is all best-of-N minima carry) keep
     // the whole line compact, and the total/value fields go LAST: the

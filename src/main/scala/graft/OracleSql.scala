@@ -1685,6 +1685,32 @@ object OracleSql {
     // snapshot's content directly over the documents table; the Spark
     // side must reproduce it by actually committing and time-travel
     // reading the manifests.
+    // q147: merge-on-read lifecycle — each snapshot's LOGICAL content
+    // stated from the base table (v1 all; v2 minus the tombstoned
+    // slice; v3 plus the re-appended even half at +5000; v4 = v3, the
+    // compaction-is-content-preserving claim).
+    "q147_mor_delete" -> {
+      val dels = s"doc_id % $MorDelMod = $MorDelRem"
+      s"""WITH v2 AS (SELECT doc_id, n_chars FROM documents WHERE NOT ($dels)),
+         |v3 AS (SELECT doc_id, n_chars FROM v2
+         |       UNION ALL
+         |       SELECT doc_id, n_chars + 5000 FROM documents
+         |       WHERE ($dels) AND doc_id % 2 = 0)
+         |SELECT CAST(1 AS BIGINT) AS snapshot, 'overwrite' AS op,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
+         |UNION ALL
+         |SELECT 2, 'delete', CAST(count(*) AS BIGINT),
+         |  CAST(sum(n_chars) AS BIGINT) FROM v2
+         |UNION ALL
+         |SELECT 3, 'append', CAST(count(*) AS BIGINT),
+         |  CAST(sum(n_chars) AS BIGINT) FROM v3
+         |UNION ALL
+         |SELECT 4, 'compact', CAST(count(*) AS BIGINT),
+         |  CAST(sum(n_chars) AS BIGINT) FROM v3
+         |ORDER BY snapshot""".stripMargin
+    },
+
     "q130_time_travel" ->
       s"""SELECT CAST(1 AS BIGINT) AS snapshot, 'overwrite' AS op,
          |  CAST(count(*) AS BIGINT) AS n_rows,

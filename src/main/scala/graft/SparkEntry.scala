@@ -290,6 +290,10 @@ object SparkEntry {
                                 // the rest is the persisted-index corpus
     val CompressMinRatioMicro = 300000L // q125 gate: deflate/raw below
                                 // 0.30 flags machine-repetitive text
+    val MorDelMod = 7L          // q147 tombstone gate: doc_id % 7 == 3
+    val MorDelRem = 3L          // (~14% of corpus) is the deleted slice;
+                                // the even half of it re-appends in v3
+                                // to exercise the delete's dir scoping
                                 // (natural prose on this corpus sits
                                 // ~0.45-0.75; the synthetic repeats
                                 // dip below 0.30)
@@ -901,6 +905,33 @@ object SparkEntry {
     }),
     "q129_bootstrap_ci" -> ((s, d) =>
       Profile.bootstrapMeans(Tables.documents(s, d), BootstrapReps)),
+    "q147_mor_delete" -> ((s, d) => {
+      // Merge-on-read lifecycle: overwrite → equality-delete (tombstone
+      // file, zero data rewrite) → append that RE-INSERTS half the
+      // deleted keys (immune to the older tombstone — dir scoping) →
+      // compact (folds tombstones into fresh data). The oracle states
+      // each snapshot's logical content from the base table alone.
+      val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_mor_" +
+        Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val isDel = pmod(col("doc_id"), lit(MorDelMod)) === MorDelRem
+      Snapshots.overwrite(docs, path)                                   // v1
+      Snapshots.deleteWhere(s, path, isDel, "doc_id")                   // v2
+      Snapshots.append(docs.where(isDel && pmod(col("doc_id"), lit(2L)) === 0)
+        .withColumn("n_chars", col("n_chars") + 5000L), path)           // v3
+      Snapshots.compact(s, path)                                        // v4
+      (1L to 4L).map { id =>
+        Snapshots.read(s, path, id)
+          .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
+          .select(lit(id).as("snapshot"), col("n_rows"), col("sum_chars"))
+      }.reduce(_ unionByName _)
+        .join(Snapshots.log(s, path), "snapshot")
+        .select("snapshot", "op", "n_rows", "sum_chars")
+        .orderBy("snapshot")
+    }),
     "q128_attribution_log" -> ((s, d) =>
       // The BATCH face of the stream-stream interval join twin
       // (touchpoints is batch/stream identical — withWatermark is a

@@ -67,18 +67,30 @@ object Snapshots {
   private val OpPat = "\"op\":\"(.*?)\"".r
   private val SchemaPat = "\"schemaB64\":\"(.*?)\"".r
 
+  /** One equality-delete file and the data dirs it applies OVER — the
+    * Iceberg sequence-number idea made explicit: a delete scopes to the
+    * snapshot's data dirs AT DELETE TIME, so a later append of the same
+    * key is immune (dirs born after the delete are never in `over`). */
+  private[operators] final case class DelEntry(file: String, over: Set[String])
+
+  private final case class Manifest(op: String, dirs: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      dels: Seq[DelEntry])
+
   private def readManifest(spark: SparkSession, path: String, id: Long): (String, Seq[String]) = {
-    val (op, dirs, _) = readManifestFull(spark, path, id)
-    (op, dirs)
+    val m = readManifestFull(spark, path, id)
+    (m.op, m.dirs)
   }
 
-  /** (op, dirs, snapshot schema). The schema rides the manifest
-    * base64-encoded (StructType.json) so reads plan with the SNAPSHOT's
-    * schema — see [[read]] — without touching any file footer; absent
-    * on pre-r14 manifests (None → schema comes from the files, the old
-    * behavior). */
+  private val DelEntryPat = """\{"d":"(.*?)","over":\[(.*?)\]\}""".r
+
+  /** Full manifest. The schema rides base64-encoded (StructType.json)
+    * so reads plan with the SNAPSHOT's schema — see [[read]] — without
+    * touching any file footer; absent on pre-r14 manifests (None →
+    * schema comes from the files, the old behavior). `dels` carries
+    * the merge-on-read equality-delete files with their scopes. */
   private def readManifestFull(spark: SparkSession, path: String,
-      id: Long): (String, Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
+      id: Long): Manifest = {
     val f = fs(spark, path)
     val p = new Path(metaDir(path), s"v$id.json")
     require(f.exists(p), s"snapshot $id does not exist under $path")
@@ -94,7 +106,15 @@ object Snapshots {
         java.util.Base64.getDecoder.decode(b64), StandardCharsets.UTF_8))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
-    (OpPat.findFirstMatchIn(body).map(_.group(1)).getOrElse("?"), dirs, schema)
+    val dels = DelEntryPat.findAllMatchIn(body).map { m =>
+      val over = m.group(2) match {
+        case "" => Set.empty[String]
+        case l  => l.split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSet
+      }
+      DelEntry(m.group(1), over)
+    }.toSeq
+    Manifest(OpPat.findFirstMatchIn(body).map(_.group(1)).getOrElse("?"),
+      dirs, schema, dels)
   }
 
   /** Next free snapshot id, scanning BOTH manifests and data dirs: a
@@ -105,51 +125,65 @@ object Snapshots {
     * it); new commits simply step past it. */
   private def nextId(spark: SparkSession, path: String): Long = {
     val f = fs(spark, path)
-    val dd = new Path(path, "data")
     val SPat = "s(\\d+)".r
-    val maxData =
-      if (!f.exists(dd)) 0L
-      else f.listStatus(dd).map(_.getPath.getName)
-        .collect { case SPat(id) => id.toLong }
+    val DPat = "d(\\d+)".r
+    def maxUnder(dir: String, pat: scala.util.matching.Regex): Long = {
+      val p = new Path(path, dir)
+      if (!f.exists(p)) 0L
+      else f.listStatus(p).map(_.getPath.getName)
+        .collect { case pat(id) => id.toLong }
         .foldLeft(0L)(math.max)
-    math.max(latest(spark, path), maxData) + 1
+    }
+    math.max(latest(spark, path),
+      math.max(maxUnder("data", SPat), maxUnder("deletes", DPat))) + 1
   }
 
-  private def commit(df: DataFrame, path: String, op: String,
-                     carry: Seq[String], statsCols: Seq[String] = Seq.empty,
-                     schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
-    val spark = df.sparkSession
+  /** Render + atomically install a manifest. Writer-UNIQUE temp name
+    * (two same-id committers sharing one .tmp could interleave
+    * write/rename and silently clobber), then rename into place. On
+    * HDFS-like stores the rename fails when dst exists — the conflict
+    * check itself; RawLocalFileSystem delegates to rename(2), which
+    * silently REPLACES, so the explicit exists() precheck restores the
+    * guard there (local FS is the test/single-writer environment;
+    * concurrent multi-writer safety is only claimed on stores with
+    * non-overwriting atomic rename). */
+  private def installManifest(spark: SparkSession, path: String, id: Long,
+      op: String, dirs: Seq[String], dels: Seq[DelEntry],
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     val f = fs(spark, path)
-    val id = nextId(spark, path)
-    val dataDir = s"data/s$id"
-    df.write.mode("errorifexists").parquet(new Path(path, dataDir).toString)
-    if (statsCols.nonEmpty) writeStats(spark, path, dataDir, statsCols)
-    val dirs = carry :+ dataDir
     val schemaB64 = java.util.Base64.getEncoder.encodeToString(
-      schema.getOrElse(df.schema).json.getBytes(StandardCharsets.UTF_8))
+      schema.json.getBytes(StandardCharsets.UTF_8))
+    val delsJson = dels.map { d =>
+      s"""{"d":"${d.file}","over":[${d.over.toSeq.sorted
+        .map("\"" + _ + "\"").mkString(",")}]}"""
+    }.mkString(",")
     val body = s"""{"snapshot":$id,"op":"$op","dirs":[${
-      dirs.map(d => "\"" + d + "\"").mkString(",")}],"schemaB64":"$schemaB64"}"""
-    // Writer-UNIQUE temp name: two same-id committers sharing one
-    // .tmp name could interleave write/rename and silently clobber;
-    // with distinct temp files the loser's rename is the one that
-    // observes the existing destination.
+      dirs.map(d => "\"" + d + "\"").mkString(",")
+    }],"dels":[$delsJson],"schemaB64":"$schemaB64"}"""
     val tmp = new Path(metaDir(path),
       s".v$id.json.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     val dst = new Path(metaDir(path), s"v$id.json")
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // Conflict guard: HDFS-like stores make rename fail when dst
-    // exists, so the rename itself is the check. RawLocalFileSystem
-    // delegates to rename(2), which silently REPLACES — the explicit
-    // exists() precheck restores the guard there (local FS is the
-    // test/single-writer environment; concurrent multi-writer safety
-    // is only claimed on stores with non-overwriting atomic rename).
     val clash = f.exists(dst) || !f.rename(tmp, dst)
     if (clash) {
       f.delete(tmp, false)
       throw new IllegalStateException(
         s"commit conflict: snapshot $id already exists under $path")
     }
+  }
+
+  private def commit(df: DataFrame, path: String, op: String,
+                     carry: Seq[String], statsCols: Seq[String] = Seq.empty,
+                     schema: Option[org.apache.spark.sql.types.StructType] = None,
+                     dels: Seq[DelEntry] = Seq.empty): Long = {
+    val spark = df.sparkSession
+    val id = nextId(spark, path)
+    val dataDir = s"data/s$id"
+    df.write.mode("errorifexists").parquet(new Path(path, dataDir).toString)
+    if (statsCols.nonEmpty) writeStats(spark, path, dataDir, statsCols)
+    installManifest(spark, path, id, op, carry :+ dataDir, dels,
+      schema.getOrElse(df.schema))
     id
   }
 
@@ -183,7 +217,8 @@ object Snapshots {
     val parent = latest(spark, path)
     if (parent == 0) commit(df, path, "append", Seq.empty, statsCols)
     else {
-      val (_, carry, parentSchema0) = readManifestFull(spark, path, parent)
+      val pm = readManifestFull(spark, path, parent)
+      val (carry, parentSchema0) = (pm.dirs, pm.schema)
       val merged = parentSchema0 match {
         case None => df.schema // pre-r14 table: schema stays file-derived
         case Some(ps) =>
@@ -197,9 +232,50 @@ object Snapshots {
           val newFields = df.schema.fields.filterNot(f => ps.fieldNames.contains(f.name))
           org.apache.spark.sql.types.StructType(ps.fields ++ newFields)
       }
-      commit(df, path, "append", carry, statsCols, Some(merged))
+      // parent delete files carry forward UNCHANGED: their `over`
+      // scopes exclude the new dir, so appended rows are immune even
+      // when they reuse a previously-deleted key.
+      commit(df, path, "append", carry, statsCols, Some(merged), pm.dels)
     }
   }
+
+  /** Merge-on-read equality DELETE commit (r14, Iceberg v2's delete
+    * files distilled): instead of rewriting any data file, write the
+    * matching keys as a delete file scoped OVER the snapshot's current
+    * data dirs and commit a manifest that carries data unchanged. The
+    * delete job is match-sized (one filtered scan projecting the key);
+    * at 100 TB deleting a crawl day from a corpus costs the keys'
+    * write, not a table rewrite — [[compact]] later folds the
+    * tombstones in. Reads anti-join the delete keys against exactly
+    * the dirs in scope, so a later [[append]] that re-inserts a
+    * deleted key is NOT affected (its dir postdates the delete — the
+    * sequence-number semantics, carried here as the explicit `over`
+    * set). Returns the new snapshot id. */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column,
+                  keyCol: String): Long = {
+    val parent = latest(spark, path)
+    require(parent > 0, s"no snapshot to delete from under $path")
+    val pm = readManifestFull(spark, path, parent)
+    val id = nextId(spark, path)
+    val delDir = s"deletes/d$id"
+    read(spark, path, parent).where(predicate).select(keyCol).distinct()
+      .write.mode("errorifexists").parquet(new Path(path, delDir).toString)
+    installManifest(spark, path, id, "delete", pm.dirs,
+      pm.dels :+ DelEntry(delDir, pm.dirs.toSet),
+      pm.schema.getOrElse(read(spark, path, parent).schema))
+    id
+  }
+
+  /** Fold merge-on-read state back into plain data (the table-format
+    * OPTIMIZE step): materialize the current logical content as ONE
+    * fresh commit — tombstones applied, small files bin-packed by the
+    * writer, optional fresh [[writeStats]] sidecar. History stays time
+    * travelable; [[vacuum]] reclaims the superseded dirs and delete
+    * files when their snapshots expire. */
+  def compact(spark: SparkSession, path: String,
+              statsCols: Seq[String] = Seq.empty): Long =
+    commit(read(spark, path), path, "compact", Seq.empty, statsCols)
 
   /** Copy-on-write MERGE commit: [[Merge.upsert]] resolves the rows,
     * the result lands as a full-replace snapshot. (A file-pruned CoW —
@@ -220,13 +296,35 @@ object Snapshots {
     * footer sweep; the vectorized reader fills missing columns
     * natively). Each historical snapshot reads under ITS OWN schema,
     * so time travel reproduces exactly what that snapshot's readers
-    * saw. */
+    * saw.
+    *
+    * Merge-on-read deletes ([[deleteWhere]]) apply here: data dirs are
+    * GROUPED by the set of delete files scoping them (usually two
+    * groups — pre-delete dirs with tombstones, post-delete appends
+    * without), each group scans once and left-anti joins its delete
+    * keys (broadcast — tombstone sets are match-sized), and the groups
+    * union. A snapshot with no deletes takes the plain single-scan
+    * path unchanged. */
   def read(spark: SparkSession, path: String, asOf: Long = 0L): DataFrame = {
     val id = if (asOf > 0) asOf else latest(spark, path)
-    val (_, dirs, schema) = readManifestFull(spark, path, id)
-    require(dirs.nonEmpty, s"snapshot $id of $path lists no data")
-    val reader = schema.fold(spark.read)(s => spark.read.schema(s))
-    reader.parquet(dirs.map(d => new Path(path, d).toString): _*)
+    val m = readManifestFull(spark, path, id)
+    require(m.dirs.nonEmpty, s"snapshot $id of $path lists no data")
+    def scan(dirs: Seq[String]): DataFrame = {
+      val reader = m.schema.fold(spark.read)(s => spark.read.schema(s))
+      reader.parquet(dirs.map(d => new Path(path, d).toString): _*)
+    }
+    if (m.dels.isEmpty) scan(m.dirs)
+    else {
+      m.dirs.groupBy(d => m.dels.filter(_.over.contains(d)).map(_.file))
+        .toSeq.sortBy(_._2.head)
+        .map { case (delFiles, dirs) =>
+          delFiles.foldLeft(scan(dirs)) { (df, delFile) =>
+            val keys = spark.read.parquet(new Path(path, delFile).toString)
+            df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+          }
+        }
+        .reduce(_ unionByName _)
+    }
   }
 
   /** Per-file min/max stats sidecar for one immutable data dir — the
@@ -335,11 +433,30 @@ object Snapshots {
     val (kept, _) = pruneRange(spark, path, colName, lo, hi, asOf)
     require(kept.nonEmpty || pruneRange(spark, path, colName, Long.MinValue,
       Long.MaxValue, asOf)._1.nonEmpty, s"snapshot of $path lists no data")
+    val id = if (asOf > 0) asOf else latest(spark, path)
+    val m = readManifestFull(spark, path, id)
     val base =
       if (kept.isEmpty)
         // every file provably disjoint: an empty frame with the right schema
         read(spark, path, asOf).where(lit(false))
-      else spark.read.parquet(kept: _*)
+      else if (m.dels.isEmpty) spark.read.parquet(kept: _*)
+      else {
+        // merge-on-read deletes scope by DATA DIR; group the kept
+        // files by the dir they came from and anti-join each group's
+        // applicable tombstones (the read() discipline on the pruned
+        // file set).
+        val RelDir = ".*/(data/s\\d+)(?:/.*)?$".r
+        kept.groupBy { p => p match { case RelDir(d) => d; case _ => p } }
+          .toSeq.sortBy(_._1)
+          .map { case (relDir, files) =>
+            m.dels.filter(_.over.contains(relDir))
+              .foldLeft(spark.read.parquet(files: _*)) { (df, del) =>
+                val keys = spark.read.parquet(new Path(path, del.file).toString)
+                df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+              }
+          }
+          .reduce(_ unionByName _)
+      }
     base.where(col(colName).cast("long") >= lo && col(colName).cast("long") <= hi)
   }
 
@@ -350,7 +467,8 @@ object Snapshots {
     * overwrite it is the whole new snapshot (dir sets are disjoint by
     * construction — every commit writes a fresh `data/s<id>`). */
   def deltaOf(spark: SparkSession, path: String, id: Long): DataFrame = {
-    val (_, dirs, schema) = readManifestFull(spark, path, id)
+    val m = readManifestFull(spark, path, id)
+    val (dirs, schema) = (m.dirs, m.schema)
     // Parent = the latest EXISTING manifest below id (ids can gap past
     // a crashed commit's orphan; see nextId).
     val parent = snapshotIds(spark, path).filter(_ < id).lastOption
@@ -437,8 +555,10 @@ object Snapshots {
     ids.filter(_ < keepFrom).foreach { id =>
       f.delete(new Path(metaDir(path), s"v$id.json"), false)
     }
-    val live = ids.filter(_ >= keepFrom)
-      .flatMap(id => readManifest(spark, path, id)._2).toSet
+    val surviving = ids.filter(_ >= keepFrom)
+      .map(id => readManifestFull(spark, path, id))
+    val live = surviving.flatMap(_.dirs).toSet
+    val liveDels = surviving.flatMap(_.dels.map(_.file)).toSet
     val dataRoot = new Path(path, "data")
     // A `sN.stats.json` sidecar shares its data dir's lifetime: live
     // iff `data/sN` is live (it is metadata OF that dir, and pruning
@@ -451,8 +571,16 @@ object Snapshots {
     val dead = f.listStatus(dataRoot).map(_.getPath)
       .filter(p => !liveName(p.getName))
     dead.foreach(p => f.delete(p, true))
-    // Report reclaimed data DIRS (the sidecars ride along for free and
-    // would double-count the same reclaim).
+    // Delete files expire exactly like data dirs: referenced by no
+    // surviving manifest → reclaimed.
+    val delRoot = new Path(path, "deletes")
+    val deadDels =
+      if (!f.exists(delRoot)) Array.empty[Path]
+      else f.listStatus(delRoot).map(_.getPath)
+        .filter(p => !liveDels.contains(s"deletes/${p.getName}"))
+    deadDels.foreach(p => f.delete(p, true))
+    // Report reclaimed data DIRS (sidecars and delete files ride along
+    // and would double-count the same reclaim).
     dead.count(!_.getName.endsWith(".stats.json"))
   }
 }

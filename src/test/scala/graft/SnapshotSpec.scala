@@ -149,6 +149,49 @@ class SnapshotSpec extends SparkSpec {
     assert(ex.getMessage.contains("n_chars"))
   }
 
+  test("merge-on-read deletes: tombstones hide rows without rewriting data, " +
+    "scope excludes later appends, compact folds them in, vacuum reclaims") {
+    import spark.implicits._
+    val path = freshPath("mor")
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.overwrite(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("doc_id", "n_chars"), path)
+    // v2: delete two keys — data files untouched, one delete file written
+    val v2 = Snapshots.deleteWhere(spark, path, col("doc_id").isin(2L, 3L), "doc_id")
+    assert(v2 == 2L)
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(Snapshots.read(spark, path, 1L).count() == 4L, "time travel lost pre-delete rows")
+    assert(f.exists(new Path(s"$path/data/s1")), "delete must not rewrite data")
+    assert(f.exists(new Path(s"$path/deletes/d2")))
+    // v3: append RE-INSERTS key 2 — the delete's scope predates this
+    // dir, so the new row survives (sequence-number semantics)
+    Snapshots.append(Seq((2L, 222L)).toDF("doc_id", "n_chars"), path)
+    val v3rows = Snapshots.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v3rows == Map(1L -> 10L, 2L -> 222L, 4L -> 40L),
+      s"re-inserted key must survive the older tombstone: $v3rows")
+    // stacked delete on the new state: kills BOTH the old dir's 4 and
+    // would kill a matching row in the appended dir
+    Snapshots.deleteWhere(spark, path, col("doc_id") === 4L, "doc_id")
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // readRange honors tombstones too (stats present on no dir -> conservative)
+    assert(Snapshots.readRange(spark, path, "doc_id", 0L, 100L)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // compact: content identical, fresh single data dir, no dels
+    val vc = Snapshots.compact(spark, path)
+    assert(Snapshots.read(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 10L, 2L -> 222L))
+    assert(Snapshots.log(spark, path).collect().map(_.getString(1)).toSeq ==
+      Seq("overwrite", "delete", "append", "delete", "compact"))
+    // vacuum to the compacted snapshot reclaims superseded dirs AND
+    // both delete files
+    Snapshots.vacuum(spark, path, keepFrom = vc)
+    assert(!f.exists(new Path(s"$path/deletes/d2")) &&
+      !f.exists(new Path(s"$path/deletes/d4")),
+      "expired delete files survived vacuum")
+    assert(Snapshots.read(spark, path).count() == 2L)
+  }
+
   test("vacuum drops expired manifests and unreferenced data dirs, keeps live snapshots whole") {
     import spark.implicits._
     val path = freshPath("vac")
