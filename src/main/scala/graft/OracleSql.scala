@@ -1068,6 +1068,32 @@ object OracleSql {
          |FROM counts ORDER BY stage_idx""".stripMargin
     },
 
+    // q148: canonical-representative dedup — per normalized-content
+    // group keep the best copy by the ALL-INTEGER key (stop_hits desc,
+    // n_tokens desc, doc_id asc); window argmin mirrors Spark's max_by
+    // over the negated-id struct.
+    "q148_canonical_pick" ->
+      """WITH keyed AS (
+        |  SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |    doc_id,
+        |    CAST(len(list_filter(
+        |      list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
+        |      t -> t IN ('the','a','and','of','to','in','is','it'))) AS BIGINT)
+        |      AS stop_hits,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, count(*) OVER (PARTITION BY norm_hash) AS n_copies,
+        |    row_number() OVER (PARTITION BY norm_hash
+        |      ORDER BY stop_hits DESC, n_tokens DESC, doc_id ASC) AS rn
+        |  FROM keyed)
+        |SELECT norm_hash, CAST(n_copies AS BIGINT) AS n_copies,
+        |  doc_id AS keeper_id, stop_hits AS keeper_stop_hits,
+        |  n_tokens AS keeper_n_tokens
+        |FROM ranked WHERE rn = 1 ORDER BY norm_hash""".stripMargin,
+
     "q53_normalized_dedup" ->
       """SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,

@@ -905,6 +905,7 @@ object SparkEntry {
     }),
     "q129_bootstrap_ci" -> ((s, d) =>
       Profile.bootstrapMeans(Tables.documents(s, d), BootstrapReps)),
+    "q148_canonical_pick" -> ((s, d) => Dedup.canonicalPick(Tables.documents(s, d))),
     "q147_mor_delete" -> ((s, d) => {
       // Merge-on-read lifecycle: overwrite → equality-delete (tombstone
       // file, zero data rewrite) → append that RE-INSERTS half the

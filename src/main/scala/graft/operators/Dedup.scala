@@ -52,6 +52,45 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper_id"))
       .orderBy("norm_hash")
 
+  /** Canonical-representative dedup (q148): per [[normalize]]d-content
+    * group, keep the HIGHEST-QUALITY copy instead of the lowest id —
+    * the policy a real curation pipeline actually wants ("of these 5
+    * crawls of the same page, keep the cleanest one"), composing the
+    * dedup ladder with the q16 quality signals. The quality key is
+    * ALL-INTEGER — (stopword hits desc, token count desc, doc_id asc)
+    * — so the argmax is deterministic and exactly mirrorable in SQL
+    * (a float score would invite tie-break drift; the ladder's other
+    * rungs keep the same discipline).
+    *
+    * Scale shape: ONE narrow pass computes the hash + integer signals
+    * and ONE partial-aggregated exchange takes count and argmax
+    * together (`max_by` over the struct ordering key, with −doc_id so
+    * the within-max tiebreak is ascending id) — no second tokenize
+    * branch, no GroupedTopK join-back; the same single content-hash
+    * shuffle as [[exact]]. */
+  def canonicalPick(docs: DataFrame): DataFrame = {
+    val ts = TextAnalysis.tokens(col("text"))
+    docs.select(
+        sha2(normalize(col("text")), 256).as("norm_hash"),
+        col("doc_id"),
+        size(filter(ts,
+          t => t.isin("the", "a", "and", "of", "to", "in", "is", "it")))
+          .cast("long").as("stop_hits"),
+        size(ts).cast("long").as("n_tokens"))
+      .groupBy("norm_hash")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        max_by(
+          struct(col("doc_id"), col("stop_hits"), col("n_tokens")),
+          struct(col("stop_hits"), col("n_tokens"), (-col("doc_id")).as("nid")))
+          .as("k"))
+      .select(col("norm_hash"), col("n_copies"),
+        col("k.doc_id").as("keeper_id"),
+        col("k.stop_hits").as("keeper_stop_hits"),
+        col("k.n_tokens").as("keeper_n_tokens"))
+      .orderBy("norm_hash")
+  }
+
   /** Word k-shingles over a PRE-MATERIALIZED tokens array column.
     *
     * `ts` must be a plain column attribute, not an inline `split(...)`

@@ -531,6 +531,58 @@ object Snapshots {
     base.exceptAll(deletes).unionByName(inserts)
   }
 
+  /** Tag a snapshot with a stable name — the reproducibility handle
+    * ("trained on tag `corpus-2026-08-14`") that outlives id
+    * arithmetic: tags PROTECT their snapshot from [[vacuum]] (its
+    * manifest, data dirs, and delete files survive any keepFrom until
+    * the tag is dropped), exactly Iceberg's tag retention contract.
+    * One tiny exclusive-create file per tag; re-tagging a name fails
+    * rather than silently moving it (drop first — an audit trail
+    * should see the move). */
+  def tag(spark: SparkSession, path: String, name: String, id: Long = 0L): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid tag name: $name")
+    val target = if (id > 0) id else latest(spark, path)
+    // existence check (readManifestFull throws on a dangling target)
+    readManifestFull(spark, path, target)
+    val f = fs(spark, path)
+    val p = new Path(metaDir(path), s"tag.$name.json")
+    if (f.exists(p))
+      throw new IllegalStateException(s"tag $name already exists under $path")
+    val out = f.create(p, false)
+    try out.write(s"""{"snapshot":$target}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    target
+  }
+
+  def dropTag(spark: SparkSession, path: String, name: String): Unit =
+    fs(spark, path).delete(new Path(metaDir(path), s"tag.$name.json"), false)
+
+  /** All tags: name → snapshot id. */
+  def tags(spark: SparkSession, path: String): Map[String, Long] = {
+    val f = fs(spark, path)
+    val md = metaDir(path)
+    val TagPat = "tag\\.(.+)\\.json".r
+    val IdPat = "\"snapshot\":(\\d+)".r
+    if (!f.exists(md)) Map.empty
+    else f.listStatus(md).map(_.getPath).flatMap { p =>
+      p.getName match {
+        case TagPat(name) =>
+          val in = f.open(p)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                     finally in.close()
+          IdPat.findFirstMatchIn(body).map(m => name -> m.group(1).toLong)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Read the snapshot a tag names. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame = {
+    val id = tags(spark, path).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag $name under $path"))
+    read(spark, path, id)
+  }
+
   /** Commit log as a DataFrame: (snapshot, op, n_dirs). */
   def log(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -552,10 +604,14 @@ object Snapshots {
     val last = ids.lastOption.getOrElse(0L)
     require(keepFrom >= 1 && keepFrom <= last,
       s"keepFrom must be in [1, $last], got $keepFrom")
-    ids.filter(_ < keepFrom).foreach { id =>
+    // Tagged snapshots are PINNED: their manifests (and hence their
+    // dirs and delete files, via the surviving-reference sweep below)
+    // survive any keepFrom until the tag is dropped.
+    val tagged = tags(spark, path).values.toSet
+    ids.filter(id => id < keepFrom && !tagged.contains(id)).foreach { id =>
       f.delete(new Path(metaDir(path), s"v$id.json"), false)
     }
-    val surviving = ids.filter(_ >= keepFrom)
+    val surviving = ids.filter(id => id >= keepFrom || tagged.contains(id))
       .map(id => readManifestFull(spark, path, id))
     val live = surviving.flatMap(_.dirs).toSet
     val liveDels = surviving.flatMap(_.dels.map(_.file)).toSet

@@ -17,6 +17,38 @@ class CorpusOpsSpec extends SparkSpec {
     (assigned.filter(_._2 == "train").map(_._1), assigned.filter(_._2 == "eval").map(_._1))
   }
 
+  test("canonicalPick keeps the CLEANEST copy of a normalized-dup group, " +
+    "ties fall to the lowest id, uniques keep themselves") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      // one normalized group, three copies of descending cleanliness:
+      // raw stop-hits 3 ("the","in","the"), 2 ("in","the" — 'THE' is a
+      // cap, 'hat!!!' breaks nothing), 1 ("the" only, the rest mangled)
+      (10L, "the cat sat in the hat"),
+      (11L, "THE cat sat in the hat!!!"),
+      (12L, "THE cat sat IN the, hat"),
+      // an exact-tie pair (identical raw text): lower id wins
+      (20L, "alpha beta gamma"),
+      (21L, "alpha beta gamma"),
+      // a unique doc keeps itself
+      (30L, "solo document"))
+      .toDF("doc_id", "text")
+    val out = Dedup.canonicalPick(docs).collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 3L, 20L -> 2L, 30L -> 1L),
+      s"keeper/count wrong: $out")
+    // the quality key really drove the pick: remove doc 10 and the
+    // next-cleanest (11) wins, not the lowest id (11 < 12 anyway — so
+    // ALSO check the reverse-id variant where quality beats id order)
+    val rev = Seq(
+      (12L, "the cat sat in the hat"),      // cleanest now has the HIGHEST...
+      (11L, "THE cat sat in the hat!!!"),
+      (10L, "THE cat sat IN the, hat"))     // lowest id is the dirtiest
+      .toDF("doc_id", "text")
+    val keeper = Dedup.canonicalPick(rev).collect()(0).getLong(2)
+    assert(keeper == 12L, s"quality must beat id order, kept $keeper")
+  }
+
   test("repetition: degenerate, mixed and all-distinct gram streams") {
     val docs = Seq(
       (1L, "a a a a"),          // 3 grams, all "a a"

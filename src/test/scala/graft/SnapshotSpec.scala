@@ -192,6 +192,30 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, path).count() == 2L)
   }
 
+  test("tags: named refs read their snapshot, pin it through vacuum, and " +
+    "names are exclusive until dropped") {
+    import spark.implicits._
+    val path = freshPath("tags")
+    Snapshots.overwrite(Seq((1L, 10L)).toDF("doc_id", "n_chars"), path)
+    Snapshots.tag(spark, path, "train-v1") // defaults to latest (=1)
+    Snapshots.overwrite(Seq((2L, 20L)).toDF("doc_id", "n_chars"), path)
+    Snapshots.overwrite(Seq((3L, 30L)).toDF("doc_id", "n_chars"), path)
+    assert(Snapshots.tags(spark, path) == Map("train-v1" -> 1L))
+    assert(Snapshots.readTag(spark, path, "train-v1")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // vacuum to 3 would normally drop v1 and v2; the tag pins v1
+    val removed = Snapshots.vacuum(spark, path, keepFrom = 3L)
+    assert(removed == 1, s"only the untagged v2 dir should go, removed=$removed")
+    assert(Snapshots.readTag(spark, path, "train-v1").count() == 1L,
+      "tagged snapshot lost its data to vacuum")
+    intercept[IllegalStateException] { Snapshots.tag(spark, path, "train-v1", 3L) }
+    intercept[IllegalArgumentException] { Snapshots.readTag(spark, path, "nope") }
+    // drop + re-vacuum reclaims the previously pinned snapshot
+    Snapshots.dropTag(spark, path, "train-v1")
+    assert(Snapshots.vacuum(spark, path, keepFrom = 3L) == 1)
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("vacuum drops expired manifests and unreferenced data dirs, keeps live snapshots whole") {
     import spark.implicits._
     val path = freshPath("vac")
