@@ -531,6 +531,22 @@ object Snapshots {
     base.exceptAll(deletes).unionByName(inserts)
   }
 
+  /** Roll the table back to an earlier snapshot's state — as a NEW
+    * commit whose manifest replicates the target's dirs, delete files,
+    * and schema (Iceberg rollback semantics: history is append-only,
+    * so "undo" is a forward commit referencing old data; ZERO data
+    * movement — manifests are KB-scale). The bad commits stay time
+    * travelable until vacuumed; readers flip atomically with the
+    * manifest rename. */
+  def rollback(spark: SparkSession, path: String, toId: Long): Long = {
+    val target = readManifestFull(spark, path, toId)
+    require(target.dirs.nonEmpty, s"snapshot $toId of $path lists no data")
+    val id = nextId(spark, path)
+    installManifest(spark, path, id, "rollback", target.dirs, target.dels,
+      target.schema.getOrElse(read(spark, path, toId).schema))
+    id
+  }
+
   /** Tag a snapshot with a stable name — the reproducibility handle
     * ("trained on tag `corpus-2026-08-14`") that outlives id
     * arithmetic: tags PROTECT their snapshot from [[vacuum]] (its

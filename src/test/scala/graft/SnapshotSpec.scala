@@ -216,6 +216,32 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("rollback: a forward commit restores an old snapshot's state with " +
+    "zero data movement; shared dirs survive vacuum of the bad history") {
+    import spark.implicits._
+    val path = freshPath("rollback")
+    Snapshots.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars"), path)
+    Snapshots.overwrite(Seq((9L, 999L)).toDF("doc_id", "n_chars"), path) // bad
+    val v3 = Snapshots.rollback(spark, path, toId = 1L)
+    assert(v3 == 3L)
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // the bad commit stays time travelable; ops read as a history
+    assert(Snapshots.read(spark, path, 2L).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(Snapshots.log(spark, path).collect().map(_.getString(1)).toSeq ==
+      Seq("overwrite", "overwrite", "rollback"))
+    // rollback preserves merge-on-read state too: delete, then break,
+    // then roll back across the break
+    Snapshots.deleteWhere(spark, path, col("doc_id") === 2L, "doc_id") // v4
+    Snapshots.overwrite(Seq((8L, 888L)).toDF("doc_id", "n_chars"), path) // v5 bad
+    Snapshots.rollback(spark, path, toId = 4L)                           // v6
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "rollback must carry the target's tombstones")
+    // vacuum to the rollback: s1 (shared with v1's lineage) must SURVIVE
+    // because v6 references it; the bad dirs go
+    Snapshots.vacuum(spark, path, keepFrom = 6L)
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("vacuum drops expired manifests and unreferenced data dirs, keeps live snapshots whole") {
     import spark.implicits._
     val path = freshPath("vac")
