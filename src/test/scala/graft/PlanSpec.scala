@@ -28,6 +28,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("canonicalPick: ONE hash exchange total — count and argmax share " +
+    "the content-hash shuffle, no tokenize branch, no join-back") {
+    val plan = physical(Dedup.canonicalPick(docs))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (plus the output range sort), got $hashExchanges:\n$plan")
+    assert(!plan.contains("Join"), s"argmax must not join back:\n$plan")
+    // one scan of documents, not two (a branch would re-tokenize)
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 corpus scan, got $scans")
+  }
+
+  test("dsirWeights: exactly one explode (the single tokenize+hash pass); " +
+    "the totals leg scans without exploding") {
+    val plan = physical(operators.Sampling.dsirWeights(docs, Seq("src0"), 256))
+    val explodes = "Generate explode".r.findAllIn(plan).size
+    assert(explodes == 1,
+      s"the r14 restructure promises ONE exploded token pass, got $explodes:\n$plan")
+  }
+
   test("exact top-k compiles to TakeOrderedAndProject (no global sort)") {
     val p = physical(Knn.topKDot(emb, Knn.queryVector(emb, 0L), 20))
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
