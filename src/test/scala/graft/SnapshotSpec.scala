@@ -242,6 +242,47 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("format features compose: stats-pruned clustered base + schema " +
+    "evolution + merge-on-read delete + compact + rollback on one table") {
+    import spark.implicits._
+    val path = freshPath("compose")
+    // v1: clustered, stats-tracked base (4 files over doc_id 0..399)
+    val base = (0L until 400L).map(i => (i, i * 2)).toDF("doc_id", "n_chars")
+      .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id")
+    Snapshots.overwrite(base, path, statsCols = Seq("doc_id"))
+    // v2: evolving append (new column) — also stats-tracked
+    Snapshots.append(Seq((400L, 1L, "en")).toDF("doc_id", "n_chars", "lang"),
+      path, statsCols = Seq("doc_id"))
+    // v3: delete a band that lives in exactly one base file
+    Snapshots.deleteWhere(spark, path, col("doc_id").between(100L, 199L), "doc_id")
+    // pruned range read over the deleted band: stats skip 3 of 4 base
+    // files, tombstones empty the rest
+    // 3 of 4 base files + the [400,400] appended file are provably
+    // disjoint from [100,199] — only the one in-band base file is kept
+    val (kept, skipped) = Snapshots.pruneRange(spark, path, "doc_id", 100L, 199L)
+    assert(skipped.size == 4 && kept.size == 1,
+      s"stats should skip 4/5 files, got skipped=${skipped.size} kept=${kept.size}")
+    assert(Snapshots.readRange(spark, path, "doc_id", 100L, 199L).count() == 0L)
+    // full read: evolved schema + tombstones together
+    val cur = Snapshots.read(spark, path)
+    assert(cur.columns.toSeq == Seq("doc_id", "n_chars", "lang"))
+    assert(cur.count() == 301L) // 400 - 100 deleted + 1 appended
+    // v4: compact with fresh stats; the evolved schema and the delete
+    // survive the rewrite
+    Snapshots.compact(spark, path, statsCols = Seq("doc_id"))
+    val compacted = Snapshots.read(spark, path)
+    assert(compacted.count() == 301L && compacted.columns.length == 3)
+    assert(Snapshots.readRange(spark, path, "doc_id", 100L, 199L).count() == 0L)
+    assert(Snapshots.readRange(spark, path, "doc_id", 400L, 400L).count() == 1L)
+    // v5: rollback to v1 — pre-evolution schema, pre-delete content
+    Snapshots.rollback(spark, path, toId = 1L)
+    val rolled = Snapshots.read(spark, path)
+    assert(rolled.columns.toSeq == Seq("doc_id", "n_chars") && rolled.count() == 400L)
+    // and the v1 stats sidecar still prunes after rollback
+    val (k2, s2) = Snapshots.pruneRange(spark, path, "doc_id", 0L, 50L)
+    assert(s2.size == 3, s"rollback lost stats pruning: skipped=${s2.size}")
+  }
+
   test("vacuum drops expired manifests and unreferenced data dirs, keeps live snapshots whole") {
     import spark.implicits._
     val path = freshPath("vac")
