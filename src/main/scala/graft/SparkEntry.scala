@@ -906,6 +906,32 @@ object SparkEntry {
     "q129_bootstrap_ci" -> ((s, d) =>
       Profile.bootstrapMeans(Tables.documents(s, d), BootstrapReps)),
     "q148_canonical_pick" -> ((s, d) => Dedup.canonicalPick(Tables.documents(s, d))),
+    "q149_tar_shards" -> ((s, d) => {
+      // Rows-only (binary sink plumbing, the q10 lifecycle class):
+      // repack the corpus as webdataset-style USTAR shards, read back
+      // through the binaryFile-explode source, report per-shard entry
+      // counts and a content checksum — deterministic because shard
+      // bytes are a pure function of the rows (mtime=0 headers) and
+      // the repartitionByRange makes shard membership data-defined.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_tar_" +
+        Integer.toHexString(d.hashCode)
+      val dir = new java.io.File(path)
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+      val payload = Tables.documents(s, d)
+        .select(concat(lit("doc-"), col("doc_id"), lit(".txt")).as("key"),
+          col("text").cast("binary").as("payload"), col("doc_id"))
+        .repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .drop("doc_id")
+      graft.sources.TarShards.write(payload, path, shardMaxBytes = 256 * 1024)
+      graft.sources.TarShards.read(s, path)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_entries"),
+          sum(length(col("payload"))).as("n_bytes"),
+          graft.operators.Dedup.hash60(concat_ws(",",
+            sort_array(collect_list(md5(col("payload")))))).as("content_sig"))
+        .orderBy("shard")
+    }),
     "q147_mor_delete" -> ((s, d) => {
       // Merge-on-read lifecycle: overwrite → equality-delete (tombstone
       // file, zero data rewrite) → append that RE-INSERTS half the
@@ -966,10 +992,11 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
-    * q10, q18, q61b, q75, q94, q117, q118, q144, q145, q146) are
+    * q10, q18, q61b, q75, q94, q117, q118, q144, q145, q146, q149) are
     * non-SQL-expressible (footer metadata / trained-vocab BPE / index
     * file I/O / binary feature plumbing / SVD-learned rotation /
     * sequential greedy MMR / approximate graph walk / WAV decode /
-    * graph-serving audits) → driver records a rows-only check. */
+    * graph-serving audits / tar sink lifecycle) → driver records a
+    * rows-only check. */
   def oracleSql: Map[String, String] = OracleSql.all
 }
