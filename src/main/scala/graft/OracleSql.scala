@@ -1068,6 +1068,25 @@ object OracleSql {
          |FROM counts ORDER BY stage_idx""".stripMargin
     },
 
+    // q150: dedup-as-a-table-commit — v1 = the corpus, v2 = + exact
+    // copies of every 5th doc, v3 = canonical-pick delete commit
+    // (copies tombstoned; ties break to the lower id so the ORIGINALS
+    // keep — v3 content == v1 content by construction).
+    "q150_dedup_commit" ->
+      """WITH dup AS (SELECT n_chars FROM documents WHERE doc_id % 5 = 0)
+        |SELECT CAST(1 AS BIGINT) AS snapshot, 'overwrite' AS op,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
+        |UNION ALL
+        |SELECT 2, 'append',
+        |  CAST((SELECT count(*) FROM documents) + count(*) AS BIGINT),
+        |  CAST((SELECT sum(n_chars) FROM documents) + sum(n_chars) AS BIGINT)
+        |FROM dup
+        |UNION ALL
+        |SELECT 3, 'delete', CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_chars) AS BIGINT) FROM documents
+        |ORDER BY snapshot""".stripMargin,
+
     // q148: canonical-representative dedup — per normalized-content
     // group keep the best copy by the ALL-INTEGER key (stop_hits desc,
     // n_tokens desc, doc_id asc); window argmin mirrors Spark's max_by

@@ -906,6 +906,31 @@ object SparkEntry {
     "q129_bootstrap_ci" -> ((s, d) =>
       Profile.bootstrapMeans(Tables.documents(s, d), BootstrapReps)),
     "q148_canonical_pick" -> ((s, d) => Dedup.canonicalPick(Tables.documents(s, d))),
+    "q150_dedup_commit" -> ((s, d) => {
+      // Dedup as a table commit: inject exact copies of every 5th doc
+      // (id + 10M — ties break to the LOWER id, so originals always
+      // keep), then one canonical-pick delete commit tombstones the
+      // copies. The oracle states each snapshot's row count and the
+      // final content sum from the base table alone.
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_dedup_commit_" +
+        Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      Snapshots.overwrite(docs, path)                                    // v1
+      Snapshots.append(docs.where(pmod(col("doc_id"), lit(5L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L), path)          // v2
+      CorpusPipeline.dedupCommit(s, path)                                // v3
+      (1L to 3L).map { id =>
+        Snapshots.read(s, path, id)
+          .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
+          .select(lit(id).as("snapshot"), col("n_rows"), col("sum_chars"))
+      }.reduce(_ unionByName _)
+        .join(Snapshots.log(s, path), "snapshot")
+        .select("snapshot", "op", "n_rows", "sum_chars")
+        .orderBy("snapshot")
+    }),
     "q149_tar_shards" -> ((s, d) => {
       // Rows-only (binary sink plumbing, the q10 lifecycle class):
       // repack the corpus as webdataset-style USTAR shards, read back

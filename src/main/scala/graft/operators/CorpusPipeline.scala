@@ -445,4 +445,26 @@ object CorpusPipeline {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
   }
+
+  /** Dedup AS A TABLE COMMIT (q150, r14): run the canonical-pick
+    * quality dedup over a snapshot table and materialize the result as
+    * ONE merge-on-read delete commit — the non-keeper ids become a
+    * tombstone file, zero data rewrite, fully time travelable ("the
+    * corpus before dedup" stays a readable snapshot, and the delete is
+    * one [[Snapshots.rollback]] away from undone). This is the shape a
+    * recurring 100 TB curation job actually wants: the expensive
+    * rewrite is deferred to the next scheduled [[Snapshots.compact]],
+    * while readers see the deduped corpus immediately.
+    *
+    * Scale shape: [[Dedup.canonicalPick]]'s single content-hash
+    * exchange produces keepers; non-keepers come from one left-anti
+    * join of the id column against the (group-count-sized) keeper set;
+    * the tombstone write is loser-sized. Nothing collects. */
+  def dedupCommit(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Long = {
+    val cur = Snapshots.read(spark, path)
+    val keepers = Dedup.canonicalPick(cur).select(col("keeper_id").as("doc_id"))
+    val losers = cur.select("doc_id").join(keepers, Seq("doc_id"), "left_anti")
+    Snapshots.deleteKeys(spark, path, losers, "doc_id")
+  }
 }

@@ -253,13 +253,23 @@ object Snapshots {
     * set). Returns the new snapshot id. */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: org.apache.spark.sql.Column,
-                  keyCol: String): Long = {
+                  keyCol: String): Long =
+    deleteKeys(spark, path,
+      read(spark, path).where(predicate).select(keyCol), keyCol)
+
+  /** Key-set form of [[deleteWhere]] — the API a DISTRIBUTED producer
+    * of delete keys needs (a dedup pass, a GDPR id list, a downstream
+    * CDC feed): the keys frame is written as the delete file directly,
+    * never collected or folded into an `isin` predicate, so the delete
+    * scales with the key set like any other write. */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+                 keyCol: String): Long = {
     val parent = latest(spark, path)
     require(parent > 0, s"no snapshot to delete from under $path")
     val pm = readManifestFull(spark, path, parent)
     val id = nextId(spark, path)
     val delDir = s"deletes/d$id"
-    read(spark, path, parent).where(predicate).select(keyCol).distinct()
+    keys.select(col(keyCol)).distinct()
       .write.mode("errorifexists").parquet(new Path(path, delDir).toString)
     installManifest(spark, path, id, "delete", pm.dirs,
       pm.dels :+ DelEntry(delDir, pm.dirs.toSet),

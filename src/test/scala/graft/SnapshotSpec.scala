@@ -283,6 +283,26 @@ class SnapshotSpec extends SparkSpec {
     assert(s2.size == 3, s"rollback lost stats pruning: skipped=${s2.size}")
   }
 
+  test("dedupCommit: canonical-pick tombstones the duplicate copies in one " +
+    "delete commit; pre-dedup stays time travelable and rollback undoes it") {
+    import spark.implicits._
+    import graft.operators.CorpusPipeline
+    val path = freshPath("dedupcommit")
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "lorem ipsum dolor"),
+      (3L, "the quick brown fox"),      // exact dup of 1 — higher id loses
+      (4L, "THE quick brown fox!!!"))   // dirtier normalized dup — loses on stop_hits
+      .toDF("doc_id", "text")
+    Snapshots.overwrite(docs, path)
+    val v2 = CorpusPipeline.dedupCommit(spark, path)
+    assert(v2 == 2L)
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(Snapshots.read(spark, path, 1L).count() == 4L,
+      "the pre-dedup corpus must stay time travelable")
+    Snapshots.rollback(spark, path, toId = 1L)
+    assert(Snapshots.read(spark, path).count() == 4L, "rollback must undo the dedup")
+  }
+
   test("vacuum drops expired manifests and unreferenced data dirs, keeps live snapshots whole") {
     import spark.implicits._
     val path = freshPath("vac")
