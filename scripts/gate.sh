@@ -14,4 +14,4 @@ python3 scripts/check_correctness.py /root/testdata/sf0.01 /tmp/gate_verify | ta
 
 echo "=== bench @ sf0.1 ==="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>/dev/null \
-  | grep -E '^\{"metric"'
+  | grep -E '^\{'
