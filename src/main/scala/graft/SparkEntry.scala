@@ -906,6 +906,30 @@ object SparkEntry {
     "q129_bootstrap_ci" -> ((s, d) =>
       Profile.bootstrapMeans(Tables.documents(s, d), BootstrapReps)),
     "q148_canonical_pick" -> ((s, d) => Dedup.canonicalPick(Tables.documents(s, d))),
+    "q151_index_sync" -> ((s, d) => {
+      // Rows-only (index file I/O lifecycle, the q10 class): a
+      // snapshot table of embeddings drives IVF maintenance through
+      // its own commit history — initial rebuild, delta-sized append
+      // advance, and a compact forcing the rebuild path. The report
+      // rolls up each sync step's (mode, postings, centroids).
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_idxsync_" +
+        Integer.toHexString(d.hashCode)
+      val tPath = s"$base/table"; val iPath = s"$base/index"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val cut = emb.agg(max("vec_id")).head().getLong(0) * 4 / 5
+      Snapshots.overwrite(emb.where(col("vec_id") <= cut), tPath)   // v1
+      val r1 = IndexSync.syncReport(s, tPath, iPath, IvfStep)       // rebuild
+      Snapshots.append(emb.where(col("vec_id") > cut), tPath)       // v2
+      val r2 = IndexSync.syncReport(s, tPath, iPath, IvfStep)       // append
+      val r2b = IndexSync.syncReport(s, tPath, iPath, IvfStep)      // noop
+      Snapshots.compact(s, tPath)                                   // v3
+      val r3 = IndexSync.syncReport(s, tPath, iPath, IvfStep)       // rebuild
+      Seq(r1, r2, r2b, r3).reduce(_ unionByName _)
+        .orderBy("synced_snapshot", "mode")
+    }),
     "q150_dedup_commit" -> ((s, d) => {
       // Dedup as a table commit: inject exact copies of every 5th doc
       // (id + 10M — ties break to the LOWER id, so originals always

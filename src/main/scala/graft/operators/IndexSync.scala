@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** Snapshot-driven index maintenance (q151) — the composition that
+  * closes the table-layer ↔ index-family loop: a serving index kept in
+  * line with a [[Snapshots]] table of embeddings by consuming the
+  * table's own commit history, instead of ad-hoc "remember what I
+  * indexed" bookkeeping.
+  *
+  * The sync rule mirrors what every production indexer converges on:
+  *  - an APPEND-only span advances INCREMENTALLY — each new snapshot's
+  *    [[Snapshots.deltaOf]] rows assign against the index's FROZEN
+  *    centroids ([[Ivf.appendWith]]; the q55 contract), so the cost is
+  *    delta-sized and the corpus never re-shuffles;
+  *  - any overwrite / compact / delete / rollback in the span forces a
+  *    REBUILD — those commits can remove or rewrite rows the postings
+  *    reference, and a tombstone-aware patch of a stale index is
+  *    exactly the complexity this layer exists to avoid (the rebuild
+  *    reads the snapshot's logical content, so merge-on-read deletes
+  *    are applied by construction).
+  *
+  * The index remembers the snapshot it reflects in a `_synced_snapshot`
+  * marker (KB-scale driver I/O, the manifest cost class) — re-running
+  * sync is an idempotent no-op until the table commits again, which is
+  * what makes this safe to run on a schedule. */
+object IndexSync {
+
+  private def markerPath(indexPath: String) = new Path(indexPath, "_synced_snapshot")
+
+  /** The snapshot id the index at `indexPath` reflects; 0 if never
+    * synced (or the marker was removed — which forces a rebuild, the
+    * conservative direction). */
+  def syncedSnapshot(spark: SparkSession, indexPath: String): Long = {
+    val f = markerPath(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = markerPath(indexPath)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      body.trim.toLong
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, indexPath: String, id: Long): Unit = {
+    val f = markerPath(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(markerPath(indexPath), true)
+    try out.write(id.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Bring the IVF index at `indexPath` in line with the snapshot table
+    * at `tablePath`. Returns (snapshot now reflected, mode) where mode
+    * ∈ noop | append | rebuild. */
+  def sync(spark: SparkSession, tablePath: String, indexPath: String,
+           step: Int): (Long, String) = {
+    val target = Snapshots.latest(spark, tablePath)
+    require(target > 0, s"no snapshot to index under $tablePath")
+    val from = syncedSnapshot(spark, indexPath)
+    if (from == target) return (target, "noop")
+    val span = Snapshots.snapshotIds(spark, tablePath)
+      .filter(id => id > from && id <= target)
+    val appendOnly = from > 0 && span.nonEmpty &&
+      span.forall(id => Snapshots.opOf(spark, tablePath, id) == "append")
+    if (appendOnly) {
+      val cs = Ivf.collectCentroids(Ivf.load(spark, indexPath)._2)
+      span.foreach { id =>
+        Ivf.appendWith(cs, indexPath,
+          Snapshots.deltaOf(spark, tablePath, id))
+      }
+      writeMarker(spark, indexPath, target)
+      (target, "append")
+    } else {
+      Ivf.save(Snapshots.read(spark, tablePath), step, indexPath)
+      writeMarker(spark, indexPath, target)
+      (target, "rebuild")
+    }
+  }
+
+  /** One sync step as a 1-row report frame — the auditable face the
+    * q151 lifecycle key rolls up. */
+  def syncReport(spark: SparkSession, tablePath: String, indexPath: String,
+                 step: Int): DataFrame = {
+    import spark.implicits._
+    val (id, mode) = sync(spark, tablePath, indexPath, step)
+    val (postings, cents) = Ivf.load(spark, indexPath)
+    Seq((id, mode, postings.count(), cents.count()))
+      .toDF("synced_snapshot", "mode", "n_postings", "n_centroids")
+  }
+}

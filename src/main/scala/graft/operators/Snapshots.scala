@@ -609,6 +609,13 @@ object Snapshots {
     read(spark, path, id)
   }
 
+  /** The op recorded for one snapshot ("overwrite" / "append" /
+    * "delete" / "compact" / "rollback") — the dispatch signal
+    * incremental consumers ([[graft.operators.IndexSync]]) use to
+    * decide between delta-advance and rebuild. */
+  def opOf(spark: SparkSession, path: String, id: Long): String =
+    readManifestFull(spark, path, id).op
+
   /** Commit log as a DataFrame: (snapshot, op, n_dirs). */
   def log(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

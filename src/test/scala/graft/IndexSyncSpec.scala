@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.operators.{IndexSync, Ivf, Knn, Snapshots}
+
+/** Snapshot-driven index maintenance: the append-only fast path equals
+  * save+append against the same frozen centroids (the q55 contract),
+  * structure-changing commits force rebuilds, and re-sync is a no-op. */
+class IndexSyncSpec extends SparkSpec {
+
+  private def fresh(tag: String): (String, String) = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_idxsyncspec_$tag"
+    val p = new Path(base)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) f.delete(p, true)
+    (s"$base/table", s"$base/index")
+  }
+
+  private lazy val emb = Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+  private val step = SparkEntry.Params.IvfStep
+
+  test("append-only history advances incrementally and serves bit-identically " +
+    "to a hand-built save+append index; re-sync is a noop") {
+    val (tPath, iPath) = fresh("appendonly")
+    val cut = emb.agg(max("vec_id")).head().getLong(0) / 2
+    Snapshots.overwrite(emb.where(col("vec_id") <= cut), tPath)
+    val (id1, m1) = IndexSync.sync(spark, tPath, iPath, step)
+    assert((id1, m1) == (1L, "rebuild"))
+    Snapshots.append(emb.where(col("vec_id") > cut), tPath)
+    val (id2, m2) = IndexSync.sync(spark, tPath, iPath, step)
+    assert((id2, m2) == (2L, "append"), s"got ($id2, $m2)")
+    assert(IndexSync.sync(spark, tPath, iPath, step) == ((2L, "noop")))
+    // differential: the synced index == save(v1) + appendWith(delta)
+    val (refT, refI) = fresh("appendref")
+    Ivf.save(emb.where(col("vec_id") <= cut), step, refI)
+    Ivf.append(spark, refI, emb.where(col("vec_id") > cut))
+    val q = Knn.queryVector(emb, 0L)
+    val (sp, sc) = Ivf.load(spark, iPath)
+    val (rp, rc) = Ivf.load(spark, refI)
+    val got = Ivf.search(sp, sc, q, 4, 20).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Ivf.search(rp, rc, q, 4, 20).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, "synced index diverged from the hand-built twin")
+    // and the postings COVER the whole table (no row lost in the advance)
+    assert(sp.count() == emb.count())
+  }
+
+  test("a compact (or any non-append commit) in the span forces a rebuild " +
+    "whose postings reflect the snapshot's logical content") {
+    val (tPath, iPath) = fresh("rebuild")
+    Snapshots.overwrite(emb, tPath)
+    IndexSync.sync(spark, tPath, iPath, step)
+    // delete a slice merge-on-read, then compact; sync must rebuild and
+    // the tombstoned rows must be GONE from the postings
+    Snapshots.deleteWhere(spark, tPath, col("vec_id") < 10L, "vec_id")
+    val (id, mode) = IndexSync.sync(spark, tPath, iPath, step)
+    assert(mode == "rebuild", s"delete in span must rebuild, got $mode")
+    val (postings, _) = Ivf.load(spark, iPath)
+    assert(postings.where(col("vec_id") < 10L).count() == 0L,
+      "rebuilt index still carries tombstoned rows")
+    assert(postings.count() == emb.where(col("vec_id") >= 10L).count())
+  }
+
+  test("a missing marker (never-synced index path) rebuilds rather than " +
+    "trusting stale postings") {
+    val (tPath, iPath) = fresh("marker")
+    Snapshots.overwrite(emb, tPath)
+    Snapshots.append(emb.limit(0), tPath) // an append the index never saw
+    val (_, mode) = IndexSync.sync(spark, tPath, iPath, step)
+    assert(mode == "rebuild")
+  }
+}
