@@ -1041,11 +1041,11 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
-    * q10, q18, q61b, q75, q94, q117, q118, q144, q145, q146, q149) are
-    * non-SQL-expressible (footer metadata / trained-vocab BPE / index
-    * file I/O / binary feature plumbing / SVD-learned rotation /
-    * sequential greedy MMR / approximate graph walk / WAV decode /
-    * graph-serving audits / tar sink lifecycle) → driver records a
-    * rows-only check. */
+    * q10, q18, q61b, q75, q94, q117, q118, q144, q145, q146, q149,
+    * q151) are non-SQL-expressible (footer metadata / trained-vocab
+    * BPE / index file I/O / binary feature plumbing / SVD-learned
+    * rotation / sequential greedy MMR / approximate graph walk / WAV
+    * decode / graph-serving audits / tar sink lifecycle / index-sync
+    * lifecycle) → driver records a rows-only check. */
   def oracleSql: Map[String, String] = OracleSql.all
 }
