@@ -49,6 +49,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(keeper == 12L, s"quality must beat id order, kept $keeper")
   }
 
+  test("canonicalPick: NULL-text docs share the null hash group (the exact/" +
+    "normalizedExact convention) and the lowest id keeps") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "real text")).toDF("doc_id", "text")
+    val out = Dedup.canonicalPick(docs).collect()
+      .map(r => r.getLong(2) -> r.getLong(1)).toMap
+    // same contract as exact()/normalizedExact(): null content is ONE
+    // group (sha2(null) = null key), keeper = lowest id
+    assert(out == Map(1L -> 2L, 3L -> 1L), s"null-group convention drifted: $out")
+  }
+
   test("repetition: degenerate, mixed and all-distinct gram streams") {
     val docs = Seq(
       (1L, "a a a a"),          // 3 grams, all "a a"

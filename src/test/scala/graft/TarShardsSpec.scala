@@ -67,6 +67,16 @@ class TarShardsSpec extends SparkSpec {
     assert(digest(dir) == digest(dir2), "shard bytes not deterministic")
   }
 
+  test("entry names over USTAR's 100-byte limit fail loudly, not truncate") {
+    val df = Seq(("x" * 101, "data".getBytes("UTF-8"))).toDF("key", "payload")
+    val dir = freshDir("longname")
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.write(df, dir)
+    }
+    assert(e.getMessage.contains("100") || e.getCause != null,
+      "long-name rejection must surface, never silently truncate the key")
+  }
+
   test("shard rolling: entries never split, every shard under the cap " +
     "(+ tar framing), oversized entries get their own shard") {
     val rows = (0 until 40).map(i => (f"k$i%03d", Array.fill[Byte](1000)(i.toByte))) :+
