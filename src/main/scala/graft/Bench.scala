@@ -197,7 +197,22 @@ object Bench {
             } catch { case _: Throwable => None }
           Seq(build, serve).flatten
         }
-      opq ++ text ++ inc ++ nsw
+      // q144: the headline key times synthesis (per-doc PCM encode)
+      // + decode; the serving-side shape — decode over an EXISTING
+      // media column — gets its own row with the table pre-built.
+      val audio: Seq[(String, Double)] =
+        if (!inScope("q144_audio_stats")) Seq.empty
+        else {
+          import graft.multimodal.Multimodal
+          val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir))
+            .localCheckpoint() // synthesized once, untimed
+          val decode = bestOf("q144_decode") {
+            Multimodal.audioStats(spark, media)
+              .write.format("noop").mode("overwrite").save()
+          }
+          decode.toSeq
+        }
+      opq ++ text ++ inc ++ nsw ++ audio
     }
     // 3-decimal timings (ms precision is all best-of-N minima carry) keep
     // the whole line compact, and the total/value fields go LAST: the
