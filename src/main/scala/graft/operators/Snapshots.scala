@@ -6,6 +6,14 @@ import org.apache.spark.sql.functions._
 
 import java.nio.charset.StandardCharsets
 
+/** A manifest rename lost the race to a concurrent committer at the
+  * same id. The commutative ops ([[Snapshots.append]],
+  * [[Snapshots.deleteKeys]]) catch this internally and rebase;
+  * [[Snapshots.overwrite]]/[[Snapshots.compact]] propagate it — a
+  * full-replace that raced ANOTHER writer needs a human (or caller
+  * policy) to decide whose replacement wins. */
+final class CommitConflictException(msg: String) extends IllegalStateException(msg)
+
 /** Snapshot / time-travel table layer — the commit protocol face of a
   * table format (Iceberg/Delta distilled to its load-bearing core).
   * At 100 TB a corpus cannot be rewritten per day: ingest lands as
@@ -66,6 +74,8 @@ object Snapshots {
   private val DirsPat = "\"dirs\":\\[(.*?)\\]".r
   private val OpPat = "\"op\":\"(.*?)\"".r
   private val SchemaPat = "\"schemaB64\":\"(.*?)\"".r
+  private val BatchPat = "\"batchId\":(\\d+)".r
+  private val PartsPat = "\"partitionBy\":\\[(.*?)\\]".r
 
   /** One equality-delete file and the data dirs it applies OVER — the
     * Iceberg sequence-number idea made explicit: a delete scopes to the
@@ -75,7 +85,8 @@ object Snapshots {
 
   private final case class Manifest(op: String, dirs: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      dels: Seq[DelEntry])
+      dels: Seq[DelEntry], batchId: Option[Long] = None,
+      parts: Seq[String] = Seq.empty)
 
   private def readManifest(spark: SparkSession, path: String, id: Long): (String, Seq[String]) = {
     val m = readManifestFull(spark, path, id)
@@ -113,16 +124,34 @@ object Snapshots {
       }
       DelEntry(m.group(1), over)
     }.toSeq
+    val batchId = BatchPat.findFirstMatchIn(body).map(_.group(1).toLong)
+    val parts = PartsPat.findFirstMatchIn(body).map(_.group(1)) match {
+      case Some("") | None => Seq.empty[String]
+      case Some(l) => l.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+    }
     Manifest(OpPat.findFirstMatchIn(body).map(_.group(1)).getOrElse("?"),
-      dirs, schema, dels)
+      dirs, schema, dels, batchId, parts)
   }
 
-  /** Next free snapshot id, scanning BOTH manifests and data dirs: a
-    * crash between data-write and manifest-rename leaves an orphan
-    * `data/sN` with no `vN.json`, and deriving the id from manifests
-    * alone would re-pick N forever, failing on `errorifexists` until a
-    * manual vacuum. The orphan stays unreferenced (vacuum reclaims
-    * it); new commits simply step past it. */
+  /** Next free DIRECTORY id, scanning manifests, data dirs, and delete
+    * dirs: a crash between data-write and manifest-rename leaves an
+    * orphan `data/sN` with no manifest, and deriving the id from
+    * manifests alone would re-pick N forever, failing on
+    * `errorifexists` until a manual vacuum. The orphan stays
+    * unreferenced (vacuum reclaims it); new commits simply step past
+    * it.
+    *
+    * This allocates DIR names only (r15): the MANIFEST id is always
+    * `latest + 1` — a dense version sequence, deliberately decoupled —
+    * so that every committer who observed the same parent targets the
+    * SAME manifest name and the atomic rename becomes a true
+    * compare-and-swap (the Iceberg HadoopTableOperations protocol).
+    * Were manifest ids entangled with dir allocation, a committer that
+    * saw a rival's data dir land before its manifest would allocate
+    * PAST it and the two commits would serialize without ever
+    * conflicting — a silent lost update instead of a caught clash. On
+    * a clean single-writer table the two sequences coincide, so dir
+    * and manifest numbers still line up. */
   private def nextId(spark: SparkSession, path: String): Long = {
     val f = fs(spark, path)
     val SPat = "s(\\d+)".r
@@ -149,7 +178,9 @@ object Snapshots {
     * non-overwriting atomic rename). */
   private def installManifest(spark: SparkSession, path: String, id: Long,
       op: String, dirs: Seq[String], dels: Seq[DelEntry],
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      batchId: Option[Long] = None,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
     val f = fs(spark, path)
     val schemaB64 = java.util.Base64.getEncoder.encodeToString(
       schema.json.getBytes(StandardCharsets.UTF_8))
@@ -157,9 +188,13 @@ object Snapshots {
       s"""{"d":"${d.file}","over":[${d.over.toSeq.sorted
         .map("\"" + _ + "\"").mkString(",")}]}"""
     }.mkString(",")
+    val batchJson = batchId.fold("")(b => s""","batchId":$b""")
+    val partsJson =
+      if (partitionBy.isEmpty) ""
+      else s""","partitionBy":[${partitionBy.map("\"" + _ + "\"").mkString(",")}]"""
     val body = s"""{"snapshot":$id,"op":"$op","dirs":[${
       dirs.map(d => "\"" + d + "\"").mkString(",")
-    }],"dels":[$delsJson],"schemaB64":"$schemaB64"}"""
+    }],"dels":[$delsJson]$batchJson$partsJson,"schemaB64":"$schemaB64"}"""
     val tmp = new Path(metaDir(path),
       s".v$id.json.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     val dst = new Path(metaDir(path), s"v$id.json")
@@ -168,33 +203,78 @@ object Snapshots {
     val clash = f.exists(dst) || !f.rename(tmp, dst)
     if (clash) {
       f.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new CommitConflictException(
         s"commit conflict: snapshot $id already exists under $path")
     }
+  }
+
+  /** Write one commit's data dir (plus optional stats sidecar). Hive
+    * partitioning is per-DIR: a partitioned commit's files land under
+    * `<dir>/<col>=<val>/…`; readers recover partition values through
+    * normal partition discovery (multi-dir scans treat each listed dir
+    * as a discovery root), so partitioned and flat dirs coexist in one
+    * table history. */
+  private def writeData(df: DataFrame, path: String, dataDir: String,
+                        statsCols: Seq[String], partitionBy: Seq[String]): Unit = {
+    val w = df.write.mode("errorifexists")
+    val w2 = if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)
+    w2.parquet(new Path(path, dataDir).toString)
+    if (statsCols.nonEmpty) writeStats(df.sparkSession, path, dataDir, statsCols)
   }
 
   private def commit(df: DataFrame, path: String, op: String,
                      carry: Seq[String], statsCols: Seq[String] = Seq.empty,
                      schema: Option[org.apache.spark.sql.types.StructType] = None,
-                     dels: Seq[DelEntry] = Seq.empty): Long = {
+                     dels: Seq[DelEntry] = Seq.empty,
+                     batchId: Option[Long] = None,
+                     partitionBy: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
-    val id = nextId(spark, path)
-    val dataDir = s"data/s$id"
-    df.write.mode("errorifexists").parquet(new Path(path, dataDir).toString)
-    if (statsCols.nonEmpty) writeStats(spark, path, dataDir, statsCols)
+    // Manifest id pinned at ENTRY (dense CAS sequence, see nextId's
+    // doc): anything a rival lands after this point makes the install
+    // clash rather than silently supersede.
+    val id = latest(spark, path) + 1
+    val dataDir = s"data/s${nextId(spark, path)}"
+    writeData(df, path, dataDir, statsCols, partitionBy)
+    onCommitAttempt()
     installManifest(spark, path, id, op, carry :+ dataDir, dels,
-      schema.getOrElse(df.schema))
+      schema.getOrElse(df.schema), batchId, partitionBy)
     id
+  }
+
+  /** Test seam for the optimistic-retry paths: invoked once per
+    * attempt between a commit's data write and its manifest install —
+    * the window where a concurrent committer can win the race.
+    * Package-private, default no-op; SnapshotSpec injects a competing
+    * commit here to exercise the rebase deterministically. */
+  private[graft] var onCommitAttempt: () => Unit = () => ()
+
+  /** True when `e` is the data/delete-file write losing an allocation
+    * race (another committer claimed the same id's directory first) —
+    * retryable by re-deriving the id from the now-visible state. */
+  private def isPathClash(e: Throwable): Boolean = e match {
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+    case a: org.apache.spark.sql.AnalysisException =>
+      a.getMessage != null && a.getMessage.contains("already exists")
+    case _ => false
   }
 
   /** First commit / full replace: the new snapshot references ONLY the
     * new data (prior snapshots stay readable — their files are not
     * touched until [[vacuum]]). `statsCols` (integral columns) records
     * per-file min/max in a stats sidecar so [[readRange]] can skip
-    * files at planning time. */
+    * files at planning time. `partitionBy` lays the commit's files out
+    * hive-partitioned (directory-level pruning via [[readPartition]]).
+    * `batchId` stamps the manifest with a streaming micro-batch id —
+    * the exactly-once handle [[graft.streaming.MvStream]] checks via
+    * [[committedBatchId]] to no-op replayed batches. Fail-fast on a
+    * concurrent-commit clash ([[CommitConflictException]]): a raced
+    * full replace has no safe automatic rebase. */
   def overwrite(df: DataFrame, path: String,
-                statsCols: Seq[String] = Seq.empty): Long =
-    commit(df, path, "overwrite", Seq.empty, statsCols)
+                statsCols: Seq[String] = Seq.empty,
+                partitionBy: Seq[String] = Seq.empty,
+                batchId: Option[Long] = None): Long =
+    commit(df, path, "overwrite", Seq.empty, statsCols,
+      batchId = batchId, partitionBy = partitionBy)
 
   /** Append commit: the new snapshot = parent's directory set + one
     * new directory. No data movement for existing rows — the append
@@ -211,32 +291,79 @@ object Snapshots {
     * rewrite, not an append), and dropping columns is not an append
     * (a delta missing parent columns null-fills its OWN rows — the
     * parent schema still governs). */
-  def append(df: DataFrame, path: String,
-             statsCols: Seq[String] = Seq.empty): Long = {
-    val spark = df.sparkSession
-    val parent = latest(spark, path)
-    if (parent == 0) commit(df, path, "append", Seq.empty, statsCols)
-    else {
-      val pm = readManifestFull(spark, path, parent)
-      val (carry, parentSchema0) = (pm.dirs, pm.schema)
-      val merged = parentSchema0 match {
-        case None => df.schema // pre-r14 table: schema stays file-derived
-        case Some(ps) =>
-          ps.fields.foreach { pf =>
-            df.schema.fields.find(_.name == pf.name).foreach { nf =>
-              require(nf.dataType == pf.dataType,
-                s"append changes type of ${pf.name}: ${pf.dataType} -> ${nf.dataType}" +
-                  " (type changes need an overwrite commit)")
-            }
+  private def mergedAppendSchema(pm: Option[Manifest],
+      df: DataFrame): org.apache.spark.sql.types.StructType =
+    pm.flatMap(_.schema) match {
+      case None => df.schema // first commit / pre-r14 table: file-derived
+      case Some(ps) =>
+        ps.fields.foreach { pf =>
+          df.schema.fields.find(_.name == pf.name).foreach { nf =>
+            require(nf.dataType == pf.dataType,
+              s"append changes type of ${pf.name}: ${pf.dataType} -> ${nf.dataType}" +
+                " (type changes need an overwrite commit)")
           }
-          val newFields = df.schema.fields.filterNot(f => ps.fieldNames.contains(f.name))
-          org.apache.spark.sql.types.StructType(ps.fields ++ newFields)
-      }
-      // parent delete files carry forward UNCHANGED: their `over`
-      // scopes exclude the new dir, so appended rows are immune even
-      // when they reuse a previously-deleted key.
-      commit(df, path, "append", carry, statsCols, Some(merged), pm.dels)
+        }
+        val newFields = df.schema.fields.filterNot(f => ps.fieldNames.contains(f.name))
+        org.apache.spark.sql.types.StructType(ps.fields ++ newFields)
     }
+
+  /** Optimistic-concurrency commit (r15, Iceberg's commit-retry loop
+    * for commutative operations): an append that loses the manifest
+    * race does NOT fail — its data dir is already written and
+    * immutable, so the retry re-reads the NEW latest manifest, rebases
+    * (winner's dirs + this append's dir, winner's delete files carried,
+    * schema re-merged against the winner's), and installs at a fresh
+    * id. The data writes ONCE; only KB-scale manifest work repeats.
+    * Two appenders racing on the same observed state also contend on
+    * the data-dir name itself — the loser's `errorifexists` write
+    * fails, the retry re-derives the dir id from the now-visible state
+    * and writes its own dir. After `maxAttempts` losses the last
+    * conflict propagates (a pathologically hot table needs caller
+    * backoff).
+    *
+    * Conflict detection is COMPLETE at the manifest level: manifest
+    * ids are a dense version sequence (see [[nextId]]'s doc), so every
+    * committer that observed parent P targets `v(P+1).json` and the
+    * atomic rename is a true compare-and-swap — concurrent commits
+    * either rebase or fail, never silently supersede. The residual
+    * store-dependent window is the data-dir `errorifexists`
+    * check-then-write on stores without atomic directory claims; a
+    * catalog-backed deployment closes it by allocating unique dir
+    * names, with this manifest layout unchanged. */
+  def append(df: DataFrame, path: String,
+             statsCols: Seq[String] = Seq.empty,
+             partitionBy: Seq[String] = Seq.empty,
+             maxAttempts: Int = 5): Long = {
+    val spark = df.sparkSession
+    var dataDir: Option[String] = None
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try {
+        val parent = latest(spark, path)
+        val pm = if (parent == 0) None else Some(readManifestFull(spark, path, parent))
+        val merged = mergedAppendSchema(pm, df) // type clash: not retryable, throws through
+        val dir = dataDir.getOrElse {
+          val d = s"data/s${nextId(spark, path)}"
+          writeData(df, path, d, statsCols, partitionBy)
+          dataDir = Some(d); d
+        }
+        onCommitAttempt()
+        // parent delete files carry forward UNCHANGED: their `over`
+        // scopes exclude the new dir, so appended rows are immune even
+        // when they reuse a previously-deleted key.
+        installManifest(spark, path, parent + 1, "append",
+          pm.map(_.dirs).getOrElse(Seq.empty) :+ dir,
+          pm.map(_.dels).getOrElse(Seq.empty), merged,
+          partitionBy = partitionBy)
+        return parent + 1
+      } catch {
+        case e: CommitConflictException => last = e
+        case e: Throwable if isPathClash(e) => last = e
+      }
+    }
+    throw last
   }
 
   /** Merge-on-read equality DELETE commit (r14, Iceberg v2's delete
@@ -263,18 +390,61 @@ object Snapshots {
     * never collected or folded into an `isin` predicate, so the delete
     * scales with the key set like any other write. */
   def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
-                 keyCol: String): Long = {
-    val parent = latest(spark, path)
-    require(parent > 0, s"no snapshot to delete from under $path")
-    val pm = readManifestFull(spark, path, parent)
-    val id = nextId(spark, path)
-    val delDir = s"deletes/d$id"
-    keys.select(col(keyCol)).distinct()
-      .write.mode("errorifexists").parquet(new Path(path, delDir).toString)
-    installManifest(spark, path, id, "delete", pm.dirs,
-      pm.dels :+ DelEntry(delDir, pm.dirs.toSet),
-      pm.schema.getOrElse(read(spark, path, parent).schema))
-    id
+                 keyCol: String, maxAttempts: Int = 5): Long = {
+    var delDir: Option[String] = None
+    // The delete's scope freezes at the dirs visible when the keys were
+    // produced: a rebase after losing the race to a concurrent APPEND
+    // must not widen the tombstone onto data it never saw (the appended
+    // rows postdate the delete — sequence semantics); a rebase after a
+    // concurrent OVERWRITE intersects to nothing and the tombstone
+    // becomes a harmless no-op over the replaced dirs.
+    var overDirs: Option[Set[String]] = None
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      try {
+        val parent = latest(spark, path)
+        require(parent > 0, s"no snapshot to delete from under $path")
+        val pm = readManifestFull(spark, path, parent)
+        if (overDirs.isEmpty) overDirs = Some(pm.dirs.toSet)
+        val dd = delDir.getOrElse {
+          val d = s"deletes/d${nextId(spark, path)}"
+          keys.select(col(keyCol)).distinct()
+            .write.mode("errorifexists").parquet(new Path(path, d).toString)
+          delDir = Some(d); d
+        }
+        onCommitAttempt()
+        installManifest(spark, path, parent + 1, "delete", pm.dirs,
+          pm.dels :+ DelEntry(dd, overDirs.get.intersect(pm.dirs.toSet)),
+          pm.schema.getOrElse(read(spark, path, parent).schema))
+        return parent + 1
+      } catch {
+        case e: CommitConflictException => last = e
+        case e: Throwable if isPathClash(e) => last = e
+      }
+    }
+    throw last
+  }
+
+  /** The streaming micro-batch id the table's snapshot `asOf` (default
+    * latest) was committed under, if any — see [[overwrite]]'s
+    * `batchId` and [[graft.streaming.MvStream.foldBatch]]. */
+  def committedBatchId(spark: SparkSession, path: String,
+                       asOf: Long = 0L): Option[Long] = {
+    val id = if (asOf > 0) asOf else latest(spark, path)
+    if (id == 0) None else readManifestFull(spark, path, id).batchId
+  }
+
+  /** The partition columns snapshot `asOf` (default latest) committed
+    * its OWN data dir under; empty for flat commits. Carried dirs from
+    * earlier commits keep their own layout — readers never need this
+    * (partition discovery recovers values per dir), it is the
+    * audit/contract face. */
+  def partitionColsOf(spark: SparkSession, path: String,
+                      asOf: Long = 0L): Seq[String] = {
+    val id = if (asOf > 0) asOf else latest(spark, path)
+    if (id == 0) Seq.empty else readManifestFull(spark, path, id).parts
   }
 
   /** Fold merge-on-read state back into plain data (the table-format
@@ -284,8 +454,10 @@ object Snapshots {
     * travelable; [[vacuum]] reclaims the superseded dirs and delete
     * files when their snapshots expire. */
   def compact(spark: SparkSession, path: String,
-              statsCols: Seq[String] = Seq.empty): Long =
-    commit(read(spark, path), path, "compact", Seq.empty, statsCols)
+              statsCols: Seq[String] = Seq.empty,
+              partitionBy: Seq[String] = Seq.empty): Long =
+    commit(read(spark, path), path, "compact", Seq.empty, statsCols,
+      partitionBy = partitionBy)
 
   /** Copy-on-write MERGE commit: [[Merge.upsert]] resolves the rows,
     * the result lands as a full-replace snapshot. (A file-pruned CoW —
@@ -323,19 +495,51 @@ object Snapshots {
       val reader = m.schema.fold(spark.read)(s => spark.read.schema(s))
       reader.parquet(dirs.map(d => new Path(path, d).toString): _*)
     }
-    if (m.dels.isEmpty) scan(m.dirs)
-    else {
-      m.dirs.groupBy(d => m.dels.filter(_.over.contains(d)).map(_.file))
-        .toSeq.sortBy(_._2.head)
-        .map { case (delFiles, dirs) =>
-          delFiles.foldLeft(scan(dirs)) { (df, delFile) =>
-            val keys = spark.read.parquet(new Path(path, delFile).toString)
-            df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
-          }
-        }
-        .reduce(_ unionByName _)
-    }
+    // Dirs group by (applicable delete files, partition layout): a
+    // multi-root scan needs every root hive-structured the same way —
+    // a flat dir next to a partitioned one trips Spark's
+    // CONFLICTING_DIRECTORY_STRUCTURES check — so mixed-layout
+    // histories scan per layout group and union (same driver cost
+    // class as the delete grouping: one listStatus walk per dir).
+    val f = fs(spark, path)
+    m.dirs.groupBy(d => (m.dels.filter(_.over.contains(d)).map(_.file),
+        partSig(f, new Path(path, d))))
+      .toSeq.sortBy(_._2.head)
+      .map { case ((delFiles, _), dirs) =>
+        applyDelFiles(spark, path, delFiles, scan(dirs))
+      }
+      .reduce(_ unionByName _)
   }
+
+  /** Partition-layout signature of one data dir: the `col=`-chain of
+    * directory levels under it ("" for a flat dir, "lang" for
+    * partitionBy(lang), "a/b" for partitionBy(a, b)) — KB-scale
+    * planning I/O, used to group scan roots with identical hive
+    * structure. */
+  private def partSig(f: FileSystem, dirAbs: Path): String = {
+    val sig = Seq.newBuilder[String]
+    var cur = dirAbs
+    var go = true
+    while (go) {
+      val parts = f.listStatus(cur)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (parts.isEmpty) go = false
+      else {
+        sig += parts.head.getPath.getName.takeWhile(_ != '=')
+        cur = parts.head.getPath
+      }
+    }
+    sig.result().mkString("/")
+  }
+
+  /** Anti-join a frame against the given delete files' key sets
+    * (broadcast — tombstone sets are match-sized). */
+  private def applyDelFiles(spark: SparkSession, path: String,
+      delFiles: Seq[String], df: DataFrame): DataFrame =
+    delFiles.foldLeft(df) { (d, delFile) =>
+      val keys = spark.read.parquet(new Path(path, delFile).toString)
+      d.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+    }
 
   /** Per-file min/max stats sidecar for one immutable data dir — the
     * Iceberg-manifest idea at its smallest: planning can skip a file
@@ -352,7 +556,11 @@ object Snapshots {
     val df = spark.read.parquet(dirPath)
     statsCols.foreach { c =>
       val dt = df.schema(c).dataType.typeName
-      require(Seq("long", "integer", "short", "byte", "date").contains(dt),
+      // integral ONLY: a DATE column cannot cast to long under ANSI
+      // (the min/max aggregate below would throw AFTER the data dir
+      // landed, orphaning it) — date-keyed pruning wants an explicit
+      // epoch-day long column (datediff from 1970-01-01) instead.
+      require(Seq("long", "integer", "short", "byte").contains(dt),
         s"stats column $c has non-integral type $dt")
     }
     val aggs = statsCols.flatMap(c => Seq(
@@ -418,13 +626,18 @@ object Snapshots {
       readStats(spark, path, d) match {
         case None => kept += dirAbs.toString
         case Some(stats) =>
-          f.listStatus(dirAbs).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).foreach { fp =>
+          // recursive: a hive-partitioned commit's files live under
+          // <dir>/<col>=<val>/…, one level (or more) down
+          val it = f.listFiles(dirAbs, true)
+          while (it.hasNext) {
+            val fp = it.next().getPath
+            if (fp.getName.endsWith(".parquet")) {
               stats.get(fp.getName).flatMap(_.get(colName)) match {
                 case Some((mn, mx)) if mx < lo || mn > hi => skipped += fp.toString
                 case _ => kept += fp.toString
               }
             }
+          }
       }
     }
     (kept.result(), skipped.result())
@@ -449,25 +662,92 @@ object Snapshots {
       if (kept.isEmpty)
         // every file provably disjoint: an empty frame with the right schema
         read(spark, path, asOf).where(lit(false))
-      else if (m.dels.isEmpty) spark.read.parquet(kept: _*)
       else {
-        // merge-on-read deletes scope by DATA DIR; group the kept
-        // files by the dir they came from and anti-join each group's
-        // applicable tombstones (the read() discipline on the pruned
-        // file set).
+        // Group kept paths by the data dir they came from, and scan
+        // per dir: merge-on-read deletes scope by dir, partitioned
+        // dirs need their own `basePath` so the pruned leaf files
+        // recover their partition-column values, and every scan plans
+        // under the MANIFEST schema (the read() discipline — a range
+        // spanning pre-/post-evolution dirs must return ONE schema,
+        // with absent columns null-backfilled, never whatever each
+        // footer happens to hold).
         val RelDir = ".*/(data/s\\d+)(?:/.*)?$".r
         kept.groupBy { p => p match { case RelDir(d) => d; case _ => p } }
           .toSeq.sortBy(_._1)
           .map { case (relDir, files) =>
-            m.dels.filter(_.over.contains(relDir))
-              .foldLeft(spark.read.parquet(files: _*)) { (df, del) =>
-                val keys = spark.read.parquet(new Path(path, del.file).toString)
-                df.join(broadcast(keys), keys.columns.toSeq, "left_anti")
-              }
+            val reader = m.schema.fold(spark.read)(s => spark.read.schema(s))
+            val df = reader
+              .option("basePath", new Path(path, relDir).toString)
+              .parquet(files: _*)
+            applyDelFiles(spark, path,
+              m.dels.filter(_.over.contains(relDir)).map(_.file), df)
           }
           .reduce(_ unionByName _)
       }
     base.where(col(colName).cast("long") >= lo && col(colName).cast("long") <= hi)
+  }
+
+  /** Directory-level partition pruning for an equality predicate on a
+    * hive-partitioned column: (kept, skipped) scan roots across
+    * snapshot `asOf`'s data dirs. A dir whose immediate children are
+    * `colName=<val>` subdirs keeps only the matching child (a missing
+    * child contributes nothing — provably empty); a flat dir — or one
+    * partitioned by some OTHER column — is kept whole, the
+    * conservative direction, exactly [[pruneRange]]'s contract for
+    * missing stats. KB-scale driver listing work (one listStatus per
+    * data dir), no file footers touched. */
+  def prunePartitions(spark: SparkSession, path: String, colName: String,
+                      value: String, asOf: Long = 0L): (Seq[String], Seq[String]) = {
+    val id = if (asOf > 0) asOf else latest(spark, path)
+    val m = readManifestFull(spark, path, id)
+    val f = fs(spark, path)
+    val kept = Seq.newBuilder[String]
+    val skipped = Seq.newBuilder[String]
+    val prefix = s"$colName="
+    m.dirs.foreach { d =>
+      val dirAbs = new Path(path, d)
+      val children = f.listStatus(dirAbs)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      if (children.isEmpty) kept += dirAbs.toString
+      else children.foreach { st =>
+        if (st.getPath.getName == s"$prefix$value") kept += st.getPath.toString
+        else skipped += st.getPath.toString
+      }
+    }
+    (kept.result(), skipped.result())
+  }
+
+  /** Equality read on a partition column planning ONLY the matching
+    * partition directories ([[prunePartitions]]), then applying the
+    * predicate as a normal filter too — correctness never depends on
+    * the layout (a flat dir degrades to a filtered scan of that dir),
+    * the [[readRange]] degradation contract. Merge-on-read deletes
+    * apply per source dir; every scan carries the manifest schema and
+    * its dir's `basePath` so partition values survive subdir-rooted
+    * scans. */
+  def readPartition(spark: SparkSession, path: String, colName: String,
+                    value: String, asOf: Long = 0L): DataFrame = {
+    val id = if (asOf > 0) asOf else latest(spark, path)
+    val m = readManifestFull(spark, path, id)
+    require(m.dirs.nonEmpty, s"snapshot $id of $path lists no data")
+    val (kept, _) = prunePartitions(spark, path, colName, value, asOf)
+    val base =
+      if (kept.isEmpty) read(spark, path, asOf).where(lit(false))
+      else {
+        val RelDir = ".*/(data/s\\d+)(?:/.*)?$".r
+        kept.groupBy { p => p match { case RelDir(d) => d; case _ => p } }
+          .toSeq.sortBy(_._1)
+          .map { case (relDir, roots) =>
+            val reader = m.schema.fold(spark.read)(s => spark.read.schema(s))
+            val df = reader
+              .option("basePath", new Path(path, relDir).toString)
+              .parquet(roots: _*)
+            applyDelFiles(spark, path,
+              m.dels.filter(_.over.contains(relDir)).map(_.file), df)
+          }
+          .reduce(_ unionByName _)
+      }
+    base.where(col(colName).cast("string") === value)
   }
 
   /** The rows snapshot `id` ADDED over its parent — the delta an
@@ -551,7 +831,7 @@ object Snapshots {
   def rollback(spark: SparkSession, path: String, toId: Long): Long = {
     val target = readManifestFull(spark, path, toId)
     require(target.dirs.nonEmpty, s"snapshot $toId of $path lists no data")
-    val id = nextId(spark, path)
+    val id = latest(spark, path) + 1
     installManifest(spark, path, id, "rollback", target.dirs, target.dels,
       target.schema.getOrElse(read(spark, path, toId).schema))
     id

@@ -19,24 +19,58 @@ import graft.operators.{Mv, Snapshots}
   *
   * State is the O(groups) summary table itself — no Spark state store,
   * so the query restarts from the persisted view rather than replaying
-  * the stream. Exactly-once note: foreachBatch is at-least-once on
-  * retry boundaries; a production deployment records the committed
-  * batchId inside the manifest and skips replays (one line in
-  * [[Snapshots.commit]]'s JSON) — elided here to keep the key's
-  * surface the MERGE, which is the load-bearing part. */
+  * the stream (pass the SAME `checkpoint` so the source resumes at the
+  * first unfolded batch).
+  *
+  * EXACTLY-ONCE (r15): foreachBatch is at-least-once on retry
+  * boundaries — a task retry or a restart from checkpoint re-delivers
+  * a micro-batch, and because the fold is algebraic a second merge
+  * would silently double-count it. [[foldBatch]] closes the gap with
+  * the idempotent-sink recipe every Spark exactly-once sink uses: the
+  * commit that publishes the folded view carries its `batchId` inside
+  * the snapshot MANIFEST (one field, atomic with the data by the
+  * manifest-rename protocol), and a replayed batch whose id is already
+  * committed no-ops. The view table is owned by its stream: out-of-band
+  * commits to it (a manual compact) drop the marker and forfeit the
+  * replay guard until the next batch commits. */
 object MvStream {
 
-  /** Maintain the per-source summary view at `viewPath` (a
-    * [[Snapshots]] table) over a streaming documents source. */
-  def maintain(docs: DataFrame, viewPath: String): StreamingQuery =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val spark = batch.sparkSession
+  /** Fold ONE micro-batch into the view table; returns true when the
+    * batch was applied, false when it was a replay of an
+    * already-committed batch (the view is untouched — exactly-once).
+    * Public so the replay semantics are directly testable without
+    * driving a streaming query through a crafted task failure. */
+  def foldBatch(batch: DataFrame, batchId: Long, viewPath: String): Boolean = {
+    val spark = batch.sparkSession
+    val latest = Snapshots.latest(spark, viewPath)
+    val committed =
+      if (latest == 0) None else Snapshots.committedBatchId(spark, viewPath)
+    if (committed.exists(_ >= batchId)) false
+    else {
       val next =
-        if (Snapshots.latest(spark, viewPath) == 0) Mv.summarize(batch)
+        if (latest == 0) Mv.summarize(batch)
         else Mv.refresh(Snapshots.read(spark, viewPath), batch)
       // The summary is O(groups); localCheckpoint materializes it
       // BEFORE the commit so the new snapshot's write doesn't re-read
       // the view table it is superseding mid-write.
-      Snapshots.overwrite(next.localCheckpoint(true), viewPath): Unit
-    }.start()
+      Snapshots.overwrite(next.localCheckpoint(true), viewPath,
+        batchId = Some(batchId))
+      true
+    }
+  }
+
+  /** Maintain the per-source summary view at `viewPath` (a
+    * [[Snapshots]] table) over a streaming documents source. Pass a
+    * stable `checkpoint` for restartable exactly-once maintenance: the
+    * checkpoint pins source offsets ↔ batch ids, the manifest's
+    * batchId pins which of those folded — together a crash at ANY
+    * point resumes without loss or double-count. */
+  def maintain(docs: DataFrame, viewPath: String,
+               checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        foldBatch(batch, batchId, viewPath): Unit
+    }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
 }

@@ -64,16 +64,19 @@ class SnapshotSpec extends SparkSpec {
     // Simulate the crash: data/s2 written, v2.json never renamed in.
     Seq((99L, 99L)).toDF("doc_id", "n_chars")
       .write.parquet(s"$path/data/s2")
-    // The r13 allocation re-derived id 2 from manifests alone and died
-    // on errorifexists forever; ids now step past the orphan.
+    // The r13 allocation re-derived dir id 2 from manifests alone and
+    // died on errorifexists forever; DIR allocation now steps past the
+    // orphan (data lands in s3) while the MANIFEST id stays the dense
+    // version sequence (v2 — the CAS contract, see nextId's doc).
     val id = Snapshots.append(Seq((3L, 30L)).toDF("doc_id", "n_chars"), path)
-    assert(id == 3L, s"orphan not skipped, got id $id")
+    assert(id == 2L, s"manifest ids must stay dense, got id $id")
+    val f2 = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f2.exists(new Path(s"$path/data/s3")), "dir allocation must step past the orphan")
     // The orphan's rows are NOT part of any snapshot.
     assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
-    // History walks tolerate the gap: log, deltaOf (parent = latest
-    // existing manifest below, i.e. 1 not 2), vacuum.
-    assert(Snapshots.log(spark, path).collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
-    assert(Snapshots.deltaOf(spark, path, 3L).collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // History walks stay operable around the orphan: log, deltaOf, vacuum.
+    assert(Snapshots.log(spark, path).collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(Snapshots.deltaOf(spark, path, 2L).collect().map(_.getLong(0)).toSeq == Seq(3L))
     // vacuum reclaims the orphan (no surviving manifest references it).
     val removed = Snapshots.vacuum(spark, path, keepFrom = 1L)
     assert(removed == 1, s"expected the orphan dir reclaimed, removed=$removed")
@@ -362,6 +365,136 @@ class SnapshotSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(x => (x._1, x._3)).toSeq
     assert(d23 == Seq((1L, 10L, "delete"), (1L, 11L, "insert"), (5L, 50L, "delete")),
       s"CoW diff wrong (bag semantics must yield exactly one (5,50) delete): $d23")
+  }
+
+  test("optimistic concurrency: two appenders racing on the same observed state " +
+    "both land — the loser rebases and the final content is the union") {
+    import spark.implicits._
+    val path = freshPath("cc_append")
+    Snapshots.overwrite(Seq((1L, 10L)).toDF("doc_id", "n_chars"), path)
+    // Deterministic race via the commit seam: the rival append runs in
+    // the window between the victim's data write and manifest install,
+    // so the victim's v2 rename clashes and must rebase onto the
+    // rival's commit. The seam self-clears (fires once).
+    Snapshots.onCommitAttempt = () => {
+      Snapshots.onCommitAttempt = () => ()
+      Snapshots.append(Seq((2L, 20L)).toDF("doc_id", "n_chars"), path): Unit
+    }
+    try {
+      val id = Snapshots.append(Seq((3L, 30L)).toDF("doc_id", "n_chars"), path)
+      assert(id == 3L, s"rebased append should land at v3, got $id")
+    } finally Snapshots.onCommitAttempt = () => ()
+    assert(Snapshots.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      "a raced append lost rows — rebase must carry BOTH commits")
+    assert(Snapshots.log(spark, path).collect().map(_.getString(1)).toSeq ==
+      Seq("overwrite", "append", "append"))
+    // History readable at every version; v2 is the rival's commit.
+    assert(Snapshots.read(spark, path, 2L).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("optimistic concurrency: a delete racing an append rebases without " +
+    "widening its tombstone onto the appended rows; overwrite stays fail-fast") {
+    import spark.implicits._
+    import graft.operators.CommitConflictException
+    val path = freshPath("cc_delete")
+    Snapshots.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars"), path)
+    // Rival append lands doc 1 AGAIN (new dir) while a delete of doc 1
+    // is mid-commit. The delete's keys were computed against v1 only,
+    // so after the rebase the appended copy must SURVIVE (its dir
+    // postdates the delete's scope — sequence semantics).
+    Snapshots.onCommitAttempt = () => {
+      Snapshots.onCommitAttempt = () => ()
+      Snapshots.append(Seq((1L, 111L)).toDF("doc_id", "n_chars"), path): Unit
+    }
+    try {
+      val id = Snapshots.deleteKeys(spark, path,
+        Seq(Tuple1(1L)).toDF("doc_id"), "doc_id")
+      assert(id == 3L, s"rebased delete should land at v3, got $id")
+    } finally Snapshots.onCommitAttempt = () => ()
+    val rows = Snapshots.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 111L), (2L, 20L)),
+      s"delete must kill only the pre-append copy of doc 1: $rows")
+    // Full-replace ops do NOT rebase: a raced overwrite propagates the
+    // conflict (no safe automatic winner).
+    Snapshots.onCommitAttempt = () => {
+      Snapshots.onCommitAttempt = () => ()
+      Snapshots.append(Seq((9L, 90L)).toDF("doc_id", "n_chars"), path): Unit
+    }
+    try {
+      intercept[CommitConflictException] {
+        Snapshots.overwrite(Seq((7L, 70L)).toDF("doc_id", "n_chars"), path)
+      }
+    } finally Snapshots.onCommitAttempt = () => ()
+    // The rival append that won is intact.
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 9L))
+  }
+
+  test("partition spec: a partitioned commit prunes to matching partition dirs, " +
+    "flat dirs degrade conservatively, and merge-on-read deletes compose") {
+    import spark.implicits._
+    val path = freshPath("parts")
+    val base = Seq((1L, 10L, "en"), (2L, 20L, "de"), (3L, 30L, "en"), (4L, 40L, "fr"))
+      .toDF("doc_id", "n_chars", "lang")
+    Snapshots.overwrite(base, path, partitionBy = Seq("lang"))
+    assert(Snapshots.partitionColsOf(spark, path) == Seq("lang"))
+    // directory-level pruning: only lang=en kept, the rest skipped
+    val (kept, skipped) = Snapshots.prunePartitions(spark, path, "lang", "en")
+    assert(kept.size == 1 && kept.head.endsWith("lang=en"), s"kept=$kept")
+    assert(skipped.size == 2, s"skipped=$skipped")
+    val en = Snapshots.readPartition(spark, path, "lang", "en")
+    assert(en.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(en.columns.toSet == base.columns.toSet,
+      "partition column must survive a subdir-rooted scan")
+    // v2: FLAT append (no partitioning) — kept whole, still correct
+    Snapshots.append(Seq((5L, 50L, "en")).toDF("doc_id", "n_chars", "lang"), path)
+    val (kept2, _) = Snapshots.prunePartitions(spark, path, "lang", "en")
+    assert(kept2.exists(_.endsWith("data/s2")), "flat dir must be kept whole")
+    assert(Snapshots.readPartition(spark, path, "lang", "en")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    // full read across mixed layouts stays whole and schema-stable
+    assert(Snapshots.read(spark, path).count() == 5L)
+    // v3: tombstone doc 3; the partition read honors it
+    Snapshots.deleteWhere(spark, path, col("doc_id") === 3L, "doc_id")
+    assert(Snapshots.readPartition(spark, path, "lang", "en")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    // a partition value with no dir anywhere reads empty, not an error
+    assert(Snapshots.readPartition(spark, path, "lang", "zz").count() == 0L)
+    // stats + partitioning compose: partitioned commit with a stats
+    // sidecar prunes files RECURSIVELY under the partition subdirs
+    val path2 = freshPath("parts_stats")
+    Snapshots.overwrite(base, path2, statsCols = Seq("doc_id"), partitionBy = Seq("lang"))
+    val (k3, s3) = Snapshots.pruneRange(spark, path2, "doc_id", 1L, 1L)
+    assert(k3.nonEmpty && s3.nonEmpty,
+      s"stats sidecar must prune partitioned files: kept=${k3.size} skipped=${s3.size}")
+    assert(Snapshots.readRange(spark, path2, "doc_id", 1L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq == Seq((1L, "en")),
+      "range read over a partitioned dir must recover partition values")
+  }
+
+  test("readRange spans schema evolution: pre-evolution files null-backfill " +
+    "the added column under the manifest schema (never footer-dependent)") {
+    import spark.implicits._
+    val path = freshPath("range_evolve")
+    Snapshots.overwrite((0L until 100L).map(i => (i, i * 2)).toDF("doc_id", "n_chars"),
+      path, statsCols = Seq("doc_id"))
+    Snapshots.append(Seq((100L, 1L, "en")).toDF("doc_id", "n_chars", "lang"),
+      path, statsCols = Seq("doc_id"))
+    val spanning = Snapshots.readRange(spark, path, "doc_id", 90L, 100L)
+    assert(spanning.columns.toSeq == Seq("doc_id", "n_chars", "lang"),
+      s"range scan must plan under the manifest schema: ${spanning.columns.toSeq}")
+    val rows = spanning.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(rows == (90L until 100L).map(_ -> null).toMap + (100L -> "en"),
+      "old files must read NULL for the added column in a spanning range")
+    // merge-on-read + evolution + range together (the composition the
+    // r14 advisor flagged as union-incompatible)
+    Snapshots.deleteWhere(spark, path, col("doc_id") === 95L, "doc_id")
+    assert(Snapshots.readRange(spark, path, "doc_id", 90L, 100L)
+      .collect().map(_.getLong(0)).toSet == ((90L to 100L).toSet - 95L))
   }
 
   test("applyCdc is the algebraic inverse of diff, multiset semantics included") {

@@ -358,6 +358,68 @@ class StreamingSpec extends SparkSpec {
     assert(v1n < docs.count(), "version 1 should cover only the first micro-batch")
   }
 
+  test("streaming MV exactly-once: a replayed micro-batch no-ops bit-identically " +
+    "(at-least-once delivery cannot double-fold the algebraic view)") {
+    import graft.operators.{Mv, Snapshots}
+    import graft.streaming.MvStream
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "n_chars")
+    val viewPath = s"${System.getProperty("java.io.tmpdir")}/graft_mv_replay_view"
+    val vp = new org.apache.hadoop.fs.Path(viewPath)
+    val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(vp)) fs.delete(vp, true)
+    val b0 = docs.where(pmod(col("doc_id"), lit(2L)) === 0)
+    val b1 = docs.where(pmod(col("doc_id"), lit(2L)) === 1)
+    assert(MvStream.foldBatch(b0, 0L, viewPath), "first delivery must apply")
+    val v1 = Mv.report(Snapshots.read(spark, viewPath)).collect().toSeq
+    // the retry re-delivers the SAME batch id (foreachBatch's
+    // at-least-once contract) — the fold must recognize and no-op
+    assert(!MvStream.foldBatch(b0, 0L, viewPath), "replay must be skipped")
+    assert(Snapshots.latest(spark, viewPath) == 1L, "replay committed a view version")
+    assert(Mv.report(Snapshots.read(spark, viewPath)).collect().toSeq == v1,
+      "replay double-folded the summary")
+    assert(MvStream.foldBatch(b1, 1L, viewPath), "the next batch must apply")
+    // a LATE replay of an old batch after newer commits also no-ops
+    assert(!MvStream.foldBatch(b0, 0L, viewPath))
+    assert(Snapshots.committedBatchId(spark, viewPath).contains(1L))
+    assert(Mv.report(Snapshots.read(spark, viewPath)).collect().toSeq ==
+      Mv.report(Mv.summarize(docs)).collect().toSeq,
+      "after replays, the folded view must still equal the batch summary")
+  }
+
+  test("streaming MV restart: the same checkpoint resumes at the first unfolded " +
+    "batch — no re-fold of committed batches, new data still lands") {
+    import graft.operators.{Mv, Snapshots}
+    import graft.streaming.MvStream
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "source", "n_chars")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_mv_restart"
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bp)) fs.delete(bp, true)
+    val srcDir = s"$base/src"; val viewPath = s"$base/view"; val ckpt = s"$base/ckpt"
+    val half = pmod(col("doc_id"), lit(2L)) === 0
+    docs.where(half).coalesce(1).write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def run(): Unit = {
+      val q = MvStream.maintain(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(srcDir),
+        viewPath, checkpoint = Some(ckpt))
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val versionsAfterFirst = Snapshots.latest(spark, viewPath)
+    // restart with NOTHING new: checkpoint says all batches folded — the
+    // view must not move (a fresh checkpoint here would re-fold batch 0)
+    run()
+    assert(Snapshots.latest(spark, viewPath) == versionsAfterFirst,
+      "restart with no new data must not commit")
+    // new files + restart: only the new batches fold, totals exact
+    docs.where(!half).coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    assert(Mv.report(Snapshots.read(spark, viewPath)).collect().toSeq ==
+      Mv.report(Mv.summarize(docs)).collect().toSeq,
+      "restarted maintenance diverged from the batch summary")
+  }
+
   test("native session_window stream == batch sessionizeNative == stateful sessionize " +
     "(three faces, one contract)") {
     val streamed = EventsStream.sessionWindows(
