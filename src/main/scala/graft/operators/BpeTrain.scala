@@ -23,13 +23,17 @@ import graft.functions.Bpe
   *    hash-exchange on the byte-piece word → (word, freq). This is the
   *    only stage that sees every byte; it is a straight map + partial
   *    agg, the q13 exact-dedup shape.
-  *  - numMerges rounds over the collapsed table: adjacent-pair counts
-  *    via a `transform` index lambda + explode + groupBy (the shuffle
-  *    carries one row per distinct PAIR, ≪ distinct words), a 1-ROW
-  *    argmax collect (bounded, like the PageRank convergence probe),
-  *    then a distributed map applying the merge. `localCheckpoint`
-  *    each round keeps the lineage flat (the q88 discipline); the
-  *    table only shrinks (words fully merged to one symbol drop out).
+  *  - BATCHED rounds over the collapsed table (r15): adjacent-pair
+  *    counts via a `transform` index lambda + explode + groupBy (the
+  *    shuffle carries one row per distinct PAIR, ≪ distinct words), a
+  *    bounded top-K panel collect, then [[selectBatch]] takes every
+  *    merge the panel PROVES sequential-equivalent and one distributed
+  *    map applies them all — so the Spark-job count scales with
+  *    ROUNDS, not merges (measured ~2× fewer jobs on the gate corpus,
+  *    deeper in a real corpus's long vocabulary tail).
+  *    `localCheckpoint` every 8th round keeps the lineage flat (the
+  *    q88 discipline) without paying a materialization job per round;
+  *    the table only shrinks (fully-merged words drop out).
   *  - Words are distinct byte strings, and a word's symbol split is a
   *    deterministic function of its bytes + the merge table — so two
   *    distinct rows can never converge and no re-group is needed.
@@ -76,45 +80,153 @@ object BpeTrain {
       .as[WordRow]
   }
 
+  /** Pair-stats panel size per round. Bounded driver collect (the
+    * centroids/codebooks class): K short-string rows, ≤ a few hundred
+    * KB. Larger K admits deeper provably-safe batches (the `cutoff`
+    * bound below tightens); the batch math is exact at any K. */
+  private val PanelK = 2048
+
+  /** The maximal PROVABLY-SEQUENTIAL batch from one round's sorted
+    * pair panel — the r15 answer to "a real tokenizer is 32k merges =
+    * 32k sequential Spark jobs". Batching merges between recounts is
+    * exact (bit-identical to the one-merge-per-round loop, hence to
+    * the driver learner) when every selected pair's round-start count
+    * provably equals what a sequential recount would have shown AND
+    * nothing can out-rank it mid-batch. Selection walks the panel in
+    * (count desc, a, b) order and STOPS at the first violation (a
+    * skipped-but-kept pair would reorder ranks), admitting pair j
+    * after selected pairs i < j iff:
+    *
+    *  1. symbol-disjoint: {a_j, b_j} shares no symbol with any earlier
+    *     {a_i, b_i} — earlier applications then cannot change pair j's
+    *     count (a merge only disturbs adjacencies at its own symbols);
+    *  2. no new-symbol contact: {a_j, b_j} contains no earlier
+    *     concat(a_i·b_i) — pairs touching a just-created symbol gain
+    *     occurrences mid-batch;
+    *  3. strict dominance over anything a prior merge can create:
+    *     n_j > createdBound_i for all i, where every pair born of
+    *     merge i has the shape (w, a_i·b_i) or (a_i·b_i, z) and its
+    *     count is bounded by the round-start count of (last(w), a_i)
+    *     resp. (b_i, z) — so createdBound_i = max count over panel
+    *     pairs with right = a_i or left = b_i, floored at the panel
+    *     cutoff (an off-panel pair counts < cutoff by construction);
+    *  4. no symbol collision: concat(a_i·b_i) must be a FRESH string —
+    *     if it equals a symbol minted by an earlier round (different
+    *     decomposition, e.g. "a"+"bc" vs "ab"+"c"), existing pairs
+    *     holding that symbol gain occurrences and the batch stops
+    *     after i.
+    *
+    * Early rounds (few dominant pairs sharing common bytes) batch
+    * shallow; the long vocabulary tail — where the 32k-merge cost
+    * lives — batches deep because counts spread out and rule 3 binds
+    * rarely. */
+  private[graft] def selectBatch(panel: Array[(String, String, Long)],
+                                 cutoff: Long, priorConcats: Set[String],
+                                 maxTake: Int): Seq[(String, String, Long)] = {
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val usedSyms = scala.collection.mutable.Set.empty[String]
+    val newSyms = scala.collection.mutable.Set.empty[String]
+    var maxCreatedBound = Long.MinValue
+    var collided = false
+    var j = 0
+    var stop = false
+    while (j < panel.length && selected.length < maxTake && !stop) {
+      val (a, b, n) = panel(j)
+      val admissible =
+        selected.isEmpty ||
+          (!collided &&
+            !usedSyms.contains(a) && !usedSyms.contains(b) &&
+            !newSyms.contains(a) && !newSyms.contains(b) &&
+            n > maxCreatedBound)
+      if (!admissible) stop = true
+      else {
+        selected += ((a, b, n))
+        usedSyms += a; usedSyms += b
+        val concat = a + b
+        if (priorConcats.contains(concat)) collided = true
+        newSyms += concat
+        // rule 3's bound for THIS merge: panel pairs ending in `a` or
+        // starting with `b` cap every pair it can create
+        var bound = cutoff
+        var p = 0
+        while (p < panel.length) {
+          val (pa, pb, pn) = panel(p)
+          if (pb == a || pa == b) bound = math.max(bound, pn)
+          p += 1
+        }
+        maxCreatedBound = math.max(maxCreatedBound, bound)
+        j += 1
+      }
+    }
+    selected.toSeq
+  }
+
+  /** Left-to-right application of a whole batch, in rank order. */
+  private[graft] def applyBatch(w: Seq[String],
+                                batch: Seq[(String, String, Long)]): Seq[String] =
+    batch.foldLeft(w) { case (syms, (a, b, _)) => applyMerge(syms, a, b) }
+
   /** Train `numMerges` merges on the full corpus; returns the merge
     * table (rank, left, right, n_pairs) ordered by rank. The result is
     * driver-sized by construction (one row per merge), so building the
-    * output frame locally is not a collect smell. */
+    * output frame locally is not a collect smell. Internally batched
+    * (see [[selectBatch]]) — the output is bit-identical to the
+    * one-merge-per-round loop at a fraction of the round count, so the
+    * distributed == driver differential pins survive unchanged. */
   def train(docs: DataFrame, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
     var words = wordFreq(docs).localCheckpoint(true)
+    // Lineage control at 1/8 the job count: a localCheckpoint is its
+    // own Spark job, and with batching the ROUND count (not the merge
+    // count) is the wall — so checkpoint every 8th round and let the
+    // in-between rounds' panel aggregates execute the (narrow,
+    // shrinking) pending map chain as part of their own job.
+    var lastCkpt = words
+    var sinceCkpt = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var rank = 0
     var exhausted = false
-    while (rank < numMerges && !exhausted) {
+    while (merges.length < numMerges && !exhausted) {
       // Adjacent pairs of each word, weighted by word frequency. The
       // index lambda pairs syms[i] with syms[i+1]; slice bounds the
       // transform to n-1 elements so no null partner appears.
-      val best = words.toDF()
+      val panel = words.toDF()
         .select(explode(expr(
           "transform(slice(syms, 1, size(syms) - 1), (x, i) -> struct(x AS a, syms[i + 1] AS b))"))
           .as("p"), col("f"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("f").as("n_pairs"))
         .orderBy(col("n_pairs").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(PanelK)
         .collect()
-      if (best.isEmpty) exhausted = true
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (panel.isEmpty) exhausted = true
       else {
-        val (a, b, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Merge(rank, a, b, n)
-        rank += 1
-        val next = words
-          .map(w => WordRow(applyMerge(w.syms, a, b), w.f))
+        // Complete panel (< PanelK rows) ⇒ off-panel pairs don't exist
+        // and the created-pair floor is 0; truncated panel ⇒ floor at
+        // the last collected count.
+        val cutoff = if (panel.length < PanelK) 0L else panel.last._3
+        val priorConcats = merges.iterator.map(m => m.left + m.right).toSet
+        val batch = selectBatch(panel, cutoff, priorConcats,
+          maxTake = numMerges - merges.length)
+        batch.foreach { case (a, b, n) =>
+          merges += Merge(merges.length, a, b, n)
+        }
+        words = words
+          .map(w => WordRow(applyBatch(w.syms, batch), w.f))
           .filter(_.syms.lengthCompare(1) > 0)
-          .localCheckpoint(true)
-        words.unpersist()
-        words = next
+        sinceCkpt += 1
+        if (sinceCkpt >= 8) {
+          val ck = words.localCheckpoint(true)
+          lastCkpt.unpersist()
+          lastCkpt = ck
+          words = ck
+          sinceCkpt = 0
+        }
       }
     }
-    words.unpersist()
+    lastCkpt.unpersist()
     spark.createDataFrame(merges.toSeq).orderBy("rank")
   }
 

@@ -56,6 +56,21 @@ class BpeTrainSpec extends SparkSpec {
     assert(got == wantPairs)
   }
 
+  test("batched rounds == driver learn at exhaustion depth (the deep-tail regime " +
+    "where selectBatch takes multiple merges per recount)") {
+    val docs = Tables.documents(spark, sf0001)
+      .where(col("doc_id") < 40).select("doc_id", "text")
+    val texts = docs.orderBy("doc_id").select("text").as[String].collect().toSeq
+    val n = 400 // beyond this slice's vocabulary: trains to exhaustion
+    val got = BpeTrain.train(docs, n)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val wantPairs = Bpe.learn(texts, n).ranks.toSeq.sortBy(_._2)
+      .map { case ((a, b), r) => (r, a, b) }
+    assert(got.length > 50, s"exhaustion depth too shallow to exercise batching: ${got.length}")
+    assert(got == wantPairs,
+      "batched merge selection diverged from the sequential driver learner")
+  }
+
   test("train exhausts gracefully when the corpus runs out of pairs") {
     // Tiny corpus; a large budget must stop at exhaustion, not loop.
     // Pre-tokens: "ab" ×2 and " ab" ×1 (the cl100k pattern keeps the
