@@ -716,13 +716,33 @@ object SparkEntry {
       Nsw.search(g, cents, Knn.queryVector(emb, QueryVecId),
         nprobe = 4, k = K, ef = 64)
     }),
-    "q145_nsw_recall" -> ((s, d) =>
+    "q145_nsw_recall" -> ((s, d) => {
       // Rows-only (beam walk): the graph family's recall audit — q62's
       // fourth serving path under its own key (q62's report is
       // oracle-hashed; an approximate walk can't join it). Same
-      // (query, method, n_hits, recall) schema for union-able dashboards.
-      RecallAudit.nswRecallReport(Tables.embeddings(s, d), IvfStep,
-        RecallQueryIds, nprobe = 4, k = K)),
+      // (query, method, n_hits, recall) schema for union-able
+      // dashboards. r15: a second leg audits the BOUNDARY-SPILLED
+      // build (ε = the 25%-margin quantile) beside the plain one, so
+      // the replication's recall payoff is a reported dial, not a
+      // claim.
+      val emb = Tables.embeddings(s, d)
+      val cents = Ivf.centroids(emb, IvfStep)
+      RecallAudit.nswRecallFor(emb, Nsw.build(emb, IvfStep), cents,
+          RecallQueryIds, nprobe = 4, k = K)
+        .unionByName(RecallAudit.nswRecallFor(emb,
+          Nsw.buildSpilled(emb, cents, Nsw.spillEps(emb, cents)), cents,
+          RecallQueryIds, nprobe = 4, k = K, method = "nsw_spill"))
+        .orderBy("query_id", "method")
+    }),
+    "q152_serving_audit" -> ((s, d) =>
+      // Rows-only (contains the beam-walk legs): ONE dashboard frame
+      // joining every family's recall rows (q62 + q145, incl. the
+      // spilled graph) with the rank metrics (q136 exact + q146 nsw)
+      // on (query_id, method) — the union the per-family audits were
+      // schema-aligned for; RecallAuditSpec pins each family's rows
+      // equal to its standalone audit.
+      RecallAudit.servingAudit(Tables.embeddings(s, d), IvfStep, PqM,
+        RecallQueryIds, NProbe, K)),
     "q146_nsw_rank_metrics" -> ((s, d) => {
       // Rows-only: MRR/nDCG of the NSW serving plan through the same
       // micro-unit scorer as q136 — ordering quality of the
@@ -1042,10 +1062,11 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
     * q10, q18, q61b, q75, q94, q117, q118, q144, q145, q146, q149,
-    * q151) are non-SQL-expressible (footer metadata / trained-vocab
-    * BPE / index file I/O / binary feature plumbing / SVD-learned
-    * rotation / sequential greedy MMR / approximate graph walk / WAV
-    * decode / graph-serving audits / tar sink lifecycle / index-sync
-    * lifecycle) → driver records a rows-only check. */
+    * q151, q152) are non-SQL-expressible (footer metadata /
+    * trained-vocab BPE / index file I/O / binary feature plumbing /
+    * SVD-learned rotation / sequential greedy MMR / approximate graph
+    * walk / WAV decode / graph-serving audits / tar sink lifecycle /
+    * index-sync lifecycle / the joined serving dashboard's graph legs)
+    * → driver records a rows-only check. */
   def oracleSql: Map[String, String] = OracleSql.all
 }

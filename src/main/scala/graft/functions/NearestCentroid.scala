@@ -107,6 +107,53 @@ object VecUtil {
     }
     new GenericInternalRow(Array[Any](bestCid, bestDist))
   }
+
+  /** Top-2 centroid assignment by the same (round6 distance, cid)
+    * order as [[nearestCentroid]] — the boundary-replication signal
+    * ([[graft.operators.Nsw]] spill builds): the margin d2 − d1 says
+    * how close a vector sits to a FOREIGN cell. Build-time-only pass,
+    * so the straightforward full scan (no partial-distance early exit)
+    * keeps the tie-break logic simple and exactly argmin-consistent:
+    * the returned (c1, d1) always equals [[nearestCentroid]]'s pick.
+    * Fields 2/3 are null when only one centroid matches the dimension.
+    * Returns null under the same unassignable conditions. */
+  def top2Centroids(emb: ArrayData, embIsDouble: Boolean, cs: CentroidSet): InternalRow = {
+    val n = emb.numElements()
+    val e = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (emb.isNullAt(i)) return null
+      e(i) = if (embIsDouble) emb.getDouble(i) else emb.getFloat(i).toDouble
+      i += 1
+    }
+    var c1 = -1L; var d1 = 0.0; var c2 = -1L; var d2 = 0.0
+    var have = 0
+    var c = 0
+    while (c < cs.mat.length) {
+      val ce = cs.mat(c)
+      if (ce.length == n) {
+        var acc = 0.0
+        var j = 0
+        while (j < n) { val d = e(j) - ce(j); acc += d * d; j += 1 }
+        if (!java.lang.Double.isNaN(acc)) {
+          val dist = round6(acc)
+          val cid = cs.cids(c)
+          if (have == 0 || dist < d1 || (dist == d1 && cid < c1)) {
+            if (have > 0) { c2 = c1; d2 = d1 }
+            c1 = cid; d1 = dist
+            have = math.min(have + 1, 2)
+          } else if (have < 2 || dist < d2 || (dist == d2 && cid < c2)) {
+            c2 = cid; d2 = dist
+            have = 2
+          }
+        }
+      }
+      c += 1
+    }
+    if (have == 0) null
+    else if (have == 1) new GenericInternalRow(Array[Any](c1, d1, null, null))
+    else new GenericInternalRow(Array[Any](c1, d1, c2, d2))
+  }
 }
 
 /** Nearest-centroid assignment as a single narrow codegen'd expression —
@@ -161,5 +208,52 @@ case class NearestCentroid(child: Expression, bc: Broadcast[CentroidSet])
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Top-2 variant of [[NearestCentroid]] — same broadcast matrix, same
+  * narrow zero-shuffle shape, emitting the runner-up cell and both
+  * rounded distances so boundary-band membership (d2 − d1 ≤ ε) is one
+  * codegen'd projection. Output:
+  * struct(centroid_id long, dist double, centroid_id2 long?, dist2 double?). */
+case class Nearest2Centroids(child: Expression, bc: Broadcast[CentroidSet])
+    extends UnaryExpression {
+
+  override def prettyName: String = "nearest_2_centroids"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double> input, got $t")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("centroid_id", LongType, nullable = false),
+    StructField("dist", DoubleType, nullable = false),
+    StructField("centroid_id2", LongType, nullable = true),
+    StructField("dist2", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+
+  private def embIsDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def nullSafeEval(a: Any): Any =
+    VecUtil.top2Centroids(a.asInstanceOf[ArrayData], embIsDouble, bc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("centroidsBc", bc,
+      classOf[Broadcast[CentroidSet]].getName)
+    val r = ctx.freshName("nc2Row")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $r =
+         |  graft.functions.VecUtil.top2Centroids(
+         |    $c, $embIsDouble, (graft.functions.CentroidSet) $bcRef.value());
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Nearest2Centroids =
     copy(child = newChild)
 }

@@ -135,6 +135,26 @@ object Ivf {
         nearest(vectors, cs).getField("centroid_id").as("centroid_id"))
   }
 
+  /** [[assignWithEmbedding]] with the RUNNER-UP cell riding the same
+    * narrow pass — (vec_id, embedding, centroid_id, dist, centroid_id2,
+    * dist2), the last two null when only one centroid matches. The
+    * boundary-band signal (dist2 − dist) feeds
+    * [[Nsw.buildSpilled]]-style replication; the primary assignment is
+    * argmin-identical to [[assignWithEmbedding]] by construction
+    * ([[graft.functions.VecUtil.top2Centroids]]). Zero shuffles. */
+  def assignTop2WithEmbedding(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val cs = collectCentroids(cents)
+    val t2 = SqlBridge.column(graft.functions.Nearest2Centroids(
+      SqlBridge.expression(col("embedding")),
+      vectors.sparkSession.sparkContext.broadcast(cs)))
+    vectors
+      .where(assignable(modalDim(cs)))
+      .select(col("vec_id"), col("embedding"), t2.as("t2"))
+      .select(col("vec_id"), col("embedding"),
+        col("t2.centroid_id").as("centroid_id"), col("t2.dist").as("dist"),
+        col("t2.centroid_id2").as("centroid_id2"), col("t2.dist2").as("dist2"))
+  }
+
   /** √n centroid policy: stride giving k = n/step ≈ √n centroids —
     * the balance point where (vectors × centroids) assignment work and
     * per-bucket rerank size both grow as n^1.5 instead of one of them

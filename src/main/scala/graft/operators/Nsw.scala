@@ -188,6 +188,59 @@ object Nsw {
       .toDF()
   }
 
+  /** [[buildWith]] with ε-band BOUNDARY REPLICATION (the spill trick):
+    * per-cell graphs lose true neighbors that land just across a cell
+    * border — a query routed to cell A cannot see a near-identical
+    * vector assigned to adjacent cell B, which is exactly where
+    * nprobe=1 recall sags. The fix replicates each vector whose
+    * runner-up cell is within `eps` of its primary
+    * (dist2 − dist ≤ eps, rounded l2² — one codegen'd
+    * [[Ivf.assignTop2WithEmbedding]] pass) into that runner-up cell as
+    * a FULL graph vertex: the neighbor cell's walk can now traverse
+    * and return it. Search stays unchanged in shape — replicas surface
+    * as duplicate (vec_id, score) candidates, and every search path
+    * already collapses those (same embedding, same arithmetic ⇒
+    * bit-identical score ⇒ `distinct` is exact, no aggregation
+    * needed).
+    *
+    * Scale: replication factor is 1 + P(margin ≤ eps) ≤ 2 by
+    * construction — storage-bounded like every spill/overlap index
+    * (canopy clustering, FAISS's multi-assignment); the build stays
+    * one hash exchange + per-cell local work, and builds remain
+    * bit-reproducible (replicas insert by the same vec_id order). */
+  def buildSpilled(vectors: DataFrame, cents: DataFrame, eps: Double,
+                   m: Int = 8, efC: Int = 32): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val t2 = Ivf.assignTop2WithEmbedding(vectors, cents)
+    val primary = t2.select(col("centroid_id"), col("vec_id"), col("embedding"))
+    val spilled = t2
+      .where(col("centroid_id2").isNotNull && col("dist2") - col("dist") <= eps)
+      .select(col("centroid_id2").as("centroid_id"), col("vec_id"), col("embedding"))
+    primary.unionByName(spilled)
+      .as[(Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell: Long, it: Iterator[(Long, Long, Array[Float])]) =>
+        val pts = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        buildCell(cell, pts, m, efC)
+      }
+      .toDF()
+  }
+
+  /** Data-driven ε for [[buildSpilled]]: the `q`-quantile of the
+    * runner-up margins (dist2 − dist) over the assignable corpus —
+    * replicating the closest-to-border `q` of vectors, so storage
+    * overhead is exactly 1+q regardless of the embedding scale. One
+    * zero-shuffle pass + a 1-row exact-percentile aggregate. */
+  def spillEps(vectors: DataFrame, cents: DataFrame, q: Double = 0.25): Double =
+    Ivf.assignTop2WithEmbedding(vectors, cents)
+      .where(col("centroid_id2").isNotNull)
+      .agg(expr(s"percentile(dist2 - dist, $q)"))
+      .head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+
   /** Incremental maintenance — the q55 contract for the graph family
     * (IVF has [[Ivf.append]], PQ has [[Pq.append]]): insert `delta`
     * vectors into an existing graph against FROZEN centroids, touching
@@ -297,6 +350,10 @@ object Nsw {
       }
       .toDF("vec_id", "raw")
       .select(col("vec_id"), round(col("raw"), 6).as("score"))
+      // spill replicas surface as duplicate candidates with
+      // bit-identical scores (same embedding, same arithmetic);
+      // distinct collapses them exactly — a no-op on unspilled graphs
+      .distinct()
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
   }
@@ -347,6 +404,10 @@ object Nsw {
       }
       .toDF("vec_id", "raw")
       .select(col("vec_id"), round(col("raw"), 6).as("score"))
+      // spill replicas surface as duplicate candidates with
+      // bit-identical scores (same embedding, same arithmetic);
+      // distinct collapses them exactly — a no-op on unspilled graphs
+      .distinct()
       .orderBy(desc("score"), asc("vec_id"))
       .limit(k)
   }
@@ -419,6 +480,8 @@ object Nsw {
       }
       .toDF("query_id", "vec_id", "raw")
       .select(col("query_id"), col("vec_id"), round(col("raw"), 6).as("score"))
+      // spill-replica dedup (see search); exact under bit-identical scores
+      .distinct()
     graft.plans.GroupedTopK.topK(walked, Seq(col("query_id")),
         Seq(col("score").desc, col("vec_id").asc), k)
       .orderBy(col("query_id"), col("score").desc, col("vec_id"))

@@ -89,10 +89,13 @@ object RecallAudit {
       queryIds, nprobe, k, ef)
   }
 
-  /** Audit an EXISTING graph (the serve-side entry point). */
+  /** Audit an EXISTING graph (the serve-side entry point). `method`
+    * labels the rows ("nsw" plain; "nsw_spill" for a
+    * [[Nsw.buildSpilled]] boundary-replicated graph) so variants union
+    * into one dashboard. */
   def nswRecallFor(vectors: DataFrame, graph: DataFrame, cents: DataFrame,
                    queryIds: Seq[Long], nprobe: Int, k: Int,
-                   ef: Int = 64): DataFrame = {
+                   ef: Int = 64, method: String = "nsw"): DataFrame = {
     val queries = Knn.queryPanel(vectors, queryIds)
     val truthDot = GroupedTopK.topK(
       vectors.crossJoin(broadcast(queries))
@@ -106,9 +109,40 @@ object RecallAudit {
       .groupBy("query_id").agg(count(lit(1)).as("n"))
     queries.select("query_id")
       .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), lit("nsw").as("method"),
+      .select(col("query_id"), lit(method).as("method"),
         coalesce(col("n"), lit(0L)).as("n_hits"),
         round(coalesce(col("n"), lit(0L)).cast("double") / k, 6).as("recall"))
+      .orderBy("query_id", "method")
+  }
+
+  /** ONE serving-audit dashboard (q152, r15): every serving family's
+    * recall rows (the q62 exact/ivf/pq/ivfpq legs + the q145 graph
+    * legs, plain AND boundary-spilled) full-outer-joined with the rank
+    * metrics (q136 exact + q146 nsw) on (query_id, method) — the union
+    * the per-family audits were schema-aligned for since r14. A method
+    * audited only for recall carries null rank columns and vice versa;
+    * per-family rows are BY CONSTRUCTION the standalone audits'
+    * (RecallAuditSpec pins the equality), so one frame answers "which
+    * serving path is losing quality, and how" without re-deriving
+    * anything. */
+  def servingAudit(vectors: DataFrame, step: Int, m: Int,
+                   queryIds: Seq[Long], nprobe: Int, k: Int,
+                   ef: Int = 64): DataFrame = {
+    val cents = Ivf.centroids(vectors, step)
+    val recall = annRecallReport(vectors, step, m, queryIds, nprobe, k)
+      .unionByName(nswRecallFor(vectors,
+        Nsw.build(vectors, step), cents, queryIds, nprobe, k, ef))
+      .unionByName(nswRecallFor(vectors,
+        Nsw.buildSpilled(vectors, cents, Nsw.spillEps(vectors, cents)),
+        cents, queryIds, nprobe, k, ef, method = "nsw_spill"))
+    val queries = Knn.labeledPanel(vectors, queryIds)
+    val nswRes = Nsw.searchBatch(Nsw.build(vectors, step), cents,
+      Knn.queryPanel(vectors, queryIds), nprobe, k, ef)
+    val rank = rankMetricsReport(vectors, queryIds, k)
+      .withColumn("method", lit("exact"))
+      .unionByName(rankMetricsOf(vectors, queries, nswRes, k)
+        .withColumn("method", lit("nsw")))
+    recall.join(rank, Seq("query_id", "method"), "full_outer")
       .orderBy("query_id", "method")
   }
 

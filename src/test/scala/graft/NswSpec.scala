@@ -59,6 +59,59 @@ class NswSpec extends SparkSpec {
     assert(nsw.nonEmpty)
   }
 
+  test("boundary replication (spill): nprobe=1 recall recovers cross-border " +
+    "neighbors on a crafted straddling corpus; eps=0 == plain build; exact mode stays exact") {
+    import spark.implicits._
+    // Unit circle corpus: cell A anchored at 0°, cell B at 40°; ten
+    // points straddle the border at 21°–23.7° (assigned B by a hair);
+    // a query at 10° routes to A at nprobe=1 and — without spill —
+    // cannot see the straddlers, which ARE its true nearest neighbors.
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val rows: Seq[(Long, Array[Float])] =
+      Seq((0L, v(0.0))) ++
+        (1 to 15).map(i => (i.toLong, v(-30.0 + i))) ++
+        (0 until 10).map(i => ((20 + i).toLong, v(21.0 + 0.3 * i))) ++
+        Seq((30L, v(40.0))) ++
+        (1 to 15).map(i => ((30 + i).toLong, v(38.0 + 0.5 * i)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = Ivf.centroids(corpus, 30)
+    val q = Seq(Tuple1(v(10.0))).toDF("qv")
+    val k = 8
+    val exact = Ivf.searchInline(corpus, 30, q, nprobe = 10000, k = k)
+      .collect().map(_.getLong(0)).toSet
+    assert((20L to 26L).toSet.subsetOf(exact), s"craft broken: $exact")
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSet
+    def recall(got: Set[Long]) = got.intersect(exact).size.toDouble / k
+    val plain = ids(Nsw.search(Nsw.build(corpus, 30, m = 8, efC = 32),
+      cents, q, nprobe = 1, k = k, ef = 64))
+    val spillG = Nsw.buildSpilled(corpus, cents, eps = 0.1, m = 8, efC = 32)
+    val spilled = ids(Nsw.search(spillG, cents, q, nprobe = 1, k = k, ef = 64))
+    assert(recall(plain) <= 0.25, s"craft broken: plain recall ${recall(plain)}")
+    assert(recall(spilled) == 1.0,
+      s"spill must recover the boundary band: ${recall(spilled)}")
+    // the replicas are exactly the ε-band: each boundary point appears
+    // in BOTH cells, core points in one
+    val spillCounts = spillG.groupBy("vec_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (20L to 29L).foreach(i => assert(spillCounts(i) == 2L, s"straddler $i not replicated"))
+    (1L to 15L).foreach(i => assert(spillCounts(i) == 1L, s"core $i replicated"))
+    // eps = 0 replicates nothing here — bit-identical to the plain build
+    def snap(g: org.apache.spark.sql.DataFrame) = g
+      .select("centroid_id", "vec_id", "neighbors")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(snap(Nsw.buildSpilled(corpus, cents, eps = 0.0, m = 8, efC = 32)) ==
+      snap(Nsw.build(corpus, 30, m = 8, efC = 32)))
+    // exact mode over the spilled graph: duplicate candidates collapse
+    // exactly (bit-identical scores), brute-force equality holds
+    val nswExact = Nsw.search(spillG, cents, q, nprobe = 10000, k = k, ef = 100000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bf = Ivf.searchInline(corpus, 30, q, nprobe = 10000, k = k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(nswExact == bf)
+  }
+
   test("filtered walk traverses non-matching vertices (sparse scattered predicate)") {
     import org.apache.spark.sql.functions._
     val cents = Ivf.centroids(emb, step)

@@ -24,6 +24,45 @@ class RecallAuditSpec extends SparkSpec {
     }
   }
 
+  test("servingAudit dashboard: per-family rows equal the standalone audits, " +
+    "recall-only families carry null rank columns (and vice versa)") {
+    import graft.operators.{Knn, Nsw}
+    val dash = RecallAudit.servingAudit(emb, IvfStep, PqM, qids, NProbe, K).collect()
+    val cents = Ivf.centroids(emb, IvfStep)
+    def recallRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // per-family recall rows == the standalone audits, bit for bit
+    val standalone =
+      recallRows(RecallAudit.annRecallReport(emb, IvfStep, PqM, qids, NProbe, K)) ++
+      recallRows(RecallAudit.nswRecallFor(emb, Nsw.build(emb, IvfStep), cents,
+        qids, NProbe, K)) ++
+      recallRows(RecallAudit.nswRecallFor(emb,
+        Nsw.buildSpilled(emb, cents, Nsw.spillEps(emb, cents)), cents,
+        qids, NProbe, K, method = "nsw_spill"))
+    val dashRecall = dash.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(dashRecall == standalone,
+      "dashboard recall rows diverged from the standalone audits")
+    // rank families == standalone rank audits (ndcg column, index 9)
+    val dashRank = dash.filter(!_.isNullAt(9))
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(9))).toSet
+    val exactRank = RecallAudit.rankMetricsReport(emb, qids, K).collect()
+      .map(r => (r.getLong(0), "exact", r.getDouble(6))).toSet
+    val nswRank = RecallAudit.rankMetricsOf(emb, Knn.labeledPanel(emb, qids),
+        Nsw.searchBatch(Nsw.build(emb, IvfStep), cents,
+          Knn.queryPanel(emb, qids), NProbe, K), K).collect()
+      .map(r => (r.getLong(0), "nsw", r.getDouble(6))).toSet
+    assert(dashRank == exactRank ++ nswRank,
+      "dashboard rank rows diverged from the standalone audits")
+    // coverage: every (query, method) appears once; methods audited
+    // only one way carry nulls on the other side
+    val keys = dash.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+    assert(dash.filter(_.getString(1) == "ivf").forall(_.isNullAt(9)))
+    assert(dash.filter(_.getString(1) == "exact").forall(_.isNullAt(2)))
+    assert(dash.filter(_.getString(1) == "nsw").forall(r => !r.isNullAt(2) && !r.isNullAt(9)))
+  }
+
   test("autoNProbe: sqrt rule — sublinear in cells, floor 1, full at 1 cell") {
     assert(Ivf.autoNProbe(1) == 1)
     assert(Ivf.autoNProbe(64) == 8)
