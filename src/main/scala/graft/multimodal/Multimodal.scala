@@ -34,10 +34,14 @@ import org.apache.spark.sql.functions._
   *    them back through `AudioSystem.getAudioInputStream`, and
   *    [[audioStats]] reports duration / sample rate / RMS / clipping
   *    fraction per clip.
-  * Video payloads remain synthetic byte blobs with the decode branch
-  * falling back to byte-histogram features — the JDK ships no video
-  * demuxer; swapping one in changes only that branch, as the image and
-  * audio paths demonstrate.
+  * VIDEO (r15) is honest about exactly what is real: payloads are
+  * valid ISO-BMFF containers (ftyp/moov/mdat) whose HEADERS —
+  * presentation dims in tkhd, timescale/duration in mvhd — are
+  * synthesized and re-parsed for real by a stdlib box walk
+  * ([[parseMp4Header]], [[videoHeaders]]); the mdat payload stays
+  * opaque and features fall back to byte histograms, because the JDK
+  * ships no video demuxer/codec. Swapping a real decoder in changes
+  * only that branch, as the image and audio paths demonstrate.
   */
 object Multimodal {
 
@@ -113,6 +117,123 @@ object Multimodal {
     buf.toByteArray
   }
 
+  /** Video duration in milliseconds, a pure function of doc_id. */
+  def videoDurationMs(docId: Long): Long = 3000L + (docId % 240) * 100L
+
+  private def be32(out: ByteArrayOutputStream, v: Long): Unit = {
+    out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+    out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+  }
+  private def fourcc(out: ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes("US-ASCII"))
+
+  /** A minimal ISO-BMFF (MP4) container skeleton:
+    * `ftyp` + `moov(mvhd, trak(tkhd))` + `mdat(payload)`. The header
+    * boxes carry REAL presentation metadata — movie timescale/duration
+    * in `mvhd`, track width/height as 16.16 fixed-point in `tkhd`, the
+    * exact fields every container-header reader parses — while `mdat`
+    * holds opaque bytes with no sample tables (no codec claim is made;
+    * [[parseMp4Header]] is a header walk, not a decode). */
+  private[graft] def encodeMp4(w: Int, h: Int, durationMs: Long,
+                                    payload: Array[Byte]): Array[Byte] = {
+    val timescale = 1000L // movie time units per second → duration in ms
+    val out = new ByteArrayOutputStream(payload.length + 256)
+    // ftyp
+    be32(out, 16); fourcc(out, "ftyp"); fourcc(out, "isom"); be32(out, 0)
+    // moov = 8 + mvhd(108) + trak(8 + tkhd(92))
+    be32(out, 8 + 108 + 8 + 92); fourcc(out, "moov")
+    // mvhd, version 0
+    be32(out, 108); fourcc(out, "mvhd")
+    be32(out, 0)                 // version + flags
+    be32(out, 0); be32(out, 0)   // creation/modification (0 — determinism)
+    be32(out, timescale)
+    be32(out, durationMs)        // duration in timescale units
+    be32(out, 0x00010000L)       // rate 1.0
+    be32(out, 0x01000000L)       // volume 1.0 + reserved u16
+    be32(out, 0); be32(out, 0)   // reserved
+    be32(out, 0x00010000L); be32(out, 0); be32(out, 0) // unity matrix
+    be32(out, 0); be32(out, 0x00010000L); be32(out, 0)
+    be32(out, 0); be32(out, 0); be32(out, 0x40000000L)
+    (0 until 6).foreach(_ => be32(out, 0)) // pre_defined
+    be32(out, 2)                 // next_track_id
+    // trak(tkhd)
+    be32(out, 8 + 92); fourcc(out, "trak")
+    be32(out, 92); fourcc(out, "tkhd")
+    be32(out, 7)                 // version 0, flags: enabled|in_movie|in_preview
+    be32(out, 0); be32(out, 0)   // creation/modification
+    be32(out, 1)                 // track_id
+    be32(out, 0)                 // reserved
+    be32(out, durationMs)
+    be32(out, 0); be32(out, 0)   // reserved
+    be32(out, 0)                 // layer u16 + alternate_group u16
+    be32(out, 0)                 // volume u16 + reserved u16
+    be32(out, 0x00010000L); be32(out, 0); be32(out, 0) // unity matrix
+    be32(out, 0); be32(out, 0x00010000L); be32(out, 0)
+    be32(out, 0); be32(out, 0); be32(out, 0x40000000L)
+    be32(out, w.toLong << 16)    // width, 16.16 fixed
+    be32(out, h.toLong << 16)    // height, 16.16 fixed
+    // mdat
+    be32(out, 8L + payload.length); fourcc(out, "mdat"); out.write(payload)
+    out.toByteArray
+  }
+
+  /** Parsed MP4 presentation header: (width, height, duration_us). */
+  private[graft] final case class Mp4Header(width: Int, height: Int,
+                                                durationUs: Long)
+
+  /** Stdlib-only ISO-BMFF box walk — `moov`→`mvhd` for
+    * timescale/duration, `moov`→`trak`→`tkhd` for the track's 16.16
+    * width/height. Returns null when the bytes are not a walkable
+    * container (bad magic, truncated box, zero timescale…) — the
+    * byte-fallback trigger, same contract as the PNG and WAV branches.
+    * Version-1 boxes (64-bit times) are handled at their shifted
+    * offsets; nothing here touches sample data, so the parse cost is a
+    * few dozen header bytes regardless of payload size. */
+  private[graft] def parseMp4Header(bytes: Array[Byte]): Mp4Header = {
+    def u32(off: Int): Long =
+      if (off + 4 > bytes.length) -1L
+      else ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def boxType(off: Int): String =
+      if (off + 8 > bytes.length) ""
+      else new String(bytes, off + 4, 4, "US-ASCII")
+    // walk [from, until) returning the offset of the first `name` box
+    def find(name: String, from: Int, until: Int): Int = {
+      var off = from
+      while (off + 8 <= until) {
+        val size = u32(off)
+        if (size < 8 || off + size > until) return -1
+        if (boxType(off) == name) return off
+        off += size.toInt
+      }
+      -1
+    }
+    try {
+      val n = bytes.length
+      if (find("ftyp", 0, n) != 0) return null
+      val moov = find("moov", 0, n)
+      if (moov < 0) return null
+      val moovEnd = moov + u32(moov).toInt
+      val mvhd = find("mvhd", moov + 8, moovEnd)
+      if (mvhd < 0) return null
+      val mvhdVer = (u32(mvhd + 8) >> 24).toInt
+      val (timescale, duration) =
+        if (mvhdVer == 0) (u32(mvhd + 20), u32(mvhd + 24))
+        else (u32(mvhd + 28), (u32(mvhd + 32) << 32) | u32(mvhd + 36)) // v1: u64 times
+      if (timescale <= 0) return null
+      val trak = find("trak", moov + 8, moovEnd)
+      if (trak < 0) return null
+      val tkhd = find("tkhd", trak + 8, trak + u32(trak).toInt)
+      if (tkhd < 0) return null
+      val tkhdVer = (u32(tkhd + 8) >> 24).toInt
+      val whOff = if (tkhdVer == 0) tkhd + 8 + 76 else tkhd + 8 + 88
+      val w = (u32(whOff) >> 16).toInt
+      val h = (u32(whOff + 4) >> 16).toInt
+      if (w <= 0 || h <= 0) return null
+      Mp4Header(w, h, duration * 1000000L / timescale)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   private def encodePng(docId: Long, w: Int, h: Int, buf: ByteArrayOutputStream): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -152,9 +273,12 @@ object Multimodal {
               MediaRecord(docId, "audio", "wav", nFrames, 1,
                 encodeWav(docId, buf))
             case _ =>
-              MediaRecord(docId, "video", "mp4",
-                ((docId % 64) * 16 + 16).toInt, ((docId % 48) * 16 + 16).toInt,
-                text.getBytes("UTF-8"))
+              // real ISO-BMFF container skeleton: parseable ftyp/moov
+              // header (dims + duration), text bytes as the opaque mdat
+              val w = ((docId % 64) * 16 + 16).toInt
+              val h = ((docId % 48) * 16 + 16).toInt
+              MediaRecord(docId, "video", "mp4", w, h,
+                encodeMp4(w, h, videoDurationMs(docId), text.getBytes("UTF-8")))
           }
         }
       }.toDF()
@@ -248,6 +372,11 @@ object Multimodal {
       MediaFeatures(r.doc_id, r.media_type, bytes.length, meanByte(bytes),
         rate.toInt, samples.length, feature)
     } else {
+      // video (r15): a container-HEADER parse recovers the real
+      // presentation dims from moov/tkhd — no codec in the JDK, so the
+      // feature stays the byte histogram (documented fallback), but
+      // decoded_w/h now come from the container, not a -1 shrug
+      val hdr = if (r.format == "mp4") parseMp4Header(bytes) else null
       val feature = new Array[Float](FeatureDim)
       var i = 0
       while (i < bytes.length) {
@@ -257,7 +386,9 @@ object Multimodal {
       val n = math.max(bytes.length, 1).toFloat
       var j = 0
       while (j < FeatureDim) { feature(j) /= n; j += 1 }
-      MediaFeatures(r.doc_id, r.media_type, bytes.length, meanByte(bytes), -1, -1, feature)
+      MediaFeatures(r.doc_id, r.media_type, bytes.length, meanByte(bytes),
+        if (hdr != null) hdr.width else -1,
+        if (hdr != null) hdr.height else -1, feature)
     }
   }
 
@@ -321,6 +452,25 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "frame_idx", "n_bytes", "frame")
+  }
+
+  /** Per-clip video container-header report — the honest video twin of
+    * [[audioStats]]: a REAL ftyp/moov box walk on the executors (a few
+    * dozen header bytes per clip regardless of payload size; payload
+    * bytes never shuffle), reporting the presentation metadata a
+    * curation gate can filter on without any codec: container dims and
+    * exact integer duration_us. Unparseable payloads drop out (they
+    * surface through [[decode]]'s byte-fallback path instead). */
+  def videoHeaders(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord]
+      .filter((r: MediaRecord) => r.media_type == "video")
+      .flatMap { r =>
+        Option(parseMp4Header(r.payload))
+          .map(hd => (r.doc_id, hd.width, hd.height, hd.durationUs))
+      }
+      .toDF("doc_id", "width", "height", "duration_us")
+      .orderBy("doc_id")
   }
 
   /** Per-clip audio quality report — the audio twin of the image

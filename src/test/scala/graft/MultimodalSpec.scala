@@ -62,10 +62,40 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.length === 3 && resized.forall(_.getInt(3) === 4))
   }
 
-  test("video rows use the byte fallback (decoded dims = -1)") {
-    val feats = Multimodal.extractFeatures(spark,
-      media.where(col("media_type") === "video"))
-    assert(feats.collect().forall(f => f.decoded_w == -1 && f.decoded_h == -1))
+  test("mp4 container headers parse for real: dims/duration from moov boxes, " +
+    "features stay the documented byte fallback, corrupt bytes degrade") {
+    // decode: video rows now report the CONTAINER's presentation dims
+    // (a header walk, not a codec — features remain byte histograms)
+    val vids = media.where(col("media_type") === "video")
+    val metaDims = vids.select("doc_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val feats = Multimodal.extractFeatures(spark, vids).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert((f.decoded_w, f.decoded_h) === metaDims(f.doc_id),
+        s"doc ${f.doc_id}: container dims != metadata dims")
+    }
+    // the header report: every clip, exact integer duration
+    val hdrs = Multimodal.videoHeaders(spark, vids).collect()
+    assert(hdrs.length === metaDims.size)
+    hdrs.foreach { r =>
+      val (id, w, h, us) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))
+      assert((w, h) === metaDims(id))
+      assert(us === Multimodal.videoDurationMs(id) * 1000L,
+        s"doc $id: duration_us $us")
+    }
+    // unit round-trip incl. a v0 header, and the degrade paths: bad
+    // magic and a truncated container both return null (byte fallback)
+    val enc = Multimodal.encodeMp4(320, 240, 5000L, Array.fill[Byte](64)(7))
+    assert(Multimodal.parseMp4Header(enc) ===
+      Multimodal.Mp4Header(320, 240, 5000000L))
+    assert(Multimodal.parseMp4Header("not an mp4 at all".getBytes) == null)
+    assert(Multimodal.parseMp4Header(java.util.Arrays.copyOf(enc, 40)) == null)
+    // corrupt payloads flow through decode as fallback rows, not errors
+    val corrupt = vids.limit(3).selectExpr("doc_id", "media_type", "format",
+      "width", "height", "cast('junk' as binary) as payload")
+    assert(Multimodal.extractFeatures(spark, corrupt).collect()
+      .forall(f => f.decoded_w == -1 && f.decoded_h == -1))
   }
 
   test("WAV payloads really decode: sample rate and frame count come from " +
