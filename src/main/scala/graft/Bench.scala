@@ -212,7 +212,50 @@ object Bench {
           }
           decode.toSeq
         }
-      opq ++ text ++ inc ++ nsw ++ audio
+      // q151: the headline key runs the DEMO lifecycle — two full
+      // rebuilds + an append + a noop by design, so its total tracks
+      // the demo, not the operator. The serving-path ops a scheduler
+      // actually re-runs — the delta-sized append advance and the
+      // idempotent noop check — get their own regression rows with the
+      // table committed and the index pre-synced (untimed); the append
+      // leg restores the index from a pristine v1 copy before each rep
+      // so every rep times the same delta-sized advance.
+      val idxsync: Seq[(String, Double)] =
+        if (!inScope("q151_index_sync")) Seq.empty
+        else {
+          import graft.operators.{IndexSync, Snapshots}
+          import org.apache.hadoop.fs.{FileUtil, Path}
+          val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft_idxsync_bench_" +
+            Integer.toHexString(sfDir.hashCode)
+          val tPath = s"$base/table"; val iPath = s"$base/index"
+          val pristine = s"$base/index_v1"
+          val conf = spark.sparkContext.hadoopConfiguration
+          val fs = new Path(base).getFileSystem(conf)
+          val appendLeg =
+            try {
+              if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+              val cut = emb.agg(org.apache.spark.sql.functions.max("vec_id"))
+                .head().getLong(0) * 4 / 5
+              Snapshots.overwrite(emb.where(col("vec_id") <= cut), tPath)
+              IndexSync.sync(spark, tPath, iPath, IvfStep) // initial rebuild, untimed
+              FileUtil.copy(fs, new Path(iPath), fs, new Path(pristine), false, conf)
+              Snapshots.append(emb.where(col("vec_id") > cut), tPath)
+              val append = bestOf("q151_append") {
+                fs.delete(new Path(iPath), true)
+                FileUtil.copy(fs, new Path(pristine), fs, new Path(iPath), false, conf)
+                // timing includes the pristine-copy restore (small, KB-MB
+                // scale); the sync call is the measured advance
+                IndexSync.sync(spark, tPath, iPath, IvfStep): Unit
+              }
+              val noop = bestOf("q151_noop") {
+                IndexSync.sync(spark, tPath, iPath, IvfStep): Unit
+              }
+              Seq(append, noop).flatten
+            } catch { case _: Throwable => Seq.empty }
+          appendLeg
+        }
+      opq ++ text ++ inc ++ nsw ++ audio ++ idxsync
     }
     // 3-decimal timings (ms precision is all best-of-N minima carry) keep
     // the whole line compact, and the total/value fields go LAST: the

@@ -129,14 +129,17 @@ object RecallAudit {
                    queryIds: Seq[Long], nprobe: Int, k: Int,
                    ef: Int = 64): DataFrame = {
     val cents = Ivf.centroids(vectors, step)
+    // The plain graph feeds BOTH its recall leg and its rank leg —
+    // build once, materialize (index-sized, the build-cadence cost the
+    // audit already pays once per family).
+    val plainGraph = Nsw.build(vectors, step).localCheckpoint(true)
     val recall = annRecallReport(vectors, step, m, queryIds, nprobe, k)
-      .unionByName(nswRecallFor(vectors,
-        Nsw.build(vectors, step), cents, queryIds, nprobe, k, ef))
+      .unionByName(nswRecallFor(vectors, plainGraph, cents, queryIds, nprobe, k, ef))
       .unionByName(nswRecallFor(vectors,
         Nsw.buildSpilled(vectors, cents, Nsw.spillEps(vectors, cents)),
         cents, queryIds, nprobe, k, ef, method = "nsw_spill"))
     val queries = Knn.labeledPanel(vectors, queryIds)
-    val nswRes = Nsw.searchBatch(Nsw.build(vectors, step), cents,
+    val nswRes = Nsw.searchBatch(plainGraph, cents,
       Knn.queryPanel(vectors, queryIds), nprobe, k, ef)
     val rank = rankMetricsReport(vectors, queryIds, k)
       .withColumn("method", lit("exact"))
