@@ -736,6 +736,22 @@ object OracleSql {
          |WHERE (cum * $PpsN) // total > ((cum - n_chars) * $PpsN) // total
          |ORDER BY doc_id""".stripMargin,
 
+    // q153: weighted reservoir (Efraimidis-Spirakis) — u is exact
+    // integer LCG arithmetic in both engines; the one float op
+    // ln(u)/w ranks only after round(·, 6) (the q67 discipline), with
+    // doc_id breaking rounded ties, so selection matches bit for bit.
+    "q153_weighted_reservoir" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source, n_chars,
+         |    round(ln(CAST((doc_id * 1103515245 + $ReservoirSeed) % 2147483648 + 1 AS DOUBLE)
+         |            / 2147483649.0) / CAST(n_chars AS DOUBLE), 6) AS skey
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, source, n_chars FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY source ORDER BY skey DESC, doc_id) AS rn
+         |  FROM keyed) WHERE rn <= $ReservoirK
+         |ORDER BY source, doc_id""".stripMargin,
+
     // q67: batched exact top-k — the row_number formulation is the
     // SQL mirror of GroupedTopK's per-query bounded heaps.
     "q67_knn_batch" ->
@@ -3014,6 +3030,30 @@ object OracleSql {
          |    OR (n1.n_name = '$Q7NationB' AND n2.n_name = '$Q7NationA'))
          |GROUP BY 1, 2, 3
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    // q154: TPC-H Q9 shape — the partsupp cost leg stands in as the
+    // exact DECIMAL min observed offer per (part, supplier) over
+    // lineitem (the q109 discipline); profit = disc - min_offer is
+    // exact DECIMAL subtraction summed exactly, cast once, round 6.
+    "q154_q9_profit" ->
+      s"""WITH cost AS (
+         |  SELECT l_partkey AS c_part, l_suppkey AS c_supp,
+         |    min(CAST(l_extendedprice AS DECIMAL(12,2))
+         |      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS min_offer
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * (1 - CAST(l_discount AS DECIMAL(12,2))) - min_offer) AS DOUBLE), 6)
+         |    AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN cost ON l_partkey = c_part AND l_suppkey = c_supp
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%$Q9NameLike%'
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin,
 
     // q114: TPC-H Q8 shape — numerator/denominator as exact DECIMAL
     // sums in one conditional pass, then the q98 share recipe: each

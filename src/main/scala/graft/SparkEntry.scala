@@ -112,6 +112,9 @@ object SparkEntry {
                           // cells cross this at every SF
     val PpsN = 25         // q71 pin count: exactly 25 weighted picks
                           // (Σ n_hits telescopes to exactly this)
+    val ReservoirK = 5    // q153 per-source reservoir size
+    val ReservoirSeed = 2026L // q153 LCG seed (the sample is a pure
+                              // function of data + this)
     val CollocMin = 5     // q72 pair min-support: prunes the hapax pair
                           // tail before the df joins
     val AnomZ = 2         // q73 z-score gate (2 sigma flags ~3-7% of
@@ -253,6 +256,9 @@ object SparkEntry {
                                 // at the smallest gate scale)
     val Q7From = "1996-01-01"   // q113 ship window (Q7's 2-year grain)
     val Q7Until = "1998-01-01"
+    val Q9NameLike = "red"      // q154 product family: a color token
+                                // every SF's p_name pool carries
+                                // (~13% of part at each gate scale)
     val Q8Region = "ASIA"       // q114 market region
     val Q8Type = "STANDARD"     // q114 product class
     val Q8Nation = "NATION_18"  // q114 share nation; output is one row
@@ -547,6 +553,8 @@ object SparkEntry {
       Ivf.splitOversized(Tables.embeddings(s, d), IvfStep, RebalanceMax)),
     "q70_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
     "q71_pps_sample" -> ((s, d) => Sampling.ppsSample(Tables.documents(s, d), PpsN)),
+    "q153_weighted_reservoir" -> ((s, d) =>
+      Sampling.weightedReservoir(Tables.documents(s, d), ReservoirK, ReservoirSeed)),
     "q72_collocations" -> ((s, d) =>
       Search.collocations(Tables.documents(s, d), CollocMin, K)),
     "q64c_bq_batch" -> ((s, d) => {
@@ -679,6 +687,10 @@ object SparkEntry {
       Analytics.biNationVolume(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
         Q7NationA, Q7NationB, Q7From, Q7Until)),
+    "q154_q9_profit" -> ((s, d) =>
+      Analytics.q9Profit(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Q9NameLike)),
     "q114_market_share" -> ((s, d) =>
       Analytics.marketShare(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.part(s, d),

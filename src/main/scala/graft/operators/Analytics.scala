@@ -831,6 +831,56 @@ object Analytics {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** Product-line profit attribution (q154, TPC-H Q9 shape): profit
+    * per (supplier nation, order year) over a name-matched product
+    * family — the deepest join tree in the TPC-H set (Q9's 6-way
+    * part ⋈ partsupp ⋈ lineitem ⋈ supplier ⋈ orders ⋈ nation with a
+    * non-anchored LIKE on p_name). This corpus has no supply-cost
+    * table, so the partsupp leg follows q109's stand-in discipline:
+    * per-(part, supplier) cost = MIN observed discounted offer over
+    * lineitem history (exact DECIMAL min — no unit division, no float
+    * noise), making each line's profit its margin over that pair's
+    * best historical offer: disc − min_offer, exact DECIMAL
+    * subtraction summed exactly, cast to double once, round 6.
+    *
+    * Scale shape: the contains-filter prunes part FIRST and
+    * semi-reduces lineitem through the partkey join before anything
+    * wide happens; the cost leg is one groupBy over (partkey,
+    * suppkey) — same key as the join that consumes it, so AQE reuses
+    * the exchange rather than re-shuffling; orders attaches only
+    * (o_orderkey, year); only the fixed-cardinality 25-row nation dim
+    * is hint-broadcast (part and supplier GROW with SF — the
+    * q76/q109 rule). One wide shuffle on orderkey, one on
+    * (part, supp), one final O(nations × years) aggregate. */
+  def q9Profit(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+               supplier: DataFrame, nation: DataFrame,
+               nameLike: String): DataFrame = {
+    val disc = (dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+    val minOffer = lineitem
+      .groupBy(col("l_partkey").as("c_part"), col("l_suppkey").as("c_supp"))
+      .agg(min(disc).as("min_offer"))
+    val redParts = part.where(col("p_name").contains(nameLike))
+      .select("p_partkey")
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        disc.as("disc"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
+      .join(minOffer,
+        col("l_partkey") === col("c_part") && col("l_suppkey") === col("c_supp"))
+      .join(orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(col("disc") - col("min_offer")).as("p"))
+      .select(col("nation"), col("o_year"),
+        round(col("p").cast("double"), 6).as("sum_profit"))
+      .orderBy(asc("nation"), desc("o_year"))
+  }
+
   /** National market share (q114, TPC-H Q8 shape): one nation's share
     * of a region's market for a product type, per order-year — the
     * conditional-share-aggregation class (Q8's `sum(case when

@@ -229,4 +229,42 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
   }
+
+  /** Per-source weighted reservoir sample (q153) — the
+    * Efraimidis-Spirakis exponential-keys scheme (A-ES, 2006): each
+    * doc draws key = ln(u)/w with u ~ U(0,1] and w = n_chars, and the
+    * k LARGEST keys per source are the sample. P(doc in sample) then
+    * follows weighted sampling WITHOUT replacement — heavier docs
+    * proportionally likelier — and, unlike [[ppsSample]], the rule
+    * needs NO global weight total: selection reads each row once with
+    * no normalization pass, which is what makes it the one-pass /
+    * streaming-able member of the sampling family (a reservoir can
+    * fold new rows forever; PPS must re-cumsum the world).
+    *
+    * Determinism discipline (SURVEY §6): u is not RNG state but a pure
+    * function of the row — a 2³¹ LCG step on doc_id, exact integer
+    * arithmetic in any engine — and the one float op ln(u)/w is
+    * quantized to 6 dp on BOTH engines before ranking (the q67
+    * precedent), with doc_id breaking rounded ties. The sample is a
+    * pure function of (data, seed, k).
+    *
+    * Scale shape: ranking runs through [[graft.plans.GroupedTopK]] —
+    * per-partition bounded heaps of k BEFORE the exchange, so the
+    * shuffle carries ≤ partitions × sources × k rows and no full-table
+    * sort or rank column ever materializes. One pass, one (bounded)
+    * exchange, at any corpus size. */
+  def weightedReservoir(docs: DataFrame, k: Int, seed: Long = 2026L): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    // u ∈ (0,1]: LCG step modulo 2^31 (+1 keeps ln finite at 0), all
+    // long arithmetic exact below 2^63 for doc_id up to ~8.3e9
+    val lcg = (col("doc_id") * lit(1103515245L) + lit(seed)) % lit(2147483648L)
+    val u = (lcg + lit(1L)).cast("double") / lit(2147483649.0)
+    val keyed = docs.where(col("n_chars") > 0).select(
+      col("doc_id"), col("source"), col("n_chars"),
+      round(log(u) / col("n_chars").cast("double"), 6).as("skey"))
+    graft.plans.GroupedTopK.topK(keyed, Seq(col("source")),
+        Seq(col("skey").desc, col("doc_id").asc), k)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("source", "doc_id")
+  }
 }

@@ -215,11 +215,13 @@ object Snapshots {
     * as a discovery root), so partitioned and flat dirs coexist in one
     * table history. */
   private def writeData(df: DataFrame, path: String, dataDir: String,
-                        statsCols: Seq[String], partitionBy: Seq[String]): Unit = {
+                        statsCols: Seq[String], partitionBy: Seq[String],
+                        bloomCols: Seq[String] = Seq.empty): Unit = {
     val w = df.write.mode("errorifexists")
     val w2 = if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*)
     w2.parquet(new Path(path, dataDir).toString)
     if (statsCols.nonEmpty) writeStats(df.sparkSession, path, dataDir, statsCols)
+    if (bloomCols.nonEmpty) writeBloom(df.sparkSession, path, dataDir, bloomCols)
   }
 
   private def commit(df: DataFrame, path: String, op: String,
@@ -227,14 +229,15 @@ object Snapshots {
                      schema: Option[org.apache.spark.sql.types.StructType] = None,
                      dels: Seq[DelEntry] = Seq.empty,
                      batchId: Option[Long] = None,
-                     partitionBy: Seq[String] = Seq.empty): Long = {
+                     partitionBy: Seq[String] = Seq.empty,
+                     bloomCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     // Manifest id pinned at ENTRY (dense CAS sequence, see nextId's
     // doc): anything a rival lands after this point makes the install
     // clash rather than silently supersede.
     val id = latest(spark, path) + 1
     val dataDir = s"data/s${nextId(spark, path)}"
-    writeData(df, path, dataDir, statsCols, partitionBy)
+    writeData(df, path, dataDir, statsCols, partitionBy, bloomCols)
     onCommitAttempt()
     installManifest(spark, path, id, op, carry :+ dataDir, dels,
       schema.getOrElse(df.schema), batchId, partitionBy)
@@ -272,9 +275,10 @@ object Snapshots {
   def overwrite(df: DataFrame, path: String,
                 statsCols: Seq[String] = Seq.empty,
                 partitionBy: Seq[String] = Seq.empty,
-                batchId: Option[Long] = None): Long =
+                batchId: Option[Long] = None,
+                bloomCols: Seq[String] = Seq.empty): Long =
     commit(df, path, "overwrite", Seq.empty, statsCols,
-      batchId = batchId, partitionBy = partitionBy)
+      batchId = batchId, partitionBy = partitionBy, bloomCols = bloomCols)
 
   /** Append commit: the new snapshot = parent's directory set + one
     * new directory. No data movement for existing rows — the append
@@ -333,7 +337,8 @@ object Snapshots {
   def append(df: DataFrame, path: String,
              statsCols: Seq[String] = Seq.empty,
              partitionBy: Seq[String] = Seq.empty,
-             maxAttempts: Int = 5): Long = {
+             maxAttempts: Int = 5,
+             bloomCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     var dataDir: Option[String] = None
     var attempt = 0
@@ -346,7 +351,7 @@ object Snapshots {
         val merged = mergedAppendSchema(pm, df) // type clash: not retryable, throws through
         val dir = dataDir.getOrElse {
           val d = s"data/s${nextId(spark, path)}"
-          writeData(df, path, d, statsCols, partitionBy)
+          writeData(df, path, d, statsCols, partitionBy, bloomCols)
           dataDir = Some(d); d
         }
         onCommitAttempt()
@@ -455,9 +460,10 @@ object Snapshots {
     * files when their snapshots expire. */
   def compact(spark: SparkSession, path: String,
               statsCols: Seq[String] = Seq.empty,
-              partitionBy: Seq[String] = Seq.empty): Long =
+              partitionBy: Seq[String] = Seq.empty,
+              bloomCols: Seq[String] = Seq.empty): Long =
     commit(read(spark, path), path, "compact", Seq.empty, statsCols,
-      partitionBy = partitionBy)
+      partitionBy = partitionBy, bloomCols = bloomCols)
 
   /** Copy-on-write MERGE commit: [[Merge.upsert]] resolves the rows,
     * the result lands as a full-replace snapshot. (A file-pruned CoW —
@@ -584,6 +590,176 @@ object Snapshots {
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  // ~1% false positives at 10 bits/key with 7 probes (the classic
+  // k = m/n·ln2 operating point, rounded)
+  private val BloomK = 7
+  private val BloomBitsPerKey = 10
+
+  private def bloomSize(n: Long): Long = {
+    var m = 1024L
+    val want = BloomBitsPerKey * math.max(n, 1L)
+    while (m < want && m < (1L << 27)) m <<= 1
+    m
+  }
+
+  /** Per-file Bloom sidecar for equality-predicate file skipping
+    * (Iceberg/Delta's bloom file index distilled): one bloom per
+    * (file, column), sized at [[BloomBitsPerKey]] bits per row.
+    * Probe positions derive from ONE xxhash64 split into two 31-bit
+    * halves combined as h1 + i·h2 (the Kirsch-Mitzenmacher
+    * double-hashing scheme Guava's BloomFilter uses), so build and
+    * probe agree from a single hash evaluation. False negatives are
+    * impossible — every row's positions are set — so [[pruneEq]]'s
+    * skipping is always sound; a false positive merely scans a file
+    * the filter then empties.
+    *
+    * Scale shape: one scan of the freshly written dir; positions
+    * aggregate into per-file bitmaps via
+    * [[graft.functions.Bitmap.bitmapBuild]] (map-side partial
+    * combine), so the driver handles one bitmap-sized row per written
+    * FILE — bounded by the commit's file count × m/8 bytes — never raw
+    * values. Integral columns hash through cast("long") so the probe
+    * literal's width never matters; strings hash as-is. */
+  private def writeBloom(spark: SparkSession, path: String, dataDir: String,
+                         bloomCols: Seq[String]): Unit = {
+    import spark.implicits._
+    val dirPath = new Path(path, dataDir).toString
+    val df = spark.read.parquet(dirPath)
+    val mDf = df.groupBy(input_file_name().as("__f")).count().collect()
+      .map(r => (r.getString(0), bloomSize(r.getLong(1)))).toSeq
+      .toDF("__f", "m")
+    val enc = java.util.Base64.getEncoder
+    bloomCols.foreach { c =>
+      val dt = df.schema(c).dataType.typeName
+      require(Seq("long", "integer", "short", "byte", "string").contains(dt),
+        s"bloom column $c has unsupported type $dt")
+      val keyExpr = if (dt == "string") col(c) else col(c).cast("long")
+      val rows = df.where(col(c).isNotNull)
+        .select(input_file_name().as("__f"), xxhash64(keyExpr).as("h"))
+        .join(broadcast(mDf), "__f")
+        .select(col("__f"), col("m"), col("h"),
+          explode(sequence(lit(0), lit(BloomK - 1))).as("i"))
+        .withColumn("h1", col("h").bitwiseAND(lit(0x7fffffffL)))
+        .withColumn("h2", shiftrightunsigned(col("h"), 31)
+          .bitwiseAND(lit(0x7fffffffL)).bitwiseOR(lit(1L)))
+        .withColumn("pos", (col("h1") + col("i") * col("h2")) % col("m"))
+        .groupBy("__f")
+        .agg(graft.functions.Bitmap.bitmapBuild(col("pos")).as("bits"),
+          first("m").as("m"))
+        .collect() // one bitmap-sized row per written file
+      val entries = rows.map { r =>
+        val f = r.getString(0).split('/').last
+        s"""{"f":"$f","m":${r.getLong(2)},"b":"${enc.encodeToString(r.getAs[Array[Byte]](1))}"}"""
+      }
+      val body = s"""{"col":"$c","k":$BloomK,"files":[${entries.mkString(",")}]}"""
+      val out = fs(spark, path).create(new Path(path, s"$dataDir.bloom.$c.json"), true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+  }
+
+  /** Parsed bloom sidecar of one (data dir, column): file → (m, bits).
+    * None when the commit recorded no bloom for this column. */
+  private def readBloom(spark: SparkSession, path: String, dataDir: String,
+      colName: String): Option[Map[String, (Long, Array[Byte])]] = {
+    val f = fs(spark, path)
+    val p = new Path(path, s"$dataDir.bloom.$colName.json")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val Pat = """\{"f":"(.*?)","m":(\d+),"b":"([^"]*)"\}""".r
+      val dec = java.util.Base64.getDecoder
+      Some(Pat.findAllMatchIn(body).map(m =>
+        m.group(1) -> (m.group(2).toLong, dec.decode(m.group(3)))).toMap)
+    }
+  }
+
+  private def bloomContains(m: Long, bits: Array[Byte], h: Long): Boolean = {
+    val bm = graft.functions.Bitmap.ChunkedBitmap.deserialize(bits)
+    val h1 = h & 0x7fffffffL
+    val h2 = ((h >>> 31) & 0x7fffffffL) | 1L
+    (0 until BloomK).forall { i =>
+      val pos = (h1 + i * h2) % m
+      (bm.words.getOrElse(pos >> 6, 0L) & (1L << (pos & 63L).toInt)) != 0L
+    }
+  }
+
+  /** The probe-side twin of [[writeBloom]]'s xxhash64: the same Spark
+    * expression evaluated over a literal on the driver, so build and
+    * probe can never drift (integral values widen to long exactly as
+    * the build's cast("long") does). */
+  private def driverXxHash(value: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLiteral, XxHash64}
+    val litE = value match {
+      case s: String => CatLiteral(s)
+      case b: Byte => CatLiteral(b.toLong)
+      case sh: Short => CatLiteral(sh.toLong)
+      case i: Int => CatLiteral(i.toLong)
+      case l: Long => CatLiteral(l)
+      case other => throw new IllegalArgumentException(
+        s"bloom probe supports integral and string values, got ${other.getClass}")
+    }
+    XxHash64(Seq(litE), 42L).eval(null).asInstanceOf[Long]
+  }
+
+  /** The file set an equality predicate `col = value` needs from
+    * snapshot `asOf`: (kept, skipped) absolute paths. A file is
+    * skipped only when its bloom sidecar PROVES the value absent;
+    * dirs without a bloom for this column — or files the sidecar does
+    * not list — are kept conservatively, the [[pruneRange]] contract.
+    * KB-scale driver work: one sidecar read per data dir, no footers
+    * touched. */
+  def pruneEq(spark: SparkSession, path: String, colName: String,
+              value: Any, asOf: Long = 0L): (Seq[String], Seq[String]) = {
+    val id = if (asOf > 0) asOf else latest(spark, path)
+    val (_, dirs) = readManifest(spark, path, id)
+    val f = fs(spark, path)
+    val h = driverXxHash(value)
+    val kept = Seq.newBuilder[String]
+    val skipped = Seq.newBuilder[String]
+    dirs.foreach { d =>
+      val dirAbs = new Path(path, d)
+      readBloom(spark, path, d, colName) match {
+        case None => kept += dirAbs.toString
+        case Some(blooms) =>
+          val it = f.listFiles(dirAbs, true)
+          while (it.hasNext) {
+            val fp = it.next().getPath
+            if (fp.getName.endsWith(".parquet")) {
+              blooms.get(fp.getName) match {
+                case Some((m, bits)) if !bloomContains(m, bits, h) =>
+                  skipped += fp.toString
+                case _ => kept += fp.toString
+              }
+            }
+          }
+      }
+    }
+    (kept.result(), skipped.result())
+  }
+
+  /** Point-lookup read planning ONLY the files whose bloom sidecar
+    * might contain `value` ([[pruneEq]]), then applying the equality
+    * as a normal filter too — correctness never depends on the
+    * sidecar (a bloom-less dir degrades to a filtered scan of that
+    * dir, the [[readRange]] degradation contract; a false positive
+    * scans one extra file and filters it empty). The needle-in-100-TB
+    * read: "fetch document X from the corpus table" opens O(1) files
+    * when commits carried `bloomCols`, where min/max stats can prove
+    * nothing for a high-cardinality unclustered key. Merge-on-read
+    * deletes and the manifest schema compose via [[scanKept]]. */
+  def readEq(spark: SparkSession, path: String, colName: String,
+             value: Any, asOf: Long = 0L): DataFrame = {
+    val id = if (asOf > 0) asOf else latest(spark, path)
+    val m = readManifestFull(spark, path, id)
+    require(m.dirs.nonEmpty, s"snapshot $id of $path lists no data")
+    val (kept, _) = pruneEq(spark, path, colName, value, asOf)
+    val base =
+      if (kept.isEmpty) read(spark, path, asOf).where(lit(false))
+      else scanKept(spark, path, m, kept)
+    base.where(col(colName) === lit(value))
+  }
+
   private val FileEntryPat = """\{"f":"(.*?)"(.*?)\}""".r
 
   /** Parsed stats sidecar of one data dir: file → col → (min, max).
@@ -662,29 +838,34 @@ object Snapshots {
       if (kept.isEmpty)
         // every file provably disjoint: an empty frame with the right schema
         read(spark, path, asOf).where(lit(false))
-      else {
-        // Group kept paths by the data dir they came from, and scan
-        // per dir: merge-on-read deletes scope by dir, partitioned
-        // dirs need their own `basePath` so the pruned leaf files
-        // recover their partition-column values, and every scan plans
-        // under the MANIFEST schema (the read() discipline — a range
-        // spanning pre-/post-evolution dirs must return ONE schema,
-        // with absent columns null-backfilled, never whatever each
-        // footer happens to hold).
-        val RelDir = ".*/(data/s\\d+)(?:/.*)?$".r
-        kept.groupBy { p => p match { case RelDir(d) => d; case _ => p } }
-          .toSeq.sortBy(_._1)
-          .map { case (relDir, files) =>
-            val reader = m.schema.fold(spark.read)(s => spark.read.schema(s))
-            val df = reader
-              .option("basePath", new Path(path, relDir).toString)
-              .parquet(files: _*)
-            applyDelFiles(spark, path,
-              m.dels.filter(_.over.contains(relDir)).map(_.file), df)
-          }
-          .reduce(_ unionByName _)
-      }
+      else scanKept(spark, path, m, kept)
     base.where(col(colName).cast("long") >= lo && col(colName).cast("long") <= hi)
+  }
+
+  /** Scan an explicit kept file/root list under snapshot manifest `m`:
+    * paths group by the data dir they came from and scan per dir —
+    * merge-on-read deletes scope by dir, partitioned dirs need their
+    * own `basePath` so pruned leaf files recover their
+    * partition-column values, and every scan plans under the MANIFEST
+    * schema (the read() discipline — a plan spanning pre-/
+    * post-evolution dirs must return ONE schema, with absent columns
+    * null-backfilled, never whatever each footer happens to hold).
+    * The shared tail of every pruned read ([[readRange]],
+    * [[readPartition]], [[readEq]]). */
+  private def scanKept(spark: SparkSession, path: String, m: Manifest,
+                       kept: Seq[String]): DataFrame = {
+    val RelDir = ".*/(data/s\\d+)(?:/.*)?$".r
+    kept.groupBy { p => p match { case RelDir(d) => d; case _ => p } }
+      .toSeq.sortBy(_._1)
+      .map { case (relDir, files) =>
+        val reader = m.schema.fold(spark.read)(s => spark.read.schema(s))
+        val df = reader
+          .option("basePath", new Path(path, relDir).toString)
+          .parquet(files: _*)
+        applyDelFiles(spark, path,
+          m.dels.filter(_.over.contains(relDir)).map(_.file), df)
+      }
+      .reduce(_ unionByName _)
   }
 
   /** Directory-level partition pruning for an equality predicate on a
@@ -733,20 +914,7 @@ object Snapshots {
     val (kept, _) = prunePartitions(spark, path, colName, value, asOf)
     val base =
       if (kept.isEmpty) read(spark, path, asOf).where(lit(false))
-      else {
-        val RelDir = ".*/(data/s\\d+)(?:/.*)?$".r
-        kept.groupBy { p => p match { case RelDir(d) => d; case _ => p } }
-          .toSeq.sortBy(_._1)
-          .map { case (relDir, roots) =>
-            val reader = m.schema.fold(spark.read)(s => spark.read.schema(s))
-            val df = reader
-              .option("basePath", new Path(path, relDir).toString)
-              .parquet(roots: _*)
-            applyDelFiles(spark, path,
-              m.dels.filter(_.over.contains(relDir)).map(_.file), df)
-          }
-          .reduce(_ unionByName _)
-      }
+      else scanKept(spark, path, m, kept)
     base.where(col(colName).cast("string") === value)
   }
 
@@ -929,14 +1097,17 @@ object Snapshots {
     val live = surviving.flatMap(_.dirs).toSet
     val liveDels = surviving.flatMap(_.dels.map(_.file)).toSet
     val dataRoot = new Path(path, "data")
-    // A `sN.stats.json` sidecar shares its data dir's lifetime: live
-    // iff `data/sN` is live (it is metadata OF that dir, and pruning
-    // degrades gracefully without it, so the conservative rule is
-    // simply dir-coupled deletion).
+    // A sidecar (`sN.stats.json`, `sN.bloom.<col>.json`) shares its
+    // data dir's lifetime: live iff `data/sN` is live (it is metadata
+    // OF that dir, and pruning degrades gracefully without it, so the
+    // conservative rule is simply dir-coupled deletion).
+    val SidecarPat = """^(s\d+)\..+\.json$""".r
     def liveName(n: String) =
       live.contains(s"data/$n") ||
-        (n.endsWith(".stats.json") &&
-          live.contains(s"data/${n.stripSuffix(".stats.json")}"))
+        (n match {
+          case SidecarPat(base) => live.contains(s"data/$base")
+          case _ => false
+        })
     val dead = f.listStatus(dataRoot).map(_.getPath)
       .filter(p => !liveName(p.getName))
     dead.foreach(p => f.delete(p, true))

@@ -422,7 +422,11 @@ class AnalyticsOpsSpec extends SparkSpec {
         Q17Brand, Q17FracInv),
       "q105" -> Analytics.largeOrders(
         Tables.lineitem(spark, sf001), Tables.orders(spark, sf001),
-        Tables.customer(spark, sf001), Q18MinQty, Q18TopN))
+        Tables.customer(spark, sf001), Q18MinQty, Q18TopN),
+      "q154" -> Analytics.q9Profit(
+        Tables.lineitem(spark, sf001), Tables.orders(spark, sf001),
+        Tables.part(spark, sf001), Tables.supplier(spark, sf001),
+        Tables.nation(spark, sf001), Q9NameLike))
     frames.foreach { case (name, df) =>
       val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
       hints.foreach { h =>
@@ -524,6 +528,35 @@ class AnalyticsOpsSpec extends SparkSpec {
       Q7NationA, Q7NationB, Q7From, Q7Until).count()
     assert(n > 0, s"Q7 pair ($Q7NationA, $Q7NationB) has no in-window " +
       "traffic at sf0.001 — pick a busier pair")
+  }
+
+  test("q9Profit: margin over the pair's best historical offer, exact on " +
+    "crafted rows; non-matching parts excluded; year attribution by order") {
+    val ts = (s: String) => Timestamp.valueOf(s + " 00:00:00")
+    val part = Seq((1L, "red widget"), (2L, "blue bolt"))
+      .toDF("p_partkey", "p_name")
+    val supp = Seq((10L, 1)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((1, "FR")).toDF("n_nationkey", "n_name")
+    val ords = Seq((1L, ts("1996-03-01")), (2L, ts("1997-03-01")),
+      (3L, ts("1996-03-01"))).toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, 1L, 10L, 100.0, 0.0),  // red, the pair's best offer → profit 0
+      (2L, 1L, 10L, 200.0, 0.25), // red, disc 150 → profit 50 in 1997
+      (3L, 2L, 10L, 999.0, 0.0))  // blue: name-filtered out entirely
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = Analytics.q9Profit(li, ords, part, supp, nation, "red")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("FR", 1997, 50.0), ("FR", 1996, 0.0)),
+      s"got ${out.toSeq}")
+  }
+
+  test("q9Profit: the name token is non-empty at the smallest gate scale") {
+    import SparkEntry.Params.Q9NameLike
+    val n = Analytics.q9Profit(Tables.lineitem(spark, sf0001),
+      Tables.orders(spark, sf0001), Tables.part(spark, sf0001),
+      Tables.supplier(spark, sf0001), Tables.nation(spark, sf0001),
+      Q9NameLike).count()
+    assert(n > 0, s"Q9 name token '$Q9NameLike' matches nothing at sf0.001")
   }
 
   test("marketShare: conditional share exact on crafted rows; wrong-type " +

@@ -29,6 +29,52 @@ class CurationSpec extends SparkSpec {
     assert(ids(5).subsetOf(ids(10)), "md5-order samples must nest")
   }
 
+  test("weighted reservoir: exactly min(k, stratum) per source, partition-invariant") {
+    val out = Sampling.weightedReservoir(docs, 5)
+    val perSource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.keySet == sizes.keySet, "a stratum disappeared")
+    perSource.foreach { case (s, n) => assert(n == math.min(5L, sizes(s))) }
+    // a pure function of (data, seed, k): repartitioning cannot move it
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val re = Sampling.weightedReservoir(docs.repartition(7), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == re, "sample depends on input partitioning")
+  }
+
+  test("weighted reservoir: matches the driver-side A-ES formula exactly") {
+    val expected = docs.select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0)
+      .map { case (id, src, w) =>
+        val u = ((id * 1103515245L + 2026L) % 2147483648L + 1).toDouble / 2147483649.0
+        val key = BigDecimal(math.log(u) / w.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (src, (-key, id), id)
+      }
+      .groupBy(_._1).iterator.flatMap { case (_, rows) =>
+        rows.sortBy(_._2).take(5).map(_._3)
+      }.toSet
+    val got = Sampling.weightedReservoir(docs, 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, "operator disagrees with the brute-force A-ES selection")
+  }
+
+  test("weighted reservoir: heavier rows dominate selection across seeds") {
+    // one heavy doc (w = 100000) against nine featherweights (w = 1):
+    // at k = 1 the heavy doc's win probability is 1 - 9e-5 per seed, so
+    // across 20 fixed seeds it must take every draw
+    val crafted = (0L to 9L).map(i =>
+      (i, "g", if (i == 3L) 100000L else 1L)).toDF("doc_id", "source", "n_chars")
+    val wins = (1L to 20L).map { seed =>
+      Sampling.weightedReservoir(crafted, 1, seed)
+        .select("doc_id").collect().head.getLong(0)
+    }
+    assert(wins.forall(_ == 3L), s"featherweight beat a 1e5x weight: $wins")
+  }
+
   test("outliers: a far point flags at 2x its cluster mean, the huddle does not") {
     // centroid stride 4 over 8 vectors → centroids from vec 0 (origin)
     // and vec 4 (10,10) — the far point's id is NOT on the stride, so

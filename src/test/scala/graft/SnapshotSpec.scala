@@ -475,6 +475,67 @@ class SnapshotSpec extends SparkSpec {
       "range read over a partitioned dir must recover partition values")
   }
 
+  test("bloom sidecar: a point lookup opens O(1) files, an absent key ~none, " +
+    "and pruning composes across commits") {
+    import spark.implicits._
+    val path = freshPath("bloom")
+    val base = (0L until 1000L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_chars")
+      .repartitionByRange(8, col("doc_id"))
+    Snapshots.overwrite(base, path, bloomCols = Seq("doc_id"))
+    val (kept, skipped) = Snapshots.pruneEq(spark, path, "doc_id", 500L)
+    assert(kept.size + skipped.size == 8, s"expected 8 files, saw ${kept.size + skipped.size}")
+    // the holder file is kept (no false negatives, asserted via the
+    // row coming back); FPs may keep a stray file but never most
+    assert(kept.nonEmpty && kept.size <= 3, s"point lookup kept ${kept.size} of 8 files")
+    val hit = Snapshots.readEq(spark, path, "doc_id", 500L).collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(500L))
+    // absent key: provably-empty scan (modulo ~1% FP per file)
+    val (keptA, _) = Snapshots.pruneEq(spark, path, "doc_id", 5000L)
+    assert(keptA.size <= 2, s"absent key kept ${keptA.size} files")
+    assert(Snapshots.readEq(spark, path, "doc_id", 5000L).count() == 0L)
+    // append composes: both generations probe their own sidecars
+    Snapshots.append(Seq((5000L, 99L)).toDF("doc_id", "n_chars"), path,
+      bloomCols = Seq("doc_id"))
+    assert(Snapshots.readEq(spark, path, "doc_id", 5000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5000L, 99L)))
+    val (kept2, skipped2) = Snapshots.pruneEq(spark, path, "doc_id", 500L)
+    assert(skipped2.size >= skipped.size, "old generation stopped pruning")
+    assert(Snapshots.readEq(spark, path, "doc_id", 500L).count() == 1L)
+    // merge-on-read compose: a tombstoned key stays gone on the pruned scan
+    Snapshots.deleteKeys(spark, path,
+      Seq(500L).toDF("doc_id"), "doc_id")
+    assert(Snapshots.readEq(spark, path, "doc_id", 500L).count() == 0L,
+      "bloom-pruned read must still apply merge-on-read tombstones")
+  }
+
+  test("bloom sidecar: string columns probe, bloom-less commits degrade to " +
+    "kept-whole, and vacuum reclaims sidecars with their dir") {
+    import spark.implicits._
+    val path = freshPath("bloomstr")
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // range layout on doc_id makes each file single-source
+    val docs = (0L until 400L).map(i =>
+      (i, if (i < 200) "wiki" else "crawl")).toDF("doc_id", "source")
+      .repartitionByRange(4, col("doc_id"))
+    Snapshots.overwrite(docs, path, bloomCols = Seq("source"))
+    val (kept, skipped) = Snapshots.pruneEq(spark, path, "source", "wiki")
+    assert(skipped.nonEmpty, "single-source files must prune on the other source")
+    assert(Snapshots.readEq(spark, path, "source", "wiki").count() == 200L)
+    // a bloom-less commit keeps its dir whole — correctness never
+    // depends on the sidecar
+    Snapshots.append(Seq((400L, "wiki")).toDF("doc_id", "source"), path)
+    assert(Snapshots.readEq(spark, path, "source", "wiki").count() == 201L)
+    val (kept2, _) = Snapshots.pruneEq(spark, path, "source", "news")
+    assert(kept2.exists(_.contains("/data/s2")), "bloom-less dir must be kept whole")
+    // vacuum couples sidecar lifetime to the dir
+    assert(f.exists(new Path(s"$path/data/s1.bloom.source.json")))
+    Snapshots.overwrite(Seq((1L, "x")).toDF("doc_id", "source"), path)
+    Snapshots.vacuum(spark, path, keepFrom = 3L)
+    assert(!f.exists(new Path(s"$path/data/s1.bloom.source.json")),
+      "expired dir's bloom sidecar must be reclaimed")
+    assert(!f.exists(new Path(s"$path/data/s1")))
+  }
+
   test("readRange spans schema evolution: pre-evolution files null-backfill " +
     "the added column under the manifest schema (never footer-dependent)") {
     import spark.implicits._
