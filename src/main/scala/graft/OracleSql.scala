@@ -2378,6 +2378,45 @@ object OracleSql {
          |  round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logp
          |FROM scoredbg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q155: word-bigram Stupid Backoff — the pair stream, both count
+    // tables, and both micro-unit score legs mirrored verbatim; the
+    // len >= 2 gate matches the Spark side's pre-sequence filter.
+    "q155_backoff_lm" ->
+      s"""WITH tagged AS (
+         |  SELECT doc_id, ${toks()} AS tk,
+         |    CASE WHEN ${hash60("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
+         |         THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, split,
+         |    tk[CAST(i AS INT)] AS w1, tk[CAST(i AS INT) + 1] AS w2
+         |  FROM (SELECT doc_id, split, tk, unnest(range(1, len(tk))) AS i
+         |        FROM tagged WHERE len(tk) >= 2)),
+         |trn AS (SELECT w1, w2, count(*) AS cnt_bg FROM pairs
+         |        WHERE split = 'train' GROUP BY 1, 2),
+         |ctx AS (SELECT w1, sum(cnt_bg) AS cnt_ctx FROM trn GROUP BY 1),
+         |uni AS (SELECT w2 AS u_w, count(*) AS cnt_uni FROM pairs
+         |        WHERE split = 'train' GROUP BY 1),
+         |nv AS (SELECT count(*) AS n_pairs_train, count(DISTINCT w2) AS vs
+         |       FROM pairs WHERE split = 'train'),
+         |scored AS (
+         |  SELECT p.doc_id,
+         |    CAST(floor(CASE WHEN t.cnt_bg IS NOT NULL
+         |      THEN ln(CAST(t.cnt_bg AS DOUBLE) / c.cnt_ctx)
+         |      ELSE ln(0.4 * CAST(coalesce(u.cnt_uni, 0) + 1 AS DOUBLE)
+         |              / (n_pairs_train + vs))
+         |      END * 1000000.0) AS BIGINT) AS lp
+         |  FROM pairs p
+         |  LEFT JOIN trn t ON p.w1 = t.w1 AND p.w2 = t.w2
+         |  LEFT JOIN ctx c ON p.w1 = c.w1
+         |  LEFT JOIN uni u ON p.w2 = u.u_w
+         |  CROSS JOIN nv)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(lp) AS BIGINT) AS sum_logp_micro,
+         |  round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logp
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q41_vocab_stats" ->
       s"""WITH tok AS (SELECT source, unnest(${toks()}) AS term FROM documents),
          |tf AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2),

@@ -431,6 +431,8 @@ object SparkEntry {
     "q37_domain_mix" -> ((s, d) =>
       CorpusPipeline.domainMix(Tables.documents(s, d), CorpusPipeline.srcTargetPpm)),
     "q38_lm_score" -> ((s, d) => LanguageModel.lmScore(Tables.documents(s, d), TrainPct)),
+    "q155_backoff_lm" -> ((s, d) =>
+      LanguageModel.backoffScore(Tables.documents(s, d), TrainPct)),
     "q39_embedding_contam" -> ((s, d) => CorpusPipeline.embeddingContamination(
       Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold, TrainPct)),
     "q40_tfidf_terms" -> ((s, d) => Search.tfidfTopTerms(Tables.documents(s, d), TfidfK)),

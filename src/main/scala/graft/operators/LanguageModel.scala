@@ -66,4 +66,74 @@ object LanguageModel {
         round(sum("lp").cast("double") / (lit(1000000.0) * count(lit(1))), 6).as("avg_logp"))
       .orderBy("doc_id")
   }
+
+  /** WORD-bigram Stupid Backoff scoring (q155; Brants et al. 2007,
+    * "Large Language Models in Machine Translation") — the
+    * distributed-model complement of [[lmScore]]: where the char model
+    * is alphabet²-bounded and BROADCASTS, a word-bigram model is
+    * vocabulary-sized — at web scale it does not fit one node, which
+    * is precisely the setting Stupid Backoff was published for: an
+    * unnormalized score, S(w₂|w₁) = cnt(w₁w₂)/ctx(w₁) when the bigram
+    * was seen in training, else α·(cnt(w₂)+1)/(N+V) (α = 0.4, the
+    * paper's constant; the backoff leg is Laplace-smoothed so unseen
+    * words score a well-defined floor) — chosen exactly because it
+    * needs no cross-row normalization pass and serves from count
+    * tables as they are.
+    *
+    * Scale shape: the model IS two count tables (bigram, unigram)
+    * partitioned by their keys; scoring joins each document's pair
+    * stream against them by HASH JOIN on (bg) and (w₂) — no broadcast
+    * of unbounded state anywhere, and the model-side shuffles reuse
+    * the groupBy exchanges that built the counts (same keys). Per-doc
+    * accumulation then partial-aggs to one row per doc. Contrast
+    * [[lmScore]], whose whole model rides the broadcast: these are the
+    * two serving shapes a corpus-scale LM filter can take, and WHICH
+    * one is right depends only on model cardinality.
+    *
+    * Cross-engine exactness: same micro-unit discipline as [[lmScore]]
+    * — both legs quantize floor(ln(s)·1e6) per pair, integer-sum, one
+    * final division. Context counts come from the PAIR stream (ctx(w₁)
+    * = Σ_w₂ cnt(w₁w₂)), so seen-bigram scores are ≤ 1 by
+    * construction. */
+  def backoffScore(docs: DataFrame, trainPct: Int = 90): DataFrame = {
+    val tagged = docs.withColumn("split", CorpusPipeline.splitCol(trainPct))
+    // adjacent word pairs; sub-2-token docs are filtered BEFORE the
+    // sequence (Spark's sequence(1, 0) steps BACKWARD rather than
+    // yielding empty) and contribute no rows — the CharNgrams
+    // convention, matched by a length gate in the SQL mirror
+    val pairs = tagged
+      .select(col("doc_id"), col("split"),
+        TextAnalysis.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("split"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(tk[i-1] AS w1, tk[i] AS w2))")).as("p"))
+      .select(col("doc_id"), col("split"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val trn = pairs.where(col("split") === "train")
+    val bgCnt = trn.groupBy("w1", "w2").agg(count(lit(1)).as("cnt_bg"))
+    val ctx = bgCnt.groupBy("w1").agg(sum("cnt_bg").as("cnt_ctx"))
+    val uni = trn.groupBy(col("w2").as("u_w")).agg(count(lit(1)).as("cnt_uni"))
+    val nv = trn.agg(count(lit(1)).as("n_pairs_train"),
+      countDistinct(col("w2")).as("vs"))
+    val lp = floor(
+      when(col("cnt_bg").isNotNull,
+        log(col("cnt_bg").cast("double") / col("cnt_ctx")))
+        .otherwise(log(lit(0.4) *
+          (coalesce(col("cnt_uni"), lit(0L)) + 1L).cast("double") /
+          (col("n_pairs_train") + col("vs"))))
+        * 1000000.0).cast("long")
+    pairs
+      .join(bgCnt, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni, col("w2") === col("u_w"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("lp").as("sum_logp_micro"),
+        round(sum("lp").cast("double") / (lit(1000000.0) * count(lit(1))), 6).as("avg_logp"))
+      .orderBy("doc_id")
+  }
 }

@@ -219,6 +219,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(good > bad && good <= 0.0 && bad < 0.0)
   }
 
+  test("backoffScore: seen bigrams score cnt/ctx; unseen pairs back off " +
+    "through the Laplace unigram leg; sub-2-token docs contribute nothing") {
+    val docs = Seq(
+      (trainIds(0), "the cat sat"),
+      (trainIds(1), "the cat ran"),
+      (evalIds(0), "the cat"),   // seen bigram: cnt=2, ctx(the)=2 → ln 1 = 0
+      (evalIds(1), "cat the"),   // unseen; w2 "the" never a train w2 → floor leg
+      (evalIds(2), "solo"),      // 1 token → no rows
+      (evalIds(3), "")           // empty → no rows
+    ).toDF("doc_id", "text")
+    val out = LanguageModel.backoffScore(docs, 90).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(trainIds(0), trainIds(1), evalIds(0), evalIds(1)))
+    assert(out(evalIds(0)) == ((1L, 0L, 0.0)), s"seen bigram: ${out(evalIds(0))}")
+    // train pairs: (the,cat)x2 (cat,sat) (cat,ran) → N=4, V=|{cat,sat,ran}|=3
+    val floorLp = math.floor(math.log(0.4 * 1.0 / (4 + 3)) * 1e6).toLong
+    val (n1, s1, a1) = out(evalIds(1))
+    assert(n1 == 1L && s1 == floorLp && math.abs(a1 - floorLp / 1e6) < 1e-9,
+      s"backoff leg: ${out(evalIds(1))} vs $floorLp")
+  }
+
   test("embeddingContamination: only eval ids, every match above threshold") {
     import SparkEntry.Params._
     val out = CorpusPipeline.embeddingContamination(
