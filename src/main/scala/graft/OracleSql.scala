@@ -2395,10 +2395,9 @@ object OracleSql {
          |trn AS (SELECT w1, w2, count(*) AS cnt_bg FROM pairs
          |        WHERE split = 'train' GROUP BY 1, 2),
          |ctx AS (SELECT w1, sum(cnt_bg) AS cnt_ctx FROM trn GROUP BY 1),
-         |uni AS (SELECT w2 AS u_w, count(*) AS cnt_uni FROM pairs
-         |        WHERE split = 'train' GROUP BY 1),
-         |nv AS (SELECT count(*) AS n_pairs_train, count(DISTINCT w2) AS vs
-         |       FROM pairs WHERE split = 'train'),
+         |uni AS (SELECT w2 AS u_w, sum(cnt_bg) AS cnt_uni FROM trn GROUP BY 1),
+         |nv AS (SELECT sum(cnt_bg) AS n_pairs_train, count(DISTINCT w2) AS vs
+         |       FROM trn),
          |scored AS (
          |  SELECT p.doc_id,
          |    CAST(floor(CASE WHEN t.cnt_bg IS NOT NULL

@@ -111,10 +111,18 @@ object LanguageModel {
       .select(col("doc_id"), col("split"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
     val trn = pairs.where(col("split") === "train")
+    // ONE corpus-sized model pass: every other model table derives
+    // from the vocabulary-bounded bigram counts (uni(w₂) = Σ_w₁ cnt,
+    // N = Σ cnt, V = |distinct w₂| — identities over the pair stream),
+    // and the four legs share the bgCnt subtree CANONICALLY, so AQE's
+    // exchange reuse computes the corpus aggregation once. The whole
+    // job is two passes over the text: one to build the model, one to
+    // score against it.
     val bgCnt = trn.groupBy("w1", "w2").agg(count(lit(1)).as("cnt_bg"))
     val ctx = bgCnt.groupBy("w1").agg(sum("cnt_bg").as("cnt_ctx"))
-    val uni = trn.groupBy(col("w2").as("u_w")).agg(count(lit(1)).as("cnt_uni"))
-    val nv = trn.agg(count(lit(1)).as("n_pairs_train"),
+    val uni = bgCnt.groupBy(col("w2").as("u_w"))
+      .agg(sum("cnt_bg").as("cnt_uni"))
+    val nv = bgCnt.agg(sum("cnt_bg").as("n_pairs_train"),
       countDistinct(col("w2")).as("vs"))
     val lp = floor(
       when(col("cnt_bg").isNotNull,
