@@ -253,15 +253,21 @@ object Sampling {
     * shuffle carries ≤ partitions × sources × k rows and no full-table
     * sort or rank column ever materializes. One pass, one (bounded)
     * exchange, at any corpus size. */
-  def weightedReservoir(docs: DataFrame, k: Int, seed: Long = 2026L): DataFrame = {
-    require(k > 0, s"sample size must be positive, got $k")
-    // u ∈ (0,1]: LCG step modulo 2^31 (+1 keeps ln finite at 0), all
-    // long arithmetic exact below 2^63 for doc_id up to ~8.3e9
+  /** The A-ES ranking key shared by the batch operator and its
+    * streaming twin ([[graft.streaming.ReservoirStream]]): round-6
+    * quantized ln(u)/w with u a pure LCG function of doc_id —
+    * u ∈ (0,1]: LCG step modulo 2^31 (+1 keeps ln finite at 0), all
+    * long arithmetic exact below 2^63 for doc_id up to ~8.3e9. */
+  private[graft] def aesKey(seed: Long): org.apache.spark.sql.Column = {
     val lcg = (col("doc_id") * lit(1103515245L) + lit(seed)) % lit(2147483648L)
     val u = (lcg + lit(1L)).cast("double") / lit(2147483649.0)
+    round(log(u) / col("n_chars").cast("double"), 6)
+  }
+
+  def weightedReservoir(docs: DataFrame, k: Int, seed: Long = 2026L): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
     val keyed = docs.where(col("n_chars") > 0).select(
-      col("doc_id"), col("source"), col("n_chars"),
-      round(log(u) / col("n_chars").cast("double"), 6).as("skey"))
+      col("doc_id"), col("source"), col("n_chars"), aesKey(seed).as("skey"))
     graft.plans.GroupedTopK.topK(keyed, Seq(col("source")),
         Seq(col("skey").desc, col("doc_id").asc), k)
       .select(col("doc_id"), col("source"), col("n_chars"))

@@ -330,6 +330,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streaming weighted reservoir converges to the batch sample bit-for-bit " +
+    "across micro-batch boundaries") {
+    import graft.streaming.ReservoirStream
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "n_chars")
+    val srcDir = s"${System.getProperty("java.io.tmpdir")}/graft_resv_stream_src"
+    // 3 files + maxFilesPerTrigger=1 → the same rows arrive over 3
+    // micro-batches; top-k of a set is batching-insensitive, so the
+    // final reservoirs must match the batch operator exactly
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val streamed = ReservoirStream.weightedReservoir(
+      spark.readStream.schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir), k = 5)
+    val q = streamed.writeStream
+      .format("memory").queryName("resv_sink").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // every survivor was emitted when it entered its reservoir, and
+    // every emitted row is real data — so the deterministic top-k over
+    // the distinct emissions IS the final state
+    val emitted = spark.table("resv_sink").distinct()
+    val got = Sampling.weightedReservoir(emitted, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = Sampling.weightedReservoir(docs, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == want, s"stream reservoir diverged from batch")
+    assert(emitted.count() >= want.length.toLong,
+      "stream emitted fewer rows than the final reservoirs hold")
+  }
+
   test("streaming MV maintenance: the folded view equals the batch summary bit-for-bit and " +
     "each micro-batch left a time-travelable view version") {
     import graft.operators.{Mv, Snapshots}
