@@ -1602,6 +1602,47 @@ object OracleSql {
          |JOIN embeddings v ON v.vec_id = a.vec_id, q
          |ORDER BY score DESC, v.vec_id LIMIT $K""".stripMargin,
 
+    // q159: exact-substring repeat report — every-offset L-token
+    // windows, duplicated = hash at ≥2 sites corpus-wide, per-doc
+    // coverage via island-merged hit intervals (running-max window,
+    // same pattern as the Spark side step for step).
+    "q159_repeated_substrings" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, len(ts) AS n_tokens, ts
+         |  FROM (SELECT doc_id, ${toks()} AS ts FROM documents)
+         |  WHERE len(ts) > 0),
+         |wins AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    ${hash60(s"array_to_string(list_slice(ts, i, i + $RepeatWindow - 1), ' ')")} AS h
+         |  FROM base, unnest(range(1, len(ts) - $RepeatWindow + 2)) AS r(i)),
+         |duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+         |hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN duph USING (h)),
+         |isl0 AS (
+         |  SELECT doc_id, pos,
+         |    max(pos + $RepeatWindow - 1) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM hits),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl0),
+         |agg AS (
+         |  SELECT doc_id, island, min(pos) AS s, max(pos) + $RepeatWindow - 1 AS e,
+         |    count(*) AS nw
+         |  FROM isl GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT doc_id, sum(e - s + 1) AS covered, sum(nw) AS n_dup_windows,
+         |    count(*) AS n_islands
+         |  FROM agg GROUP BY 1)
+         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
+         |  CAST(coalesce(p.n_islands, 0) AS BIGINT) AS n_islands,
+         |  round(CAST(coalesce(p.covered, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) AS dup_frac
+         |FROM base b LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
+
     "q46_span_dedup" ->
       s"""WITH sized AS (
          |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)
@@ -1903,6 +1944,54 @@ object OracleSql {
          |SELECT a, b, round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
          |FROM pairs WHERE uni > 0 AND round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) > 0.0
          |ORDER BY a, b""".stripMargin,
+
+    // q157: directed shingle containment (Broder's containment; the
+    // asymmetric complement of q14c). Same blocked pair generator, both
+    // per-side ratios rounded BEFORE the greatest() threshold, exactly
+    // as the Spark side rounds before filtering.
+    "q157_containment_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, lang, source, ${shingles()} AS sh FROM documents),
+         |pairs AS (
+         |  SELECT l.doc_id AS a, r.doc_id AS b,
+         |    CAST(len(list_intersect(l.sh, r.sh)) AS INT) AS inter,
+         |    CAST(len(l.sh) AS INT) AS n_a, CAST(len(r.sh) AS INT) AS n_b
+         |  FROM sh l JOIN sh r
+         |    ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id)
+         |SELECT a, b,
+         |  round(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS containment_a,
+         |  round(CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS containment_b
+         |FROM pairs
+         |WHERE n_a > 0 AND n_b > 0 AND greatest(
+         |    round(CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE), 6),
+         |    round(CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE), 6)) >= $MinContainment
+         |ORDER BY a, b""".stripMargin,
+
+    // q156: cluster-balanced sample — q09's assignment CTE verbatim,
+    // then a per-cell row_number cap ordered by the 60-bit md5 of the
+    // vec_id (Dedup.hash60), tie-broken by vec_id.
+    "q156_cluster_sample" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c),
+         |ranked AS (
+         |  SELECT vec_id, centroid_id, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |  FROM scored),
+         |assigned AS (SELECT vec_id, centroid_id, dist FROM ranked WHERE rn = 1),
+         |keyed AS (
+         |  SELECT vec_id, centroid_id, dist,
+         |    ${hash60("CAST(vec_id AS VARCHAR)")} AS rk
+         |  FROM assigned),
+         |capped AS (
+         |  SELECT centroid_id, vec_id, dist,
+         |    row_number() OVER (PARTITION BY centroid_id ORDER BY rk, vec_id) AS rn2
+         |  FROM keyed)
+         |SELECT centroid_id, vec_id, dist FROM capped WHERE rn2 <= $CellCap
+         |ORDER BY centroid_id, vec_id""".stripMargin,
 
     "q15_cosine_pairs" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b, l.label AS label,

@@ -113,6 +113,9 @@ object SparkEntry {
     val PpsN = 25         // q71 pin count: exactly 25 weighted picks
                           // (Σ n_hits telescopes to exactly this)
     val ReservoirK = 5    // q153 per-source reservoir size
+    val CellCap = 8       // q156 per-IVF-cell sample cap
+    val MinContainment = 0.5 // q157 directed-containment threshold
+    val RepeatWindow = 8  // q159 exact-substring repeat window (tokens)
     val ReservoirSeed = 2026L // q153 LCG seed (the sample is a pure
                               // function of data + this)
     val CollocMin = 5     // q72 pair min-support: prunes the hapax pair
@@ -378,6 +381,10 @@ object SparkEntry {
       Dedup.minhashLsh(Tables.documents(s, d), ShingleK, NumHashes, RowsPerBand, MinEstJaccard)),
     "q14b_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),
     "q14c_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables.documents(s, d), ShingleK)),
+    "q157_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), ShingleK, MinContainment)),
+    "q156_cluster_sample" -> ((s, d) =>
+      Sampling.clusterBalancedSample(Tables.embeddings(s, d), IvfStep, CellCap)),
     "q15_cosine_pairs" -> ((s, d) => Dedup.cosinePairs(Tables.embeddings(s, d), CosineThreshold)),
     "q15b_cosine_lsh" -> ((s, d) =>
       Dedup.cosineLsh(Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold)),
@@ -452,6 +459,8 @@ object SparkEntry {
     }),
     "q46_span_dedup" -> ((s, d) =>
       CorpusPipeline.spanDedup(Tables.documents(s, d), SpanTokens)),
+    "q159_repeated_substrings" -> ((s, d) =>
+      CorpusPipeline.repeatedSubstrings(Tables.documents(s, d), RepeatWindow)),
     "q47_profile" -> ((s, d) => Profile.profile(Tables.documents(s, d), ProfileCols)),
     "q48_ivfpq_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1013,6 +1022,32 @@ object SparkEntry {
           sum(length(col("payload"))).as("n_bytes"),
           graft.operators.Dedup.hash60(concat_ws(",",
             sort_array(collect_list(md5(col("payload")))))).as("content_sig"))
+        .orderBy("shard")
+    }),
+    "q158_safetensors" -> ((s, d) => {
+      // Rows-only (binary sink plumbing, the q149 class): dump the
+      // embedding table as safetensors shards (the LLM-ecosystem tensor
+      // interchange format), read back through the binaryFile-explode
+      // source, report per-shard vector counts, the dimension, and a
+      // content signature over (id, rounded L2) — deterministic because
+      // shard bytes are a pure function of the rows (fixed-order
+      // headers) and repartitionByRange makes membership data-defined.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_st_" +
+        Integer.toHexString(d.hashCode)
+      val dir = new java.io.File(path)
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+      val emb = Tables.embeddings(s, d)
+        .select("vec_id", "embedding")
+        .repartitionByRange(4, col("vec_id"))
+        .sortWithinPartitions("vec_id")
+      graft.sources.Safetensors.write(emb, path, shardMaxRows = 100)
+      graft.sources.Safetensors.read(s, path)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_vecs"),
+          max(size(col("embedding"))).as("dim"),
+          graft.operators.Dedup.hash60(concat_ws(",",
+            sort_array(collect_list(concat_ws(":", col("vec_id"),
+              round(graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")), 4)))))).as("content_sig"))
         .orderBy("shard")
     }),
     "q147_mor_delete" -> ((s, d) => {

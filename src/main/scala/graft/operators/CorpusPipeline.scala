@@ -402,6 +402,62 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** Cross-offset exact-substring repeat report (the DETECTION half of
+    * Lee et al. 2022's ExactSubstr dedup, at token granularity): a
+    * length-L token window at EVERY offset — not [[spanDedup]]'s
+    * aligned, non-overlapping spans, which miss a verbatim repeat the
+    * moment it starts mid-span — is hashed, a window is DUPLICATED when
+    * its hash occurs at ≥2 sites anywhere in the corpus (other doc or
+    * other offset — self-repeats are memorization risk too), and each
+    * document reports how much of it is covered by duplicated windows:
+    * overlapping hit windows merge into maximal islands (the "maximal
+    * repeated substring" readout) and the covered-token fraction is the
+    * per-doc removal/penalty signal.
+    *
+    * Scale shape: windows are a narrow posexplode (corpus token count ×
+    * 1 rows, same cost class as shingling), duplicate detection is one
+    * hash-groupBy, and the island merge is a per-doc running max — a
+    * window function over (doc_id, pos), i.e. one hash exchange on
+    * doc_id and a WITHIN-PARTITION sort of each doc's hit list (hits,
+    * not tokens), never a global sort. */
+  def repeatedSubstrings(docs: DataFrame, windowTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowTokens > 1, s"windowTokens must exceed 1, got $windowTokens")
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("__ts"))
+      .select(col("doc_id"), size(col("__ts")).as("n_tokens"), col("__ts"))
+      .where(col("n_tokens") > 0)
+    val wins = base
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.ngramsOf(col("__ts"), windowTokens)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), Dedup.hash60(col("g")).as("h"))
+    val dupH = wins.groupBy("h").agg(count(lit(1)).as("n_sites"))
+      .where(col("n_sites") >= 2).select("h")
+    val hits = wins.join(dupH, "h").select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val isl = hits
+      .withColumn("prev_end", max(col("pos") + lit(windowTokens - 1))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byPos))
+    val perIsland = isl.groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max("pos") + lit(windowTokens - 1)).as("e"),
+        count(lit(1)).as("nw"))
+    val perDoc = perIsland.groupBy("doc_id")
+      .agg(sum(col("e") - col("s") + 1).as("covered"),
+        sum("nw").as("n_dup_windows"), count(lit(1)).as("n_islands"))
+    base.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        round(coalesce(col("covered"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   def prepare(docs: DataFrame, k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 2,
               minEstJaccard: Double = 0.5, minTokens: Int = 5,
               maxMeanTokenLen: Double = 15.0): DataFrame = {

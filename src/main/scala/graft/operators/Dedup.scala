@@ -242,6 +242,45 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** Shingle-CONTAINMENT near-dup pairs — the asymmetric complement of
+    * [[ngramJaccard]]. Jaccard |A∩B|/|A∪B| goes to zero when a short
+    * document is quoted verbatim inside a much longer one (the union is
+    * dominated by the long side), which is exactly the partial-copy /
+    * quote-inclusion case a training-corpus dedup must catch (the
+    * "containment" of Broder 1997's resemblance/containment pair).
+    * Containment(a in b) = |A∩B|/|A| is 1.0 there regardless of the
+    * length ratio.
+    *
+    * Same scale shape as [[ngramJaccard]]: distinct k-shingles hashed to
+    * 60-bit longs, inverted-index self-equi-join on
+    * (lang, source, shingle-hash) — deterministic blocking, never
+    * all-pairs — one partial-agg exchange for the per-pair intersection
+    * counts, per-doc set sizes joined back by id. Emits BOTH directions
+    * per unordered pair (containment_a = |A∩B|/|A|, containment_b =
+    * |A∩B|/|B|), filtered where either side's containment clears the
+    * threshold: the consumer reads which side is the contained (shorter)
+    * document directly off the row. */
+  def containmentPairs(docs: DataFrame, k: Int = 3, minContainment: Double = 0.5): DataFrame = {
+    val ex = shingleRows(docs, k, "lang", "source")
+      .select(col("lang"), col("source"), col("doc_id"), hash60(col("s")).as("h"))
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val l = ex.select(col("lang"), col("source"), col("doc_id").as("a"), col("h"))
+    val r = ex.select(col("lang"), col("source"), col("doc_id").as("b"), col("h"))
+    val inter = l.join(r, Seq("lang", "source", "h"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("n_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("n_b")), "b")
+      .withColumn("containment_a",
+        round(col("inter").cast("double") / col("n_a").cast("double"), 6))
+      .withColumn("containment_b",
+        round(col("inter").cast("double") / col("n_b").cast("double"), 6))
+      .where(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+      .select("a", "b", "containment_a", "containment_b")
+      .orderBy("a", "b")
+  }
+
   /** Deterministic pseudo-random hyperplane for sign-LSH: component t of
     * the flattened (plane, dim) index via an LCG, quantized to dyadic
     * rationals k/1024 ∈ [-1, 1) so the decimal literal round-trips to the

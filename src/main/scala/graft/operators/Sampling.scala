@@ -273,4 +273,32 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("source", "doc_id")
   }
+
+  /** Cluster-balanced embedding sample (q156): cap the corpus at `cap`
+    * vectors PER IVF CELL, selected by a deterministic per-row hash rank.
+    * The diversity-preserving subsampler a training pipeline runs before
+    * an expensive downstream stage (SemDeDup, hard-negative mining,
+    * human eval): a uniform sample keeps the corpus's cluster imbalance
+    * — dense regions dominate, sparse clusters can vanish entirely —
+    * while a per-cell cap keeps EVERY region represented at bounded
+    * cost (the "cluster-balanced" half of DoReMi/D4-era data-diet
+    * recipes).
+    *
+    * Scale shape: the assignment is [[Ivf.assign]]'s zero-shuffle
+    * codegen argmin over broadcast centroids, and the per-cell cap runs
+    * through [[graft.plans.GroupedTopK]] bounded heaps — the only
+    * exchange carries ≤ partitions × cells × cap rows. No window sort,
+    * no per-cell collect, at any corpus size. Determinism: the rank key
+    * is the 60-bit md5 of the vec_id ([[Dedup.hash60]] — exactly
+    * mirrorable in the oracle), tie-broken by vec_id; the sample is a
+    * pure function of the data. */
+  def clusterBalancedSample(vectors: DataFrame, step: Int, cap: Int): DataFrame = {
+    require(cap > 0, s"per-cell cap must be positive, got $cap")
+    val assigned = Ivf.assign(vectors, Ivf.centroids(vectors, step))
+      .withColumn("rk", Dedup.hash60(col("vec_id").cast("string")))
+    graft.plans.GroupedTopK.topK(assigned, Seq(col("centroid_id")),
+        Seq(col("rk").asc, col("vec_id").asc), cap)
+      .select(col("centroid_id"), col("vec_id"), col("dist"))
+      .orderBy("centroid_id", "vec_id")
+  }
 }

@@ -375,4 +375,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e1 != (0L until 200L))  // and it is not the identity order
     assert(e1.sorted == (0L until 200L)) // but still a permutation
   }
+
+  test("repeatedSubstrings: UNALIGNED cross-doc repeat caught (the case " +
+    "aligned spans miss), self-repeat counted, islands merge, zeros for clean docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),                 // shares c..g with doc 2
+      (2L, "z1 z2 z3 c d e f g z4 z5"),            // at a DIFFERENT offset
+      (3L, "p q r s t u v w"),                     // clean
+      (4L, "m n o p XX m n o p")                   // self-repeat, 2 islands
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.repeatedSubstrings(docs, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    // doc 1: dup windows "c d e f"@2, "d e f g"@3 → one island [2,6],
+    // 5 covered of 10 tokens
+    assert(out(1L) == ((10L, 2L, 5L, 1L, 0.5)), s"doc1: ${out(1L)}")
+    // doc 2: same two windows at pos 3,4 → island [3,7]
+    assert(out(2L) == ((10L, 2L, 5L, 1L, 0.5)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((8L, 0L, 0L, 0L, 0.0)), s"doc3: ${out(3L)}")
+    // doc 4: "m n o p" at pos 0 AND 5 (two sites in ONE doc) →
+    // islands [0,3] and [5,8], 8 of 9 tokens covered
+    assert(out(4L) == ((9L, 2L, 8L, 2L,
+      BigDecimal(8.0 / 9.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)),
+      s"doc4: ${out(4L)}")
+    // the aligned-span operator misses the doc1/doc2 repeat entirely at
+    // the same window size (offsets 2 and 3 straddle span boundaries) —
+    // the reason this operator exists
+    val spans = CorpusPipeline.spanDedup(docs.select(col("doc_id"), col("text")), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(spans(2L) == 0L,
+      "aligned spans should NOT see the unaligned repeat (else this test is stale)")
+  }
+
+  test("repeatedSubstrings: docs shorter than the window report zero windows, " +
+    "adjacent-touching hit runs merge into one island") {
+    val docs = Seq(
+      (1L, "only three tokens"),
+      // "w1..w12 w1..w12": every window duplicated, hits 0..8 and 13..21
+      // → but pos 9..12 windows (straddling the seam) are unique →
+      // islands [0,11] and [13,24]... compute below
+      (2L, ((1 to 12).map(i => s"w$i") ++ (1 to 12).map(i => s"w$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.repeatedSubstrings(docs, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((3L, 0L, 0L, 0L, 0.0)), s"short doc: ${out(1L)}")
+    // doc 2 (24 tokens, L=4): window at pos p covers w_{p+1..p+4} of the
+    // doubled sequence; pos 0..8 ≡ pos 12..20 pairwise (offset 12), so
+    // hits = {0..8, 12..20}; seam windows 9,10,11 are unique; island 1 =
+    // [0, 11], island 2 = [12, 23] — they TOUCH (12 = 11+1) and merge →
+    // one island [0,23], 24 covered, frac 1.0
+    assert(out(2L) == ((24L, 18L, 24L, 1L, 1.0)), s"doubled doc: ${out(2L)}")
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.operators.{Clusters, Events, Sampling}
+import graft.operators.{Clusters, Dedup, Events, Ivf, Sampling}
 
 /** Round-7 curation operators: stratified sampling (exact counts,
   * determinism, nesting), embedding outlier flagging, event funnels
@@ -487,5 +487,82 @@ class CurationSpec extends SparkSpec {
       s"exact-gap pair must form ONE session: ${one.toSeq}")
     assert(one.head.getString(2) == "2026-01-01 11:00:00",
       "session_end should be last_ts + gap")
+  }
+
+  test("clusterBalancedSample: ≤ cap per cell, every non-empty cell kept, " +
+    "subset of the assignment, partition-invariant") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val out = Sampling.clusterBalancedSample(emb, 25, 8).collect()
+    val perCell = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    val assigned = Ivf.build(emb, 25).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cellSizes = assigned.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perCell.keySet == cellSizes.keySet, "a non-empty cell disappeared")
+    perCell.foreach { case (c, n) =>
+      assert(n == math.min(8, cellSizes(c)), s"cell $c: got $n of ${cellSizes(c)}")
+    }
+    // every sampled row IS an assignment row (same cell, same dist)
+    val asgSet = assigned.map(t => (t._2, t._1, t._3)).toSet
+    out.foreach { r =>
+      val t = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(asgSet.contains(t), s"sampled row $t not in the assignment")
+    }
+    val re = Sampling.clusterBalancedSample(emb.repartition(7), 25, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == re,
+      "sample depends on input partitioning")
+  }
+
+  test("containmentPairs: a verbatim quote inside a longer doc scores " +
+    "containment 1.0 on the short side while its Jaccard stays low") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = "one two three four five six seven eight nine ten " +
+      short + " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    val docs = Seq(
+      (1L, "en", "web", short),
+      (2L, "en", "web", long),
+      (3L, "en", "web", "totally different words entirely here now")
+    ).toDF("doc_id", "lang", "source", "text")
+    val pairs = Dedup.containmentPairs(docs, 3, 0.5).collect()
+    assert(pairs.length == 1, s"expected only the (1,2) pair: ${pairs.toSeq}")
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    assert(p.getDouble(2) == 1.0, "short side fully contained")
+    assert(p.getDouble(3) < 0.5, "long side only partially covered")
+    // the same pair under Jaccard is BELOW the near-dup bar — the case
+    // this operator exists for
+    val j = Dedup.ngramJaccard(docs, 3).collect()
+      .find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get.getDouble(2)
+    assert(j < 0.25, s"quote-inclusion pair should have low Jaccard, got $j")
+  }
+
+  test("containmentPairs: blocked (cross-source pair invisible), directed " +
+    "ratios match a driver-side recompute on the real corpus") {
+    val crafted = Seq(
+      (1L, "en", "web", "alpha beta gamma delta"),
+      (2L, "en", "books", "alpha beta gamma delta")
+    ).toDF("doc_id", "lang", "source", "text")
+    assert(Dedup.containmentPairs(crafted, 3, 0.1).isEmpty,
+      "pairs must not cross the (lang, source) block")
+
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = Dedup.containmentPairs(docs, 3, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    // brute-force recompute
+    def shingleSet(t: String) =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val rows = docs.select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), shingleSet(r.getString(3))))
+    val expected = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3 && a._4.nonEmpty && b._4.nonEmpty
+      inter = (a._4 & b._4).size
+      ca = BigDecimal(inter.toDouble / a._4.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      cb = BigDecimal(inter.toDouble / b._4.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if math.max(ca, cb) >= 0.5
+    } yield ((a._1, b._1), (ca, cb))).toMap
+    assert(got == expected,
+      s"containment mismatch: got ${got.size} pairs, expected ${expected.size}")
   }
 }
