@@ -1332,6 +1332,71 @@ object OracleSql {
          |FROM reported ORDER BY doc_id""".stripMargin
     },
 
+    "q160_attrition_funnel" -> {
+      def hits(c: String, words: Seq[String]) =
+        s"len(list_filter($c, x -> x IN (${words.map(w => s"'$w'").mkString(",")})))"
+      s"""WITH sig AS (
+         |  SELECT doc_id, lang, n_chars, ${toks()} AS t, ${toks("lower(text)")} AS lt
+         |  FROM documents),
+         |scoredq AS (
+         |  SELECT doc_id, lang, CAST(len(t) AS INT) AS n_tokens,
+         |    round(CAST(${hits("t", Seq("the", "a", "and", "of", "to", "in", "is", "it"))} AS DOUBLE)
+         |      / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS stop_ratio,
+         |    round(CAST(n_chars AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE), 6) AS mean_len,
+         |    ${hits("lt", Seq("the", "and", "of", "to", "is"))} AS en,
+         |    ${hits("lt", Seq("el", "la", "de", "que", "y"))} AS es,
+         |    ${hits("lt", Seq("le", "la", "de", "et", "les"))} AS fr,
+         |    ${hits("lt", Seq("der", "die", "und", "das", "ist"))} AS de
+         |  FROM sig),
+         |pred AS (
+         |  SELECT doc_id, lang, n_tokens, stop_ratio, mean_len,
+         |    CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+         |         WHEN de = greatest(en, es, fr, de) THEN 'de'
+         |         WHEN en = greatest(en, es, fr, de) THEN 'en'
+         |         WHEN es = greatest(en, es, fr, de) THEN 'es'
+         |         ELSE 'fr' END AS lang_pred
+         |  FROM scoredq),
+         |ff AS (
+         |  SELECT CASE WHEN n_tokens < $QrMinTokens THEN 1
+         |              WHEN stop_ratio < $QrMinStopword THEN 2
+         |              WHEN mean_len > $QrMaxMeanTokenLen THEN 3
+         |              WHEN lang_pred <> 'und' AND lang_pred <> lang THEN 4
+         |              ELSE 0 END AS step
+         |  FROM pred),
+         |byrule AS (SELECT step, count(*) AS n FROM ff GROUP BY step),
+         |tot AS (SELECT sum(n) AS total FROM byrule),
+         |rules(step, rule) AS (VALUES (1, 'too_few_tokens'), (2, 'low_stopword'),
+         |  (3, 'long_tokens'), (4, 'lang_mismatch')),
+         |counts AS (
+         |  SELECT r.step, r.rule, coalesce(b.n, 0) AS n
+         |  FROM rules r LEFT JOIN byrule b USING (step)),
+         |funnel AS (
+         |  SELECT step, rule,
+         |    total - coalesce(sum(n) OVER (ORDER BY step
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in,
+         |    n AS n_removed
+         |  FROM counts, tot)
+         |SELECT CAST(step AS INT) AS step, rule, CAST(n_in AS BIGINT) AS n_in,
+         |  CAST(n_removed AS BIGINT) AS n_removed,
+         |  CAST(n_in - n_removed AS BIGINT) AS n_out,
+         |  round(CAST(n_removed AS DOUBLE) / CAST(greatest(n_in, 1) AS DOUBLE), 6) AS removed_share
+         |FROM funnel ORDER BY step""".stripMargin
+    },
+
+    "q161_fertility" ->
+      s"""WITH f AS (
+         |  SELECT lang, source, n_chars,
+         |    len(${toks()}) AS w,
+         |    len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'), x -> x <> '')) AS b
+         |  FROM documents)
+         |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(b) AS BIGINT) AS n_subwords,
+         |  round(CAST(sum(b) AS DOUBLE) / CAST(greatest(sum(w), 1) AS DOUBLE), 6) AS fertility,
+         |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(greatest(sum(b), 1) AS DOUBLE), 6) AS chars_per_subword
+         |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
     "q60_lsh_recall" ->
       s"""WITH truth AS (
          |  SELECT l.vec_id AS a, r.vec_id AS b

@@ -508,6 +508,9 @@ object SparkEntry {
       Dedup.cosineLshMultiProbe(Tables.embeddings(s, d), NPlanes, MpTables, CosineThreshold)),
     "q59_quality_report" -> ((s, d) => TextAnalysis.qualityReport(
       Tables.documents(s, d), QrMinTokens, QrMinStopword, QrMaxMeanTokenLen)),
+    "q160_attrition_funnel" -> ((s, d) => CorpusPipeline.attritionFunnel(
+      Tables.documents(s, d), QrMinTokens, QrMinStopword, QrMaxMeanTokenLen)),
+    "q161_fertility" -> ((s, d) => TextAnalysis.fertility(Tables.documents(s, d))),
     "q60_lsh_recall" -> ((s, d) =>
       Dedup.lshRecallReport(Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold)),
     "q61_rpq_search" -> ((s, d) => {

@@ -523,4 +523,80 @@ object CorpusPipeline {
     val losers = cur.select("doc_id").join(keepers, Seq("doc_id"), "left_anti")
     Snapshots.deleteKeys(spark, path, losers, "doc_id")
   }
+
+  /** Per-rule attrition funnel (q160): the curation-ablation report a
+    * FineWeb/Dolma-class pipeline publishes with every release — for
+    * each quality rule IN ORDER, how many documents enter the stage,
+    * how many that stage removes, and what share of its input that is.
+    * Rules are q59's exact four (token floor, stopword ratio, mean
+    * token length, lang-ID mismatch) so the funnel is the sequential
+    * decomposition of the same gate: Σ n_removed + final n_out equals
+    * the corpus size, and a doc is charged to the FIRST rule it fails
+    * (sequential semantics — rule i only sees survivors of rules
+    * 1..i-1), which is what makes per-rule costs additive and
+    * comparable across releases.
+    *
+    * Scale shape: one narrow pass computes each doc's first-failing
+    * rule index (the q59 signal expressions, staged once), then ONE
+    * map-side-combined groupBy on that 5-value key — the shuffle
+    * carries ≤ 5 rows per task. The funnel arithmetic (cumulative
+    * removed → running n_in) is a window over the ≤4-row aggregate,
+    * bounded by the RULE count, not the data. Nothing collects. */
+  def attritionFunnel(docs: DataFrame, minTokens: Int, minStopword: Double,
+                      maxMeanTokenLen: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Stage the q59 signals exactly (same bound-column discipline: one
+    // select per altitude so no interpreted HOF evaluates twice).
+    def hits(words: Seq[String]) =
+      size(filter(col("__lt"), t => t.isin(words: _*)))
+    val sig = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        tokens(col("text")).as("__t"), tokens(lower(col("text"))).as("__lt"))
+      .select(col("doc_id"), col("lang"),
+        size(col("__t")).as("__n"),
+        size(filter(col("__t"),
+          t => t.isin("the", "a", "and", "of", "to", "in", "is", "it"))).as("__stop"),
+        col("n_chars"),
+        hits(Seq("the", "and", "of", "to", "is")).as("__en"),
+        hits(Seq("el", "la", "de", "que", "y")).as("__es"),
+        hits(Seq("le", "la", "de", "et", "les")).as("__fr"),
+        hits(Seq("der", "die", "und", "das", "ist")).as("__de"))
+    val best = greatest(col("__en"), col("__es"), col("__fr"), col("__de"))
+    val langPred = when(best === 0, "und")
+      .when(col("__de") === best, "de")
+      .when(col("__en") === best, "en")
+      .when(col("__es") === best, "es")
+      .otherwise("fr")
+    val stopRatio = round(col("__stop").cast("double") /
+      greatest(col("__n"), lit(1)).cast("double"), 6)
+    val meanLen = round(col("n_chars").cast("double") /
+      greatest(col("__n"), lit(1)).cast("double"), 6)
+    // First failing rule, 1-based; 0 = survives the whole gate.
+    val firstFail = when(col("__n") < minTokens, 1)
+      .when(stopRatio < minStopword, 2)
+      .when(meanLen > maxMeanTokenLen, 3)
+      .when(langPred =!= lit("und") && langPred =!= col("lang"), 4)
+      .otherwise(0)
+    val byRule = sig.select(firstFail.as("step"))
+      .groupBy("step").agg(count(lit(1)).as("n"))
+    // ≤5 aggregate rows from here down — window over the RULE axis.
+    val rules = Seq((1, "too_few_tokens"), (2, "low_stopword"),
+      (3, "long_tokens"), (4, "lang_mismatch")).toDF("step", "rule")
+    val total = byRule.agg(sum(col("n")).as("__total"))
+    val counts = rules.join(byRule, Seq("step"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+    val w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .select(col("step"), col("rule"),
+        (col("__total") - coalesce(sum(col("n")).over(w), lit(0L))).as("n_in"),
+        col("n").as("n_removed"))
+      .select(col("step"), col("rule"), col("n_in"), col("n_removed"),
+        (col("n_in") - col("n_removed")).as("n_out"),
+        round(col("n_removed").cast("double") /
+          greatest(col("n_in"), lit(1)).cast("double"), 6).as("removed_share"))
+      .orderBy("step")
+  }
 }

@@ -395,4 +395,38 @@ object TextAnalysis {
       (acc, t) => pmod(acc * lit(31L) + pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), p), p))
     docs.select(col("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
   }
+
+  /** Tokenizer fertility report (q161): per (lang, source) stratum —
+    * subword tokens per word ("fertility", the standard tokenizer-equity
+    * metric: how many BPE pieces the tokenizer spends per whitespace
+    * word) and chars per subword token (compression). A multilingual
+    * corpus audit runs this before fixing a token budget: a tokenizer
+    * trained English-heavy can burn 2-3× the tokens per word on other
+    * scripts, silently re-weighting the training mix; the per-stratum
+    * fertility table is where that shows up. Uses the same engine-
+    * portable token definitions as q05/q05b ([[tokens]] whitespace
+    * words, [[bpeTokenCount]] subword proxy).
+    *
+    * Scale shape: per-row narrow counting (both token definitions are
+    * codegen'd regex expressions), then ONE map-side-combined groupBy
+    * on the low-cardinality (lang, source) key — the shuffle carries
+    * ≤ strata × tasks partial rows. The division happens on the
+    * aggregate, never per row. */
+  def fertility(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(tokens(col("text"))).as("__w"),
+        bpeTokenCount(col("text")).as("__b"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("__w").cast("long")).as("n_words"),
+        sum(col("__b").cast("long")).as("n_subwords"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+        col("n_words"), col("n_subwords"),
+        round(col("n_subwords").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          greatest(col("n_subwords"), lit(1L)).cast("double"), 6).as("chars_per_subword"))
+      .orderBy("lang", "source")
 }

@@ -427,4 +427,65 @@ class CorpusOpsSpec extends SparkSpec {
     // one island [0,23], 24 covered, frac 1.0
     assert(out(2L) == ((24L, 18L, 24L, 1L, 1.0)), s"doubled doc: ${out(2L)}")
   }
+
+  test("attrition funnel: additive (Σ removed + survivors = corpus), " +
+    "sequential charging, and n_out agrees with qualityReport's keep count") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val funnel = CorpusPipeline.attritionFunnel(docs, 20, 0.02, 6.0)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val total = docs.count()
+    assert(funnel.map(_._2).toSeq ==
+      Seq("too_few_tokens", "low_stopword", "long_tokens", "lang_mismatch"))
+    // funnel chaining: each stage's n_in is the previous stage's n_out,
+    // stage 1 sees the whole corpus
+    assert(funnel.head._3 == total, "stage 1 must see the whole corpus")
+    funnel.sliding(2).foreach { case Array(prev, next) =>
+      assert(next._3 == prev._5, s"n_in(${next._1}) != n_out(${prev._1})")
+    }
+    // additivity: total removals + final survivors = corpus size
+    assert(funnel.map(_._4).sum + funnel.last._5 == total)
+    // survivors equal the monolithic gate's keep count (q59 is the same
+    // four rules applied at once; first-fail decomposition must agree)
+    val kept = TextAnalysis.qualityReport(docs, 20, 0.02, 6.0)
+      .where(col("keep") === 1).count()
+    assert(funnel.last._5 == kept, s"funnel ${funnel.last._5} vs gate $kept")
+  }
+
+  test("attrition funnel: a doc failing several rules is charged only to " +
+    "the FIRST, and a rule nothing fails passes its input through") {
+    // 3 docs: d0 fails rule1 (too few tokens) AND would fail rule4
+    // (lang_mismatch: English text labeled fr); d1 is a clean long
+    // English doc labeled en; d2 fails only rule4. Rules 2 and 3 are
+    // disabled by thresholds (0.0 / huge).
+    val en = "the cat and the dog walk to the park and the store is open " +
+      "to all of the people in town every day of the week and more"
+    val docs = Seq(
+      (0L, "tiny text", "fr", "s", 9L),
+      (1L, en, "en", "s", en.length.toLong),
+      (2L, en, "fr", "s", en.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = CorpusPipeline.attritionFunnel(docs, 5, 0.0, 1e9)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(f(1) == ((3L, 1L, 2L)), s"rule1: ${f(1)}")  // d0 charged here only
+    assert(f(2) == ((2L, 0L, 2L)), s"rule2 passthrough: ${f(2)}")
+    assert(f(3) == ((2L, 0L, 2L)), s"rule3 passthrough: ${f(3)}")
+    assert(f(4) == ((2L, 1L, 1L)), s"rule4: ${f(4)}")  // d2 only — d0 already gone
+  }
+
+  test("fertility: zh-style unsegmented text shows high subwords-per-word; " +
+    "clean English ~1 per word; totals are exact") {
+    val docs = Seq(
+      // 4 words, 4 letter-runs → fertility 1.0; 16 chars
+      (0L, "the cat sat down", "en", "a", 16L),
+      // 1 whitespace word, 12 one-char symbol tokens (CJK chars are
+      // non-[A-Za-z0-9] symbols to the proxy) → fertility 12.0
+      (1L, "欢迎来到火车站大楼前面好", "zh", "a", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.fertility(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getDouble(7)))).toMap
+    assert(out("en") == ((1L, 16L, 4L, 4L, 1.0, 4.0)), s"en: ${out("en")}")
+    assert(out("zh") == ((1L, 12L, 1L, 12L, 12.0, 1.0)), s"zh: ${out("zh")}")
+  }
 }
