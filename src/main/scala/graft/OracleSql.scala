@@ -1383,6 +1383,32 @@ object OracleSql {
          |FROM funnel ORDER BY step""".stripMargin
     },
 
+    "q162_sample_index" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    ${hash60(s"(CAST(doc_id AS VARCHAR) || ':$ShuffleEpoch')")} AS skey,
+         |    len(${toks()}) + 1 AS len
+         |  FROM documents),
+         |placed AS (
+         |  SELECT doc_id,
+         |    CAST(sum(len) OVER (ORDER BY skey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS BIGINT) AS start,
+         |    CAST(len AS BIGINT) AS len
+         |  FROM base),
+         |spans AS (
+         |  SELECT t.example_id, p.doc_id, p.start,
+         |    least(p.start + p.len, (t.example_id + 1) * $SampleSeqLen)
+         |      - greatest(p.start, t.example_id * $SampleSeqLen) AS contrib
+         |  FROM placed p, LATERAL unnest(generate_series(
+         |    p.start // $SampleSeqLen,
+         |    (p.start + p.len - 1) // $SampleSeqLen)) AS t(example_id))
+         |SELECT CAST(example_id AS BIGINT) AS example_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(contrib) AS BIGINT) AS n_tokens,
+         |  CAST(min_by(doc_id, start) AS BIGINT) AS start_doc,
+         |  CAST(greatest(0, example_id * $SampleSeqLen - min(start)) AS BIGINT) AS start_offset
+         |FROM spans GROUP BY example_id ORDER BY example_id""".stripMargin,
+
     "q161_fertility" ->
       s"""WITH f AS (
          |  SELECT lang, source, n_chars,

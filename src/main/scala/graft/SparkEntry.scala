@@ -278,6 +278,10 @@ object SparkEntry {
                                 // first trained epoch
     val ShuffleShards = 8       // q120 shard count (a training run's
                                 // data-parallel reader count)
+    val SampleSeqLen = 128      // q162 training-example length (tokens);
+                                // ~2.4× the mean doc length so examples
+                                // genuinely pack docs AND docs genuinely
+                                // straddle example boundaries
     val BpeTrainMerges = 24     // q121 merge budget: enough rounds to
                                 // exercise merge-of-merged-token pairs
                                 // (rank>10 merges here have composite
@@ -510,6 +514,8 @@ object SparkEntry {
       Tables.documents(s, d), QrMinTokens, QrMinStopword, QrMaxMeanTokenLen)),
     "q160_attrition_funnel" -> ((s, d) => CorpusPipeline.attritionFunnel(
       Tables.documents(s, d), QrMinTokens, QrMinStopword, QrMaxMeanTokenLen)),
+    "q162_sample_index" -> ((s, d) => CorpusPipeline.sampleIndex(
+      Tables.documents(s, d), SampleSeqLen, ShuffleEpoch)),
     "q161_fertility" -> ((s, d) => TextAnalysis.fertility(Tables.documents(s, d))),
     "q60_lsh_recall" -> ((s, d) =>
       Dedup.lshRecallReport(Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold)),

@@ -524,6 +524,69 @@ object CorpusPipeline {
     Snapshots.deleteKeys(spark, path, losers, "doc_id")
   }
 
+  /** Pretraining sample index (q162; the published Megatron-LM GPTDataset
+    * doc_idx/sample_idx build, distributed): concatenate the epoch-
+    * shuffled corpus into one virtual token stream — each document
+    * contributes its tokens plus ONE separator (EOS) — and slice it into
+    * fixed `seqLen`-token training examples. The output is the INDEX a
+    * data loader consumes (example → which docs, at which offsets), not
+    * the token arrays: per example, how many docs it spans, how many
+    * real tokens it holds (only the final example may be short), the doc
+    * the example starts in and the token offset within that doc's
+    * stream. Same deterministic epoch order as [[corpusShuffle]] (a pure
+    * function of doc_id and epoch — never rand()).
+    *
+    * Scale shape: the global placement uses the q08 two-pass bucket
+    * discipline — skey is md5-uniform, so DETERMINISTIC uniform spans
+    * between the collected min/max (one 2-value agg; a pure function of
+    * the key, immune to exchange-reuse replanning) bucket the stream;
+    * within-bucket running sums + a window over the ≤numBuckets-row
+    * offset table place every doc without a global sort. The example
+    * explode is `sequence(first_ex, last_ex)` — output rows =
+    * n_examples + n_docs, linear — and the final rollup is one
+    * example_id exchange. Nothing driver-side scales with the corpus. */
+  def sampleIndex(docs: DataFrame, seqLen: Int, epoch: Int,
+                  numBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"),
+      Dedup.hash60(concat(col("doc_id").cast("string"), lit(":" + epoch))).as("skey"),
+      (size(tokens(col("text"))) + 1).cast("long").as("len"))
+    val stats = base.agg(min(col("skey")).as("mn"), max(col("skey")).as("mx")).collect()(0)
+    if (stats.isNullAt(0))
+      return base.select(lit(0L).as("example_id"), lit(0L).as("n_docs"),
+        lit(0L).as("n_tokens"), lit(0L).as("start_doc"),
+        lit(0L).as("start_offset")).limit(0)
+    val (mn, mx) = (stats.getLong(0), stats.getLong(1))
+    val span = math.max((mx - mn) / numBuckets + 1, 1L)
+    val parted = base.withColumn("pid", ((col("skey") - mn) / span).cast("long"))
+    val local = parted.withColumn("cum",
+      sum(col("len")).over(Window.partitionBy("pid").orderBy("skey", "doc_id")))
+    val offsets = parted.groupBy("pid").agg(sum(col("len")).as("cnt"))
+    val w = Window.partitionBy(lit(0)).orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOffset = offsets
+      .withColumn("off", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .select("pid", "off")
+    val placed = local.join(broadcast(withOffset), "pid")
+      .select(col("doc_id"), (col("off") + col("cum") - col("len")).as("start"), col("len"))
+    val L = lit(seqLen.toLong)
+    placed
+      .select(col("doc_id"), col("start"), col("len"),
+        explode(sequence(floor(col("start") / L).cast("long"),
+          floor((col("start") + col("len") - 1) / L).cast("long"))).as("example_id"))
+      .select(col("example_id"), col("doc_id"), col("start"),
+        (least(col("start") + col("len"), (col("example_id") + 1) * L) -
+          greatest(col("start"), col("example_id") * L)).as("contrib"))
+      .groupBy("example_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("contrib")).as("n_tokens"),
+        min_by(col("doc_id"), col("start")).as("start_doc"),
+        min(col("start")).as("__mnstart"))
+      .select(col("example_id"), col("n_docs"), col("n_tokens"), col("start_doc"),
+        greatest(lit(0L), col("example_id") * L - col("__mnstart")).as("start_offset"))
+      .orderBy("example_id")
+  }
+
   /** Per-rule attrition funnel (q160): the curation-ablation report a
     * FineWeb/Dolma-class pipeline publishes with every release — for
     * each quality rule IN ORDER, how many documents enter the stage,

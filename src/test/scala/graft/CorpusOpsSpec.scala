@@ -473,6 +473,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(f(4) == ((2L, 1L, 1L)), s"rule4: ${f(4)}")  // d2 only — d0 already gone
   }
 
+  test("sample index: token-conserving, contiguous fixed-length examples, " +
+    "bucket-count and partition invariant") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val L = 128
+    val idx = CorpusPipeline.sampleIndex(docs, L, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // contiguous example ids from 0
+    assert(idx.map(_._1).toSeq == (0L until idx.length.toLong))
+    // conservation: the virtual stream is Σ (n_tokens(doc) + 1 EOS)
+    val streamLen = docs.select(sum(size(graft.operators.TextAnalysis.tokens(col("text"))) + 1))
+      .collect()(0).getLong(0)
+    assert(idx.map(_._3).sum == streamLen)
+    // every example except possibly the last is exactly L tokens; the
+    // last carries the remainder
+    assert(idx.dropRight(1).forall(_._3 == L))
+    assert(idx.last._3 == (if (streamLen % L == 0) L else streamLen % L))
+    // n_docs ≥ 1 and start_offset always inside the starting doc's span
+    assert(idx.forall(_._2 >= 1))
+    val lens = docs.select(col("doc_id"),
+      (size(graft.operators.TextAnalysis.tokens(col("text"))) + 1).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idx.forall { case (_, _, _, sd, so) => so >= 0 && so < lens(sd) })
+    // placement must not depend on HOW the stream was bucketed or the
+    // input partitioned — the index is a pure function of (data, epoch)
+    val idx8 = CorpusPipeline.sampleIndex(docs.repartition(7), L, 1, numBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(idx8.toSeq == idx.toSeq, "bucket/partition count changed the index")
+    // a different epoch reshuffles: some example must start elsewhere
+    val idxE2 = CorpusPipeline.sampleIndex(docs, L, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(idxE2.map(t => (t._2, t._3)).toSeq !=
+      idx.map(t => (t._4, t._5)).toSeq, "epoch 2 must reorder the stream")
+  }
+
   test("fertility: zh-style unsegmented text shows high subwords-per-word; " +
     "clean English ~1 per word; totals are exact") {
     val docs = Seq(
