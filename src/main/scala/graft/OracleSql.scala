@@ -1734,6 +1734,48 @@ object OracleSql {
          |FROM base b LEFT JOIN perdoc p USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin,
 
+    // q164 is the SUFFIX-ARRAY computation of the same answer (see
+    // SuffixArray.scala's object doc for the equality proof at
+    // minLen == window): the oracle states WHAT — the windowed mirror —
+    // and hash-checking it against the prefix-doubling + LCP pipeline
+    // is exactly the point.
+    "q164_exactsubstr_coverage" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, len(ts) AS n_tokens, ts
+         |  FROM (SELECT doc_id, ${toks()} AS ts FROM documents)
+         |  WHERE len(ts) > 0),
+         |wins AS (
+         |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |    ${hash60(s"array_to_string(list_slice(ts, i, i + $RepeatWindow - 1), ' ')")} AS h
+         |  FROM base, unnest(range(1, len(ts) - $RepeatWindow + 2)) AS r(i)),
+         |duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+         |hits AS (SELECT w.doc_id, w.pos FROM wins w JOIN duph USING (h)),
+         |isl0 AS (
+         |  SELECT doc_id, pos,
+         |    max(pos + $RepeatWindow - 1) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM hits),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM isl0),
+         |agg AS (
+         |  SELECT doc_id, island, min(pos) AS s, max(pos) + $RepeatWindow - 1 AS e,
+         |    count(*) AS nw
+         |  FROM isl GROUP BY 1, 2),
+         |perdoc AS (
+         |  SELECT doc_id, sum(e - s + 1) AS covered, sum(nw) AS n_dup_windows,
+         |    count(*) AS n_islands
+         |  FROM agg GROUP BY 1)
+         |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         |  CAST(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
+         |  CAST(coalesce(p.n_islands, 0) AS BIGINT) AS n_islands,
+         |  round(CAST(coalesce(p.covered, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE), 6) AS dup_frac
+         |FROM base b LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
+
     "q46_span_dedup" ->
       s"""WITH sized AS (
          |  SELECT doc_id, ts FROM (SELECT doc_id, ${toks()} AS ts FROM documents)

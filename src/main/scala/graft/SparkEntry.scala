@@ -115,7 +115,11 @@ object SparkEntry {
     val ReservoirK = 5    // q153 per-source reservoir size
     val CellCap = 8       // q156 per-IVF-cell sample cap
     val MinContainment = 0.5 // q157 directed-containment threshold
-    val RepeatWindow = 8  // q159 exact-substring repeat window (tokens)
+    val RepeatWindow = 8  // q159 exact-substring repeat window (tokens);
+                          // also q164's SA coverage threshold (equality
+                          // at the shared value is what lets q164 carry
+                          // q159's oracle)
+    val LrsTopK = 20      // q163 longest-repeat shortlist size
     val ReservoirSeed = 2026L // q153 LCG seed (the sample is a pure
                               // function of data + this)
     val CollocMin = 5     // q72 pair min-support: prunes the hapax pair
@@ -465,6 +469,10 @@ object SparkEntry {
       CorpusPipeline.spanDedup(Tables.documents(s, d), SpanTokens)),
     "q159_repeated_substrings" -> ((s, d) =>
       CorpusPipeline.repeatedSubstrings(Tables.documents(s, d), RepeatWindow)),
+    "q163_lrs_report" -> ((s, d) =>
+      graft.operators.SuffixArray.repeatReport(Tables.documents(s, d), LrsTopK)),
+    "q164_exactsubstr_coverage" -> ((s, d) =>
+      graft.operators.SuffixArray.exactSubstrCoverage(Tables.documents(s, d), RepeatWindow)),
     "q47_profile" -> ((s, d) => Profile.profile(Tables.documents(s, d), ProfileCols)),
     "q48_ivfpq_search" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)

@@ -651,7 +651,10 @@ object CorpusPipeline {
     val counts = rules.join(byRule, Seq("step"), "left")
       .na.fill(0L, Seq("n"))
       .crossJoin(broadcast(total))
-    val w = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, -1)
+    // constant partitionBy: the frame is the ≤4-row RULE axis; the lit
+    // only suppresses the unpartitioned-window log warning
+    val w = Window.partitionBy(lit(0)).orderBy("step")
+      .rowsBetween(Window.unboundedPreceding, -1)
     counts
       .select(col("step"), col("rule"),
         (col("__total") - coalesce(sum(col("n")).over(w), lit(0L))).as("n_in"),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusPipeline, SuffixArray}
+
+/** Distributed suffix array (prefix doubling): crafted-corpus exact
+  * answers for the repeat report and coverage, the q164==q159
+  * cross-operator differential (SA+LCP vs windowed hashing must agree
+  * exactly at minLen == window), and partition invariance. */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  // docA carries a 9-token quote at offset 3; docB opens with the same
+  // quote; docC has an internal 3-token self-repeat. All filler tokens
+  // are globally unique so the quote family is the only repeat.
+  private val quote = "the quick brown fox jumps over the lazy dog"
+  private lazy val crafted = Seq(
+    (1L, s"f1 f2 f3 $quote f4"),
+    (2L, s"$quote f5 f6"),
+    (3L, "x1 y1 z1 x1 y1 z1 w1"))
+    .toDF("doc_id", "text")
+
+  test("repeat report: the planted quote is the top repeat, with the " +
+    "suffix-cascade below it and the self-repeat found") {
+    val rows = SuffixArray.repeatReport(crafted, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // top row: the full 9-token quote between (doc 1, off 3) and (doc 2, off 0)
+    val top = rows.head
+    assert(top._5 == 9L, s"top lcp: $top")
+    assert(Set((top._1, top._2), (top._3, top._4)) == Set((1L, 3L), (2L, 0L)), s"top sites: $top")
+    // the suffix cascade: offsets (3+t, t) share lcp 9-t — all surface
+    (1 to 8).foreach { t =>
+      assert(rows.exists(r => r._5 == 9L - t &&
+        Set((r._1, r._2), (r._3, r._4)) == Set((1L, 3L + t), (2L, t.toLong))),
+        s"missing cascade row t=$t")
+    }
+    // the within-doc self-repeat: "x1 y1 z1" at offsets 0 and 3 of doc 3
+    assert(rows.exists(r => r._5 == 3L &&
+      Set((r._1, r._2), (r._3, r._4)) == Set((3L, 0L), (3L, 3L))),
+      "self-repeat not found")
+    // lcp column is non-increasing (orderBy contract)
+    assert(rows.map(_._5).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("coverage: exact extents and island merge on the crafted corpus") {
+    val out = SuffixArray.exactSubstrCoverage(crafted, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    // docA: rep(3+t) = 9-t >= 3 for t<=6 -> 7 positions, union [3,11]
+    assert(out(1L) == ((13L, 7L, 9L, 1L, round6(9.0 / 13))), s"docA: ${out(1L)}")
+    // docB: rep(t) = 9-t >= 3 for t<=6 -> 7 positions, union [0,8]
+    assert(out(2L) == ((11L, 7L, 9L, 1L, round6(9.0 / 11))), s"docB: ${out(2L)}")
+    // docC: rep(0)=3, rep(3)=3 -> extents [0,2] and [3,5] touch -> one island
+    assert(out(3L) == ((7L, 2L, 6L, 1L, round6(6.0 / 7))), s"docC: ${out(3L)}")
+  }
+
+  private def round6(d: Double) = math.round(d * 1e6) / 1e6
+
+  test("SA coverage == windowed repeatedSubstrings at minLen == window " +
+    "(the cross-machinery differential, real corpus)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sa = SuffixArray.exactSubstrCoverage(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    val win = CorpusPipeline.repeatedSubstrings(docs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(sa.nonEmpty, "differential corpus produced no rows")
+    assert(sa == win, "SA and windowed coverage disagree")
+  }
+
+  test("repeat report is partition-invariant") {
+    val a = SuffixArray.repeatReport(crafted, 30).collect().toSeq
+    val b = SuffixArray.repeatReport(crafted.repartition(7), 30).collect().toSeq
+    assert(a == b)
+  }
+}
