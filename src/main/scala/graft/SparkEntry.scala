@@ -470,7 +470,9 @@ object SparkEntry {
     "q159_repeated_substrings" -> ((s, d) =>
       CorpusPipeline.repeatedSubstrings(Tables.documents(s, d), RepeatWindow)),
     "q163_lrs_report" -> ((s, d) =>
-      graft.operators.SuffixArray.repeatReport(Tables.documents(s, d), LrsTopK)),
+      // shortlist repeats >= RepeatWindow: the threshold engages the
+      // walk's pair-dropping fast path (lcpAdjacent minFloor)
+      graft.operators.SuffixArray.repeatReport(Tables.documents(s, d), LrsTopK, RepeatWindow)),
     "q164_exactsubstr_coverage" -> ((s, d) =>
       graft.operators.SuffixArray.exactSubstrCoverage(Tables.documents(s, d), RepeatWindow)),
     "q47_profile" -> ((s, d) => Profile.profile(Tables.documents(s, d), ProfileCols)),

@@ -69,6 +69,16 @@ class SuffixArraySpec extends SparkSpec {
     assert(sa == win, "SA and windowed coverage disagree")
   }
 
+  test("repeat report minLen floor: thresholded run equals the " +
+    "unthresholded run filtered") {
+    val all = SuffixArray.repeatReport(crafted, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val thr = SuffixArray.repeatReport(crafted, 30, minLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(thr.toSeq == all.filter(_._5 >= 4).toSeq,
+      "minLen fast path changed the surviving rows")
+  }
+
   test("repeat report is partition-invariant") {
     val a = SuffixArray.repeatReport(crafted, 30).collect().toSeq
     val b = SuffixArray.repeatReport(crafted.repartition(7), 30).collect().toSeq
