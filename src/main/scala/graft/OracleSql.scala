@@ -453,6 +453,68 @@ object OracleSql {
          |      $AnomZ * $AnomZ * (s.cnt * s.sum_n2 - s.sum_n * s.sum_n)
          |ORDER BY h.event_type, h.hour""".stripMargin,
 
+    "q166_zipf_report" ->
+      s"""WITH tf AS (
+         |  SELECT t.term, count(*) AS c
+         |  FROM documents, LATERAL unnest(${toks("lower(text)")}) AS t(term)
+         |  GROUP BY 1),
+         |totals AS (
+         |  SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+         |    CAST(count(*) AS BIGINT) AS vocab_size,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |    CAST(max(c) AS BIGINT) AS top1_n
+         |  FROM tf),
+         |top AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank
+         |  FROM (SELECT * FROM tf ORDER BY c DESC, term LIMIT $ZipfTopN)),
+         |xy AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS np,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sx2
+         |  FROM (SELECT CAST(round(round(ln(rank), 6) * 1e6, 0) AS BIGINT) AS x,
+         |               CAST(round(round(ln(c), 6) * 1e6, 0) AS BIGINT) AS y FROM top))
+         |SELECT total_tokens, vocab_size, n_hapax,
+         |  round(CAST(top1_n AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS top1_share,
+         |  np AS fit_n,
+         |  round(CAST(np * sxy - sx * sy AS DOUBLE) /
+         |        CAST(np * sx2 - sx * sx AS DOUBLE), 6) AS zipf_slope,
+         |  round((CAST(sy AS DOUBLE) / 1e6 -
+         |    (CAST(np * sxy - sx * sy AS DOUBLE) / CAST(np * sx2 - sx * sx AS DOUBLE))
+         |      * (CAST(sx AS DOUBLE) / 1e6)) / CAST(np AS DOUBLE), 6) AS zipf_intercept
+         |FROM xy, totals""".stripMargin,
+
+    "q165_changepoint" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |    count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT event_type, hour, n,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS t,
+         |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM hourly),
+         |stats AS (
+         |  SELECT event_type, max(t) AS t_max, CAST(sum(n) AS BIGINT) AS total
+         |  FROM cum GROUP BY 1),
+         |scored AS (
+         |  SELECT c.event_type, c.hour, c.t, c.cum, s.t_max, s.total,
+         |    abs(s.t_max * c.cum - c.t * s.total) AS s_abs
+         |  FROM cum c JOIN stats s USING (event_type)
+         |  WHERE c.t < s.t_max),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY s_abs DESC, t) AS rn
+         |  FROM scored)
+         |SELECT event_type, CAST(t_max AS BIGINT) AS n_hours, hour AS change_hour,
+         |  CAST(t AS BIGINT) AS t_index,
+         |  round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mean_before,
+         |  round(CAST(total - cum AS DOUBLE) / CAST(t_max - t AS DOUBLE), 6) AS mean_after,
+         |  round(CAST(total - cum AS DOUBLE) / CAST(t_max - t AS DOUBLE)
+         |    - CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS level_shift,
+         |  round(CAST(s_abs AS DOUBLE) / CAST(t_max AS DOUBLE), 6) AS cusum_peak
+         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
     // q74: banded range join — the oracle states the NAIVE interval
     // join (DuckDB's IEJoin handles it); Spark's banded plan must
     // produce the identical counts, which is the point of the mirror.

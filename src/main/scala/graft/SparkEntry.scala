@@ -120,6 +120,7 @@ object SparkEntry {
                           // at the shared value is what lets q164 carry
                           // q159's oracle)
     val LrsTopK = 20      // q163 longest-repeat shortlist size
+    val ZipfTopN = 100    // q166 head size for the log-log OLS fit
     val ReservoirSeed = 2026L // q153 LCG seed (the sample is a pure
                               // function of data + this)
     val CollocMin = 5     // q72 pair min-support: prunes the hapax pair
@@ -526,6 +527,8 @@ object SparkEntry {
       Tables.documents(s, d), QrMinTokens, QrMinStopword, QrMaxMeanTokenLen)),
     "q162_sample_index" -> ((s, d) => CorpusPipeline.sampleIndex(
       Tables.documents(s, d), SampleSeqLen, ShuffleEpoch)),
+    "q165_changepoint" -> ((s, d) => Events.changepoint(Tables.events(s, d))),
+    "q166_zipf_report" -> ((s, d) => Analytics.zipfReport(Tables.documents(s, d), ZipfTopN)),
     "q161_fertility" -> ((s, d) => TextAnalysis.fertility(Tables.documents(s, d))),
     "q60_lsh_recall" -> ((s, d) =>
       Dedup.lshRecallReport(Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold)),

@@ -89,6 +89,62 @@ object Analytics {
       .orderBy("source")
   }
 
+  /** Zipf-law fit of the token-frequency distribution (q166): OLS slope
+    * of ln(freq) on ln(rank) over the top-N tokens, plus the corpus
+    * shape numbers (total/vocab/hapax/top-1 share) — the
+    * distribution-health dial next to [[vocabStats]]'s volumes. Natural
+    * language sits near slope −1 (Zipf 1949); a corpus of boilerplate
+    * or template expansion reads much steeper, machine-generated
+    * near-uniform text much flatter — a one-row dial that catches both
+    * corruption modes.
+    *
+    * Determinism discipline (the q38 micro-unit convention): each
+    * ln(rank)/ln(freq) is individually 6-dp rounded THEN scaled to an
+    * integer micro-unit, so the regression's Σx, Σy, Σxy, Σx² are exact
+    * integer sums with no accumulation-order surface; the slope is one
+    * division of exact integers (scale factors cancel), 6-dp rounded.
+    * All magnitudes stay < 2^60 at topN = 100.
+    *
+    * Scale shape: term frequencies are the [[vocabStats]] two-level
+    * collapse (shuffle O(distinct terms)); top-N is a TakeOrdered
+    * (bounded heaps, never a global sort); the regression runs over
+    * EXACTLY topN rows — the rank window is topN-bounded, not
+    * data-bounded. One row out. */
+  def zipfReport(docs: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val totals = tf.agg(sum(col("c")).as("total_tokens"),
+      count(lit(1)).as("vocab_size"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      max(col("c")).as("top1_n"))
+    val top = tf.orderBy(col("c").desc, col("term")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("c").desc, col("term"))).cast("long"))
+    // round AGAIN after the 1e6 scale: the product of a 6-dp double and
+    // 1e6 can land an ulp under the integer, and Spark CAST truncates
+    // where DuckDB CAST rounds — round(x, 0) makes both engines agree
+    def micro(c: org.apache.spark.sql.Column) = round(round(log(c), 6) * 1e6, 0).cast("long")
+    val xy = top
+      .select(micro(col("rank").cast("double")).as("x"), micro(col("c").cast("double")).as("y"))
+      .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+    xy.crossJoin(totals)
+      .select(col("total_tokens"), col("vocab_size"), col("n_hapax"),
+        round(col("top1_n").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("top1_share"),
+        col("np").as("fit_n"),
+        round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("np") * col("sx2") - col("sx") * col("sx")).cast("double"), 6)
+          .as("zipf_slope"),
+        round((col("sy").cast("double") / 1e6 -
+          ((col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("np") * col("sx2") - col("sx") * col("sx")).cast("double")) *
+            (col("sx").cast("double") / 1e6)) / col("np").cast("double"), 6)
+          .as("zipf_intercept"))
+  }
+
   /** Approximate twin of [[vocabStats]]'s distinct count (HLL++). */
   def vocabStatsApprox(docs: DataFrame, rsd: Double = 0.05): DataFrame =
     docs

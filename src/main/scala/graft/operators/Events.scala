@@ -235,6 +235,57 @@ object Events {
       .orderBy("event_type", "hour")
   }
 
+  /** CUSUM changepoint localization (q165; Page 1954's cumulative-sum
+    * statistic, offline single-changepoint form): per event type, the
+    * hour at which the hourly-count level SHIFTED — argmax_t |S_t| with
+    * S_t = Σ_{i≤t}(x_i − x̄) — plus the before/after means and the step
+    * size. The drift-localization complement of q73 (which flags
+    * outlier CELLS; this finds the moment the LEVEL moved) and the
+    * time-axis sibling of q142's key-range checksum localization.
+    *
+    * Determinism discipline: S_t·T = T·Σ_{i≤t}x_i − t·ΣX is EXACT
+    * INTEGER arithmetic, so the argmax (and its earliest-t tie-break)
+    * can never hash-flip across engines; floats appear only in the
+    * final reported means/score, each one division of exact integers,
+    * 6-dp rounded. The last index is excluded (a changepoint must
+    * split the series).
+    *
+    * Scale shape: the hourly aggregate is ONE exchange (q17/q73's
+    * keys); the cumulative sum and the argmax run per-type windows —
+    * partitions are event TYPES and rows are HOURS (time-bounded, not
+    * corpus-bounded: a year is 8 760 rows per type at any data size).
+    * Nothing materializes per event past the first aggregate. */
+  def changepoint(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events.groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val byHour = Window.partitionBy("event_type").orderBy("hour")
+    val cum = hourly
+      .withColumn("t", row_number().over(byHour).cast("long"))
+      .withColumn("cum", sum(col("n")).over(byHour))
+    val stats = cum.groupBy("event_type")
+      .agg(max(col("t")).as("t_max"), sum(col("n")).as("total"))
+    val scored = cum.join(broadcast(stats), "event_type")
+      .where(col("t") < col("t_max"))
+      .withColumn("s_scaled", col("t_max") * col("cum") - col("t") * col("total"))
+      .withColumn("s_abs", abs(col("s_scaled")))
+    val best = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("s_abs").desc, col("t"))))
+      .where(col("rn") === 1)
+    best.select(col("event_type"), col("t_max").as("n_hours"),
+        col("hour").as("change_hour"), col("t").as("t_index"),
+        round(col("cum").cast("double") / col("t").cast("double"), 6).as("mean_before"),
+        round((col("total") - col("cum")).cast("double") /
+          (col("t_max") - col("t")).cast("double"), 6).as("mean_after"),
+        round(((col("total") - col("cum")).cast("double") /
+          (col("t_max") - col("t")).cast("double")) -
+          (col("cum").cast("double") / col("t").cast("double")), 6).as("level_shift"),
+        round(col("s_abs").cast("double") / col("t_max").cast("double"), 6).as("cusum_peak"))
+      .orderBy("event_type")
+  }
+
   /** Cohort retention matrix (q70) — the product-analytics staple next
     * to [[rollup]]/[[funnel]]: users cohort by FIRST-ACTIVITY week
     * (ISO weeks, `date_trunc` to Monday — identical truncation in

@@ -259,6 +259,50 @@ class CurationSpec extends SparkSpec {
       "constant series produced a false positive (zero-variance guard failed)")
   }
 
+  test("changepoint: a planted level shift localizes to the exact hour, " +
+    "with exact before/after means; a constant series reports zero shift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // click: 10 hours at 3/hour then 10 hours at 9/hour — the CUSUM
+    // argmax must land on t=10 (the last pre-shift hour)
+    val rows = (0 until 20).flatMap { h =>
+      val n = if (h < 10) 3 else 9
+      (0 until n).map(i => ("click", f"2024-03-01 $h%02d:00:${i % 60}%02d"))
+    } ++ (0 until 20).flatMap { h => // constant control: 5/hour
+      (0 until 5).map(i => ("view", f"2024-03-01 $h%02d:00:${i % 60}%02d"))
+    }
+    val events = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+    val out = graft.operators.Events.changepoint(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val (nh, hour, t, before, after, shift) = out("click")
+    assert(nh == 20L && t == 10L && hour == "2024-03-01 09:00:00",
+      s"shift not localized: ${out("click")}")
+    assert(before == 3.0 && after == 9.0 && shift == 6.0, s"means: ${out("click")}")
+    // constant series: every S_t is 0, earliest-t tie-break wins, shift 0
+    val (_, _, tv, bv, av, sv) = out("view")
+    assert(tv == 1L && bv == 5.0 && av == 5.0 && sv == 0.0, s"constant: ${out("view")}")
+  }
+
+  test("zipf report: an exact 1/rank corpus fits slope -1; shape counts exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // freq(rank r) = 12/r for r = 1..4 → ln f = ln 12 − ln r: slope is
+    // exactly −1, intercept ln 12; plus one hapax ("e" appears once)
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(3)("d") ++ Seq("e")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = graft.operators.Analytics.zipfReport(docs, 4).collect()(0)
+    assert(r.getLong(0) == 26L && r.getLong(1) == 5L && r.getLong(2) == 1L,
+      s"shape: $r")
+    assert(r.getDouble(3) == math.round(12.0 / 26 * 1e6) / 1e6, s"top1: $r")
+    assert(r.getLong(4) == 4L)
+    assert(math.abs(r.getDouble(5) + 1.0) < 1e-4, s"slope: ${r.getDouble(5)}")
+    assert(math.abs(r.getDouble(6) - math.log(12.0)) < 1e-4,
+      s"intercept: ${r.getDouble(6)}")
+  }
+
   test("dsir: target-vocabulary docs score positive, anti-target negative, determinism") {
     import graft.operators.Sampling
     // tgt-source docs speak {alpha beta}, raw-pool docs speak {delta
