@@ -451,6 +451,54 @@ class StreamingSpec extends SparkSpec {
       "restarted maintenance diverged from the batch summary")
   }
 
+  test("streaming CUSUM detector: a planted shift alarms at the exact hours the " +
+    "scaled recurrence predicts, a constant stream never alarms, and batching " +
+    "cannot move an alarm") {
+    import graft.streaming.ChangepointStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // click: 10 hours at 3/hr (first 5 = baseline -> mu0 = 3), then 10 at
+    // 9/hr. kappa=1, H=6, scaled by refN=5: pre-shift hours add
+    // max(0, 5*3-15-5) = 0; each shifted hour adds 5*9-15-5 = 25 against
+    // the 30 gate -> alarms at the 2nd, 4th, ... shifted hour (reset
+    // after each): hours 11, 13, 15, 17, 19, statistic 50/5 = 10.0
+    def mk(tpe: String, perHour: Int => Int) = (0 until 20).flatMap { h =>
+      (0 until perHour(h)).map(i => (tpe, f"2024-03-01 $h%02d:00:${i % 60}%02d"))
+    }
+    val rows = mk("click", h => if (h < 10) 3 else 9) ++ mk("view", _ => 5)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cusum_stream_src"
+    val df = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    def runDetect(srcDir: String, name: String, oneFilePerTrigger: Boolean) = {
+      val reader = spark.readStream.schema(spark.read.parquet(srcDir).schema)
+      val src = (if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader)
+        .parquet(srcDir)
+      val q = ChangepointStream.detect(src, refHours = 5, kappa = 1L,
+        hThreshold = 6L, graceHours = 0)
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getDouble(3), r.getDouble(4))).sortBy(t => (t._1, t._2))
+    }
+    val got = runDetect(dir, "cusum_sink", oneFilePerTrigger = false)
+    val wantHours = Seq(11, 13, 15, 17, 19).map(h => f"2024-03-01 $h%02d:00:00")
+    assert(got.map(_._2).toSeq == wantHours, s"alarm hours: ${got.toSeq}")
+    assert(got.forall(a => a._1 == "click" && a._3 == "up" &&
+      a._4 == 10.0 && a._5 == 3.0), s"alarm payload: ${got.toSeq}")
+    // batching-invariance: the same rows over 4 micro-batches, hour-sliced
+    val dir4 = s"${System.getProperty("java.io.tmpdir")}/graft_cusum_stream_src4"
+    (0 until 4).foreach { part =>
+      df.where(hour(col("ts")) >= part * 5 && hour(col("ts")) < (part + 1) * 5)
+        .coalesce(1).write.mode(if (part == 0) "overwrite" else "append").parquet(dir4)
+      Thread.sleep(1100) // distinct mtimes: FileStreamSource replays in file order
+    }
+    val got4 = runDetect(dir4, "cusum_sink4", oneFilePerTrigger = true)
+    assert(got4.toSeq == got.toSeq, "micro-batch slicing moved an alarm")
+  }
+
   test("native session_window stream == batch sessionizeNative == stateful sessionize " +
     "(three faces, one contract)") {
     val streamed = EventsStream.sessionWindows(

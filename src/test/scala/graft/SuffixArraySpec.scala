@@ -79,6 +79,19 @@ class SuffixArraySpec extends SparkSpec {
       "minLen fast path changed the surviving rows")
   }
 
+  test("edges: all-unique corpus yields no repeats and zero coverage; " +
+    "a single one-token doc survives the whole pipeline") {
+    val unique = Seq((1L, "u1 u2 u3"), (2L, "u4 u5")).toDF("doc_id", "text")
+    assert(SuffixArray.repeatReport(unique, 10).count() == 0)
+    val cov = SuffixArray.exactSubstrCoverage(unique, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(5)))
+    assert(cov.toSet == Set((1L, 0L, 0L, 0.0), (2L, 0L, 0L, 0.0)))
+    val tiny = Seq((7L, "solo")).toDF("doc_id", "text")
+    assert(SuffixArray.repeatReport(tiny, 10).count() == 0)
+    val tc = SuffixArray.exactSubstrCoverage(tiny, 1).collect()
+    assert(tc.length == 1 && tc(0).getLong(3) == 0L)
+  }
+
   test("repeat report is partition-invariant") {
     val a = SuffixArray.repeatReport(crafted, 30).collect().toSeq
     val b = SuffixArray.repeatReport(crafted.repartition(7), 30).collect().toSeq
