@@ -121,6 +121,8 @@ object SparkEntry {
                           // q159's oracle)
     val LrsTopK = 20      // q163 longest-repeat shortlist size
     val ZipfTopN = 100    // q166 head size for the log-log OLS fit
+    val PackVocab = 4096  // q167 vocabulary cap (ids 2..PackVocab+1;
+                          // 0 = EOS, 1 = OOV)
     val ReservoirSeed = 2026L // q153 LCG seed (the sample is a pure
                               // function of data + this)
     val CollocMin = 5     // q72 pair min-support: prunes the hapax pair
@@ -1044,6 +1046,30 @@ object SparkEntry {
           sum(length(col("payload"))).as("n_bytes"),
           graft.operators.Dedup.hash60(concat_ws(",",
             sort_array(collect_list(md5(col("payload")))))).as("content_sig"))
+        .orderBy("shard")
+    }),
+    "q167_packed_export" -> ((s, d) => {
+      // Rows-only (binary sink plumbing, the q158 class): the END of the
+      // pipeline — epoch-shuffled corpus tokenized, packed to full
+      // SampleSeqLen examples, written as safetensors input_ids shards,
+      // read back through the binaryFile-explode source; per-shard
+      // example counts + a content signature over (example_id, id-sum).
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pt_" +
+        Integer.toHexString(d.hashCode)
+      val dir = new java.io.File(path)
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+      val packed = CorpusPipeline.packedTokens(
+        Tables.documents(s, d), SampleSeqLen, ShuffleEpoch, PackVocab)
+        .repartitionByRange(4, col("example_id"))
+        .sortWithinPartitions("example_id")
+      graft.sources.Safetensors.writeTokens(packed, path, shardMaxRows = 64)
+      graft.sources.Safetensors.readTokens(s, path)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_examples"),
+          max(size(col("input_ids"))).as("seq_len"),
+          graft.operators.Dedup.hash60(concat_ws(",",
+            sort_array(collect_list(concat_ws(":", col("example_id"),
+              aggregate(col("input_ids"), lit(0L), (a, x) => a + x)))))).as("content_sig"))
         .orderBy("shard")
     }),
     "q158_safetensors" -> ((s, d) => {

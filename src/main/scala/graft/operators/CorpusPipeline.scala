@@ -545,17 +545,18 @@ object CorpusPipeline {
     * explode is `sequence(first_ex, last_ex)` — output rows =
     * n_examples + n_docs, linear — and the final rollup is one
     * example_id exchange. Nothing driver-side scales with the corpus. */
-  def sampleIndex(docs: DataFrame, seqLen: Int, epoch: Int,
-                  numBuckets: Int = 32): DataFrame = {
+  /** Shared placement for the pretraining stream (q162/q167): each doc's
+    * [start, start+len) slot in the epoch-shuffled virtual token stream
+    * (len = n_tokens + 1 EOS), via the q08 two-pass deterministic
+    * bucket discipline. None ⟺ empty corpus. */
+  private def placedDocs(docs: DataFrame, epoch: Int,
+                         numBuckets: Int): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"),
       Dedup.hash60(concat(col("doc_id").cast("string"), lit(":" + epoch))).as("skey"),
       (size(tokens(col("text"))) + 1).cast("long").as("len"))
     val stats = base.agg(min(col("skey")).as("mn"), max(col("skey")).as("mx")).collect()(0)
-    if (stats.isNullAt(0))
-      return base.select(lit(0L).as("example_id"), lit(0L).as("n_docs"),
-        lit(0L).as("n_tokens"), lit(0L).as("start_doc"),
-        lit(0L).as("start_offset")).limit(0)
+    if (stats.isNullAt(0)) return None
     val (mn, mx) = (stats.getLong(0), stats.getLong(1))
     val span = math.max((mx - mn) / numBuckets + 1, 1L)
     val parted = base.withColumn("pid", ((col("skey") - mn) / span).cast("long"))
@@ -567,8 +568,16 @@ object CorpusPipeline {
     val withOffset = offsets
       .withColumn("off", coalesce(sum(col("cnt")).over(w), lit(0L)))
       .select("pid", "off")
-    val placed = local.join(broadcast(withOffset), "pid")
-      .select(col("doc_id"), (col("off") + col("cum") - col("len")).as("start"), col("len"))
+    Some(local.join(broadcast(withOffset), "pid")
+      .select(col("doc_id"), (col("off") + col("cum") - col("len")).as("start"), col("len")))
+  }
+
+  def sampleIndex(docs: DataFrame, seqLen: Int, epoch: Int,
+                  numBuckets: Int = 32): DataFrame = {
+    val placed = placedDocs(docs, epoch, numBuckets).getOrElse(
+      return docs.select(lit(0L).as("example_id"), lit(0L).as("n_docs"),
+        lit(0L).as("n_tokens"), lit(0L).as("start_doc"),
+        lit(0L).as("start_offset")).limit(0))
     val L = lit(seqLen.toLong)
     placed
       .select(col("doc_id"), col("start"), col("len"),
@@ -584,6 +593,60 @@ object CorpusPipeline {
         min(col("start")).as("__mnstart"))
       .select(col("example_id"), col("n_docs"), col("n_tokens"), col("start_doc"),
         greatest(lit(0L), col("example_id") * L - col("__mnstart")).as("start_offset"))
+      .orderBy("example_id")
+  }
+
+  /** Packed training examples (q167): the MATERIALIZED form of
+    * [[sampleIndex]] — the same epoch-shuffled virtual stream (one EOS
+    * per doc) actually tokenized to ids and sliced into full
+    * `seqLen`-long `input_ids` rows, ready for
+    * [[graft.sources.Safetensors.writeTokens]]. The id scheme is the
+    * corpus-trained convention every from-scratch run uses: 0 = EOS,
+    * 1 = OOV, 2.. = the top `vocabTop` terms by (freq desc, term asc) —
+    * deterministic, and the vocabulary is BOUNDED so the token→id map
+    * is a broadcast join, never unbounded driver state. The trailing
+    * short example is dropped (the Megatron convention — trainers want
+    * a rectangular tensor).
+    *
+    * Scale shape: vocabulary ranking is the q166 TakeOrdered discipline
+    * (bounded heaps + a vocabTop-bounded rank window); the stream is a
+    * linear posexplode placed by [[placedDocs]] (no global sort); ids
+    * attach via one broadcast hash join; examples assemble with ONE
+    * example_id exchange (collect_list + array_sort — each group is
+    * exactly seqLen rows). */
+  def packedTokens(docs: DataFrame, seqLen: Int, epoch: Int, vocabTop: Int,
+                   numBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val placed = placedDocs(docs, epoch, numBuckets).getOrElse(
+      return docs.select(lit(0L).as("example_id"),
+        array().cast("array<long>").as("input_ids")).limit(0))
+    val tf = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val vocab = tf.orderBy(col("c").desc, col("term")).limit(vocabTop)
+      .withColumn("token_id", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("c").desc, col("term")))
+        .cast("long") + 1L)
+      .select("term", "token_id")
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(concat(tokens(col("text")), array(lit(null).cast("string"))))
+          .as(Seq("pos", "term")))
+    val idStream = toks.join(placed, "doc_id")
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select((col("start") + col("pos")).as("gpos"),
+        when(col("term").isNull, 0L)                    // EOS sentinel
+          .otherwise(coalesce(col("token_id"), lit(1L))) // OOV -> 1
+          .as("tid"))
+    val L = lit(seqLen.toLong)
+    idStream
+      .select((col("gpos") / L).cast("long").as("example_id"),
+        struct(col("gpos"), col("tid")).as("cell"))
+      .groupBy("example_id")
+      .agg(count(lit(1)).as("n"), array_sort(collect_list(col("cell"))).as("cells"))
+      .where(col("n") === L)  // drop the trailing short example
+      .select(col("example_id"),
+        transform(col("cells"), c => c.getField("tid")).as("input_ids"))
       .orderBy("example_id")
   }
 

@@ -96,6 +96,61 @@ object Safetensors {
       }
   }
 
+  private def tokenHeaderJson(n: Int, seqLen: Int, idsEnd: Long, tokEnd: Long): String =
+    s"""{"example_ids":{"dtype":"I64","shape":[$n],"data_offsets":[0,$idsEnd]},""" +
+      s""""input_ids":{"dtype":"I64","shape":[$n,$seqLen],"data_offsets":[$idsEnd,$tokEnd]}}"""
+
+  /** Write (example_id: long, input_ids: array&lt;long&gt;) rows as
+    * safetensors shards — the PACKED-TOKEN variant of [[write]]: an
+    * `example_ids` I64 [n] tensor paired with an `input_ids` I64
+    * [n, seqLen] tensor, which is exactly the file a trainer's data
+    * loader mmaps. Same determinism and rolling contract as [[write]]. */
+  def writeTokens(df: DataFrame, path: String, shardMaxRows: Int = 1 << 20): Unit = {
+    require(shardMaxRows > 0, s"shardMaxRows must be positive: $shardMaxRows")
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    df.select(col("example_id").cast("long"), col("input_ids").cast("array<long>"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val fs = new Path(path).getFileSystem(conf.value)
+        var seq = 0
+        val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+        val toks = new scala.collection.mutable.ArrayBuffer[Array[Long]]()
+        def flush(): Unit = {
+          if (ids.nonEmpty) {
+            val n = ids.length
+            val seqLen = toks.head.length
+            val idsBytes = 8L * n
+            val tokBytes = 8L * n * seqLen
+            val header = tokenHeaderJson(n, seqLen, idsBytes, idsBytes + tokBytes)
+              .getBytes(StandardCharsets.UTF_8)
+            val buf = ByteBuffer.allocate(8 + header.length +
+              idsBytes.toInt + tokBytes.toInt).order(ByteOrder.LITTLE_ENDIAN)
+            buf.putLong(header.length.toLong)
+            buf.put(header)
+            ids.foreach(i => buf.putLong(i))
+            toks.foreach(t => t.foreach(x => buf.putLong(x)))
+            val out = fs.create(
+              new Path(path, f"part-$part%05d-$seq%04d.safetensors"), true)
+            out.write(buf.array())
+            out.close()
+            seq += 1
+            ids.clear(); toks.clear()
+          }
+        }
+        rows.foreach { r =>
+          val t = r.getSeq[Long](1).toArray
+          if (toks.nonEmpty && t.length != toks.head.length)
+            throw new IllegalArgumentException(
+              s"ragged example length ${t.length} != ${toks.head.length} (example ${r.getLong(0)})")
+          ids += r.getLong(0)
+          toks += t
+          if (ids.length >= shardMaxRows) flush()
+        }
+        flush()
+      }
+  }
+
   /** Parsed header entry: dtype, shape, [start, end) offsets into the
     * data section. */
   final case class TensorMeta(dtype: String, shape: Seq[Long], start: Long, end: Long)
@@ -231,6 +286,51 @@ object Safetensors {
       while (j < dim) { v(j) = eb.getFloat; j += 1 }
       (id, v)
     }
+  }
+
+  /** Decode one packed-token shard: (example_id, input_ids) pairs.
+    * Public for the spec. */
+  def parseTokenShard(bytes: Array[Byte]): Seq[(Long, Array[Long])] = {
+    val (metas, dataOff) = parseHeader(bytes)
+    val idsM = metas.getOrElse("example_ids",
+      throw new IllegalArgumentException("missing example_ids tensor"))
+    val tokM = metas.getOrElse("input_ids",
+      throw new IllegalArgumentException("missing input_ids tensor"))
+    require(idsM.dtype == "I64" && tokM.dtype == "I64",
+      s"packed-token shard must be I64/I64: ${idsM.dtype}/${tokM.dtype}")
+    require(idsM.shape.length == 1 && tokM.shape.length == 2 &&
+      idsM.shape.head == tokM.shape.head,
+      s"shape mismatch: ids ${idsM.shape} vs input_ids ${tokM.shape}")
+    val n = idsM.shape.head.toInt
+    val seqLen = tokM.shape(1).toInt
+    require(idsM.end - idsM.start == 8L * n, "example_ids byte extent != 8*n")
+    require(tokM.end - tokM.start == 8L * n * seqLen, "input_ids byte extent != 8*n*L")
+    require(dataOff + tokM.end <= bytes.length, "data section truncated")
+    val ib = ByteBuffer.wrap(bytes, (dataOff + idsM.start).toInt, 8 * n)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val tb = ByteBuffer.wrap(bytes, (dataOff + tokM.start).toInt, 8 * n * seqLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    (0 until n).map { _ =>
+      val id = ib.getLong
+      val t = new Array[Long](seqLen)
+      var j = 0
+      while (j < seqLen) { t(j) = tb.getLong; j += 1 }
+      (id, t)
+    }
+  }
+
+  /** Read a packed-token shard directory back as
+    * (shard, example_id, input_ids). */
+  def readTokens(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$path/*.safetensors")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val shard = p.split('/').last
+        parseTokenShard(bytes).iterator.map { case (id, t) => (shard, id, t) }
+      }
+      .toDF("shard", "example_id", "input_ids")
   }
 
   /** Read a shard directory back as (shard, vec_id, embedding) — one

@@ -109,4 +109,53 @@ class SafetensorsSpec extends SparkSpec {
       .putLong(junk.length.toLong).put(junk).array()
     intercept[IllegalArgumentException] { Safetensors.parseHeader(withLen) }
   }
+
+  test("packedTokens equals the driver-side fold of the same recipe: " +
+    "shuffle order, vocab ids, EOS placement, tail drop — bit for bit") {
+    import graft.operators.{CorpusPipeline, Dedup}
+    val L = 128
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val packed = CorpusPipeline.packedTokens(docs, L, epoch = 1, vocabTop = 50)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toSeq
+    // driver reference: same recipe, plain Scala (skey via the spec'd
+    // hash60 primitive evaluated once per doc)
+    val keyed = docs.select(col("doc_id"),
+        Dedup.hash60(concat(col("doc_id").cast("string"), lit(":1"))).as("skey"),
+        col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val freq = keyed.flatMap(d => toks(d._3)).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }.take(50)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 2L) }.toMap
+    val stream = keyed.sortBy(d => (d._2, d._1))
+      .flatMap(d => toks(d._3).map(t => vocab.getOrElse(t, 1L)) :+ 0L)
+    val want = stream.grouped(L).filter(_.length == L).zipWithIndex
+      .map { case (g, i) => i.toLong -> g.toVector }.toSeq
+    assert(packed.sortBy(_._1) == want, "packed examples diverge from the driver fold")
+    assert(packed.nonEmpty && packed.forall(_._2.length == L))
+  }
+
+  test("packed-token shards roundtrip: spec-valid I64/I64 pair, readTokens " +
+    "returns the written examples exactly") {
+    import graft.operators.CorpusPipeline
+    val L = 64
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val packed = CorpusPipeline.packedTokens(docs, L, 1, 100)
+      .repartitionByRange(2, col("example_id")).sortWithinPartitions("example_id")
+    val dir = freshDir("packed")
+    Safetensors.writeTokens(packed, dir, shardMaxRows = 7)
+    val files = shardFiles(dir)
+    assert(files.nonEmpty)
+    // hand-parse one shard: shapes consistent, rows of length L
+    val rows = Safetensors.parseTokenShard(Files.readAllBytes(files.head.toPath))
+    assert(rows.nonEmpty && rows.forall(_._2.length == L))
+    assert(rows.size <= 7, "shard rolled past shardMaxRows")
+    val back = Safetensors.readTokens(spark, dir)
+      .select("example_id", "input_ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).sortBy(_._1).toSeq
+    val want = packed.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).sortBy(_._1).toSeq
+    assert(back == want, "token shards did not roundtrip")
+  }
 }
