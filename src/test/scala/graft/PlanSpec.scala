@@ -225,6 +225,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "rank should come from heaps, not a window")
   }
 
+  test("sample index places the stream with bucket windows, never a global " +
+    "range sort below the final orderBy") {
+    val df = CorpusPipeline.sampleIndex(docs, 128, 1)
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in sampleIndex:\n$p")
+    // exactly one rangepartitioning exchange: the FINAL orderBy. The
+    // placement itself must ride hash exchanges (two-pass buckets).
+    val ranges = "rangepartitioning".r.findAllIn(p).length
+    assert(ranges <= 1, s"placement leaked a global sort ($ranges rangepartitionings):\n$p")
+  }
+
+  test("packed tokens: the vocab id map attaches via broadcast, never a " +
+    "shuffled join of the token stream against the vocabulary") {
+    val df = CorpusPipeline.packedTokens(docs, 64, 1, 100)
+    val p = physical(df)
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in packedTokens:\n$p")
+  }
+
+  test("changepoint: per-type stats broadcast back; the hourly aggregate is partial") {
+    val df = Events.changepoint(Tables.events(spark, sf0001))
+    val p = physical(df)
+    assert(p.contains("BroadcastHashJoin"), s"stats join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"hourly frame should never shuffle for stats:\n$p")
+  }
+
+  test("cluster-balanced sample: broadcast-centroid assignment (no exchange " +
+    "below the per-cell heads) and GroupedTopK heaps, not a window sort") {
+    val df = Sampling.clusterBalancedSample(emb, 10, 4)
+    val p = physical(df)
+    assert(p.contains("GroupedTopKPartial"), s"per-cell cap should use bounded heaps:\n$p")
+    assert(!p.contains("Window"), "cap should come from heaps, not a window rank")
+  }
+
   test("moving revenue: the RANGE window runs over the daily PRE-AGGREGATE, not the event stream") {
     val df = Events.movingDailyRevenue(Tables.events(spark, sf0001), 7)
     val p = physical(df)
