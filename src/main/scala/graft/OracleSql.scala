@@ -453,6 +453,39 @@ object OracleSql {
          |      $AnomZ * $AnomZ * (s.cnt * s.sum_n2 - s.sum_n * s.sum_n)
          |ORDER BY h.event_type, h.hour""".stripMargin,
 
+    "q169_vocab_growth" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    ${hash60(s"(CAST(doc_id AS VARCHAR) || ':$ShuffleEpoch')")} AS skey,
+         |    ${toks()} AS ts, len(${toks()}) AS len
+         |  FROM documents),
+         |placed AS (
+         |  SELECT doc_id, ts,
+         |    CAST(sum(len) OVER (ORDER BY skey, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len AS BIGINT) AS start
+         |  FROM base),
+         |firsto AS (
+         |  SELECT ts[r.i] AS term, CAST(min(start + r.i - 1) AS BIGINT) AS f
+         |  FROM placed, LATERAL unnest(range(1, len(ts) + 1)) AS r(i)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(len) AS BIGINT) AS total FROM base),
+         |bydec AS (
+         |  SELECT (f * $HeapsCuts) // total AS d, count(*) AS nv
+         |  FROM firsto, tot GROUP BY 1),
+         |decs AS (SELECT CAST(unnest(range(0, $HeapsCuts)) AS BIGINT) AS d),
+         |cum AS (
+         |  SELECT d.d, coalesce(b.nv, 0) AS nv FROM decs d LEFT JOIN bydec b USING (d)),
+         |curve AS (
+         |  SELECT d, sum(nv) OVER (ORDER BY d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_seen
+         |  FROM cum)
+         |SELECT CAST(d + 1 AS INT) AS decile,
+         |  CAST((d + 1) * total // $HeapsCuts AS BIGINT) AS n_prefix_tokens,
+         |  CAST(vocab_seen AS BIGINT) AS vocab_seen,
+         |  round(CAST(vocab_seen AS DOUBLE) /
+         |    CAST(greatest((d + 1) * total // $HeapsCuts, 1) AS DOUBLE), 6) AS type_token_ratio
+         |FROM curve, tot ORDER BY decile""".stripMargin,
+
     "q166_zipf_report" ->
       s"""WITH tf AS (
          |  SELECT t.term, count(*) AS c

@@ -123,6 +123,7 @@ object SparkEntry {
     val ZipfTopN = 100    // q166 head size for the log-log OLS fit
     val PackVocab = 4096  // q167 vocabulary cap (ids 2..PackVocab+1;
                           // 0 = EOS, 1 = OOV)
+    val HeapsCuts = 10    // q169 vocabulary-growth curve resolution
     val ReservoirSeed = 2026L // q153 LCG seed (the sample is a pure
                               // function of data + this)
     val CollocMin = 5     // q72 pair min-support: prunes the hapax pair
@@ -531,6 +532,10 @@ object SparkEntry {
       Tables.documents(s, d), SampleSeqLen, ShuffleEpoch)),
     "q165_changepoint" -> ((s, d) => Events.changepoint(Tables.events(s, d))),
     "q166_zipf_report" -> ((s, d) => Analytics.zipfReport(Tables.documents(s, d), ZipfTopN)),
+    "q168_exactsubstr_remove" -> ((s, d) =>
+      graft.operators.SuffixArray.exactSubstrRemove(Tables.documents(s, d), RepeatWindow)),
+    "q169_vocab_growth" -> ((s, d) =>
+      CorpusPipeline.vocabGrowth(Tables.documents(s, d), HeapsCuts, ShuffleEpoch)),
     "q161_fertility" -> ((s, d) => TextAnalysis.fertility(Tables.documents(s, d))),
     "q60_lsh_recall" -> ((s, d) =>
       Dedup.lshRecallReport(Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold)),

@@ -550,11 +550,11 @@ object CorpusPipeline {
     * (len = n_tokens + 1 EOS), via the q08 two-pass deterministic
     * bucket discipline. None ⟺ empty corpus. */
   private def placedDocs(docs: DataFrame, epoch: Int,
-                         numBuckets: Int): Option[DataFrame] = {
+                         numBuckets: Int, eos: Boolean = true): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val base = docs.select(col("doc_id"),
       Dedup.hash60(concat(col("doc_id").cast("string"), lit(":" + epoch))).as("skey"),
-      (size(tokens(col("text"))) + 1).cast("long").as("len"))
+      (size(tokens(col("text"))) + lit(if (eos) 1 else 0)).cast("long").as("len"))
     val stats = base.agg(min(col("skey")).as("mn"), max(col("skey")).as("mx")).collect()(0)
     if (stats.isNullAt(0)) return None
     val (mn, mx) = (stats.getLong(0), stats.getLong(1))
@@ -594,6 +594,57 @@ object CorpusPipeline {
       .select(col("example_id"), col("n_docs"), col("n_tokens"), col("start_doc"),
         greatest(lit(0L), col("example_id") * L - col("__mnstart")).as("start_offset"))
       .orderBy("example_id")
+  }
+
+  /** Heaps-law vocabulary growth curve (q169; Heaps 1978): distinct
+    * vocabulary seen after each tenth of the epoch-shuffled token
+    * stream — the empirical V(n) curve whose log-log slope is the Heaps
+    * β a corpus-health audit tracks next to the Zipf slope (q166).
+    * Template-heavy or deduplicated-to-death corpora flatten early;
+    * scraped boilerplate inflates the head. The stream order is the
+    * SAME epoch shuffle as q120/q162 (a pure function of doc_id and
+    * epoch), so the curve is reproducible and decile boundaries are
+    * exact integer arithmetic (f·cuts div total — no float wobble at
+    * bucket edges).
+    *
+    * Scale shape: token-only [[placedDocs]] placement (no global
+    * sort), one term exchange for first-occurrence minima (map-side
+    * partial min), then a ≤cuts-row decile rollup + window. Nothing
+    * driver-side but the 1-value total. */
+  def vocabGrowth(docs: DataFrame, cuts: Int = 10, epoch: Int = 1,
+                  numBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val placed = placedDocs(docs, epoch, numBuckets, eos = false).getOrElse(
+      return docs.select(lit(0).as("decile"), lit(0L).as("n_prefix_tokens"),
+        lit(0L).as("vocab_seen"), lit(0.0).as("type_token_ratio")).limit(0))
+    val total = placed.agg(sum(col("len"))).collect()(0).getLong(0)
+    if (total == 0L)
+      return docs.select(lit(0).as("decile"), lit(0L).as("n_prefix_tokens"),
+        lit(0L).as("vocab_seen"), lit(0.0).as("type_token_ratio")).limit(0)
+    val firstOcc = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .join(placed, "doc_id")
+      .select(col("term"), (col("start") + col("pos")).as("gpos"))
+      .groupBy("term").agg(min(col("gpos")).as("f"))
+    val byDecile = firstOcc
+      .select(expr(s"(f * $cuts) div $total").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("nv"))
+    val deciles = (0 until cuts).map(_.toLong).toDF("d")
+    val w = Window.partitionBy(lit(0)).orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deciles.join(byDecile, Seq("d"), "left")
+      .na.fill(0L, Seq("nv"))
+      .withColumn("vocab_seen", sum(col("nv")).over(w))
+      .select((col("d") + 1).cast("int").as("decile"),
+        expr(s"(d + 1) * $total div $cuts").as("n_prefix_tokens"),
+        col("vocab_seen"))
+      .select(col("decile"), col("n_prefix_tokens"), col("vocab_seen"),
+        round(col("vocab_seen").cast("double") /
+          greatest(col("n_prefix_tokens"), lit(1L)).cast("double"), 6)
+          .as("type_token_ratio"))
+      .orderBy("decile")
   }
 
   /** Packed training examples (q167): the MATERIALIZED form of

@@ -247,6 +247,62 @@ object SuffixArray {
     * which is what lets it share q159's SQL oracle. rep(p) = max of
     * p's adjacent LCPs; islands merge [p, p + rep(p)) extents with the
     * q159 running-max discipline. */
+  /** q168: ExactSubstr REMOVAL — the paper's actual mutation (Lee et
+    * al. 2022 §4: "remove all but one occurrence"), completing the
+    * family: q159 detects, q163 indexes, q164 measures, this one CUTS.
+    * Rule (exact, documented): a position p is cut iff some occurrence
+    * with LOWER stream position shares a ≥ minLen prefix with it; the
+    * cut extends over p's maximal repeat extent. "Earlier survives":
+    * duplicate-sharing suffixes form RUNS of adjacent ranks (pairwise
+    * adjacent LCP ≥ minLen, transitive via the min rule), resolved into
+    * groups by the SAME pointer-jumped connected components the LSH
+    * dedup uses ([[Clusters.connectedComponents]] over the thresholded
+    * adjacency pairs — node ids are gpos, so the cluster label IS the
+    * earliest occurrence). Emits per doc: token counts kept/cut and a
+    * fingerprint of the kept token sequence (the cleaned doc's
+    * identity, oracle-able downstream).
+    *
+    * Scale shape: everything up to the groups is q164's machinery; CC
+    * adds ~log(run length) label rounds over pair-mass-sized frames;
+    * the cut explode is Σ extents (the duplicate mass, not the
+    * corpus); the final rollup is one doc_id exchange with per-doc
+    * bounded collect_list. Re-running on the cleaned text cuts nothing
+    * new when cuts don't stitch new adjacencies together (spec-pinned
+    * on the crafted corpus; the paper's procedure shares the caveat). */
+  def exactSubstrRemove(docs: DataFrame, minLen: Int): DataFrame = {
+    val st = stream(docs).localCheckpoint(true)
+    val lcp = lcpAdjacent(buildLevels(st), minLen.toLong)
+      .where(col("lcp") >= minLen)
+      .localCheckpoint(true) // feeds rep, the CC edges, and the join below
+    val rep = lcp
+      .select(explode(array(
+        struct(col("gpos_a").as("gpos"), col("lcp")),
+        struct(col("gpos_b").as("gpos"), col("lcp")))).as("m"))
+      .select(col("m.gpos").as("gpos"), col("m.lcp").as("lcp"))
+      .groupBy("gpos").agg(max(col("lcp")).as("rep"))
+    val groups = Clusters.connectedComponents(
+      lcp.select(col("gpos_a").as("a"), col("gpos_b").as("b")))
+    val cuts = groups.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("gpos"))
+      .join(rep, "gpos")
+      .join(st.select(col("gpos"), col("doc_id"), col("pos")), "gpos")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + col("rep") - 1)).as("pos"))
+      .distinct()
+    st.where(!col("is_sentinel"))
+      .join(cuts.withColumn("__cut", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_cut"),
+        hash60(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__cut").isNull,
+            struct(col("pos"), col("token"))))),
+          c => c.getField("token")))).as("kept_fp"))
+      .select(col("doc_id"), col("n_tokens"), col("n_cut"),
+        (col("n_tokens") - col("n_cut")).as("n_kept"), col("kept_fp"))
+      .orderBy("doc_id")
+  }
+
   def exactSubstrCoverage(docs: DataFrame, minLen: Int): DataFrame = {
     val st = stream(docs).localCheckpoint(true)
     val lcp = lcpAdjacent(buildLevels(st), minLen.toLong)

@@ -507,6 +507,27 @@ class CorpusOpsSpec extends SparkSpec {
       idx.map(t => (t._4, t._5)).toSeq, "epoch 2 must reorder the stream")
   }
 
+  test("vocab growth: single-doc corpus gives the exact hand-computed curve; " +
+    "real corpus curve is monotone and ends at the full vocabulary") {
+    // one doc -> stream order is irrelevant: "a b a b c", cuts=5:
+    // first occurrences a@0 b@1 c@4 -> deciles 0,1,4; curve 1,2,2,2,3
+    val solo = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val curve = CorpusPipeline.vocabGrowth(solo, cuts = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(curve.toSeq == Seq((1, 1L, 1L), (2, 2L, 2L), (3, 3L, 2L),
+      (4, 4L, 2L), (5, 5L, 3L)), s"curve: ${curve.toSeq}")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val real = CorpusPipeline.vocabGrowth(docs, 10).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(real.map(_._3).sliding(2).forall(p => p.head <= p.last), "curve not monotone")
+    val vocab = docs.select(explode(graft.operators.TextAnalysis.tokens(col("text"))))
+      .distinct().count()
+    assert(real.last._3 == vocab, s"curve end ${real.last._3} != vocab $vocab")
+    val total = docs.select(sum(size(graft.operators.TextAnalysis.tokens(col("text")))))
+      .collect()(0).getLong(0)
+    assert(real.last._2 == total)
+  }
+
   test("fertility: zh-style unsegmented text shows high subwords-per-word; " +
     "clean English ~1 per word; totals are exact") {
     val docs = Seq(

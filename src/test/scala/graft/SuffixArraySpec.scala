@@ -79,6 +79,51 @@ class SuffixArraySpec extends SparkSpec {
       "minLen fast path changed the surviving rows")
   }
 
+  test("removal: later occurrences cut over their full repeat extent, " +
+    "first occurrences survive untouched, self-repeats keep the earlier site") {
+    val out = SuffixArray.exactSubstrRemove(crafted, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // docA holds the quote's FIRST occurrence: nothing cut
+    assert(out(1L) == ((13L, 0L, 13L, out(1L)._4)), s"docA: ${out(1L)}")
+    // docB: positions 0..6 duplicate docA (extents 9..3) -> island [0,8]
+    assert(out(2L) == ((11L, 9L, 2L, out(2L)._4)), s"docB: ${out(2L)}")
+    // docC: the self-repeat's SECOND site [3,5] cut, first site kept
+    assert(out(3L) == ((7L, 3L, 4L, out(3L)._4)), s"docC: ${out(3L)}")
+    // fingerprint sanity: docB's kept text is exactly "f5 f6"
+    val fp = spark.sql("SELECT conv(substring(md5('f5 f6'), 1, 15), 16, 10)")
+      .collect()(0).getString(0).toLong
+    assert(out(2L)._4 == fp, s"docB fingerprint: ${out(2L)._4} vs $fp")
+  }
+
+  test("removal is idempotent on the cleaned corpus (crafted)") {
+    val cleanedTexts = Map(
+      1L -> s"f1 f2 f3 $quote f4", // unchanged
+      2L -> "f5 f6",
+      3L -> "x1 y1 z1 w1")
+    val cleaned = cleanedTexts.toSeq.toDF("doc_id", "text")
+    val again = SuffixArray.exactSubstrRemove(cleaned, 3).collect()
+    assert(again.forall(_.getLong(2) == 0L),
+      s"second pass cut something: ${again.toSeq}")
+  }
+
+  test("removal conservation on the real corpus: kept + cut = tokens, " +
+    "and cuts never exceed the coverage mass") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rem = SuffixArray.exactSubstrRemove(docs, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val cov = SuffixArray.exactSubstrCoverage(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rem.nonEmpty && rem.values.forall { case (n, c, k) => n == c + k })
+    rem.foreach { case (id, (_, c, _)) =>
+      assert(c <= cov(id), s"doc $id cut $c > covered ${cov(id)}")
+    }
+    val totalCut = rem.values.map(_._2).sum
+    val totalCov = cov.values.sum
+    assert(totalCut > 0 && totalCut < totalCov,
+      s"keepers must survive: cut $totalCut vs covered $totalCov")
+  }
+
   test("edges: all-unique corpus yields no repeats and zero coverage; " +
     "a single one-token doc survives the whole pipeline") {
     val unique = Seq((1L, "u1 u2 u3"), (2L, "u4 u5")).toDF("doc_id", "text")
