@@ -761,7 +761,9 @@ object CorpusPipeline {
     // ≤5 aggregate rows from here down — window over the RULE axis.
     val rules = Seq((1, "too_few_tokens"), (2, "low_stopword"),
       (3, "long_tokens"), (4, "lang_mismatch")).toDF("step", "rule")
-    val total = byRule.agg(sum(col("n")).as("__total"))
+    // coalesce: an EMPTY corpus sums to NULL, and the funnel must read
+    // all-zero rows, not nulls
+    val total = byRule.agg(coalesce(sum(col("n")), lit(0L)).as("__total"))
     val counts = rules.join(byRule, Seq("step"), "left")
       .na.fill(0L, Seq("n"))
       .crossJoin(broadcast(total))

@@ -361,4 +361,38 @@ class EdgeCaseSpec extends SparkSpec {
       assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getBoolean(3))
     }
   }
+
+  test("r15 curation ops degrade on degenerate corpora: empty input, " +
+    "whitespace docs, vocab smaller than the fit head") {
+    val emptyDocs = oddDocs.where(lit(false))
+    // funnel on an empty corpus: 4 rule rows, all zero
+    val f = CorpusPipeline.attritionFunnel(emptyDocs, 5, 0.0, 10.0).collect()
+    assert(f.length == 4 && f.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    // fertility: whitespace-only docs contribute zero words AND zero
+    // subwords but still count as docs in their stratum
+    val fert = graft.operators.TextAnalysis.fertility(oddDocs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(fert(("en", "web"))._1 == 4L, s"stratum doc count: $fert")
+    // zipf with topN far beyond the vocabulary: fit over what exists
+    val z = graft.operators.Analytics.zipfReport(oddDocs, 1000).collect()(0)
+    assert(z.getLong(4) == 4L && z.getLong(1) == 4L,
+      s"fit_n should clamp to the vocab: $z")
+    // sample index and vocab growth on empty input: empty frames, no throw
+    assert(CorpusPipeline.sampleIndex(emptyDocs, 16, 1).count() == 0)
+    assert(CorpusPipeline.vocabGrowth(emptyDocs).count() == 0)
+    assert(CorpusPipeline.packedTokens(emptyDocs, 16, 1, 10).count() == 0)
+    // packed tokens when the corpus is smaller than one example: no rows
+    val tiny = Seq((1L, "one two")).toDF("doc_id", "text")
+    assert(CorpusPipeline.packedTokens(tiny, 16, 1, 10).count() == 0)
+  }
+
+  test("changepoint degrades on thin series: single-hour types drop out, " +
+    "empty events give an empty report") {
+    val one = Seq(("click", "2024-03-01 05:00:01"), ("click", "2024-03-01 05:00:02"))
+      .toDF("event_type", "ts_s")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+    assert(Events.changepoint(one).count() == 0,
+      "a one-hour series cannot have a changepoint")
+    assert(Events.changepoint(one.where(lit(false))).count() == 0)
+  }
 }
