@@ -453,6 +453,37 @@ object OracleSql {
          |      $AnomZ * $AnomZ * (s.cnt * s.sum_n2 - s.sum_n * s.sum_n)
          |ORDER BY h.event_type, h.hour""".stripMargin,
 
+    "q170_effective_dim" ->
+      s"""WITH clean AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL AND ${cleanEmb("embedding")}),
+         |pos AS (
+         |  SELECT vec_id, r.i AS d, CAST(embedding[r.i] AS DOUBLE) AS x
+         |  FROM clean, LATERAL unnest(range(1, 65)) AS r(i)),
+         |sxy AS (
+         |  SELECT a.d AS da, b.d AS db,
+         |    CAST(sum(CAST(round(round(a.x * b.x, 9) * 1e9, 0) AS BIGINT)) AS BIGINT) AS sxy9,
+         |    count(*) AS n
+         |  FROM pos a JOIN pos b USING (vec_id) GROUP BY 1, 2),
+         |sx AS (
+         |  SELECT d, CAST(sum(CAST(round(round(x, 9) * 1e9, 0) AS BIGINT)) AS BIGINT) AS sx9
+         |  FROM pos GROUP BY 1),
+         |cde AS (
+         |  SELECT da, db,
+         |    CAST(round(((sxy9 / 1e9) / n - (sa.sx9 / 1e9 / n) * (sb.sx9 / 1e9 / n)) * 1e6, 0) AS BIGINT) AS c6,
+         |    n
+         |  FROM sxy JOIN sx sa ON sxy.da = sa.d JOIN sx sb ON sxy.db = sb.d),
+         |agg AS (
+         |  SELECT max(n) AS n_vectors,
+         |    CAST(sum(CASE WHEN da = db THEN c6 ELSE 0 END) AS BIGINT) AS tr6,
+         |    CAST(sum(c6 * c6) AS BIGINT) AS tr2_12
+         |  FROM cde)
+         |SELECT CAST(n_vectors AS BIGINT) AS n_vectors, CAST(64 AS INT) AS dim,
+         |  round(tr6 / 1e6, 6) AS total_variance,
+         |  round((tr6 / 1e6) * (tr6 / 1e6) / greatest(tr2_12 / 1e12, 1e-12), 6) AS effective_dim,
+         |  round((tr6 / 1e6) * (tr6 / 1e6) / greatest(tr2_12 / 1e12, 1e-12) / 64, 6) AS effective_dim_ratio
+         |FROM agg""".stripMargin,
+
     "q169_vocab_growth" ->
       s"""WITH base AS (
          |  SELECT doc_id,

@@ -536,6 +536,7 @@ object SparkEntry {
       graft.operators.SuffixArray.exactSubstrRemove(Tables.documents(s, d), RepeatWindow)),
     "q169_vocab_growth" -> ((s, d) =>
       CorpusPipeline.vocabGrowth(Tables.documents(s, d), HeapsCuts, ShuffleEpoch)),
+    "q170_effective_dim" -> ((s, d) => Clusters.effectiveDim(Tables.embeddings(s, d))),
     "q161_fertility" -> ((s, d) => TextAnalysis.fertility(Tables.documents(s, d))),
     "q60_lsh_recall" -> ((s, d) =>
       Dedup.lshRecallReport(Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold)),

@@ -270,4 +270,64 @@ object Clusters {
         (abs(shareCur - shareRef) >= flagPpm).cast("int").as("drifted"))
       .orderBy("centroid_id")
   }
+
+  /** Effective dimensionality of the embedding space (q170): the
+    * participation ratio PR = (tr C)² / tr(C²) of the covariance matrix
+    * — the standard eigenvalue-participation diagnostic
+    * ((Σλ)²/Σλ², ∈ [1, dim]) computed WITHOUT any eigendecomposition,
+    * because both traces are plain sums: tr C = Σ_d Var(d) and
+    * tr(C²) = Σ_{d,e} Cov(d,e)². An anisotropy-collapsed collection
+    * (all vectors in a narrow cone — the classic contextual-embedding
+    * pathology) reads PR ≪ dim; a whitened one reads PR ≈ dim. The
+    * dial a vector-index owner checks before trusting cosine
+    * distances.
+    *
+    * Determinism discipline: per-row products quantize to 9-dp
+    * micro-units (double-round guard) so the second-moment sums are
+    * exact integers in any engine; covariance entries then quantize to
+    * 6-dp before the two trace sums (again integers; c6² stays < 2^63
+    * at dim 64). Floats appear only in the final divisions.
+    *
+    * Scale shape: the moment matrix comes from ONE self-equi-join of
+    * the (vec_id, d, x) explode on vec_id — shuffle is n·dim rows
+    * (the exchange is planned once and reused for both sides), and the
+    * (d, e) aggregate is map-side-combined to dim² partials per task.
+    * Everything after is a dim²-row frame. Dirty vectors (null, wrong
+    * dim, null elements) drop under the same guards as the PQ family. */
+  def effectiveDim(vectors: DataFrame, dim: Int = 64): DataFrame = {
+    def micro9(c: org.apache.spark.sql.Column) =
+      round(round(c, 9) * 1e9, 0).cast("long")
+    val pos = vectors
+      .where(col("embedding").isNotNull && size(col("embedding")) === dim &&
+        size(filter(col("embedding"), x => x.isNull)) === 0)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"), col("x").cast("double").as("x"))
+    val a = pos.select(col("vec_id"), col("d").as("da"), col("x").as("xa"))
+    val b = pos.select(col("vec_id"), col("d").as("db"), col("x").as("xb"))
+    val sxy = a.join(b, "vec_id")
+      .groupBy("da", "db")
+      .agg(sum(micro9(col("xa") * col("xb"))).as("sxy9"), count(lit(1)).as("n"))
+    val sx = pos.groupBy("d").agg(sum(micro9(col("x"))).as("sx9"))
+    val cde = sxy
+      .join(broadcast(sx.select(col("d").as("da"), col("sx9").as("sxa9"))), "da")
+      .join(broadcast(sx.select(col("d").as("db"), col("sx9").as("sxb9"))), "db")
+      .select(col("da"), col("db"),
+        round(((col("sxy9").cast("double") / 1e9) / col("n") -
+          (col("sxa9").cast("double") / 1e9 / col("n")) *
+          (col("sxb9").cast("double") / 1e9 / col("n"))) * 1e6, 0)
+          .cast("long").as("c6"),
+        col("n"))
+    cde.agg(
+        max(col("n")).as("n_vectors"),
+        sum(when(col("da") === col("db"), col("c6")).otherwise(0L)).as("tr6"),
+        sum(col("c6") * col("c6")).as("tr2_12"))
+      .select(col("n_vectors"), lit(dim).as("dim"),
+        round(col("tr6").cast("double") / 1e6, 6).as("total_variance"),
+        round((col("tr6").cast("double") / 1e6) * (col("tr6").cast("double") / 1e6) /
+          greatest(col("tr2_12").cast("double") / 1e12, lit(1e-12)), 6)
+          .as("effective_dim"),
+        round((col("tr6").cast("double") / 1e6) * (col("tr6").cast("double") / 1e6) /
+          greatest(col("tr2_12").cast("double") / 1e12, lit(1e-12)) / dim, 6)
+          .as("effective_dim_ratio"))
+  }
 }

@@ -133,4 +133,25 @@ class ClusterSpec extends SparkSpec {
     // Share columns are exact floor-ppm of the halves.
     assert(out(1L).getLong(1) == 2L || out(0L).getLong(1) == 2L)
   }
+
+  test("effective dim: exactly 2.0 for a two-axis corpus, 1.0 for a " +
+    "collapsed one; dirty vectors drop from the count") {
+    def axis(d: Int, v: Float) = {
+      val a = Array.fill(64)(0f); a(d) = v; a
+    }
+    val twoAxis = Seq(
+      (1L, axis(0, 1f)), (2L, axis(0, -1f)),
+      (3L, axis(1, 1f)), (4L, axis(1, -1f)),
+      (5L, null.asInstanceOf[Array[Float]]),      // dropped: null
+      (6L, Array.fill(63)(0f))                     // dropped: wrong dim
+    ).toDF("vec_id", "embedding")
+    val r = Clusters.effectiveDim(twoAxis).collect()(0)
+    assert(r.getLong(0) == 4L, s"dirty rows not dropped: $r")
+    assert(r.getDouble(2) == 1.0, s"total variance: $r")     // 0.5 + 0.5
+    assert(r.getDouble(3) == 2.0, s"PR should be exactly 2: $r")
+    val collapsed = Seq((1L, axis(0, 1f)), (2L, axis(0, -1f)))
+      .toDF("vec_id", "embedding")
+    val c = Clusters.effectiveDim(collapsed).collect()(0)
+    assert(c.getDouble(3) == 1.0, s"collapsed PR should be 1: $c")
+  }
 }
