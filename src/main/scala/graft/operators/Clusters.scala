@@ -61,7 +61,13 @@ object Clusters {
     // hold no executor blocks, so their id set is empty — harmless.
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet
-      val cp = if (reliable) df.checkpoint() else df.localCheckpoint()
+      // leanCheckpoint, not Dataset.localCheckpoint: the plain
+      // checkpoint ATTACHES the input plan's multiplied size estimate
+      // to the new leaf, and this loop's self-join (pointer jump)
+      // would compound those BigInts geometrically across rounds —
+      // planning-time BigInteger.multiply stalls, see SqlBridge
+      val cp = if (reliable) df.checkpoint()
+      else org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint(df)
       (cp, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     def free(ids: Set[Int]): Unit =

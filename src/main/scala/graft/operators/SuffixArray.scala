@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup.hash60
 import graft.operators.TextAnalysis.tokens
+import org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint
 
 /** Distributed suffix array over the token stream — the INDEX half of
   * Lee et al. 2022's ExactSubstr dedup (q159 is the windowed DETECTION
@@ -125,8 +126,8 @@ object SuffixArray {
     * the position in the suffix array over the permuted alphabet. */
   def buildLevels(st: DataFrame): Seq[(Long, DataFrame)] = {
     val n = st.count()
-    var rank = st.select(col("gpos"), hash60(col("token")).as("rank"))
-      .localCheckpoint(true)
+    var rank = leanCheckpoint(
+      st.select(col("gpos"), hash60(col("token")).as("rank")))
     var levels = List((1L, rank))
     var h = 1L
     var done = n <= 1
@@ -146,12 +147,11 @@ object SuffixArray {
       // literal broadcast — `next` itself stays LAZY (a narrow map over
       // the checkpointed frame), so each round costs exactly one
       // expensive job plus one tiny agg.
-      val loc = paired
+      val loc = leanCheckpoint(paired
         .withColumn("bkt", (col("r1") / span).cast("long"))
         .withColumn("dr", dense_rank().over(
           Window.partitionBy("bkt")
-            .orderBy((1 to Radix).map(j => col(s"r$j")): _*)).cast("long"))
-        .localCheckpoint(true)
+            .orderBy((1 to Radix).map(j => col(s"r$j")): _*)).cast("long")))
       val cnts = loc.groupBy("bkt").agg(max(col("dr")).as("c"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val offMap = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _)).toMap
@@ -207,7 +207,7 @@ object SuffixArray {
     // (R-1)·(H/R + H/R² + … + 1) = H - 1, every possible LCP
     val walk = (if (levels.size > 1) levels.dropRight(1) else levels).reverse
       .flatMap { lv => Seq.fill(Radix - 1)(lv) }
-    for (((h, lev), i) <- walk.zipWithIndex) {
+    for ((h, lev) <- walk) {
       cur = cur
         .withColumn("__ka", col("gpos_a") + col("lcp"))
         .withColumn("__kb", col("gpos_b") + col("lcp"))
@@ -216,10 +216,17 @@ object SuffixArray {
         .withColumn("lcp", when(col("__ra").isNotNull && col("__ra") === col("__rb"),
           col("lcp") + h).otherwise(col("lcp")))
         .select("gpos_a", "gpos_b", "lcp")
-      // lineage trim every 3rd level, not every level: each eager
-      // checkpoint is a full job; 2-3 chained joins per job amortize the
-      // fixed cost while keeping the plan bounded
-      if (i % 3 == 2 || i == walk.size - 1) cur = cur.localCheckpoint(true)
+      // LAZY plan truncation at EVERY level. Not an optimization knob —
+      // a correctness-of-cost one: Catalyst's SizeInBytesOnlyStats
+      // visitJoin MULTIPLIES child sizes, so k chained joins estimate
+      // size^3^k — a BigInt whose DIGIT COUNT grows exponentially, and
+      // the driver burns minutes in BigInteger.multiply at planning
+      // time (observed: 27+ min planning on the dup-heavy stress
+      // corpus when levels were trimmed every 3rd step). A lazy
+      // localCheckpoint rebases the logical plan on the level's RDD
+      // immediately (stats reset to a leaf) while materialization
+      // pipelines into the next action — no extra per-level job.
+      cur = leanCheckpoint(cur, eager = false)
     }
     cur
   }
@@ -228,7 +235,7 @@ object SuffixArray {
     * off_b, lcp), lcp desc. Each row is a rank-adjacent suffix pair;
     * a substring occurring m times surfaces as m-1 adjacent rows. */
   def repeatReport(docs: DataFrame, topK: Int = 20, minLen: Int = 1): DataFrame = {
-    val st = stream(docs).localCheckpoint(true)
+    val st = leanCheckpoint(stream(docs))
     val lcp = lcpAdjacent(buildLevels(st), if (minLen > 1) minLen.toLong else 0L)
     val pos = st.select(col("gpos"), col("doc_id"), col("pos"))
     lcp.where(col("lcp") >= math.max(minLen, 1))
@@ -270,10 +277,9 @@ object SuffixArray {
     * new when cuts don't stitch new adjacencies together (spec-pinned
     * on the crafted corpus; the paper's procedure shares the caveat). */
   def exactSubstrRemove(docs: DataFrame, minLen: Int): DataFrame = {
-    val st = stream(docs).localCheckpoint(true)
-    val lcp = lcpAdjacent(buildLevels(st), minLen.toLong)
-      .where(col("lcp") >= minLen)
-      .localCheckpoint(true) // feeds rep, the CC edges, and the join below
+    val st = leanCheckpoint(stream(docs))
+    val lcp = leanCheckpoint(lcpAdjacent(buildLevels(st), minLen.toLong)
+      .where(col("lcp") >= minLen)) // feeds rep, the CC edges, and the join below
     val rep = lcp
       .select(explode(array(
         struct(col("gpos_a").as("gpos"), col("lcp")),
@@ -282,13 +288,31 @@ object SuffixArray {
       .groupBy("gpos").agg(max(col("lcp")).as("rep"))
     val groups = Clusters.connectedComponents(
       lcp.select(col("gpos_a").as("a"), col("gpos_b").as("b")))
-    val cuts = groups.where(col("doc_id") =!= col("cluster_id"))
+    val marks = groups.where(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("gpos"))
       .join(rep, "gpos")
       .join(st.select(col("gpos"), col("doc_id"), col("pos")), "gpos")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + col("rep") - 1)).as("pos"))
-      .distinct()
+      .select(col("doc_id"), col("pos"), col("rep"))
+    // Merge cut extents into ISLANDS FIRST (the q164 running-max sweep),
+    // then derive the cut set by an interval join of positions against
+    // the per-doc island list — NEVER by exploding [pos, pos+rep)
+    // positions: on a dup-heavy corpus Σ extents is duplicate-mass ×
+    // extent (a doc of N equal tokens would explode N² rows) while
+    // islands are disjoint, so the join emits each position at most
+    // once and its cost is tokens × islands-per-doc.
+    val byPosM = Window.partitionBy("doc_id").orderBy("pos")
+    val cutIslands = marks
+      .withColumn("prev_end", max(col("pos") + col("rep") - 1)
+        .over(byPosM.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byPosM))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s"), max(col("pos") + col("rep") - 1).as("e"))
+    val cuts = st.select(col("doc_id"), col("pos"))
+      .join(cutIslands, Seq("doc_id"))
+      .where(col("pos") >= col("s") && col("pos") <= col("e"))
+      .select(col("doc_id"), col("pos"))
     st.where(!col("is_sentinel"))
       .join(cuts.withColumn("__cut", lit(1)), Seq("doc_id", "pos"), "left")
       .groupBy("doc_id")
@@ -304,7 +328,7 @@ object SuffixArray {
   }
 
   def exactSubstrCoverage(docs: DataFrame, minLen: Int): DataFrame = {
-    val st = stream(docs).localCheckpoint(true)
+    val st = leanCheckpoint(stream(docs))
     val lcp = lcpAdjacent(buildLevels(st), minLen.toLong)
     val rep = lcp.where(col("lcp") >= minLen)
       .select(explode(array(
