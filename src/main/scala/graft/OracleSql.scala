@@ -458,19 +458,20 @@ object OracleSql {
          |  SELECT vec_id, embedding FROM embeddings
          |  WHERE embedding IS NOT NULL AND ${cleanEmb("embedding")}),
          |pos AS (
-         |  SELECT vec_id, r.i AS d, CAST(embedding[r.i] AS DOUBLE) AS x
+         |  SELECT vec_id, r.i AS d,
+         |    CAST(round(round(CAST(embedding[r.i] AS DOUBLE), 5) * 1e5, 0) AS BIGINT) AS x5
          |  FROM clean, LATERAL unnest(range(1, 65)) AS r(i)),
          |sxy AS (
          |  SELECT a.d AS da, b.d AS db,
-         |    CAST(sum(CAST(round(round(a.x * b.x, 9) * 1e9, 0) AS BIGINT)) AS BIGINT) AS sxy9,
+         |    CAST(sum(a.x5 * b.x5) AS BIGINT) AS sxy10,
          |    count(*) AS n
          |  FROM pos a JOIN pos b USING (vec_id) GROUP BY 1, 2),
          |sx AS (
-         |  SELECT d, CAST(sum(CAST(round(round(x, 9) * 1e9, 0) AS BIGINT)) AS BIGINT) AS sx9
+         |  SELECT d, CAST(sum(x5) AS BIGINT) AS sx5
          |  FROM pos GROUP BY 1),
          |cde AS (
          |  SELECT da, db,
-         |    CAST(round(((sxy9 / 1e9) / n - (sa.sx9 / 1e9 / n) * (sb.sx9 / 1e9 / n)) * 1e6, 0) AS BIGINT) AS c6,
+         |    CAST(round(((sxy10 / 1e10) / n - (sa.sx5 / 1e5 / n) * (sb.sx5 / 1e5 / n)) * 1e6, 0) AS BIGINT) AS c6,
          |    n
          |  FROM sxy JOIN sx sa ON sxy.da = sa.d JOIN sx sb ON sxy.db = sb.d),
          |agg AS (
