@@ -111,13 +111,59 @@ object SuffixArray {
   }
 
   /** Rank-round radix: each round ranks by the TUPLE (rank(i),
-    * rank(i+h), …, rank(i+(R-1)h)) and multiplies h by R — prefix
-    * QUADRUPLING instead of doubling. R-1 shifted joins per round
-    * instead of 1, but HALF the rounds (and rounds, not joins, carry
-    * the per-round window + checkpoint + driver-sync fixed cost). The
-    * LCP walk compensates by using each level up to R-1 times (base-R
-    * greedy decomposition). */
-  private val Radix = 4
+    * rank(i+h), …, rank(i+(R-1)h)) and multiplies h by R. Since
+    * [[withLeads]] fetches all R-1 shifted ranks in ONE window pass
+    * (per-round cost is ~constant in R — a lead() per shift, not a
+    * shuffle join per shift), the radix is set by the ROUND count
+    * alone: R=16 reaches a 256-token repeat ceiling in 2 rounds and a
+    * 65k ceiling in 3 (R=4 needed 4 and 8), and rounds carry the
+    * per-round exchange + checkpoint + driver-sync fixed cost. The LCP
+    * walk stays one join pass per level (base-R greedy decomposition
+    * unrolled over the R-1 rank-vector entries), so fewer levels =
+    * fewer walk joins too. */
+  private val Radix = 16
+
+  /** rank(gpos + j·h) for j = 0..cnt-1 as columns `f(0)..f(cnt-1)`
+    * (null past the stream end), WITHOUT cnt-1 shifted self-joins:
+    * gpos is DENSE 0..n-1 (stream() lays it out that way and every
+    * rank table keeps all positions), so a row's j·h-ahead neighbor is
+    * exactly j·h ROWS ahead — `lead(rank, j·h)` over ghost-padded
+    * blocks. Rows in the first `reach` positions of each block are
+    * replicated into the previous block (one narrow map + union), so
+    * every native row sees its full reach inside ONE window partition:
+    * one shuffle-by-block replaces cnt-1 shuffle joins, and the r15
+    * measurement reads build 4.4 s → ~2 s, walk 3.7 s → ~1.5 s at
+    * sf0.1. Falls back to the join formulation when the reach
+    * overflows lead()'s Int offset (h grows geometrically; a corpus
+    * whose longest repeat needs h ≥ 2³¹ tokens walks joins again). */
+  private def withLeads(lev: DataFrame, h: Long, cnt: Int, n: Long,
+                        f: Int => String): DataFrame = {
+    val reach = (cnt - 1) * h
+    if (reach >= Int.MaxValue.toLong) {
+      var out = lev.select(col("gpos"), col("rank").as(f(0)))
+      for (j <- 1 until cnt)
+        out = out.join(
+          lev.select((col("gpos") - j * h).as("gpos"), col("rank").as(f(j))),
+          Seq("gpos"), "left")
+      out
+    } else if (reach == 0L) {
+      lev.select(col("gpos"), col("rank").as(f(0)))
+    } else {
+      val b = math.max(n / NumBuckets + 1, 2 * reach)
+      val native = lev.withColumn("__blk", (col("gpos") / b).cast("long"))
+      val ghosts = native
+        .where(col("gpos") % b < reach && col("__blk") > 0)
+        .withColumn("__blk", col("__blk") - 1)
+      val w = Window.partitionBy("__blk").orderBy("gpos")
+      val cols = col("gpos") +: (0 until cnt).map { j =>
+        (if (j == 0) col("rank") else lead(col("rank"), (j * h).toInt).over(w)).as(f(j))
+      }
+      native.unionByName(ghosts)
+        .select(col("__blk") +: cols: _*)
+        .where((col("gpos") / b).cast("long") === col("__blk"))
+        .drop("__blk")
+    }
+  }
 
   /** Prefix-multiplying rank levels over a [[stream]]: Seq of (h, table)
     * where table(gpos → rank) ranks positions by their h-token prefix
@@ -135,12 +181,8 @@ object SuffixArray {
     // md5-uniform in [0, 2^60); every later round's are dense [0, nd)
     var span = (1L << 60) / NumBuckets + 1
     while (!done && h < n) {
-      var paired = rank.select(col("gpos"), col("rank").as("r1"))
-      for (j <- 1 until Radix)
-        paired = paired.join(
-          rank.select((col("gpos") - j * h).as("gpos"), col("rank").as(s"r${j + 1}")),
-          Seq("gpos"), "left")
-      paired = paired.na.fill(-1L, (2 to Radix).map(j => s"r$j"))
+      val paired = withLeads(rank, h, Radix, n, j => s"r${j + 1}")
+        .na.fill(-1L, (2 to Radix).map(j => s"r$j"))
       // ONE materialization per round: the windowed frame is
       // checkpointed, then the ≤NumBuckets-row distinct-count table is
       // collected (bounded by bucket count, not data) and rejoined as a
@@ -202,19 +244,43 @@ object SuffixArray {
     }
     // the top level's ranks are all-distinct (that's the termination
     // condition), so it can never certify a match between two DIFFERENT
-    // positions — start the walk at H/R. Each level is used Radix-1
-    // times (base-R greedy decomposition): the reachable tail is
-    // (R-1)·(H/R + H/R² + … + 1) = H - 1, every possible LCP
-    val walk = (if (levels.size > 1) levels.dropRight(1) else levels).reverse
-      .flatMap { lv => Seq.fill(Radix - 1)(lv) }
-    for ((h, lev) <- walk) {
+    // positions — start the walk at H/R. Each level certifies up to
+    // Radix-1 h-steps (base-R greedy decomposition): the reachable tail
+    // is (R-1)·(H/R + H/R² + … + 1) = H - 1, every possible LCP. The
+    // R-1 uses happen in ONE join pass per side: a rank-VECTOR table
+    // (ranks at offsets 0, h, …, (R-2)h via withLeads) is fetched at
+    // gpos+lcp once, and the greedy's sequential compares become a
+    // leading-equal-prefix count unrolled below — 2 joins per LEVEL
+    // instead of 2 joins per level-use (6 vs 24 at 4 levels).
+    val walkLevels = (if (levels.size > 1) levels.dropRight(1) else levels).reverse
+    val n = levels.head._2.count() // cheap: the h=1 table is eager-checkpointed
+    for ((h, lev) <- walkLevels) {
+      // lazy checkpoint: materialized once on first use, shared by the
+      // a- and b-side joins, and stats reset to a leaf (see below)
+      val vec = leanCheckpoint(
+        withLeads(lev, h, Radix - 1, n, j => s"v$j"), eager = false)
+      val names = 0 until (Radix - 1)
+      val va = vec.select(col("gpos").as("__ka") +:
+        names.map(j => col(s"v$j").as(s"__a$j")): _*)
+      val vb = vec.select(col("gpos").as("__kb") +:
+        names.map(j => col(s"v$j").as(s"__b$j")): _*)
+      def eq(j: Int) =
+        col(s"__a$j").isNotNull && col(s"__b$j").isNotNull &&
+          col(s"__a$j") === col(s"__b$j")
+      // leading-equal count × h: entry j equal means the h-block at
+      // offset lcp + j·h matches — the greedy stops at the first
+      // mismatch, exactly the sequential walk's add sequence. A missed
+      // join (gpos+lcp past the stream end) leaves nulls → eq(0) false
+      // → add 0, the old left-join isNotNull contract.
+      val add = names.foldRight(lit((Radix - 1).toLong * h)) { (j, rest) =>
+        when(!eq(j), lit(j.toLong * h)).otherwise(rest)
+      }
       cur = cur
         .withColumn("__ka", col("gpos_a") + col("lcp"))
         .withColumn("__kb", col("gpos_b") + col("lcp"))
-        .join(lev.select(col("gpos").as("__ka"), col("rank").as("__ra")), Seq("__ka"), "left")
-        .join(lev.select(col("gpos").as("__kb"), col("rank").as("__rb")), Seq("__kb"), "left")
-        .withColumn("lcp", when(col("__ra").isNotNull && col("__ra") === col("__rb"),
-          col("lcp") + h).otherwise(col("lcp")))
+        .join(va, Seq("__ka"), "left")
+        .join(vb, Seq("__kb"), "left")
+        .withColumn("lcp", col("lcp") + add)
         .select("gpos_a", "gpos_b", "lcp")
       // LAZY plan truncation at EVERY level. Not an optimization knob —
       // a correctness-of-cost one: Catalyst's SizeInBytesOnlyStats
