@@ -172,8 +172,11 @@ object SuffixArray {
     * the position in the suffix array over the permuted alphabet. */
   def buildLevels(st: DataFrame): Seq[(Long, DataFrame)] = {
     val n = st.count()
+    // LAZY checkpoint: materialized by the first round's driver-sync
+    // job below (or by the caller's first action when n <= 1), then
+    // reused by every later reference — round 0 costs no job of its own
     var rank = leanCheckpoint(
-      st.select(col("gpos"), hash60(col("token")).as("rank")))
+      st.select(col("gpos"), hash60(col("token")).as("rank")), eager = false)
     var levels = List((1L, rank))
     var h = 1L
     var done = n <= 1
@@ -183,29 +186,30 @@ object SuffixArray {
     while (!done && h < n) {
       val paired = withLeads(rank, h, Radix, n, j => s"r${j + 1}")
         .na.fill(-1L, (2 to Radix).map(j => s"r$j"))
-      // ONE materialization per round: the windowed frame is
-      // checkpointed, then the ≤NumBuckets-row distinct-count table is
-      // collected (bounded by bucket count, not data) and rejoined as a
-      // literal broadcast — `next` itself stays LAZY (a narrow map over
-      // the checkpointed frame), so each round costs exactly one
-      // expensive job plus one tiny agg.
+      // ONE job per round, total: the windowed frame is LAZILY
+      // checkpointed, and the single driver-sync action the loop cannot
+      // avoid (nDistinct, the termination test) is what materializes it.
+      // Per-bucket offsets come from a prefix-sum window over the
+      // ≤NumBuckets-row count frame (re-aggregated from the cached RDD —
+      // bounded by bucket count, not data) broadcast back in; `next`
+      // stays LAZY (a narrow map over the checkpointed frame) until the
+      // next round's sync — or the caller's first action — pulls it.
       val loc = leanCheckpoint(paired
         .withColumn("bkt", (col("r1") / span).cast("long"))
         .withColumn("dr", dense_rank().over(
           Window.partitionBy("bkt")
-            .orderBy((1 to Radix).map(j => col(s"r$j")): _*)).cast("long")))
+            .orderBy((1 to Radix).map(j => col(s"r$j")): _*)).cast("long")),
+        eager = false)
       val cnts = loc.groupBy("bkt").agg(max(col("dr")).as("c"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      val offMap = cnts.map(_._1).zip(cnts.map(_._2).scanLeft(0L)(_ + _)).toMap
-      val spark = st.sparkSession
-      import spark.implicits._
-      val offDf = offMap.toSeq.toDF("bkt", "off")
-      val next = loc.join(broadcast(offDf), "bkt")
+      val offs = cnts.select(col("bkt"), coalesce(
+        sum(col("c")).over(Window.partitionBy(lit(0)).orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+      val next = loc.join(broadcast(offs), "bkt")
         .select(col("gpos"), (col("off") + col("dr") - 1L).as("rank"))
       h *= Radix
       rank = next
       levels = (h, next) :: levels
-      val nDistinct = cnts.map(_._2).sum
+      val nDistinct = cnts.agg(sum(col("c"))).collect()(0).getLong(0)
       done = nDistinct == n
       span = nDistinct / NumBuckets + 1
     }
