@@ -453,6 +453,30 @@ object OracleSql {
          |      $AnomZ * $AnomZ * (s.cnt * s.sum_n2 - s.sum_n * s.sum_n)
          |ORDER BY h.event_type, h.hour""".stripMargin,
 
+    // q171: phrase search from the persisted positional index is
+    // bit-equal to the inline vote algebra (SearchSpec pins it), so the
+    // oracle states the algebra directly: token i of the phrase at
+    // position p votes for start p-i; a start with all m votes is an
+    // occurrence.
+    "q171_phrase_search" -> {
+      val q = PhraseQuery.trim.split("\\s+").filter(_.nonEmpty)
+      val values = q.zipWithIndex.map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, t.term, t.pos
+         |  FROM (SELECT doc_id, ${toks()} AS ts FROM documents),
+         |  LATERAL (SELECT unnest(ts) AS term, unnest(range(len(ts))) AS pos) t),
+         |q(term, qi) AS (VALUES $values),
+         |votes AS (
+         |  SELECT doc_id, CAST(pos - qi AS BIGINT) AS st
+         |  FROM toks JOIN q USING (term) WHERE pos - qi >= 0),
+         |occ AS (
+         |  SELECT doc_id, st FROM votes GROUP BY doc_id, st
+         |  HAVING count(*) = ${q.length})
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |  CAST(min(st) AS BIGINT) AS first_pos
+         |FROM occ GROUP BY doc_id ORDER BY n_hits DESC, doc_id LIMIT $K""".stripMargin
+    },
+
     "q170_effective_dim" ->
       s"""WITH clean AS (
          |  SELECT vec_id, embedding FROM embeddings

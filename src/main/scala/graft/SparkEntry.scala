@@ -41,6 +41,8 @@ object SparkEntry {
     val Bm25Terms = Seq("vector", "hash", "spark")
     val Bm25K1 = 1.2
     val Bm25B = 0.75
+    val PhraseQuery = "slow hash batch" // q171: a real repeated trigram of
+                                        // the corpus (multi-hit docs exist)
     val RrfDepth = 100
     val RrfK = 60
     val ContamK = 5       // contamination shingle length (tiny-vocab testdata;
@@ -537,6 +539,16 @@ object SparkEntry {
     "q169_vocab_growth" -> ((s, d) =>
       CorpusPipeline.vocabGrowth(Tables.documents(s, d), HeapsCuts, ShuffleEpoch)),
     "q170_effective_dim" -> ((s, d) => Clusters.effectiveDim(Tables.embeddings(s, d))),
+    "q171_phrase_search" -> ((s, d) => {
+      // Positional-index lifecycle (the q131 convention): the headline
+      // key persists the bucket-partitioned positional postings and
+      // serves the phrase off them — bit-equal to the inline
+      // Search.phraseSearch, so the oracle is the inline statement.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pos_index_" +
+        Integer.toHexString(d.hashCode)
+      Search.savePositionalIndex(Tables.documents(s, d), path)
+      Search.phraseSearchIndex(s, path, PhraseQuery, K)
+    }),
     "q161_fertility" -> ((s, d) => TextAnalysis.fertility(Tables.documents(s, d))),
     "q60_lsh_recall" -> ((s, d) =>
       Dedup.lshRecallReport(Tables.embeddings(s, d), NPlanes, NTables, CosineThreshold)),

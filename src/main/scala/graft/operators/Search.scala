@@ -225,6 +225,77 @@ object Search {
     * and the residual `term IN (...)` prunes row-groups via
     * dictionary/stats — serving cost scales with the probed buckets'
     * posting mass, not the corpus. */
+  /** Exact phrase search: documents containing `phrase` as a
+    * CONSECUTIVE token run, by position algebra over the postings —
+    * token i of the phrase matching at stream position p votes for
+    * start = p − i, and a start collecting all m votes is a full
+    * occurrence (each position holds exactly one token, so
+    * count == m ⟺ every offset matched; duplicate phrase tokens need
+    * no special-casing — a fixed (doc, start) receives at most one
+    * vote per offset i). Cost: postings are pruned to the phrase's
+    * terms BEFORE any exchange, then one shuffle on (doc_id, start)
+    * plus the per-doc rollup — never a self-join per adjacent token
+    * pair (the m−1-join formulation shuffles m−1 times and carries
+    * the heaviest term's postings through every hop). */
+  def phraseSearch(docs: DataFrame, phrase: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    phraseHits(
+      docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term"))),
+      spark, phrase, k)
+  }
+
+  private def phraseHits(postings: DataFrame,
+                         spark: org.apache.spark.sql.SparkSession,
+                         phrase: String, k: Int): DataFrame = {
+    val q = phrase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(q.nonEmpty && k > 0)
+    import spark.implicits._
+    val qDf = q.zipWithIndex.toDF("term", "qi")
+    postings
+      .where(col("term").isin(q.distinct: _*))
+      .join(broadcast(qDf), "term")
+      .select(col("doc_id"), (col("pos") - col("qi")).cast("long").as("start"))
+      .where(col("start") >= 0)
+      .groupBy("doc_id", "start").agg(count(lit(1)).as("__c"))
+      .where(col("__c") === q.length)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+      .orderBy(desc("n_hits"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Persist the POSITIONAL inverted index: (term, doc_id, pos)
+    * postings partitioned by term-hash bucket — [[saveTextIndex]]'s
+    * layout with positions kept, the classic phrase/proximity-serving
+    * store. Positions make the postings ~dl/distinct-terms× larger;
+    * the two indexes stay separate files so BM25 serving never pays
+    * for positions it doesn't read. */
+  def savePositionalIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0)
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .withColumn("bucket", pmod(graft.operators.Dedup.hash60(col("term")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+  }
+
+  /** Phrase search served from the persisted positional index —
+    * bit-equal to the inline [[phraseSearch]] by construction (same
+    * vote algebra over the same postings; SearchSpec pins the
+    * differential). `bucket IN (...)` prunes partition directories,
+    * `term IN (...)` prunes row groups: serve cost scales with the
+    * phrase terms' posting mass, not the corpus. */
+  def phraseSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        phrase: String, k: Int, nBuckets: Int = 64): DataFrame = {
+    val q = phrase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    require(q.nonEmpty)
+    val buckets = q.map(t => bucketOf(t, nBuckets)).distinct
+    val postings = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(buckets: _*))
+    phraseHits(postings, spark, phrase, k)
+  }
+
   def searchTextIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                       terms: Seq[String], k: Int, nBuckets: Int = 64,
                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

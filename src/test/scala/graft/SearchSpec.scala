@@ -103,4 +103,58 @@ class SearchSpec extends SparkSpec {
     assert(Search.hash60Jvm("vector") == sparkSide,
       "JVM hash60 twin diverged from Spark's conv(md5) hash")
   }
+
+  // a: phrase at 1 and 5 (overlapping-adjacent runs), b: phrase absent
+  // (order broken), c: phrase at 0; d: duplicate-token phrase material
+  private lazy val phraseCorpus = Seq(
+    (1L, "x0 big cat sat big cat sat y0"),
+    (2L, "cat big sat big sat cat"),
+    (3L, "big cat sat"),
+    (4L, "the the end the the")).toDF("doc_id", "text")
+
+  test("phrase search: exact consecutive-run semantics, multi-hit counts, " +
+    "first position, order-sensitivity") {
+    val out = Search.phraseSearch(phraseCorpus, "big cat sat", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // n_hits desc, doc_id asc: doc 1 has 2 hits (starts 1 and 4), doc 3 one
+    assert(out == Seq((1L, 2L, 1L), (3L, 1L, 0L)), s"got $out")
+  }
+
+  test("phrase search: duplicate phrase tokens need all offsets to land") {
+    val out = Search.phraseSearch(phraseCorpus, "the the", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 4: "the the" at 0 and at 3 — NOT at 1 (pos 1,2 = "the end")
+    assert(out == Seq((4L, 2L, 0L)), s"got $out")
+    assert(Search.phraseSearch(phraseCorpus, "sat big cat", 10).count() == 1) // doc 2? no: doc 1 pos 3
+  }
+
+  test("phrase search: k bound and single-token phrase degenerate to " +
+    "term lookup") {
+    val one = Search.phraseSearch(phraseCorpus, "cat", 2).collect()
+    assert(one.length == 2) // k caps the doc list
+    val all = Search.phraseSearch(phraseCorpus, "cat", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(all == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("persisted positional index: served phrase == inline bit-for-bit; " +
+    "bucket pruning reaches the postings scan; partition invariance") {
+    val corpus = Tables.documents(spark, sf0001)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_pos_index_spec"
+    Search.savePositionalIndex(corpus, path)
+    // a phrase the corpus certainly contains: the first doc's opening trigram
+    val phrase = corpus.orderBy("doc_id").select("text").head()
+      .getString(0).trim.split("\\s+").take(3).mkString(" ")
+    val served = Search.phraseSearchIndex(spark, path, phrase, 20)
+    val inline = Search.phraseSearch(corpus, phrase, 20)
+    val servedRows = served.collect().toSeq
+    assert(servedRows.nonEmpty, "test phrase missing from the corpus")
+    assert(servedRows == inline.collect().toSeq,
+      "index-served phrase search diverged from the inline plan")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket pruning missing from the postings scan:\n$plan")
+    assert(Search.phraseSearch(corpus.repartition(7), phrase, 20)
+      .collect().toSeq == servedRows, "phrase search is partition-sensitive")
+  }
 }
