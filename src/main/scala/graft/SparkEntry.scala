@@ -43,6 +43,7 @@ object SparkEntry {
     val Bm25B = 0.75
     val PhraseQuery = "slow hash batch" // q171: a real repeated trigram of
                                         // the corpus (multi-hit docs exist)
+    val KppK = 40         // q172: seeding comparison cell count (~sqrt n at sf0.01)
     val RrfDepth = 100
     val RrfK = 60
     val ContamK = 5       // contamination shingle length (tiny-vocab testdata;
@@ -539,6 +540,10 @@ object SparkEntry {
     "q169_vocab_growth" -> ((s, d) =>
       CorpusPipeline.vocabGrowth(Tables.documents(s, d), HeapsCuts, ShuffleEpoch)),
     "q170_effective_dim" -> ((s, d) => Clusters.effectiveDim(Tables.embeddings(s, d))),
+    "q172_seeding_quality" -> ((s, d) =>
+      // rows-only: iterative sampling rounds are not SQL-expressible;
+      // IvfSpec pins exact seeding behavior on the adversarial corpus
+      Ivf.seedingQuality(Tables.embeddings(s, d), KppK)),
     "q171_phrase_search" -> ((s, d) => {
       // Positional-index lifecycle (the q131 convention): the headline
       // key persists the bucket-partitioned positional postings and

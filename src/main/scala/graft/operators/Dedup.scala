@@ -427,6 +427,31 @@ object Dedup {
     verifyCosineCandidates(vectors, cand, threshold)
   }
 
+  /** Scale-matched LSH plane count: fixed planes are the sign-LSH scale
+    * trap — 2^planes buckets at growing n means occupancy grows n/2^p
+    * and within-bucket candidate PAIRS grow (n/2^p)², quadratic (the
+    * r15 sf1 probe measured exactly that: 8 planes read ~15× wall for
+    * 10× data; 12 planes read ~4.9×). planes = ceil(log2(n / target))
+    * keeps expected occupancy at `target` and pair work ~linear in n.
+    * One count job; clamped to [4, 30] (past 30 the 1-bit probe set and
+    * long bucket ids still hold, but 2^30 buckets ≫ any real corpus's
+    * useful resolution). The verify-by-true-cosine contract is
+    * unchanged — planes tune candidate RECALL vs cost only. */
+  def autoPlanes(vectors: DataFrame, targetPerBucket: Int = 8): Int = {
+    require(targetPerBucket > 0)
+    val n = vectors.count()
+    val buckets = math.max(1.0, n.toDouble / targetPerBucket)
+    math.min(30, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
+  /** [[cosineLshMultiProbe]] at the [[autoPlanes]] plane count — the
+    * production entry point at unknown scale (the oracle-pinned q58
+    * key keeps fixed planes so DuckDB can mirror the exact buckets). */
+  def cosineLshMultiProbeAuto(vectors: DataFrame, nTables: Int, threshold: Double,
+                              dim: Int = 64, targetPerBucket: Int = 8): DataFrame =
+    cosineLshMultiProbe(vectors, autoPlanes(vectors, targetPerBucket),
+      nTables, threshold, dim)
+
   /** Embedding-cosine near-dup pairs within a blocking key (label):
     * equi-join on the block, cosine in codegen, threshold filter. The
     * blocking key bounds each bucket; AQE skew-join splits outliers.

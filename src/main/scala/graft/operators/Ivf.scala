@@ -631,4 +631,151 @@ object Ivf {
     else
       ("prefilter_ivf", searchInlineFiltered(vectors, step, pred, query, nprobe, k))
   }
+
+  /** Modal embedding dimension of the corpus (most common length,
+    * smallest on ties — the [[modalDim]] convention, computed
+    * distributed). */
+  private def corpusDim(vectors: DataFrame): Int = {
+    val rows = vectors.where(col("embedding").isNotNull)
+      .groupBy(size(col("embedding")).as("d")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("d")).limit(1).collect()
+    if (rows.isEmpty) 0 else rows(0).getInt(0)
+  }
+
+  /** k-means|| scalable seeding (Bahmani, Moseley, Vattani, Kumar,
+    * Vassilvitskii — VLDB 2012): the distributed replacement for the
+    * stride-sampled init. Stride sampling is uniform over ids, so on a
+    * corpus whose mass concentrates (real embedding collections) it
+    * plants most seeds inside the dense blob and Lloyd spends its
+    * budget dragging them out; k-means|| seeds proportionally to
+    * squared distance from the current set (the k-means++ bias) in
+    * O(rounds) PASSES instead of k sequential draws — each round every
+    * point samples itself independently with probability
+    * min(1, ℓ·d²(x,C)/φ(C)), expected ℓ new candidates per round.
+    *
+    * Deterministic and partition-invariant: the coin is a 2³¹-LCG of
+    * (vec_id, round) — the weightedReservoir convention — and the
+    * threshold ℓ·d²/φ is built from EXACT integers (d² is the argmin
+    * kernel's round6 value in 1e-6 units summed as longs), so no
+    * float-sum order can flip a sample.
+    *
+    * Scale shape per round: one broadcast-argmin scan (zero shuffles,
+    * the [[assign]] kernel) + one 1-row agg; the candidate set stays
+    * bounded (~1 + ℓ·rounds) and is the only collected state. The
+    * final reduction to k — weighted farthest-first, then weighted
+    * Lloyd on the candidates — runs on the driver over that bounded
+    * set (the paper's step 8 reclusters the weighted candidates with
+    * k-means++; farthest-first is its deterministic sibling).
+    *
+    * Returns (centroid_id 0..k-1, c_emb), drop-in for
+    * [[refineCentroids]] / [[collectCentroids]] / [[assign]]. */
+  def kmeansParallelInit(vectors: DataFrame, k: Int, rounds: Int = 5,
+                         oversample: Double = 0.0, seed: Long = 2026L): DataFrame = {
+    require(k > 0 && rounds > 0)
+    val ell = if (oversample > 0) oversample else 2.0 * k
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val dim = corpusDim(vectors)
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("centroid_id", "c_emb")
+    if (dim == 0) return empty
+    val clean = vectors.where(assignable(dim))
+    val seedRows = clean.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    if (seedRows.isEmpty) return empty
+    var cand = seedRows
+    var r = 0
+    var drained = false
+    while (r < rounds && !drained) {
+      r += 1
+      val cs = collectCentroids(cand)
+      val scored = clean.select(col("vec_id"), col("embedding"),
+        round(nearest(clean, cs).getField("dist") * 1e6, 0).cast("long").as("d6"))
+      val phiRow = scored.agg(sum(col("d6"))).collect()(0)
+      val phi = if (phiRow.isNullAt(0)) 0L else phiRow.getLong(0)
+      if (phi == 0L) drained = true // every point sits on a candidate
+      else {
+        val lcg = pmod(col("vec_id") * lit(1103515245L) + lit(seed + r), lit(2147483648L))
+        val u = (lcg + lit(1L)).cast("double") / lit(2147483649.0)
+        val p = lit(ell) * col("d6").cast("double") / lit(phi.toDouble)
+        val picked = scored.where(u < p)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+        cand = SqlBridge.leanCheckpoint(cand.unionByName(picked), eager = false)
+      }
+    }
+    // Weighted reduction to k, driver-side over the bounded candidates.
+    val cs = collectCentroids(cand)
+    val wMap = clean
+      .select(nearest(clean, cs).getField("centroid_id").as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("w")).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val pts = cs.cids.zip(cs.mat) // cids ascending (collectCentroids sorts)
+    val w = pts.map { case (cid, _) => wMap.getOrElse(cid, 0L).toDouble }
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val kk = math.min(k, pts.length)
+    // farthest-first: start at max weight (min id tie), then argmax w·minD²
+    val chosen = new Array[Int](kk)
+    chosen(0) = w.indices.maxBy(i => (w(i), -pts(i)._1))
+    val minD = pts.map(p => l2(p._2, pts(chosen(0))._2))
+    for (c <- 1 until kk) {
+      val next = minD.indices.maxBy(i => (w(i) * minD(i), -pts(i)._1))
+      chosen(c) = next
+      for (i <- minD.indices)
+        minD(i) = math.min(minD(i), l2(pts(i)._2, pts(next)._2))
+    }
+    var cents = chosen.map(i => pts(i)._2.clone())
+    for (_ <- 0 until 10) { // weighted Lloyd on the candidate set
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val ws = new Array[Double](kk)
+      for (i <- pts.indices if w(i) > 0) {
+        var best = 0; var bd = Double.MaxValue
+        for (c <- 0 until kk) {
+          val d = l2(pts(i)._2, cents(c)); if (d < bd) { bd = d; best = c }
+        }
+        ws(best) += w(i)
+        var j = 0
+        while (j < dim) { sums(best)(j) += w(i) * pts(i)._2(j); j += 1 }
+      }
+      cents = Array.tabulate(kk)(c =>
+        if (ws(c) > 0) sums(c).map(_ / ws(c)) else cents(c))
+    }
+    cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }.toSeq
+      .toDF("centroid_id", "c_emb")
+  }
+
+  /** q172: seeding-quality report — stride vs k-means|| under the same
+    * Lloyd budget, the dial that says whether the corpus NEEDS the
+    * better seeding. One row per method: surviving cell count, inertia
+    * (mean squared assignment distance), and occupancy skew (max and
+    * p99-ish top cell share). All collected state is k-bounded. */
+  def seedingQuality(vectors: DataFrame, k: Int, lloydIters: Int = 2): DataFrame = {
+    require(k > 0)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val n = vectors.count()
+    val step = math.max(1, math.ceil(n.toDouble / k).toInt)
+    val rows = Seq(
+      "stride" -> centroids(vectors, step),
+      "kmeans_par" -> kmeansParallelInit(vectors, k)).map { case (method, init) =>
+      val refined = refineCentroids(vectors, init, lloydIters)
+      val cs = collectCentroids(refined)
+      val a = vectors.where(assignable(modalDim(cs)))
+        .select(nearest(vectors, cs).as("dc"))
+        .select(col("dc.centroid_id").as("cid"), col("dc.dist").as("d"))
+      val cells = a.groupBy("cid").agg(count(lit(1)).as("c"), sum(col("d")).as("sd"))
+        .collect().map(row => (row.getLong(1), row.getDouble(2)))
+      val total = cells.map(_._1).sum
+      val inertia = if (total == 0) 0.0
+        else math.round(cells.map(_._2).sum / total * 1e6) / 1e6
+      val maxCell = if (cells.isEmpty) 0L else cells.map(_._1).max
+      (method, cells.length.toLong, total, inertia, maxCell,
+        if (total == 0) 0.0 else math.round(maxCell.toDouble / total * 1e6) / 1e6)
+    }
+    rows.toDF("method", "n_cells", "n_assigned", "inertia", "max_cell", "max_share")
+      .orderBy("method")
+  }
 }

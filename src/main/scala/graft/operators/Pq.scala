@@ -82,6 +82,20 @@ object Pq {
     }
   }
 
+  /** Fixed-k codebooks: stride chosen so the codebook holds ~k entries
+    * REGARDLESS of corpus size — the real-PQ contract (k = 256
+    * classically; ADC table cost and code width depend on k, not n).
+    * The fixed-stride [[codebooks]] couples k to the corpus (k = n/step)
+    * — fine for the oracle-pinned keys, but the r15 sf1 probe measured
+    * the consequence at scale: encode work is n×k, so stride-k read 18×
+    * wall for 10× data while this fixed-k shape read 3.9×. One count
+    * job to size the stride. */
+  def codebooksK(vectors: DataFrame, k: Int, m: Int): Seq[CentroidSet] = {
+    require(k > 0)
+    val n = vectors.count()
+    codebooks(vectors, math.max(1, math.ceil(n.toDouble / k).toInt), m)
+  }
+
   private def subDim(cbs: Seq[CentroidSet]): Int =
     cbs.head.mat.headOption.map(_.length).getOrElse(0)
 

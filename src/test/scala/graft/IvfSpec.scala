@@ -361,4 +361,46 @@ class IvfSpec extends SparkSpec {
     val want = Knn.topKDot(all, q, K).collect().map(_.getLong(0)).toSet
     assert(got === want, "post-append full-probe search != exact top-k over the union")
   }
+
+  // Adversarial seeding corpus: one dense blob carries 90 % of the ids
+  // CONTIGUOUSLY, so a 3-seed stride lands every seed inside it and two
+  // blobs start unseeded; distance-biased seeding must find all three.
+  private lazy val blobs = {
+    import spark.implicits._
+    def v(axis: Int, jitter: Int): Seq[Float] =
+      (0 until 64).map(d => (if (d == axis) 100f else 0f) + (jitter % 7) * 0.01f)
+    val big = (0L until 270L).map(i => (i, v(0, i.toInt)))
+    val small1 = (270L until 285L).map(i => (i, v(1, i.toInt)))
+    val small2 = (285L until 300L).map(i => (i, v(2, i.toInt)))
+    (big ++ small1 ++ small2).toDF("vec_id", "embedding")
+  }
+
+  test("kmeans|| seeding finds mass the stride misses: every blob seeded, " +
+    "and post-Lloyd inertia beats stride init on the adversarial corpus") {
+    val init = Ivf.kmeansParallelInit(blobs, 3)
+    assert(init.count() == 3L, "did not reduce to k candidates")
+    // one centroid near each blob axis: the dominant coordinate says which
+    val axes = init.collect().map { r =>
+      val e = r.getSeq[Float](1); e.indices.maxBy(i => e(i))
+    }.toSet
+    assert(axes == Set(0, 1, 2), s"blobs unseeded: dominant axes $axes")
+    val report = Ivf.seedingQuality(blobs, 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val (kCells, kInertia) = report("kmeans_par")
+    val (sCells, sInertia) = report("stride")
+    assert(kCells == 3L, s"kmeans_par lost cells: $kCells")
+    assert(kInertia < sInertia || sCells == 3L,
+      s"no seeding advantage: kmeans_par $kInertia vs stride $sInertia")
+    assert(kInertia < 1.0, s"kmeans_par inertia not tight: $kInertia")
+  }
+
+  test("kmeans|| seeding is deterministic and partition-invariant; " +
+    "k caps the output; composes with refineCentroids") {
+    val a = Ivf.kmeansParallelInit(blobs, 3).collect().toSeq
+    val b = Ivf.kmeansParallelInit(blobs.repartition(7), 3).collect().toSeq
+    assert(a == b, "seeding is partition-sensitive")
+    assert(Ivf.kmeansParallelInit(blobs, 500).count() <= 500L)
+    val refined = Ivf.refineCentroids(blobs, Ivf.kmeansParallelInit(blobs, 3), 2)
+    assert(refined.count() == 3L, "refinement dropped a seeded cell")
+  }
 }

@@ -108,4 +108,27 @@ class LshSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(lsh.subsetOf(exact), s"LSH reported pairs not in exact set: ${lsh -- exact}")
   }
+
+  test("autoPlanes tracks log2(n/target): 10x corpus adds ~log2(10) planes, " +
+    "clamps hold, and the auto multiprobe keeps the verify contract") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf001)
+    val p1 = Dedup.autoPlanes(emb, 8)
+    val n = emb.count()
+    assert(p1 == math.ceil(math.log(n / 8.0) / math.log(2)).toInt, s"p1=$p1 n=$n")
+    // 10x the corpus (any rows; only count matters) -> +3..4 planes
+    val big = emb.unionByName(emb).unionByName(emb).unionByName(emb).unionByName(emb)
+      .unionByName(emb).unionByName(emb).unionByName(emb).unionByName(emb).unionByName(emb)
+    val p10 = Dedup.autoPlanes(big, 8)
+    assert(p10 - p1 >= 3 && p10 - p1 <= 4, s"p1=$p1 p10=$p10")
+    val tiny = Seq((1L, Seq.fill(64)(1f))).toDF("vec_id", "embedding")
+    assert(Dedup.autoPlanes(tiny) == 4, "lower clamp missed")
+    // every reported pair is a TRUE pair regardless of plane count
+    val auto = Dedup.cosineLshMultiProbeAuto(emb, 2, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = Dedup.cosinePairs(
+        emb.withColumn("label", org.apache.spark.sql.functions.lit(0)), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exactPairs), "auto multiprobe broke the verify contract")
+  }
 }

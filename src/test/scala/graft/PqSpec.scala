@@ -597,4 +597,26 @@ class PqSpec extends SparkSpec {
         s"self-codebook corpus must quantize losslessly, got $r")
     }
   }
+
+  test("codebooksK holds k fixed regardless of corpus size (the real-PQ " +
+    "contract) and encodes with the same machinery") {
+    val emb = Tables.embeddings(spark, sf001)
+    val k = 16
+    val small = Pq.codebooksK(emb, k, 8)
+    val big10 = Pq.codebooksK(
+      (0 until 10).map(i => emb.withColumn("vec_id",
+        col("vec_id") + lit(i * 1000000L))).reduce(_ unionByName _), k, 8)
+    // modulo-stride over sparse ids lands NEAR k (phase effects per id
+    // range), never tracking n: the old coupling would read ~10x here
+    assert(small.head.cids.length <= 2 * k && small.head.cids.length >= k / 2,
+      s"small corpus k=${small.head.cids.length}")
+    assert(big10.head.cids.length <= 2 * k && big10.head.cids.length >= k / 2,
+      s"10x corpus k=${big10.head.cids.length} — k is tracking n again")
+    val codes = Pq.encode(emb, small)
+    assert(codes.count() > 0)
+    // every code is a valid index into the fixed-k codebook
+    val maxCode = codes.collect().flatMap(r =>
+      (1 until r.length).map(i => r.getLong(i))).max
+    assert(maxCode < small.head.cids.length, s"code $maxCode out of range")
+  }
 }
