@@ -453,6 +453,38 @@ object OracleSql {
          |      $AnomZ * $AnomZ * (s.cnt * s.sum_n2 - s.sum_n * s.sum_n)
          |ORDER BY h.event_type, h.hour""".stripMargin,
 
+    // q173: the corpus health card — every dial exact/integer-derived
+    // until the final 6-dp ratio, mirrored aggregate for aggregate.
+    "q173_corpus_card" ->
+      s"""WITH base AS (SELECT lang, text, ${toks()} AS ts FROM documents),
+         |d AS (SELECT count(*) AS n_docs,
+         |             coalesce(sum(len(ts)), 0) AS total_tokens,
+         |             count(DISTINCT text) AS n_distinct FROM base),
+         |l AS (SELECT max(c) AS top_lang
+         |      FROM (SELECT count(*) AS c FROM base GROUP BY lang)),
+         |t AS (SELECT count(*) AS vocab,
+         |             coalesce(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END), 0) AS hapax,
+         |             max(f) AS top_f
+         |      FROM (SELECT count(*) AS f
+         |            FROM (SELECT unnest(ts) AS term FROM base) GROUP BY term))
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM d
+         |  UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM d
+         |  UNION ALL SELECT 'mean_doc_tokens',
+         |    round(CAST(total_tokens AS DOUBLE) / greatest(n_docs, 1), 6) FROM d
+         |  UNION ALL SELECT 'exact_dup_frac',
+         |    round(CAST(n_docs - n_distinct AS DOUBLE) / greatest(n_docs, 1), 6) FROM d
+         |  UNION ALL SELECT 'top_lang_share',
+         |    round(CAST(coalesce(top_lang, 0) AS DOUBLE)
+         |      / greatest((SELECT n_docs FROM d), 1), 6) FROM l
+         |  UNION ALL SELECT 'vocab', CAST(vocab AS DOUBLE) FROM t
+         |  UNION ALL SELECT 'hapax_frac',
+         |    round(CAST(hapax AS DOUBLE) / greatest(vocab, 1), 6) FROM t
+         |  UNION ALL SELECT 'top_token_share',
+         |    round(CAST(coalesce(top_f, 0) AS DOUBLE)
+         |      / greatest((SELECT total_tokens FROM d), 1), 6) FROM t
+         |) ORDER BY metric""".stripMargin,
+
     // q171: phrase search from the persisted positional index is
     // bit-equal to the inline vote algebra (SearchSpec pins it), so the
     // oracle states the algebra directly: token i of the phrase at

@@ -540,6 +540,7 @@ object SparkEntry {
     "q169_vocab_growth" -> ((s, d) =>
       CorpusPipeline.vocabGrowth(Tables.documents(s, d), HeapsCuts, ShuffleEpoch)),
     "q170_effective_dim" -> ((s, d) => Clusters.effectiveDim(Tables.embeddings(s, d))),
+    "q173_corpus_card" -> ((s, d) => CorpusPipeline.corpusCard(Tables.documents(s, d))),
     "q172_seeding_quality" -> ((s, d) =>
       // rows-only: iterative sampling rounds are not SQL-expressible;
       // IvfSpec pins exact seeding behavior on the adversarial corpus

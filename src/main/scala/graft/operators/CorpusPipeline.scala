@@ -781,4 +781,50 @@ object CorpusPipeline {
           greatest(col("n_in"), lit(1)).cast("double"), 6).as("removed_share"))
       .orderBy("step")
   }
+
+  /** q173: one-call corpus health card — the structural dials that
+    * decide "ingest or investigate" as (metric, value) rows, so one
+    * report answers what otherwise takes five queries: volume (docs,
+    * tokens, mean length), redundancy (exact-dup fraction), source
+    * balance (top-language share), and vocabulary shape (size, hapax
+    * fraction, top-token share — the quick Zipf-head proxies beside
+    * q166's full fit). Everything is exact and integer-derived until
+    * the final 6-dp ratios, so the card is oracle-hashable.
+    *
+    * Scale shape: three aggregation passes, each one exchange — a
+    * doc-level agg (count / token sum / DISTINCT texts — the exact-dup
+    * exchange is the q13 shape), a lang rollup (≤ languages rows), and
+    * the two-level term collapse q41 uses (map-side partial counts,
+    * vocabulary-bounded exchange). The assembled card is 8 rows. */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("lang"), col("text"), tokens(col("text")).as("ts"))
+    val docAgg = base.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("ts"))), lit(0L)).as("total_tokens"),
+      countDistinct(col("text")).as("n_distinct"))
+    val langAgg = base.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("top_lang"))
+    val termAgg = base.select(explode(col("ts")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("vocab"),
+        coalesce(sum(when(col("f") === 1, 1L).otherwise(0L)), lit(0L)).as("hapax"),
+        max(col("f")).as("top_f"))
+    docAgg.crossJoin(langAgg).crossJoin(termAgg)
+      .select(explode(map(
+        lit("n_docs"), col("n_docs").cast("double"),
+        lit("total_tokens"), col("total_tokens").cast("double"),
+        lit("mean_doc_tokens"), round(col("total_tokens").cast("double") /
+          greatest(col("n_docs"), lit(1L)).cast("double"), 6),
+        lit("exact_dup_frac"), round((col("n_docs") - col("n_distinct")).cast("double") /
+          greatest(col("n_docs"), lit(1L)).cast("double"), 6),
+        lit("top_lang_share"), round(coalesce(col("top_lang"), lit(0L)).cast("double") /
+          greatest(col("n_docs"), lit(1L)).cast("double"), 6),
+        lit("vocab"), col("vocab").cast("double"),
+        lit("hapax_frac"), round(col("hapax").cast("double") /
+          greatest(col("vocab"), lit(1L)).cast("double"), 6),
+        lit("top_token_share"), round(coalesce(col("top_f"), lit(0L)).cast("double") /
+          greatest(col("total_tokens"), lit(1L)).cast("double"), 6)))
+        .as(Seq("metric", "value")))
+      .orderBy("metric")
+  }
 }

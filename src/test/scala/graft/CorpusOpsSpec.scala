@@ -543,4 +543,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out("en") == ((1L, 16L, 4L, 4L, 1.0, 4.0)), s"en: ${out("en")}")
     assert(out("zh") == ((1L, 12L, 1L, 12L, 12.0, 1.0)), s"zh: ${out("zh")}")
   }
+
+  test("corpusCard: every dial exact on a crafted corpus") {
+    import spark.implicits._
+    // 4 docs: one exact dup pair; 3 en 1 fr; tokens: a appears 5 times
+    // of 8 total; vocab {a,b,c}, hapax {c}
+    val docs = Seq(
+      (1L, "a a b", "en"), (2L, "a a b", "en"),
+      (3L, "a c", "fr"), (4L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val card = CorpusPipeline.corpusCard(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card == Map(
+      "n_docs" -> 4.0, "total_tokens" -> 8.0, "mean_doc_tokens" -> 2.0,
+      "exact_dup_frac" -> 0.25, "top_lang_share" -> 0.75,
+      "vocab" -> 3.0, "hapax_frac" -> 0.333333, "top_token_share" -> 0.625),
+      s"card: $card")
+    // empty corpus degrades to zeros, not nulls or division errors
+    val zero = CorpusPipeline.corpusCard(docs.where(lit(false))).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(zero.values.forall(_ == 0.0) && zero.size == 8, s"empty card: $zero")
+  }
 }
