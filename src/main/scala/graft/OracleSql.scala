@@ -485,6 +485,22 @@ object OracleSql {
          |      / greatest((SELECT total_tokens FROM d), 1), 6) FROM t
          |) ORDER BY metric""".stripMargin,
 
+    // q174: proximity = the |pa-pb| <= w relaxation of the phrase vote
+    // algebra, mirrored directly.
+    "q174_proximity_search" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, t.term, t.pos
+         |  FROM (SELECT doc_id, ${toks()} AS ts FROM documents),
+         |  LATERAL (SELECT unnest(ts) AS term, unnest(range(len(ts))) AS pos) t),
+         |pa AS (SELECT doc_id, pos AS pa FROM toks WHERE term = '${ProxTerms._1}'),
+         |pb AS (SELECT doc_id, pos AS pb FROM toks WHERE term = '${ProxTerms._2}'),
+         |pairs AS (
+         |  SELECT pa.doc_id, abs(pa - pb) AS d
+         |  FROM pa JOIN pb USING (doc_id) WHERE abs(pa - pb) <= $ProxWindow)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(min(d) AS BIGINT) AS min_dist
+         |FROM pairs GROUP BY doc_id ORDER BY n_pairs DESC, doc_id LIMIT $K""".stripMargin,
+
     // q171: phrase search from the persisted positional index is
     // bit-equal to the inline vote algebra (SearchSpec pins it), so the
     // oracle states the algebra directly: token i of the phrase at

@@ -41,9 +41,11 @@ object SparkEntry {
     val Bm25Terms = Seq("vector", "hash", "spark")
     val Bm25K1 = 1.2
     val Bm25B = 0.75
-    val PhraseQuery = "slow hash batch" // q171: a real repeated trigram of
-                                        // the corpus (multi-hit docs exist)
+    val PhraseQuery = "query big part" // q171: a real repeated trigram present
+                                       // at every SF (5/5/9 hits at sf0.001/0.01/0.1)
     val KppK = 40         // q172: seeding comparison cell count (~sqrt n at sf0.01)
+    val ProxTerms = ("hash", "batch") // q174: corpus terms with near hits
+    val ProxWindow = 3
     val RrfDepth = 100
     val RrfK = 60
     val ContamK = 5       // contamination shingle length (tiny-vocab testdata;
@@ -541,6 +543,8 @@ object SparkEntry {
       CorpusPipeline.vocabGrowth(Tables.documents(s, d), HeapsCuts, ShuffleEpoch)),
     "q170_effective_dim" -> ((s, d) => Clusters.effectiveDim(Tables.embeddings(s, d))),
     "q173_corpus_card" -> ((s, d) => CorpusPipeline.corpusCard(Tables.documents(s, d))),
+    "q174_proximity_search" -> ((s, d) => Search.proximitySearch(
+      Tables.documents(s, d), ProxTerms._1, ProxTerms._2, ProxWindow, K)),
     "q172_seeding_quality" -> ((s, d) =>
       // rows-only: iterative sampling rounds are not SQL-expressible;
       // IvfSpec pins exact seeding behavior on the adversarial corpus

@@ -265,6 +265,34 @@ object Search {
       .limit(k)
   }
 
+  /** Proximity search: documents where `termA` and `termB` co-occur
+    * within `window` tokens (any order) — the relaxation between
+    * [[phraseSearch]] (exact adjacency) and [[bm25]] (bag of words),
+    * and the primitive behind "near" operators in every query language.
+    * Emits pair count and closest distance per doc. Scale shape:
+    * postings prune to the TWO terms before any exchange; the per-doc
+    * join's fan-out is bounded by the terms' per-doc counts (the
+    * worst case is the collocation contract, not a corpus join). */
+  def proximitySearch(docs: DataFrame, termA: String, termB: String,
+                      window: Int, k: Int): DataFrame = {
+    require(termA != termB, "proximity of a term with itself is repetition — see q35")
+    require(window > 0 && k > 0)
+    val postings = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .where(col("term").isin(termA, termB))
+    val pa = postings.where(col("term") === termA)
+      .select(col("doc_id"), col("pos").as("pa"))
+    val pb = postings.where(col("term") === termB)
+      .select(col("doc_id"), col("pos").as("pb"))
+    pa.join(pb, "doc_id")
+      .where(abs(col("pa") - col("pb")) <= window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+      .orderBy(desc("n_pairs"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Persist the POSITIONAL inverted index: (term, doc_id, pos)
     * postings partitioned by term-hash bucket — [[saveTextIndex]]'s
     * layout with positions kept, the classic phrase/proximity-serving

@@ -137,6 +137,24 @@ class SearchSpec extends SparkSpec {
     assert(all == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("proximity search: window bound is inclusive and order-free, pair " +
+    "counts are exact, self-term rejected") {
+    // doc1: cat@2,5; dog@3 -> |2-3|=1, |5-3|=2 — both within 2
+    // doc2: cat@0; dog@4 -> distance 4, outside
+    val docs = Seq(
+      (1L, "x0 y0 cat dog z0 cat"),
+      (2L, "cat a b c dog")).toDF("doc_id", "text")
+    val out = Search.proximitySearch(docs, "cat", "dog", 2, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 1L)), s"got $out")
+    val incl = Search.proximitySearch(docs, "cat", "dog", 4, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(incl == Map(1L -> 2L, 2L -> 1L), s"inclusive bound: $incl")
+    intercept[IllegalArgumentException] {
+      Search.proximitySearch(docs, "cat", "cat", 2, 10)
+    }
+  }
+
   test("persisted positional index: served phrase == inline bit-for-bit; " +
     "bucket pruning reaches the postings scan; partition invariance") {
     val corpus = Tables.documents(spark, sf0001)
