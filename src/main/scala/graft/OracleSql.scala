@@ -501,6 +501,50 @@ object OracleSql {
          |  CAST(min(d) AS BIGINT) AS min_dist
          |FROM pairs GROUP BY doc_id ORDER BY n_pairs DESC, doc_id LIMIT $K""".stripMargin,
 
+    // q176: degree-ordered triangle census over the thresholded
+    // supplier co-occurrence graph — all-integer (ordering key
+    // deg*1e12+id, coefficient in floor-divided micro-units), so the
+    // whole census is hash-exact. Every step mirrors Graph.triangles.
+    "q176_supplier_triangles" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+         |pairs AS (
+         |  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+         |  FROM li a JOIN li b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+         |e AS (SELECT src AS a, dst AS b FROM pairs
+         |      GROUP BY 1, 2 HAVING count(*) >= $TriMinCooc),
+         |deg AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY 1),
+         |keyed AS (
+         |  SELECT e.a, e.b, da.deg * 1000000000000 + e.a AS ka,
+         |         db.deg * 1000000000000 + e.b AS kb
+         |  FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+         |o AS (
+         |  SELECT CASE WHEN ka < kb THEN a ELSE b END AS src,
+         |         CASE WHEN ka < kb THEN b ELSE a END AS dst,
+         |         CASE WHEN ka < kb THEN kb ELSE ka END AS dst_key
+         |  FROM keyed),
+         |w AS (
+         |  SELECT e1.src AS x, e1.dst AS v, e2.dst AS w2
+         |  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst_key < e2.dst_key),
+         |t AS (SELECT x, v AS y, w2 AS z
+         |      FROM w JOIN o ON w.v = o.src AND w.w2 = o.dst),
+         |pn AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+         |  FROM (SELECT x AS node FROM t
+         |        UNION ALL SELECT y FROM t
+         |        UNION ALL SELECT z FROM t)
+         |  GROUP BY 1)
+         |SELECT d.node AS s_suppkey, d.deg AS degree,
+         |  COALESCE(pn.triangles, 0) AS triangles,
+         |  CASE WHEN d.deg >= 2
+         |    THEN (2 * COALESCE(pn.triangles, 0) * 1000000) // (d.deg * (d.deg - 1))
+         |    ELSE 0 END AS cc_micro
+         |FROM deg d LEFT JOIN pn ON d.node = pn.node
+         |ORDER BY triangles DESC, s_suppkey LIMIT $TriTopN""".stripMargin,
+
     // q171: phrase search from the persisted positional index is
     // bit-equal to the inline vote algebra (SearchSpec pins it), so the
     // oracle states the algebra directly: token i of the phrase at

@@ -44,6 +44,12 @@ object SparkEntry {
     val PhraseQuery = "query big part" // q171: a real repeated trigram present
                                        // at every SF (5/5/9 hits at sf0.001/0.01/0.1)
     val KppK = 40         // q172: seeding comparison cell count (~sqrt n at sf0.01)
+    val TriMinCooc = 6    // q176: repeated-co-occurrence edge gate (raw co-occurrence
+                          // saturates the supplier graph at every SF; >=6 keeps structure)
+    val TriTopN = 20      // q176: suppliers reported
+    val ImgDupK = 8       // q175: renditions injected (exact copies + resizes)
+    val ImgCopyOffset = 1000000L // q175: rendition doc_id shift (past any SF's ids)
+    val ImgHamming = 3    // q175: dHash radius — 4 16-bit bands, lossless by pigeonhole
     val ProxTerms = ("hash", "batch") // q174: corpus terms with near hits
     val ProxWindow = 3
     val RrfDepth = 100
@@ -417,6 +423,24 @@ object SparkEntry {
       // duration/rate/RMS/clipping per clip — all integer-unit columns.
       graft.multimodal.Multimodal.audioStats(s,
         graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d)))),
+    "q175_image_phash" -> ((s, d) => {
+      // Rows-only (raster decode, the q18 class). The synthetic corpus's
+      // rasters are all distinct, so the key unions RENDITIONS of the
+      // first ImgDupK images under shifted ids — exact byte copies
+      // (hamming 0 by construction) and Graphics2D-resized re-encodes —
+      // and the perceptual report must pull each rendition back to its
+      // original. ImageHashSpec pins the exact pair sets.
+      val media = graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d))
+      val imgs = media.where(col("format") === "png")
+        .orderBy("doc_id").limit(ImgDupK)
+      val copies = imgs.withColumn("doc_id", col("doc_id") + lit(ImgCopyOffset))
+      val resized = graft.multimodal.Multimodal.resize(s, imgs, 32, 24)
+        .withColumn("doc_id", col("doc_id") + lit(2L * ImgCopyOffset))
+      graft.multimodal.ImageHash.imageDedupReport(
+        media.unionByName(copies).unionByName(resized), ImgHamming)
+    }),
+    "q176_supplier_triangles" -> ((s, d) =>
+      Graph.supplierTriangles(Tables.lineitem(s, d), TriMinCooc, TriTopN)),
     "q19_asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
     "q20_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "q21_revenue_by_nation" -> ((s, d) => Analytics.revenueByNation(

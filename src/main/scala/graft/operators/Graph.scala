@@ -279,4 +279,88 @@ object Graph {
       .orderBy(desc("pr_micro"), asc("node_id"))
       .limit(topN)
   }
+
+  /** Per-node triangle census + local clustering coefficient over an
+    * undirected edge list — the third graph dial beside centrality
+    * ([[pageRank]]) and connectivity
+    * ([[Clusters.connectedComponents]]): a node whose neighbors
+    * interlink (high coefficient) sits in a genuine community, one
+    * whose neighbors don't is a pure hub — the distinction that
+    * separates boilerplate-star structure from real topical clusters
+    * in dup-pair and co-occurrence graphs.
+    *
+    * Algorithm: DEGREE-ORDERED enumeration (the MapReduce triangle
+    * classic — Suri & Vassilvitskii, WWW 2011): orient every edge from
+    * its lower (degree, id) endpoint to its higher, enumerate wedges
+    * by self-joining oriented edges on their source, close each wedge
+    * with one more equi-join. Orientation caps every node's out-degree
+    * at O(√m), so wedge volume is O(m^1.5) WORST case — independent of
+    * hub degree (the naive neighbor-join explodes quadratically on one
+    * hub; this never does). Each triangle is found exactly once.
+    *
+    * Exactness: ordering key = degree·10¹² + id — one long, exact in
+    * any engine (ids below 10¹², degrees below 10⁶ keep it under
+    * 2⁶³); the coefficient is integer micro-units
+    * `2·tri·10⁶ div (deg·(deg−1))`.
+    *
+    * Scale shape: 3 hash equi-join/agg exchanges over edge- and
+    * wedge-mass frames (degrees, wedge join, closing join) + one
+    * node-keyed rollup; state is O(V + E), never adjacency-matrix. */
+  def triangles(edges: DataFrame): DataFrame = {
+    // normalize: undirected, distinct, no self-loops, a < b
+    val e = edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
+      .where(col("a") < col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orientation key: (deg, id) as one exact long
+    val keyed = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"),
+        (col("da") * lit(1000000000000L) + col("a")).as("ka"),
+        (col("db") * lit(1000000000000L) + col("b")).as("kb"))
+    val oriented = keyed.select(
+      when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+      when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("dst_key"))
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("dst_key").as("kv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("dst_key").as("kw"))
+    val wedges = e1.join(e2, Seq("src")).where(col("kv") < col("kw"))
+    val closing = oriented.select(col("src").as("v"), col("dst").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"))
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+    val perNode = tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          expr("(2 * coalesce(triangles, 0L) * 1000000L) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)).as("cc_micro"))
+  }
+
+  /** Supplier community census (q176): triangles over the supplier
+    * co-occurrence graph — an edge between two suppliers that fill the
+    * SAME order at least `minCount` times (the threshold turns a
+    * near-complete co-occurrence clique back into structure; raw
+    * co-occurrence saturates at any scale, repeated co-occurrence is
+    * signal). Top-n suppliers by (triangles, suppkey). */
+  def supplierTriangles(lineitem: DataFrame, minCount: Long, topN: Int): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .select("src", "dst")
+    triangles(pairs)
+      .select(col("node").as("s_suppkey"), col("deg").as("degree"),
+        col("triangles"), col("cc_micro"))
+      .orderBy(desc("triangles"), asc("s_suppkey"))
+      .limit(topN)
+  }
 }

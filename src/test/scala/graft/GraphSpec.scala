@@ -134,4 +134,63 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sym == Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)))
   }
+
+  private def triMap(edges: Seq[(Long, Long)]) =
+    Graph.triangles(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("triangles: K4 is all-triangles, path and star are triangle-free") {
+    val k4 = triMap(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // every node of K4: degree 3, 3 triangles, coefficient exactly 1
+    (1L to 4L).foreach { n => assert(k4(n) === ((3L, 3L, 1000000L)), s"node $n") }
+    val path = triMap(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(path.values.forall(v => v._2 == 0L && v._3 == 0L))
+    val star = triMap(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)))
+    assert(star(9L) === ((4L, 0L, 0L)))
+  }
+
+  test("triangles: one triangle with a pendant — coefficient separates community from hub") {
+    // triangle 1-2-3 plus pendant 4 on node 1
+    val g = triMap(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))
+    assert(g(2L) === ((2L, 1L, 1000000L)))
+    assert(g(3L) === ((2L, 1L, 1000000L)))
+    // node 1: degree 3, 1 triangle of C(3,2)=3 possible -> 1/3 in micro-units
+    assert(g(1L) === ((3L, 1L, 333333L)))
+    assert(g(4L) === ((1L, 0L, 0L)))
+  }
+
+  test("triangles: normalization absorbs direction, duplicates, and self-loops") {
+    val messy = triMap(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 1L), (3L, 3L)))
+    val clean = triMap(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(messy === clean)
+  }
+
+  test("triangles: brute-force differential on a deterministic dense graph") {
+    // edge (a,b) present iff (a*7 + b*13) % 5 < 2 — arbitrary but fixed
+    val nodes = 0L until 24L
+    val edges = for { a <- nodes; b <- nodes if a < b && (a * 7 + b * 13) % 5 < 2 }
+      yield (a, b)
+    val eSet = edges.toSet
+    val expected = nodes.map { n =>
+      val nbrs = nodes.filter(m => m != n &&
+        (eSet.contains((n min m, n max m)))).toSeq
+      val tri = (for { i <- nbrs; j <- nbrs if i < j
+        if eSet.contains((i min j, i max j)) } yield 1).size.toLong
+      val deg = nbrs.size.toLong
+      val cc = if (deg >= 2) 2L * tri * 1000000L / (deg * (deg - 1)) else 0L
+      n -> ((deg, tri, cc))
+    }.filter(_._2._1 > 0).toMap
+    assert(triMap(edges) === expected)
+  }
+
+  test("supplierTriangles: partition-invariant and plan has no cartesian product") {
+    val li = Tables.lineitem(spark, sf0001)
+    val a = Graph.supplierTriangles(li, 6, 20).collect().toSeq
+    val b = Graph.supplierTriangles(li.repartition(7), 6, 20).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+    val plan = Graph.supplierTriangles(li, 6, 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "triangle census must never go all-pairs")
+  }
 }

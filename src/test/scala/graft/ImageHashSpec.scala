@@ -1,0 +1,99 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.{ImageHash, Multimodal}
+
+/** Perceptual image dedup (q175): dHash exactness on crafted rasters,
+  * lossless banding vs a driver brute force, rendition robustness. */
+class ImageHashSpec extends SparkSpec {
+
+  private def raster(w: Int, h: Int)(lum: (Int, Int) => Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.max(0, math.min(255, lum(x, y)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("dHash: constant raster hashes to 0, strict horizontal gradient to all ones") {
+    assert(ImageHash.dHash64(raster(18, 16)((_, _) => 128)) === 0L)
+    // 18px wide over a 9-cell grid: each cell spans 2 columns with
+    // strictly increasing luminance, so every adjacent-cell comparison
+    // fires -> all 64 bits set.
+    assert(ImageHash.dHash64(raster(18, 16)((x, _) => x * 14)) === -1L)
+  }
+
+  test("dHash: tiny rasters (below grid size) still hash deterministically") {
+    val h1 = ImageHash.dHash64(raster(4, 3)((x, y) => x * 40 + y))
+    val h2 = ImageHash.dHash64(raster(4, 3)((x, y) => x * 40 + y))
+    assert(h1 === h2)
+  }
+
+  private def media = Multimodal.toMediaTable(Tables.documents(spark, sf0001))
+
+  test("exact byte copies land at hamming 0 and every copy pair is found") {
+    val imgs = media.where(col("format") === "png").orderBy("doc_id").limit(5)
+    val copies = imgs.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val pairs = ImageHash.nearDupPairs(
+      ImageHash.hashImages(imgs.unionByName(copies)), maxHamming = 0).collect()
+    val origIds = imgs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every original matched with its shifted copy at distance 0
+    origIds.foreach { id =>
+      assert(pairs.exists(r => r.getLong(0) == id && r.getLong(1) == id + 1000000L
+        && r.getLong(2) == 0L), s"copy pair for $id missing")
+    }
+  }
+
+  test("banding is lossless: pairs == driver brute force at radii 3 and 7") {
+    val imgs = media.where(col("format") === "png")
+    val withCopies = imgs.unionByName(
+      imgs.orderBy("doc_id").limit(6).withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val hashes = ImageHash.hashImages(withCopies).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    for (radius <- Seq(3, 7)) {
+      val expected = (for {
+        (ida, ha) <- hashes; (idb, hb) <- hashes
+        if ida < idb && java.lang.Long.bitCount(ha ^ hb) <= radius
+      } yield (ida, idb, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+      val got = ImageHash.nearDupPairs(
+        ImageHash.hashImages(withCopies), radius).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"radius $radius")
+    }
+  }
+
+  test("resized renditions stay perceptually close; unrelated rasters stay far") {
+    // smooth crafted raster vs its box-consistent 2x upscale: the cell
+    // gradient signs survive, so the hashes collide outright
+    val base = raster(18, 16)((x, y) => x * 10 + y * 3)
+    val up = raster(36, 32)((x, y) => (x / 2) * 10 + (y / 2) * 3)
+    val d = java.lang.Long.bitCount(ImageHash.dHash64(base) ^ ImageHash.dHash64(up))
+    assert(d <= 3, s"rendition drifted $d bits")
+    // a mirrored gradient flips every horizontal sign: maximally far
+    val other = raster(18, 16)((x, y) => 200 - x * 10 + y * 3)
+    val far = java.lang.Long.bitCount(ImageHash.dHash64(base) ^ ImageHash.dHash64(other))
+    assert(far > 48, s"opposed rasters landed only $far bits apart")
+  }
+
+  test("undecodable and non-image rows drop from the hash pass") {
+    import spark.implicits._
+    val junk = Seq(
+      Multimodal.MediaRecord(1L, "image", "png", 8, 8, Array[Byte](1, 2, 3)),
+      Multimodal.MediaRecord(2L, "audio", "wav", 8, 1, Array[Byte](1, 2, 3))
+    ).toDF()
+    assert(ImageHash.hashImages(junk).count() === 0L)
+  }
+
+  test("pair report is partition-invariant") {
+    val imgs = media.where(col("format") === "png")
+    val withCopies = imgs.unionByName(
+      imgs.orderBy("doc_id").limit(4).withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val a = ImageHash.imageDedupReport(withCopies.repartition(1), 3).collect().toSeq
+    val b = ImageHash.imageDedupReport(withCopies.repartition(7), 3).collect().toSeq
+    assert(a === b)
+  }
+}
