@@ -545,6 +545,47 @@ object OracleSql {
          |FROM deg d LEFT JOIN pn ON d.node = pn.node
          |ORDER BY triangles DESC, s_suppkey LIMIT $TriTopN""".stripMargin,
 
+    // q177: Holt double-exponential smoothing — the same integer
+    // micro-unit fold as Events.holtForecast, as a recursive CTE
+    // walking each type's hourly series in t order. DuckDB `//` and
+    // Spark `div` both truncate toward zero, so the recursion is
+    // hash-exact at any length. b_eff/l' appear twice textually (a
+    // SELECT item cannot reference a sibling alias) — same expression,
+    // same value, exactly like the Spark fold.
+    "q177_holt_forecast" -> {
+      val aN = HoltAlphaNum; val bN = HoltBetaNum; val den = HoltDen
+      val bEff = s"(CASE WHEN st.t = 1 THEN (s.n - st.x1) * 1000000 ELSE st.b END)"
+      val lNew = s"(($aN * s.n * 1000000 + ${den - aN} * (st.l + $bEff)) // $den)"
+      val fcols = (1 to HoltHorizon)
+        .map(h => s"st.l + $h * st.b AS f${h}_micro").mkString(",\n         |  ")
+      s"""WITH RECURSIVE hourly AS (
+         |  SELECT event_type,
+         |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |series AS (
+         |  SELECT event_type, hour, n,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS t
+         |  FROM hourly),
+         |meta AS (
+         |  SELECT event_type, max(t) AS n_hours, max(hour) AS last_hour
+         |  FROM series GROUP BY 1),
+         |step(event_type, t, l, b, x1) AS (
+         |  SELECT event_type, t, n * 1000000, CAST(0 AS BIGINT), n
+         |  FROM series WHERE t = 1
+         |  UNION ALL
+         |  SELECT s.event_type, s.t, $lNew,
+         |    (($bN * ($lNew - st.l) + ${den - bN} * $bEff) // $den), st.x1
+         |  FROM step st JOIN series s
+         |    ON s.event_type = st.event_type AND s.t = st.t + 1)
+         |SELECT m.event_type, m.n_hours, m.last_hour,
+         |  st.l AS level_micro, st.b AS trend_micro,
+         |  $fcols
+         |FROM step st JOIN meta m
+         |  ON st.event_type = m.event_type AND st.t = m.n_hours
+         |ORDER BY m.event_type""".stripMargin
+    },
+
     // q171: phrase search from the persisted positional index is
     // bit-equal to the inline vote algebra (SearchSpec pins it), so the
     // oracle states the algebra directly: token i of the phrase at

@@ -286,6 +286,67 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Holt double-exponential smoothing forecast (q177, Holt 1957 /
+    * Hyndman & Athanasopoulos' standard init): per event type, fold
+    * the hourly-count series through level+trend recursions
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1},
+    * l_1 = x_1, b_1 = x_2 − x_1, and report the fitted end state plus
+    * the h-step-ahead linear forecasts l_n + h·b_n — the trend-aware
+    * sibling of q87's OLS forecast (q87 fits one global line; Holt
+    * tracks a DRIFTING level, which is what capacity planning on
+    * living event streams actually wants) and the forecasting
+    * complement of q165's retrospective changepoint.
+    *
+    * Exactness: α and β are RATIONALS (αNum/SmoothDen, βNum/SmoothDen)
+    * and the whole recursion runs in integer micro-units with
+    * truncating division — Spark's `div` and DuckDB's `//` both
+    * truncate toward zero, so a fixed-length fold is hash-exact
+    * cross-engine (the q88 fixed-rounds discipline applied to a
+    * data-length recursion; no float accumulates anywhere).
+    *
+    * Scale shape: ONE (event_type, hour) partial-agg exchange builds
+    * the hourly series; the fold is a codegen'd `aggregate` HOF over a
+    * per-type array bounded by HOURS (the q165 argument: a year is
+    * 8 760 entries per type at any corpus size — time-bounded, not
+    * data-bounded), so no window, no iteration, no driver state.
+    * Overflow headroom: α·x·10⁶ stays under 2⁶³ to ~10¹² events per
+    * (type, hour) — past any real stream's hourly rate. */
+  def holtForecast(events: DataFrame, alphaNum: Int, betaNum: Int,
+                   den: Int, horizon: Int): DataFrame = {
+    require(alphaNum > 0 && betaNum > 0 && den > 0 &&
+      alphaNum <= den && betaNum <= den, "smoothing rationals must be in (0, 1]")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val hourly = events.groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val series = hourly.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("hour"), col("n")))).as("xs"),
+        count(lit(1)).as("n_hours"), max(col("hour")).as("last_hour"))
+    // b_eff resolves the init: at t=1 the trend is x_2 − x_1 (not yet
+    // in acc), afterwards acc.b. l' appears twice because a struct
+    // field cannot reference its sibling — same expression, same value.
+    val bEff = s"(CASE WHEN acc.t = 1L THEN (x.n - acc.x1) * 1000000L ELSE acc.b END)"
+    val lNew = s"(($alphaNum * x.n * 1000000L + ${den - alphaNum} * (acc.l + $bEff)) div $den)"
+    val fold = s"""aggregate(
+      xs,
+      named_struct('t', 0L, 'l', 0L, 'b', 0L, 'x1', 0L),
+      (acc, x) -> CASE WHEN acc.t = 0L
+        THEN named_struct('t', 1L, 'l', x.n * 1000000L, 'b', 0L, 'x1', x.n)
+        ELSE named_struct(
+          't', acc.t + 1L,
+          'l', $lNew,
+          'b', (($betaNum * ($lNew - acc.l) + ${den - betaNum} * $bEff) div $den),
+          'x1', acc.x1)
+      END)"""
+    val forecasts = (1 to horizon).map(h =>
+      (col("st.l") + lit(h.toLong) * col("st.b")).as(s"f${h}_micro"))
+    series.withColumn("st", expr(fold))
+      .select(Seq(col("event_type"), col("n_hours"), col("last_hour"),
+        col("st.l").as("level_micro"), col("st.b").as("trend_micro")) ++ forecasts: _*)
+      .orderBy("event_type")
+  }
+
   /** Cohort retention matrix (q70) — the product-analytics staple next
     * to [[rollup]]/[[funnel]]: users cohort by FIRST-ACTIVITY week
     * (ISO weeks, `date_trunc` to Monday — identical truncation in

@@ -285,6 +285,45 @@ class CurationSpec extends SparkSpec {
     assert(tv == 1L && bv == 5.0 && av == 5.0 && sv == 0.0, s"constant: ${out("view")}")
   }
 
+  test("holt forecast: constant series pins level with zero trend; " +
+    "linear ramp converges onto the ramp; driver-fold differential") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // view: constant 5/hour; click: exact ramp 2,4,6,...,40 per hour
+    val rows = (0 until 20).flatMap { h =>
+      (0 until 5).map(i => ("view", f"2024-03-01 $h%02d:00:${i % 60}%02d"))
+    } ++ (0 until 20).flatMap { h =>
+      (0 until 2 * (h + 1)).map(i => ("click", f"2024-03-01 $h%02d:${i / 60}%02d:${i % 60}%02d"))
+    }
+    val events = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+    val out = graft.operators.Events.holtForecast(events, 2, 1, 10, 3).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // constant series: l stays x*1e6 exactly, b stays 0, forecasts flat
+    val v = out("view")
+    assert(v.getLong(3) === 5000000L && v.getLong(4) === 0L)
+    assert(v.getLong(5) === 5000000L && v.getLong(7) === 5000000L)
+    // exact ramp: the fitted trend must approach the true slope
+    // (2/hour) and the 1-step forecast must overshoot the last level
+    val c = out("click")
+    assert(c.getLong(1) === 20L && c.getString(2) === "2024-03-01 19:00:00")
+    val trend = c.getLong(4)
+    assert(trend > 1000000L && trend < 3000000L, s"ramp trend off: $trend")
+    assert(c.getLong(5) === c.getLong(3) + trend)
+    assert(c.getLong(7) === c.getLong(3) + 3 * trend)
+    // driver differential: the exact integer fold, re-run in plain Scala
+    val xs = (0 until 20).map(h => 2L * (h + 1))
+    var l = xs.head * 1000000L; var b = 0L
+    xs.zipWithIndex.drop(1).foreach { case (x, t) =>
+      val bEff = if (t == 1) (x - xs.head) * 1000000L else b
+      val lNew = (2L * x * 1000000L + 8L * (l + bEff)) / 10L
+      b = (1L * (lNew - l) + 9L * bEff) / 10L
+      l = lNew
+    }
+    assert(c.getLong(3) === l && c.getLong(4) === b,
+      s"distributed fold != driver fold: (${c.getLong(3)}, ${c.getLong(4)}) vs ($l, $b)")
+  }
+
   test("zipf report: an exact 1/rank corpus fits slope -1; shape counts exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
