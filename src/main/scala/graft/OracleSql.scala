@@ -586,6 +586,46 @@ object OracleSql {
          |ORDER BY m.event_type""".stripMargin
     },
 
+    // q178: item-item covisitation cosine — the capped per-user pair
+    // stream mirrored step for step; GroupedTopK's (order, tie) rule
+    // is exactly row_number's, and the similarity rounds to 6 dp
+    // BEFORE ranking on both sides.
+    "q178_covisitation" ->
+      s"""WITH ui AS (
+         |  SELECT user_id,
+         |    CAST(CAST(json_extract_string(props, '$$.k') AS INT) AS BIGINT) AS item,
+         |    count(*) AS cnt
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+         |  GROUP BY 1, 2),
+         |kept AS (
+         |  SELECT user_id, item FROM (
+         |    SELECT user_id, item,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item) AS rn
+         |    FROM ui) WHERE rn <= $CovisitCap),
+         |iu AS (SELECT item, CAST(count(*) AS BIGINT) AS n_users FROM kept GROUP BY 1),
+         |co AS (
+         |  SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS co_users
+         |  FROM kept a JOIN kept b ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT ia AS item, ib AS neighbor, co_users FROM co
+         |  UNION ALL SELECT ib, ia, co_users FROM co),
+         |scored AS (
+         |  SELECT p.item, p.neighbor, p.co_users,
+         |    round(CAST(p.co_users AS DOUBLE)
+         |      / sqrt(CAST(ni.n_users * nj.n_users AS DOUBLE)), 6) AS cosine_sim
+         |  FROM pairs p
+         |  JOIN iu ni ON p.item = ni.item
+         |  JOIN iu nj ON p.neighbor = nj.item),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY item
+         |    ORDER BY cosine_sim DESC, neighbor) AS rn
+         |  FROM scored)
+         |SELECT item, neighbor, co_users, cosine_sim
+         |FROM ranked WHERE rn <= $CovisitTopK
+         |ORDER BY item, cosine_sim DESC, neighbor""".stripMargin,
+
     // q171: phrase search from the persisted positional index is
     // bit-equal to the inline vote algebra (SearchSpec pins it), so the
     // oracle states the algebra directly: token i of the phrase at

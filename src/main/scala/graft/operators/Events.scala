@@ -347,6 +347,67 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Item co-visitation similarity (q178) — the classic
+    * collaborative-filtering item-item matrix (the covisitation-graph
+    * construction behind item-to-item recommenders, Linden et al.
+    * 2003) over the events stream's prop items: two items are similar
+    * when the same users touch both, scored by the cosine of their
+    * binary user-incidence vectors, co(i,j)/√(n_i·n_j). Beside the
+    * session-path and transition reports this is the third
+    * relatedness readout — and in an LLM-data pipeline the same
+    * machinery scores document co-retrieval affinity.
+    *
+    * Scale discipline — the two places a naive covisit matrix
+    * explodes, closed: (1) per-user fan-out is CAPPED: each user
+    * contributes at most `userItemCap` items (their most-interacted,
+    * ties to the smaller item id — the standard heavy-user clamp: an
+    * account touching 10⁵ items is a bot/aggregator and would alone
+    * emit 10¹⁰ pairs; capped, per-user pair mass is ≤ C(cap, 2)), via
+    * [[graft.plans.GroupedTopK]] bounded heaps — no window sort. (2)
+    * pair counting is one (item_a, item_b) partial-agg exchange over
+    * the capped per-user pair stream. Counts n_i are measured AFTER
+    * the cap so the cosine's norm matches the pair stream it scores.
+    * Per-item top-k again through GroupedTopK. Both directions are
+    * emitted ((a,b) and (b,a)) so every item carries its own
+    * neighbor list — the serving shape.
+    *
+    * Exactness: counts are integers; the one float op
+    * (co/√(n_i·n_j)) rounds to 6 dp at emission, and the top-k order
+    * key is (rounded sim desc, neighbor asc) — the q67 rounded-before-ranking
+    * convention, so ranking never hangs on a raw
+    * double. */
+  def covisitation(events: DataFrame, userItemCap: Int, simTopK: Int): DataFrame = {
+    require(userItemCap >= 2, s"userItemCap must be >= 2, got $userItemCap")
+    require(simTopK >= 1, s"simTopK must be >= 1, got $simTopK")
+    val ui = events
+      .select(col("user_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("item"))
+      .where(col("item").isNotNull)
+      .groupBy("user_id", "item").agg(count(lit(1)).as("cnt"))
+    val kept = graft.plans.GroupedTopK.topK(ui, Seq(col("user_id")),
+        Seq(col("cnt").desc, col("item").asc), userItemCap)
+      .select("user_id", "item")
+    val itemUsers = kept.groupBy("item").agg(count(lit(1)).as("n_users"))
+    val co = kept.as("a").join(kept.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(count(lit(1)).as("co_users"))
+    val both = co.select(col("ia").as("item"), col("ib").as("neighbor"), col("co_users"))
+      .union(co.select(col("ib").as("item"), col("ia").as("neighbor"), col("co_users")))
+    val scored = both
+      .join(itemUsers.select(col("item"), col("n_users").as("ni")), "item")
+      .join(itemUsers.select(col("item").as("neighbor"), col("n_users").as("nj")),
+        "neighbor")
+      .select(col("item"), col("neighbor"), col("co_users"),
+        round(col("co_users").cast("double") /
+          sqrt((col("ni") * col("nj")).cast("double")), 6).as("cosine_sim"))
+    graft.plans.GroupedTopK.topK(scored, Seq(col("item")),
+        Seq(col("cosine_sim").desc, col("neighbor").asc), simTopK)
+      .orderBy(col("item"), col("cosine_sim").desc, col("neighbor"))
+  }
+
   /** Cohort retention matrix (q70) — the product-analytics staple next
     * to [[rollup]]/[[funnel]]: users cohort by FIRST-ACTIVITY week
     * (ISO weeks, `date_trunc` to Monday — identical truncation in

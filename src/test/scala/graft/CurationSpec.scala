@@ -324,6 +324,44 @@ class CurationSpec extends SparkSpec {
       s"distributed fold != driver fold: (${c.getLong(3)}, ${c.getLong(4)}) vs ($l, $b)")
   }
 
+  test("covisitation: crafted incidence pins exact cosines; the user cap " +
+    "bounds pair mass; top-k and ordering are deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ev(user: Long, item: Int, times: Int) =
+      (0 until times).map(i => (user, s"""{"k": $item}""", f"2024-03-01 00:$i%02d:00"))
+    // users 1-3 all touch items 10+20; user 3 alone adds 30.
+    val rows = Seq(1L, 2L, 3L).flatMap(u => ev(u, 10, 1) ++ ev(u, 20, 1)) ++
+      ev(3L, 30, 1)
+    val events = rows.toDF("user_id", "props", "ts_s")
+      .select(col("user_id"), col("props"), to_timestamp(col("ts_s")).as("ts"))
+    val out = graft.operators.Events.covisitation(events, 15, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // co(10,20)=3 users, n=3 each -> cosine exactly 1; co(20,30)=1, n 3x1 -> 1/sqrt(3)
+    assert(out((10L, 20L)) === ((3L, 1.0)))
+    assert(out((20L, 10L)) === ((3L, 1.0)))
+    assert(out((20L, 30L)) === ((1L, 0.57735)))
+    assert(out((30L, 20L)) === ((1L, 0.57735)))
+    assert(out.size === 6) // 3 items x 2 neighbors each
+
+    // cap: a bot user touching 10 items with cap 3 keeps its TOP-3 by
+    // (count desc, item asc) — pair mass C(3,2), not C(10,2)
+    val bot = (0 until 10).flatMap(i => ev(9L, 100 + i, if (i < 3) 2 else 1))
+    val botEvents = bot.toDF("user_id", "props", "ts_s")
+      .select(col("user_id"), col("props"), to_timestamp(col("ts_s")).as("ts"))
+    val capped = graft.operators.Events.covisitation(botEvents, 3, 10).collect()
+    val items = capped.map(_.getLong(0)).toSet
+    assert(items === Set(100L, 101L, 102L), s"cap kept wrong items: $items")
+    assert(capped.length === 6) // 3 items x 2 neighbors
+
+    // partition invariance
+    val a = graft.operators.Events.covisitation(events.repartition(1), 15, 5)
+      .collect().toSeq
+    val b = graft.operators.Events.covisitation(events.repartition(7), 15, 5)
+      .collect().toSeq
+    assert(a === b)
+  }
+
   test("zipf report: an exact 1/rank corpus fits slope -1; shape counts exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
