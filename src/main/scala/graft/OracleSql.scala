@@ -626,6 +626,23 @@ object OracleSql {
          |FROM ranked WHERE rn <= $CovisitTopK
          |ORDER BY item, cosine_sim DESC, neighbor""".stripMargin,
 
+    // q179: KWIC snippets — 1-based array_position/list_position and
+    // inclusive 1-based slicing agree between the engines, so the
+    // snippet string mirrors exactly.
+    "q179_snippets" ->
+      s"""WITH t AS (SELECT doc_id, ${toks()} AS ts FROM documents),
+         |m AS (
+         |  SELECT doc_id, ts,
+         |    CAST(list_position(ts, '$SnippetTerm') AS BIGINT) AS match_pos,
+         |    CAST(len(list_filter(ts, x -> x = '$SnippetTerm')) AS BIGINT) AS n_matches
+         |  FROM t)
+         |SELECT doc_id, match_pos, n_matches,
+         |  array_to_string(list_slice(ts,
+         |    greatest(1, match_pos - $SnippetContext),
+         |    least(match_pos + $SnippetContext, len(ts))), ' ') AS snippet
+         |FROM m WHERE match_pos > 0
+         |ORDER BY n_matches DESC, doc_id LIMIT $K""".stripMargin,
+
     // q171: phrase search from the persisted positional index is
     // bit-equal to the inline vote algebra (SearchSpec pins it), so the
     // oracle states the algebra directly: token i of the phrase at

@@ -44,6 +44,8 @@ object SparkEntry {
     val PhraseQuery = "query big part" // q171: a real repeated trigram present
                                        // at every SF (5/5/9 hits at sf0.001/0.01/0.1)
     val KppK = 40         // q172: seeding comparison cell count (~sqrt n at sf0.01)
+    val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
+    val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
     val CovisitTopK = 5   // q178: neighbors served per item
     val HoltAlphaNum = 2  // q177: level smoothing 2/10 — the rational keeps the
@@ -451,6 +453,8 @@ object SparkEntry {
       Tables.events(s, d), HoltAlphaNum, HoltBetaNum, HoltDen, HoltHorizon)),
     "q178_covisitation" -> ((s, d) =>
       Events.covisitation(Tables.events(s, d), CovisitCap, CovisitTopK)),
+    "q179_snippets" -> ((s, d) =>
+      Search.snippets(Tables.documents(s, d), SnippetTerm, SnippetContext, K)),
     "q19_asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),
     "q20_pricing_summary" -> ((s, d) => Analytics.pricingSummary(Tables.lineitem(s, d))),
     "q21_revenue_by_nation" -> ((s, d) => Analytics.revenueByNation(

@@ -293,6 +293,37 @@ object Search {
       .limit(k)
   }
 
+  /** KWIC snippet extraction (q179): for every document containing
+    * `term`, the keyword-in-context window — `context` tokens either
+    * side of the FIRST occurrence, joined back to a display string —
+    * plus the occurrence count; ranked (n_matches desc, doc_id). The
+    * result-page half of the serving stack: q34/q131 rank documents,
+    * this renders WHY each hit matched (every search UI's snippet
+    * line).
+    *
+    * Scale shape: ZERO exchanges before the top-k — first-occurrence
+    * lookup (`array_position`), match count (`filter` + `size`) and
+    * window slice (`slice` + `concat_ws`) are all codegen'd array
+    * expressions evaluated per row inside the scan stage, so the only
+    * movement is the TakeOrdered top-k of rows that actually match.
+    * Compare the posting-explode shape ([[proximitySearch]]): no
+    * positions ever materialize as rows here — the window is cut
+    * inside the array. */
+  def snippets(docs: DataFrame, term: String, context: Int, k: Int): DataFrame = {
+    require(term.nonEmpty && context >= 1 && k >= 1)
+    val ts = tokens(col("text"))
+    val pos = array_position(ts, term) // 1-based; 0 = absent
+    val start = greatest(lit(1), pos - context)
+    val len = least(pos + context, size(ts)) - start + 1
+    docs
+      .select(col("doc_id"), pos.as("match_pos"),
+        size(filter(ts, t => t === term)).cast("long").as("n_matches"),
+        concat_ws(" ", slice(ts, start.cast("int"), len.cast("int"))).as("snippet"))
+      .where(col("match_pos") > 0)
+      .orderBy(desc("n_matches"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Persist the POSITIONAL inverted index: (term, doc_id, pos)
     * postings partitioned by term-hash bucket — [[saveTextIndex]]'s
     * layout with positions kept, the classic phrase/proximity-serving

@@ -175,4 +175,30 @@ class SearchSpec extends SparkSpec {
     assert(Search.phraseSearch(corpus.repartition(7), phrase, 20)
       .collect().toSeq == servedRows, "phrase search is partition-sensitive")
   }
+
+  test("snippets: first-occurrence window exact, edges clip, absent term drops, " +
+    "plan stays exchange-free before the top-k") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c hash d e f hash"),   // interior match, repeat counted
+      (2L, "hash x y z"),              // window clipped at the start
+      (3L, "p q r s hash"),            // window clipped at the end
+      (4L, "no match here")
+    ).toDF("doc_id", "text")
+    val out = Search.snippets(docs, "hash", 2, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((4L, 2L, "b c hash d e")))
+    assert(out(2L) === ((1L, 1L, "hash x y")))
+    assert(out(3L) === ((5L, 1L, "r s hash")))
+    assert(!out.contains(4L))
+    // ordering (n_matches desc, doc_id) and the k bound
+    val top = Search.snippets(docs, "hash", 2, 2).collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(1L, 2L))
+    // the snippet pass is array-expression work inside the scan stage:
+    // no shuffle exchange below the TakeOrdered top-k
+    val plan = Search.snippets(docs, "hash", 2, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"snippets plan shuffles:\n$plan")
+  }
 }
