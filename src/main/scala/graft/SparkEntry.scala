@@ -1063,6 +1063,33 @@ object SparkEntry {
       Seq(r1, r2, r2b, r3).reduce(_ unionByName _)
         .orderBy("synced_snapshot", "mode")
     }),
+    "q180_text_index_sync" -> ((s, d) => {
+      // Rows-only (index file I/O lifecycle, the q151 class, sparse-
+      // retrieval family): a snapshot table of documents drives the
+      // BM25/positional bucket index through its commit history —
+      // initial rebuild, delta-sized postings append, idempotent noop,
+      // and a delete commit forcing the rebuild path (tombstoned docs
+      // must leave the postings). IndexSyncSpec pins served-BM25
+      // equality against a fresh build at every step.
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_txtsync_" +
+        Integer.toHexString(d.hashCode)
+      val tPath = s"$base/table"; val iPath = s"$base/index"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val cut = docs.agg(max("doc_id")).head().getLong(0) * 4 / 5
+      Snapshots.overwrite(docs.where(col("doc_id") <= cut), tPath)     // v1
+      val r1 = IndexSync.textSyncReport(s, tPath, iPath)               // rebuild
+      Snapshots.append(docs.where(col("doc_id") > cut), tPath)         // v2
+      val r2 = IndexSync.textSyncReport(s, tPath, iPath)               // append
+      val r2b = IndexSync.textSyncReport(s, tPath, iPath)              // noop
+      Snapshots.deleteWhere(s, tPath, pmod(col("doc_id"), lit(7L)) === 0,
+        "doc_id")                                                      // v3
+      val r3 = IndexSync.textSyncReport(s, tPath, iPath)               // rebuild
+      Seq(r1, r2, r2b, r3).reduce(_ unionByName _)
+        .orderBy("synced_snapshot", "mode")
+    }),
     "q150_dedup_commit" -> ((s, d) => {
       // Dedup as a table commit: inject exact copies of every 5th doc
       // (id + 10M — ties break to the LOWER id, so originals always

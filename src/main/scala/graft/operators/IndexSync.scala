@@ -90,4 +90,79 @@ object IndexSync {
     Seq((id, mode, postings.count(), cents.count()))
       .toDF("synced_snapshot", "mode", "n_postings", "n_centroids")
   }
+
+  private def inflightPath(indexPath: String) = new Path(indexPath, "_sync_inflight")
+
+  private def setInflight(spark: SparkSession, indexPath: String): Unit = {
+    val p = inflightPath(indexPath)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write("1".getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def clearInflight(spark: SparkSession, indexPath: String): Unit = {
+    val p = inflightPath(indexPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  private def isInflight(spark: SparkSession, indexPath: String): Boolean = {
+    val p = inflightPath(indexPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Bring the TEXT (BM25/inverted) index at `indexPath` in line with
+    * the snapshot table of documents at `tablePath` — [[sync]]'s rule
+    * applied to the sparse-retrieval family (q180): append-only spans
+    * advance by [[Search.appendTextIndex]] (delta-sized postings into
+    * the same bucket layout, stats refolded from exact totals), any
+    * other op forces a rebuild over the snapshot's logical content.
+    *
+    * Crash contract, the part [[Search.appendTextIndex]]'s scaladoc
+    * defers here: the postings append and the stats rewrite are two
+    * writes. An `_sync_inflight` marker brackets the mutation — set
+    * before the first write, cleared after the snapshot marker lands —
+    * so a sync that died mid-append leaves the marker behind and the
+    * NEXT sync refuses the incremental path and rebuilds (the
+    * conservative recovery: duplicated postings can never serve).
+    * Re-running after success stays an idempotent noop. */
+  def syncText(spark: SparkSession, tablePath: String, indexPath: String,
+               nBuckets: Int = 64): (Long, String) = {
+    val target = Snapshots.latest(spark, tablePath)
+    require(target > 0, s"no snapshot to index under $tablePath")
+    val from = syncedSnapshot(spark, indexPath)
+    if (from == target && !isInflight(spark, indexPath)) return (target, "noop")
+    val span = Snapshots.snapshotIds(spark, tablePath)
+      .filter(id => id > from && id <= target)
+    val appendOnly = from > 0 && span.nonEmpty && !isInflight(spark, indexPath) &&
+      span.forall(id => Snapshots.opOf(spark, tablePath, id) == "append")
+    setInflight(spark, indexPath)
+    val mode =
+      if (appendOnly) {
+        span.foreach { id =>
+          Search.appendTextIndex(Snapshots.deltaOf(spark, tablePath, id),
+            indexPath, nBuckets)
+        }
+        "append"
+      } else {
+        Search.saveTextIndex(Snapshots.read(spark, tablePath), indexPath, nBuckets)
+        "rebuild"
+      }
+    writeMarker(spark, indexPath, target)
+    clearInflight(spark, indexPath)
+    (target, mode)
+  }
+
+  /** One text-sync step as a 1-row report — the q180 lifecycle
+    * currency: which snapshot the index now reflects, how it got
+    * there, and the served corpus size (off the exact stats sidecar —
+    * KB-scale, no postings scan). */
+  def textSyncReport(spark: SparkSession, tablePath: String, indexPath: String,
+                     nBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val (id, mode) = syncText(spark, tablePath, indexPath, nBuckets)
+    val stats = spark.read.parquet(s"$indexPath/stats")
+      .select("n_docs", "sum_dl").head()
+    Seq((id, mode, stats.getLong(0), stats.getLong(1)))
+      .toDF("synced_snapshot", "mode", "n_docs", "sum_dl")
+  }
 }

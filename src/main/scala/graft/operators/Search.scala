@@ -201,20 +201,70 @@ object Search {
     * no vocabulary-sized side table to keep consistent on append. */
   def saveTextIndex(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0)
-    val lens = docs
+    writePostings(docs, path, nBuckets, overwrite = true)
+    val (n, sum) = corpusTotals(docs)
+    writeTextStats(docs.sparkSession, path, n, sum)
+  }
+
+  /** The ONE postings definition, shared by full build and incremental
+    * append: (doc_id, dl, term, tf) partitioned by term-hash bucket. */
+  private def writePostings(docs: DataFrame, path: String, nBuckets: Int,
+                            overwrite: Boolean): Unit =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("__ts"))
-      .select(col("doc_id"), col("__ts"), size(col("__ts")).as("dl"))
-    lens
-      .select(col("doc_id"), col("dl"), explode(col("__ts")).as("term"))
+      .select(col("doc_id"), size(col("__ts")).as("dl"), explode(col("__ts")).as("term"))
       .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(graft.operators.Dedup.hash60(col("term")), lit(nBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("bucket")
+      .write.mode(if (overwrite) "overwrite" else "append").partitionBy("bucket")
       .parquet(s"$path/postings")
-    lens.agg(
-        count(lit(1)).as("n_docs"),
-        round(sum("dl").cast("double") / count(lit(1)), 6).as("avgdl"))
+
+  /** (n_docs, Σdl) of a corpus — exact longs, the incremental-stats
+    * currency. */
+  private def corpusTotals(docs: DataFrame): (Long, Long) = {
+    val r = docs.select(col("doc_id"), size(tokens(col("text"))).as("dl"))
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Stats sidecar: avgdl recomputed from the EXACT totals every time
+    * — an appended index reports bit-identical avgdl to a fresh build
+    * (never an incrementally drifted float). sum_dl rides along so the
+    * next append has the exact totals to fold into. */
+  private def writeTextStats(spark: org.apache.spark.sql.SparkSession,
+                             path: String, nDocs: Long, sumDl: Long): Unit = {
+    import spark.implicits._
+    // HALF_UP on the double quotient = Spark's round(col, 6), the
+    // definition the original one-shot build used and q131's oracle
+    // mirrors — NOT math.rint (half-even), which could flip a
+    // boundary avgdl between an appended and a fresh index.
+    val avgdl = java.math.BigDecimal
+      .valueOf(sumDl.toDouble / math.max(nDocs, 1L))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    Seq((nDocs, avgdl, sumDl))
+      .toDF("n_docs", "avgdl", "sum_dl")
       .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Incrementally add `delta` documents to a persisted text index:
+    * delta-sized postings APPEND into the same bucket layout (serving's
+    * bucket pruning is untouched — new files land inside the bucket
+    * dirs), stats refold from exact totals. Contract: delta doc_ids
+    * are NEW (the append-only table-commit shape [[graft.operators
+    * .IndexSync.syncText]] drives this under); re-adding an indexed
+    * doc would double its postings — exactly why non-append table ops
+    * force a rebuild there. The stats rewrite is not atomic with the
+    * postings append; the sync layer's inflight marker turns a crash
+    * between the two into a forced rebuild, never a served
+    * half-state. */
+  def appendTextIndex(delta: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0)
+    val spark = delta.sparkSession
+    val prev = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("sum_dl")).head()
+    writePostings(delta, path, nBuckets, overwrite = false)
+    val (dn, dsum) = corpusTotals(delta)
+    writeTextStats(spark, path, prev.getLong(0) + dn, prev.getLong(1) + dsum)
   }
 
   /** BM25 served from the persisted index — bit-equal to the inline

@@ -69,4 +69,57 @@ class IndexSyncSpec extends SparkSpec {
     val (_, mode) = IndexSync.sync(spark, tPath, iPath, step)
     assert(mode == "rebuild")
   }
+
+  private lazy val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+  private val terms = SparkEntry.Params.Bm25Terms
+
+  private def served(iPath: String) =
+    graft.operators.Search.searchTextIndex(spark, iPath, terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+
+  test("text index sync: append advances serve bit-identically to a fresh " +
+    "build; noop is idempotent; a delete commit rebuilds the postings") {
+    val (tPath, iPath) = fresh("text")
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+    Snapshots.overwrite(docs.where(col("doc_id") <= cut), tPath)
+    assert(IndexSync.syncText(spark, tPath, iPath) == ((1L, "rebuild")))
+    Snapshots.append(docs.where(col("doc_id") > cut), tPath)
+    assert(IndexSync.syncText(spark, tPath, iPath) == ((2L, "append")))
+    assert(IndexSync.syncText(spark, tPath, iPath) == ((2L, "noop")))
+    // served BM25 off the appended index == a fresh one-shot build
+    val (_, refI) = fresh("textref")
+    graft.operators.Search.saveTextIndex(docs, refI)
+    assert(served(iPath) === served(refI),
+      "appended text index serves differently from a fresh build")
+    // stats refolded exactly (not drifted): same sidecar values
+    val a = spark.read.parquet(s"$iPath/stats").head()
+    val b = spark.read.parquet(s"$refI/stats").head()
+    assert(a === b, s"stats diverged: $a vs $b")
+    // a delete commit forces a rebuild and the tombstoned docs leave
+    Snapshots.deleteWhere(spark, tPath, col("doc_id") <= cut, "doc_id")
+    assert(IndexSync.syncText(spark, tPath, iPath)._2 == "rebuild")
+    val postDocs = spark.read.parquet(s"$iPath/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(postDocs.forall(_ > cut), "rebuilt postings still carry deleted docs")
+  }
+
+  test("text index sync: a stranded inflight marker forces rebuild instead " +
+    "of double-appending") {
+    val (tPath, iPath) = fresh("textinflight")
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 2
+    Snapshots.overwrite(docs.where(col("doc_id") <= cut), tPath)
+    IndexSync.syncText(spark, tPath, iPath)
+    // simulate a crash mid-append: marker set, postings half-written
+    val p = new Path(iPath, "_sync_inflight")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true); out.write('1'); out.close()
+    Snapshots.append(docs.where(col("doc_id") > cut), tPath)
+    val (_, mode) = IndexSync.syncText(spark, tPath, iPath)
+    assert(mode == "rebuild", s"inflight marker must force rebuild, got $mode")
+    assert(!f.exists(p), "inflight marker must clear after a successful sync")
+    // and the rebuilt index serves exactly the fresh-build answer
+    val (_, refI) = fresh("textinflightref")
+    graft.operators.Search.saveTextIndex(docs, refI)
+    assert(served(iPath) === served(refI))
+  }
 }
