@@ -522,4 +522,58 @@ class StreamingSpec extends SparkSpec {
     assert(got.size >= want.size / 2,
       s"streamed emitted too few finalized sessions: ${got.size} of ${want.size}")
   }
+
+  test("streaming Holt forecast: closed-hour folds equal the batch operator " +
+    "bit-for-bit, under one batch and under hour-sliced micro-batches") {
+    import graft.streaming.HoltStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the CurationSpec holt corpus: constant 5/hr view + exact ramp click,
+    // hours 0-19, plus a FLUSH hour 20 so grace=1 closes all real hours
+    def mk(tpe: String, perHour: Int => Int) = (0 until 20).flatMap { h =>
+      (0 until perHour(h)).map(i => (tpe, f"2024-03-01 $h%02d:${i / 60}%02d:${i % 60}%02d"))
+    }
+    val real = mk("view", _ => 5) ++ mk("click", h => 2 * (h + 1))
+    val flush = Seq(("view", "2024-03-01 20:00:00"), ("click", "2024-03-01 20:00:00"))
+    val df = (real ++ flush).toDF("event_type", "ts_s")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_holt_stream_src"
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    def run(srcDir: String, name: String, oneFilePerTrigger: Boolean) = {
+      val reader = spark.readStream.schema(spark.read.parquet(srcDir).schema)
+      val src = (if (oneFilePerTrigger) reader.option("maxFilesPerTrigger", 1) else reader)
+        .parquet(srcDir)
+      val q = HoltStream.forecast(src, 2, 1, 10, graceHours = 1)
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._2))
+    }
+    val got = run(dir, "holt_sink", oneFilePerTrigger = false)
+    // the hour-19 emission state == the batch fit over the real hours
+    val batchRows = graft.operators.Events.holtForecast(
+      real.toDF("event_type", "ts_s")
+        .select(col("event_type"), to_timestamp(col("ts_s")).as("ts")), 2, 1, 10, 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    Seq("view", "click").foreach { tpe =>
+      val last = got.filter(t => t._1 == tpe && t._2 == "2024-03-01 19:00:00")
+      assert(last.length == 1, s"$tpe: hour-19 emission missing")
+      val (_, _, nh, l, b, f1) = last.head
+      assert((nh, l, b, f1) === batchRows(tpe), s"$tpe: stream != batch fold")
+    }
+    // every real hour emitted exactly once per type
+    assert(got.count(_._1 == "click") == 20 && got.count(_._1 == "view") == 20)
+    // micro-batch slicing (4 hour-aligned files) changes nothing
+    val dir4 = s"${System.getProperty("java.io.tmpdir")}/graft_holt_stream_src4"
+    (0 until 4).foreach { part =>
+      df.where(hour(col("ts")) >= part * 6 && hour(col("ts")) < (part + 1) * 6)
+        .coalesce(1).write.mode(if (part == 0) "overwrite" else "append").parquet(dir4)
+      Thread.sleep(1100) // distinct mtimes: FileStreamSource replays in file order
+    }
+    val got4 = run(dir4, "holt_sink4", oneFilePerTrigger = true)
+    assert(got4.toSeq == got.toSeq, "micro-batch slicing changed a fold")
+  }
 }
