@@ -449,6 +449,19 @@ object SparkEntry {
     }),
     "q176_supplier_triangles" -> ((s, d) =>
       Graph.supplierTriangles(Tables.lineitem(s, d), TriMinCooc, TriTopN)),
+    "q181_image_dedup" -> ((s, d) => {
+      // Rows-only (raster decode, the q175 class): q175's rendition
+      // corpus — exact copies AND resizes of the same originals, so
+      // clusters are transitive chains — resolved to keeper decisions.
+      val media = graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d))
+      val imgs = media.where(col("format") === "png")
+        .orderBy("doc_id").limit(ImgDupK)
+      val copies = imgs.withColumn("doc_id", col("doc_id") + lit(ImgCopyOffset))
+      val resized = graft.multimodal.Multimodal.resize(s, imgs, 32, 24)
+        .withColumn("doc_id", col("doc_id") + lit(2L * ImgCopyOffset))
+      graft.multimodal.ImageHash.imageDupClusters(
+        media.unionByName(copies).unionByName(resized), ImgHamming)
+    }),
     "q177_holt_forecast" -> ((s, d) => Events.holtForecast(
       Tables.events(s, d), HoltAlphaNum, HoltBetaNum, HoltDen, HoltHorizon)),
     "q178_covisitation" -> ((s, d) =>

@@ -150,4 +150,22 @@ object ImageHash {
   def imageDedupReport(media: DataFrame, maxHamming: Int = 3): DataFrame =
     nearDupPairs(hashImages(media), maxHamming)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+
+  /** Image dedup as a CURATION decision (q181): perceptual pairs
+    * resolved into rendition clusters by the q43 pointer-jumped
+    * connected components, keeper = lowest doc_id per cluster (the
+    * q148 canonical-pick convention: transitively-linked renditions —
+    * A≈B≈C where A and C differ by 2·radius — collapse to ONE kept
+    * image, which pairwise thresholding alone cannot decide). Returns
+    * the membership table a dedup pass keeps: only clustered images
+    * appear, `keep = doc_id == cluster_id`; singletons are implicitly
+    * kept. The full pipeline is decode → 8-byte hashes → banded pairs
+    * → O(V)-state CC — payload bytes never shuffle at any stage. */
+  def imageDupClusters(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.operators.Clusters.connectedComponents(
+        nearDupPairs(hashImages(media), maxHamming)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
+      .orderBy("cluster_id", "doc_id")
 }

@@ -88,6 +88,41 @@ class ImageHashSpec extends SparkSpec {
     assert(ImageHash.hashImages(junk).count() === 0L)
   }
 
+  test("dup clusters: a transitive rendition chain collapses to one keeper") {
+    import spark.implicits._
+    def png(img: BufferedImage): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    // three rasters PROVEN mutually distant (corpus gradients can
+    // collide at hamming 0 — q175's natural pairs — so craft instead)
+    val rasters = Seq(
+      1L -> raster(18, 16)((x, _) => x * 14),
+      2L -> raster(18, 16)((x, _) => 250 - x * 14),
+      3L -> raster(18, 16)((x, _) => ((x / 2) % 2) * 255)) // cell-aligned bands
+    val hs = rasters.map { case (_, r) => ImageHash.dHash64(r) }
+    for (i <- hs.indices; j <- hs.indices if i < j)
+      assert(java.lang.Long.bitCount(hs(i) ^ hs(j)) > 0, s"crafted rasters $i/$j collide")
+    // two exact-copy generations of each original: A≈A'≈A'' chains
+    val records = rasters.flatMap { case (id, r) =>
+      val bytes = png(r)
+      Seq(id, id + 1000000L, id + 2000000L).map(d =>
+        Multimodal.MediaRecord(d, "image", "png", r.getWidth, r.getHeight, bytes))
+    }
+    val out = graft.multimodal.ImageHash.imageDupClusters(records.toDF(), 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // every cluster: size 3, labeled by its original, only that original kept
+    rasters.map(_._1).foreach { id =>
+      val members = out.filter(_._2 == id)
+      assert(members.map(_._1).toSet === Set(id, id + 1000000L, id + 2000000L))
+      assert(members.forall(_._3 == 3L))
+      assert(members.filter(_._4 == 1).map(_._1).toSeq === Seq(id),
+        s"cluster $id kept the wrong member")
+    }
+    assert(out.length === 9)
+  }
+
   test("pair report is partition-invariant") {
     val imgs = media.where(col("format") === "png")
     val withCopies = imgs.unionByName(
