@@ -545,6 +545,27 @@ object OracleSql {
          |FROM deg d LEFT JOIN pn ON d.node = pn.node
          |ORDER BY triangles DESC, s_suppkey LIMIT $TriTopN""".stripMargin,
 
+    // q182: hour-of-day slot anomalies — q73's exact-integer gate
+    // conditioned on the (type, hod) population.
+    "q182_seasonal_anomalies" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type,
+         |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |x AS (SELECT *, CAST(substring(hour, 12, 2) AS INT) AS hod FROM hourly),
+         |s AS (
+         |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(n) AS BIGINT) AS sum_n, CAST(sum(n * n) AS BIGINT) AS sum_n2
+         |  FROM x GROUP BY 1, 2)
+         |SELECT x.event_type, x.hour, x.hod, x.n AS n_events,
+         |  round(CAST(x.n * s.cnt - s.sum_n AS DOUBLE)
+         |    / sqrt(CAST(s.cnt * s.sum_n2 - s.sum_n * s.sum_n AS DOUBLE)), 6) AS z_slot
+         |FROM x JOIN s USING (event_type, hod)
+         |WHERE (x.n * s.cnt - s.sum_n) * (x.n * s.cnt - s.sum_n)
+         |  > ${AnomZ.toLong * AnomZ} * (s.cnt * s.sum_n2 - s.sum_n * s.sum_n)
+         |ORDER BY x.event_type, x.hour""".stripMargin,
+
     // q177: Holt double-exponential smoothing — the same integer
     // micro-unit fold as Events.holtForecast, as a recursive CTE
     // walking each type's hourly series in t order. DuckDB `//` and

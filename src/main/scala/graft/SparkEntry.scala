@@ -676,6 +676,8 @@ object SparkEntry {
       Bq.searchBatch(Bq.encode(emb, SqDim), Knn.queryPanel(emb, RecallQueryIds), SqDim, K)
     }),
     "q73_anomalies" -> ((s, d) => Events.anomalies(Tables.events(s, d), AnomZ)),
+    "q182_seasonal_anomalies" -> ((s, d) =>
+      Events.seasonalAnomalies(Tables.events(s, d), AnomZ)),
     "q74_range_join" -> ((s, d) =>
       AsOf.precededByCount(Tables.events(s, d), "error", "click", RangeWindowSec)),
     "q75_mmr" -> ((s, d) => {

@@ -235,6 +235,43 @@ object Events {
       .orderBy("event_type", "hour")
   }
 
+  /** Seasonality-adjusted anomaly report (q182): each hour scored
+    * against its HOUR-OF-DAY slot's distribution per event type, not
+    * the flat per-type baseline — the diurnal-profile upgrade of
+    * [[anomalies]]/q73 (under a flat baseline a 3 AM traffic spike
+    * hides inside noon-dominated variance, and every quiet night hour
+    * reads as a negative anomaly; slot-conditioning is the first
+    * seasonal correction every ops pipeline grows). Same exact-integer
+    * gate as q73 — `num² > z²·den2` with num = n·cnt − Σn and
+    * den2 = cnt·Σn² − (Σn)² over the (type, slot) population, so
+    * membership can never hash-flip; the reported z divides exact
+    * integers once, 6-dp. Slots with one observation or zero variance
+    * have num = 0 and drop out by math.
+    *
+    * Scale shape: one (event_type, hour) partial-agg exchange (the
+    * q17/q73 keys), then a broadcast join against the (types × 24)-row
+    * slot-stats frame — nothing materializes per event past the first
+    * aggregate, at any corpus size. The hour-of-day slot derives from
+    * the hour STRING (chars 12-13), the same 1-based substring in both
+    * engines. */
+  def seasonalAnomalies(events: DataFrame, z: Int): DataFrame = {
+    val hourly = events.groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hod", substring(col("hour"), 12, 2).cast("int"))
+    val stats = hourly.groupBy("event_type", "hod").agg(
+      count(lit(1)).as("cnt"), sum("n").as("sum_n"),
+      sum(col("n") * col("n")).as("sum_n2"))
+    hourly.join(broadcast(stats), Seq("event_type", "hod"))
+      .withColumn("num", col("n") * col("cnt") - col("sum_n"))
+      .withColumn("den2", col("cnt") * col("sum_n2") - col("sum_n") * col("sum_n"))
+      .where(col("num") * col("num") > lit(z.toLong * z) * col("den2"))
+      .select(col("event_type"), col("hour"), col("hod"),
+        col("n").as("n_events"),
+        round(col("num").cast("double") / sqrt(col("den2").cast("double")), 6).as("z_slot"))
+      .orderBy("event_type", "hour")
+  }
+
   /** CUSUM changepoint localization (q165; Page 1954's cumulative-sum
     * statistic, offline single-changepoint form): per event type, the
     * hour at which the hourly-count level SHIFTED — argmax_t |S_t| with

@@ -285,6 +285,33 @@ class CurationSpec extends SparkSpec {
     assert(tv == 1L && bv == 5.0 && av == 5.0 && sv == 0.0, s"constant: ${out("view")}")
   }
 
+  test("seasonal anomalies: a night-hour spike invisible to the flat q73 " +
+    "baseline is flagged against its hour-of-day slot, with the exact z") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 days, diurnal profile: busy 9-17h at 30/hr, quiet hours at 2/hr;
+    // day 5's 03:00 spikes to 10 — tiny vs daytime variance, huge vs its slot
+    val rows = for {
+      d <- 1 to 10; h <- 0 until 24
+      n = if (d == 5 && h == 3) 10 else if (h >= 9 && h <= 17) 30 else 2
+      i <- 0 until n
+    } yield ("view", f"2024-03-$d%02d $h%02d:${i / 60}%02d:${i % 60}%02d")
+    val events = rows.toDF("event_type", "ts_s")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+    val seasonal = graft.operators.Events.seasonalAnomalies(events, 2).collect()
+    val spike = seasonal.filter(_.getString(1) == "2024-03-05 03:00:00")
+    assert(spike.length == 1, s"slot spike not flagged: ${seasonal.map(_.getString(1)).toSeq}")
+    // exact integers: cnt=10, sum=28, sum2=136 -> num=72, den2=576, z=3.0
+    assert(spike.head.getInt(2) == 3 && spike.head.getLong(3) == 10L
+      && spike.head.getDouble(4) == 3.0, s"spike row: ${spike.head}")
+    // no other hour clears its slot gate (all other slots are constant)
+    assert(seasonal.length == 1, s"false positives: ${seasonal.toSeq}")
+    // the flat baseline is blind to it: q73 does not flag that hour
+    val flat = graft.operators.Events.anomalies(events, 2).collect()
+    assert(!flat.exists(_.getString(1) == "2024-03-05 03:00:00"),
+      "flat baseline unexpectedly flagged the slot spike — the differential is moot")
+  }
+
   test("holt forecast: constant series pins level with zero trend; " +
     "linear ramp converges onto the ramp; driver-fold differential") {
     import spark.implicits._
