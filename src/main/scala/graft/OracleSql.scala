@@ -545,6 +545,21 @@ object OracleSql {
          |FROM deg d LEFT JOIN pn ON d.node = pn.node
          |ORDER BY triangles DESC, s_suppkey LIMIT $TriTopN""".stripMargin,
 
+    // q183: rolling active users — the oracle states the NAIVE
+    // per-window distinct; the bitmap plan must reproduce it exactly.
+    "q183_active_users" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+         |days AS (SELECT DISTINCT day FROM du)
+         |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM du
+         |   WHERE du.day = d.day) AS dau,
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM du
+         |   WHERE du.day > d.day - INTERVAL 7 DAY AND du.day <= d.day) AS wau,
+         |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM du
+         |   WHERE du.day > d.day - INTERVAL 30 DAY AND du.day <= d.day) AS mau
+         |FROM days d ORDER BY day""".stripMargin,
+
     // q182: hour-of-day slot anomalies — q73's exact-integer gate
     // conditioned on the (type, hod) population.
     "q182_seasonal_anomalies" ->

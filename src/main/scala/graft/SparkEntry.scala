@@ -678,6 +678,7 @@ object SparkEntry {
     "q73_anomalies" -> ((s, d) => Events.anomalies(Tables.events(s, d), AnomZ)),
     "q182_seasonal_anomalies" -> ((s, d) =>
       Events.seasonalAnomalies(Tables.events(s, d), AnomZ)),
+    "q183_active_users" -> ((s, d) => Events.activeUsers(Tables.events(s, d))),
     "q74_range_join" -> ((s, d) =>
       AsOf.precededByCount(Tables.events(s, d), "error", "click", RangeWindowSec)),
     "q75_mmr" -> ((s, d) => {

@@ -235,6 +235,43 @@ object Events {
       .orderBy("event_type", "hour")
   }
 
+  /** Rolling active users (q183): per corpus day, DAU / WAU (trailing
+    * 7 calendar days) / MAU (trailing 30) — THE product north-star
+    * triple, and the operator that makes [[graft.functions.Bitmap]]'s
+    * re-aggregation face pay off: per-day distinct-user BITMAPS build
+    * once (one (day) exchange with map-side partial combine), then
+    * every rolling window is an OR of ≤7/≤30 serialized bitmaps — the
+    * naive per-window `count(distinct)` rescans and re-shuffles the
+    * raw stream 30× (every day's events land in 30 window groups;
+    * here a day's events collapse to ONE bitmap before any fan-out,
+    * and only KB-scale bitmaps replicate). Exact counts, not HLL —
+    * the q140/q140b contrast at window granularity.
+    *
+    * Shape: day-bitmap explode to its ≤30 target days (array
+    * `sequence`, codegen), inner-join against the corpus day list
+    * (drops phantom trailing days), one bitmap-OR exchange per
+    * window, popcount scalar at emission. Early days report unions
+    * over available history — the standard convention. */
+  def activeUsers(events: DataFrame): DataFrame = {
+    import graft.functions.Bitmap
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(Bitmap.bitmapBuild(col("user_id")).as("bm"))
+    val days = daily.select("day")
+    def rolled(n: Int, name: String) = daily
+      .select(explode(sequence(col("day"), date_add(col("day"), n - 1))).as("day"),
+        col("bm"))
+      .join(days, "day")
+      .groupBy("day").agg(Bitmap.bitmapOr(col("bm")).as("u"))
+      .select(col("day"), Bitmap.bitmapCard(col("u")).as(name))
+    daily.select(col("day"), Bitmap.bitmapCard(col("bm")).as("dau"))
+      .join(rolled(7, "wau"), "day")
+      .join(rolled(30, "mau"), "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"), col("mau"))
+      .orderBy("day")
+  }
+
   /** Seasonality-adjusted anomaly report (q182): each hour scored
     * against its HOUR-OF-DAY slot's distribution per event type, not
     * the flat per-type baseline — the diurnal-profile upgrade of

@@ -167,4 +167,39 @@ class BitmapSpec extends SparkSpec {
       .orderBy("event_type", "day")
     assert(served.collect().toSeq === want.collect().toSeq)
   }
+
+  test("active users: crafted visit pattern pins exact DAU/WAU/MAU; " +
+    "bitmap plan == naive distinct on the corpus") {
+    import spark.implicits._
+    // day 1: users 1,2 · day 5: users 2,3 · day 10: user 4 · day 40: user 1
+    val rows = Seq((1, 1L), (1, 2L), (5, 2L), (5, 3L), (10, 4L), (40, 1L))
+      .map { case (d, u) =>
+        (u, java.time.LocalDate.of(2023, 12, 31).plusDays(d).toString + " 12:00:00")
+      }
+    val events = rows.toDF("user_id", "ts_s")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val out = Events.activeUsers(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("2024-01-01") === ((2L, 2L, 2L)))
+    // day 5: window [Dec 30..Jan 5] catches day 1 -> wau {1,2,3}
+    assert(out("2024-01-05") === ((2L, 3L, 3L)))
+    // day 10: 7-day window [Jan 4..10] = days 5,10 -> {2,3,4}; 30-day all -> 4
+    assert(out("2024-01-10") === ((1L, 3L, 4L)))
+    // day 40: everything else aged out of both windows
+    assert(out("2024-02-09") === ((1L, 1L, 1L)))
+    assert(out.size === 4)
+
+    // corpus differential: bitmap rollup == naive windowed distinct
+    val ev = Tables.events(spark, sf0001)
+    val got = Events.activeUsers(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val du = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val want = du.map(_._1).distinct.sorted.map { d =>
+      def win(n: Int) = du.filter { case (dd, _) =>
+        !dd.isAfter(d) && dd.isAfter(d.minusDays(n)) }.map(_._2).distinct.length.toLong
+      (d.toString, win(1), win(7), win(30))
+    }
+    assert(got === want, "bitmap rollup diverged from the naive distinct")
+  }
 }
