@@ -545,6 +545,45 @@ object OracleSql {
          |FROM deg d LEFT JOIN pn ON d.node = pn.node
          |ORDER BY triangles DESC, s_suppkey LIMIT $TriTopN""".stripMargin,
 
+    // q184: personalized PageRank, 3 unrolled rounds — q88's integer
+    // floor arithmetic with the teleport mass returned to the seed.
+    "q184_related_parts" -> {
+      val seed = PprSeedPart * 2
+      val perSeed = 1000000L * 15 / 100 // one seed: (1e6·(den−num)) // (den·1)
+      def round(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT n0.node_id,
+           |    CAST((CASE WHEN n0.node_id = $seed THEN $perSeed ELSE 0 END)
+           |      + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM nodes n0
+           |  LEFT JOIN (
+           |    SELECT e.dst AS node_id, CAST(sum(p.pr // d.outdeg) AS BIGINT) AS s
+           |    FROM $prev p
+           |    JOIN edges e ON p.node_id = e.src
+           |    JOIN deg d ON e.src = d.src
+           |    GROUP BY 1) s USING (node_id))"""
+      s"""WITH base AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |edges AS (
+         |  SELECT src, dst FROM base
+         |  UNION SELECT dst AS src, src AS dst FROM base),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+         |pr0 AS (
+         |  SELECT node_id,
+         |    CASE WHEN node_id = $seed THEN 1000000 ELSE 0 END AS pr
+         |  FROM nodes),
+         |${round("pr0", "pr1")},
+         |${round("pr1", "pr2")},
+         |${round("pr2", "pr3")}
+         |SELECT node_id,
+         |  CASE WHEN node_id % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+         |  node_id // 2 AS key, pr AS pr_micro
+         |FROM pr3 WHERE pr > 0
+         |ORDER BY pr_micro DESC, node_id LIMIT $PprTopN""".stripMargin
+    },
+
     // q183: rolling active users — the oracle states the NAIVE
     // per-window distinct; the bitmap plan must reproduce it exactly.
     "q183_active_users" ->

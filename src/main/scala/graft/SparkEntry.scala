@@ -44,6 +44,9 @@ object SparkEntry {
     val PhraseQuery = "query big part" // q171: a real repeated trigram present
                                        // at every SF (5/5/9 hits at sf0.001/0.01/0.1)
     val KppK = 40         // q172: seeding comparison cell count (~sqrt n at sf0.01)
+    val PprSeedPart = 1L  // q184: walk restart seed (part 1 exists at every SF)
+    val PprIters = 3      // q184: fixed rounds — the q88 hash-exact convention
+    val PprTopN = 20
     val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
     val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
@@ -679,6 +682,8 @@ object SparkEntry {
     "q182_seasonal_anomalies" -> ((s, d) =>
       Events.seasonalAnomalies(Tables.events(s, d), AnomZ)),
     "q183_active_users" -> ((s, d) => Events.activeUsers(Tables.events(s, d))),
+    "q184_related_parts" -> ((s, d) =>
+      Graph.relatedParts(Tables.lineitem(s, d), PprSeedPart, PprIters, PprTopN)),
     "q74_range_join" -> ((s, d) =>
       AsOf.precededByCount(Tables.events(s, d), "error", "click", RangeWindowSec)),
     "q75_mmr" -> ((s, d) => {

@@ -280,6 +280,81 @@ object Graph {
       .limit(topN)
   }
 
+  /** Personalized PageRank (q184; the random-walk-with-restart form —
+    * Page et al. 1999 §6's personalization vector, Jeh & Widom 2003):
+    * identical to [[pageRank]] except the teleport mass returns to a
+    * SEED set instead of spreading uniformly, so the stationary scores
+    * rank every node by proximity to the seeds — the related-item /
+    * query-biased-importance readout (a uniform PageRank answers "what
+    * is globally central"; this answers "what is central FROM HERE").
+    *
+    * Exactness: the q88 integer discipline unchanged — seed teleport
+    * `(10⁶·(dampDen−dampNum)) div (dampDen·|seeds|)` and damped spread
+    * `(dampNum·Σ) div dampDen` are 64-bit floor arithmetic, so a fixed
+    * iteration count is hash-exact cross-engine. Non-seed nodes get
+    * teleport 0; mass conservation is up to the same floor truncation
+    * as q88.
+    *
+    * Scale shape: [[pageRank]]'s 2 shuffles × iters over cached
+    * edge/degree frames (the fused ≤4-round plan); the seed set is a
+    * LITERAL in the teleport expression — bounded by the caller's
+    * seed count, never a join. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long], iters: Int,
+                           dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    // the one-slot cache registry pageRankFused uses: a long-lived
+    // session holds at most one cached graph pair, never one per call
+    val pair = Seq(e, deg)
+    liveCaches.getAndSet(pair)
+      .filterNot(prev => pair.exists(_.sameSemantics(prev)))
+      .foreach(_.unpersist(blocking = false))
+    val nodes = deg.select(col("src").as("node_id"))
+    val perSeed = lit(1000000L * (dampDen - dampNum) / (dampDen * seeds.length))
+    val seedCol = col("node_id").isin(seeds: _*)
+    var pr = nodes.withColumn("pr_micro",
+      when(seedCol, lit(1000000L / seeds.length)).otherwise(lit(0L)))
+    (1 to iters).foreach { _ =>
+      val sums = pr.as("p")
+        .join(e.as("ed"), col("p.node_id") === col("ed.src"))
+        .join(deg.as("dg"), col("ed.src") === col("dg.src"))
+        .select(col("ed.dst").as("node_id"),
+          expr("p.pr_micro div dg.outdeg").as("c"))
+        .groupBy("node_id").agg(sum("c").as("s"))
+      pr = nodes.join(sums, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (when(seedCol, perSeed).otherwise(lit(0L)) +
+            expr(s"(${dampNum}L * coalesce(s, 0L)) div ${dampDen}L")).as("pr_micro"))
+    }
+    pr
+  }
+
+  /** Related-entity discovery off the supply graph (q184): personalized
+    * PageRank seeded at ONE part's node over the same bipartite
+    * part–supplier co-occurrence graph as [[supplyRank]] — top-n nodes
+    * most reachable from that part via shared-supplier walks, the
+    * "customers who bought this also touched" readout in supply form.
+    * Seeds score highest by construction; the interesting rows are the
+    * non-seed neighbors. */
+  def relatedParts(lineitem: DataFrame, partKey: Long, iters: Int,
+                   topN: Int): DataFrame = {
+    val edges = lineitem
+      .select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    personalizedPageRank(symmetrize(edges), Seq(partKey * 2), iters)
+      .where(col("pr_micro") > 0)
+      .select(col("node_id"),
+        when(pmod(col("node_id"), lit(2L)) === 0, lit("part"))
+          .otherwise(lit("supplier")).as("kind"),
+        expr("node_id div 2").as("key"),
+        col("pr_micro"))
+      .orderBy(desc("pr_micro"), asc("node_id"))
+      .limit(topN)
+  }
+
   /** Per-node triangle census + local clustering coefficient over an
     * undirected edge list — the third graph dial beside centrality
     * ([[pageRank]]) and connectivity

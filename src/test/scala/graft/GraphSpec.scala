@@ -135,6 +135,34 @@ class GraphSpec extends SparkSpec {
     assert(sym == Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)))
   }
 
+  test("personalized PageRank: hand-computed path graph, exact integers") {
+    // path 1-2-3, seed 1, damping 85/100. Round 1: all mass walks to 2;
+    // round 2: 2 splits back, seed teleport re-injects at 1.
+    val edges = Graph.symmetrize(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val pr = Graph.personalizedPageRank(edges, Seq(1L), iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr === Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L),
+      s"got $pr")
+    // seed-locality: a node unreachable from the seed keeps score 0
+    val twoIslands = Graph.symmetrize(
+      Seq((1L, 2L), (10L, 11L)).toDF("src", "dst"))
+    val pr2 = Graph.personalizedPageRank(twoIslands, Seq(1L), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr2(10L) == 0L && pr2(11L) == 0L,
+      "teleport mass leaked into an unreachable component")
+    assert(pr2(1L) > 0L && pr2(2L) > 0L)
+  }
+
+  test("relatedParts: seed ranks first, output partition-invariant") {
+    val li = Tables.lineitem(spark, sf0001)
+    val out = Graph.relatedParts(li, 1L, 3, 20).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getString(1) == "part" && out.head.getLong(2) == 1L,
+      s"seed not top-ranked: ${out.head}")
+    val again = Graph.relatedParts(li.repartition(7), 1L, 3, 20).collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
   private def triMap(edges: Seq[(Long, Long)]) =
     Graph.triangles(edges.toDF("src", "dst")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
