@@ -545,6 +545,22 @@ object OracleSql {
          |FROM deg d LEFT JOIN pn ON d.node = pn.node
          |ORDER BY triangles DESC, s_suppkey LIMIT $TriTopN""".stripMargin,
 
+    // q185: autocomplete — the inline term-dictionary statement; the
+    // served plan is spec-pinned bit-equal to it.
+    "q185_prefix_search" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, t.term, count(*) AS tf
+         |  FROM (SELECT doc_id, ${toks()} AS ts FROM documents),
+         |  LATERAL (SELECT unnest(ts) AS term) t
+         |  GROUP BY 1, 2),
+         |dict AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(sum(tf) AS BIGINT) AS tf
+         |  FROM dt GROUP BY 1)
+         |SELECT term, df, tf FROM dict
+         |WHERE starts_with(term, '$PrefixQuery')
+         |ORDER BY df DESC, term LIMIT $K""".stripMargin,
+
     // q184: personalized PageRank, 3 unrolled rounds — q88's integer
     // floor arithmetic with the teleport mass returned to the seed.
     "q184_related_parts" -> {

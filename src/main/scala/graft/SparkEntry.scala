@@ -47,6 +47,7 @@ object SparkEntry {
     val PprSeedPart = 1L  // q184: walk restart seed (part 1 exists at every SF)
     val PprIters = 3      // q184: fixed rounds — the q88 hash-exact convention
     val PprTopN = 20
+    val PrefixQuery = "s" // q185: richest prefix in the tiny test vocabulary (6 completions)
     val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
     val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
@@ -684,6 +685,16 @@ object SparkEntry {
     "q183_active_users" -> ((s, d) => Events.activeUsers(Tables.events(s, d))),
     "q184_related_parts" -> ((s, d) =>
       Graph.relatedParts(Tables.lineitem(s, d), PprSeedPart, PprIters, PprTopN)),
+    "q185_prefix_search" -> ((s, d) => {
+      // Autocomplete lifecycle (the q171 convention): persist the
+      // first-char-partitioned dictionary, serve the prefix off it —
+      // bit-equal to the inline prefixTerms, so the oracle states the
+      // inline statement.
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_term_dict_" +
+        Integer.toHexString(d.hashCode)
+      Search.saveTermDict(Tables.documents(s, d), path)
+      Search.prefixSearchIndex(s, path, PrefixQuery, K)
+    }),
     "q74_range_join" -> ((s, d) =>
       AsOf.precededByCount(Tables.events(s, d), "error", "click", RangeWindowSec)),
     "q75_mmr" -> ((s, d) => {

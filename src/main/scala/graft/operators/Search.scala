@@ -374,6 +374,57 @@ object Search {
       .limit(k)
   }
 
+  /** Corpus term dictionary: (term, df, tf) — document frequency and
+    * total occurrences, the autocomplete/spell-serving sidecar. One
+    * (doc_id, term) distinct + one term rollup, both map-side-combined;
+    * output is vocabulary-bounded. */
+  def termDict(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf"))
+
+  /** Top-k dictionary terms extending `prefix`, ranked (df desc, term)
+    * — the inline face of the autocomplete serve (and its oracle
+    * statement). `startsWith`, never a regex: a prefix is a literal. */
+  def prefixTerms(docs: DataFrame, prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty && k >= 1)
+    termDict(docs)
+      .where(col("term").startsWith(prefix))
+      .orderBy(desc("df"), asc("term"))
+      .limit(k)
+  }
+
+  /** Persist the term dictionary for PREFIX serving (q185): rows land
+    * partitioned by the term's FIRST character — the hash-bucket trick
+    * ([[saveTextIndex]]) cannot serve a prefix (hashing scatters
+    * lexicographic neighbors), so the autocomplete store uses the
+    * lexicographic analog: directory pruning on the leading character,
+    * then parquet min/max string stats prune row groups for the rest
+    * of the prefix (`StringStartsWith` pushes down to the scan). A
+    * query touches one partition directory of a vocabulary-bounded
+    * table — KB-scale serving at any corpus size. */
+  def saveTermDict(docs: DataFrame, path: String): Unit =
+    termDict(docs)
+      .withColumn("p1", substring(col("term"), 1, 1))
+      .write.mode("overwrite").partitionBy("p1")
+      .parquet(path)
+
+  /** Autocomplete off the persisted dictionary — bit-equal to
+    * [[prefixTerms]] by construction (SearchSpec pins it); the plan
+    * must show PartitionFilters on p1 and the pushed prefix filter. */
+  def prefixSearchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty && k >= 1)
+    spark.read.parquet(path)
+      .where(col("p1") === prefix.substring(0, 1) &&
+        col("term").startsWith(prefix))
+      .select("term", "df", "tf")
+      .orderBy(desc("df"), asc("term"))
+      .limit(k)
+  }
+
   /** Persist the POSITIONAL inverted index: (term, doc_id, pos)
     * postings partitioned by term-hash bucket — [[saveTextIndex]]'s
     * layout with positions kept, the classic phrase/proximity-serving

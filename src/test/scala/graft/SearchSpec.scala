@@ -176,6 +176,38 @@ class SearchSpec extends SparkSpec {
       .collect().toSeq == servedRows, "phrase search is partition-sensitive")
   }
 
+  test("prefix search: served == inline, partition + pushed-prefix pruning " +
+    "reach the scan, crafted dictionary exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash hash hat ham x"),
+      (2L, "hash hat y"),
+      (3L, "zebra hash")
+    ).toDF("doc_id", "text")
+    val inline = Search.prefixTerms(docs, "ha", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(inline === Seq(("hash", 3L, 4L), ("hat", 2L, 2L), ("ham", 1L, 1L)))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_term_dict_spec"
+    Search.saveTermDict(docs, path)
+    val served = Search.prefixSearchIndex(spark, path, "ha", 10)
+    assert(served.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq === inline, "served autocomplete diverged from inline")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p1"),
+      s"first-char partition pruning missing:\n$plan")
+    assert(plan.contains("StartsWith"),
+      s"prefix filter not pushed to the scan:\n$plan")
+    // corpus differential at k-bound
+    val corpus = Tables.documents(spark, sf0001)
+    val cpath = s"${System.getProperty("java.io.tmpdir")}/graft_term_dict_spec_c"
+    Search.saveTermDict(corpus, cpath)
+    val a = Search.prefixTerms(corpus, "ha", 5).collect().toSeq
+    val b = Search.prefixSearchIndex(spark, cpath, "ha", 5).collect()
+      .map(r => org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2))).toSeq
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ===
+      b.map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+  }
+
   test("snippets: first-occurrence window exact, edges clip, absent term drops, " +
     "plan stays exchange-free before the top-k") {
     import spark.implicits._
