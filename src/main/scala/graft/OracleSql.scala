@@ -545,6 +545,29 @@ object OracleSql {
          |FROM deg d LEFT JOIN pn ON d.node = pn.node
          |ORDER BY triangles DESC, s_suppkey LIMIT $TriTopN""".stripMargin,
 
+    // q186: audience overlap — the naive distinct-pair statement; the
+    // bitmap AND plan must reproduce it exactly.
+    "q186_audience_overlap" ->
+      s"""WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+         |ov AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    CAST(count(*) AS BIGINT) AS overlap
+         |  FROM tu a JOIN tu b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT na.event_type AS type_a, nb.event_type AS type_b,
+         |    na.n AS n_a, nb.n AS n_b
+         |  FROM n na JOIN n nb ON na.event_type < nb.event_type)
+         |SELECT p.type_a, p.type_b, p.n_a, p.n_b,
+         |  COALESCE(ov.overlap, 0) AS overlap,
+         |  round(CAST(COALESCE(ov.overlap, 0) AS DOUBLE)
+         |    / CAST(p.n_a + p.n_b - COALESCE(ov.overlap, 0) AS DOUBLE), 6) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN ov ON p.type_a = ov.type_a AND p.type_b = ov.type_b
+         |ORDER BY p.type_a, p.type_b""".stripMargin,
+
     // q185: autocomplete — the inline term-dictionary statement; the
     // served plan is spec-pinned bit-equal to it.
     "q185_prefix_search" ->

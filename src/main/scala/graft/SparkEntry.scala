@@ -683,6 +683,40 @@ object SparkEntry {
     "q182_seasonal_anomalies" -> ((s, d) =>
       Events.seasonalAnomalies(Tables.events(s, d), AnomZ)),
     "q183_active_users" -> ((s, d) => Events.activeUsers(Tables.events(s, d))),
+    "q186_audience_overlap" -> ((s, d) =>
+      Events.audienceOverlap(Tables.events(s, d))),
+    "q187_optimize_commit" -> ((s, d) => {
+      // Rows-only lifecycle (the q151 class): an unclustered table's
+      // range probe keeps every file; one OPTIMIZE commit re-clusters
+      // on doc_id and the same probe plans O(matching) files, content
+      // identical. Report = one row per step with the probe's planning
+      // numbers.
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_optimize_" +
+        Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      // an 8-file arrival-order layout: every file spans the id range
+      Snapshots.overwrite(docs.repartition(8), path,
+        statsCols = Seq("doc_id"))                                    // v1
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val (lo, hi) = (mx / 4, mx / 4 + mx / 10)
+      def probe(step: String) = {
+        val (kept, skipped) = Snapshots.pruneRange(s, path, "doc_id", lo, hi)
+        val rows = Snapshots.readRange(s, path, "doc_id", lo, hi).count()
+        (step, Snapshots.latest(s, path),
+          Snapshots.opOf(s, path, Snapshots.latest(s, path)),
+          kept.size.toLong, skipped.size.toLong, rows)
+      }
+      val before = probe("before")
+      Snapshots.optimize(s, path, "doc_id", 8)                        // v2
+      val after = probe("after")
+      Seq(before, after)
+        .toDF("step", "snapshot", "op", "files_kept", "files_skipped", "n_rows")
+        .orderBy("snapshot")
+    }),
     "q184_related_parts" -> ((s, d) =>
       Graph.relatedParts(Tables.lineitem(s, d), PprSeedPart, PprIters, PprTopN)),
     "q185_prefix_search" -> ((s, d) => {

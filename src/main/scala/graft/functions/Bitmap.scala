@@ -93,6 +93,32 @@ object Bitmap {
   /** Static popcount over serialized bytes — the codegen target of
     * [[BitmapCardinality]] (no deserialization, one pass over the
     * buffer). */
+  /** Popcount of the INTERSECTION of two serialized bitmaps, without
+    * materializing it: both serializations are word-index-sorted, so
+    * one sorted-merge walk ANDs aligned words — O(n_a + n_b), no
+    * allocation. The set-algebra complement of the OR face: exact
+    * overlap between two pre-aggregated id-sets. */
+  def andCardinalityOf(a: Array[Byte], b: Array[Byte]): Long = {
+    val ba = java.nio.ByteBuffer.wrap(a)
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val na = ba.getInt
+    val nb = bb.getInt
+    var i = 0
+    var j = 0
+    var c = 0L
+    var ia = 0L; var wa = 0L; var ib = 0L; var wb = 0L
+    var haveA = false; var haveB = false
+    while ((i < na || haveA) && (j < nb || haveB)) {
+      if (!haveA) { ia = ba.getLong; wa = ba.getLong; i += 1; haveA = true }
+      if (!haveB) { ib = bb.getLong; wb = bb.getLong; j += 1; haveB = true }
+      if (ia == ib) {
+        c += java.lang.Long.bitCount(wa & wb); haveA = false; haveB = false
+      } else if (ia < ib) haveA = false
+      else haveB = false
+    }
+    c
+  }
+
   def cardinalityOf(bytes: Array[Byte]): Long = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
@@ -173,6 +199,12 @@ object Bitmap {
   /** Column API: exact cardinality of a serialized bitmap. */
   def bitmapCard(c: Column): Column =
     SqlBridge.column(BitmapCardinality(SqlBridge.eagerExpression(c)))
+
+  /** Column API: exact intersection cardinality of two serialized
+    * bitmaps. */
+  def bitmapAndCard(a: Column, b: Column): Column =
+    SqlBridge.column(BitmapAndCardinality(
+      SqlBridge.eagerExpression(a), SqlBridge.eagerExpression(b)))
 }
 
 /** Popcount of a serialized bitmap — scalar, codegen'd (the serving
@@ -192,4 +224,26 @@ case class BitmapCardinality(child: Expression)
   override protected def withNewChildInternal(c: Expression): BitmapCardinality =
     copy(child = c)
   override def prettyName: String = "bitmap_card"
+}
+
+/** Intersection popcount of two serialized bitmaps — scalar binary
+  * expression with codegen (a sorted-merge AND walk; the intersected
+  * set is never materialized). */
+case class BitmapAndCardinality(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, binary) input, got ($l, $r)")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Bitmap.andCardinalityOf(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Bitmap.andCardinalityOf($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BitmapAndCardinality = copy(left = l, right = r)
+  override def prettyName: String = "bitmap_and_card"
 }

@@ -272,6 +272,34 @@ object Events {
       .orderBy("day")
   }
 
+  /** Audience overlap matrix (q186): for every event-type pair, the
+    * EXACT user-set intersection and Jaccard — the audience-analysis
+    * staple ("how much of the purchase audience also errors?") and the
+    * set-ALGEBRA face of the bitmap family: q140 re-aggregates by OR,
+    * this intersects by the
+    * [[graft.functions.BitmapAndCardinality]] codegen'd sorted-merge
+    * AND — distinct-user sets collapse to one KB-scale bitmap per type
+    * BEFORE the pair fan-out, so the pair join carries |types|² bitmap
+    * rows, never per-user rows (the naive pair-distinct re-shuffles
+    * the user stream per pair). Counts exact; the one float (Jaccard)
+    * rounds at emission. */
+  def audienceOverlap(events: DataFrame): DataFrame = {
+    import graft.functions.Bitmap
+    val perType = events
+      .groupBy(col("event_type"))
+      .agg(Bitmap.bitmapBuild(col("user_id")).as("bm"))
+    val a = perType.select(col("event_type").as("type_a"), col("bm").as("ba"))
+    val b = perType.select(col("event_type").as("type_b"), col("bm").as("bb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        Bitmap.bitmapCard(col("ba")).as("n_a"),
+        Bitmap.bitmapCard(col("bb")).as("n_b"),
+        Bitmap.bitmapAndCard(col("ba"), col("bb")).as("overlap"))
+      .withColumn("jaccard", round(col("overlap").cast("double") /
+        (col("n_a") + col("n_b") - col("overlap")).cast("double"), 6))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Seasonality-adjusted anomaly report (q182): each hour scored
     * against its HOUR-OF-DAY slot's distribution per event type, not
     * the flat per-type baseline — the diurnal-profile upgrade of

@@ -465,6 +465,33 @@ object Snapshots {
     commit(read(spark, path), path, "compact", Seq.empty, statsCols,
       partitionBy = partitionBy, bloomCols = bloomCols)
 
+  /** OPTIMIZE commit (q187 — Delta `OPTIMIZE ZORDER BY` / Iceberg
+    * rewrite-with-sort-order, distilled): rewrite the snapshot's
+    * LOGICAL content range-clustered on `colName` — `numFiles` sorted,
+    * disjoint-range files — committed with that column's stats sidecar,
+    * so from this snapshot on [[readRange]]/[[pruneRange]] open
+    * O(matching) files for any range on the cluster key. [[compact]]
+    * folds tombstones and merges small files but keeps arrival order;
+    * this is the read-optimizing rewrite a table gets once a dominant
+    * query key emerges. History semantics are compact's: a fresh
+    * full-content dir, prior snapshots readable until [[vacuum]],
+    * time travel and rollback untouched.
+    *
+    * Cost shape: one range exchange + within-partition sort of the
+    * table's content — the same class as the rewrite it amortizes
+    * (every range probe after it skips cold files at KB-scale planning
+    * cost). `repartitionByRange` samples range bounds internally;
+    * file CONTENT ranges are disjoint regardless, which is all the
+    * stats-sidecar pruning needs. */
+  def optimize(spark: SparkSession, path: String, colName: String,
+               numFiles: Int): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val clustered = read(spark, path)
+      .repartitionByRange(numFiles, col(colName))
+      .sortWithinPartitions(colName)
+    commit(clustered, path, "optimize", Seq.empty, statsCols = Seq(colName))
+  }
+
   /** Copy-on-write MERGE commit: [[Merge.upsert]] resolves the rows,
     * the result lands as a full-replace snapshot. (A file-pruned CoW —
     * rewrite only intersecting files — is the [[Ivf.compact]]

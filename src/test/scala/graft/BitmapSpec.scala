@@ -168,6 +168,45 @@ class BitmapSpec extends SparkSpec {
     assert(served.collect().toSeq === want.collect().toSeq)
   }
 
+  test("bitmap AND cardinality: sorted-merge intersection exact across " +
+    "word boundaries, disjoint and empty sets") {
+    import graft.functions.Bitmap
+    def ser(ids: Long*): Array[Byte] = {
+      val bm = new Bitmap.ChunkedBitmap()
+      ids.foreach(bm.add)
+      bm.serialize
+    }
+    // same word, different words, negative ids (floor word indexing)
+    assert(Bitmap.andCardinalityOf(ser(1L, 2L, 100L, 1000L), ser(2L, 100L, 999L)) === 2L)
+    assert(Bitmap.andCardinalityOf(ser(1L, 2L), ser(3L, 4L)) === 0L)
+    assert(Bitmap.andCardinalityOf(ser(), ser(1L)) === 0L)
+    assert(Bitmap.andCardinalityOf(ser(-1L, -65L, 7L), ser(-65L, 7L, 500L)) === 2L)
+    // cross-word-boundary sets agree with the driver set intersection
+    val a = (0L until 300L by 3L).toSeq
+    val b = (0L until 300L by 5L).toSeq
+    assert(Bitmap.andCardinalityOf(ser(a: _*), ser(b: _*)) ===
+      a.toSet.intersect(b.toSet).size.toLong)
+  }
+
+  test("audience overlap: crafted incidence pins exact counts and jaccard; " +
+    "zero-overlap pairs present") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L), ("A", 2L),
+      ("B", 2L), ("B", 3L), ("B", 4L), ("B", 5L),
+      ("C", 9L))
+      .map { case (t, u) => (t, u, "2024-01-01 10:00:00") }
+    val events = rows.toDF("event_type", "user_id", "ts_s")
+      .select(col("event_type"), col("user_id"), to_timestamp(col("ts_s")).as("ts"))
+    val out = Events.audienceOverlap(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(("A", "B")) === ((3L, 4L, 2L, 0.4)))
+    assert(out(("A", "C")) === ((3L, 1L, 0L, 0.0)))
+    assert(out(("B", "C")) === ((4L, 1L, 0L, 0.0)))
+    assert(out.size === 3)
+  }
+
   test("active users: crafted visit pattern pins exact DAU/WAU/MAU; " +
     "bitmap plan == naive distinct on the corpus") {
     import spark.implicits._

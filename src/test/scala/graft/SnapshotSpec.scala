@@ -558,6 +558,39 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == ((90L to 100L).toSet - 95L))
   }
 
+  test("optimize: range probes go from every-file to O(matching) files, " +
+    "content bit-identical, history and time travel untouched") {
+    import spark.implicits._
+    val path = freshPath("optimize")
+    // 8 arrival-order files: ids interleave, every file spans the range
+    val rows = (0L until 800L).map(i => (i, s"t$i", i % 97))
+    Snapshots.overwrite(rows.toDF("doc_id", "text", "n_chars")
+      .repartition(8), path, statsCols = Seq("doc_id"))
+    val (keptBefore, _) = Snapshots.pruneRange(spark, path, "doc_id", 100L, 180L)
+    assert(keptBefore.size == 8, s"interleaved layout should keep all files: ${keptBefore.size}")
+    val before = Snapshots.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val v2 = Snapshots.optimize(spark, path, "doc_id", 8)
+    assert(v2 == 2L && Snapshots.opOf(spark, path, 2L) == "optimize")
+    // disjoint file ranges: an ~10% probe now opens ~1-2 of 8 files
+    val (keptAfter, skippedAfter) = Snapshots.pruneRange(spark, path, "doc_id", 100L, 180L)
+    assert(keptAfter.size <= 2 && keptAfter.size + skippedAfter.size == 8,
+      s"optimize did not tighten pruning: kept ${keptAfter.size}")
+    // logical content unchanged, range read exact
+    val after = Snapshots.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(after === before)
+    assert(Snapshots.readRange(spark, path, "doc_id", 100L, 180L)
+      .collect().map(_.getLong(0)).toSet === (100L to 180L).toSet)
+    // time travel to the pre-optimize snapshot still serves the old layout
+    assert(Snapshots.read(spark, path, asOf = 1L).count() == 800L)
+    // and tombstones fold into the rewrite: delete then re-optimize
+    Snapshots.deleteWhere(spark, path, col("doc_id") < 100L, "doc_id")
+    Snapshots.optimize(spark, path, "doc_id", 4)
+    val m = Snapshots.read(spark, path).collect().map(_.getLong(0))
+    assert(m.length == 700 && m.min == 100L)
+  }
+
   test("applyCdc is the algebraic inverse of diff, multiset semantics included") {
     import spark.implicits._
     // Duplicate rows on BOTH sides: a has (5,50) twice, b keeps one and
