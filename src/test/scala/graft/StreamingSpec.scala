@@ -523,6 +523,57 @@ class StreamingSpec extends SparkSpec {
       s"streamed emitted too few finalized sessions: ${got.size} of ${want.size}")
   }
 
+  test("streaming funnel: completion log under time-sliced replay equals the " +
+    "batch earliest-chain semantics, counts and frontier times both") {
+    import graft.streaming.FunnelStream
+    import org.apache.spark.sql.functions._
+    val steps = SparkEntry.Params.FunnelSteps
+    val ev = Tables.events(spark, sf0001)
+      .select("user_id", "event_type", "ts", "event_id")
+    // time-sliced replay: 4 files in event-time order (the contract)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_funnel_stream_src"
+    val bounds = ev.select(
+      percentile_approx(col("ts").cast("double"), array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(1000))).head().getSeq[Double](0)
+    val slices = (Double.MinValue +: bounds) :+ Double.MaxValue
+    (0 until 4).foreach { i =>
+      ev.where(col("ts").cast("double") >= slices(i) &&
+          col("ts").cast("double") < slices(i + 1))
+        .coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(dir)
+      Thread.sleep(1100) // distinct mtimes: FileStreamSource replays in file order
+    }
+    val q = FunnelStream.completions(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir), steps)
+      .writeStream.format("memory").queryName("funnel_sink").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("funnel_sink").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    // driver-computed batch semantics: earliest strictly-ordered chain
+    val byUser = ev.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val want = byUser.flatMap { case (u, evs) =>
+      val f = Array.fill(steps.length)(Long.MinValue)
+      evs.sortBy(e => (e._3, e._4)).foreach { case (_, tpe, ts, _) =>
+        val s = steps.indexOf(tpe)
+        if (s >= 0 && f(s) == Long.MinValue &&
+          (s == 0 || (f(s - 1) != Long.MinValue && ts > f(s - 1)))) f(s) = ts
+      }
+      f.zipWithIndex.collect { case (t, i) if t != Long.MinValue => (u, i + 1) -> t }
+        .toSeq
+    }
+    assert(got === want.toMap, "streamed funnel diverged from the batch chain")
+    // and the aggregated counts equal the batch funnel report
+    val batchCounts = graft.operators.Events.funnel(Tables.events(spark, sf0001), steps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val streamCounts = got.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(streamCounts === batchCounts.filter(_._2 > 0),
+      s"counts: $streamCounts vs $batchCounts")
+  }
+
   test("streaming Holt forecast: closed-hour folds equal the batch operator " +
     "bit-for-bit, under one batch and under hour-sliced micro-batches") {
     import graft.streaming.HoltStream
