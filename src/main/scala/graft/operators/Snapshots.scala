@@ -492,6 +492,58 @@ object Snapshots {
     commit(clustered, path, "optimize", Seq.empty, statsCols = Seq(colName))
   }
 
+  /** Two-dimensional [[optimize]]: cluster on the Z-interleaving of two
+    * integral columns ([[Layout.zValue]]) and record BOTH columns'
+    * stats sidecars — Z-locality makes each file's min/max box tight
+    * on BOTH axes, so range probes on EITHER column (or both) skip
+    * files. The single-column rewrite sorts one axis perfectly and
+    * scatters the other; this is the standard multi-key compromise
+    * (Delta's `ZORDER BY (a, b)`). */
+  def optimizeZ(spark: SparkSession, path: String, aCol: String, bCol: String,
+                bits: Int, numFiles: Int): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val z = Layout.zValue(col(aCol).cast("long"), col(bCol).cast("long"), bits)
+    val clustered = read(spark, path)
+      .withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    commit(clustered, path, "optimize", Seq.empty, statsCols = Seq(aCol, bCol))
+  }
+
+  /** Table health report — the "should I compact / optimize?" dial:
+    * one row per LIVE data dir of the current snapshot with file
+    * count, byte totals, and small-file share. Pure KB-scale driver
+    * metadata (listStatus per dir — the manifest cost class, no data
+    * read): exactly what a table-maintenance scheduler polls. A
+    * `small_file_frac` near 1 under many files says compact; a high
+    * dir count says the append cadence outran maintenance. */
+  def tableHealth(spark: SparkSession, path: String,
+                  smallFileBytes: Long = 8L << 20): DataFrame = {
+    import spark.implicits._
+    val id = latest(spark, path)
+    val m = readManifestFull(spark, path, id)
+    val f = fs(spark, path)
+    m.dirs.map { d =>
+      val files = listFilesRec(f, new Path(path, d))
+        .filter(st => st.getPath.getName.endsWith(".parquet"))
+      val sizes = files.map(_.getLen)
+      val nSmall = sizes.count(_ < smallFileBytes)
+      (d, id, files.length.toLong, sizes.sum,
+        if (sizes.isEmpty) 0L else sizes.min,
+        if (sizes.isEmpty) 0L else sizes.max,
+        if (files.isEmpty) 0.0
+        else math.rint(nSmall.toDouble / files.length * 1e6) / 1e6)
+    }.toDF("data_dir", "snapshot", "n_files", "total_bytes",
+      "min_file_bytes", "max_file_bytes", "small_file_frac")
+      .orderBy("data_dir")
+  }
+
+  private def listFilesRec(f: FileSystem, p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    f.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) listFilesRec(f, st.getPath) else Seq(st)
+    }
+
   /** Copy-on-write MERGE commit: [[Merge.upsert]] resolves the rows,
     * the result lands as a full-replace snapshot. (A file-pruned CoW —
     * rewrite only intersecting files — is the [[Ivf.compact]]

@@ -591,6 +591,31 @@ class SnapshotSpec extends SparkSpec {
     assert(m.length == 700 && m.min == 100L)
   }
 
+  test("optimizeZ: range probes prune on BOTH axes; single-column optimize " +
+    "only on its own; table health reads the layout") {
+    import spark.implicits._
+    val path = freshPath("optimizez")
+    // 16x16 grid: both axes uniform, arrival order interleaves both
+    val rows = (0L until 1024L).map(i => (i % 256, (i * 37) % 256, i))
+    Snapshots.overwrite(rows.toDF("a", "b", "pk").repartition(8), path,
+      statsCols = Seq("a", "b"))
+    def kept(colName: String) =
+      Snapshots.pruneRange(spark, path, colName, 0L, 31L)._1.size
+    assert(kept("a") == 8 && kept("b") == 8, "interleaved layout must keep all")
+    Snapshots.optimizeZ(spark, path, "a", "b", bits = 8, numFiles = 16)
+    val (ka, kb) = (kept("a"), kept("b"))
+    assert(ka <= 8 && kb <= 8 && ka + kb < 16,
+      s"z-layout should prune both axes: a=$ka b=$kb of 16")
+    // content identical
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(2)).sorted
+      === (0L until 1024L).toArray)
+    // health report: one row per live dir, counts match the fs
+    val h = Snapshots.tableHealth(spark, path).collect()
+    assert(h.length == 1) // optimize replaced the dir set
+    assert(h.head.getLong(2) == 16L, s"n_files: ${h.head}")
+    assert(h.head.getDouble(6) == 1.0, "tiny files must all read small")
+  }
+
   test("applyCdc is the algebraic inverse of diff, multiset semantics included") {
     import spark.implicits._
     // Duplicate rows on BOTH sides: a has (5,50) twice, b keeps one and
