@@ -568,6 +568,22 @@ object OracleSql {
          |LEFT JOIN ov ON p.type_a = ov.type_a AND p.type_b = ov.type_b
          |ORDER BY p.type_a, p.type_b""".stripMargin,
 
+    // q188: CUBE subtotal lattice — DuckDB's GROUP BY CUBE with the
+    // same leftmost-is-MSB GROUPING() convention; DECIMAL sums, one
+    // final round.
+    "q188_revenue_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(year(l_shipdate) AS INT) AS ship_year,
+         |  CAST(GROUPING(l_returnflag, l_linestatus, year(l_shipdate)) AS INT) AS gid,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+         |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+         |    AS DOUBLE), 6) AS revenue
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus, year(l_shipdate))
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+         |  ship_year NULLS FIRST, gid""".stripMargin,
+
     // q185: autocomplete — the inline term-dictionary statement; the
     // served plan is spec-pinned bit-equal to it.
     "q185_prefix_search" ->

@@ -685,6 +685,7 @@ object SparkEntry {
     "q183_active_users" -> ((s, d) => Events.activeUsers(Tables.events(s, d))),
     "q186_audience_overlap" -> ((s, d) =>
       Events.audienceOverlap(Tables.events(s, d))),
+    "q188_revenue_cube" -> ((s, d) => Analytics.revenueCube(Tables.lineitem(s, d))),
     "q187_optimize_commit" -> ((s, d) => {
       // Rows-only lifecycle (the q151 class): an unclustered table's
       // range probe keeps every file; one OPTIMIZE commit re-clusters

@@ -39,6 +39,29 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Native CUBE revenue report (q188): every subtotal combination of
+    * (return flag, line status, ship year) in ONE pass — Catalyst's
+    * `cube` plans a single Expand + aggregate (each input row fans to
+    * its 2³ grouping-set rows BEFORE the map-side partial combine), so
+    * the whole lattice costs one exchange of ≤ 8×|groups| partials:
+    * the OLAP subtotal face (`GROUP BY CUBE`) the per-key reports
+    * don't cover. `grouping_id` disambiguates a rolled-up dimension
+    * from a literal NULL — Spark and DuckDB share the
+    * leftmost-arg-is-MSB bit convention, so the column is hash-exact.
+    * Money stays in DECIMAL sums (the q20 discipline), rounded once at
+    * emission. */
+  def revenueCube(lineitem: DataFrame): DataFrame = {
+    val discPrice = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    lineitem
+      .withColumn("ship_year", year(col("l_shipdate")))
+      .cube(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_rows"),
+        round(sum(discPrice).cast("double"), 6).as("revenue"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
+        asc_nulls_first("ship_year"), asc("gid"))
+  }
+
   /** Grouped top-k: the k best documents by quality proxy per
     * (lang, source) group — rank window inside each group, filter
     * rank <= k. The window shuffles once on the group key; with a

@@ -719,4 +719,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(Profile.checksumDiff(c, d, "doc_id", Seq("u"), 2).count() === 1,
       "string '<NULL>' collided with NULL")
   }
+
+  test("revenue cube: the subtotal lattice is additive and gid separates " +
+    "rolled-up dimensions from literal values; one Expand, one exchange") {
+    val li = Tables.lineitem(spark, sf0001)
+    val out = Analytics.revenueCube(li).collect()
+    // grand total row: all dims null, gid = 7 (all three rolled up)
+    val grand = out.filter(_.getInt(3) == 7)
+    assert(grand.length == 1 && grand.head.isNullAt(0) && grand.head.isNullAt(1))
+    assert(grand.head.getLong(4) === li.count())
+    // additivity: per-flag subtotals (gid=3: status+year rolled) sum to grand
+    val perFlag = out.filter(_.getInt(3) == 3)
+    assert(perFlag.map(_.getLong(4)).sum === grand.head.getLong(4))
+    assert(math.abs(perFlag.map(_.getDouble(5)).sum - grand.head.getDouble(5)) < 1e-3)
+    // the finest cells (gid=0) carry no nulls
+    assert(out.filter(_.getInt(3) == 0)
+      .forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)))
+    // plan: ONE Expand + one hash exchange — the single-pass lattice
+    val p = Analytics.revenueCube(li).queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"cube must plan an Expand:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"expected 1 exchange, got $shuffles:\n$p")
+  }
 }

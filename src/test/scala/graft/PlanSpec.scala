@@ -269,4 +269,46 @@ class PlanSpec extends SparkSpec {
     assert(winIdx >= 0 && aggIdx > winIdx,
       s"expected Window over the daily HashAggregate:\n$p")
   }
+
+  test("holt forecast: exactly two exchanges (hourly rollup + per-type collect), " +
+    "fold runs as a project above the aggregate — never a window or join") {
+    val p = physical(Events.holtForecast(Tables.events(spark, sf0001), 2, 1, 10, 3))
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 2, s"expected 2 hash exchanges, got $shuffles:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"the fold must not plan windows or joins:\n$p")
+  }
+
+  test("active users: the raw stream collapses to bitmaps MAP-SIDE before any " +
+    "exchange; window fan-out replicates bitmaps, not event rows") {
+    val p = physical(Events.activeUsers(Tables.events(spark, sf0001)))
+    assert(p.contains("partial_bitmap_build"),
+      s"per-day bitmaps must partial-aggregate map-side:\n$p")
+    // the 7/30-day fan-out generates over the AGGREGATED bitmap frame:
+    // every Generate(explode(sequence...)) sits above a bitmap_build agg
+    val genIdx = p.indexOf("Generate explode(sequence")
+    assert(genIdx >= 0 &&
+      p.indexOf("bitmap_build", genIdx) >= 0,
+      s"window fan-out must explode day-bitmaps, not events:\n$p")
+  }
+
+  test("audience overlap: the pair join carries bitmap rows (types^2), " +
+    "never per-user rows — user_id is aggregated away below the join") {
+    val p = physical(Events.audienceOverlap(Tables.events(spark, sf0001)))
+    // below the pair join there must be a bitmap_build aggregate, and the
+    // join itself must not key on user_id
+    assert(p.contains("bitmap_build"), s"per-type bitmaps missing:\n$p")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, s"pair join missing:\n$p")
+    assert(!p.substring(0, joinIdx).contains("user_id"),
+      s"user rows leaked above the bitmap aggregate:\n$p")
+  }
+
+  test("covisitation: both top-k stages run as GroupedTopK partial+final " +
+    "(bounded heaps), never a row_number window") {
+    val p = physical(Events.covisitation(Tables.events(spark, sf0001), 15, 5))
+    assert(p.contains("GroupedTopKPartial") && p.contains("GroupedTopKFinal"),
+      s"GroupedTopK exec missing:\n$p")
+    assert(!p.contains("Window"), s"covisitation must not window-sort:\n$p")
+  }
 }
