@@ -686,6 +686,23 @@ object SparkEntry {
     "q186_audience_overlap" -> ((s, d) =>
       Events.audienceOverlap(Tables.events(s, d))),
     "q188_revenue_cube" -> ((s, d) => Analytics.revenueCube(Tables.lineitem(s, d))),
+    "q189_gdpr_erase" -> ((s, d) => {
+      // Rows-only lifecycle (q151 class): overwrite + append history,
+      // then erase every 10th doc — the report is the compliance
+      // record; SnapshotSpec proves the bytes (not just the view) are
+      // gone and that pinned tags refuse erasure.
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_erase_" +
+        Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      val cut = docs.agg(max("doc_id")).head().getLong(0) * 4 / 5
+      Snapshots.overwrite(docs.where(col("doc_id") <= cut), path)
+      Snapshots.append(docs.where(col("doc_id") > cut), path)
+      Snapshots.erase(s, path,
+        docs.where(pmod(col("doc_id"), lit(10L)) === 0).select("doc_id"), "doc_id")
+    }),
     "q187_optimize_commit" -> ((s, d) => {
       // Rows-only lifecycle (the q151 class): an unclustered table's
       // range probe keeps every file; one OPTIMIZE commit re-clusters

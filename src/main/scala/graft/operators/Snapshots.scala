@@ -511,6 +511,36 @@ object Snapshots {
     commit(clustered, path, "optimize", Seq.empty, statsCols = Seq(aCol, bCol))
   }
 
+  /** Right-to-erasure as a table operation (q189): the GDPR/CCPA
+    * deletion story stated end-to-end — [[deleteKeys]] alone makes the
+    * rows INVISIBLE (merge-on-read tombstones) but the bytes remain in
+    * immutable history and time travel can resurrect them; real
+    * erasure is the three-step composition this method drives:
+    *   1. tombstone commit (distributed key set, never collected),
+    *   2. [[compact]] — the first snapshot whose FILES physically
+    *      exclude the keys,
+    *   3. [[vacuum]] to the compacted snapshot — every pre-compaction
+    *      manifest and data dir (the bytes) reclaimed; tagged
+    *      snapshots would pin history, so erasure REFUSES to run while
+    *      tags exist rather than silently keeping the data.
+    * Returns a 1-row auditable report: rows before/after, snapshots
+    * remaining, data dirs reclaimed — the record a compliance log
+    * wants. The trade is explicit: erasure collapses time travel to
+    * the current content (that is the point). */
+  def erase(spark: SparkSession, path: String, keys: DataFrame,
+            keyCol: String): DataFrame = {
+    import spark.implicits._
+    require(tags(spark, path).isEmpty,
+      s"erase refuses to run with tags pinning history on $path — drop them first")
+    val before = read(spark, path).count()
+    deleteKeys(spark, path, keys, keyCol)
+    val compacted = compact(spark, path)
+    val reclaimed = vacuum(spark, path, keepFrom = compacted)
+    val after = read(spark, path).count()
+    Seq((before, after, snapshotIds(spark, path).length.toLong, reclaimed.toLong))
+      .toDF("rows_before", "rows_after", "snapshots_remaining", "dirs_reclaimed")
+  }
+
   /** Table health report — the "should I compact / optimize?" dial:
     * one row per LIVE data dir of the current snapshot with file
     * count, byte totals, and small-file share. Pure KB-scale driver

@@ -616,6 +616,33 @@ class SnapshotSpec extends SparkSpec {
     assert(h.head.getDouble(6) == 1.0, "tiny files must all read small")
   }
 
+  test("erase: the keys leave the BYTES, not just the view — no live file " +
+    "contains them, history collapses, tags refuse") {
+    import spark.implicits._
+    val path = freshPath("erase")
+    val rows = (0L until 500L).map(i => (i, s"payload_$i"))
+    Snapshots.overwrite(rows.toDF("doc_id", "text"), path)
+    Snapshots.append(rows.take(10).map { case (i, t) => (i + 1000L, t) }
+      .toDF("doc_id", "text"), path)
+    val victims = Seq(3L, 7L, 1002L).toDF("doc_id")
+    val report = Snapshots.erase(spark, path, victims, "doc_id").head()
+    assert(report.getLong(0) === 510L && report.getLong(1) === 507L)
+    assert(report.getLong(2) === 1L, "history must collapse to the compacted snapshot")
+    assert(report.getLong(3) >= 2L, s"old data dirs must be reclaimed: $report")
+    // the PHYSICAL check: scan every parquet file left under the table
+    // root — the erased keys appear nowhere on disk
+    val left = spark.read.parquet(s"$path/data/*").where(col("doc_id").isin(3L, 7L, 1002L))
+    assert(left.count() === 0L, "erased keys still present in live bytes")
+    assert(Snapshots.read(spark, path).count() === 507L)
+    // a pinned tag must block erasure (it would silently retain bytes)
+    val path2 = freshPath("erase_tagged")
+    Snapshots.overwrite(rows.take(10).toDF("doc_id", "text"), path2)
+    Snapshots.tag(spark, path2, "release")
+    intercept[IllegalArgumentException] {
+      Snapshots.erase(spark, path2, Seq(1L).toDF("doc_id"), "doc_id")
+    }
+  }
+
   test("applyCdc is the algebraic inverse of diff, multiset semantics included") {
     import spark.implicits._
     // Duplicate rows on BOTH sides: a has (5,50) twice, b keeps one and

@@ -523,6 +523,33 @@ class StreamingSpec extends SparkSpec {
       s"streamed emitted too few finalized sessions: ${got.size} of ${want.size}")
   }
 
+  test("streaming DAU: final per-day counts equal the batch operator; " +
+    "replayed rows cannot inflate (bitmap idempotence)") {
+    import graft.streaming.ActiveUsersStream
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001).select("ts", "user_id")
+    // replay the corpus TWICE in two files: duplicate delivery of every
+    // event — the at-least-once worst case; counts must not move
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dau_stream_src"
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    Thread.sleep(1100)
+    ev.coalesce(1).write.mode("append").parquet(dir)
+    val q = ActiveUsersStream.dau(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir))
+      .writeStream.format("memory").queryName("dau_sink").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last emission per day = the settled count
+    // counts only grow, so the settled value is the max (order-robust)
+    val got = spark.table("dau_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = graft.operators.Events.activeUsers(Tables.events(spark, sf0001))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want, "streamed DAU diverged from batch (or replay inflated it)")
+  }
+
   test("streaming funnel: completion log under time-sliced replay equals the " +
     "batch earliest-chain semantics, counts and frontier times both") {
     import graft.streaming.FunnelStream
