@@ -568,6 +568,44 @@ object OracleSql {
          |LEFT JOIN ov ON p.type_a = ov.type_a AND p.type_b = ov.type_b
          |ORDER BY p.type_a, p.type_b""".stripMargin,
 
+    // q190: more-like-this — the same floor-quantized idf and
+    // HUGEINT-exact weight products, mirrored term for term.
+    "q190_more_like_this" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, ${toks()} AS ts FROM documents),
+         |  LATERAL (SELECT unnest(ts) AS term) t
+         |  GROUP BY 1, 2),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+         |idf AS (
+         |  SELECT term,
+         |    CAST(floor(ln((nn.n - count(*) + 0.5) / (count(*) + 0.5) + 1.0) * 1e6)
+         |      AS BIGINT) AS idf_micro
+         |  FROM terms, nn GROUP BY term, nn.n),
+         |w AS (SELECT t.doc_id, t.term, t.tf, i.idf_micro
+         |      FROM terms t JOIN idf i USING (term)),
+         |norms AS (
+         |  SELECT doc_id,
+         |    sum(CAST(tf * idf_micro AS HUGEINT) * CAST(tf * idf_micro AS HUGEINT))
+         |      AS norm2
+         |  FROM w GROUP BY 1),
+         |qvec AS (SELECT term, tf AS tf_q FROM w WHERE doc_id = $MltDocId),
+         |qn AS (SELECT norm2 AS qnorm2 FROM norms WHERE doc_id = $MltDocId),
+         |dots AS (
+         |  SELECT w.doc_id,
+         |    sum(CAST(w.tf * q.tf_q AS HUGEINT)
+         |      * CAST(w.idf_micro * w.idf_micro AS HUGEINT)) AS dot,
+         |    CAST(count(*) AS BIGINT) AS n_shared_terms
+         |  FROM w JOIN qvec q USING (term)
+         |  GROUP BY 1)
+         |SELECT d.doc_id, d.n_shared_terms,
+         |  round(CAST(d.dot AS DOUBLE)
+         |    / (sqrt(CAST(nm.norm2 AS DOUBLE)) * sqrt(CAST(qn.qnorm2 AS DOUBLE))),
+         |    6) AS cosine_sim
+         |FROM dots d JOIN norms nm USING (doc_id), qn
+         |WHERE d.doc_id <> $MltDocId
+         |ORDER BY cosine_sim DESC, d.doc_id LIMIT $K""".stripMargin,
+
     // q188: CUBE subtotal lattice — DuckDB's GROUP BY CUBE with the
     // same leftmost-is-MSB GROUPING() convention; DECIMAL sums, one
     // final round.

@@ -48,6 +48,7 @@ object SparkEntry {
     val PprIters = 3      // q184: fixed rounds — the q88 hash-exact convention
     val PprTopN = 20
     val PrefixQuery = "s" // q185: richest prefix in the tiny test vocabulary (6 completions)
+    val MltDocId = 1L     // q190: query document (present at every SF)
     val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
     val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
@@ -686,6 +687,8 @@ object SparkEntry {
     "q186_audience_overlap" -> ((s, d) =>
       Events.audienceOverlap(Tables.events(s, d))),
     "q188_revenue_cube" -> ((s, d) => Analytics.revenueCube(Tables.lineitem(s, d))),
+    "q190_more_like_this" -> ((s, d) =>
+      Search.moreLikeThis(Tables.documents(s, d), MltDocId, K)),
     "q189_gdpr_erase" -> ((s, d) => {
       // Rows-only lifecycle (q151 class): overwrite + append history,
       // then erase every 10th doc — the report is the compliance

@@ -374,6 +374,59 @@ object Search {
       .limit(k)
   }
 
+  /** More-like-this (q190): top-k documents most similar to a QUERY
+    * DOCUMENT by tf-idf cosine — the related-content face of the
+    * retrieval family (q34 ranks against a term list; this ranks
+    * against a whole document). Never all-pairs: the corpus joins the
+    * BROADCAST query vector on term, so only documents sharing ≥1 term
+    * with the query are ever scored, and the work is bounded by the
+    * query's terms' posting mass — the inverted-index discipline at
+    * query-by-document granularity.
+    *
+    * Exactness (the q38 convention, hardened for products): idf
+    * quantizes once — floor(ln((N−df+0.5)/(df+0.5)+1)·10⁶), a long —
+    * and every weight product (tf_q·tf_d·idf²) accumulates in
+    * DECIMAL(38,0), exact in both engines at any posting mass (the
+    * long formulation overflows ~2⁶³ on pathological tf; decimal
+    * never). One double sqrt per side at emission, cosine rounded to
+    * 6 dp BEFORE the ranking order (rounded-before-ranking, ties to
+    * doc_id). */
+  def moreLikeThis(docs: DataFrame, queryDocId: Long, k: Int): DataFrame = {
+    require(k >= 1)
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.select(countDistinct("doc_id").as("n"))
+    val idf = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"),
+        floor(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6)
+          .cast("long").as("idf_micro"))
+    val w = terms.join(idf, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("idf_micro"))
+    val wsq = (col("tf") * col("idf_micro")).cast("decimal(38,0)") *
+      (col("tf") * col("idf_micro")).cast("decimal(38,0)")
+    val norms = w.groupBy("doc_id").agg(sum(wsq).as("norm2"))
+    val qvec = w.where(col("doc_id") === queryDocId)
+      .select(col("term"), col("tf").as("tf_q"))
+    val qnorm = norms.where(col("doc_id") === queryDocId)
+      .select(col("norm2").as("qnorm2"))
+    val dots = w.join(broadcast(qvec), "term")
+      .groupBy("doc_id")
+      .agg(sum((col("tf") * col("tf_q")).cast("decimal(38,0)") *
+        (col("idf_micro") * col("idf_micro")).cast("decimal(38,0)")).as("dot"),
+        count(lit(1)).as("n_shared_terms"))
+    dots.where(col("doc_id") =!= queryDocId)
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc_id"), col("n_shared_terms"),
+        round(col("dot").cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("qnorm2").cast("double"))),
+          6).as("cosine_sim"))
+      .orderBy(desc("cosine_sim"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus term dictionary: (term, df, tf) — document frequency and
     * total occurrences, the autocomplete/spell-serving sidecar. One
     * (doc_id, term) distinct + one term rollup, both map-side-combined;

@@ -176,6 +176,27 @@ class SearchSpec extends SparkSpec {
       .collect().toSeq == servedRows, "phrase search is partition-sensitive")
   }
 
+  test("more-like-this: an exact duplicate scores cosine 1.0 on top, disjoint " +
+    "vocabulary never appears, the query doc excludes itself; partition-invariant") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "vector search spark hash"),
+      (2L, "vector search spark hash"),   // exact duplicate of the query
+      (3L, "vector search other words"),  // partial overlap
+      (4L, "completely disjoint tokens")
+    ).toDF("doc_id", "text")
+    val out = Search.moreLikeThis(docs, 1L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.head._1 === 2L && out.head._3 === 1.0,
+      s"duplicate must rank first at cosine 1: ${out.toSeq}")
+    assert(out.map(_._1).toSet === Set(2L, 3L), s"candidate set wrong: ${out.toSeq}")
+    assert(!out.exists(_._1 == 1L), "query doc leaked into its own results")
+    val corpus = Tables.documents(spark, sf0001)
+    val a = Search.moreLikeThis(corpus, 1L, 10).collect().toSeq
+    val b = Search.moreLikeThis(corpus.repartition(7), 1L, 10).collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("prefix search: served == inline, partition + pushed-prefix pruning " +
     "reach the scan, crafted dictionary exact") {
     import spark.implicits._
