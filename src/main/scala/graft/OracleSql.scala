@@ -606,6 +606,58 @@ object OracleSql {
          |WHERE d.doc_id <> $MltDocId
          |ORDER BY cosine_sim DESC, d.doc_id LIMIT $K""".stripMargin,
 
+    // q191: Rocchio confusion — q190's quantized-idf/HUGEINT algebra
+    // with source profiles as the "query documents"; cosine rounds
+    // BEFORE the per-doc argmax, ties to p_source.
+    "q191_source_confusion" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, source, t.term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, source, ${toks()} AS ts FROM documents),
+         |  LATERAL (SELECT unnest(ts) AS term) t
+         |  GROUP BY 1, 2, 3),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+         |idf AS (
+         |  SELECT term,
+         |    CAST(floor(ln((nn.n - count(DISTINCT doc_id) + 0.5)
+         |      / (count(DISTINCT doc_id) + 0.5) + 1.0) * 1e6) AS BIGINT) AS idf_micro
+         |  FROM terms, nn GROUP BY term, nn.n),
+         |w AS (SELECT t.doc_id, t.source, t.term, t.tf, i.idf_micro
+         |      FROM terms t JOIN idf i USING (term)),
+         |profiles AS (
+         |  SELECT source AS p_source, term, CAST(sum(tf) AS BIGINT) AS tf_s
+         |  FROM w GROUP BY 1, 2),
+         |pnorm AS (
+         |  SELECT p.p_source,
+         |    sum(CAST(p.tf_s * i.idf_micro AS HUGEINT)
+         |      * CAST(p.tf_s * i.idf_micro AS HUGEINT)) AS pnorm2
+         |  FROM profiles p JOIN idf i USING (term) GROUP BY 1),
+         |dnorm AS (
+         |  SELECT doc_id,
+         |    sum(CAST(tf * idf_micro AS HUGEINT)
+         |      * CAST(tf * idf_micro AS HUGEINT)) AS dnorm2
+         |  FROM w GROUP BY 1),
+         |scores AS (
+         |  SELECT w.doc_id, w.source, p.p_source,
+         |    sum(CAST(w.tf * p.tf_s AS HUGEINT)
+         |      * CAST(w.idf_micro * w.idf_micro AS HUGEINT)) AS dot
+         |  FROM w JOIN profiles p USING (term)
+         |  GROUP BY 1, 2, 3),
+         |cosed AS (
+         |  SELECT s.doc_id, s.source, s.p_source,
+         |    round(CAST(s.dot AS DOUBLE)
+         |      / (sqrt(CAST(dn.dnorm2 AS DOUBLE)) * sqrt(CAST(pn.pnorm2 AS DOUBLE))),
+         |      6) AS cos
+         |  FROM scores s
+         |  JOIN dnorm dn USING (doc_id)
+         |  JOIN pnorm pn USING (p_source)),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cos DESC, p_source) AS rn
+         |  FROM cosed)
+         |SELECT source, p_source AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM best WHERE rn = 1
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // q188: CUBE subtotal lattice — DuckDB's GROUP BY CUBE with the
     // same leftmost-is-MSB GROUPING() convention; DECIMAL sums, one
     // final round.

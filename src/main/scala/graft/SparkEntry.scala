@@ -689,6 +689,8 @@ object SparkEntry {
     "q188_revenue_cube" -> ((s, d) => Analytics.revenueCube(Tables.lineitem(s, d))),
     "q190_more_like_this" -> ((s, d) =>
       Search.moreLikeThis(Tables.documents(s, d), MltDocId, K)),
+    "q191_source_confusion" -> ((s, d) =>
+      Search.sourceConfusion(Tables.documents(s, d))),
     "q189_gdpr_erase" -> ((s, d) => {
       // Rows-only lifecycle (q151 class): overwrite + append history,
       // then erase every 10th doc — the report is the compliance

@@ -427,6 +427,66 @@ object Search {
       .limit(k)
   }
 
+  /** Source-separability confusion matrix (q191; the Rocchio 1971
+    * nearest-centroid classifier turned into a CORPUS dial): build one
+    * tf-idf profile per source (the sparse per-(source, term) weight
+    * table — never a dense vocab vector), assign every document to its
+    * nearest profile by cosine, and report the source×predicted
+    * confusion counts. High diagonal = sources are real distributional
+    * strata (per-source curation knobs will bite); an off-diagonal
+    * smear = the source labels don't carve the corpus and
+    * domain-mixing weights (q37) built on them are noise. The
+    * self-inclusion bias (a doc contributes to its own source's
+    * profile) is the standard corpus-scale Rocchio simplification —
+    * at any real per-source mass one document moves nothing.
+    *
+    * Exactness: q190's discipline — floor-quantized idf, DECIMAL(38)
+    * weight products, cosine rounded to 6 dp BEFORE the argmax, ties
+    * to source asc. Scale shape: profiles are one (source, term)
+    * partial-agg exchange; scoring joins doc terms to profiles on
+    * term (docs × |sources| score rows, sources a handful); the
+    * argmax is a |sources|-bounded GroupedTopK-class window over each
+    * doc's score list. */
+  def sourceConfusion(docs: DataFrame): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.select(countDistinct("doc_id").as("n"))
+    val idf = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"),
+        floor(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) * 1e6)
+          .cast("long").as("idf_micro"))
+    val w = terms.join(idf, "term")
+    val profiles = w.groupBy(col("source").as("p_source"), col("term"))
+      .agg(sum("tf").as("tf_s"), first("idf_micro").as("idf_micro"))
+    val pnorm = profiles.groupBy("p_source")
+      .agg(sum((col("tf_s") * col("idf_micro")).cast("decimal(38,0)") *
+        (col("tf_s") * col("idf_micro")).cast("decimal(38,0)")).as("pnorm2"))
+    val dnorm = w.groupBy("doc_id")
+      .agg(sum((col("tf") * col("idf_micro")).cast("decimal(38,0)") *
+        (col("tf") * col("idf_micro")).cast("decimal(38,0)")).as("dnorm2"))
+    val scores = w
+      .join(profiles.select("p_source", "term", "tf_s"), "term")
+      .groupBy(col("doc_id"), col("source"), col("p_source"))
+      .agg(sum((col("tf") * col("tf_s")).cast("decimal(38,0)") *
+        (col("idf_micro") * col("idf_micro")).cast("decimal(38,0)")).as("dot"))
+      .join(dnorm, "doc_id")
+      .join(pnorm, "p_source")
+      .select(col("doc_id"), col("source"), col("p_source"),
+        round(col("dot").cast("double") /
+          (sqrt(col("dnorm2").cast("double")) * sqrt(col("pnorm2").cast("double"))),
+          6).as("cos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("cos"), asc("p_source"))
+    scores
+      .withColumn("rn", row_number().over(byDoc))
+      .where(col("rn") === 1)
+      .groupBy(col("source"), col("p_source").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "predicted")
+  }
+
   /** Corpus term dictionary: (term, df, tf) — document frequency and
     * total occurrences, the autocomplete/spell-serving sidecar. One
     * (doc_id, term) distinct + one term rollup, both map-side-combined;

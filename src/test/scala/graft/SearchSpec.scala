@@ -176,6 +176,23 @@ class SearchSpec extends SparkSpec {
       .collect().toSeq == servedRows, "phrase search is partition-sensitive")
   }
 
+  test("source confusion: separable vocabularies read a perfect diagonal; " +
+    "an impostor doc lands on the profile it actually matches") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "A"), (2L, "alpha beta delta", "A"),
+      (3L, "omega psi chi", "B"), (4L, "omega psi phi", "B"),
+      // labeled B but written in A's vocabulary: must predict A
+      (5L, "alpha beta gamma delta", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = Search.sourceConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("A", "A")) === 2L)
+    assert(out(("B", "B")) === 2L)
+    assert(out(("B", "A")) === 1L, s"impostor not detected: $out")
+    assert(out.values.sum === 5L)
+  }
+
   test("more-like-this: an exact duplicate scores cosine 1.0 on top, disjoint " +
     "vocabulary never appears, the query doc excludes itself; partition-invariant") {
     import spark.implicits._
