@@ -606,6 +606,33 @@ object OracleSql {
          |WHERE d.doc_id <> $MltDocId
          |ORDER BY cosine_sim DESC, d.doc_id LIMIT $K""".stripMargin,
 
+    // q192: SymSpell fuzzy lookup — deletion-neighborhood equi-join +
+    // exact levenshtein confirm, both engines' classic DP distance.
+    "q192_fuzzy_lookup" -> {
+      val qvs = (FuzzyQuery +: (0 until FuzzyQuery.length)
+        .map(i => FuzzyQuery.substring(0, i) + FuzzyQuery.substring(i + 1)))
+        .distinct.map(v => s"('$v')").mkString(", ")
+      s"""WITH dt AS (
+         |  SELECT doc_id, t.term, count(*) AS tf
+         |  FROM (SELECT doc_id, ${toks()} AS ts FROM documents),
+         |  LATERAL (SELECT unnest(ts) AS term) t
+         |  GROUP BY 1, 2),
+         |dict AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         |vars AS (
+         |  SELECT term, df, unnest(list_distinct(list_prepend(term,
+         |    list_transform(range(1, len(term) + 1),
+         |      i -> substr(term, 1, i - 1) || substr(term, i + 1))))) AS v
+         |  FROM dict),
+         |qv(v) AS (VALUES $qvs),
+         |cand AS (SELECT DISTINCT term, df FROM vars JOIN qv USING (v))
+         |SELECT term, df,
+         |  CAST(levenshtein(term, '$FuzzyQuery') AS BIGINT) AS dist
+         |FROM cand
+         |WHERE levenshtein(term, '$FuzzyQuery') <= 1
+         |ORDER BY df DESC, term LIMIT $K""".stripMargin
+    },
+
     // q191: Rocchio confusion — q190's quantized-idf/HUGEINT algebra
     // with source profiles as the "query documents"; cosine rounds
     // BEFORE the per-doc argmax, ties to p_source.

@@ -487,6 +487,42 @@ object Search {
       .orderBy("source", "predicted")
   }
 
+  /** Fuzzy term lookup (q192; the SymSpell deletion-neighborhood trick
+    * — Garbe's public symmetric-delete algorithm): spell-correct a
+    * query against the corpus dictionary at edit distance ≤ 1 WITHOUT
+    * an all-terms Levenshtein scan. Key fact: dist(a,b) ≤ 1 ⟺ their
+    * delete-1 neighborhoods intersect (substitution → delete the
+    * differing char from both; insert/delete → one side's deletion hits
+    * the other verbatim), so candidates come from ONE equi-join of the
+    * dictionary's exploded deletion variants against the query's ≤
+    * |q|+1 variant literals, and the exact `levenshtein` confirm runs
+    * only on that candidate set. Ranked (df desc, term) — "did you
+    * mean" order.
+    *
+    * Scale shape: variants are a codegen'd transform+explode over the
+    * vocabulary-bounded dictionary (|term|+1 rows per term); the query
+    * side is a literal IN-list. At serving volume the variant table
+    * persists once (the [[saveTermDict]] lifecycle) — here the
+    * operator states the inline computation, which IS the oracle. */
+  def fuzzyTerms(docs: DataFrame, query: String, k: Int): DataFrame = {
+    require(query.nonEmpty && k >= 1)
+    val qVariants = query +: (0 until query.length)
+      .map(i => query.substring(0, i) + query.substring(i + 1))
+    val dict = termDict(docs)
+    val variants = dict.select(col("term"), col("df"),
+      explode(array_union(array(col("term")),
+        expr("""transform(sequence(1, length(term)),
+                 i -> concat(substring(term, 1, i - 1),
+                             substring(term, i + 1, length(term))))"""))).as("v"))
+    variants
+      .where(col("v").isin(qVariants.distinct: _*))
+      .select("term", "df").distinct()
+      .withColumn("dist", levenshtein(col("term"), lit(query)).cast("long"))
+      .where(col("dist") <= 1)
+      .orderBy(desc("df"), asc("term"))
+      .limit(k)
+  }
+
   /** Corpus term dictionary: (term, df, tf) — document frequency and
     * total occurrences, the autocomplete/spell-serving sidecar. One
     * (doc_id, term) distinct + one term rollup, both map-side-combined;

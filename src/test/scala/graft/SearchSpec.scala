@@ -176,6 +176,27 @@ class SearchSpec extends SparkSpec {
       .collect().toSeq == servedRows, "phrase search is partition-sensitive")
   }
 
+  test("fuzzy lookup: substitution/insert/delete neighbors all surface at " +
+    "dist<=1, a transposition (dist 2) does not, ranking is df-first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash hash hash hase"), // hase = substitution neighbor
+      (2L, "has hashe ahsh"),      // has = delete, hashe = exact-ish, ahsh = transposition
+      (3L, "hash zzz")
+    ).toDF("doc_id", "text")
+    // query "hash": expect hash (dist 0), hase/has/hashe (dist 1); NOT ahsh (dist 2)
+    val out = Search.fuzzyTerms(docs, "hash", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet === Set("hash", "hase", "has", "hashe"),
+      s"candidate set wrong: ${out.toSeq}")
+    assert(out.head._1 === "hash" && out.head._3 === 0L, "df-first ranking broken")
+    assert(!out.exists(_._1 == "ahsh"), "transposition (dist 2) leaked through")
+    // partition invariance
+    val corpus = Tables.documents(spark, sf0001)
+    assert(Search.fuzzyTerms(corpus, "hashe", 5).collect().toSeq ===
+      Search.fuzzyTerms(corpus.repartition(7), "hashe", 5).collect().toSeq)
+  }
+
   test("source confusion: separable vocabularies read a perfect diagonal; " +
     "an impostor doc lands on the profile it actually matches") {
     import spark.implicits._
