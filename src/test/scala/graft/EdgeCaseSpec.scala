@@ -395,4 +395,35 @@ class EdgeCaseSpec extends SparkSpec {
       "a one-hour series cannot have a changepoint")
     assert(Events.changepoint(one.where(lit(false))).count() == 0)
   }
+
+  test("late-r15 operators degrade cleanly on thin/empty input") {
+    val one = Seq(("click", "2024-03-01 05:00:01"), ("click", "2024-03-01 05:00:02"))
+      .toDF("event_type", "ts_s")
+      .select(col("event_type"), lit(7L).as("user_id"),
+        lit("""{"k": 3}""").as("props"), to_timestamp(col("ts_s")).as("ts"))
+    val noEvents = one.where(lit(false))
+    // Holt on a single hour: level = count, zero trend, flat forecasts
+    val h = Events.holtForecast(one, 2, 1, 10, 2).collect()
+    assert(h.length == 1 && h.head.getLong(3) == 2000000L && h.head.getLong(4) == 0L)
+    assert(Events.holtForecast(noEvents, 2, 1, 10, 2).count() == 0)
+    // seasonal anomalies: one observation per slot -> num = 0, no rows
+    assert(Events.seasonalAnomalies(one, 2).count() == 0)
+    assert(Events.seasonalAnomalies(noEvents, 2).count() == 0)
+    // covisitation: a single item has no pairs; empty stream is empty
+    assert(Events.covisitation(one, 5, 5).count() == 0)
+    assert(Events.covisitation(noEvents, 5, 5).count() == 0)
+    // active users / audience overlap on empty: empty frames, no throw
+    assert(Events.activeUsers(noEvents).count() == 0)
+    assert(Events.audienceOverlap(one).count() == 0) // one type -> no pairs
+    // triangles: empty and pair-free edge lists
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph.triangles(noEdges).count() == 0)
+    assert(graft.operators.Graph.triangles(
+      Seq((1L, 1L)).toDF("src", "dst")).count() == 0) // self-loop only
+    // snippets/fuzzy/more-like-this on an empty corpus
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(graft.operators.Search.snippets(emptyDocs, "hash", 2, 5).count() == 0)
+    assert(graft.operators.Search.fuzzyTerms(emptyDocs, "hash", 5).count() == 0)
+    assert(graft.operators.Search.moreLikeThis(emptyDocs, 1L, 5).count() == 0)
+  }
 }
