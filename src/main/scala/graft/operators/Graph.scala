@@ -312,6 +312,17 @@ object Graph {
       .filterNot(prev => pair.exists(_.sameSemantics(prev)))
       .foreach(_.unpersist(blocking = false))
     val nodes = deg.select(col("src").as("node_id"))
+    // The node universe is sources-with-outdegree (deg's keys). A seed
+    // appearing only as an edge DESTINATION is outside it: its teleport
+    // mass would silently vanish and the result degenerate to all
+    // zeros. Fail fast instead — callers over directed graphs either
+    // symmetrize (relatedParts does) or pick walkable seeds. One tiny
+    // scan of the seed slice, not a full-graph job.
+    val present = nodes.where(col("node_id").isin(seeds: _*))
+      .agg(count(lit(1))).head.getLong(0)
+    require(present == seeds.distinct.length,
+      s"seeds must have out-edges (be walkable): ${seeds.distinct.length - present} " +
+        s"of ${seeds.distinct.length} seeds are sinks or absent from the edge list")
     val perSeed = lit(1000000L * (dampDen - dampNum) / (dampDen * seeds.length))
     val seedCol = col("node_id").isin(seeds: _*)
     var pr = nodes.withColumn("pr_micro",

@@ -8,10 +8,12 @@ import java.nio.charset.StandardCharsets
 
 /** A manifest rename lost the race to a concurrent committer at the
   * same id. The commutative ops ([[Snapshots.append]],
-  * [[Snapshots.deleteKeys]]) catch this internally and rebase;
-  * [[Snapshots.overwrite]]/[[Snapshots.compact]] propagate it — a
-  * full-replace that raced ANOTHER writer needs a human (or caller
-  * policy) to decide whose replacement wins. */
+  * [[Snapshots.deleteKeys]]) catch this internally and rebase; the
+  * rewrite family ([[Snapshots.compact]]/[[Snapshots.optimize]])
+  * rebases over pure appends and propagates anything else;
+  * [[Snapshots.overwrite]] always propagates — a full replace that
+  * raced ANOTHER writer needs a human (or caller policy) to decide
+  * whose replacement wins. */
 final class CommitConflictException(msg: String) extends IllegalStateException(msg)
 
 /** Snapshot / time-travel table layer — the commit protocol face of a
@@ -51,6 +53,23 @@ object Snapshots {
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def metaDir(path: String) = new Path(path, "meta")
+
+  /** Sidecar file key: the path of `fileUri` RELATIVE to its data dir.
+    * Basenames are NOT unique within one commit — Spark's dynamic
+    * partition writer reuses `part-00000-<jobUUID>.c000.parquet` in
+    * every partition subdirectory it writes — so a `partitionBy` +
+    * `statsCols`/`bloomCols` commit keyed by basename would build a
+    * colliding map (last entry wins) and pruning could apply another
+    * file's bounds. Keying by the dir-relative path
+    * (`day=3/part-00000-….parquet`) is collision-free; for flat
+    * commits it degrades to the basename, so pre-existing sidecars
+    * keep working. */
+  private def sidecarKey(fileUri: String, dataDir: String): String = {
+    val marker = dataDir + "/"
+    val i = fileUri.indexOf(marker)
+    require(i >= 0, s"file $fileUri not under data dir $dataDir")
+    fileUri.substring(i + marker.length)
+  }
 
   /** All committed snapshot ids, ascending. Not assumed dense: an
     * orphan-skipping id allocation (see [[nextId]]) can leave gaps
@@ -461,9 +480,78 @@ object Snapshots {
   def compact(spark: SparkSession, path: String,
               statsCols: Seq[String] = Seq.empty,
               partitionBy: Seq[String] = Seq.empty,
-              bloomCols: Seq[String] = Seq.empty): Long =
-    commit(read(spark, path), path, "compact", Seq.empty, statsCols,
-      partitionBy = partitionBy, bloomCols = bloomCols)
+              bloomCols: Seq[String] = Seq.empty): Long = {
+    val base = latest(spark, path)
+    rewriteCommit(spark, path, base, read(spark, path, base), "compact",
+      statsCols, partitionBy, bloomCols)
+  }
+
+  /** Shared commit tail of the REWRITE family ([[compact]],
+    * [[optimize]], [[optimizeZ]]): `df` reproduces the logical content
+    * of snapshot `base` (its plan pins base's immutable dirs, so it
+    * stays valid however the table advances). Iceberg's
+    * validate-and-retry, specialized to what a rewrite can PROVE safe:
+    * losing the manifest CAS to concurrent APPENDs rebases — the new
+    * manifest carries the rivals' appended dirs (and re-merged schema)
+    * alongside the rewritten dir, so no append is ever lost and the
+    * rewrite work is never thrown away (the data dir writes once; only
+    * KB-scale manifest work repeats). Losing to anything that MUTATED
+    * visible rows (delete / overwrite / another rewrite) fails clean
+    * with [[CommitConflictException]] — the rewrite's content no
+    * longer reproduces the table and there is no safe automatic merge;
+    * the orphan data dir is [[vacuum]]-reclaimable, the rival's commit
+    * stands untouched. */
+  private def rewriteCommit(spark: SparkSession, path: String, base: Long,
+                            df: DataFrame, op: String,
+                            statsCols: Seq[String], partitionBy: Seq[String],
+                            bloomCols: Seq[String],
+                            maxAttempts: Int = 5): Long = {
+    val baseM = readManifestFull(spark, path, base)
+    var dataDir: Option[String] = None
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val parent = latest(spark, path)
+      val (extraDirs, schema) =
+        if (parent == base) (Seq.empty[String], df.schema)
+        else {
+          // Rivals landed since the rewrite read `base`. Safe to
+          // rebase ONLY over pure appends: their dirs are disjoint
+          // additions the rewrite simply carries. Any other op changed
+          // rows the rewrite already re-materialized — that conflict
+          // propagates (validation sits OUTSIDE the retry catch).
+          val rivals = snapshotIds(spark, path)
+            .filter(id => id > base && id <= parent)
+            .map(id => readManifestFull(spark, path, id))
+          rivals.find(_.op != "append").foreach { r =>
+            throw new CommitConflictException(
+              s"$op of snapshot $base raced a '${r.op}' commit on $path — " +
+                "rebase is only safe over appends; re-run the rewrite")
+          }
+          val pm = readManifestFull(spark, path, parent)
+          (pm.dirs.filterNot(baseM.dirs.contains), pm.schema.getOrElse(df.schema))
+        }
+      try {
+        val dir = dataDir.getOrElse {
+          val d = s"data/s${nextId(spark, path)}"
+          writeData(df, path, d, statsCols, partitionBy, bloomCols)
+          dataDir = Some(d); d
+        }
+        onCommitAttempt()
+        // Base's delete files fold into the rewritten dir; dels scoped
+        // over carried rival-append dirs would survive, but appends
+        // never create dels, so the rebased manifest carries none.
+        installManifest(spark, path, parent + 1, op, extraDirs :+ dir,
+          Seq.empty, schema, partitionBy = partitionBy)
+        return parent + 1
+      } catch {
+        case e: CommitConflictException => last = e
+        case e: Throwable if isPathClash(e) => last = e
+      }
+    }
+    throw last
+  }
 
   /** OPTIMIZE commit (q187 — Delta `OPTIMIZE ZORDER BY` / Iceberg
     * rewrite-with-sort-order, distilled): rewrite the snapshot's
@@ -486,10 +574,12 @@ object Snapshots {
   def optimize(spark: SparkSession, path: String, colName: String,
                numFiles: Int): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    val clustered = read(spark, path)
+    val base = latest(spark, path)
+    val clustered = read(spark, path, base)
       .repartitionByRange(numFiles, col(colName))
       .sortWithinPartitions(colName)
-    commit(clustered, path, "optimize", Seq.empty, statsCols = Seq(colName))
+    rewriteCommit(spark, path, base, clustered, "optimize",
+      statsCols = Seq(colName), partitionBy = Seq.empty, bloomCols = Seq.empty)
   }
 
   /** Two-dimensional [[optimize]]: cluster on the Z-interleaving of two
@@ -502,13 +592,15 @@ object Snapshots {
   def optimizeZ(spark: SparkSession, path: String, aCol: String, bCol: String,
                 bits: Int, numFiles: Int): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val base = latest(spark, path)
     val z = Layout.zValue(col(aCol).cast("long"), col(bCol).cast("long"), bits)
-    val clustered = read(spark, path)
+    val clustered = read(spark, path, base)
       .withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    commit(clustered, path, "optimize", Seq.empty, statsCols = Seq(aCol, bCol))
+    rewriteCommit(spark, path, base, clustered, "optimize",
+      statsCols = Seq(aCol, bCol), partitionBy = Seq.empty, bloomCols = Seq.empty)
   }
 
   /** Right-to-erasure as a table operation (q189): the GDPR/CCPA
@@ -685,7 +777,7 @@ object Snapshots {
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per written FILE — bounded by the commit's file count
     val entries = rows.map { r =>
-      val fileName = r.getString(0).split('/').last
+      val fileName = sidecarKey(r.getString(0), dataDir)
       val stats = statsCols.zipWithIndex.map { case (c, i) =>
         val mn = if (r.isNullAt(1 + 2 * i)) "null" else r.getLong(1 + 2 * i).toString
         val mx = if (r.isNullAt(2 + 2 * i)) "null" else r.getLong(2 + 2 * i).toString
@@ -757,7 +849,7 @@ object Snapshots {
           first("m").as("m"))
         .collect() // one bitmap-sized row per written file
       val entries = rows.map { r =>
-        val f = r.getString(0).split('/').last
+        val f = sidecarKey(r.getString(0), dataDir)
         s"""{"f":"$f","m":${r.getLong(2)},"b":"${enc.encodeToString(r.getAs[Array[Byte]](1))}"}"""
       }
       val body = s"""{"col":"$c","k":$BloomK,"files":[${entries.mkString(",")}]}"""
@@ -835,7 +927,7 @@ object Snapshots {
           while (it.hasNext) {
             val fp = it.next().getPath
             if (fp.getName.endsWith(".parquet")) {
-              blooms.get(fp.getName) match {
+              blooms.get(sidecarKey(fp.toString, d)) match {
                 case Some((m, bits)) if !bloomContains(m, bits, h) =>
                   skipped += fp.toString
                 case _ => kept += fp.toString
@@ -917,7 +1009,7 @@ object Snapshots {
           while (it.hasNext) {
             val fp = it.next().getPath
             if (fp.getName.endsWith(".parquet")) {
-              stats.get(fp.getName).flatMap(_.get(colName)) match {
+              stats.get(sidecarKey(fp.toString, d)).flatMap(_.get(colName)) match {
                 case Some((mn, mx)) if mx < lo || mn > hi => skipped += fp.toString
                 case _ => kept += fp.toString
               }
@@ -1228,8 +1320,8 @@ object Snapshots {
       else f.listStatus(delRoot).map(_.getPath)
         .filter(p => !liveDels.contains(s"deletes/${p.getName}"))
     deadDels.foreach(p => f.delete(p, true))
-    // Report reclaimed data DIRS (sidecars and delete files ride along
-    // and would double-count the same reclaim).
-    dead.count(!_.getName.endsWith(".stats.json"))
+    // Report reclaimed data DIRS (sidecars — stats AND bloom — ride
+    // along and would double-count the same reclaim).
+    dead.count(p => SidecarPat.findFirstIn(p.getName).isEmpty)
   }
 }

@@ -30,14 +30,23 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: [[write]] is one `foreachPartition` — each task streams
   * its rows into `part-<part>-<seq>.safetensors`, rolling at
-  * `shardMaxRows` (tensor sizes must be known before the header, so the
-  * roll unit is rows, buffered per shard — bounded by the caller's
-  * `shardMaxRows × dim` floats, NOT the corpus). [[read]] plans each
+  * `shardMaxRows` rows or [[ShardMaxBytes]] bytes, whichever first
+  * (tensor sizes must be known before the header, so shards buffer in
+  * memory — bounded by the roll budget, NOT the corpus). [[read]] plans each
   * shard as one `binaryFile` row and explodes vectors executor-side —
   * shards are the parallelism unit. No driver involvement on either
   * side beyond listing.
   */
 object Safetensors {
+
+  /** Per-shard byte ceiling: a shard is materialized in ONE
+    * `ByteBuffer.allocate` (tensor sizes must precede the data in the
+    * header), so its total bytes must fit an Int. Rolling at this
+    * budget — not only at `shardMaxRows` — keeps large-dim dumps
+    * working: at the default 1M rows × 512 floats the row-count roll
+    * alone would ask for 4·n·dim ≥ 2^31 bytes and the Int narrowing
+    * would throw mid-write. 1 GiB leaves ample header/ids headroom. */
+  val ShardMaxBytes: Long = 1L << 30
 
   /** Minimal JSON emitter for the header: fixed key order, no
     * whitespace — byte-deterministic. */
@@ -50,8 +59,11 @@ object Safetensors {
     * shard. Vectors must share one dimension (the first row of a shard
     * pins it; a mismatched row fails fast — a ragged tensor cannot be
     * expressed in the format). */
-  def write(df: DataFrame, path: String, shardMaxRows: Int = 1 << 20): Unit = {
+  def write(df: DataFrame, path: String, shardMaxRows: Int = 1 << 20,
+            shardMaxBytes: Long = ShardMaxBytes): Unit = {
     require(shardMaxRows > 0, s"shardMaxRows must be positive: $shardMaxRows")
+    require(shardMaxBytes > 0 && shardMaxBytes <= ShardMaxBytes,
+      s"shardMaxBytes must be in (0, $ShardMaxBytes]: $shardMaxBytes")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
@@ -90,7 +102,8 @@ object Safetensors {
               s"ragged embedding dim ${v.length} != ${vecs.head.length} (vec_id ${r.getLong(0)})")
           ids += r.getLong(0)
           vecs += v
-          if (ids.length >= shardMaxRows) flush()
+          if (ids.length >= shardMaxRows ||
+              (8L + 4L * v.length) * (ids.length + 1) >= shardMaxBytes) flush()
         }
         flush()
       }
@@ -105,8 +118,11 @@ object Safetensors {
     * `example_ids` I64 [n] tensor paired with an `input_ids` I64
     * [n, seqLen] tensor, which is exactly the file a trainer's data
     * loader mmaps. Same determinism and rolling contract as [[write]]. */
-  def writeTokens(df: DataFrame, path: String, shardMaxRows: Int = 1 << 20): Unit = {
+  def writeTokens(df: DataFrame, path: String, shardMaxRows: Int = 1 << 20,
+                  shardMaxBytes: Long = ShardMaxBytes): Unit = {
     require(shardMaxRows > 0, s"shardMaxRows must be positive: $shardMaxRows")
+    require(shardMaxBytes > 0 && shardMaxBytes <= ShardMaxBytes,
+      s"shardMaxBytes must be in (0, $ShardMaxBytes]: $shardMaxBytes")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col("example_id").cast("long"), col("input_ids").cast("array<long>"))
@@ -145,7 +161,8 @@ object Safetensors {
               s"ragged example length ${t.length} != ${toks.head.length} (example ${r.getLong(0)})")
           ids += r.getLong(0)
           toks += t
-          if (ids.length >= shardMaxRows) flush()
+          if (ids.length >= shardMaxRows ||
+              (8L + 8L * t.length) * (ids.length + 1) >= shardMaxBytes) flush()
         }
         flush()
       }

@@ -151,6 +151,18 @@ class GraphSpec extends SparkSpec {
     assert(pr2(10L) == 0L && pr2(11L) == 0L,
       "teleport mass leaked into an unreachable component")
     assert(pr2(1L) > 0L && pr2(2L) > 0L)
+    // A sink seed (destination-only node) is OUTSIDE the walkable node
+    // universe: its teleport mass would silently vanish and every rank
+    // read 0. That must fail fast, not degenerate.
+    val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst") // 3 is a sink
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(directed, Seq(3L), iters = 2)
+    }
+    assert(e.getMessage.contains("sink"), s"unhelpful message: ${e.getMessage}")
+    // absent seeds fail the same way
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(directed, Seq(99L), iters = 2)
+    }
   }
 
   test("relatedParts: seed ranks first, output partition-invariant") {

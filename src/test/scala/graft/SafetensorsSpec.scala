@@ -86,6 +86,25 @@ class SafetensorsSpec extends SparkSpec {
     }
   }
 
+  test("rolls by BYTE budget too: a large-dim dump can never ask for an " +
+    "over-Int buffer, and budget-rolled shards round-trip exactly") {
+    val dir = freshDir("byteroll")
+    val dim = 8
+    val df = (0 until 20).map(i => (i.toLong, Seq.fill(dim)(i.toFloat)))
+      .toDF("vec_id", "embedding").coalesce(1)
+    // (8 + 4*dim) bytes of tensor payload per row = 40; a 200-byte
+    // budget rolls every 4 rows even though shardMaxRows is huge —
+    // exactly the guard that keeps 1M-row × 512-float dumps under
+    // ByteBuffer's Int ceiling instead of throwing mid-write.
+    Safetensors.write(df, dir, shardMaxRows = 1 << 20, shardMaxBytes = 200L)
+    val files = shardFiles(dir)
+    assert(files.length == 5, s"20 rows / 4-row byte budget should roll 5 shards: ${files.toSeq}")
+    val back = Safetensors.read(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getSeq[Float](2).toSeq)).toSet
+    assert(back == (0 until 20).map(i => (i.toLong, Seq.fill(dim)(i.toFloat))).toSet,
+      "byte-budget rolling lost or corrupted rows")
+  }
+
   test("ragged dims fail fast; malformed headers are rejected") {
     val dir = freshDir("ragged")
     val bad = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))

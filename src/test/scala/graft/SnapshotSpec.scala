@@ -643,6 +643,171 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("sidecar keys survive partitionBy: stats and bloom pruning stay exact " +
+    "when every partition subdir reuses the same file basename") {
+    import spark.implicits._
+    val path = freshPath("part_sidecar")
+    // ONE task writing a dynamic-partitioned commit reuses the same
+    // basename (part-00000-<jobUUID>…) in EVERY day=N subdir — the
+    // exact layout where basename-keyed sidecars collide (last entry
+    // wins) and pruning would apply day 3's bounds to day 1's file,
+    // silently dropping matching rows.
+    val rows = Seq(
+      (1L, 5L, 1L), (2L, 9L, 1L),        // day 1: n_chars 5..9
+      (3L, 105L, 2L), (4L, 109L, 2L),    // day 2: 105..109
+      (5L, 205L, 3L), (6L, 209L, 3L))    // day 3: 205..209
+      .toDF("doc_id", "n_chars", "day").repartition(1)
+    Snapshots.overwrite(rows, path, statsCols = Seq("n_chars"),
+      partitionBy = Seq("day"), bloomCols = Seq("doc_id"))
+    // Same basename in every subdir — the collision precondition holds.
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = {
+      val it = f.listFiles(new Path(path, "data/s1"), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) { val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) b += p.getName }
+      b.result()
+    }
+    assert(names.distinct.size == 1 && names.size == 3,
+      s"precondition: dynamic-partition writer should reuse one basename, got $names")
+    // Range pruning: day 2's band keeps exactly its file, skips the other two.
+    val (kept, skipped) = Snapshots.pruneRange(spark, path, "n_chars", 100L, 110L)
+    assert(kept.size == 1 && skipped.size == 2,
+      s"stats pruning must be per-FILE under partitionBy: kept=$kept skipped=$skipped")
+    assert(Snapshots.readRange(spark, path, "n_chars", 100L, 110L)
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L),
+      "colliding stats sidecar keys dropped rows")
+    // Bloom point lookup: doc 5 lives in day 3's file only.
+    val (keptB, skippedB) = Snapshots.pruneEq(spark, path, "doc_id", 5L)
+    assert(keptB.size == 1 && skippedB.size == 2,
+      s"bloom pruning must be per-FILE under partitionBy: kept=$keptB skipped=$skippedB")
+    assert(Snapshots.readEq(spark, path, "doc_id", 5L)
+      .collect().map(_.getLong(0)).toSet == Set(5L),
+      "colliding bloom sidecar keys dropped rows")
+    // All three pruning layers composed on one read: partition dirs,
+    // stats, bloom — file counts drop at each layer, rows stay exact
+    // (the r15 verdict's composed-pruning ask).
+    Snapshots.append(Seq((7L, 7L, 1L)).toDF("doc_id", "n_chars", "day"), path,
+      statsCols = Seq("n_chars"), partitionBy = Seq("day"), bloomCols = Seq("doc_id"))
+    val (keptP, _) = Snapshots.prunePartitions(spark, path, "day", "1")
+    assert(keptP.size == 2, s"one day=1 subdir per commit, got $keptP")
+    assert(Snapshots.readPartition(spark, path, "day", "1")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 7L))
+    assert(Snapshots.readEq(spark, path, "doc_id", 7L)
+      .collect().map(_.getLong(0)).toSet == Set(7L))
+  }
+
+  test("a rewrite raced by appends rebases: optimize carries the rivals' dirs " +
+    "and re-merged schema, no append lost, clustering stats intact") {
+    import spark.implicits._
+    val path = freshPath("cc_optimize")
+    Snapshots.overwrite(
+      Seq((1L, 10L), (2L, 220L), (3L, 130L)).toDF("doc_id", "n_chars"), path)
+    // Rival append lands in optimize's data-write→manifest-install
+    // window — WITH an added column, so the rebase must also adopt the
+    // rival's evolved schema.
+    Snapshots.onCommitAttempt = () => {
+      Snapshots.onCommitAttempt = () => ()
+      Snapshots.append(Seq((9L, 90L, "en")).toDF("doc_id", "n_chars", "lang"), path): Unit
+    }
+    val id = try Snapshots.optimize(spark, path, "n_chars", 3)
+             finally Snapshots.onCommitAttempt = () => ()
+    assert(id == 3L, s"rebased optimize should land at v3, got $id")
+    val got = Snapshots.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, 10L, None), (2L, 220L, None), (3L, 130L, None),
+      (9L, 90L, Some("en"))),
+      s"rebase lost rows or the evolved column: $got")
+    assert(Snapshots.log(spark, path).collect().map(_.getString(1)).toSeq ==
+      Seq("overwrite", "append", "optimize"))
+    // The rewritten dir's stats sidecar still prunes (rival dir has no
+    // stats → kept conservatively).
+    val (kept, skipped) = Snapshots.pruneRange(spark, path, "n_chars", 0L, 50L)
+    assert(skipped.nonEmpty, "optimize's clustering stats must still skip files")
+    assert(Snapshots.readRange(spark, path, "n_chars", 0L, 100L)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 9L))
+  }
+
+  test("a rewrite raced by a non-append fails clean: the rival's delete stands, " +
+    "no rows lost, the orphan dir is vacuum-reclaimable") {
+    import spark.implicits._
+    import graft.operators.CommitConflictException
+    val path = freshPath("cc_optimize_del")
+    Snapshots.overwrite(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "n_chars"), path)
+    Snapshots.onCommitAttempt = () => {
+      Snapshots.onCommitAttempt = () => ()
+      Snapshots.deleteKeys(spark, path, Seq(Tuple1(2L)).toDF("doc_id"), "doc_id"): Unit
+    }
+    try intercept[CommitConflictException] {
+      Snapshots.optimize(spark, path, "n_chars", 2)
+    } finally Snapshots.onCommitAttempt = () => ()
+    // The delete won and stands; optimize's half-written dir is orphan.
+    assert(Snapshots.read(spark, path).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L), "raced rewrite corrupted the table")
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirsBefore = f.listStatus(new Path(path, "data")).count(_.isDirectory)
+    assert(dirsBefore == 2, s"expected base dir + orphan rewrite dir, got $dirsBefore")
+    Snapshots.vacuum(spark, path, keepFrom = Snapshots.latest(spark, path))
+    val dirsAfter = f.listStatus(new Path(path, "data")).count(_.isDirectory)
+    assert(dirsAfter == 1, "vacuum must reclaim the failed rewrite's orphan dir")
+  }
+
+  test("erase raced by an append keeps the append: the compact step rebases, " +
+    "erased keys gone from live bytes, appended rows survive") {
+    import spark.implicits._
+    val path = freshPath("cc_erase")
+    Snapshots.overwrite(
+      Seq((1L, "secret"), (2L, "keep")).toDF("doc_id", "text"), path)
+    // Fire the rival on erase's SECOND commit attempt (the compact;
+    // the first is the tombstone install).
+    var calls = 0
+    Snapshots.onCommitAttempt = () => {
+      calls += 1
+      if (calls == 2) {
+        Snapshots.onCommitAttempt = () => ()
+        Snapshots.append(Seq((3L, "late")).toDF("doc_id", "text"), path): Unit
+      }
+    }
+    val report = try Snapshots.erase(spark, path,
+        Seq(Tuple1(1L)).toDF("doc_id"), "doc_id").collect().head
+      finally Snapshots.onCommitAttempt = () => ()
+    val live = Snapshots.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(live == Set((2L, "keep"), (3L, "late")),
+      s"erase must drop key 1 and keep the raced append: $live")
+    assert(report.getLong(0) == 2L, "rows_before should reflect the pre-erase table")
+    // No surviving manifest may reference a dir containing doc 1's bytes.
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def liveBytes: String = {
+      val it = f.listFiles(new Path(path, "data"), true)
+      val sb = new StringBuilder
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) {
+          val in = f.open(p)
+          val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+          try in.readFully(bytes) finally in.close()
+          sb.append(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+        }
+      }
+      sb.toString
+    }
+    assert(!liveBytes.contains("secret"), "erased bytes survived the raced erase")
+  }
+
+  test("vacuum's reclaim count excludes bloom sidecars, not just stats") {
+    import spark.implicits._
+    val path = freshPath("vac_count")
+    Snapshots.overwrite(Seq((1L, 10L)).toDF("doc_id", "n_chars"), path,
+      statsCols = Seq("n_chars"), bloomCols = Seq("doc_id"))
+    Snapshots.overwrite(Seq((2L, 20L)).toDF("doc_id", "n_chars"), path)
+    // v1's data dir dies with its TWO sidecars riding along; the
+    // report must say 1 dir, not 3 paths.
+    assert(Snapshots.vacuum(spark, path, keepFrom = 2L) == 1,
+      "vacuum count must not include stats/bloom sidecar files")
+  }
+
   test("applyCdc is the algebraic inverse of diff, multiset semantics included") {
     import spark.implicits._
     // Duplicate rows on BOTH sides: a has (5,50) twice, b keeps one and
