@@ -304,9 +304,29 @@ object SuffixArray {
   /** q163: top-K longest repeated substrings — (doc_a, off_a, doc_b,
     * off_b, lcp), lcp desc. Each row is a rank-adjacent suffix pair;
     * a substring occurring m times surfaces as m-1 adjacent rows. */
-  def repeatReport(docs: DataFrame, topK: Int = 20, minLen: Int = 1): DataFrame = {
+  /** The shared SA index every serve leg reads: materialized sentinel
+    * stream + rank-adjacent LCP at floor `minFloor` — built ONCE per
+    * (corpus, threshold) and reused by [[repeatReportFrom]] /
+    * [[exactSubstrCoverageFrom]] / [[exactSubstrRemoveFrom]]. The
+    * prefix-doubling build is the most expensive machinery in the
+    * tree (O(log longest-repeat) full-corpus join levels); paying it
+    * once and fanning three reports off the pinned pair is the same
+    * build/serve split as [[Search.saveTextIndex]] — a pipeline that
+    * wants detection AND coverage AND removal shares one build. */
+  def build(docs: DataFrame, minFloor: Long = 0L): (DataFrame, DataFrame) = {
     val st = leanCheckpoint(stream(docs))
-    val lcp = lcpAdjacent(buildLevels(st), if (minLen > 1) minLen.toLong else 0L)
+    val lcp = leanCheckpoint(lcpAdjacent(buildLevels(st), minFloor))
+    (st, lcp)
+  }
+
+  def repeatReport(docs: DataFrame, topK: Int = 20, minLen: Int = 1): DataFrame = {
+    val (st, lcp) = build(docs, if (minLen > 1) minLen.toLong else 0L)
+    repeatReportFrom(st, lcp, topK, minLen)
+  }
+
+  /** q163 serve leg off a prebuilt [[build]] pair. */
+  def repeatReportFrom(st: DataFrame, lcp: DataFrame,
+                       topK: Int = 20, minLen: Int = 1): DataFrame = {
     val pos = st.select(col("gpos"), col("doc_id"), col("pos"))
     lcp.where(col("lcp") >= math.max(minLen, 1))
       .join(pos.select(col("gpos").as("gpos_a"), col("doc_id").as("doc_a"),
@@ -347,9 +367,16 @@ object SuffixArray {
     * new when cuts don't stitch new adjacencies together (spec-pinned
     * on the crafted corpus; the paper's procedure shares the caveat). */
   def exactSubstrRemove(docs: DataFrame, minLen: Int): DataFrame = {
-    val st = leanCheckpoint(stream(docs))
-    val lcp = leanCheckpoint(lcpAdjacent(buildLevels(st), minLen.toLong)
-      .where(col("lcp") >= minLen)) // feeds rep, the CC edges, and the join below
+    val (st, lcpAll) = build(docs, minLen.toLong)
+    exactSubstrRemoveFrom(st, lcpAll, minLen)
+  }
+
+  /** q168 serve leg off a prebuilt [[build]] pair. */
+  def exactSubstrRemoveFrom(st: DataFrame, lcpAll: DataFrame,
+                            minLen: Int): DataFrame = {
+    // feeds rep, the CC edges, and the join below — the parent pair is
+    // already pinned by build(), so the filter re-evaluates cheaply
+    val lcp = lcpAll.where(col("lcp") >= minLen)
     val rep = lcp
       .select(explode(array(
         struct(col("gpos_a").as("gpos"), col("lcp")),
@@ -398,8 +425,14 @@ object SuffixArray {
   }
 
   def exactSubstrCoverage(docs: DataFrame, minLen: Int): DataFrame = {
-    val st = leanCheckpoint(stream(docs))
-    val lcp = lcpAdjacent(buildLevels(st), minLen.toLong)
+    val (st, lcp) = build(docs, minLen.toLong)
+    exactSubstrCoverageFrom(docs, st, lcp, minLen)
+  }
+
+  /** q164 serve leg off a prebuilt [[build]] pair (`docs` supplies the
+    * per-doc token totals the coverage ratio divides by). */
+  def exactSubstrCoverageFrom(docs: DataFrame, st: DataFrame,
+                              lcp: DataFrame, minLen: Int): DataFrame = {
     val rep = lcp.where(col("lcp") >= minLen)
       .select(explode(array(
         struct(col("gpos_a").as("gpos"), col("lcp")),

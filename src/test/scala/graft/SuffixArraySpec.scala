@@ -142,4 +142,22 @@ class SuffixArraySpec extends SparkSpec {
     val b = SuffixArray.repeatReport(crafted.repartition(7), 30).collect().toSeq
     assert(a == b)
   }
+
+  test("serve legs off ONE shared build equal the standalone entry points " +
+    "(the bench's build/serve split cannot drift from the headline keys)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val minLen = 8
+    val (st, lcp) = SuffixArray.build(docs, minLen.toLong)
+    assert(SuffixArray.repeatReportFrom(st, lcp, 20, minLen).collect().toSeq ==
+      SuffixArray.repeatReport(docs, 20, minLen).collect().toSeq,
+      "shared-build repeat report drifted")
+    assert(SuffixArray.exactSubstrCoverageFrom(docs, st, lcp, minLen)
+      .collect().toSeq ==
+      SuffixArray.exactSubstrCoverage(docs, minLen).collect().toSeq,
+      "shared-build coverage drifted")
+    assert(SuffixArray.exactSubstrRemoveFrom(st, lcp, minLen).collect().toSeq ==
+      SuffixArray.exactSubstrRemove(docs, minLen).collect().toSeq,
+      "shared-build removal drifted")
+  }
 }
