@@ -1182,6 +1182,32 @@ object SparkEntry {
       Seq(r1, r2, r2b, r3).reduce(_ unionByName _)
         .orderBy("synced_snapshot", "mode")
     }),
+    "q193_image_hash_sync" -> ((s, d) => {
+      // Rows-only (index file I/O lifecycle, the q151/q180 class,
+      // image-dedup family): a snapshot table of MEDIA rows drives the
+      // persisted (doc_id, dhash) sidecar through its commit history —
+      // initial rebuild (decodes all), delta-sized append (decodes the
+      // DELTA only; IndexSyncSpec proves it by deleting the base dir's
+      // bytes first), idempotent noop — then clusters served hash-only.
+      val media = graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d))
+      val imgs = media.where(col("format") === "png")
+        .orderBy("doc_id").limit(ImgDupK)
+      val copies = imgs.withColumn("doc_id", col("doc_id") + lit(ImgCopyOffset))
+      val all = media.unionByName(copies)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_imgsync_" +
+        Integer.toHexString(d.hashCode)
+      val tPath = s"$base/table"; val iPath = s"$base/index"
+      val p = new org.apache.hadoop.fs.Path(base)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      Snapshots.overwrite(all.where(col("doc_id") < ImgCopyOffset), tPath)  // v1
+      val r1 = IndexSync.imageHashSyncReport(s, tPath, iPath, ImgHamming)   // rebuild
+      Snapshots.append(all.where(col("doc_id") >= ImgCopyOffset), tPath)    // v2
+      val r2 = IndexSync.imageHashSyncReport(s, tPath, iPath, ImgHamming)   // append
+      val r2b = IndexSync.imageHashSyncReport(s, tPath, iPath, ImgHamming)  // noop
+      Seq(r1, r2, r2b).reduce(_ unionByName _)
+        .orderBy("synced_snapshot", "mode")
+    }),
     "q150_dedup_commit" -> ((s, d) => {
       // Dedup as a table commit: inject exact copies of every 5th doc
       // (id + 10M — ties break to the LOWER id, so originals always

@@ -162,8 +162,16 @@ object ImageHash {
     * kept. The full pipeline is decode → 8-byte hashes → banded pairs
     * → O(V)-state CC — payload bytes never shuffle at any stage. */
   def imageDupClusters(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    dupClustersFromHashes(hashImages(media), maxHamming)
+
+  /** [[imageDupClusters]] off an EXISTING (doc_id, dhash) frame — the
+    * serve leg once hashes are persisted as an index sidecar
+    * ([[graft.operators.IndexSync.syncImageHashes]]): re-clustering
+    * after an append costs banded pairs + CC over 8-byte hashes, zero
+    * image decodes. */
+  def dupClustersFromHashes(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
     graft.operators.Clusters.connectedComponents(
-        nearDupPairs(hashImages(media), maxHamming)
+        nearDupPairs(hashes, maxHamming)
           .select(col("doc_a").as("a"), col("doc_b").as("b")))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).cast("int").as("keep"))

@@ -173,10 +173,18 @@ object BpeTrain {
     * (see [[selectBatch]]) — the output is bit-identical to the
     * one-merge-per-round loop at a fraction of the round count, so the
     * distributed == driver differential pins survive unchanged. */
+  /** Rounds (pair-recount jobs) the most recent [[train]] call took —
+    * instrumentation for the rounds-vs-merges batching claim (a batch
+    * takes provably-sequential merges per recount, so rounds ≪ merges
+    * in the deep tail); read by BpeTrainSpec and the BASELINE
+    * measurement, never by product code. */
+  @volatile private[graft] var lastTrainRounds: Int = 0
+
   def train(docs: DataFrame, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    lastTrainRounds = 0
     var words = wordFreq(docs).localCheckpoint(true)
     // Lineage control at 1/8 the job count: a localCheckpoint is its
     // own Spark job, and with batching the ROUND count (not the merge
@@ -201,6 +209,7 @@ object BpeTrain {
         .limit(PanelK)
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      lastTrainRounds += 1
       if (panel.isEmpty) exhausted = true
       else {
         // Complete panel (< PanelK rows) ⇒ off-panel pairs don't exist

@@ -152,6 +152,70 @@ object IndexSync {
     (target, mode)
   }
 
+  /** Bring a perceptual-hash sidecar in line with a snapshot table of
+    * MEDIA rows ([[graft.multimodal.Multimodal.MediaRecord]] schema) —
+    * [[sync]]'s rule applied to the image-dedup family: the decode is
+    * the dominant cost (per-image PNG raster + dHash; 42.7 s at sf1 in
+    * the r15 bench, linear in images), so re-deduping after an append
+    * must NOT re-decode the corpus. An append-only span hashes ONLY
+    * each snapshot's [[Snapshots.deltaOf]] rows and appends the 8-byte
+    * (doc_id, dhash) rows to `indexPath/hashes`; any other op rebuilds
+    * from the snapshot's logical content. Clustering then runs off the
+    * sidecar ([[graft.multimodal.ImageHash.dupClustersFromHashes]]) —
+    * banded pairs + CC over hashes, zero decodes.
+    *
+    * Crash contract = [[syncText]]'s: `_sync_inflight` brackets the
+    * mutation, a died-mid-append sync forces the next run to rebuild
+    * (duplicated hash rows would inflate cluster sizes), re-running
+    * after success is an idempotent noop. */
+  def syncImageHashes(spark: SparkSession, tablePath: String,
+                      indexPath: String): (Long, String) = {
+    val target = Snapshots.latest(spark, tablePath)
+    require(target > 0, s"no snapshot to index under $tablePath")
+    val from = syncedSnapshot(spark, indexPath)
+    if (from == target && !isInflight(spark, indexPath)) return (target, "noop")
+    val span = Snapshots.snapshotIds(spark, tablePath)
+      .filter(id => id > from && id <= target)
+    val appendOnly = from > 0 && span.nonEmpty && !isInflight(spark, indexPath) &&
+      span.forall(id => Snapshots.opOf(spark, tablePath, id) == "append")
+    setInflight(spark, indexPath)
+    val hashDir = s"$indexPath/hashes"
+    val mode =
+      if (appendOnly) {
+        span.foreach { id =>
+          graft.multimodal.ImageHash.hashImages(Snapshots.deltaOf(spark, tablePath, id))
+            .write.mode("append").parquet(hashDir)
+        }
+        "append"
+      } else {
+        graft.multimodal.ImageHash.hashImages(Snapshots.read(spark, tablePath))
+          .write.mode("overwrite").parquet(hashDir)
+        "rebuild"
+      }
+    writeMarker(spark, indexPath, target)
+    clearInflight(spark, indexPath)
+    (target, mode)
+  }
+
+  /** The persisted (doc_id, dhash) sidecar [[syncImageHashes]] maintains. */
+  def imageHashes(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/hashes")
+
+  /** One image-hash sync step as a 1-row report — the q193 lifecycle
+    * currency: which snapshot the sidecar reflects, how it got there,
+    * and the corpus/cluster sizes served off it (hash-only work). */
+  def imageHashSyncReport(spark: SparkSession, tablePath: String,
+                          indexPath: String, maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val (id, mode) = syncImageHashes(spark, tablePath, indexPath)
+    val hashes = imageHashes(spark, indexPath)
+    val clusters = graft.multimodal.ImageHash.dupClustersFromHashes(hashes, maxHamming)
+    val nDup = clusters.agg(count(lit(1)), sum(col("keep"))).head()
+    Seq((id, mode, hashes.count(), nDup.getLong(0),
+        nDup.getLong(0) - (if (nDup.isNullAt(1)) 0L else nDup.getLong(1))))
+      .toDF("synced_snapshot", "mode", "n_hashes", "n_clustered", "n_dropped")
+  }
+
   /** One text-sync step as a 1-row report — the q180 lifecycle
     * currency: which snapshot the index now reflects, how it got
     * there, and the served corpus size (off the exact stats sidecar —

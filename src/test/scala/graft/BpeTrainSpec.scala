@@ -71,6 +71,48 @@ class BpeTrainSpec extends SparkSpec {
       "batched merge selection diverged from the sequential driver learner")
   }
 
+  test("1024-merge budget: bit-identical to the driver learner, rounds ≪ merges " +
+    "(the batching claim at real-tokenizer scale, r15 verdict #6)") {
+    // The driver's synthetic corpus has a ~30-word dictionary and
+    // EXHAUSTS at 127 merges at every SF (vocabulary is structural, not
+    // size-driven — measured and recorded in BASELINE.md), so real
+    // tokenizer depth needs a corpus with real lexical diversity:
+    // 4,000 deterministic pseudo-words (base-26 spellings, 1–6 chars,
+    // Zipf-ish reuse via the i % (j+1) inner loop) — enough pair
+    // vocabulary for 1024+ merges, fully reproducible.
+    def word(i: Int): String = {
+      var n = i; val sb = new StringBuilder
+      while (sb.isEmpty || n > 0) { sb.append(('a' + n % 26).toChar); n /= 26 }
+      sb.toString
+    }
+    val texts = (0 until 400).map { d =>
+      (0 until 60).map(j => word((d * 60 + j) % 4000 / (j % 7 + 1))).mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val n = 1024
+    val t0 = System.nanoTime()
+    val got = BpeTrain.train(docs, n)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    val wall = (System.nanoTime() - t0) / 1e9
+    val rounds = BpeTrain.lastTrainRounds
+    info(f"1024 merges in $rounds rounds, $wall%.1f s wall")
+    assert(got.length == n,
+      s"corpus vocabulary must support the full budget, exhausted at ${got.length}")
+    val wantPairs = Bpe.learn(texts, n).ranks.toSeq.sortBy(_._2)
+      .map { case ((a, b), r) => (r, a, b) }
+    assert(got == wantPairs,
+      "batched selection diverged from the sequential learner at depth 1024")
+    // Batching depth is corpus-dependent: top pairs INTERACT early
+    // (shared symbols force one-merge batches) and spread out in the
+    // tail. Measured here: ~1.3× fewer rounds than merges at depth
+    // 1024 (vs ~2× at exhaustion depth on the gate slice — the regime
+    // a 32k-merge run lives in). Pin a 10% floor so a regression to
+    // strict one-merge-per-round fails loudly, and record the real
+    // numbers in BASELINE.md rather than inflating the floor.
+    assert(rounds * 10 <= n * 9, s"batching degraded: $rounds rounds for $n merges")
+  }
+
   test("train exhausts gracefully when the corpus runs out of pairs") {
     // Tiny corpus; a large budget must stop at exhaustion, not loop.
     // Pre-tokens: "ab" ×2 and " ab" ×1 (the cl100k pattern keeps the

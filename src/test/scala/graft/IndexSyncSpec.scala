@@ -122,4 +122,48 @@ class IndexSyncSpec extends SparkSpec {
     graft.operators.Search.saveTextIndex(docs, refI)
     assert(served(iPath) === served(refI))
   }
+
+  test("image-hash sync: the append path decodes ONLY the delta (proved by " +
+    "deleting the base snapshot's bytes), clusters are bit-identical to a " +
+    "full decode, and non-append commits rebuild") {
+    import graft.multimodal.{ImageHash, Multimodal}
+    val (tPath, iPath) = fresh("imghash")
+    val media = Multimodal.toMediaTable(docs.limit(24))
+    val imgs = media.where(col("format") === "png").orderBy("doc_id").limit(6)
+    // renditions under shifted ids — the delta that must collide with
+    // its originals after the hash-only re-cluster
+    val copies = imgs.withColumn("doc_id", col("doc_id") + lit(1000000L))
+    Snapshots.overwrite(media, tPath)                          // v1
+    val (id1, m1) = IndexSync.syncImageHashes(spark, tPath, iPath)
+    assert((id1, m1) == ((1L, "rebuild")))
+    Snapshots.append(copies, tPath)                            // v2
+    // DELTA-ONLY PROOF: physically remove v1's data files. deltaOf
+    // reads only the appended dir, so an append-path sync succeeds; any
+    // full re-decode would crash on the missing base bytes.
+    val dataDir = new Path(tPath, "data/s1")
+    val f = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(dataDir))
+    f.delete(dataDir, true)
+    val (id2, m2) = IndexSync.syncImageHashes(spark, tPath, iPath)
+    assert((id2, m2) == ((2L, "append")), s"got ($id2, $m2)")
+    assert(IndexSync.syncImageHashes(spark, tPath, iPath) == ((2L, "noop")))
+    // bit-identical to a full decode of the same logical content
+    val synced = ImageHash.dupClustersFromHashes(
+      IndexSync.imageHashes(spark, iPath)).collect().toSeq
+    val full = ImageHash.imageDupClusters(
+      media.unionByName(copies)).collect().toSeq
+    assert(synced === full, "hash-sidecar clusters drifted from full decode")
+    assert(synced.nonEmpty, "rendition copies must cluster with their originals")
+    // a non-append commit forces the rebuild path (fresh table — the
+    // mutilated one above can't serve a full read)
+    val (tPath2, iPath2) = fresh("imghash2")
+    Snapshots.overwrite(media, tPath2)
+    IndexSync.syncImageHashes(spark, tPath2, iPath2)
+    Snapshots.deleteWhere(spark, tPath2, col("doc_id") <= 5L, "doc_id")
+    val (_, m3) = IndexSync.syncImageHashes(spark, tPath2, iPath2)
+    assert(m3 == "rebuild")
+    assert(IndexSync.imageHashes(spark, iPath2)
+      .where(col("doc_id") <= 5L).count() == 0L,
+      "rebuilt sidecar still carries deleted docs")
+  }
 }
