@@ -40,6 +40,29 @@ object OracleSql {
       s"list_min(list_transform($sh, s -> (((${hash60("s")} % $P) * $a + $b) % $P)))"
     }.mkString("[", ", ", "]")
 
+  /** Recursive-CTE BFS (depth ≤ BfsDepth) over the thresholded
+    * supplier co-occurrence graph — the naive V×V pair-frame statement
+    * q196/q196b mirror (the Spark side never materializes the pair
+    * frame: Graph.neighborhoodLevels). `md` = min distance per ordered
+    * (src ≠ dst) pair. */
+  private val bfsCtes =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+       |co AS (
+       |  SELECT a.l_suppkey AS s, b.l_suppkey AS t
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinCooc),
+       |e AS (SELECT s, t FROM co UNION ALL SELECT t AS s, s AS t FROM co),
+       |bfs(src, dst, d) AS (
+       |  SELECT s, t, 1 FROM e
+       |  UNION
+       |  SELECT b.src, e.t, b.d + 1 FROM bfs b JOIN e ON b.dst = e.s
+       |  WHERE b.d < $BfsDepth),
+       |md AS (
+       |  SELECT src, dst, min(d) AS d FROM bfs WHERE src <> dst GROUP BY 1, 2)"""
+      .stripMargin
+
   /** MinHash-LSH candidate CTE block (sigs → banded → cand) + the
     * est-Jaccard expression — shared by q14 and the q43 cluster
     * resolution so the pair derivation cannot drift between them. */
@@ -4054,7 +4077,174 @@ object OracleSql {
          |SELECT q_doc, mdoc_id, maxsim_micro, n_qtokens
          |FROM ranked WHERE rn <= $MaxSimTopN
          |ORDER BY q_doc, maxsim_micro DESC, mdoc_id""".stripMargin
-    }
+    },
+
+    // q194: theta-sketch audience algebra — below ThetaK distinct per
+    // segment the sketches are EXACT, so the oracle states the exact
+    // distinct set algebra (the q186 convention, plus union/difference
+    // which only the sketch serves at scale).
+    "q194_audience_sketch" ->
+      s"""WITH tu AS (
+         |  SELECT DISTINCT o_orderpriority AS segment, o_custkey AS u
+         |  FROM orders),
+         |n AS (SELECT segment, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+         |ov AS (
+         |  SELECT a.segment AS seg_a, b.segment AS seg_b,
+         |    CAST(count(*) AS BIGINT) AS overlap
+         |  FROM tu a JOIN tu b ON a.u = b.u AND a.segment < b.segment
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT na.segment AS seg_a, nb.segment AS seg_b,
+         |    na.n AS n_a, nb.n AS n_b
+         |  FROM n na JOIN n nb ON na.segment < nb.segment)
+         |SELECT p.seg_a, p.seg_b, p.n_a, p.n_b,
+         |  p.n_a + p.n_b - COALESCE(ov.overlap, 0) AS n_union,
+         |  COALESCE(ov.overlap, 0) AS n_intersect,
+         |  p.n_a - COALESCE(ov.overlap, 0) AS n_diff_a
+         |FROM pairs p
+         |LEFT JOIN ov ON p.seg_a = ov.seg_a AND p.seg_b = ov.seg_b
+         |ORDER BY p.seg_a, p.seg_b""".stripMargin,
+
+    // q195: skyline — the oracle states the textbook O(n²) NOT EXISTS
+    // dominance anti-join; the Spark plan is the distributed
+    // sort-and-sweep (two exchanges). Cents quantized per ROW before
+    // the sum, so both engines sum exact integers.
+    "q195_pareto_customers" ->
+      s"""WITH pts AS (
+         |  SELECT o_custkey,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS spend_cents,
+         |    CAST(count(*) AS BIGINT) AS n_orders
+         |  FROM orders GROUP BY 1)
+         |SELECT p.o_custkey, p.spend_cents, p.n_orders
+         |FROM pts p
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM pts d
+         |  WHERE d.spend_cents >= p.spend_cents AND d.n_orders >= p.n_orders
+         |    AND (d.spend_cents > p.spend_cents OR d.n_orders > p.n_orders))
+         |ORDER BY p.spend_cents DESC, p.o_custkey""".stripMargin,
+
+    // q196/q196b: the oracle states the naive recursive-CTE BFS over
+    // the V×V pair frame; the Spark plan never materializes pairs
+    // (bitmap frontier OR, one join + one agg per depth).
+    "q196_graph_distances" ->
+      s"""$bfsCtes
+         |SELECT d, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM md GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q196b_harmonic_centrality" ->
+      s"""$bfsCtes
+         |SELECT src AS s_suppkey, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_micro
+         |FROM md GROUP BY 1
+         |ORDER BY harmonic_micro DESC, s_suppkey LIMIT $BfsTopN""".stripMargin,
+
+    // q203: leakage-safe split — the q43 cluster machinery + the q29
+    // split rule keyed on the cluster representative; both leak dials
+    // stated from the same labeled frame.
+    "q203_leakage_safe_split" -> {
+      def splitOf(id: String) =
+        s"CASE WHEN ${hash60(s"CAST($id AS VARCHAR)")} % 100 < $TrainPct THEN 'train' ELSE 'eval' END"
+      s"""WITH RECURSIVE $minhashCtes,
+         |lshpairs AS (
+         |  SELECT a, b FROM cand WHERE $minhashEst >= $MinEstJaccard),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM lshpairs
+         |  UNION ALL
+         |  SELECT b AS src, a AS dst FROM lshpairs),
+         |reach AS (
+         |  SELECT DISTINCT src AS node, src AS r FROM edges
+         |  UNION
+         |  SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
+         |labeled AS (
+         |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |tagged AS (
+         |  SELECT d.doc_id, l.cluster_id,
+         |    ${splitOf("COALESCE(l.cluster_id, d.doc_id)")} AS split,
+         |    ${splitOf("d.doc_id")} AS naive_split
+         |  FROM documents d LEFT JOIN labeled l USING (doc_id)),
+         |dials AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS leaky_clusters_safe,
+         |    CAST(sum(CASE WHEN nns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS leaky_clusters_naive
+         |  FROM (
+         |    SELECT cluster_id, count(DISTINCT split) AS ns,
+         |      count(DISTINCT naive_split) AS nns
+         |    FROM tagged WHERE cluster_id IS NOT NULL GROUP BY 1))
+         |SELECT t.split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN t.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_docs,
+         |  CAST(count(DISTINCT t.cluster_id) AS BIGINT) AS n_clusters,
+         |  any_value(d.leaky_clusters_safe) AS leaky_clusters_safe,
+         |  any_value(d.leaky_clusters_naive) AS leaky_clusters_naive
+         |FROM tagged t CROSS JOIN dials d
+         |GROUP BY 1 ORDER BY t.split""".stripMargin
+    },
+
+    // q201: functional-dependency audit — one block per candidate
+    // pair, each mirroring the two-level distinct rollup.
+    "q201_functional_deps" ->
+      FdPairs.map { case (det, dep) =>
+        s"""SELECT '$det' AS det_col, '$dep' AS dep_col,
+           |  CAST(count(*) AS BIGINT) AS n_det,
+           |  CAST(sum(deps) AS BIGINT) AS n_combos,
+           |  CAST(CASE WHEN sum(CASE WHEN deps > 1 THEN 1 ELSE 0 END) = 0
+           |    THEN 1 ELSE 0 END AS INT) AS holds,
+           |  CASE WHEN count(*) = 0 THEN 0
+           |    ELSE CAST(sum(CASE WHEN deps > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      * 1000000 // count(*) END AS violation_micro
+           |FROM (
+           |  SELECT det, CAST(count(*) AS BIGINT) AS deps
+           |  FROM (SELECT $det AS det, $dep AS dep FROM documents GROUP BY 1, 2)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY det_col, dep_col"),
+
+    // q202: CUPED readout — every moment is exact integer arithmetic
+    // (HUGEINT cross moments mirror Spark's DECIMAL(38)); θ and the
+    // means are then identical double expressions over exact scalars.
+    "q202_cuped_readout" ->
+      s"""WITH base AS (
+         |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         |    epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |piv AS (SELECT (min(day) + max(day) + 1) // 2 AS cutday FROM base),
+         |pu AS (
+         |  SELECT user_id % 2 AS arm,
+         |    CAST(sum(CASE WHEN day < cutday THEN cents ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN day >= cutday THEN cents ELSE 0 END) AS BIGINT) AS y
+         |  FROM base, piv GROUP BY user_id),
+         |pooled AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy
+         |  FROM pu),
+         |arms AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         |    sum(x) AS sxa, sum(y) AS sya
+         |  FROM pu GROUP BY 1),
+         |stats AS (
+         |  SELECT *,
+         |    CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+         |      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+         |        / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+         |    CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+         |      ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+         |        * CAST(n * sxy - sx * sy AS DOUBLE)
+         |        / (CAST(n * sxx - sx * sx AS DOUBLE)
+         |          * CAST(n * syy - sy * sy AS DOUBLE)) END AS rho2
+         |  FROM arms CROSS JOIN pooled)
+         |SELECT arm, n_users,
+         |  round(CAST(sya AS DOUBLE) / (100.0 * n_users), 6) AS mean_y,
+         |  round((CAST(sya AS DOUBLE) - theta *
+         |      (CAST(sxa AS DOUBLE) - n_users * (CAST(sx AS DOUBLE) / n)))
+         |    / (100.0 * n_users), 6) AS mean_y_cuped,
+         |  round(theta, 6) AS theta,
+         |  round(rho2, 6) AS var_reduction
+         |FROM stats ORDER BY arm""".stripMargin
   )
 
   // ---------------------------------------------------------------------

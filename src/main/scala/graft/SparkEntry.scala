@@ -361,6 +361,29 @@ object SparkEntry {
                                 // dup, not a trainable negative. The
                                 // literal is 6-dp-exact so the rounded
                                 // score comparison cannot straddle it
+    val ThetaK = 4096           // q194 sketch size: exact below 4096
+                                // distinct per segment (the sf0.01
+                                // oracle regime); ~1.6% relative error
+                                // saturated
+    val BfsDepth = 4            // q196 BFS truncation — covers the
+                                // thresholded supplier graph's
+                                // diameter at every SF
+    val BfsTopN = 20            // q196b harmonic-centrality report depth
+    val ClsBuckets = 1024       // q197 hashed feature space (unigrams +
+                                // bigrams share it, fastText-style)
+    val ClsIters = 4            // q197 full-batch GD rounds (separation
+                                // plateaus by 4 on this corpus —
+                                // ClassifierSpec)
+    val DpEpsilon = 1.0         // q200 privacy budget for the release
+    val DpClamp = 8             // q200 per-user per-type contribution
+                                // bound (above the corpus's p99
+                                // user-type count, so utility loss is
+                                // tail-only)
+    val DpSeed = 2026L          // q200 release PRNG key
+    val FdPairs = Seq(          // q201 candidate dependencies: a true
+      ("doc_id", "lang"),       // key-FD, a real violation, and its
+      ("lang", "source"),       // reverse
+      ("source", "lang"))
   }
   import Params._
 
@@ -1365,16 +1388,70 @@ object SparkEntry {
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"), col("est_jaccard"))
         .orderBy("a", "b")
-    })
+    }),
+    "q194_audience_sketch" -> ((s, d) =>
+      Sketches.audienceAlgebra(Tables.orders(s, d), ThetaK)),
+    "q195_pareto_customers" -> ((s, d) =>
+      Skyline.bestCustomers(Tables.orders(s, d))),
+    "q196_graph_distances" -> ((s, d) =>
+      Graph.supplierDistanceDistribution(Tables.lineitem(s, d), TriMinCooc,
+        BfsDepth)),
+    "q196b_harmonic_centrality" -> ((s, d) =>
+      Graph.supplierHarmonicCentrality(Tables.lineitem(s, d), TriMinCooc,
+        BfsDepth, BfsTopN)),
+    "q197_quality_classifier" -> ((s, d) =>
+      Classifier.qualityReport(Tables.documents(s, d), DsirTargetSources,
+        ClsBuckets, ClsIters)),
+    "q198_markov_attribution" -> ((s, d) =>
+      Attribution.removalEffects(Tables.events(s, d), "purchase")),
+    "q199_branch_merge" -> ((s, d) => {
+      // Rows-only lifecycle (the q187/q189 class): fork a branch, land
+      // batches on BOTH sides, prove isolation, then a zero-copy merge.
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_branch_" +
+        Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      Snapshots.overwrite(docs.where(pmod(col("doc_id"), lit(3L)) === 0), path)
+      Branches.create(s, path, "dev")
+      Branches.append(docs.where(pmod(col("doc_id"), lit(3L)) === 1), path, "dev")
+      Snapshots.append(docs.where(pmod(col("doc_id"), lit(3L)) === 2), path)
+      val branchView = Branches.read(s, path, "dev").count() // base + branch only
+      val mainBefore = Snapshots.read(s, path).count()
+      val mergeId = Branches.merge(s, path, "dev")
+      val mainAfter = Snapshots.read(s, path).count()
+      Seq(
+        ("branch_view", branchView),
+        ("main_before_merge", mainBefore),
+        ("main_after_merge", mainAfter),
+        ("merge_snapshot", mergeId),
+        ("merge_is_metadata_only",
+          if (Snapshots.opOf(s, path, mergeId) == "merge:dev") 1L else 0L))
+        .toDF("step", "n")
+    }),
+    "q200_dp_release" -> ((s, d) =>
+      Privacy.dpTypeCounts(Tables.events(s, d), DpEpsilon, DpClamp, DpSeed)),
+    "q201_functional_deps" -> ((s, d) =>
+      Profile.functionalDeps(Tables.documents(s, d), FdPairs)),
+    "q202_cuped_readout" -> ((s, d) =>
+      Experiments.cupedReadout(Tables.events(s, d))),
+    "q203_leakage_safe_split" -> ((s, d) =>
+      CorpusPipeline.leakageSafeSplit(Tables.documents(s, d), ShingleK,
+        NumHashes, RowsPerBand, MinEstJaccard, TrainPct))
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,
     * q10, q18, q61b, q75, q94, q117, q118, q144, q145, q146, q149,
-    * q151, q152) are non-SQL-expressible (footer metadata /
-    * trained-vocab BPE / index file I/O / binary feature plumbing /
-    * SVD-learned rotation / sequential greedy MMR / approximate graph
-    * walk / WAV decode / graph-serving audits / tar sink lifecycle /
-    * index-sync lifecycle / the joined serving dashboard's graph legs)
-    * → driver records a rows-only check. */
+    * q151, q152, q197, q198, q199, q200) are non-SQL-expressible
+    * (footer metadata / trained-vocab BPE / index file I/O / binary
+    * feature plumbing / SVD-learned rotation / sequential greedy MMR /
+    * approximate graph walk / WAV decode / graph-serving audits / tar
+    * sink lifecycle / index-sync lifecycle / the joined serving
+    * dashboard's graph legs / iterative GD training / the Markov
+    * absorption solve / branch lifecycle / the DP release, whose true
+    * counts must NOT be stated anywhere) → driver records a rows-only
+    * check. */
   def oracleSql: Map[String, String] = OracleSql.all
 }

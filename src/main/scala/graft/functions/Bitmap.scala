@@ -119,6 +119,15 @@ object Bitmap {
     c
   }
 
+  /** Serialized OR of two serialized bitmaps — the scalar (per-row)
+    * face of [[BitmapOrAgg]], for iterative frontier algorithms that
+    * merge exactly two states per row (BFS reach ∪ neighbor messages). */
+  def orBytesOf(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val bm = ChunkedBitmap.deserialize(a)
+    bm.orBytes(b)
+    bm.serialize
+  }
+
   def cardinalityOf(bytes: Array[Byte]): Long = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
@@ -205,6 +214,11 @@ object Bitmap {
   def bitmapAndCard(a: Column, b: Column): Column =
     SqlBridge.column(BitmapAndCardinality(
       SqlBridge.eagerExpression(a), SqlBridge.eagerExpression(b)))
+
+  /** Column API: serialized OR of two serialized bitmaps (scalar). */
+  def bitmapOrBytes(a: Column, b: Column): Column =
+    SqlBridge.column(BitmapOrBytes(
+      SqlBridge.eagerExpression(a), SqlBridge.eagerExpression(b)))
 }
 
 /** Popcount of a serialized bitmap — scalar, codegen'd (the serving
@@ -246,4 +260,26 @@ case class BitmapAndCardinality(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): BitmapAndCardinality = copy(left = l, right = r)
   override def prettyName: String = "bitmap_and_card"
+}
+
+/** Serialized OR of two serialized bitmaps — scalar, codegen'd (the
+  * per-row state merge of iterative frontier algorithms; the agg face
+  * is `bitmapOr`). */
+case class BitmapOrBytes(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, binary) input, got ($l, $r)")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Bitmap.orBytesOf(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Bitmap.orBytesOf($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BitmapOrBytes = copy(left = l, right = r)
+  override def prettyName: String = "bitmap_or_bytes"
 }

@@ -1,0 +1,275 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** KMV / theta sketches — mergeable distinct-count state that supports
+  * the full SET ALGEBRA (union, intersection, difference), which the
+  * HLL family cannot (HLL unions but never intersects; the
+  * inclusion-exclusion workaround explodes error for small overlaps).
+  * The k-minimum-values estimator is Bar-Yossef et al. (RANDOM 2002)
+  * with the unbiased (k−1)/θ form and the multi-set operations of
+  * Beyer et al. (SIGMOD 2007) — the construction Apache DataSketches
+  * ships as the theta sketch.
+  *
+  * State: the k smallest DISTINCT 64-bit hash values seen, in unsigned
+  * order (internally sign-flipped so natural long order IS unsigned
+  * order). Two regimes:
+  *  - UNSATURATED (`n < k`): the sketch holds every distinct hash —
+  *    counts and all set operations are EXACT (what the oracle pins);
+  *  - saturated: θ = (k-th value + 1)/2⁶⁴ and est = (k−1)/θ; set ops
+  *    estimate through the merged sketch with relative error
+  *    ~1/√(k−2) — 1.6% at k=4096 — INDEPENDENT of stream size.
+  *
+  * Serialization is canonical (sorted values, fixed header), so equal
+  * sets produce equal bytes and the sketch column can persist in a
+  * rollup table — the same pre-aggregation contract as [[Bitmap]], at
+  * O(k) bytes instead of O(distinct/8): the trade that wins once the
+  * id space outgrows bitmap budgets (billions of users) or the rollup
+  * must intersect across segments.
+  *
+  * The aggregate is a [[TypedImperativeAggregate]] (object buffer,
+  * serialize only at the exchange); the set-algebra operators are
+  * codegen'd scalar expressions over the serialized bytes — a sorted
+  * merge walk, no deserialization, no UDF. */
+object ThetaSketch {
+
+  /** Mutable KMV buffer: a capped sorted set of sign-flipped hashes. */
+  final class Kmv(val k: Int) {
+    val values = new java.util.TreeSet[java.lang.Long]()
+
+    /** Track a raw 64-bit hash (unsigned semantics). */
+    def add(rawHash: Long): Unit = {
+      val v = rawHash ^ Long.MinValue // flip: natural order = unsigned order
+      if (values.size < k) { values.add(v); () }
+      else if (v < values.last) {
+        if (values.add(v)) { values.pollLast(); () }
+      }
+    }
+
+    def merge(other: Kmv): Unit = {
+      val it = other.values.iterator()
+      while (it.hasNext) {
+        val v = it.next().longValue()
+        if (values.size < k) { values.add(v); () }
+        else if (v < values.last) {
+          if (values.add(v)) { values.pollLast(); () }
+        } else return // other is sorted: the rest can't make the cut
+      }
+    }
+
+    /** Canonical bytes: k, n, then the n values ascending. */
+    def serialize: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 8 * values.size)
+      bb.putInt(k)
+      bb.putInt(values.size)
+      val it = values.iterator()
+      while (it.hasNext) bb.putLong(it.next().longValue())
+      bb.array()
+    }
+  }
+
+  object Kmv {
+    def deserialize(bytes: Array[Byte]): Kmv = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val sk = new Kmv(bb.getInt)
+      val n = bb.getInt
+      var i = 0
+      while (i < n) { sk.values.add(bb.getLong); i += 1 }
+      sk
+    }
+  }
+
+  // ---- static kernels over serialized sketches (codegen targets) ----
+
+  private def header(bytes: Array[Byte]): (Int, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    (bb.getInt, bb.getInt)
+  }
+
+  private def valueAt(bytes: Array[Byte], i: Int): Long =
+    java.nio.ByteBuffer.wrap(bytes).getLong(8 + 8 * i)
+
+  /** θ position of the sketch as the exclusive-upper-bound flipped
+    * value: Long.MaxValue (θ=1) when unsaturated, else the largest
+    * retained value. */
+  private def thetaValue(bytes: Array[Byte]): Long = {
+    val (k, n) = header(bytes)
+    if (n < k) Long.MaxValue else valueAt(bytes, n - 1)
+  }
+
+  /** Distinct-count estimate: exact n when unsaturated, (k−1)/θ else. */
+  def estimateOf(bytes: Array[Byte]): Long = {
+    val (k, n) = header(bytes)
+    if (n < k) n.toLong
+    else {
+      // θ = (flipped kth value − MIN_LONG + 1) / 2⁶⁴ in unsigned space
+      val kth = valueAt(bytes, n - 1)
+      val theta = (kth.toDouble - Long.MinValue.toDouble + 1.0) /
+        math.pow(2.0, 64)
+      math.round((k - 1).toDouble / theta)
+    }
+  }
+
+  /** Union estimate: merge (capped at k), estimate the merged sketch —
+    * exact when the true union has fewer than k distinct hashes. */
+  def unionEstimateOf(a: Array[Byte], b: Array[Byte]): Long = {
+    val sa = Kmv.deserialize(a)
+    sa.merge(Kmv.deserialize(b))
+    estimateOf(sa.serialize)
+  }
+
+  /** Intersection estimate (Beyer et al. 2007): over the joint
+    * θ = min(θa, θb), count hashes retained by BOTH sketches below it;
+    * scale by 1/θ. Exact when both sketches are unsaturated. */
+  def intersectEstimateOf(a: Array[Byte], b: Array[Byte]): Long = {
+    val thetaJ = math.min(thetaValue(a), thetaValue(b))
+    val (_, na) = header(a)
+    val (_, nb) = header(b)
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val va = valueAt(a, i)
+      val vb = valueAt(b, j)
+      if (va > thetaJ || vb > thetaJ) { i = na } // past joint θ: stop
+      else if (va == vb) { c += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    if (thetaJ == Long.MaxValue) c // both unsaturated: exact
+    else {
+      val theta = (thetaJ.toDouble - Long.MinValue.toDouble + 1.0) /
+        math.pow(2.0, 64)
+      math.round(c.toDouble / theta)
+    }
+  }
+
+  /** Difference estimate |A \ B| = est(A) − est(A∩B), floored at 0. */
+  def diffEstimateOf(a: Array[Byte], b: Array[Byte]): Long =
+    math.max(0L, estimateOf(a) - intersectEstimateOf(a, b))
+
+  // ---- aggregate ----
+
+  private case class ThetaSketchAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[Kmv] {
+    override def createAggregationBuffer(): Kmv = new Kmv(k)
+    override def update(buffer: Kmv, row: InternalRow): Kmv = {
+      val v = child.eval(row)
+      if (v != null) buffer.add(v.asInstanceOf[Long])
+      buffer
+    }
+    override def merge(buffer: Kmv, input: Kmv): Kmv = { buffer.merge(input); buffer }
+    override def eval(buffer: Kmv): Any = buffer.serialize
+    override def serialize(buffer: Kmv): Array[Byte] = buffer.serialize
+    override def deserialize(bytes: Array[Byte]): Kmv = Kmv.deserialize(bytes)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def children: Seq[Expression] = Seq(child)
+    override def withNewMutableAggBufferOffset(o: Int): ThetaSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): ThetaSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): ThetaSketchAgg = copy(child = c.head)
+    override def prettyName: String = "theta_sketch"
+  }
+
+  /** Column API: KMV sketch of a pre-hashed LONG column (pair with
+    * `xxhash64(...)` upstream so the hash is part of the visible plan). */
+  def thetaSketch(c: Column, k: Int): Column =
+    SqlBridge.column(
+      ThetaSketchAgg(SqlBridge.eagerExpression(c), k).toAggregateExpression())
+
+  def thetaEstimate(c: Column): Column =
+    SqlBridge.column(ThetaEstimate(SqlBridge.eagerExpression(c)))
+
+  def thetaUnionCard(a: Column, b: Column): Column =
+    SqlBridge.column(ThetaUnionCard(
+      SqlBridge.eagerExpression(a), SqlBridge.eagerExpression(b)))
+
+  def thetaIntersectCard(a: Column, b: Column): Column =
+    SqlBridge.column(ThetaIntersectCard(
+      SqlBridge.eagerExpression(a), SqlBridge.eagerExpression(b)))
+
+  def thetaDiffCard(a: Column, b: Column): Column =
+    SqlBridge.column(ThetaDiffCard(
+      SqlBridge.eagerExpression(a), SqlBridge.eagerExpression(b)))
+}
+
+/** Distinct-count estimate of a serialized theta sketch — codegen'd. */
+case class ThetaEstimate(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary input, got $t")
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    ThetaSketch.estimateOf(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.ThetaSketch.estimateOf($b)")
+  override protected def withNewChildInternal(c: Expression): ThetaEstimate =
+    copy(child = c)
+  override def prettyName: String = "theta_estimate"
+}
+
+private[graft] abstract class ThetaBinaryCard extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, binary) input, got ($l, $r)")
+    }
+}
+
+/** |A ∪ B| estimate over serialized theta sketches — codegen'd. */
+case class ThetaUnionCard(left: Expression, right: Expression)
+    extends ThetaBinaryCard {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSketch.unionEstimateOf(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ThetaSketch.unionEstimateOf($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ThetaUnionCard = copy(left = l, right = r)
+  override def prettyName: String = "theta_union_card"
+}
+
+/** |A ∩ B| estimate over serialized theta sketches — codegen'd. */
+case class ThetaIntersectCard(left: Expression, right: Expression)
+    extends ThetaBinaryCard {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSketch.intersectEstimateOf(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ThetaSketch.intersectEstimateOf($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ThetaIntersectCard = copy(left = l, right = r)
+  override def prettyName: String = "theta_intersect_card"
+}
+
+/** |A \ B| estimate over serialized theta sketches — codegen'd. */
+case class ThetaDiffCard(left: Expression, right: Expression)
+    extends ThetaBinaryCard {
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ThetaSketch.diffEstimateOf(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ThetaSketch.diffEstimateOf($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ThetaDiffCard = copy(left = l, right = r)
+  override def prettyName: String = "theta_diff_card"
+}

@@ -73,6 +73,57 @@ object CorpusPipeline {
           greatest(sum("n_eval"), lit(1L)).cast("double"), 6).as("contamination_rate"))
   }
 
+  /** Leakage-safe train/eval split (q203) — the fix for the classic
+    * contamination bug the [[contamination]] report only MEASURES:
+    * under a doc-keyed split rule, near-duplicate documents land on
+    * BOTH sides and the eval set silently scores memorization (Lee et
+    * al. 2022 §6.2 measure the effect; every serious pipeline since
+    * splits by cluster). Here every document follows its dup-cluster
+    * REPRESENTATIVE (the CC min-id from the q43 machinery; singletons
+    * represent themselves), so a cluster can never straddle the split
+    * BY CONSTRUCTION — and the report carries the proof dial next to
+    * the counterfactual: how many clusters the naive doc-keyed rule
+    * would have torn across the boundary.
+    *
+    * Scale shape: the MinHash-LSH pair generation and pointer-jumped
+    * CC are exactly q14/q43's (hash-bucketed equi-joins, never
+    * all-pairs); the split is then ONE broadcast-sized join of the
+    * membership table (dup docs only — singletons never shuffle) back
+    * onto the corpus plus per-split aggregates. Output: one row per
+    * split with doc/cluster counts and the two global leak dials. */
+  def leakageSafeSplit(docs: DataFrame, k: Int, numHashes: Int,
+      rowsPerBand: Int, minEstJaccard: Double, trainPct: Int): DataFrame = {
+    val labeled = Clusters.connectedComponents(
+      Dedup.minhashLsh(docs, k, numHashes, rowsPerBand, minEstJaccard)
+        .select("a", "b"))
+      .select(col("doc_id"), col("cluster_id"))
+    def splitOf(idCol: org.apache.spark.sql.Column) =
+      when(pmod(Dedup.hash60(idCol.cast("string")), lit(100L)) < trainPct,
+        "train").otherwise("eval")
+    val tagged = docs.select(col("doc_id"))
+      .join(labeled, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("cluster_id"),
+        splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"),
+        splitOf(col("doc_id")).as("naive_split"))
+    // global leak dials: clusters whose members straddle the boundary
+    // under each rule (safe is 0 by construction — reported as proof)
+    def leaky(splitCol: String) = tagged.where(col("cluster_id").isNotNull)
+      .groupBy("cluster_id")
+      .agg(countDistinct(col(splitCol)).as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n"))
+    val dials = leaky("split").select(col("n").as("leaky_clusters_safe"))
+      .crossJoin(leaky("naive_split").select(col("n").as("leaky_clusters_naive")))
+    tagged
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .crossJoin(broadcast(dials))
+      .orderBy("split")
+  }
+
   /** N-gram contamination report — the decontamination pass actually
     * used for benchmark hygiene (exact-match [[contamination]] misses
     * paraphrased leaks; GPT-3-style pipelines flag eval docs sharing

@@ -434,19 +434,103 @@ object Graph {
     * near-complete co-occurrence clique back into structure; raw
     * co-occurrence saturates at any scale, repeated co-occurrence is
     * signal). Top-n suppliers by (triangles, suppkey). */
-  def supplierTriangles(lineitem: DataFrame, minCount: Long, topN: Int): DataFrame = {
+  /** Thresholded supplier co-occurrence edges: (src < dst) supplier
+    * pairs filling the same order at least `minCount` times — the edge
+    * builder [[supplierTriangles]] and the q196 neighborhood reports
+    * share (one wedge-free equi-join + one count gate). */
+  def supplierCoEdges(lineitem: DataFrame, minCount: Long): DataFrame = {
     val li = lineitem.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val pairs = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_suppkey") < col("b.l_suppkey"))
       .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
       .select("src", "dst")
+  }
+
+  def supplierTriangles(lineitem: DataFrame, minCount: Long, topN: Int): DataFrame = {
+    val pairs = supplierCoEdges(lineitem, minCount)
     triangles(pairs)
       .select(col("node").as("s_suppkey"), col("deg").as("degree"),
         col("triangles"), col("cc_micro"))
       .orderBy(desc("triangles"), asc("s_suppkey"))
+      .limit(topN)
+  }
+
+  /** Exact per-depth BFS expansion of every node at once — the
+    * neighborhood function N(v, d) computed as iterated bitmap OR
+    * (HyperBall's shape — Boldi & Vigna, WebSci 2014 — with EXACT
+    * [[graft.functions.Bitmap]] sets where HyperBall plugs in HLL
+    * counters; swap the agg for the q140b HLL twin past ~10⁷ nodes and
+    * the plan is HyperBall verbatim). Round d: every node ORs its
+    * neighbors' round-(d−1) reach sets — ONE join + ONE bitmap-OR
+    * aggregate per round, each newly-set bit a pair at distance exactly
+    * d. No pair table is ever materialized: the naive SQL needs the
+    * V×V min-distance frame (the oracle's recursive CTE states it);
+    * this carries O(V) rows of O(V/8)-byte state for log-diameter
+    * rounds.
+    *
+    * Returns (node, depth, newly) for depth 1..maxDepth — newly =
+    * |reach_d| − |reach_{d−1}|, the count of nodes FIRST reached at d. */
+  private[graft] def neighborhoodLevels(edges: DataFrame, maxDepth: Int): DataFrame = {
+    import graft.functions.Bitmap._
+    import org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val e = leanCheckpoint(symmetrize(edges))
+    var state = leanCheckpoint(
+      e.groupBy(col("src").as("node"))
+        .agg(bitmapBuild(col("src")).as("reach"))
+        .withColumn("card", bitmapCard(col("reach"))))
+    val levels = scala.collection.mutable.ListBuffer[DataFrame]()
+    for (d <- 1 to maxDepth) {
+      val msgs = e.join(state, e("src") === state("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(bitmapOr(col("reach")).as("msg"))
+      val next = leanCheckpoint(
+        state.select(col("node"), col("reach"), col("card").as("prev_card"))
+          .join(msgs, Seq("node"), "left")
+          .select(
+            col("node"),
+            when(col("msg").isNull, col("reach"))
+              .otherwise(bitmapOrBytes(col("reach"), col("msg"))).as("reach"),
+            col("prev_card"))
+          .withColumn("card", bitmapCard(col("reach")))
+          .withColumn("newly", col("card") - col("prev_card")))
+      levels += next.select(col("node"), lit(d).as("depth"), col("newly"))
+      state = next.select("node", "reach", "card")
+    }
+    levels.reduce(_ unionByName _)
+  }
+
+  /** q196: exact distance distribution of the thresholded supplier
+    * co-occurrence graph — ordered (src ≠ dst) pairs by shortest-path
+    * length, depths 1..maxDepth. */
+  def supplierDistanceDistribution(lineitem: DataFrame, minCount: Long,
+      maxDepth: Int): DataFrame =
+    neighborhoodLevels(supplierCoEdges(lineitem, minCount), maxDepth)
+      .groupBy(col("depth").as("d"))
+      .agg(sum("newly").as("n_pairs"))
+      .where(col("n_pairs") > 0)
+      .orderBy("d")
+
+  /** q196b: exact harmonic centrality (top `topN`) off the same
+    * levels — H(v) = Σ_{u≠v} 1/d(v,u), truncated at `maxDepth`, in
+    * floor-divided micro-units (1000000 div d per first-reach, summed:
+    * exact integers, hash-comparable cross-engine). */
+  def supplierHarmonicCentrality(lineitem: DataFrame, minCount: Long,
+      maxDepth: Int, topN: Int): DataFrame = {
+    val perDepthMicro = (d: Int) => 1000000L / d
+    val levels = neighborhoodLevels(supplierCoEdges(lineitem, minCount), maxDepth)
+    val factor = (1 to maxDepth).foldLeft(lit(0L)) { (acc, d) =>
+      when(col("depth") === d, lit(perDepthMicro(d))).otherwise(acc)
+    }
+    levels
+      .groupBy(col("node").as("s_suppkey"))
+      .agg(
+        sum("newly").as("n_reached"),
+        sum(col("newly") * factor).as("harmonic_micro"))
+      .orderBy(desc("harmonic_micro"), asc("s_suppkey"))
       .limit(topN)
   }
 }

@@ -482,4 +482,46 @@ object Profile {
         !(col("checksum_a") <=> col("checksum_b")))
       .orderBy("bucket")
   }
+
+  /** Functional-dependency audit (q201) — the column-relationship leg
+    * of data profiling (Huhtala et al., TANE, Comput. J. 1999; every
+    * production profiler — Deequ, great_expectations — ships the
+    * check): for each candidate `det → dep` pair, does the determinant
+    * fix the dependent? An FD holds iff
+    * `count(DISTINCT det) == count(DISTINCT (det, dep))`; when it
+    * fails, the violation rate is the fraction of determinant groups
+    * seeing more than one dependent value — the actionable number (a
+    * 0.01% violation rate is a data bug; 60% means the FD was never
+    * real).
+    *
+    * Shape per pair: one partial-aggregated distinct-combo exchange
+    * (`groupBy(det, dep)` — map-side combine collapses the mass), then
+    * an O(distinct det) rollup. NULLs group as a value (NULL≡NULL),
+    * matching SQL `GROUP BY`. Candidate pairs are metadata (a handful),
+    * so the union of per-pair plans stays a bounded fan-out of scans —
+    * at 100 TB each pair is one pass, embarrassingly parallel across
+    * pairs. */
+  def functionalDeps(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "at least one candidate pair required")
+    val reports = pairs.map { case (det, dep) =>
+      val combos = df.groupBy(col(det).as("__det"), col(dep).as("__dep"))
+        .agg(count(lit(1)).as("__n"))
+      combos
+        .groupBy(col("__det"))
+        .agg(count(lit(1)).as("__deps"))
+        .agg(
+          lit(det).as("det_col"),
+          lit(dep).as("dep_col"),
+          count(lit(1)).as("n_det"),
+          sum("__deps").as("n_combos"),
+          sum(when(col("__deps") > 1, 1L).otherwise(0L)).as("violating_dets"))
+        .select(
+          col("det_col"), col("dep_col"), col("n_det"), col("n_combos"),
+          (col("violating_dets") === 0).cast("int").as("holds"),
+          when(col("n_det") === 0, 0L)
+            .otherwise(expr("violating_dets * 1000000L div n_det"))
+            .as("violation_micro"))
+    }
+    reports.reduce(_ unionByName _).orderBy("det_col", "dep_col")
+  }
 }

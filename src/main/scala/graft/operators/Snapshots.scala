@@ -676,6 +676,33 @@ object Snapshots {
     overwrite(Merge.upsert(cur, updates, key), base)
   }
 
+  /** Metadata-only commit: append ALREADY-WRITTEN table-root-relative
+    * data dirs to the current snapshot's dir list without moving a
+    * byte — the zero-copy primitive behind [[Branches.merge]] (a lakeFS
+    * merge is exactly this: new manifest, same objects). Parent delete
+    * files carry forward unchanged; their scopes exclude the new dirs,
+    * so merged rows are immune to pre-merge tombstones (the same
+    * sequence-number argument as [[append]]). Single CAS attempt —
+    * callers that must revalidate cross-branch invariants on a lost
+    * race own the retry loop. */
+  /** The data dirs (table-root-relative) snapshot `id` references —
+    * the metadata [[Branches.merge]] rebases onto main. */
+  private[operators] def dirsOf(spark: SparkSession, path: String,
+      id: Long): Seq[String] =
+    readManifestFull(spark, path, id).dirs
+
+  private[operators] def commitDirs(spark: SparkSession, path: String,
+      op: String, extraDirs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    val parent = latest(spark, path)
+    val pm = if (parent == 0) None else Some(readManifestFull(spark, path, parent))
+    onCommitAttempt()
+    installManifest(spark, path, parent + 1, op,
+      pm.map(_.dirs).getOrElse(Seq.empty) ++ extraDirs,
+      pm.map(_.dels).getOrElse(Seq.empty), schema)
+    parent + 1
+  }
+
   /** Read snapshot `asOf` (default: latest). One manifest fetch, then
     * a parquet scan of the listed immutable dirs — column pruning and
     * predicate pushdown apply exactly as on a plain parquet table.

@@ -741,4 +741,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles == 1, s"expected 1 exchange, got $shuffles:\n$p")
   }
+
+  test("functionalDeps (q201): a key FD, a violated FD, NULL groups as a value") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), "en", "web"), (Some(2L), "en", "api"),
+      (Some(3L), "de", "web"), (Some(4L), "de", "web"),
+      (None, "fr", "web"), (None, "fr", "web"))
+      .toDF("id", "lang", "src")
+    val out = Profile.functionalDeps(df,
+        Seq(("id", "lang"), ("lang", "src"), ("src", "lang")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5)))).toMap
+    // id→lang: dets {1,2,3,4,NULL} = 5, all single-valued → holds
+    assert(out(("id", "lang")) == ((5L, 5L, 1, 0L)), s"got $out")
+    // lang→src: en has {web,api} → 1 of 3 dets violates → 333333 micro
+    assert(out(("lang", "src")) == ((3L, 4L, 0, 333333L)), s"got $out")
+    // src→lang: web → {en,de,fr}, api → {en}: 1 of 2 violates
+    assert(out(("src", "lang")) == ((2L, 4L, 0, 500000L)), s"got $out")
+  }
 }

@@ -713,4 +713,40 @@ class CurationSpec extends SparkSpec {
     assert(got == expected,
       s"containment mismatch: got ${got.size} pairs, expected ${expected.size}")
   }
+
+  test("leakageSafeSplit (q203): zero straddling clusters by construction; " +
+    "the naive rule leaks on a crafted boundary cluster") {
+    import graft.operators.CorpusPipeline
+    // craft a near-dup pair whose two doc_ids hash to DIFFERENT naive
+    // splits (searched offline over hash60 % 100 at trainPct 50), plus
+    // distinct singleton docs
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    def naive(id: Long): String = {
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+          .substring(0, 15), 16)
+      if (h % 100 < 50) "train" else "eval"
+    }
+    // find two ids with opposite naive splits (deterministic search)
+    val a = (1L to 100L).find(i => naive(i) == "train").get
+    val b = (1L to 100L).find(i => naive(i) == "eval").get
+    val docs = Seq(
+      (a, base, "en", "s", base.length.toLong),
+      (b, base + " tail", "en", "s", base.length.toLong + 5),
+      (900L, "completely different words about snow and ice", "en", "s", 40L),
+      (901L, "unrelated content mentioning ships and harbors", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPipeline.leakageSafeSplit(docs, 3, 12, 2, 0.5, 50)
+      .collect()
+    val safeLeaks = out.head.getLong(out.head.fieldIndex("leaky_clusters_safe"))
+    val naiveLeaks = out.head.getLong(out.head.fieldIndex("leaky_clusters_naive"))
+    assert(safeLeaks == 0L, s"cluster-keyed split must never straddle: $safeLeaks")
+    assert(naiveLeaks == 1L,
+      s"the crafted cluster must leak under the doc-keyed rule: $naiveLeaks")
+    // the dup pair follows its representative: both docs in ONE split
+    val dupDocs = out.map(r =>
+      r.getString(0) -> r.getLong(r.fieldIndex("n_dup_docs"))).toMap
+    assert(dupDocs.values.sum == 2L && dupDocs.values.max == 2L,
+      s"both near-dups must land in one split: $dupDocs")
+  }
 }

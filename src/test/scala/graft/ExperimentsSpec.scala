@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Experiments
+
+/** CUPED readout (q202) against hand-computed moments. */
+class ExperimentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cupedReadout == hand-solved θ-adjustment on a crafted experiment") {
+    def at(day: Int) = Timestamp.valueOf(f"2026-01-0${day + 1} 12:00:00")
+    // pre = days 0-1, post = days 2-3 (midpoint pivot); x/y in cents:
+    // u1(arm1): 1000/2000, u2(arm0): 2000/3000,
+    // u3(arm1): 3000/5000, u4(arm0): 4000/6000
+    val ev = Seq(
+      (1L, at(0), 1L, "view", 10.0, "{}"),
+      (2L, at(3), 1L, "view", 20.0, "{}"),
+      (3L, at(1), 2L, "view", 20.0, "{}"),
+      (4L, at(2), 2L, "view", 30.0, "{}"),
+      (5L, at(0), 3L, "view", 30.0, "{}"),
+      (6L, at(3), 3L, "view", 50.0, "{}"),
+      (7L, at(1), 4L, "view", 40.0, "{}"),
+      (8L, at(2), 4L, "view", 60.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // θ = cov/var = 28e6/20e6 = 1.4, ρ² = 784/800 = 0.98, x̄ = 2500
+    val out = Experiments.cupedReadout(ev).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 2L)
+    assert(out(0L).getDouble(2) == 45.0, s"arm0 mean_y: ${out(0L)}")
+    assert(out(0L).getDouble(3) == 38.0, s"arm0 mean_y_cuped: ${out(0L)}")
+    assert(out(1L).getDouble(2) == 35.0, s"arm1 mean_y: ${out(1L)}")
+    assert(out(1L).getDouble(3) == 42.0, s"arm1 mean_y_cuped: ${out(1L)}")
+    assert(out(0L).getDouble(4) == 1.4, s"theta: ${out(0L)}")
+    assert(out(0L).getDouble(5) == 0.98, s"var_reduction: ${out(0L)}")
+  }
+
+  test("gate corpus: readout well-formed, adjustment preserves grand mean") {
+    val out = Experiments.cupedReadout(Tables.events(spark, sf001)).collect()
+    assert(out.length == 2)
+    val vr = out.head.getDouble(5)
+    assert(vr >= 0.0 && vr <= 1.0, s"rho² out of range: $vr")
+    // CUPED shifts means within arms but the n-weighted grand mean of
+    // the adjustment terms is 0 by construction (θ·Σ(x−x̄) = 0)
+    val grandRaw = out.map(r => r.getLong(1) * r.getDouble(2)).sum
+    val grandAdj = out.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(grandRaw - grandAdj) < 0.01,
+      s"adjustment created mass: $grandRaw vs $grandAdj")
+  }
+}

@@ -233,4 +233,39 @@ class GraphSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "triangle census must never go all-pairs")
   }
+
+  test("neighborhoodLevels: exact BFS distances on a path graph") {
+    // 0-1-2-3-4-5: at depth d, node i first reaches |{j : |i-j| = d}|
+    val edges = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    val levels = Graph.neighborhoodLevels(edges, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (i <- 0L to 5L; d <- 1 to 4) {
+      val expect = Seq(i - d, i + d).count(j => j >= 0L && j <= 5L).toLong
+      assert(levels((i, d)) == expect, s"node $i depth $d")
+    }
+  }
+
+  test("neighborhood: disconnected components never reach each other") {
+    val edges = Seq((0L, 1L), (10L, 11L)).toDF("src", "dst")
+    val levels = Graph.neighborhoodLevels(edges, 4).collect()
+    assert(levels.map(r => r.getLong(2)).sum == 4L,
+      "each node reaches exactly its one component peer")
+  }
+
+  test("supplierHarmonicCentrality: hand-checked micro sums on a path") {
+    // reuse the generic machinery through a tiny lineitem-like frame:
+    // orders o shared by suppliers (i, i+1) → path co-occurrence graph
+    // 6 DISTINCT shared orders per adjacent pair (the co-edge gate
+    // counts distinct orders)
+    val li = (0L until 5L).flatMap(i => (0L until 6L).flatMap(k =>
+      Seq((i * 100 + k, i), (i * 100 + k, i + 1))))
+      .toDF("l_orderkey", "l_suppkey")
+    val out = Graph.supplierHarmonicCentrality(li, 6, 4, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // node 0: d(1)=1, d(2)=2, d(3)=3, d(4)=4 →
+    // 1000000 + 500000 + 333333 + 250000 = 2083333
+    assert(out(0L) == ((4L, 2083333L)), s"got $out")
+    // node 2 (middle): d1×2, d2×2, d3×1 (node 5) → within depth 4 all 5
+    assert(out(2L) == ((5L, 3333333L)), s"got $out")
+  }
 }
