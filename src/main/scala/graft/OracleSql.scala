@@ -4183,6 +4183,37 @@ object OracleSql {
          |GROUP BY 1 ORDER BY t.split""".stripMargin
     },
 
+    // q204: the rule-based attribution panel — per-journey positions
+    // from one windowed pass, every credit exact floor-divided micro.
+    "q204_attribution_panel" ->
+      s"""WITH pos0 AS (
+         |  SELECT user_id, event_type, ts, event_id,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS p
+         |  FROM events),
+         |pos AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN p END)
+         |    OVER (PARTITION BY user_id) AS conv_pos
+         |  FROM pos0),
+         |touches AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM pos WHERE conv_pos IS NOT NULL AND p < conv_pos)
+         |SELECT event_type AS channel,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS first_touch,
+         |  CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS last_touch,
+         |  CAST(sum(1000000 // n) AS BIGINT) AS linear_micro,
+         |  CAST(sum(CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000
+         |    WHEN rn = 1 OR rn = n THEN 400000
+         |    ELSE 200000 // (n - 2) END) AS BIGINT) AS position_micro,
+         |  CAST(sum((rn * 1000000) // ((n * (n + 1)) // 2)) AS BIGINT)
+         |    AS decay_micro
+         |FROM touches GROUP BY 1 ORDER BY channel""".stripMargin,
+
     // q201: functional-dependency audit — one block per candidate
     // pair, each mirroring the two-level distinct rollup.
     "q201_functional_deps" ->

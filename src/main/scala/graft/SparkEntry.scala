@@ -1439,7 +1439,37 @@ object SparkEntry {
       Experiments.cupedReadout(Tables.events(s, d))),
     "q203_leakage_safe_split" -> ((s, d) =>
       CorpusPipeline.leakageSafeSplit(Tables.documents(s, d), ShingleK,
-        NumHashes, RowsPerBand, MinEstJaccard, TrainPct))
+        NumHashes, RowsPerBand, MinEstJaccard, TrainPct)),
+    "q204_attribution_panel" -> ((s, d) =>
+      Attribution.modelPanel(Tables.events(s, d), "purchase")),
+    "q205_partial_compaction" -> ((s, d) => {
+      // Rows-only lifecycle (the q187 class): one healthy dir + three
+      // drip-appends; ONE compact_small folds only the drips — the big
+      // dir is carried by reference, rows bit-identical, and a second
+      // run is a provable no-op.
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_binpack_" +
+        Integer.toHexString(d.hashCode)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true)
+      Snapshots.overwrite(docs.where(pmod(col("doc_id"), lit(10L)) >= 3), path)
+      Seq(0L, 1L, 2L).foreach(r =>
+        Snapshots.append(docs.where(pmod(col("doc_id"), lit(10L)) === r), path))
+      val before = Snapshots.read(s, path).count()
+      // threshold: half the healthy dir's bytes — drips qualify, it doesn't
+      val bigBytes = f.getContentSummary(
+        new org.apache.hadoop.fs.Path(path, "data/s1")).getLength
+      val (id1, n1) = Snapshots.compactSmall(s, path, bigBytes / 2)
+      val after = Snapshots.read(s, path).count()
+      val (id2, n2) = Snapshots.compactSmall(s, path, bigBytes / 2)
+      Seq(
+        ("rows_before", before), ("rows_after", after),
+        ("dirs_folded", n1.toLong), ("snapshot", id1),
+        ("noop_second_run", if (id2 == id1 && n2 == 0) 1L else 0L))
+        .toDF("step", "n")
+    })
   )
 
   /** DuckDB-equivalent SQL per query key; keys absent here (q02, q05b,

@@ -88,6 +88,54 @@ object Attribution {
     v.getOrElse(Start, 0.0)
   }
 
+  /** q204: the rule-based attribution model panel — first-touch,
+    * last-touch, linear, position-based (the 40/20/40 U-shape), and
+    * position-linear time decay, side by side per channel, so the
+    * q198 Markov credits can be read against the heuristics they
+    * replace (every marketing-analytics stack ships this panel).
+    *
+    * All credits are exact integer micro-units with floor division
+    * (per-journey mass ≤ 10⁶ with bounded floor loss), so the whole
+    * panel is hash-comparable cross-engine. Decay is position-LINEAR
+    * (weight i+1 for the i-th touch): the popular 2^Δ exponential
+    * overflows integer arithmetic on long journeys, and at fixed
+    * journey length the two induce the same ranking.
+    *
+    * Shape: one user-grain window pass (journey truncation + position
+    * numbering — the q198 scan) then ONE channel rollup. */
+  def modelPanel(events: DataFrame, convType: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pos = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("p", row_number().over(byUser))
+      .withColumn("conv_pos",
+        min(when(col("event_type") === convType, col("p"))).over(
+          Window.partitionBy("user_id")))
+    // touches of CONVERTING journeys only — rule models credit nothing
+    // on a lost journey
+    val touches = pos
+      .where(col("conv_pos").isNotNull && col("p") < col("conv_pos"))
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+    val first = (col("rn") === 1).cast("long")
+    val last = (col("rn") === col("n")).cast("long")
+    val position =
+      when(col("n") === 1, lit(1000000L))
+        .when(col("n") === 2, lit(500000L))
+        .otherwise(
+          when(first === 1L || last === 1L, lit(400000L))
+            .otherwise(expr("200000L div (n - 2)")))
+    touches
+      .groupBy(col("event_type").as("channel"))
+      .agg(
+        sum(first).as("first_touch"),
+        sum(last).as("last_touch"),
+        sum(expr("1000000L div n")).as("linear_micro"),
+        sum(position).as("position_micro"),
+        sum(expr("(rn * 1000000L) div ((n * (n + 1)) div 2)")).as("decay_micro"))
+      .orderBy("channel")
+  }
+
   /** q198: per-channel removal-effect attribution. Output: channel,
     * touches (transitions INTO the channel), removal_effect_micro,
     * share_micro — micro-quantized, deterministic. */

@@ -553,6 +553,95 @@ object Snapshots {
     throw last
   }
 
+  /** Partial (bin-pack) compaction (q205) — Iceberg's
+    * `rewrite_data_files` with the small-file filter, distilled: fold
+    * ONLY the data dirs whose on-disk bytes fall below `smallBytes`
+    * into one rewritten dir (tombstones applied), CARRYING every
+    * healthy dir untouched. This is the difference between a
+    * maintenance job that pays O(small tail) and one that pays
+    * O(table) — at 100 TB the full-table [[compact]]/[[optimize]]
+    * rewrite is a planned migration, while this runs nightly: a
+    * streaming ingest's thousand drip-appends fold for the cost of
+    * reading just them.
+    *
+    * Fewer than two qualifying dirs → no-op (nothing to merge),
+    * returning (current snapshot, 0). Delete files: scopes covering a
+    * rewritten dir are APPLIED during the rewrite read and intersected
+    * down to the surviving dirs in the new manifest (an entry whose
+    * scope empties is dropped — its keys are physically gone from the
+    * rewritten dir). Concurrency is [[compact]]'s validate-and-retry:
+    * losing the manifest CAS to rival APPENDs rebases (their dirs and
+    * merged schema carried — rival dirs are never candidates, they
+    * postdate the size scan); any row-mutating rival fails clean, the
+    * orphan dir vacuum-reclaimable.
+    *
+    * Returns (snapshot id, dirs rewritten). */
+  def compactSmall(spark: SparkSession, path: String, smallBytes: Long,
+                   statsCols: Seq[String] = Seq.empty,
+                   maxAttempts: Int = 5): (Long, Int) = {
+    require(smallBytes > 0, s"smallBytes must be positive, got $smallBytes")
+    val f = fs(spark, path)
+    val base = latest(spark, path)
+    require(base > 0, s"no snapshot to compact under $path")
+    val m = readManifestFull(spark, path, base)
+    val small = m.dirs.filter { d =>
+      listFilesRec(f, new Path(path, d)).map(_.getLen).sum < smallBytes
+    }
+    if (small.size < 2) return (base, 0)
+    // Rewrite read: the small dirs under the manifest schema with their
+    // delete files applied (scanKept's contract, dir-exact).
+    val df = small.sorted.map { d =>
+      val reader = m.schema.fold(spark.read)(s => spark.read.schema(s))
+      val scan = reader
+        .option("basePath", new Path(path, d).toString)
+        .parquet(new Path(path, d).toString)
+      applyDelFiles(spark, path,
+        m.dels.filter(_.over.contains(d)).map(_.file), scan)
+    }.reduce(_ unionByName _)
+
+    var dataDir: Option[String] = None
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val parent = latest(spark, path)
+      val (rivalDirs, schema) =
+        if (parent == base) (Seq.empty[String], m.schema.getOrElse(df.schema))
+        else {
+          val rivals = snapshotIds(spark, path)
+            .filter(id => id > base && id <= parent)
+            .map(id => readManifestFull(spark, path, id))
+          rivals.find(_.op != "append").foreach { r =>
+            throw new CommitConflictException(
+              s"compactSmall of snapshot $base raced a '${r.op}' commit on " +
+                s"$path — rebase is only safe over appends")
+          }
+          val pm = readManifestFull(spark, path, parent)
+          (pm.dirs.filterNot(m.dirs.contains),
+            pm.schema.getOrElse(m.schema.getOrElse(df.schema)))
+        }
+      try {
+        val dir = dataDir.getOrElse {
+          val d = s"data/s${nextId(spark, path)}"
+          writeData(df, path, d, statsCols, Seq.empty)
+          dataDir = Some(d); d
+        }
+        onCommitAttempt()
+        val surviving = m.dirs.filterNot(small.contains) ++ rivalDirs :+ dir
+        val keptDels = m.dels
+          .map(de => DelEntry(de.file, de.over.filterNot(small.contains)))
+          .filter(_.over.nonEmpty)
+        installManifest(spark, path, parent + 1, "compact_small",
+          surviving, keptDels, schema)
+        return (parent + 1, small.size)
+      } catch {
+        case e: CommitConflictException => last = e
+        case e: Throwable if isPathClash(e) => last = e
+      }
+    }
+    throw last
+  }
+
   /** OPTIMIZE commit (q187 — Delta `OPTIMIZE ZORDER BY` / Iceberg
     * rewrite-with-sort-order, distilled): rewrite the snapshot's
     * LOGICAL content range-clustered on `colName` — `numFiles` sorted,
@@ -687,7 +776,7 @@ object Snapshots {
     * race own the retry loop. */
   /** The data dirs (table-root-relative) snapshot `id` references —
     * the metadata [[Branches.merge]] rebases onto main. */
-  private[operators] def dirsOf(spark: SparkSession, path: String,
+  private[graft] def dirsOf(spark: SparkSession, path: String,
       id: Long): Seq[String] =
     readManifestFull(spark, path, id).dirs
 

@@ -45,6 +45,29 @@ class AttributionSpec extends SparkSpec {
     assert(out("view") == ((2L, 333333L, 333333L)), s"got $out")
   }
 
+  test("modelPanel (q204): hand-computed credits across all five models") {
+    // u1: view,click,view → purchase (n=3); u2: click → purchase (n=1);
+    // u3: view, never converts (credits nothing)
+    val ev = Seq(
+      (1L, ts(1), 1L, "view", 0.0, "{}"),
+      (2L, ts(2), 1L, "click", 0.0, "{}"),
+      (3L, ts(3), 1L, "view", 0.0, "{}"),
+      (4L, ts(4), 1L, "purchase", 1.0, "{}"),
+      (5L, ts(1), 2L, "click", 0.0, "{}"),
+      (6L, ts(2), 2L, "purchase", 1.0, "{}"),
+      (7L, ts(1), 3L, "view", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Attribution.modelPanel(ev, "purchase").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // view: first(u1)=1, last(u1 rn3)=1, linear 2×333333,
+    //   position 400000+400000, decay (1+3)/6 → 166666+500000
+    assert(out("view") == ((1L, 1L, 666666L, 800000L, 666666L)), s"got $out")
+    // click: u1 middle (200000 div 1) + u2 solo (all = 1000000)
+    assert(out("click") == ((1L, 1L, 1333333L, 1200000L, 1333333L)), s"got $out")
+  }
+
   test("deterministic on the gate corpus; shares sum to ~1") {
     val ev = Tables.events(spark, sf0001)
     val a = Attribution.removalEffects(ev, "purchase").collect().map(_.toString).toSeq

@@ -808,6 +808,117 @@ class SnapshotSpec extends SparkSpec {
       "vacuum count must not include stats/bloom sidecar files")
   }
 
+  test("compactSmall (q205): folds only sub-threshold dirs, carries the " +
+    "healthy dir by reference, second run is a no-op") {
+    import spark.implicits._
+    val path = freshPath("binpack")
+    // one healthy dir (800 rows) + three drips (1 row each)
+    Snapshots.overwrite((1L to 800L).map(i => (i, s"body $i" * 8))
+      .toDF("doc_id", "text"), path)
+    (1 to 3).foreach(i =>
+      Snapshots.append(Seq((1000L + i, s"drip $i")).toDF("doc_id", "text"), path))
+    val rowsBefore = Snapshots.read(spark, path).count()
+    val bigBytes = new org.apache.hadoop.fs.Path(path, "data/s1")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(path, "data/s1"))
+      .getLength
+    val (id, n) = Snapshots.compactSmall(spark, path, bigBytes / 2)
+    assert(n == 3, s"exactly the three drips must fold, got $n")
+    assert(Snapshots.opOf(spark, path, id) == "compact_small")
+    assert(Snapshots.read(spark, path).count() == rowsBefore)
+    val dirs = Snapshots.dirsOf(spark, path, id)
+    assert(dirs.contains("data/s1"), s"healthy dir must be CARRIED: $dirs")
+    assert(dirs.size == 2, s"3 drips must fold into one dir: $dirs")
+    // idempotence: the folded dir + healthy dir are both above threshold
+    // or alone — nothing left to merge
+    val (id2, n2) = Snapshots.compactSmall(spark, path, bigBytes / 2)
+    assert(id2 == id && n2 == 0, s"second run must no-op: ($id2, $n2)")
+    // history intact: the pre-compact snapshot still reads
+    assert(Snapshots.read(spark, path, id - 1).count() == rowsBefore)
+  }
+
+  test("compactSmall folds tombstones over rewritten dirs and narrows " +
+    "their scopes; carried dirs keep theirs") {
+    import spark.implicits._
+    val path = freshPath("binpack_dels")
+    Snapshots.overwrite((1L to 800L).map(i => (i, s"body $i" * 8))
+      .toDF("doc_id", "text"), path)
+    (1 to 3).foreach(i =>
+      Snapshots.append(Seq((1000L + i, s"drip $i")).toDF("doc_id", "text"), path))
+    // tombstone one drip row AND one healthy row (scope = all 4 dirs)
+    Snapshots.deleteKeys(spark, path,
+      Seq(1001L, 5L).toDF("doc_id"), "doc_id")
+    val expect = Snapshots.read(spark, path).count()
+    val bigBytes = new org.apache.hadoop.fs.Path(path, "data/s1")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(path, "data/s1"))
+      .getLength
+    val (id, n) = Snapshots.compactSmall(spark, path, bigBytes / 2)
+    assert(n == 3)
+    val ids = Snapshots.read(spark, path).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(Snapshots.read(spark, path).count() == expect)
+    assert(!ids.contains(1001L), "folded dir must have the tombstone applied")
+    assert(!ids.contains(5L), "carried dir must keep its delete scope")
+    assert(ids.contains(1002L) && ids.contains(6L))
+    // re-inserting a deleted key works: the narrowed scope excludes new dirs
+    Snapshots.append(Seq((1001L, "back")).toDF("doc_id", "text"), path)
+    assert(Snapshots.read(spark, path).where(col("doc_id") === 1001L).count() == 1L)
+    assert(Snapshots.opOf(spark, path, id) == "compact_small")
+  }
+
+  test("compactSmall: rival append rebases; row-mutating rival fails clean") {
+    import spark.implicits._
+    val path = freshPath("binpack_race")
+    Snapshots.overwrite((1L to 800L).map(i => (i, s"body $i" * 8))
+      .toDF("doc_id", "text"), path)
+    (1 to 2).foreach(i =>
+      Snapshots.append(Seq((1000L + i, s"drip $i")).toDF("doc_id", "text"), path))
+    val bigBytes = new org.apache.hadoop.fs.Path(path, "data/s1")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(path, "data/s1"))
+      .getLength
+    var fired = false
+    Snapshots.onCommitAttempt = () => {
+      if (!fired) {
+        fired = true
+        val saved = Snapshots.onCommitAttempt
+        Snapshots.onCommitAttempt = () => ()
+        try Snapshots.append(Seq((2000L, "rival")).toDF("doc_id", "text"), path)
+        finally Snapshots.onCommitAttempt = saved
+      }
+    }
+    try {
+      val (_, n) = Snapshots.compactSmall(spark, path, bigBytes / 2)
+      assert(n == 2)
+    } finally Snapshots.onCommitAttempt = () => ()
+    val ids = Snapshots.read(spark, path).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.contains(2000L), "the rival append must survive the rebase")
+    assert(ids.contains(1001L) && ids.contains(1002L))
+    // row-mutating rival → clean fail, no commit
+    Snapshots.append(Seq((3001L, "d1")).toDF("doc_id", "text"), path)
+    Snapshots.append(Seq((3002L, "d2")).toDF("doc_id", "text"), path)
+    val before = Snapshots.latest(spark, path)
+    var fired2 = false
+    Snapshots.onCommitAttempt = () => {
+      if (!fired2) {
+        fired2 = true
+        val saved = Snapshots.onCommitAttempt
+        Snapshots.onCommitAttempt = () => ()
+        try Snapshots.deleteKeys(spark, path, Seq(3001L).toDF("doc_id"), "doc_id")
+        finally Snapshots.onCommitAttempt = saved
+      }
+    }
+    try {
+      intercept[graft.operators.CommitConflictException] {
+        Snapshots.compactSmall(spark, path, bigBytes / 2)
+      }
+    } finally Snapshots.onCommitAttempt = () => ()
+    assert(Snapshots.latest(spark, path) == before + 1, // only the rival delete
+      "failed compactSmall must not leave a commit")
+  }
+
   test("applyCdc is the algebraic inverse of diff, multiset semantics included") {
     import spark.implicits._
     // Duplicate rows on BOTH sides: a has (5,50) twice, b keeps one and
