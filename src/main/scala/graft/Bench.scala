@@ -298,7 +298,33 @@ object Bench {
             } catch { case _: Throwable => Seq.empty }
           build.toSeq ++ serves
         }
-      opq ++ text ++ inc ++ nsw ++ audio ++ idxsync ++ sa
+      // q197: TRAIN (GD rounds over the cached featurized frame —
+      // amortizes across corpus snapshots) vs SCORE (one broadcast-
+      // literal scan — what a pipeline re-runs). The headline key keeps
+      // timing the assembled train+score path.
+      val cls: Seq[(String, Double)] =
+        if (!inScope("q197_quality_classifier")) Seq.empty
+        else {
+          import graft.operators.Classifier
+          val feat = Classifier.featurized(
+            Tables.documents(spark, sfDir), DsirTargetSources, ClsBuckets)
+          feat.persist()
+          try {
+            val train = bestOf("q197_train") {
+              Classifier.train(feat, ClsBuckets, ClsIters): Unit
+            }
+            val serve =
+              try {
+                val (w, b) = Classifier.train(feat, ClsBuckets, ClsIters) // untimed
+                bestOf("q197_score") {
+                  Classifier.scoreReport(feat, w, b)
+                    .write.format("noop").mode("overwrite").save()
+                }
+              } catch { case _: Throwable => None }
+            train.toSeq ++ serve.toSeq
+          } finally { feat.unpersist(); () }
+        }
+      opq ++ text ++ inc ++ nsw ++ audio ++ idxsync ++ sa ++ cls
     }
     // 3-decimal timings (ms precision is all best-of-N minima carry) keep
     // the whole line compact, and the total/value fields go LAST: the

@@ -4183,6 +4183,81 @@ object OracleSql {
          |GROUP BY 1 ORDER BY t.split""".stripMargin
     },
 
+    // q208: Kaplan-Meier — the identical ordered grid, n(t) and the
+    // survival log-sum as one windowed pass; censored rows carry d=0
+    // (ln 1 = 0) so they shape n(t) without touching S.
+    "q208_survival_km" ->
+      s"""WITH t0 AS (
+         |  SELECT user_id, min(ts) AS t0 FROM events
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |tp AS (
+         |  SELECT user_id, min(ts) AS tp FROM events
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |tl AS (SELECT user_id, max(ts) AS tl FROM events GROUP BY 1),
+         |obs AS (
+         |  SELECT
+         |    CASE WHEN tp.tp IS NOT NULL AND tp.tp >= t0.t0
+         |      THEN (epoch_us(tp.tp) - epoch_us(t0.t0)) // 1000000
+         |      ELSE (epoch_us(tl.tl) - epoch_us(t0.t0)) // 1000000 END AS t_sec,
+         |    CASE WHEN tp.tp IS NOT NULL AND tp.tp >= t0.t0
+         |      THEN 1 ELSE 0 END AS ev
+         |  FROM t0 JOIN tl USING (user_id) LEFT JOIN tp USING (user_id)),
+         |grid AS (
+         |  SELECT t_sec, CAST(count(*) AS BIGINT) AS n_at,
+         |    CAST(sum(ev) AS BIGINT) AS d
+         |  FROM obs GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_total FROM grid),
+         |risk AS (
+         |  SELECT t_sec, n_at, d,
+         |    CAST(n_total - COALESCE(sum(n_at) OVER (ORDER BY t_sec
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS n_risk
+         |  FROM grid CROSS JOIN tot),
+         |km AS (
+         |  SELECT t_sec, n_risk, d,
+         |    CASE WHEN d = n_risk THEN 0 ELSE
+         |      CAST(floor(exp(sum(ln(CASE WHEN d = n_risk THEN 1.0
+         |        ELSE 1.0 - CAST(d AS DOUBLE) / n_risk END))
+         |      OVER (ORDER BY t_sec ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND CURRENT ROW)) * 1e6 + 0.5) AS BIGINT) END
+         |      AS survival_micro
+         |  FROM risk)
+         |SELECT t_sec, n_risk, d, survival_micro
+         |FROM km WHERE d > 0 ORDER BY t_sec""".stripMargin,
+
+    // q209: two-proportion z-test — exact counts, one mirrored double
+    // expression for the statistic.
+    "q209_conversion_ztest" ->
+      s"""WITH pu AS (
+         |  SELECT user_id % 2 AS arm,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY user_id),
+         |a AS (
+         |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(conv) AS BIGINT) AS c
+         |  FROM pu GROUP BY 1),
+         |w AS (
+         |  SELECT
+         |    (SELECT n FROM a WHERE arm = 0) AS n_0,
+         |    (SELECT c FROM a WHERE arm = 0) AS conv_0,
+         |    (SELECT n FROM a WHERE arm = 1) AS n_1,
+         |    (SELECT c FROM a WHERE arm = 1) AS conv_1),
+         |s AS (
+         |  SELECT *, CAST(conv_0 AS DOUBLE) / n_0 AS p0,
+         |    CAST(conv_1 AS DOUBLE) / n_1 AS p1,
+         |    CAST(conv_0 + conv_1 AS DOUBLE) / (n_0 + n_1) AS pp
+         |  FROM w),
+         |s2 AS (
+         |  SELECT *, sqrt(pp * (1.0 - pp) * (1.0 / n_0 + 1.0 / n_1)) AS se
+         |  FROM s)
+         |SELECT n_0, conv_0, n_1, conv_1,
+         |  round(p0, 6) AS rate_0, round(p1, 6) AS rate_1,
+         |  round(CASE WHEN se = 0 THEN 0.0 ELSE (p1 - p0) / se END, 6) AS z,
+         |  CAST(CASE WHEN abs(CASE WHEN se = 0 THEN 0.0
+         |      ELSE (p1 - p0) / se END) > 1.959964
+         |    THEN 1 ELSE 0 END AS INT) AS significant
+         |FROM s2""".stripMargin,
+
     // q204: the rule-based attribution panel — per-journey positions
     // from one windowed pass, every credit exact floor-divided micro.
     "q204_attribution_panel" ->

@@ -384,6 +384,8 @@ object SparkEntry {
       ("doc_id", "lang"),       // key-FD, a real violation, and its
       ("lang", "source"),       // reverse
       ("source", "lang"))
+    val CalBins = 10            // q206 reliability-diagram resolution
+                                // (the standard 10-bin ECE)
   }
   import Params._
 
@@ -1442,6 +1444,15 @@ object SparkEntry {
         NumHashes, RowsPerBand, MinEstJaccard, TrainPct)),
     "q204_attribution_panel" -> ((s, d) =>
       Attribution.modelPanel(Tables.events(s, d), "purchase")),
+    "q208_survival_km" -> ((s, d) =>
+      Survival.kaplanMeier(Tables.events(s, d), "view", "purchase")),
+    "q209_conversion_ztest" -> ((s, d) =>
+      Experiments.conversionZTest(Tables.events(s, d), "purchase")),
+    "q206_calibration" -> ((s, d) =>
+      Classifier.calibrationReport(Tables.documents(s, d), DsirTargetSources,
+        ClsBuckets, ClsIters, CalBins)),
+    "q207_core_census" -> ((s, d) =>
+      Graph.supplierCoreCensus(Tables.lineitem(s, d), TriMinCooc)),
     "q205_partial_compaction" -> ((s, d) => {
       // Rows-only lifecycle (the q187 class): one healthy dir + three
       // drip-appends; ONE compact_small folds only the drips — the big

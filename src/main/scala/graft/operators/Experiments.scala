@@ -85,6 +85,39 @@ object Experiments {
       .orderBy("arm")
   }
 
+  /** q209: two-proportion z-test on conversion between the same arms
+    * as [[cupedReadout]] — the significance readout next to the
+    * variance-reduced means: pooled p̂ = (c₀+c₁)/(n₀+n₁), z =
+    * (p₁−p₀)/√(p̂(1−p̂)(1/n₀+1/n₁)). Counts are exact integers (one
+    * user-grain aggregate + a 2-row rollup); the z statistic is one
+    * deterministic double expression over them, mirrored verbatim in
+    * the oracle. One row: counts, rates, z, and the |z| > 1.96 flag. */
+  def conversionZTest(events: DataFrame, convType: String): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === convType).cast("long")).as("conv"))
+      .select(pmod(col("user_id"), lit(2L)).as("arm"), col("conv"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val a0 = arms.where(col("arm") === 0)
+      .select(col("n").as("n_0"), col("c").as("conv_0"))
+    val a1 = arms.where(col("arm") === 1)
+      .select(col("n").as("n_1"), col("c").as("conv_1"))
+    val p0 = col("conv_0").cast("double") / col("n_0")
+    val p1 = col("conv_1").cast("double") / col("n_1")
+    val pPool = (col("conv_0") + col("conv_1")).cast("double") /
+      (col("n_0") + col("n_1"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("n_0") + lit(1.0) / col("n_1")))
+    val z = when(se === 0.0, lit(0.0)).otherwise((p1 - p0) / se)
+    a0.crossJoin(broadcast(a1))
+      .select(
+        col("n_0"), col("conv_0"), col("n_1"), col("conv_1"),
+        round(p0, 6).as("rate_0"), round(p1, 6).as("rate_1"),
+        round(z, 6).as("z"),
+        (abs(z) > 1.959964).cast("int").as("significant"))
+  }
+
   /** θ = cov(x,y)/var(x) from exact pooled moments (0 when var(x)=0). */
   private def cupedTheta =
     when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(0.0))

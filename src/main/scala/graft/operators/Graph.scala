@@ -503,6 +503,60 @@ object Graph {
     levels.reduce(_ unionByName _)
   }
 
+  /** Core decomposition by h-index propagation (Montresor, De
+    * Pellegrini & Miorandi, "Distributed k-Core Decomposition", IEEE
+    * TPDS 2013): every node starts at its degree and repeatedly lowers
+    * its coreness estimate to the H-INDEX of its neighbors' estimates
+    * (the largest h with ≥ h neighbors at ≥ h); estimates are monotone
+    * non-increasing and the fixed point IS the exact core number — the
+    * same answer as sequential peeling (GraphSpec runs that
+    * differential), reached in O(diameter-ish) rounds instead of
+    * O(V) sequential deletions.
+    *
+    * Shape per round: one join of the estimate frame onto the edges +
+    * one groupBy(node) collecting the neighbor estimates (bounded by
+    * degree — a hub's list is its adjacency, the same bound any
+    * neighborhood algorithm carries) + a codegen'd h-index over the
+    * sorted array. Rounds stop at the first fixed point (one count per
+    * round, the [[Clusters.connectedComponents]] convergence
+    * discipline), capped at `maxRounds`. Returns (node, core). */
+  def coreDecomposition(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint
+    val e = leanCheckpoint(symmetrize(edges))
+    var c = leanCheckpoint(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core")))
+    val hIndex = {
+      val sorted = sort_array(col("cs"), asc = false)
+      size(filter(
+        zip_with(sorted, sequence(lit(1), size(sorted)), (v, i) => v >= i),
+        x => x))
+    }
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val msgs = e.join(c, e("dst") === c("node"))
+        .select(e("src").as("node"), col("core").as("nc"))
+      val next = leanCheckpoint(
+        msgs.groupBy("node")
+          .agg(collect_list(col("nc")).as("cs"))
+          .join(c, Seq("node"))
+          .select(col("node"), least(col("core"), hIndex).as("core")))
+      changed = next.join(c.withColumnRenamed("core", "prev"), Seq("node"))
+        .where(col("core") =!= col("prev")).count()
+      c = next
+    }
+    c
+  }
+
+  /** q207: core-number distribution of the thresholded supplier
+    * co-occurrence graph — (core, n_nodes), the graph's density
+    * fingerprint (which suppliers sit in how cohesive a nucleus). */
+  def supplierCoreCensus(lineitem: DataFrame, minCount: Long): DataFrame =
+    coreDecomposition(supplierCoEdges(lineitem, minCount))
+      .groupBy("core").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("core")
+
   /** q196: exact distance distribution of the thresholded supplier
     * co-occurrence graph — ordered (src ≠ dst) pairs by shortest-path
     * length, depths 1..maxDepth. */

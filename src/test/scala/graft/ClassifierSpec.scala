@@ -43,6 +43,27 @@ class ClassifierSpec extends SparkSpec {
     assert(rep.exists(_.getLong(3) != 500000L), "training moved no scores")
   }
 
+  test("calibrationReport: bins partition the corpus, rates bounded, " +
+    "ECE is the weighted mean gap") {
+    val docs = Tables.documents(spark, sf001)
+    val rep = Classifier.calibrationReport(docs, Seq("src0", "src1"), 1024, 4, 10)
+      .collect()
+    assert(rep.nonEmpty)
+    val total = rep.map(_.getLong(1)).sum
+    assert(total == docs.count(), "every document must land in exactly one bin")
+    rep.foreach { r =>
+      val (bin, n) = (r.getLong(0), r.getLong(1))
+      assert(bin >= 0 && bin <= 9 && n > 0, s"bin row: $r")
+      Seq(2, 3).foreach(i =>
+        assert(r.getLong(i) >= 0L && r.getLong(i) <= 1000000L, s"rate: $r"))
+      assert(r.getLong(4) ==
+        math.abs(r.getLong(2) - r.getLong(3)), s"gap: $r")
+    }
+    val ece = rep.head.getLong(5)
+    val expect = rep.map(r => r.getLong(1) * r.getLong(4)).sum / total
+    assert(ece == expect, s"ECE $ece != weighted mean $expect")
+  }
+
   test("determinism: two full trainings produce the same report") {
     val docs = Tables.documents(spark, sf0001)
     def run() = Classifier.qualityReport(docs, Seq("src0"), Buckets, 2)

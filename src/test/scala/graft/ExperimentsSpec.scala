@@ -34,6 +34,26 @@ class ExperimentsSpec extends SparkSpec {
     assert(out(0L).getDouble(5) == 0.98, s"var_reduction: ${out(0L)}")
   }
 
+  test("conversionZTest (q209): balanced arms score z = 0; a planted " +
+    "one-sided conversion lift is significant") {
+    def at(i: Int) = Timestamp.valueOf(f"2026-01-01 10:${i % 60}%02d:00")
+    def ev(rows: Seq[(Long, String)]) = rows.zipWithIndex.map {
+      case ((u, t), i) => (i.toLong, at(i), u, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // u1..u4: one conversion per arm → identical rates, z = 0
+    val balanced = ev(Seq((1L, "purchase"), (2L, "purchase"),
+      (3L, "view"), (4L, "view")))
+    val b = Experiments.conversionZTest(balanced, "purchase").head()
+    assert(b.getDouble(6) == 0.0 && b.getInt(7) == 0, s"got $b")
+    // 40 odd users all convert, 40 even users never → massive z
+    val lifted = ev((1L to 80L).map(u =>
+      u -> (if (u % 2 == 1) "purchase" else "view")))
+    val l = Experiments.conversionZTest(lifted, "purchase").head()
+    assert(l.getLong(0) == 40L && l.getLong(1) == 0L)
+    assert(l.getLong(2) == 40L && l.getLong(3) == 40L)
+    assert(l.getDouble(6) > 1.96 && l.getInt(7) == 1, s"got $l")
+  }
+
   test("gate corpus: readout well-formed, adjustment preserves grand mean") {
     val out = Experiments.cupedReadout(Tables.events(spark, sf001)).collect()
     assert(out.length == 2)

@@ -252,6 +252,42 @@ class GraphSpec extends SparkSpec {
       "each node reaches exactly its one component peer")
   }
 
+  test("coreDecomposition == sequential peeling on crafted and seeded graphs") {
+    def peel(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      // textbook core numbers: repeatedly remove the min-degree node
+      val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+      edges.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set()) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set()) += a
+      }
+      val core = scala.collection.mutable.Map[Long, Long]()
+      var k = 0L
+      while (adj.nonEmpty) {
+        val deg = adj.map { case (n, s) => n -> s.size.toLong }
+        k = math.max(k, deg.values.min)
+        val victim = deg.filter(_._2 <= k).keys.min
+        core(victim) = k
+        adj(victim).foreach(n => adj.get(n).foreach(_ -= victim))
+        adj -= victim
+      }
+      core.toMap
+    }
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.coreDecomposition(edges.toDF("src", "dst")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 with a pendant path: clique nodes core 3, path core 1
+    val k4tail = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(run(k4tail) == peel(k4tail))
+    assert(run(k4tail)(0L) == 3L && run(k4tail)(5L) == 1L)
+    // seeded random graph
+    val rnd = new scala.util.Random(11)
+    val rand = (1 to 120).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).distinct
+    assert(run(rand) == peel(rand))
+  }
+
   test("supplierHarmonicCentrality: hand-checked micro sums on a path") {
     // reuse the generic machinery through a tiny lineitem-like frame:
     // orders o shared by suppliers (i, i+1) → path co-occurrence graph

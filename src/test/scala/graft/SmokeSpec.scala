@@ -18,7 +18,10 @@ class SmokeSpec extends SparkSpec {
       "q158_safetensors", "q163_lrs_report", "q167_packed_export",
       "q168_exactsubstr_remove", "q172_seeding_quality",
       "q175_image_phash", "q180_text_index_sync", "q181_image_dedup",
-      "q187_optimize_commit", "q189_gdpr_erase", "q193_image_hash_sync")
+      "q187_optimize_commit", "q189_gdpr_erase", "q193_image_hash_sync",
+      "q197_quality_classifier", "q198_markov_attribution",
+      "q199_branch_merge", "q200_dp_release", "q205_partial_compaction",
+      "q206_calibration", "q207_core_census")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
     val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -654,4 +654,39 @@ class StreamingSpec extends SparkSpec {
     val got4 = run(dir4, "holt_sink4", oneFilePerTrigger = true)
     assert(got4.toSeq == got.toSeq, "micro-batch slicing changed a fold")
   }
+
+  test("streaming theta sketch: settled per-segment bytes equal the batch " +
+    "aggregate bit-for-bit; duplicate delivery cannot inflate") {
+    import graft.streaming.SketchStream
+    import graft.functions.ThetaSketch
+    import org.apache.spark.sql.functions._
+    val rows = Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority").as("segment"), col("o_custkey").as("id"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sketch_stream_src"
+    // replay twice: at-least-once worst case — KMV add is idempotent
+    rows.coalesce(1).write.mode("overwrite").parquet(dir)
+    Thread.sleep(1100)
+    rows.coalesce(1).write.mode("append").parquet(dir)
+    val q = SketchStream.segmentSketches(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir), 1024)
+      .writeStream.format("memory").queryName("sketch_sink").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last emission per segment = the settled sketch (estimates only grow)
+    val got = spark.table("sketch_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    val want = rows
+      .select(col("segment"), xxhash64(col("id")).as("h"))
+      .groupBy("segment")
+      .agg(ThetaSketch.thetaSketch(col("h"), 1024).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (seg, (_, est, bytes)) =>
+      assert(java.util.Arrays.equals(bytes, want(seg)),
+        s"segment $seg: streamed sketch bytes diverged from batch")
+      assert(est == ThetaSketch.estimateOf(want(seg)))
+    }
+  }
 }
