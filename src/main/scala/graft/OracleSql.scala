@@ -4165,9 +4165,9 @@ object OracleSql {
          |  FROM documents d LEFT JOIN labeled l USING (doc_id)),
          |dials AS (
          |  SELECT
-         |    CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    CAST(COALESCE(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
          |      AS leaky_clusters_safe,
-         |    CAST(sum(CASE WHEN nns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    CAST(COALESCE(sum(CASE WHEN nns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
          |      AS leaky_clusters_naive
          |  FROM (
          |    SELECT cluster_id, count(DISTINCT split) AS ns,

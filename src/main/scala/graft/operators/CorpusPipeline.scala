@@ -111,7 +111,9 @@ object CorpusPipeline {
     def leaky(splitCol: String) = tagged.where(col("cluster_id").isNotNull)
       .groupBy("cluster_id")
       .agg(countDistinct(col(splitCol)).as("ns"))
-      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n"))
+      // coalesce: a dup-free corpus leaves the cluster frame EMPTY and
+      // a global agg over it returns one NULL-sum row
+      .agg(coalesce(sum(when(col("ns") > 1, 1L).otherwise(0L)), lit(0L)).as("n"))
     val dials = leaky("split").select(col("n").as("leaky_clusters_safe"))
       .crossJoin(leaky("naive_split").select(col("n").as("leaky_clusters_naive")))
     tagged

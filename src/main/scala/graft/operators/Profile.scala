@@ -513,8 +513,11 @@ object Profile {
           lit(det).as("det_col"),
           lit(dep).as("dep_col"),
           count(lit(1)).as("n_det"),
-          sum("__deps").as("n_combos"),
-          sum(when(col("__deps") > 1, 1L).otherwise(0L)).as("violating_dets"))
+          // coalesce: a global agg over an EMPTY table still returns
+          // one row, with NULL sums — an empty table trivially holds
+          coalesce(sum("__deps"), lit(0L)).as("n_combos"),
+          coalesce(sum(when(col("__deps") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("violating_dets"))
         .select(
           col("det_col"), col("dep_col"), col("n_det"), col("n_combos"),
           (col("violating_dets") === 0).cast("int").as("holds"),

@@ -426,4 +426,39 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Search.fuzzyTerms(emptyDocs, "hash", 5).count() == 0)
     assert(graft.operators.Search.moreLikeThis(emptyDocs, 1L, 5).count() == 0)
   }
+
+  test("r16 operators degrade cleanly on empty and degenerate inputs") {
+    import java.sql.Timestamp
+    // skyline: empty frame → empty frontier, no carry-map crash
+    val noPts = Seq.empty[(Long, Long, Long)].toDF("id", "x", "y")
+    assert(graft.operators.Skyline.paretoMax(noPts, "x", "y").count() == 0)
+    // KM: a corpus with zero conversions → every user censored, no
+    // event rows, no divide-by-zero
+    val censoredOnly = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, Timestamp.valueOf("2026-01-01 10:05:00"), 1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(graft.operators.Survival
+      .kaplanMeier(censoredOnly, "view", "purchase").count() == 0)
+    // Markov attribution without a single conversion: channels score 0
+    val eff = graft.operators.Attribution
+      .removalEffects(censoredOnly, "purchase").collect()
+    assert(eff.forall(_.getLong(2) == 0L), s"no-conversion effects: ${eff.toSeq}")
+    // core decomposition on an empty edge list
+    val noEdges2 = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.Graph.coreDecomposition(noEdges2).count() == 0)
+    assert(graft.operators.Graph.neighborhoodLevels(noEdges2, 2).count() == 0)
+    // FD audit on an empty table: one row per pair, trivially holding
+    val emptyDocs2 = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "source")
+    val fd = Profile.functionalDeps(emptyDocs2, Seq(("lang", "source"))).head()
+    assert(fd.getLong(2) == 0L && fd.getInt(4) == 1 && fd.getLong(5) == 0L)
+    // leakage-safe split with no near-dups: every doc is its own
+    // representative — the safe split IS the naive split, zero leaks
+    val uniq = Seq((1L, "alpha beta gamma delta", "en", "s", 20L),
+      (2L, "omega psi chi phi", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val split = CorpusPipeline.leakageSafeSplit(uniq, 3, 12, 2, 0.5, 50).collect()
+    assert(split.map(_.getLong(1)).sum == 2L)
+    assert(split.forall(r => r.getLong(4) == 0L && r.getLong(5) == 0L))
+  }
 }

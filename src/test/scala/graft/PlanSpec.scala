@@ -311,4 +311,38 @@ class PlanSpec extends SparkSpec {
       s"GroupedTopK exec missing:\n$p")
     assert(!p.contains("Window"), s"covisitation must not window-sort:\n$p")
   }
+
+  test("skyline (q195): no CartesianProduct, no global window — the " +
+    "frontier side broadcasts") {
+    val p = physical(Skyline.bestCustomers(Tables.orders(spark, sf0001)))
+    assert(!p.contains("CartesianProduct"), s"skyline went quadratic:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"frontier groups must broadcast into the probe join:\n$p")
+    // the only window is per-__pid (range-partitioned), never global
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"the running max must partition by __pid:\n$p")
+  }
+
+  test("theta sketch (q194): map-side partial sketches — ids never shuffle") {
+    val p = physical(Sketches.audienceAlgebra(Tables.orders(spark, sf0001), 64))
+    assert(p.contains("partial_theta_sketch"),
+      s"sketch build must run a partial (map-side) stage:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"sketch agg must be ObjectHashAggregate (object buffer):\n$p")
+  }
+
+  test("attribution panel (q204): one user-grain exchange feeds every model") {
+    val p = physical(Attribution.modelPanel(Tables.events(spark, sf0001), "purchase"))
+    assert(!p.contains("CartesianProduct"), s"panel went quadratic:\n$p")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1,
+      s"expected ONE user-grain exchange shared by the windows, got $userExchanges:\n$p")
+  }
+
+  test("CUPED (q202): the pooled-moment frame broadcasts, never joins by shuffle") {
+    val p = physical(Experiments.cupedReadout(Tables.events(spark, sf0001)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row moment frames must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join belongs here:\n$p")
+  }
 }
