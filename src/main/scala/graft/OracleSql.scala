@@ -1871,29 +1871,38 @@ object OracleSql {
     },
 
     "q58_multiprobe_lsh" -> {
-      // Same deterministic hyperplane family as q15b (first MpTables
-      // tables of it); candidates = Hamming<=1 bucket pairs via the
-      // probe-side unnest of [exact, flip_0..flip_{nPlanes-1}].
-      val planes = graft.operators.Dedup.hyperplanes(NPlanes * MpTables, 64)
-      def arr(h: Seq[Double]) =
-        h.map(v => BigDecimal(v).underlying.toPlainString).mkString("[", ", ", "]::DOUBLE[]")
+      // Auto-sized planes (r17): p = smallest plane count in [4, 30]
+      // with 2^p * MpTarget >= n — the same pure-integer comparison as
+      // Dedup.autoPlanes, so both engines derive the identical p from
+      // the corpus count. Hyperplane values are rebuilt in SQL from the
+      // same LCG as Dedup.hyperplanes (plane index t*p+j, element i →
+      // ((1664525*(idx*64+i)+1013904223) % 2^32 % 2048 - 1024)/1024),
+      // exact integer arithmetic before one double division, so the
+      // plane literals match the Scala doubles bitwise. Candidates =
+      // Hamming<=1 bucket pairs via the probe-side unnest of
+      // [exact, flip_0..flip_{p-1}].
+      def planeList(t: Int) =
+        s"""[((((1664525::BIGINT * (($t * p + j) * 64 + i) + 1013904223)
+           |      % 4294967296) % 2048) - 1024) / 1024.0 for i in range(0, 64)]""".stripMargin
       def bucket(t: Int) =
-        planes.slice(t * NPlanes, (t + 1) * NPlanes).zipWithIndex.map { case (h, j) =>
-          s"(CASE WHEN ${dotd("embedding", arr(h))} >= 0 THEN ${1L << j} ELSE 0 END)"
-        }.mkString(" + ")
+        s"""CAST(list_sum([CASE WHEN ${dotd("embedding", planeList(t))} >= 0
+           |      THEN (1::BIGINT << j) ELSE 0 END for j in range(0, p)]) AS BIGINT)""".stripMargin
       val bucketCols = (0 until MpTables)
-        .map(t => s"CAST(${bucket(t)} AS BIGINT) AS b$t").mkString(",\n    ")
+        .map(t => s"${bucket(t)} AS b$t").mkString(",\n    ")
       val unions = (0 until MpTables).map { t =>
-        val probes = (s"b$t" +: (0 until NPlanes).map(j => s"xor(b$t, ${1L << j})"))
-          .mkString("[", ", ", "]")
+        val probes = s"list_concat([b$t], [xor(b$t, 1::BIGINT << j) for j in range(0, p)])"
         s"""SELECT l.vec_id AS a, r.vec_id AS b
            |  FROM (SELECT vec_id, unnest($probes) AS bk FROM bucketed) l
            |  JOIN bucketed r ON l.bk = r.b$t AND l.vec_id < r.vec_id""".stripMargin
       }.mkString("\n  UNION\n  ")
-      s"""WITH bucketed AS (
-         |  SELECT vec_id,
+      s"""WITH params AS (
+         |  SELECT coalesce(list_min(
+         |      [pp for pp in range(4, 31) if (1::BIGINT << pp) * $MpTarget >= n]), 30) AS p
+         |  FROM (SELECT count(*) AS n FROM embeddings)),
+         |bucketed AS (
+         |  SELECT vec_id, p,
          |    $bucketCols
-         |  FROM embeddings WHERE len(embedding) = 64),
+         |  FROM embeddings, params WHERE len(embedding) = 64),
          |cand AS (
          |  $unions),
          |normed AS (

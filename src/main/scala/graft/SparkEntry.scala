@@ -96,6 +96,8 @@ object SparkEntry {
     val MpTables = 2                    // q58 multi-probe: half of NTables —
                                         // Hamming<=1 probing buys the recall
                                         // the other two tables would
+    val MpTarget = 8                    // q58 autoPlanes occupancy target:
+                                        // planes = min p with 2^p*MpTarget >= n
     val QrMinTokens = 20                // q59 gate thresholds, set against the
     val QrMinStopword = 0.02            // corpus's q16 signal distribution so
     val QrMaxMeanTokenLen = 6.0         // each rule fires on a real minority
@@ -610,7 +612,8 @@ object SparkEntry {
       Pq.searchResidualIvfAdc(emb, IvfStep, cbs, Knn.queryVector(emb, QueryVecId), NProbe, K)
     }),
     "q58_multiprobe_lsh" -> ((s, d) =>
-      Dedup.cosineLshMultiProbe(Tables.embeddings(s, d), NPlanes, MpTables, CosineThreshold)),
+      Dedup.cosineLshMultiProbeAuto(Tables.embeddings(s, d), MpTables, CosineThreshold,
+        targetPerBucket = MpTarget)),
     "q59_quality_report" -> ((s, d) => TextAnalysis.qualityReport(
       Tables.documents(s, d), QrMinTokens, QrMinStopword, QrMaxMeanTokenLen)),
     "q160_attrition_funnel" -> ((s, d) => CorpusPipeline.attritionFunnel(

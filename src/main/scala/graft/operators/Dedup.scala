@@ -436,17 +436,26 @@ object Dedup {
     * One count job; clamped to [4, 30] (past 30 the 1-bit probe set and
     * long bucket ids still hold, but 2^30 buckets ≫ any real corpus's
     * useful resolution). The verify-by-true-cosine contract is
-    * unchanged — planes tune candidate RECALL vs cost only. */
+    * unchanged — planes tune candidate RECALL vs cost only.
+    *
+    * Integer-exact on purpose: the smallest p with 2^p·target ≥ n is
+    * the same number as ceil(log2(n/target)) clamped to [4, 30], but
+    * the log form computed as log(n)/log(2) can land one ulp above an
+    * exact power of two and ceil up a spurious plane — and the DuckDB
+    * oracle mirrors this formula, so both sides use the same pure
+    * 64-bit comparison and cannot disagree at any n. */
   def autoPlanes(vectors: DataFrame, targetPerBucket: Int = 8): Int = {
     require(targetPerBucket > 0)
     val n = vectors.count()
-    val buckets = math.max(1.0, n.toDouble / targetPerBucket)
-    math.min(30, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
+    (4 to 30).find(p => (1L << p) * targetPerBucket >= n).getOrElse(30)
   }
 
   /** [[cosineLshMultiProbe]] at the [[autoPlanes]] plane count — the
-    * production entry point at unknown scale (the oracle-pinned q58
-    * key keeps fixed planes so DuckDB can mirror the exact buckets). */
+    * production entry point at unknown scale, and since r17 the q58
+    * key itself: the DuckDB oracle recomputes p with the same integer
+    * comparison and rebuilds the LCG hyperplanes per (table, bit) in
+    * SQL, so the oracle follows the auto-sizing instead of pinning the
+    * operator to the fixed-planes scale trap. */
   def cosineLshMultiProbeAuto(vectors: DataFrame, nTables: Int, threshold: Double,
                               dim: Int = 64, targetPerBucket: Int = 8): DataFrame =
     cosineLshMultiProbe(vectors, autoPlanes(vectors, targetPerBucket),
