@@ -3532,16 +3532,26 @@ object OracleSql {
          |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
 
     // q96: blocked fuzzy join — levenshtein is an integer DP, same
-    // classic distance in both engines; blocking on (lang, first word).
+    // classic distance in both engines; blocking on (lang, first word)
+    // with the r17 occupancy guard mirrored: blocks over FuzzyMaxBlock
+    // sub-block on hash60(second word) mod ceil(cnt/maxBlock).
     "q96_fuzzy_pairs" ->
-      s"""WITH d AS (
+      s"""WITH d0 AS (
          |  SELECT doc_id, lang,
          |    string_split(text, ' ')[1] AS w1,
+         |    coalesce(string_split(text, ' ')[2], '') AS w2,
          |    substr(text, 1, $FuzzyPrefixLen) AS p
-         |  FROM documents WHERE text IS NOT NULL)
+         |  FROM documents WHERE text IS NOT NULL),
+         |d AS (
+         |  SELECT doc_id, lang, w1, p,
+         |    CASE WHEN count(*) OVER (PARTITION BY lang, w1) <= $FuzzyMaxBlock THEN 0
+         |         ELSE ${hash60("w2")} %
+         |           CAST(floor((count(*) OVER (PARTITION BY lang, w1) + ${FuzzyMaxBlock - 1})
+         |                / $FuzzyMaxBlock.0) AS BIGINT) END AS sub
+         |  FROM d0)
          |SELECT a.lang, a.doc_id AS a, b.doc_id AS b,
          |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
-         |FROM d a JOIN d b ON a.lang = b.lang AND a.w1 = b.w1
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.w1 = b.w1 AND a.sub = b.sub
          |WHERE a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= $FuzzyMaxDist
          |ORDER BY a, b""".stripMargin,
 

@@ -233,6 +233,11 @@ object SparkEntry {
     val TempBudget = 200L       // q95 sampling budget: ~40% of sf0.01 —
                                 // quotas bind below source sizes
     val FuzzyPrefixLen = 24     // q96 compared prefix (DP cost bound)
+    val FuzzyMaxBlock = 128     // q96 occupancy cap: blocks above this
+                                // sub-block on hash60(w2) — above the
+                                // gate corpora's max block (93), so the
+                                // cap is armed but the pair sets are
+                                // byte-identical to the uncapped join
     val FuzzyMaxDist = 8        // q96 edit threshold: 11 pairs at
                                 // sf0.01, 923 at sf0.1 — populated,
                                 // not everything-matches
@@ -853,7 +858,7 @@ object SparkEntry {
     "q95_temperature_sample" -> ((s, d) =>
       Sampling.temperatureSample(Tables.documents(s, d), TempBudget)),
     "q96_fuzzy_pairs" -> ((s, d) =>
-      Dedup.fuzzyPairs(Tables.documents(s, d), FuzzyPrefixLen, FuzzyMaxDist)),
+      Dedup.fuzzyPairs(Tables.documents(s, d), FuzzyPrefixLen, FuzzyMaxDist, FuzzyMaxBlock)),
     "q97_conversion_latency" -> ((s, d) =>
       Events.conversionLatencyDeciles(Tables.events(s, d), ConvFrom, ConvTo,
         DecileBuckets)),

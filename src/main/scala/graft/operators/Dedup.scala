@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 import graft.operators.TextAnalysis.tokens
@@ -540,15 +541,39 @@ object Dedup {
     * 1.4 s at sf0.1 — it splits the fused join-filter stage to prune
     * ~nothing, fixed-width prefixes all share one length), so it is
     * deliberately absent. Skewed blocks (every doc starting "the")
-    * split like any hot join key under AQE. */
-  def fuzzyPairs(docs: DataFrame, prefixLen: Int, maxDist: Int): DataFrame = {
+    * split like any hot join key under AQE.
+    *
+    * Occupancy guard (r17): AQE splits a hot block's TASKS but not its
+    * O(block²) pair count — a head block that grows linearly with the
+    * corpus (every English doc starting "the") is the one quadratic
+    * term left in this operator. `maxBlock` caps it: blocks at or under
+    * the cap compare exactly as before (sub-block 0), larger blocks are
+    * deterministically sub-blocked on the SECOND word (hash60(w2) mod
+    * ceil(cnt/maxBlock)), so per-block pair work is bounded by
+    * ~cnt·maxBlock instead of cnt². The trade is the standard
+    * multi-pass-blocking recall trade, but only ON MEGA-BLOCKS: a pair
+    * inside an oversize block is found iff it also agrees on w2 —
+    * near-dups overwhelmingly do (they share a prefix of `prefixLen`
+    * chars) — while every block under the cap keeps recall exactly.
+    * The block count rides a window over the same (lang, w1) hash
+    * partitioning the self-join needs, so the guard costs no extra
+    * exchange shape at scale. */
+  def fuzzyPairs(docs: DataFrame, prefixLen: Int, maxDist: Int,
+                 maxBlock: Int = Int.MaxValue): DataFrame = {
+    require(maxBlock > 0, "maxBlock must be positive")
+    val w = Window.partitionBy("lang", "w1")
     val d = docs.where(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         element_at(split(col("text"), " "), 1).as("w1"),
+        coalesce(element_at(split(col("text"), " "), 2), lit("")).as("w2"),
         substring(col("text"), 1, prefixLen).as("p"))
-    val a = d.select(col("lang"), col("w1"), col("doc_id").as("a"), col("p").as("pa"))
-    val b = d.select(col("lang"), col("w1"), col("doc_id").as("b"), col("p").as("pb"))
-    a.join(b, Seq("lang", "w1"))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sub", when(col("cnt") <= maxBlock, lit(0L)).otherwise(
+        pmod(hash60(col("w2")),
+          floor((col("cnt") + lit(maxBlock.toLong - 1)) / lit(maxBlock.toLong)).cast("long"))))
+    val a = d.select(col("lang"), col("w1"), col("sub"), col("doc_id").as("a"), col("p").as("pa"))
+    val b = d.select(col("lang"), col("w1"), col("sub"), col("doc_id").as("b"), col("p").as("pb"))
+    a.join(b, Seq("lang", "w1", "sub"))
       .where(col("a") < col("b"))
       .withColumn("dist", levenshtein(col("pa"), col("pb"), maxDist))
       .where(col("dist") >= 0)

@@ -167,6 +167,32 @@ class AnalyticsOpsSpec extends SparkSpec {
       "corpus produced no pairs — parameter drift, re-pin")
   }
 
+  test("fuzzyPairs occupancy cap: a capped block still finds its planted pair, " +
+    "sub-blocking prunes cross-sub candidates, and a cap above the block is a no-op") {
+    import graft.operators.Dedup
+    // one (en, "hello") mega-block of 6; docs 1/2 share w2 ("worlda")
+    // so they land in the same sub-block at any split count
+    val docs = Seq(
+      (1L, "en", "hello worlda xx"),
+      (2L, "en", "hello worlda xy"),
+      (3L, "en", "hello beta xx"),
+      (4L, "en", "hello gamma xx"),
+      (5L, "en", "hello delta xx"),
+      (6L, "en", "hello epsilon xx"))
+      .toDF("doc_id", "lang", "text")
+    def pairs(maxBlock: Int) =
+      Dedup.fuzzyPairs(docs, 24, 24, maxBlock).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val uncapped = pairs(Int.MaxValue)
+    assert(uncapped == (for (a <- 1L to 6L; b <- 1L to 6L if a < b) yield (a, b)).toSet,
+      s"uncapped block should compare all 15 pairs, got $uncapped")
+    val capped = pairs(2) // splits = ceil(6/2) = 3
+    assert(capped.contains((1L, 2L)), s"planted same-w2 pair lost under the cap: $capped")
+    assert(capped.size < uncapped.size,
+      "cap produced no pruning — sub-blocking is not splitting the mega-block")
+    assert(pairs(6) == uncapped, "cap >= block size must be byte-identical to uncapped")
+  }
+
   test("promoRevenueShare: hand-computed split on crafted rows") {
     def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
     val li = Seq(
