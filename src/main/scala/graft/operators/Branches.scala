@@ -136,8 +136,12 @@ object Branches {
             s"merge conflict: branch $name schema diverged from main")
       }
       try {
+        // commit onto the VALIDATED head: a rival landing after the
+        // validation read above makes the manifest CAS clash at
+        // head+1 and re-enters this revalidating loop, instead of
+        // being silently rebased over unvalidated (r17 TOCTOU fix)
         val id = Snapshots.commitDirs(spark, path, s"merge:$name",
-          branchDirs, branchDf.schema)
+          branchDirs, branchDf.schema, expectedParent = head)
         writeMarker(spark, path, name, base, merged = true)
         return id
       } catch {
@@ -148,11 +152,28 @@ object Branches {
   }
 
   /** Delete an UNMERGED branch — marker, manifests, and data dirs.
-    * Refuses on a merged branch: main references its dirs. */
+    * Refuses on a merged branch: main references its dirs.
+    *
+    * The merged marker is NOT trusted alone (r17): merge's manifest
+    * install and its marker write are two non-atomic steps, so a crash
+    * between them leaves main referencing `branches/<name>/data/sN`
+    * while the marker still says unmerged — and a marker-only check
+    * would then delete dirs main's manifests list (data loss on the
+    * MAIN table). Ground truth is main's manifest history itself:
+    * refuse whenever ANY main snapshot references a dir under this
+    * branch root. O(#snapshots) manifest reads, metadata-only. */
   def drop(spark: SparkSession, path: String, name: String): Unit = {
     val (_, merged) = readMarker(spark, path, name)
     require(!merged,
       s"branch $name is merged: its data dirs are referenced by main")
+    val prefix = s"branches/$name/"
+    val referenced = Snapshots.snapshotIds(spark, path).filter { id =>
+      Snapshots.dirsOf(spark, path, id).exists(_.startsWith(prefix))
+    }
+    require(referenced.isEmpty,
+      s"branch $name dirs are referenced by main snapshot(s) " +
+        s"${referenced.mkString(",")} (marker says unmerged — torn merge?); " +
+        "refusing to delete data main can read")
     fs(spark, path).delete(new Path(branchRoot(path, name)), true)
     ()
   }

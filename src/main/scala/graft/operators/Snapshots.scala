@@ -243,6 +243,28 @@ object Snapshots {
     if (bloomCols.nonEmpty) writeBloom(df.sparkSession, path, dataDir, bloomCols)
   }
 
+  /** Sidecar column-type validation, hoisted ABOVE the data write: a
+    * DATE statsCol (or a float bloomCol) must fail before any
+    * `data/sN` dir lands — the writeStats/writeBloom `require`s run
+    * after the parquet write and would orphan the dir they reject
+    * (reads stay correct, the manifest never installs, but the r15
+    * "reject before the data dir is written" bar wants no orphan at
+    * all). The post-write requires stay as defense in depth against
+    * parquet round-trip type drift. */
+  private def validateSidecarCols(schema: org.apache.spark.sql.types.StructType,
+                                  statsCols: Seq[String], bloomCols: Seq[String]): Unit = {
+    statsCols.foreach { c =>
+      val dt = schema(c).dataType.typeName
+      require(Seq("long", "integer", "short", "byte").contains(dt),
+        s"stats column $c has non-integral type $dt")
+    }
+    bloomCols.foreach { c =>
+      val dt = schema(c).dataType.typeName
+      require(Seq("long", "integer", "short", "byte", "string").contains(dt),
+        s"bloom column $c has unsupported type $dt")
+    }
+  }
+
   private def commit(df: DataFrame, path: String, op: String,
                      carry: Seq[String], statsCols: Seq[String] = Seq.empty,
                      schema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -251,6 +273,7 @@ object Snapshots {
                      partitionBy: Seq[String] = Seq.empty,
                      bloomCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
+    validateSidecarCols(df.schema, statsCols, bloomCols)
     // Manifest id pinned at ENTRY (dense CAS sequence, see nextId's
     // doc): anything a rival lands after this point makes the install
     // clash rather than silently supersede.
@@ -780,16 +803,26 @@ object Snapshots {
       id: Long): Seq[String] =
     readManifestFull(spark, path, id).dirs
 
+  /** Metadata-only commit of extra dirs onto an EXPLICIT parent. The
+    * caller passes the head it VALIDATED (r17: the old re-read of
+    * `latest` here was a TOCTOU — a rival commit landing between the
+    * caller's validation read and this one was silently rebased over
+    * without re-validation, because the install adopted the new head
+    * instead of clashing at validatedHead+1). Installing at
+    * expectedParent+1 unconditionally means any rival turns into a
+    * manifest CAS clash ([[CommitConflictException]]), returning
+    * control to the caller's revalidate-and-retry loop. */
   private[operators] def commitDirs(spark: SparkSession, path: String,
       op: String, extraDirs: Seq[String],
-      schema: org.apache.spark.sql.types.StructType): Long = {
-    val parent = latest(spark, path)
-    val pm = if (parent == 0) None else Some(readManifestFull(spark, path, parent))
+      schema: org.apache.spark.sql.types.StructType,
+      expectedParent: Long): Long = {
+    val pm = if (expectedParent == 0) None
+      else Some(readManifestFull(spark, path, expectedParent))
     onCommitAttempt()
-    installManifest(spark, path, parent + 1, op,
+    installManifest(spark, path, expectedParent + 1, op,
       pm.map(_.dirs).getOrElse(Seq.empty) ++ extraDirs,
       pm.map(_.dels).getOrElse(Seq.empty), schema)
-    parent + 1
+    expectedParent + 1
   }
 
   /** Read snapshot `asOf` (default: latest). One manifest fetch, then

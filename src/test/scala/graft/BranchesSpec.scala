@@ -120,6 +120,66 @@ class BranchesSpec extends SparkSpec {
       s"both the rival append and the merge must survive: $ids")
   }
 
+  test("merge racing a row-MUTATING rival fails clean instead of silently " +
+    "rebasing over it (commitDirs TOCTOU): main keeps the rival's content") {
+    val path = freshPath("racemut")
+    Snapshots.overwrite(docs(0, 5), path)
+    Branches.create(spark, path, "dev")
+    Branches.append(docs(100, 102), path, "dev")
+    // rival OVERWRITE lands between merge's validation read and its
+    // manifest install — the window where the old latest-re-read in
+    // commitDirs adopted the rival as parent without re-validation
+    var fired = false
+    Snapshots.onCommitAttempt = () => {
+      if (!fired) {
+        fired = true
+        val saved = Snapshots.onCommitAttempt
+        Snapshots.onCommitAttempt = () => ()
+        try Snapshots.overwrite(docs(500, 503), path)
+        finally Snapshots.onCommitAttempt = saved
+      }
+    }
+    try {
+      intercept[CommitConflictException] {
+        Branches.merge(spark, path, "dev")
+      }
+    } finally Snapshots.onCommitAttempt = () => ()
+    val ids = Snapshots.read(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (500L until 503L).toSet,
+      s"main must be exactly the rival overwrite — no silent merge over it: $ids")
+    val (_, merged) = {
+      val l = Branches.list(spark, path).collect()
+        .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+      ("dev", l("dev"))
+    }
+    assert(!merged, "failed merge must not mark the branch merged")
+  }
+
+  test("drop refuses a TORN merge (manifest installed, marker write lost): " +
+    "main's manifests are ground truth, not the marker") {
+    val path = freshPath("torn")
+    Snapshots.overwrite(docs(0, 3), path)
+    Branches.create(spark, path, "dev")
+    Branches.append(docs(50, 52), path, "dev")
+    Branches.merge(spark, path, "dev")
+    // simulate the crash window: manifest landed, marker write lost —
+    // rewrite the marker back to merged=false
+    val f = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mk = new Path(s"$path/branches/dev/BRANCH.json")
+    val out = f.create(mk, true)
+    try out.write("""{"branch":"dev","base":1,"merged":false}""".getBytes("UTF-8"))
+    finally out.close()
+    val ex = intercept[IllegalArgumentException] {
+      Branches.drop(spark, path, "dev")
+    }
+    assert(ex.getMessage.contains("referenced by main"), ex.getMessage)
+    // main's data is intact: the branch rows are still readable
+    val ids = Snapshots.read(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ((0L until 3L) ++ (50L until 52L)).toSet, s"got $ids")
+  }
+
   test("branch listing reports base, merge state, commit count") {
     val path = freshPath("list")
     Snapshots.overwrite(docs(0, 3), path)

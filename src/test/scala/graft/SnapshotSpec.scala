@@ -16,6 +16,28 @@ class SnapshotSpec extends SparkSpec {
     p
   }
 
+  test("sidecar type validation rejects BEFORE the data write: a DATE statsCol " +
+    "(and a float bloomCol) commit throws and leaves NO orphan data dir") {
+    import spark.implicits._
+    val path = freshPath("statsreject")
+    val df = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 0.5))
+      .toDF("id", "d", "x")
+    intercept[IllegalArgumentException] {
+      Snapshots.overwrite(df, path, statsCols = Seq("d"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.overwrite(df, path, bloomCols = Seq("x"))
+    }
+    val hp = new Path(path)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphans = if (!f.exists(new Path(path, "data"))) Seq.empty
+      else f.listStatus(new Path(path, "data")).toSeq
+    assert(orphans.isEmpty, s"rejected commit still wrote data dirs: $orphans")
+    // and a valid commit on the same table still goes through
+    Snapshots.overwrite(df.select($"id", $"x"), path, statsCols = Seq("id"))
+    assert(Snapshots.read(spark, path).count() == 1)
+  }
+
   test("append chains onto the parent; every historical snapshot stays readable unchanged") {
     import spark.implicits._
     val path = freshPath("chain")
@@ -365,6 +387,46 @@ class SnapshotSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(x => (x._1, x._3)).toSeq
     assert(d23 == Seq((1L, 10L, "delete"), (1L, 11L, "insert"), (5L, 50L, "delete")),
       s"CoW diff wrong (bag semantics must yield exactly one (5,50) delete): $d23")
+  }
+
+  test("compactSmall racing a rival append rebases (both effects present); " +
+    "racing a row-mutating rival fails clean — never silent loss") {
+    import spark.implicits._
+    import graft.operators.CommitConflictException
+    val path = freshPath("cc_compactsmall")
+    // two small dirs to compact
+    Snapshots.overwrite(Seq((1L, 10L)).toDF("doc_id", "n_chars"), path)
+    Snapshots.append(Seq((2L, 20L)).toDF("doc_id", "n_chars"), path)
+    // rival APPEND in the commit window: compactSmall must lose the
+    // CAS, rebase, and carry BOTH the compacted dir and the rival's
+    Snapshots.onCommitAttempt = () => {
+      Snapshots.onCommitAttempt = () => ()
+      Snapshots.append(Seq((3L, 30L)).toDF("doc_id", "n_chars"), path): Unit
+    }
+    try {
+      val (id, n) = Snapshots.compactSmall(spark, path, smallBytes = 1L << 30)
+      assert(n == 2, s"expected both small dirs rewritten, got $n")
+      assert(id == 4L, s"rebased compact_small should land at v4, got $id")
+    } finally Snapshots.onCommitAttempt = () => ()
+    val rows = Snapshots.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"rebase lost rows — rival append and compaction must both survive: $rows")
+    // rival OVERWRITE in the window: no safe rebase — clean conflict,
+    // table content is exactly the rival's
+    Snapshots.append(Seq((4L, 40L)).toDF("doc_id", "n_chars"), path)
+    Snapshots.onCommitAttempt = () => {
+      Snapshots.onCommitAttempt = () => ()
+      Snapshots.overwrite(Seq((9L, 90L)).toDF("doc_id", "n_chars"), path): Unit
+    }
+    try {
+      intercept[CommitConflictException] {
+        Snapshots.compactSmall(spark, path, smallBytes = 1L << 30)
+      }
+    } finally Snapshots.onCommitAttempt = () => ()
+    assert(Snapshots.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((9L, 90L)),
+      "failed compact_small must leave the rival overwrite untouched")
   }
 
   test("optimistic concurrency: two appenders racing on the same observed state " +
