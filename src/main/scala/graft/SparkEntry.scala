@@ -387,6 +387,11 @@ object SparkEntry {
                                 // user-type count, so utility loss is
                                 // tail-only)
     val DpSeed = 2026L          // q200 release PRNG key
+    val DpVocabulary =          // q200 FIXED PUBLIC release domain: the
+      Seq("click", "error",     // product's event taxonomy (a public
+        "purchase", "signup",   // constant, not observed data) — makes
+        "view")                 // the released key set and T data-
+                                // independent, as ε-DP requires
     val FdPairs = Seq(          // q201 candidate dependencies: a true
       ("doc_id", "lang"),       // key-FD, a real violation, and its
       ("lang", "source"),       // reverse
@@ -1442,7 +1447,7 @@ object SparkEntry {
         .toDF("step", "n")
     }),
     "q200_dp_release" -> ((s, d) =>
-      Privacy.dpTypeCounts(Tables.events(s, d), DpEpsilon, DpClamp, DpSeed)),
+      Privacy.dpTypeCounts(Tables.events(s, d), DpVocabulary, DpEpsilon, DpClamp, DpSeed)),
     "q201_functional_deps" -> ((s, d) =>
       Profile.functionalDeps(Tables.documents(s, d), FdPairs)),
     "q202_cuped_readout" -> ((s, d) =>

@@ -126,10 +126,20 @@ object ThetaSketch {
   }
 
   /** Intersection estimate (Beyer et al. 2007): over the joint
-    * θ = min(θa, θb), count hashes retained by BOTH sketches below it;
-    * scale by 1/θ. Exact when both sketches are unsaturated. */
+    * θ = min(θa, θb), count hashes retained by BOTH sketches STRICTLY
+    * below it; scale by 1/θ. Exact when both sketches are unsaturated.
+    *
+    * Strictly below (r17): the θ-defining k-th value is the boundary,
+    * not a sample — counting it inclusively made intersect(A, A) on a
+    * saturated sketch ≈ k/θ while estimateOf(A) = (k−1)/θ, a small
+    * systematic overestimate that could report n_intersect > n_a for
+    * near-identical saturated segments. Excluding it matches
+    * estimateOf's (k−1) numerator, so A∩A == estimate(A) exactly at
+    * any saturation. The unsaturated path (θ = 1, every value a true
+    * member) keeps the inclusive count — it is exact. */
   def intersectEstimateOf(a: Array[Byte], b: Array[Byte]): Long = {
     val thetaJ = math.min(thetaValue(a), thetaValue(b))
+    val exclusive = thetaJ != Long.MaxValue
     val (_, na) = header(a)
     val (_, nb) = header(b)
     var i = 0
@@ -138,7 +148,8 @@ object ThetaSketch {
     while (i < na && j < nb) {
       val va = valueAt(a, i)
       val vb = valueAt(b, j)
-      if (va > thetaJ || vb > thetaJ) { i = na } // past joint θ: stop
+      if (va > thetaJ || vb > thetaJ ||
+        (exclusive && (va == thetaJ || vb == thetaJ))) { i = na } // at/past joint θ: stop
       else if (va == vb) { c += 1; i += 1; j += 1 }
       else if (va < vb) i += 1
       else j += 1

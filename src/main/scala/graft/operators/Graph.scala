@@ -519,7 +519,12 @@ object Graph {
     * neighborhood algorithm carries) + a codegen'd h-index over the
     * sorted array. Rounds stop at the first fixed point (one count per
     * round, the [[Clusters.connectedComponents]] convergence
-    * discipline), capped at `maxRounds`. Returns (node, core). */
+    * discipline), capped at `maxRounds` — and THROWING if the cap is
+    * hit still unconverged (r17): estimates are upper bounds until the
+    * fixed point, so a partial result silently returned as exact would
+    * be wrong on exactly the long-path graphs where rounds scale with
+    * diameter. Callers with a genuine budget raise maxRounds; nobody
+    * gets too-high core numbers labeled exact. Returns (node, core). */
   def coreDecomposition(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     import org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint
     val e = leanCheckpoint(symmetrize(edges))
@@ -546,6 +551,12 @@ object Graph {
         .where(col("core") =!= col("prev")).count()
       c = next
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"coreDecomposition did not converge within $maxRounds rounds " +
+          s"($changed estimates still falling) — the h-index estimates are " +
+          "upper bounds until the fixed point, so returning them would " +
+          "overstate core numbers; raise maxRounds")
     c
   }
 

@@ -288,6 +288,21 @@ class GraphSpec extends SparkSpec {
     assert(run(rand) == peel(rand))
   }
 
+  test("coreDecomposition THROWS when maxRounds exhausts unconverged — " +
+    "never returns partial (too-high) estimates as exact") {
+    // a 12-node path needs several h-index rounds to drain from the
+    // degree init down to core 1 at the ends; maxRounds=1 cannot finish
+    val path = (0L until 11L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Graph.coreDecomposition(path.toDF("src", "dst"), maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+    // and with the budget it converges to the exact answer
+    val ok = Graph.coreDecomposition(path.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(1L), s"a path is all core 1: $ok")
+  }
+
   test("supplierHarmonicCentrality: hand-checked micro sums on a path") {
     // reuse the generic machinery through a tiny lineitem-like frame:
     // orders o shared by suppliers (i, i+1) → path co-occurrence graph

@@ -17,9 +17,9 @@ class PrivacySpec extends SparkSpec {
 
   test("same seed → identical release; different seed → different noise") {
     val ev = Tables.events(spark, sf0001)
-    val a = Privacy.dpTypeCounts(ev, 1.0, 8, 42L).collect().map(_.toString).toSeq
-    val b = Privacy.dpTypeCounts(ev, 1.0, 8, 42L).collect().map(_.toString).toSeq
-    val c = Privacy.dpTypeCounts(ev, 1.0, 8, 43L).collect().map(_.toString).toSeq
+    val a = Privacy.dpTypeCounts(ev, Seq("click", "error", "purchase", "signup", "view"), 1.0, 8, 42L).collect().map(_.toString).toSeq
+    val b = Privacy.dpTypeCounts(ev, Seq("click", "error", "purchase", "signup", "view"), 1.0, 8, 42L).collect().map(_.toString).toSeq
+    val c = Privacy.dpTypeCounts(ev, Seq("click", "error", "purchase", "signup", "view"), 1.0, 8, 43L).collect().map(_.toString).toSeq
     assert(a == b, "a DP release must be reproducible under its seed")
     assert(a != c, "a fresh seed must draw fresh noise")
   }
@@ -30,7 +30,7 @@ class PrivacySpec extends SparkSpec {
       Seq.fill(500)((99L, "view")))
     val clamp = 5
     def viewCount(df: org.apache.spark.sql.DataFrame): Long =
-      Privacy.dpTypeCounts(df, 1.0, clamp, 7L).collect()
+      Privacy.dpTypeCounts(df, Seq("click", "view"), 1.0, clamp, 7L).collect()
         .find(_.getString(0) == "view").get.getLong(1)
     // identical seed and type set → identical noise; the released delta
     // IS the clamped-count delta, and one user can contribute at most
@@ -46,7 +46,7 @@ class PrivacySpec extends SparkSpec {
         (1 to 25).map(i => (i.toLong, "click")))
     val eps = 50.0 // b = clamp·T/ε = 100·2/50 = 4
     val devs = (1 to 200).map { seed =>
-      val rel = Privacy.dpTypeCounts(ev, eps, 100, seed.toLong).collect()
+      val rel = Privacy.dpTypeCounts(ev, Seq("click", "view"), eps, 100, seed.toLong).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       (rel("view") - 40L) + (rel("click") - 25L)
     }
@@ -55,8 +55,31 @@ class PrivacySpec extends SparkSpec {
     assert(devs.exists(_ != 0L), "noise must actually perturb")
   }
 
+  test("fixed public key set: a unique contributor cannot toggle a row's " +
+    "existence, absent vocabulary types release noised zeros, and " +
+    "off-vocabulary observed types are never released") {
+    val vocab = Seq("click", "purchase", "view")
+    val base = mkEvents(Seq((1L, "view"), (2L, "click")))
+    // user 99 UNIQUELY contributes "purchase" (in-vocab) and also an
+    // off-vocabulary type; neither changes the released key set
+    val withUnique = mkEvents(Seq((1L, "view"), (2L, "click"),
+      (99L, "purchase"), (99L, "off_vocab_type")))
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      Privacy.dpTypeCounts(df, vocab, 1.0, 8, 11L).collect()
+        .map(_.getString(0)).toSeq
+    assert(keys(base) == vocab, s"release rows must be exactly the vocabulary: ${keys(base)}")
+    assert(keys(withUnique) == vocab,
+      "a unique contributor toggled the released key set — unbounded privacy loss")
+    // the absent type's row is a noised zero, not a true-zero marker
+    val purchases = (1 to 100).map { seed =>
+      Privacy.dpTypeCounts(base, vocab, 5.0, 8, seed.toLong).collect()
+        .find(_.getString(0) == "purchase").get.getLong(1)
+    }
+    assert(purchases.exists(_ != 0L), "absent-type rows must carry noise too")
+  }
+
   test("release metadata states the budget: sensitivity = clamp × types") {
-    val out = Privacy.dpTypeCounts(Tables.events(spark, sf0001), 1.0, 8, 1L)
+    val out = Privacy.dpTypeCounts(Tables.events(spark, sf0001), Seq("click", "error", "purchase", "signup", "view"), 1.0, 8, 1L)
       .collect()
     val types = out.length.toLong
     out.foreach { r =>

@@ -72,6 +72,38 @@ class ThetaSketchPropSpec extends AnyFunSuite {
     }
   }
 
+  test("saturated intersect is consistent: A∩A == estimate(A), and " +
+    "n_intersect never exceeds either operand's estimate on near-identical sets") {
+    (1 to 20).foreach { s =>
+      val rnd = new scala.util.Random(1000 + s)
+      val k = 256
+      val base = Seq.fill(8000)(rnd.nextLong())
+      val a = build(k, base)
+      // b = a plus a few extras — the near-identical saturated regime
+      // where the old inclusive count reported n_intersect > n_a
+      val b = build(k, base ++ Seq.fill(40)(rnd.nextLong()))
+      val ab = a.serialize
+      val bb = b.serialize
+      // the deterministic identity the old inclusive count broke:
+      // intersect(A, A) read ~k/θ against estimate(A) = (k-1)/θ
+      assert(ThetaSketch.intersectEstimateOf(ab, ab) == ThetaSketch.estimateOf(ab),
+        s"seed $s: intersect(A,A) != estimate(A)")
+      // same SET rebuilt in another insertion order: still the identity
+      val shuffled = build(k, rnd.shuffle(base))
+      assert(ThetaSketch.intersectEstimateOf(ab, shuffled.serialize) ==
+        ThetaSketch.estimateOf(ab),
+        s"seed $s: intersect with an order-shuffled twin diverged")
+      // near-identical superset: two independent θs make the exceed-
+      // the-operand comparison statistical, not deterministic — pin
+      // accuracy against TRUTH instead (|A∩B| = |base| set) at the
+      // estimator's own 5/sqrt(k) bar
+      val inter = ThetaSketch.intersectEstimateOf(ab, bb).toDouble
+      val truth = base.distinct.size.toDouble
+      assert(math.abs(inter - truth) / truth < 5.0 / math.sqrt(k.toDouble),
+        s"seed $s: intersect estimate $inter drifted from truth $truth")
+    }
+  }
+
   test("saturated estimates stay within 5/sqrt(k) of truth on uniform streams") {
     (1 to 20).foreach { s =>
       val n = 20000
