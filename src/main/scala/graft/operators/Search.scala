@@ -508,7 +508,13 @@ object Search {
     require(query.nonEmpty && k >= 1)
     val qVariants = query +: (0 until query.length)
       .map(i => query.substring(0, i) + query.substring(i + 1))
+    // lossless length gate BEFORE the explode: delete-1 neighborhoods
+    // can only intersect when |len(term) − len(query)| ≤ 1 (variant
+    // lengths are len and len−1 on each side), so the per-term
+    // |term|+1 variant fan-out runs over a length-sliver of the
+    // vocabulary instead of all of it
     val dict = termDict(docs)
+      .where(abs(length(col("term")) - lit(query.length)) <= 1)
     val variants = dict.select(col("term"), col("df"),
       explode(array_union(array(col("term")),
         expr("""transform(sequence(1, length(term)),
