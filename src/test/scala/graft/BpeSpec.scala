@@ -143,4 +143,88 @@ class BpeSpec extends SparkSpec {
       assert(n == Bpe.countTokens(UTF8String.fromString(text), r))
     }
   }
+
+  test("REAL-VOCAB SCALE: a synthetic cl100k-sized vocabulary (100,256 " +
+    "entries) loads, drives deep merge cascades bit-equal to an " +
+    "independent reference loop, and encodes the corpus") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // No egress and no cl100k_base.tiktoken on disk (SURVEY row 5), so
+    // the claim testable here is the loader + merge loop AT THE REAL
+    // TABLE SIZE: 256 single-byte ranks + 100,000 multi-byte merges =
+    // 100,256 entries, cl100k's exact table size. Tokens are letter
+    // n-grams in length-major rank order; every k-gram = (k-1)-gram +
+    // 1-gram, so each entry is derivable by one merge of two earlier
+    // tokens — the BPE validity property a real vocab has.
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val enc = java.util.Base64.getEncoder
+    val sb = new StringBuilder
+    var rank = 0
+    def emit(tok: String): Unit = {
+      sb.append(enc.encodeToString(
+        tok.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+        .append(' ').append(rank).append('\n')
+      rank += 1
+    }
+    (0 until 256).foreach(b => emit(String.valueOf((b & 0xff).toChar)))
+    val g2 = for (a <- letters; b <- letters) yield s"$a$b"
+    val g3 = for (a <- letters; b <- letters; c <- letters) yield s"$a$b$c"
+    g2.foreach(emit); g3.foreach(emit) // 676 + 17,576
+    val need4 = 100000 - g2.size - g3.size
+    (for (a <- letters; b <- letters; c <- letters; d <- letters)
+      yield s"$a$b$c$d").take(need4).foreach(emit)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_big.tiktoken"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+
+    val t0 = System.nanoTime()
+    val r = Bpe.loadTiktoken(path)
+    val loadMs = (System.nanoTime() - t0) / 1e6
+    assert(r.concat.size == 100256, s"table size ${r.concat.size}")
+
+    // independent reference merge loop (fresh implementation over the
+    // concat map — no shared buffer mechanics with encodeCount)
+    def refCount(piece: String): Int = {
+      var parts = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => String.valueOf((b & 0xff).toChar)).toList
+      var go = true
+      while (go && parts.length > 1) {
+        val ranked = parts.zip(parts.tail).zipWithIndex
+          .map { case ((a, b), i) => (r.concat.getOrElse(a + b, Int.MaxValue), i) }
+          .minBy(_._1)
+        if (ranked._1 == Int.MaxValue) go = false
+        else {
+          val i = ranked._2
+          parts = parts.take(i) ::: (parts(i) + parts(i + 1)) :: parts.drop(i + 2)
+        }
+      }
+      parts.length
+    }
+    def refTokens(text: String): Int = {
+      val m = Bpe.Cl100kPattern.matcher(text)
+      var n = 0
+      while (m.find()) n += refCount(m.group())
+      n
+    }
+    val rnd = new scala.util.Random(7)
+    val samples = Seq("the quick brown fox jumps over the lazy dog",
+      "zzzz", "a", "hello world", "naïve café ☕ 寿司",
+      "it's 1234 tokens, isn't it?") ++
+      (1 to 40).map(_ => (1 to rnd.nextInt(12) + 1)
+        .map(_ => (1 to rnd.nextInt(9) + 1)
+          .map(_ => letters(rnd.nextInt(26))).mkString).mkString(" "))
+    samples.foreach { s =>
+      val got = Bpe.countTokens(UTF8String.fromString(s), r)
+      assert(got == refTokens(s), s"'$s': kernel $got != reference ${refTokens(s)}")
+    }
+    // deep cascade really fires: a 4-gram word is ONE token (3 merges)
+    assert(Bpe.countTokens(UTF8String.fromString("abcd"), r) == 1)
+
+    // corpus encode at real vocab size: the operator path (broadcast
+    // 100k-entry table, codegen'd per-row count) over real documents
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val t1 = System.nanoTime()
+    val out = graft.operators.TextAnalysis.bpeFileTokens(docs, path).collect()
+    val encMs = (System.nanoTime() - t1) / 1e6
+    assert(out.length == 100 && out.forall(_.getInt(1) > 0))
+    info(f"cl100k-size vocab: load $loadMs%.0f ms, 100-doc encode $encMs%.0f ms")
+  }
 }
