@@ -324,7 +324,35 @@ object Bench {
             train.toSeq ++ serve.toSeq
           } finally { feat.unpersist(); () }
         }
-      opq ++ text ++ inc ++ nsw ++ audio ++ idxsync ++ sa ++ cls
+      // q181: the headline key times COLD decode+cluster by design (the
+      // dedup a corpus pays once). The warm path — re-clustering off
+      // the q193 persisted (doc_id, dhash) sidecar with ZERO decodes,
+      // what every re-run after the sync pays — gets its own row with
+      // the hashes prebuilt (untimed). ImageHashSpec pins the two
+      // paths' clusters bit-identical.
+      val img: Seq[(String, Double)] =
+        if (!inScope("q181_image_dedup")) Seq.empty
+        else {
+          import graft.multimodal.{ImageHash, Multimodal}
+          val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir))
+          val imgs = media.where(col("format") === "png")
+            .orderBy("doc_id").limit(ImgDupK)
+          val copies = imgs.withColumn("doc_id", col("doc_id") + lit(ImgCopyOffset))
+          val resized = Multimodal.resize(spark, imgs, 32, 24)
+            .withColumn("doc_id", col("doc_id") + lit(2L * ImgCopyOffset))
+          val corpus = media.unionByName(copies).unionByName(resized)
+          val serve =
+            try {
+              val hashes = ImageHash.hashImages(corpus)
+                .localCheckpoint() // the synced sidecar, decode untimed
+              bestOf("q181_serve") {
+                ImageHash.dupClustersFromHashes(hashes, ImgHamming)
+                  .write.format("noop").mode("overwrite").save()
+              }
+            } catch { case _: Throwable => None }
+          serve.toSeq
+        }
+      opq ++ text ++ inc ++ nsw ++ audio ++ idxsync ++ sa ++ cls ++ img
     }
     // 3-decimal timings (ms precision is all best-of-N minima carry) keep
     // the whole line compact, and the total/value fields go LAST: the

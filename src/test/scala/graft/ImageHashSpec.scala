@@ -123,6 +123,24 @@ class ImageHashSpec extends SparkSpec {
     assert(out.length === 9)
   }
 
+  test("warm path == cold path: clusters off a persisted hash sidecar are " +
+    "bit-identical to decode-and-cluster (the q181_serve contract)") {
+    import spark.implicits._
+    val media = Multimodal.toMediaTable(Tables.documents(spark, sf0001))
+    val imgs = media.where(org.apache.spark.sql.functions.col("format") === "png")
+      .orderBy("doc_id").limit(4)
+    val copies = imgs.withColumn("doc_id",
+      org.apache.spark.sql.functions.col("doc_id") + 1000000L)
+    val corpus = media.unionByName(copies)
+    val cold = graft.multimodal.ImageHash.imageDupClusters(corpus, 3)
+      .collect().map(_.toString).sorted.toSeq
+    val sidecar = graft.multimodal.ImageHash.hashImages(corpus)
+      .localCheckpoint() // what q193's sync persists
+    val warm = graft.multimodal.ImageHash.dupClustersFromHashes(sidecar, 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(warm == cold, "sidecar-served clusters diverged from the decode path")
+  }
+
   test("pair report is partition-invariant") {
     val imgs = media.where(col("format") === "png")
     val withCopies = imgs.unionByName(
