@@ -740,6 +740,35 @@ object OracleSql {
          |WHERE starts_with(term, '$PrefixQuery')
          |ORDER BY df DESC, term LIMIT $K""".stripMargin,
 
+    // q210: pg_trgm trigram-similarity lookup — padded distinct
+    // 3-grams, Jaccard over sets, the query's trigram list inlined
+    // from the SAME JVM padding function the Spark literal uses.
+    "q210_trigram_lookup" -> {
+      val qTg = graft.operators.Search.trigramsOf(TrgQuery)
+      val qList = qTg.map(g => "'" + g.replace("'", "''") + "'").mkString("[", ", ", "]")
+      s"""WITH dt AS (
+         |  SELECT doc_id, t.term, count(*) AS tf
+         |  FROM (SELECT doc_id, ${toks()} AS ts FROM documents),
+         |  LATERAL (SELECT unnest(ts) AS term) t
+         |  GROUP BY 1, 2),
+         |dict AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+         |tg AS (
+         |  SELECT term, df,
+         |    list_distinct([substr(p, i, 3) for i in range(1, len(p) - 1)]) AS tgs
+         |  FROM (SELECT term, df, '  ' || lower(term) || ' ' AS p FROM dict)),
+         |scored AS (
+         |  SELECT term, df,
+         |    round(CAST(len(list_intersect(tgs, $qList)) AS DOUBLE) /
+         |      CAST(len(tgs) + ${qTg.size} - len(list_intersect(tgs, $qList)) AS DOUBLE),
+         |      6) AS sim
+         |  FROM tg
+         |  WHERE len(list_intersect(tgs, $qList)) > 0)
+         |SELECT term, df, sim FROM scored
+         |WHERE sim >= $TrgMinSim
+         |ORDER BY sim DESC, df DESC, term LIMIT $K""".stripMargin
+    },
+
     // q184: personalized PageRank, 3 unrolled rounds — q88's integer
     // floor arithmetic with the teleport mass returned to the seed.
     "q184_related_parts" -> {

@@ -50,6 +50,10 @@ object SparkEntry {
     val PrefixQuery = "s" // q185: richest prefix in the tiny test vocabulary (6 completions)
     val MltDocId = 1L     // q190: query document (present at every SF)
     val FuzzyQuery = "hashe" // q192: one insert away from "hash" (every SF)
+    val TrgQuery = "hashing" // q210: beyond edit distance 1 of "hash" —
+                             // the regime trigram similarity serves and
+                             // SymSpell (q192) cannot
+    val TrgMinSim = 0.25     // q210 pg_trgm similarity floor
     val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
     val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
@@ -732,6 +736,8 @@ object SparkEntry {
       Search.sourceConfusion(Tables.documents(s, d))),
     "q192_fuzzy_lookup" -> ((s, d) =>
       Search.fuzzyTerms(Tables.documents(s, d), FuzzyQuery, K)),
+    "q210_trigram_lookup" -> ((s, d) =>
+      Search.trigramLookup(Tables.documents(s, d), TrgQuery, TrgMinSim, K)),
     "q189_gdpr_erase" -> ((s, d) => {
       // Rows-only lifecycle (q151 class): overwrite + append history,
       // then erase every 10th doc — the report is the compliance

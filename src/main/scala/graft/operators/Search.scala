@@ -529,6 +529,56 @@ object Search {
       .limit(k)
   }
 
+  /** Trigram-similarity term lookup (q210) — the pg_trgm face of fuzzy
+    * search, beside q192's edit-distance face: rank dictionary terms by
+    * Jaccard similarity of padded character trigram SETS against the
+    * query. pg_trgm's public convention exactly: lowercase, pad two
+    * spaces in front and one behind, distinct 3-grams, |∩| / |∪|.
+    * Where SymSpell answers "within 1 edit", trigram similarity grades
+    * ARBITRARY distance — "hashing" matches "hash" at 0.36 — which is
+    * why Postgres serves `%` searches this way.
+    *
+    * Scale shape: candidates come from a posting join — explode each
+    * term's trigrams, hash-probe the query's ≤ |q| trigram literals —
+    * so only terms SHARING a trigram are ever scored (never an
+    * all-terms scan), and the per-term score is one integer overlap
+    * count against two precomputed set sizes. Vocabulary-bounded like
+    * q185/q192; the dictionary posting table persists via the
+    * [[saveTermDict]] lifecycle at serving volume. */
+  def trigramLookup(docs: DataFrame, query: String, minSim: Double,
+                    k: Int): DataFrame = {
+    require(query.nonEmpty && k >= 1)
+    val qTg = trigramsOf(query)
+    val dict = termDict(docs)
+      .withColumn("tg", trigramArray(col("term")))
+      .withColumn("n_tg", size(col("tg")))
+    dict
+      .select(col("term"), col("df"), col("n_tg"), explode(col("tg")).as("g"))
+      .where(col("g").isin(qTg: _*))
+      .groupBy("term", "df", "n_tg")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("sim", round(col("shared").cast("double") /
+        (col("n_tg") + lit(qTg.size.toLong) - col("shared")).cast("double"), 6))
+      .where(col("sim") >= minSim)
+      .select(col("term"), col("df"), col("sim"))
+      .orderBy(desc("sim"), desc("df"), asc("term"))
+      .limit(k)
+  }
+
+  /** pg_trgm padded distinct trigrams, JVM side (the query literal). */
+  private[graft] def trigramsOf(s: String): Seq[String] = {
+    val p = "  " + s.toLowerCase + " "
+    (0 to p.length - 3).map(i => p.substring(i, i + 3)).distinct
+  }
+
+  /** The same trigram set as a codegen'd column expression. */
+  private def trigramArray(term: Column): Column = {
+    val padded = concat(lit("  "), lower(term), lit(" "))
+    array_distinct(transform(
+      sequence(lit(1), length(padded) - 2),
+      i => padded.substr(i, lit(3))))
+  }
+
   /** Corpus term dictionary: (term, df, tf) — document frequency and
     * total occurrences, the autocomplete/spell-serving sidecar. One
     * (doc_id, term) distinct + one term rollup, both map-side-combined;

@@ -197,6 +197,38 @@ class SearchSpec extends SparkSpec {
       Search.fuzzyTerms(corpus.repartition(7), "hashe", 5).collect().toSeq)
   }
 
+  test("trigramLookup: pg_trgm padding + Jaccard hand-computed, graded " +
+    "similarity ranking, floor applied, partition-invariant") {
+    import spark.implicits._
+    // trigramsOf follows pg_trgm: '  w' + word + ' ' padding, distinct
+    assert(Search.trigramsOf("hash") ==
+      Seq("  h", " ha", "has", "ash", "sh "))
+    assert(Search.trigramsOf("Hash") == Search.trigramsOf("hash"), "case-folding")
+    val docs = Seq(
+      (1L, "hashing hashing hashing"), // df 1, high tf — sim must outrank df
+      (2L, "hash join"), (3L, "hash scan"), (4L, "hash merge"),
+      (5L, "hasher probe"), (6L, "zebra quux")
+    ).toDF("doc_id", "text")
+    val out = Search.trigramLookup(docs, "hashing", 0.2, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // hand-computed: q = trigrams("hashing") (8 of them);
+    // "hashing" sim 1.0; "hasher": p="  hasher ", tg 7, shared
+    // {  h, ha,has,ash,shi? no} → {'  h',' ha','has','ash','she'?...}
+    // shared = 4 ('  h',' ha','has','ash') → 4/(7+8-4)=0.363636;
+    // "hash": tg 5, shared 4 → 4/(5+8-4)=0.444444
+    assert(out.map(_._1).toSeq == Seq("hashing", "hash", "hasher"), s"got ${out.toSeq}")
+    assert(out(0)._3 == 1.0)
+    assert(out(1)._3 == 0.444444, s"got ${out(1)}")
+    assert(out(2)._3 == 0.363636, s"got ${out(2)}")
+    assert(!out.exists(_._1 == "zebra"), "no shared trigram must mean no row")
+    // floor prunes: at 0.4 only the top two survive
+    assert(Search.trigramLookup(docs, "hashing", 0.4, 10).collect()
+      .map(_.getString(0)).toSeq == Seq("hashing", "hash"))
+    val corpus = Tables.documents(spark, sf0001)
+    assert(Search.trigramLookup(corpus, "hashing", 0.25, 5).collect().toSeq ===
+      Search.trigramLookup(corpus.repartition(7), "hashing", 0.25, 5).collect().toSeq)
+  }
+
   test("source confusion: separable vocabularies read a perfect diagonal; " +
     "an impostor doc lands on the profile it actually matches") {
     import spark.implicits._
