@@ -808,6 +808,31 @@ object OracleSql {
          |ORDER BY pr_micro DESC, node_id LIMIT $PprTopN""".stripMargin
     },
 
+    // q211: peak concurrency — the oracle states the naive one-window
+    // sweep (running sum of per-instant net deltas over each type's
+    // whole history); the distributed two-phase prefix sum must
+    // reproduce it exactly. Half-open [start, start + value seconds)
+    // sessions in exact epoch-microsecond integers.
+    "q211_peak_concurrency" ->
+      s"""WITH d AS (
+         |  SELECT event_type, t, CAST(sum(dd) AS BIGINT) AS net FROM (
+         |    SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t, 1 AS dd FROM events
+         |    UNION ALL
+         |    SELECT event_type,
+         |      epoch_us(CAST(ts AS TIMESTAMP)) +
+         |        CAST(round(greatest(value, 0) * 1000000) AS BIGINT), -1 FROM events)
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT event_type, t,
+         |    sum(net) OVER (PARTITION BY event_type ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |  FROM d),
+         |p AS (SELECT event_type, max(conc) AS peak FROM r GROUP BY 1)
+         |SELECT r.event_type, CAST(p.peak AS BIGINT) AS peak_concurrency,
+         |  min(r.t) AS peak_at_us
+         |FROM r JOIN p ON r.event_type = p.event_type AND r.conc = p.peak
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     // q183: rolling active users — the oracle states the NAIVE
     // per-window distinct; the bitmap plan must reproduce it exactly.
     "q183_active_users" ->

@@ -727,6 +727,7 @@ object SparkEntry {
     "q182_seasonal_anomalies" -> ((s, d) =>
       Events.seasonalAnomalies(Tables.events(s, d), AnomZ)),
     "q183_active_users" -> ((s, d) => Events.activeUsers(Tables.events(s, d))),
+    "q211_peak_concurrency" -> ((s, d) => Events.peakConcurrency(Tables.events(s, d))),
     "q186_audience_overlap" -> ((s, d) =>
       Events.audienceOverlap(Tables.events(s, d))),
     "q188_revenue_cube" -> ((s, d) => Analytics.revenueCube(Tables.lineitem(s, d))),

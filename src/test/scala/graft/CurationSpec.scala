@@ -749,4 +749,38 @@ class CurationSpec extends SparkSpec {
     assert(dupDocs.values.sum == 2L && dupDocs.values.max == 2L,
       s"both near-dups must land in one split: $dupDocs")
   }
+
+  test("peakConcurrency: half-open intervals, per-instant netting, " +
+    "day-boundary offset carry, first-peak tie-break, partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // crafted view sessions (value = duration seconds):
+    //   A [00:00, 00:10), B [00:05, 00:15), C [00:10, 00:20)
+    // at 00:10 A closes exactly as C opens (half-open: net 0) → conc
+    // stays 2; peak 2 first attained at 00:05.
+    // click: one session crossing MIDNIGHT [23:59:50 +20s) plus one
+    // the next day [00:00:05 +10s) → overlap 2 via the day-offset carry.
+    val rows = Seq(
+      ("view", "2024-03-01 00:00:00", 10.0),
+      ("view", "2024-03-01 00:00:05", 10.0),
+      ("view", "2024-03-01 00:00:10", 10.0),
+      ("click", "2024-03-01 23:59:50", 20.0),
+      ("click", "2024-03-02 00:00:05", 10.0))
+    val events = rows.toDF("event_type", "ts_s", "value")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"), col("value"))
+    val out = graft.operators.Events.peakConcurrency(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def us(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    assert(out("view") == ((2L, us("2024-03-01 00:00:05"))),
+      s"view: ${out("view")} — half-open close-at-open must not read 3, " +
+        "and the FIRST instant attaining the peak must win")
+    assert(out("click") == ((2L, us("2024-03-02 00:00:05"))),
+      s"click: ${out("click")} — the midnight-crossing session's open " +
+        "count must carry into the next day bucket")
+    // real-corpus partition invariance (the two-phase prefix sum must
+    // not depend on task layout)
+    val corpus = Tables.events(spark, sf0001)
+    assert(graft.operators.Events.peakConcurrency(corpus).collect().toSeq ==
+      graft.operators.Events.peakConcurrency(corpus.repartition(13)).collect().toSeq)
+  }
 }
