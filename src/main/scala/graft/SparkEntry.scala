@@ -90,6 +90,9 @@ object SparkEntry {
     val OutlierDen = 4      // 1.25× — see Clusters.outliers on concentration
     val FunnelSteps = Seq("view", "click", "purchase") // q52
     val PercentileQs = Seq(50, 90, 99)  // q56 audit percentiles
+    val QsSampleK = 256                 // q212 sample budget: ~3 rank
+                                        // points at the median, O(k)
+                                        // state per group at any n
     val DsirTargetSources = Seq("src0", "src1") // q54 target ("high-quality") pool
     val DsirBuckets = 256               // q54 hashed-feature buckets
     val MergeMod = 10                   // q55 delta split: vec_id % MergeMod
@@ -619,6 +622,8 @@ object SparkEntry {
     }),
     "q56_percentiles" -> ((s, d) =>
       Profile.percentiles(Tables.documents(s, d), "source", "n_chars", PercentileQs)),
+    "q212_sketch_quantiles" -> ((s, d) => Profile.sketchQuantiles(
+      Tables.documents(s, d), "source", "n_chars", "doc_id", QsSampleK, PercentileQs)),
     "q57_ivfpq_residual" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val cents = Ivf.centroids(emb, IvfStep)

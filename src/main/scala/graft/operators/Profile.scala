@@ -109,6 +109,41 @@ object Profile {
       .orderBy(groupCol)
   }
 
+  /** Per-group REPRODUCIBLE approximate percentiles (q212) off the
+    * [[graft.functions.QuantileSample]] bottom-k-by-hash sample — the
+    * third point on the percentile trade surface:
+    *
+    *  - [[percentiles]] (q56): EXACT, but exchanges every distinct
+    *    value — the audit path;
+    *  - [[percentilesApprox]]: Spark's GK-summary sketch — one partial
+    *    agg exchange, tight rank error, but merge-ORDER dependent
+    *    (shuffle nondeterminism can change the answer between runs);
+    *  - THIS: one partial-agg exchange of O(k) state, rank error
+    *    O(√(q(1−q)/k)), and the output is a pure function of the input
+    *    SET — bit-identical across partitionings and reruns, exact for
+    *    groups with ≤ k rows. The path a diffable nightly profile
+    *    wants: regressions are real changes, never shuffle noise.
+    *
+    * Output matches [[percentilesApprox]]'s shape plus n_sample. */
+  def sketchQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                      idCol: String, k: Int, qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 100), s"bad percents: $qs")
+    import graft.functions.QuantileSample.quantileSample
+    df.where(col(valCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_values"),
+        quantileSample(col(idCol).cast("long"), col(valCol).cast("double"), k).as("__s"))
+      .select(col(groupCol) +: col("n_values") +:
+        size(col("__s")).cast("long").as("n_sample") +:
+        qs.map { q =>
+          // nearest-rank on the sorted sample: 0-based floor(q(m-1)/100)
+          element_at(col("__s"),
+            (floor(lit(q) * (size(col("__s")) - 1) / lit(100.0)) + 1).cast("int"))
+            .as(s"p$q")
+        }: _*)
+      .orderBy(groupCol)
+  }
+
   /** Per-group POSITIONAL decile profile (q80): ntile(b) over the
     * group's rows ordered (value, id), then per-bucket count/min/max/
     * mean — the distribution fingerprint curation dashboards plot per
