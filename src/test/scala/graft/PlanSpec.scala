@@ -345,4 +345,36 @@ class PlanSpec extends SparkSpec {
       s"1-row moment frames must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no shuffle join belongs here:\n$p")
   }
+
+  test("trigram lookup (q210): the query's trigram literals prune BEFORE the " +
+    "per-candidate score — no cross join, no all-terms window") {
+    val p = physical(Search.trigramLookup(docs, "hashing", 0.25, 5))
+    assert(!p.contains("CartesianProduct"), s"lookup went quadratic:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains(" IN ") || p.contains("INSET"),
+      s"the trigram literal filter must appear in the plan:\n$p")
+  }
+
+  test("peak concurrency (q211): the day-offset frame BROADCASTS back — " +
+    "no type-wide ordering exchange on the big side") {
+    val p = physical(Events.peakConcurrency(Tables.events(spark, sf0001)))
+    assert(p.contains("BroadcastExchange"),
+      s"the days-by-types offset frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the offset join must not shuffle the delta stream:\n$p")
+    // within-bucket windows partition by (type, bucket), never type alone
+    assert(!"Window.*partitionBy.*event_type#\\d+\\]".r.findFirstIn(p).isDefined ||
+      p.contains("bucket"), s"window must include the day bucket:\n$p")
+  }
+
+  test("quantile sample (q212): map-side partial sample — values never " +
+    "shuffle raw, the exchange carries O(k) buffers") {
+    val p = physical(Profile.sketchQuantiles(docs, "source", "n_chars",
+      "doc_id", 256, Seq(50, 90, 99)))
+    assert(p.contains("partial_quantile_sample"),
+      s"sample build must run a partial (map-side) stage:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"sample agg must be ObjectHashAggregate (object buffer):\n$p")
+  }
 }
