@@ -4178,6 +4178,40 @@ object OracleSql {
          |LEFT JOIN ov ON p.seg_a = ov.seg_a AND p.seg_b = ov.seg_b
          |ORDER BY p.seg_a, p.seg_b""".stripMargin,
 
+    // q213: Count-Min panel — the sketch grid is DETERMINISTIC (d row
+    // hashes carved from one md5, disjoint 7-hex windows), so the
+    // oracle rebuilds the exact same d×w counters from token counts
+    // via group-by and answers the same min-over-rows point queries;
+    // the Spark side builds the grid as a single-row mergeable
+    // aggregate with zero token-grain exchange.
+    "q213_cms_panel" ->
+      s"""WITH tk AS (
+         |  SELECT t.term
+         |  FROM (SELECT ${toks()} AS ts FROM documents),
+         |  LATERAL (SELECT unnest(ts) AS term) t),
+         |cnt AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+         |  FROM tk GROUP BY 1),
+         |rws AS (SELECT unnest(range(0, $CmsDepth)) AS i),
+         |grid AS (
+         |  SELECT r.i,
+         |    ('0x' || substr(md5(c.term), 1 + 7 * r.i, 7))::BIGINT % $CmsWidth
+         |      AS b,
+         |    CAST(sum(c.exact_cnt) AS BIGINT) AS bc
+         |  FROM cnt c CROSS JOIN rws r GROUP BY 1, 2),
+         |panel AS (
+         |  SELECT term, exact_cnt FROM cnt
+         |  ORDER BY exact_cnt DESC, term LIMIT $CmsPanelK),
+         |est AS (
+         |  SELECT p.term, p.exact_cnt, CAST(min(g.bc) AS BIGINT) AS cms_cnt
+         |  FROM panel p CROSS JOIN rws r
+         |  JOIN grid g ON g.i = r.i
+         |    AND g.b = ('0x' || substr(md5(p.term), 1 + 7 * r.i, 7))::BIGINT
+         |      % $CmsWidth
+         |  GROUP BY 1, 2)
+         |SELECT term, exact_cnt, cms_cnt, cms_cnt - exact_cnt AS overest
+         |FROM est ORDER BY exact_cnt DESC, term""".stripMargin,
+
     // q195: skyline — the oracle states the textbook O(n²) NOT EXISTS
     // dominance anti-join; the Spark plan is the distributed
     // sort-and-sweep (two exchanges). Cents quantized per ROW before

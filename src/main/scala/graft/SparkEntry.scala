@@ -54,6 +54,16 @@ object SparkEntry {
                              // the regime trigram similarity serves and
                              // SymSpell (q192) cannot
     val TrgMinSim = 0.25     // q210 pg_trgm similarity floor
+    val CmsDepth = 4         // q213 CMS rows (md5 carves 4×28-bit hashes)
+    val CmsWidth = 1024      // q213 CMS columns: overestimate ≈ N/1024
+                             // per colliding row — small but visibly
+                             // nonzero at the gate SFs, which is the
+                             // audit's point
+    val CmsPanelK = 20       // q213 graded panel: top terms by exact count
+    val MsprtTau = 0.1       // q214 mixture scale: prior sd of the true
+                             // rate delta — the Optimizely-published
+                             // default regime for conversion metrics
+    val MsprtAlpha = 0.05    // q214 always-valid significance level
     val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
     val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
@@ -1418,6 +1428,9 @@ object SparkEntry {
     }),
     "q194_audience_sketch" -> ((s, d) =>
       Sketches.audienceAlgebra(Tables.orders(s, d), ThetaK)),
+    "q213_cms_panel" -> ((s, d) =>
+      Sketches.cmsTermPanel(Tables.documents(s, d), CmsDepth, CmsWidth,
+        CmsPanelK)),
     "q195_pareto_customers" -> ((s, d) =>
       Skyline.bestCustomers(Tables.orders(s, d))),
     "q196_graph_distances" -> ((s, d) =>

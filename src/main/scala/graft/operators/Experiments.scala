@@ -118,6 +118,99 @@ object Experiments {
         (abs(z) > 1.959964).cast("int").as("significant"))
   }
 
+  /** q214: mixture sequential probability ratio test (mSPRT) over the
+    * same arms as [[conversionZTest]] — the ALWAYS-VALID significance
+    * readout (Johari, Koomen, Pekelis & Walsh, KDD 2017): one row per
+    * calendar-day "look" with a p-value that is valid UNDER CONTINUOUS
+    * MONITORING. The fixed-horizon z-test's p is only honest if the
+    * sample size was fixed in advance; a dashboard that refreshes daily
+    * and stops at the first z > 1.96 inflates false positives several-
+    * fold. The mSPRT's normal-mixture likelihood ratio
+    * `Λ_t = √(V/(V+τ²)) · exp(θ̂²τ² / (2V(V+τ²)))` yields
+    * `p_t = min_{s≤t} min(1, 1/Λ_s)` — a supermartingale bound, so
+    * P(ever significant | no effect) ≤ α no matter how often you peek.
+    *
+    * Looks: users ENTER the experiment at their first event day and
+    * count as converted from their first `convType` day. Cumulative
+    * n/c per (arm, day) come from two tiny day-grain histograms under
+    * running-sum windows — the per-user frame (one hash exchange) is
+    * the only thing that grows with data; the look frame is bounded by
+    * CALENDAR DAYS × 2 arms regardless of SF, so the single-partition
+    * running-min window over looks is metadata-sized by construction
+    * (the q211 offset-frame argument).
+    *
+    * Determinism: counts are exact integers; θ̂/V/Λ are one closed-form
+    * double expression over them, mirrored verbatim in the oracle
+    * (the q208 exp/ln precedent), rounded at 6dp after the running
+    * min. V=0 or an empty arm contributes Λ=1 (no evidence). */
+  def sequentialReadout(events: DataFrame, convType: String,
+      tau: Double, alpha: Double): DataFrame = {
+    val base = events.select(
+      col("user_id"),
+      expr("unix_timestamp(ts) div 86400").as("day"),
+      col("event_type"))
+
+    val perUser = base.groupBy("user_id").agg(
+        min("day").as("first_day"),
+        min(when(col("event_type") === convType, col("day"))).as("conv_day"))
+      .select(pmod(col("user_id"), lit(2L)).as("arm"),
+        col("first_day"), col("conv_day"))
+
+    // look frame: every corpus day × both arms (bounded by calendar)
+    val looks = base.select("day").distinct()
+      .select(col("day"), explode(array(lit(0L), lit(1L))).as("arm"))
+
+    val enters = perUser.groupBy(col("arm"), col("first_day").as("day"))
+      .agg(count(lit(1)).as("e"))
+    val convs = perUser.where(col("conv_day").isNotNull)
+      .groupBy(col("arm"), col("conv_day").as("day"))
+      .agg(count(lit(1)).as("cv"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("arm").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = looks
+      .join(enters, Seq("arm", "day"), "left")
+      .join(convs, Seq("arm", "day"), "left")
+      .select(col("arm"), col("day"),
+        sum(coalesce(col("e"), lit(0L))).over(w).as("n"),
+        sum(coalesce(col("cv"), lit(0L))).over(w).as("c"))
+
+    val byDay = cum.groupBy("day").agg(
+      max(when(col("arm") === 0, col("n"))).as("n_0"),
+      max(when(col("arm") === 0, col("c"))).as("conv_0"),
+      max(when(col("arm") === 1, col("n"))).as("n_1"),
+      max(when(col("arm") === 1, col("c"))).as("conv_1"))
+
+    val p0 = col("conv_0").cast("double") / col("n_0")
+    val p1 = col("conv_1").cast("double") / col("n_1")
+    val pp = (col("conv_0") + col("conv_1")).cast("double") /
+      (col("n_0") + col("n_1"))
+    val v = pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_0") + lit(1.0) / col("n_1"))
+    val t2 = lit(tau * tau)
+    // 1/Λ directly (underflows to 0 for huge evidence — never overflows)
+    val invLam = sqrt((v + t2) / v) *
+      exp(lit(-1.0) * (p1 - p0) * (p1 - p0) * t2 /
+        (lit(2.0) * v * (v + t2)))
+    val pLook = when(col("n_0") === 0 || col("n_1") === 0 || v === 0.0,
+      lit(1.0)).otherwise(least(lit(1.0), invLam))
+
+    // always-valid p: running min over looks (bounded frame, see above)
+    val wRun = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byDay
+      .select(col("day"), col("n_0"), col("conv_0"), col("n_1"), col("conv_1"),
+        round(when(col("n_0") === 0, lit(0.0)).otherwise(p0), 6).as("rate_0"),
+        round(when(col("n_1") === 0, lit(0.0)).otherwise(p1), 6).as("rate_1"),
+        min(pLook).over(wRun).as("p_run"))
+      .select(col("day"), col("n_0"), col("conv_0"), col("n_1"), col("conv_1"),
+        col("rate_0"), col("rate_1"),
+        round(col("p_run"), 6).as("p_always_valid"),
+        (col("p_run") <= alpha).cast("int").as("significant"))
+      .orderBy("day")
+  }
+
   /** θ = cov(x,y)/var(x) from exact pooled moments (0 when var(x)=0). */
   private def cupedTheta =
     when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(0.0))

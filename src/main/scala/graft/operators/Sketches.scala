@@ -48,4 +48,35 @@ object Sketches {
         thetaDiffCard(col("sk_a"), col("sk_b")).as("n_diff_a"))
       .orderBy("seg_a", "seg_b")
   }
+
+  /** q213: Count-Min term-frequency panel with built-in accuracy audit
+    * (the q60/q62 discipline applied to the frequency sketch): build
+    * ONE d×w CMS over every token of the corpus — a single-row
+    * aggregate whose partials are fixed-size grids, zero token-grain
+    * exchange — then grade its point queries against the exact counts
+    * of the top-`panelK` terms. Output per panel term: exact count,
+    * CMS estimate, and the overestimate (≥ 0 by the sketch's one-sided
+    * error guarantee — a negative value anywhere is a bug, which the
+    * oracle would catch).
+    *
+    * The exact side exists only to GRADE the sketch (it is the audit's
+    * truth, like q60's block-bounded exact pairs); the serving path a
+    * 100 TB user runs is the sketch build alone. Both engines compute
+    * bit-identical grids because the d row hashes are carved from one
+    * md5 (see [[graft.functions.CountMin]]). */
+  def cmsTermPanel(docs: DataFrame, d: Int, w: Int, panelK: Int): DataFrame = {
+    import graft.functions.CountMin._
+    val toks = docs.select(
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+    val sketch = toks.agg(cmsSketch(col("term"), d, w).as("sk"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+    val panel = exact.orderBy(col("exact_cnt").desc, col("term").asc)
+      .limit(panelK)
+    panel.crossJoin(broadcast(sketch))
+      .select(
+        col("term"), col("exact_cnt"),
+        cmsEstimate(col("sk"), col("term")).as("cms_cnt"))
+      .withColumn("overest", col("cms_cnt") - col("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term").asc)
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CountMin
+import graft.functions.CountMin._
+import graft.operators.Sketches
+
+/** Count-Min sketch (q213): one-sided error, merge-order invariance,
+  * md5-carved bucket determinism, and the panel audit's contract. */
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("point estimates are NEVER below the true count (one-sided error)") {
+    val terms = (1 to 4000).map(i => s"t${i % 97}")
+    val df = terms.toDF("term")
+    val sk = df.agg(cmsSketch(col("term"), 4, 64).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val exact = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (t, c) =>
+      val est = CountMin.estimateOf(sk,
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(est >= c, s"CMS underestimated '$t': est=$est exact=$c")
+    }
+  }
+
+  test("wide sketch with few terms is exact (no collisions at w >> vocab)") {
+    val terms = (1 to 3000).map(i => s"term${i % 10}")
+    val sk = terms.toDF("term").agg(cmsSketch(col("term"), 4, 8192).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    terms.distinct.foreach { t =>
+      val est = CountMin.estimateOf(sk,
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(est == 300L, s"'$t': est=$est, want exact 300")
+    }
+  }
+
+  test("serialized grid is identical across partitionings (merge = +)") {
+    def build(parts: Int): Array[Byte] =
+      (1 to 5000).map(i => s"w${i % 211}").toDF("term").repartition(parts)
+        .agg(cmsSketch(col("term"), 3, 128).as("sk"))
+        .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(build(2), build(13)),
+      "elementwise-add merge must be order-invariant")
+  }
+
+  test("unseen terms report only collision mass (zero when grid is empty there)") {
+    val sk = Seq("alpha").toDF("term").agg(cmsSketch(col("term"), 4, 4096).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val est = CountMin.estimateOf(sk,
+      org.apache.spark.unsafe.types.UTF8String.fromString("omega"))
+    assert(est <= 1L, s"unseen term in a near-empty grid: est=$est")
+  }
+
+  test("panel audit: overest >= 0 everywhere, exact counts match groupBy truth") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"a b c w$i ${"hot " * (i % 4)}".trim)).toDF("doc_id", "text")
+    val out = Sketches.cmsTermPanel(docs, 4, 32, 5).collect()
+    assert(out.length == 5)
+    val byTerm = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // top terms by exact count: a/b/c appear 300x each
+    assert(byTerm.contains("a") && byTerm.contains("b") && byTerm.contains("c"))
+    byTerm.foreach { case (t, (exact, cms, over)) =>
+      assert(cms >= exact && over == cms - exact && over >= 0,
+        s"$t: exact=$exact cms=$cms over=$over")
+    }
+    assert(byTerm("a")._1 == 300L)
+  }
+
+  test("bucket carving matches the SQL mirror's 1-based substr windows") {
+    // row i reads md5 hex [7i, 7i+7) 0-based == substr(md5, 1+7i, 7) 1-based
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("hash".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    (0 until 4).foreach { i =>
+      val want = java.lang.Long.parseLong(hex.substring(7 * i, 7 * i + 7), 16) % 1024
+      assert(CountMin.bucketOf(hex, i, 1024) == want.toInt)
+    }
+  }
+
+  test("depth beyond the md5 budget is rejected") {
+    intercept[IllegalArgumentException] { new CountMin.Cms(5, 64) }
+    intercept[IllegalArgumentException] { new CountMin.Cms(1, 1) }
+  }
+}
