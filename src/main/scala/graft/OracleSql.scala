@@ -4212,6 +4212,71 @@ object OracleSql {
          |SELECT term, exact_cnt, cms_cnt, cms_cnt - exact_cnt AS overest
          |FROM est ORDER BY exact_cnt DESC, term""".stripMargin,
 
+    // q214: mSPRT always-valid sequential readout — the oracle states
+    // the same closed-form normal-mixture likelihood ratio over the
+    // same cumulative day-grain counts (exact integers under running
+    // sums; exp/sqrt per the q208 precedent, 6dp after the running
+    // min). 1/Λ is computed directly so huge evidence underflows to 0
+    // instead of overflowing.
+    "q214_sequential_test" ->
+      s"""WITH base AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type
+         |  FROM events),
+         |pu AS (
+         |  SELECT user_id % 2 AS arm, min(day) AS first_day,
+         |    min(CASE WHEN event_type = 'purchase' THEN day END) AS conv_day
+         |  FROM base GROUP BY user_id),
+         |looks AS (
+         |  SELECT day, arm FROM (SELECT DISTINCT day FROM base)
+         |  CROSS JOIN (SELECT unnest([0, 1]) AS arm)),
+         |ent AS (
+         |  SELECT arm, first_day AS day, count(*) AS e FROM pu GROUP BY 1, 2),
+         |cv AS (
+         |  SELECT arm, conv_day AS day, count(*) AS c FROM pu
+         |  WHERE conv_day IS NOT NULL GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT l.arm, l.day,
+         |    CAST(sum(COALESCE(e.e, 0)) OVER
+         |      (PARTITION BY l.arm ORDER BY l.day) AS BIGINT) AS n,
+         |    CAST(sum(COALESCE(cv.c, 0)) OVER
+         |      (PARTITION BY l.arm ORDER BY l.day) AS BIGINT) AS c
+         |  FROM looks l
+         |  LEFT JOIN ent e ON e.arm = l.arm AND e.day = l.day
+         |  LEFT JOIN cv ON cv.arm = l.arm AND cv.day = l.day),
+         |byday AS (
+         |  SELECT day,
+         |    max(CASE WHEN arm = 0 THEN n END) AS n_0,
+         |    max(CASE WHEN arm = 0 THEN c END) AS conv_0,
+         |    max(CASE WHEN arm = 1 THEN n END) AS n_1,
+         |    max(CASE WHEN arm = 1 THEN c END) AS conv_1
+         |  FROM cum GROUP BY 1),
+         |stat AS (
+         |  SELECT *,
+         |    CAST(conv_0 AS DOUBLE) / n_0 AS p0,
+         |    CAST(conv_1 AS DOUBLE) / n_1 AS p1,
+         |    CAST(conv_0 + conv_1 AS DOUBLE) / (n_0 + n_1) AS pp
+         |  FROM byday),
+         |stat2 AS (
+         |  SELECT *, pp * (1.0 - pp) * (1.0 / n_0 + 1.0 / n_1) AS v
+         |  FROM stat),
+         |lam AS (
+         |  SELECT *,
+         |    CASE WHEN n_0 = 0 OR n_1 = 0 OR v = 0 THEN 1.0
+         |      ELSE least(1.0, sqrt((v + $MsprtTau * $MsprtTau) / v) *
+         |        exp(-(p1 - p0) * (p1 - p0) * $MsprtTau * $MsprtTau /
+         |          (2.0 * v * (v + $MsprtTau * $MsprtTau))))
+         |    END AS p_look
+         |  FROM stat2),
+         |run AS (
+         |  SELECT *, min(p_look) OVER (ORDER BY day) AS p_run FROM lam)
+         |SELECT day, n_0, conv_0, n_1, conv_1,
+         |  round(CASE WHEN n_0 = 0 THEN 0.0 ELSE p0 END, 6) AS rate_0,
+         |  round(CASE WHEN n_1 = 0 THEN 0.0 ELSE p1 END, 6) AS rate_1,
+         |  round(p_run, 6) AS p_always_valid,
+         |  CAST(CASE WHEN p_run <= $MsprtAlpha THEN 1 ELSE 0 END AS INT)
+         |    AS significant
+         |FROM run ORDER BY day""".stripMargin,
+
     // q195: skyline — the oracle states the textbook O(n²) NOT EXISTS
     // dominance anti-join; the Spark plan is the distributed
     // sort-and-sweep (two exchanges). Cents quantized per ROW before

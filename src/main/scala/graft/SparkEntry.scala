@@ -1486,6 +1486,9 @@ object SparkEntry {
       Survival.kaplanMeier(Tables.events(s, d), "view", "purchase")),
     "q209_conversion_ztest" -> ((s, d) =>
       Experiments.conversionZTest(Tables.events(s, d), "purchase")),
+    "q214_sequential_test" -> ((s, d) =>
+      Experiments.sequentialReadout(Tables.events(s, d), "purchase",
+        MsprtTau, MsprtAlpha)),
     "q206_calibration" -> ((s, d) =>
       Classifier.calibrationReport(Tables.documents(s, d), DsirTargetSources,
         ClsBuckets, ClsIters, CalBins)),

@@ -66,4 +66,58 @@ class ExperimentsSpec extends SparkSpec {
     assert(math.abs(grandRaw - grandAdj) < 0.01,
       s"adjustment created mass: $grandRaw vs $grandAdj")
   }
+
+  test("sequentialReadout (q214): no-effect arms never go significant; " +
+    "a planted lift is detected and the p-value never rises") {
+    def at(day: Int, i: Int) =
+      Timestamp.valueOf(f"2026-01-${day + 1}%02d 10:${i % 60}%02d:00")
+    def ev(rows: Seq[(Int, Long, String)]) = rows.zipWithIndex.map {
+      case ((d, u, t), i) => (i.toLong, at(d, i), u, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // Perfectly balanced: every day both arms gain 5 users, 1 converts
+    val balanced = ev((0 until 6).flatMap(d =>
+      (1L to 10L).map(u => (d, d * 100 + u,
+        if (u <= 2) "purchase" else "view"))))
+    val b = Experiments.sequentialReadout(balanced, "purchase", 0.1, 0.05)
+      .collect()
+    assert(b.length == 6)
+    b.foreach { r =>
+      assert(r.getInt(8) == 0, s"balanced arms flagged significant: $r")
+      assert(r.getDouble(7) > 0.05, s"balanced p dipped: $r")
+    }
+    // always-valid p is a running min: never increases across looks
+    val ps = b.map(_.getDouble(7))
+    assert(ps.zip(ps.tail).forall { case (a, c) => c <= a },
+      s"p-value rose between looks: ${ps.toSeq}")
+
+    // Planted lift: odd users (arm 1) always convert, even never;
+    // 30 users per arm per day for 4 days → overwhelming by day 4
+    val lifted = ev((0 until 4).flatMap(d =>
+      (1L to 60L).map(u => (d, d * 1000 + u,
+        if (u % 2 == 1) "purchase" else "view"))))
+    val l = Experiments.sequentialReadout(lifted, "purchase", 0.1, 0.05)
+      .collect()
+    assert(l.last.getInt(8) == 1,
+      s"planted 100%-vs-0% lift not significant by the last look: ${l.last}")
+    // cumulative counts are monotone and end at the full population
+    assert(l.last.getLong(1) == 120L && l.last.getLong(3) == 120L)
+    assert(l.last.getLong(2) == 0L && l.last.getLong(4) == 120L)
+  }
+
+  test("sequentialReadout: cumulative frame is partition-invariant and " +
+    "matches the z-test's final-look counts on the gate corpus") {
+    val ev = Tables.events(spark, sf001)
+    val out = Experiments.sequentialReadout(ev, "purchase", 0.1, 0.05)
+    val a = out.collect()
+    val b = Experiments.sequentialReadout(ev.repartition(7), "purchase",
+      0.1, 0.05).collect()
+    assert(a.toSeq == b.toSeq, "readout depends on partitioning")
+    // final look == the fixed-horizon q209 frame (same user-grain truth)
+    val z = Experiments.conversionZTest(ev, "purchase").head()
+    val last = a.last
+    assert(last.getLong(1) == z.getLong(0) && last.getLong(2) == z.getLong(1)
+      && last.getLong(3) == z.getLong(2) && last.getLong(4) == z.getLong(3),
+      s"final-look counts diverge from q209: $last vs $z")
+  }
 }
