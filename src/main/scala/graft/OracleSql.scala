@@ -3609,6 +3609,51 @@ object OracleSql {
          |WHERE a.doc_id < b.doc_id AND levenshtein(a.p, b.p) <= $FuzzyMaxDist
          |ORDER BY a, b""".stripMargin,
 
+    // q215: Fellegi-Sunter linkage — same capped blocking as q96, u
+    // from exact collision moments (HUGEINT mirrors DECIMAL(38)),
+    // ln-ratio weights as one shared double expression, 6dp round
+    // before ranking.
+    "q215_linkage_scores" -> {
+      val fields = Seq(("lang", LinkMLang), ("source", LinkMSource),
+        ("lb", LinkMLen), ("w2", LinkMW2))
+      val uDefs = fields.map { case (f, _) =>
+        s"""u_$f AS (
+           |  SELECT (CAST(sum(CAST(c AS HUGEINT) * (c - 1)) + 1 AS DOUBLE)) /
+           |    (CAST((SELECT CAST(n AS HUGEINT) * (n - 1) FROM nn) + 2
+           |      AS DOUBLE)) AS u
+           |  FROM (SELECT count(*) AS c FROM base GROUP BY $f))""".stripMargin
+      }.mkString(",\n")
+      val weightSum = fields.map { case (f, m) =>
+        s"""(CASE WHEN a.$f = b.$f
+           |  THEN ln($m / (SELECT u FROM u_$f))
+           |  ELSE ln(${1.0 - m} / (1.0 - (SELECT u FROM u_$f))) END)"""
+          .stripMargin
+      }.mkString(" +\n")
+      val agreeCols = fields.map { case (f, _) =>
+        s"CAST(CASE WHEN a.$f = b.$f THEN 1 ELSE 0 END AS INT) AS agree_$f"
+      }.mkString(",\n  ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, source, n_chars // 100 AS lb,
+         |    string_split(text, ' ')[1] AS w1,
+         |    coalesce(string_split(text, ' ')[2], '') AS w2
+         |  FROM documents WHERE text IS NOT NULL),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+         |$uDefs,
+         |blk AS (
+         |  SELECT *,
+         |    CASE WHEN count(*) OVER (PARTITION BY w1) <= $FuzzyMaxBlock THEN 0
+         |         ELSE ${hash60("w2")} %
+         |           CAST(floor((count(*) OVER (PARTITION BY w1) + ${FuzzyMaxBlock - 1})
+         |                / $FuzzyMaxBlock.0) AS BIGINT) END AS sub
+         |  FROM base)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  $agreeCols,
+         |  round($weightSum, 6) AS score
+         |FROM blk a JOIN blk b ON a.w1 = b.w1 AND a.sub = b.sub
+         |WHERE a.doc_id < b.doc_id
+         |ORDER BY score DESC, a, b LIMIT $LinkTopN""".stripMargin
+    },
+
     // q97: conversion-latency deciles — first-to-first latency in
     // whole seconds (>= admits same-instant), ntile over the unique
     // (latency, user_id) order, mean from exact integers.

@@ -64,6 +64,11 @@ object SparkEntry {
                              // rate delta — the Optimizely-published
                              // default regime for conversion metrics
     val MsprtAlpha = 0.05    // q214 always-valid significance level
+    val LinkTopN = 50        // q215 pairs reported
+    val LinkMLang = 0.95     // q215 clerical m priors: P(agree | same
+    val LinkMSource = 0.9    //   entity) per field — language nearly
+    val LinkMLen = 0.8       //   always survives a re-crawl, length
+    val LinkMW2 = 0.85       //   band drifts the most
     val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
     val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
@@ -886,6 +891,9 @@ object SparkEntry {
       Sampling.temperatureSample(Tables.documents(s, d), TempBudget)),
     "q96_fuzzy_pairs" -> ((s, d) =>
       Dedup.fuzzyPairs(Tables.documents(s, d), FuzzyPrefixLen, FuzzyMaxDist, FuzzyMaxBlock)),
+    "q215_linkage_scores" -> ((s, d) =>
+      Linkage.linkageScores(Tables.documents(s, d), FuzzyMaxBlock, LinkTopN,
+        LinkMLang, LinkMSource, LinkMLen, LinkMW2)),
     "q97_conversion_latency" -> ((s, d) =>
       Events.conversionLatencyDeciles(Tables.events(s, d), ConvFrom, ConvTo,
         DecileBuckets)),
