@@ -4257,6 +4257,38 @@ object OracleSql {
          |SELECT term, exact_cnt, cms_cnt, cms_cnt - exact_cnt AS overest
          |FROM est ORDER BY exact_cnt DESC, term""".stripMargin,
 
+    // q216: association rules — baskets, exact integer supports, the
+    // same integer support gate (100·sup ≥ pct·n), double conf/lift
+    // rounded before ranking.
+    "q216_assoc_rules" ->
+      s"""WITH baskets AS (
+         |  SELECT DISTINCT l_orderkey AS o, p_brand AS item
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |nn AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders
+         |  FROM baskets),
+         |isup AS (
+         |  SELECT item, CAST(count(*) AS BIGINT) AS sup
+         |  FROM baskets GROUP BY 1),
+         |psup AS (
+         |  SELECT x.item AS ia, y.item AS ib, CAST(count(*) AS BIGINT) AS sup_ab
+         |  FROM baskets x JOIN baskets y ON x.o = y.o AND x.item < y.item
+         |  GROUP BY 1, 2
+         |  HAVING CAST(count(*) AS BIGINT) * 100 >=
+         |    (SELECT n_orders FROM nn) * $RuleMinSupPct),
+         |rules AS (
+         |  SELECT ia AS ant, ib AS cons, sup_ab FROM psup
+         |  UNION ALL
+         |  SELECT ib AS ant, ia AS cons, sup_ab FROM psup)
+         |SELECT r.ant, r.cons, r.sup_ab AS support,
+         |  round(CAST(r.sup_ab AS DOUBLE) / a.sup, 6) AS confidence,
+         |  round(CAST(r.sup_ab AS DOUBLE) * CAST(nn.n_orders AS DOUBLE) /
+         |    (CAST(a.sup AS DOUBLE) * CAST(c.sup AS DOUBLE)), 6) AS lift
+         |FROM rules r
+         |JOIN isup a ON a.item = r.ant
+         |JOIN isup c ON c.item = r.cons
+         |CROSS JOIN nn
+         |ORDER BY lift DESC, ant, cons LIMIT $RuleTopN""".stripMargin,
+
     // q214: mSPRT always-valid sequential readout — the oracle states
     // the same closed-form normal-mixture likelihood ratio over the
     // same cumulative day-grain counts (exact integers under running

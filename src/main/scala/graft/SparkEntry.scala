@@ -69,6 +69,8 @@ object SparkEntry {
     val LinkMSource = 0.9    //   entity) per field — language nearly
     val LinkMLen = 0.8       //   always survives a re-crawl, length
     val LinkMW2 = 0.85       //   band drifts the most
+    val RuleMinSupPct = 1    // q216 support floor: 1% of orders (SF-relative)
+    val RuleTopN = 50        // q216 rules reported by lift
     val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
     val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
@@ -531,6 +533,9 @@ object SparkEntry {
       Tables.events(s, d), HoltAlphaNum, HoltBetaNum, HoltDen, HoltHorizon)),
     "q178_covisitation" -> ((s, d) =>
       Events.covisitation(Tables.events(s, d), CovisitCap, CovisitTopK)),
+    "q216_assoc_rules" -> ((s, d) =>
+      Analytics.associationRules(Tables.lineitem(s, d), Tables.part(s, d),
+        RuleMinSupPct, RuleTopN)),
     "q179_snippets" -> ((s, d) =>
       Search.snippets(Tables.documents(s, d), SnippetTerm, SnippetContext, K)),
     "q19_asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),

@@ -1014,4 +1014,73 @@ object Analytics {
         round(col("total_rev").cast("double"), 6).as("total_revenue"))
       .orderBy("o_year")
   }
+
+  /** q216: association-rule mining over order baskets (Agrawal &
+    * Srikant, VLDB 1994 — the Apriori question asked Spark-first):
+    * baskets are an order's DISTINCT part brands; every single-
+    * antecedent rule `a → b` is graded by support (orders containing
+    * both), confidence (sup_ab / sup_a), and lift
+    * (confidence / baseline rate of b). Lift is the column that makes
+    * it analysis rather than counting: lift > 1 = genuinely
+    * co-purchased, < 1 = substitutes — and q178's cosine pair counts
+    * cannot express the DIRECTED conditional (a→b and b→a share
+    * support and lift but differ in confidence).
+    *
+    * Scale shape — why no candidate-generation pass is needed: the
+    * pair stream comes from a self-join WITHIN order (per-order
+    * distinct items are bounded by lineitems per order, ≤ ~11 here,
+    * so fanout per order is ≤ ~55 rows — linear in orders, never
+    * |brands|² of the corpus); the rule frame then aggregates to at
+    * most |brands|² rows, joined to the |brands|-row support frame by
+    * broadcast twice. One basket exchange + one bounded pair
+    * aggregation — the SON/Apriori machinery is unnecessary when
+    * per-basket size is bounded, and that bound comes from the data
+    * model, not a sampled assumption.
+    *
+    * Determinism: supports are exact integers; confidence/lift are
+    * double ratios of exact integers, rounded at 6dp BEFORE ranking
+    * (round-before-rank discipline), ties by (antecedent, consequent). */
+  def associationRules(lineitem: DataFrame, part: DataFrame,
+      minSupPct: Int, topN: Int): DataFrame = {
+    val baskets = lineitem.select(col("l_orderkey").as("o"), col("l_partkey"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("o"), col("p_brand").as("item"))
+      .distinct()
+
+    val nOrders = baskets.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+
+    val itemSup = baskets.groupBy("item").agg(count(lit(1)).as("sup"))
+
+    // SF-relative support floor in exact integers: sup/n ≥ pct/100
+    // ⟺ 100·sup ≥ pct·n — no double ceil semantics to mirror.
+    val pairSup = baskets.as("x").join(baskets.as("y"),
+        col("x.o") === col("y.o") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .crossJoin(broadcast(nOrders.select(col("n_orders").as("n_gate"))))
+      .where(col("sup_ab") * 100 >= col("n_gate") * minSupPct)
+      .select("ia", "ib", "sup_ab")
+
+    // both directions: a→b and b→a
+    val rules = pairSup.select(col("ia").as("ant"), col("ib").as("cons"),
+        col("sup_ab"))
+      .union(pairSup.select(col("ib").as("ant"), col("ia").as("cons"),
+        col("sup_ab")))
+      .join(broadcast(itemSup.select(col("item").as("ant"),
+        col("sup").as("sup_a"))), "ant")
+      .join(broadcast(itemSup.select(col("item").as("cons"),
+        col("sup").as("sup_c"))), "cons")
+      .crossJoin(broadcast(nOrders))
+
+    rules.select(col("ant"), col("cons"), col("sup_ab").as("support"),
+        round(col("sup_ab").cast("double") / col("sup_a"), 6)
+          .as("confidence"),
+        round(col("sup_ab").cast("double") * col("n_orders").cast("double") /
+          (col("sup_a").cast("double") * col("sup_c").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("ant"), col("cons"))
+      .limit(topN)
+  }
 }

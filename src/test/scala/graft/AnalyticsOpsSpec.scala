@@ -786,4 +786,46 @@ class AnalyticsOpsSpec extends SparkSpec {
     // src→lang: web → {en,de,fr}, api → {en}: 1 of 2 violates
     assert(out(("src", "lang")) == ((2L, 4L, 0, 500000L)), s"got $out")
   }
+
+  test("associationRules (q216): hand-computed support/confidence/lift, " +
+    "distinct collapse, support gate, directional confidence") {
+    import spark.implicits._
+    // o1 {A,B} (A twice — distinct must collapse), o2 {A,B}, o3 {A,C},
+    // o4 {B,C}: n=4, sup A=3 B=3 C=2, AB=2 AC=1 BC=1
+    val li = Seq((1L, 10L), (1L, 11L), (1L, 20L), (2L, 10L), (2L, 21L),
+      (3L, 12L), (3L, 30L), (4L, 22L), (4L, 31L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((10L, "A"), (11L, "A"), (12L, "A"), (20L, "B"),
+      (21L, "B"), (22L, "B"), (30L, "C"), (31L, "C"))
+      .toDF("p_partkey", "p_brand")
+    // pct=50: sup*100 >= n*50 ⟺ sup ≥ 2 → only AB survives
+    val gated = graft.operators.Analytics.associationRules(li, part, 50, 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(gated.keySet == Set(("A", "B"), ("B", "A")),
+      s"support gate failed: ${gated.keySet}")
+    // conf = 2/3 both ways (sup_a = sup_b = 3); lift = 2·4/(3·3)
+    assert(gated(("A", "B")) == ((2L, 0.666667, 0.888889)), s"$gated")
+    assert(gated(("B", "A")) == ((2L, 0.666667, 0.888889)))
+    // pct=25 admits every pair; confidence is DIRECTIONAL for A→C vs C→A
+    val all = graft.operators.Analytics.associationRules(li, part, 25, 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(all.size == 6)
+    assert(all(("A", "C")) == ((1L, 0.333333, 0.666667)), s"$all")
+    assert(all(("C", "A")) == ((1L, 0.5, 0.666667)),
+      "confidence must condition on the antecedent's support")
+  }
+
+  test("associationRules: deterministic across partitionings on the gate corpus") {
+    val li = Tables.lineitem(spark, sf001)
+    val pt = Tables.part(spark, sf001)
+    val a = graft.operators.Analytics.associationRules(li, pt, 1, 50)
+      .collect().toSeq
+    val b = graft.operators.Analytics.associationRules(li.repartition(7), pt,
+      1, 50).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.forall(_.getDouble(4) >= a.last.getDouble(4)),
+      "rules must arrive lift-descending")
+  }
 }
