@@ -71,6 +71,7 @@ object SparkEntry {
     val LinkMW2 = 0.85       //   band drifts the most
     val RuleMinSupPct = 1    // q216 support floor: 1% of orders (SF-relative)
     val RuleTopN = 50        // q216 rules reported by lift
+    val ConformalAlphaMicro = 100000L // q217: α = 0.1 target-miss budget
     val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
     val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
@@ -1452,6 +1453,9 @@ object SparkEntry {
     "q196b_harmonic_centrality" -> ((s, d) =>
       Graph.supplierHarmonicCentrality(Tables.lineitem(s, d), TriMinCooc,
         BfsDepth, BfsTopN)),
+    "q217_conformal_gate" -> ((s, d) =>
+      Classifier.conformalGateReport(Tables.documents(s, d),
+        DsirTargetSources, ClsBuckets, ClsIters, ConformalAlphaMicro)),
     "q197_quality_classifier" -> ((s, d) =>
       Classifier.qualityReport(Tables.documents(s, d), DsirTargetSources,
         ClsBuckets, ClsIters)),

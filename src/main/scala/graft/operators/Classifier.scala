@@ -221,4 +221,98 @@ object Classifier {
     }
     (weights, bias)
   }
+
+  /** Conformal threshold from a calibration frame of integer
+    * nonconformity scores (`nonconf` ∈ [0, 1e6] micro): the
+    * ⌈(n+1)(1−α)⌉-th smallest value, the split-conformal quantile of
+    * Vovk et al. / Angelopoulos & Bates (2023 gentle-intro
+    * convention). Exact integer rank selection via the q56 histogram
+    * trick — value-grain group-by + running count over the BOUNDED
+    * micro domain, so no corpus-wide sort: the windowed frame is at
+    * most 1e6+1 rows regardless of calibration size. Rank-overflow
+    * (k > n, tiny calibration sets) yields the max nonconformity 1e6
+    * = accept-everything, the conservative direction the guarantee
+    * requires. Returns one row: (n_cal, qhat_micro). */
+  private[graft] def qhatFrame(calNonconf: DataFrame,
+      alphaMicro: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("nonconf")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val hist = calNonconf.groupBy("nonconf").agg(count(lit(1)).as("c"))
+      .select(col("nonconf"), sum("c").over(w).as("cum"))
+    val n = calNonconf.agg(count(lit(1)).as("n_cal"))
+    // k = ⌈(n+1)(1e6−α)/1e6⌉ in exact integers
+    val k = expr(s"((n_cal + 1) * ${1000000L - alphaMicro} + 999999) div 1000000")
+    hist.crossJoin(broadcast(n))
+      .where(col("cum") >= k)
+      .agg(coalesce(min("nonconf"), lit(1000000L)).as("qhat_micro"))
+      .crossJoin(broadcast(n))
+      .select(col("n_cal"), col("qhat_micro"))
+  }
+
+  /** q217: split-conformal quality gate (Vovk's inductive conformal
+    * prediction, the Angelopoulos-Bates recipe applied to the q197
+    * classifier): a gate threshold with a DISTRIBUTION-FREE guarantee
+    * — P(a target-quality document is rejected) ≤ α — that holds for
+    * ANY classifier, calibrated or not. q206 measures whether scores
+    * are probabilities; this makes the gate safe even when they
+    * aren't.
+    *
+    * Protocol: documents split 4 ways by the deterministic doc-id hash
+    * (the q29 convention) — splits 0,1 train, split 2 calibrates,
+    * split 3 is the held-out readout. Nonconformity of a target doc is
+    * 1e6 − score_micro (exact integer); the threshold is the
+    * ⌈(n_cal+1)(1−α)⌉-th smallest over calibration targets
+    * ([[qhatFrame]]); a doc passes when score_micro ≥ 1e6 − q̂.
+    * Output: one row per source over the EVAL split — n_eval,
+    * n_accept, accept rate — with the global q̂, calibration size, and
+    * the achieved eval-target coverage repeated as report columns
+    * (expected ≥ 1−α up to the finite-sample ±1/(n_cal+1) wobble).
+    *
+    * Scale shape: train is q197's bounded-collect GD; calibration adds
+    * one value-grain histogram over a bounded integer domain; the
+    * readout is one per-source aggregate — nothing new grows with the
+    * corpus. */
+  def conformalGateReport(docs: DataFrame, targetSources: Seq[String],
+      buckets: Int, iters: Int, alphaMicro: Long): DataFrame = {
+    require(alphaMicro > 0 && alphaMicro < 1000000L,
+      s"alphaMicro must be in (0, 1e6), got $alphaMicro")
+    val feat = featurized(docs, targetSources, buckets)
+      .withColumn("split",
+        pmod(Dedup.hash60(concat(lit("conformal:"), col("doc_id"))), lit(4L)))
+    feat.persist()
+    try {
+      val (wts, b) = train(feat.where(col("split") <= 1), buckets, iters)
+      val p = lit(1.0) / (lit(1.0) + exp(-marginMicro(wts, b) / lit(1e6)))
+      val scored = feat.select(col("source"), col("label"), col("split"),
+        toMicro(p).as("score_micro"))
+      scored.persist()
+      try {
+        val cal = scored
+          .where(col("split") === 2 && col("label") === 1.0)
+          .select((lit(1000000L) - col("score_micro")).as("nonconf"))
+        val qhat = qhatFrame(cal, alphaMicro)
+
+        val eval0 = scored.where(col("split") === 3)
+          .crossJoin(broadcast(qhat))
+          .withColumn("accept",
+            (col("score_micro") >= lit(1000000L) - col("qhat_micro"))
+              .cast("long"))
+        val coverage = eval0.where(col("label") === 1.0).agg(
+          expr("sum(accept) * 1000000 div count(1)")
+            .as("target_coverage_micro"))
+        eval0.groupBy("source")
+          .agg(
+            max(col("label").cast("long")).as("is_target"),
+            count(lit(1)).as("n_eval"),
+            sum("accept").as("n_accept"),
+            expr("sum(accept) * 1000000 div count(1)")
+              .as("accept_rate_micro"),
+            max("qhat_micro").as("qhat_micro"),
+            max("n_cal").as("n_cal"))
+          .crossJoin(broadcast(coverage))
+          .withColumn("alpha_micro", lit(alphaMicro))
+          .orderBy("source")
+      } finally { scored.unpersist(); () }
+    } finally { feat.unpersist(); () }
+  }
 }

@@ -70,4 +70,53 @@ class ClassifierSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(run() == run())
   }
+
+  test("qhatFrame (q217): exact ⌈(n+1)(1−α)⌉-th smallest, ties and " +
+    "rank-overflow handled conservatively") {
+    import spark.implicits._
+    // n=9, α=0.1 → k = ⌈10·0.9⌉ = 9 → 9th smallest of 1..9 = 9
+    val nine = (1L to 9L).toDF("nonconf")
+    val r1 = Classifier.qhatFrame(nine, 100000L).head()
+    assert(r1.getLong(0) == 9L && r1.getLong(1) == 9L, s"got $r1")
+    // n=10, α=0.5 → k = ⌈11·0.5⌉ = 6 → 6th smallest of 10,20,...,100 = 60
+    val tens = (1L to 10L).map(_ * 10).toDF("nonconf")
+    val r2 = Classifier.qhatFrame(tens, 500000L).head()
+    assert(r2.getLong(1) == 60L, s"got $r2")
+    // duplicates: k-th smallest WITH multiplicity (values 5,5,5,9; k=⌈5·0.5⌉=3 → 5)
+    val dup = Seq(5L, 5L, 5L, 9L).toDF("nonconf")
+    assert(Classifier.qhatFrame(dup, 500000L).head().getLong(1) == 5L)
+    // rank overflow (n=2, α=0.1 → k=⌈3·0.9⌉=3 > n): accept-everything 1e6
+    val two = Seq(1L, 2L).toDF("nonconf")
+    assert(Classifier.qhatFrame(two, 100000L).head().getLong(1) == 1000000L)
+    // empty calibration: same conservative ceiling
+    val empty = Seq.empty[Long].toDF("nonconf")
+    assert(Classifier.qhatFrame(empty, 100000L).head().getLong(1) == 1000000L)
+  }
+
+  test("conformalGateReport (q217): coverage guarantee holds on the gate " +
+    "corpus, threshold consistent with acceptances, deterministic") {
+    val docs = Tables.documents(spark, sf001)
+    val out = Classifier.conformalGateReport(docs, Seq("src0", "src1"),
+      Buckets, 2, 100000L).collect()
+    assert(out.nonEmpty)
+    val qhat = out.head.getLong(5)
+    val alphaM = out.head.getLong(8)
+    val cov = out.head.getLong(7)
+    assert(out.forall(r => r.getLong(5) == qhat && r.getLong(7) == cov),
+      "report columns must be global")
+    // marginal coverage ≥ 1−α up to the ±1/(n_cal+1) finite-sample wobble
+    val nCal = out.head.getLong(6)
+    val wobble = 1000000L / (nCal + 1) + 1
+    assert(cov >= 1000000L - alphaM - wobble,
+      s"coverage $cov below 1−α with n_cal=$nCal")
+    // acceptance counts are bounded by eval counts; targets flagged
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"accept > eval: $r")
+    }
+    assert(out.filter(_.getLong(1) == 1L).map(_.getString(0)).toSet
+      == Set("src0", "src1"))
+    val again = Classifier.conformalGateReport(docs, Seq("src0", "src1"),
+      Buckets, 2, 100000L).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
