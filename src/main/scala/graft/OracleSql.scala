@@ -4388,6 +4388,81 @@ object OracleSql {
          |FROM md GROUP BY 1
          |ORDER BY harmonic_micro DESC, s_suppkey LIMIT $BfsTopN""".stripMargin,
 
+    // q218: embedding communities — exact mutual-kNN graph (rounded
+    // cosine, vec_id tie-break), LpaRounds unrolled sync-LPA rounds
+    // (the q184 unroll convention; argmax as row_number over
+    // (count desc, label)), census + label-purity + modularity as
+    // double ratios of exact integer counts (multiplication, not pow,
+    // matching Spark).
+    "q218_communities" -> {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""l$r AS (
+           |  SELECT v, label FROM (
+           |    SELECT e.s AS v, l.label, count(*) AS c,
+           |      row_number() OVER (PARTITION BY e.s
+           |        ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM e JOIN l${r - 1} l ON e.t = l.v
+           |    GROUP BY e.s, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dir AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |    round(${cosine("a.embedding", "b.embedding")}, 6) AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |knn AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b,
+         |      row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+         |    FROM dir)
+         |  WHERE rn <= $KnnGraphK),
+         |mut AS (
+         |  SELECT x.a AS s, x.b AS t FROM knn x
+         |  JOIN knn y ON x.a = y.b AND x.b = y.a
+         |  WHERE x.a < x.b),
+         |eu AS (SELECT s, t FROM mut UNION ALL SELECT t AS s, s AS t FROM mut),
+         |e AS (SELECT s, t FROM eu
+         |  UNION ALL SELECT DISTINCT s, s AS t FROM eu),
+         |l0 AS (SELECT DISTINCT s AS v, s AS label FROM e),
+         |$rounds,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM mut),
+         |deg AS (SELECT s AS v, count(*) AS deg FROM eu GROUP BY 1),
+         |ds AS (
+         |  SELECT l.label AS community, CAST(sum(d.deg) AS BIGINT) AS deg_sum,
+         |    CAST(count(*) AS BIGINT) AS n_members
+         |  FROM l$LpaRounds l JOIN deg d USING (v) GROUP BY 1),
+         |ie AS (
+         |  SELECT la.label AS community, CAST(count(*) AS BIGINT) AS internal_edges
+         |  FROM mut JOIN l$LpaRounds la ON mut.s = la.v
+         |  JOIN l$LpaRounds lb ON mut.t = lb.v
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |per AS (
+         |  SELECT ds.community, ds.n_members,
+         |    COALESCE(ie.internal_edges, 0) AS internal_edges, ds.deg_sum
+         |  FROM ds LEFT JOIN ie USING (community)),
+         |q AS (
+         |  SELECT round(sum(
+         |    CAST(internal_edges AS DOUBLE) / m.m_edges -
+         |    (CAST(deg_sum AS DOUBLE) / (2.0 * m.m_edges)) *
+         |    (CAST(deg_sum AS DOUBLE) / (2.0 * m.m_edges))), 6) AS modularity
+         |  FROM per, m),
+         |maj AS (
+         |  SELECT community, lab AS majority_label,
+         |    CAST(n_lab AS BIGINT) AS n_majority
+         |  FROM (
+         |    SELECT l.label AS community, b.label AS lab, count(*) AS n_lab,
+         |      row_number() OVER (PARTITION BY l.label
+         |        ORDER BY count(*) DESC, b.label) AS rn
+         |    FROM l$LpaRounds l JOIN embeddings b ON l.v = b.vec_id
+         |    GROUP BY 1, 2)
+         |  WHERE rn = 1)
+         |SELECT per.community, per.n_members, per.internal_edges,
+         |  maj.majority_label,
+         |  maj.n_majority * 1000000 // per.n_members AS purity_micro,
+         |  q.modularity
+         |FROM per JOIN maj USING (community), q
+         |ORDER BY per.n_members DESC, per.community LIMIT $LpaTopN""".stripMargin
+    },
+
     // q203: leakage-safe split — the q43 cluster machinery + the q29
     // split rule keyed on the cluster representative; both leak dials
     // stated from the same labeled frame.

@@ -72,6 +72,12 @@ object SparkEntry {
     val RuleMinSupPct = 1    // q216 support floor: 1% of orders (SF-relative)
     val RuleTopN = 50        // q216 rules reported by lift
     val ConformalAlphaMicro = 100000L // q217: α = 0.1 target-miss budget
+    val LpaRounds = 5        // q218 sync label-propagation rounds (the
+                             // q88 fixed-iteration hash-exact convention)
+    val LpaTopN = 20         // q218 communities reported
+    val KnnGraphK = 6        // q218 mutual-kNN degree: below the
+                             // 50-vector cluster size at every SF, so
+                             // reciprocation stays within-cluster
     val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
     val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
@@ -1511,6 +1517,9 @@ object SparkEntry {
         ClsBuckets, ClsIters, CalBins)),
     "q207_core_census" -> ((s, d) =>
       Graph.supplierCoreCensus(Tables.lineitem(s, d), TriMinCooc)),
+    "q218_communities" -> ((s, d) =>
+      Clusters.embeddingCommunities(Tables.embeddings(s, d), KnnGraphK,
+        LpaRounds, LpaTopN)),
     "q205_partial_compaction" -> ((s, d) => {
       // Rows-only lifecycle (the q187 class): one healthy dir + three
       // drip-appends; ONE compact_small folds only the drips — the big

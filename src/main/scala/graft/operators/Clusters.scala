@@ -344,4 +344,76 @@ object Clusters {
           greatest(col("tr2_12").cast("double") / 1e12, lit(1e-12)) / dim, 6)
           .as("effective_dim_ratio"))
   }
+
+  /** q218: embedding-space community detection — a mutual-kNN graph
+    * over the corpus's vectors, partitioned by synchronous label
+    * propagation ([[Graph.labelPropagation]]), graded against the
+    * corpus's own labels. The question SemDeDup (q44) and outliers
+    * (q51) don't answer: what are the embedding space's NATURAL groups,
+    * without fixing k upfront (k-means needs k; LPA discovers the
+    * count) and without a distance threshold (q43's CC merges anything
+    * touching; mutual-kNN keeps only RECIPROCATED affinity, the
+    * standard sparsification that stops hub vectors bridging unrelated
+    * clusters).
+    *
+    * Per community: size, internal edges, the majority corpus label,
+    * purity (majority fraction, integer micro), and global modularity —
+    * purity × modularity is the label-agreement audit the q62/q60
+    * discipline applies to community structure.
+    *
+    * Scale shape: the kNN stage here is the EXACT all-pairs scorer —
+    * recall-1.0 truth at the vector-panel scales every exact-KNN key
+    * runs at (q12/q67's regime, and what makes the DuckDB oracle
+    * possible). At corpus scale the candidate stream swaps for the
+    * q15b sign-LSH buckets or IVF cell routing (both in-repo; the q44
+    * SemDeDup path already clusters through IVF cells) — the mutual
+    * filter, LPA rounds, and census are identical either way, and THEY
+    * are what this operator adds. Per LPA round: the q43/q88 shuffle
+    * pair, state O(V). */
+  def embeddingCommunities(vectors: DataFrame, k: Int, rounds: Int,
+      topN: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = vectors.select(col("vec_id"), col("embedding"), col("label"))
+
+    val dir = base.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(broadcast(
+        base.select(col("vec_id").as("b"), col("embedding").as("eb"))))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")), 6).as("sim"))
+    val knn = graft.plans.GroupedTopK.topK(dir, Seq(col("a")),
+        Seq(col("sim").desc, col("b").asc), k)
+      .select("a", "b")
+    val mutual = knn.as("x").join(knn.as("y"),
+        col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+      .where(col("x.a") < col("x.b"))
+      .select(col("x.a").as("src"), col("x.b").as("dst"))
+      .persist()
+
+    try {
+      val labels = Graph.labelPropagation(mutual, rounds)
+      val census = Graph.communityCensus(mutual, labels)
+
+      // majority corpus label per community: (count desc, label asc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("community")
+        .orderBy(col("n_lab").desc, col("lab"))
+      val majority = labels
+        .join(base.select(col("vec_id").as("v"), col("label").as("lab")), "v")
+        .groupBy(col("label").as("community"), col("lab"))
+        .agg(count(lit(1)).as("n_lab"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("community"), col("lab").as("majority_label"),
+          col("n_lab").as("n_majority"))
+
+      census.join(majority, "community")
+        .select(col("community"), col("n_members"), col("internal_edges"),
+          col("majority_label"),
+          expr("n_majority * 1000000 div n_members").as("purity_micro"),
+          col("modularity"))
+        .orderBy(col("n_members").desc, col("community"))
+        .limit(topN)
+    } finally { mutual.unpersist(); () }
+  }
 }

@@ -568,6 +568,100 @@ object Graph {
       .groupBy("core").agg(count(lit(1)).as("n_nodes"))
       .orderBy("core")
 
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 2007) at a FIXED round count — the
+    * q88 hash-exact convention: every vertex starts labeled with its
+    * own id; each round it adopts its neighbors' most frequent label,
+    * ties to the SMALLEST label, all vertices updating simultaneously.
+    * Sync + the total (count desc, label asc) tie order makes every
+    * round a pure function of the previous labeling — deterministic
+    * across engines and partitionings, unlike the async/random-order
+    * LPA of the original paper (same fixed-point family, reproducible
+    * rounds).
+    *
+    * This is NOT connected components (the pointer-jumped min-label of
+    * Clusters.scala): CC merges everything reachable; LPA finds
+    * DENSELY-linked groups inside one component — the community
+    * question the graph family (rank, cores, triangles) didn't answer.
+    *
+    * The vote is SELF-INCLUSIVE (each vertex's own current label
+    * counts one ballot beside its neighbors') — the standard "LPA with
+    * memory" guard: a pure neighbor vote makes any symmetric pair swap
+    * labels every sync round forever (the bipartite oscillation of the
+    * original paper), which a fixed round count would freeze mid-swing
+    * into singleton communities. With the self ballot the two-node
+    * case ties at 1-1 and the min rule settles it permanently.
+    *
+    * Scale shape per round: one join of the label frame onto the edge
+    * list (both partitioned by vertex) + a (vertex, label)-grain count
+    * + a per-vertex argmax — the q43/q88 shuffle pair, state O(V).
+    * `rounds` plans fuse into one lineage over the CACHED undirected
+    * edge frame; no driver-side graph object. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val dirBoth = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // self-loop ballots — see the oscillation note above
+    val und = dirBoth
+      .union(dirBoth.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      .persist()
+    try {
+      var labels = und.select(col("src").as("v")).distinct()
+        .withColumn("label", col("v"))
+      for (_ <- 1 to rounds) {
+        labels = und
+          .join(labels, col("dst") === col("v"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl")))
+            .as("m"))
+          .select(col("src").as("v"), (-col("m.nl")).as("label"))
+      }
+      // materialize before unpersisting the edge cache the plan reads
+      labels.localCheckpoint(true)
+    } finally { und.unpersist(); () }
+  }
+
+  /** Community census over an undirected (src < dst) edge list and its
+    * [[labelPropagation]] labeling — per community: member count,
+    * internal undirected edge count, degree mass, and the partition's
+    * global Newman-Girvan modularity `Q = Σ_c [e_c/m − (d_c/2m)²]`
+    * repeated as a report column (double ratios of exact integer
+    * counts, rounded 6dp). */
+  private[graft] def communityCensus(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val la = labels.select(col("v").as("src"), col("label").as("lab_a"))
+    val lb = labels.select(col("v").as("dst"), col("label").as("lab_b"))
+    val mFrame = edges.agg(count(lit(1)).as("m_edges"))
+
+    val internal = edges.join(la, "src").join(lb, "dst")
+      .where(col("lab_a") === col("lab_b"))
+      .groupBy(col("lab_a").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+
+    val deg = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val degSum = labels.join(deg, "v")
+      .groupBy(col("label").as("community"))
+      .agg(sum("deg").as("deg_sum"), count(lit(1)).as("n_members"))
+
+    val per = degSum.join(internal, Seq("community"), "left")
+      .select(col("community"), col("n_members"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("deg_sum"))
+      .crossJoin(broadcast(mFrame))
+    val q = per.agg(
+      round(sum(
+        col("internal_edges").cast("double") / col("m_edges") -
+          (col("deg_sum").cast("double") / (lit(2.0) * col("m_edges"))) *
+            (col("deg_sum").cast("double") / (lit(2.0) * col("m_edges")))),
+        6).as("modularity"))
+    per.crossJoin(broadcast(q))
+  }
+
   /** q196: exact distance distribution of the thresholded supplier
     * co-occurrence graph — ordered (src ≠ dst) pairs by shortest-path
     * length, depths 1..maxDepth. */

@@ -154,4 +154,78 @@ class ClusterSpec extends SparkSpec {
     val c = Clusters.effectiveDim(collapsed).collect()(0)
     assert(c.getDouble(3) == 1.0, s"collapsed PR should be 1: $c")
   }
+
+  test("embeddingCommunities (q218): planted orthogonal clusters are " +
+    "recovered at purity 1.0 with positive modularity") {
+    import spark.implicits._
+    // 3 clusters of 12, each hugging its own axis with a small
+    // deterministic within-cluster wobble — mutual-kNN keeps edges
+    // within clusters (cross-cluster cosine ≈ 0), LPA labels each.
+    def planted(k: Int) = {
+      val vecs = (0 until 36).map { i =>
+        val c = i / 12
+        val v = Array.fill(6)(0.01f * ((i * 7 + 5) % 11))
+        v(c) = 10f + (i % 12) * 0.1f
+        (i.toLong, v, c)
+      }.toDF("vec_id", "embedding", "label")
+      Clusters.embeddingCommunities(vecs, k, 5, 20).collect()
+    }
+    // dense regime (k near cluster size): within-cluster mutual graph
+    // is near-complete, a clique converges in one round → exact recovery
+    val dense = planted(10)
+    assert(dense.length == 3, s"want 3 communities: ${dense.mkString("; ")}")
+    dense.foreach { r =>
+      assert(r.getLong(1) == 12L, s"cluster size: $r")
+      assert(r.getLong(4) == 1000000L, s"purity must be 1.0: $r")
+    }
+    assert(dense.map(_.getInt(3)).toSet == Set(0, 1, 2),
+      "each community's majority label must be its planted cluster")
+    assert(dense.head.getDouble(5) > 0.5,
+      s"planted partition must score high modularity: ${dense.head}")
+    // sparse regime (k=4): fixed-round LPA from singleton labels may
+    // REFINE a planted cluster into sub-communities, but never mixes
+    // two clusters — every community stays label-pure
+    val sparse = planted(4)
+    assert(sparse.forall(_.getLong(4) == 1000000L),
+      s"sparse-regime communities must still be pure: ${sparse.mkString("; ")}")
+    assert(sparse.map(_.getLong(1)).sum == 36L &&
+      sparse.map(_.getInt(3)).toSet == Set(0, 1, 2),
+      "refinement must cover all three planted clusters")
+  }
+
+  test("embeddingCommunities: a reciprocated pair settles to ONE " +
+    "2-member community (the self-ballot breaks sync oscillation); " +
+    "deterministic across partitionings") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(10f, 0f, 0f), 0), (2L, Array(10.1f, 0f, 0f), 0),
+      (3L, Array(0f, 10f, 0f), 1), (4L, Array(0f, 10.1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Clusters.embeddingCommunities(vecs, 1, 3, 10).collect()
+    assert(out.length == 2 && out.forall(_.getLong(1) == 2L),
+      s"two 2-member communities expected: ${out.mkString("; ")}")
+    val corpus = Tables.embeddings(spark, sf001)
+    val a = Clusters.embeddingCommunities(corpus, 6, 5, 20).collect()
+    val b = Clusters.embeddingCommunities(corpus.repartition(11), 6, 5, 20)
+      .collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("labelPropagation: two cliques joined by one bridge edge keep " +
+    "distinct labels; a single clique converges to its min id") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b)
+    val edges = (clique(1L to 5L) ++ clique(11L to 15L) :+ ((5L, 11L)))
+      .toDF("src", "dst")
+    val labels = graft.operators.Graph.labelPropagation(edges, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val left = (1L to 5L).map(labels)
+    val right = (11L to 15L).map(labels)
+    assert(left.toSet.size == 1 && right.toSet.size == 1,
+      s"each clique must agree internally: $labels")
+    assert(left.head != right.head,
+      s"bridge must not merge the cliques: $labels")
+  }
 }
