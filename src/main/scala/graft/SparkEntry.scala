@@ -78,6 +78,11 @@ object SparkEntry {
     val KnnGraphK = 6        // q218 mutual-kNN degree: below the
                              // 50-vector cluster size at every SF, so
                              // reciprocation stays within-cluster
+    val CdcAvgBits = 5       // q219 gear mask bits: ~32B expected past
+                             // the minimum — short-doc-corpus dial; a
+                             // storage system uses 12-13 (4-8 KiB)
+    val CdcMinLen = 16       // q219 chunk bounds
+    val CdcMaxLen = 128
     val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
     val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
@@ -482,6 +487,9 @@ object SparkEntry {
       Ivf.searchInline(emb, IvfStep, Knn.queryVector(emb, QueryVecId), NProbe, K)
     }),
     "q13_dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "q219_cdc_dedup" -> ((s, d) =>
+      Dedup.cdcDedupReport(Tables.documents(s, d), CdcAvgBits, CdcMinLen,
+        CdcMaxLen)),
     "q14_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), ShingleK, NumHashes, RowsPerBand, MinEstJaccard)),
     "q14b_simhash" -> ((s, d) => Dedup.simhash(Tables.documents(s, d))),

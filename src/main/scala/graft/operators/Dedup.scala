@@ -638,4 +638,47 @@ object Dedup {
     cross.union(minhashLsh(delta, k, numHashes, rowsPerBand, minEstJaccard))
       .orderBy("a", "b")
   }
+
+  /** q219: content-defined-chunk dedup report — the BYTE-level,
+    * shift-robust rung of the dedup ladder ([[graft.functions.GearChunk]]
+    * for why fixed blocks and fixed-offset shingles can't do this):
+    * every document is gear-chunked, a chunk is a duplicate when the
+    * same chunk hash already occurs at a CANONICAL earlier position
+    * (the minimum (doc_id, offset) holding that hash — cross-document
+    * or an earlier repeat within the same document), and the report
+    * states per source how many bytes a chunk-store would actually
+    * have to keep. This is the crawl-snapshot question ("the same page
+    * re-crawled with one edited paragraph") where MinHash says
+    * "near-dup, score 0.93" but cannot say WHICH bytes are new; the
+    * chunk frame says exactly, in O(bytes), without q163's
+    * suffix-array build.
+    *
+    * Scale shape: chunking is a map-only codegen'd expression; the
+    * only exchange is the chunk-hash groupBy (min-struct canonical
+    * pick, map-side combinable) + the join marking duplicates — the
+    * q13 exact-dedup shape at chunk grain. State per hash: one
+    * (doc_id, off) pair. */
+  def cdcDedupReport(docs: DataFrame, avgBits: Int, minLen: Int,
+      maxLen: Int): DataFrame = {
+    import graft.functions.GearChunk.gearChunks
+    val chunks = docs
+      .select(col("doc_id"), col("source"),
+        explode(gearChunks(col("text"), avgBits, minLen, maxLen)).as("c"))
+      .select(col("doc_id"), col("source"), col("c.off").as("off"),
+        col("c.len").as("len"), col("c.h").as("h"))
+    val canon = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("off"))).as("first"))
+    chunks.join(canon, "h")
+      .withColumn("dup",
+        (col("doc_id") =!= col("first.doc_id") ||
+          col("off") =!= col("first.off")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("len").as("total_bytes"),
+        sum(when(col("dup") === 1, col("len")).otherwise(0L)).as("dup_bytes"),
+        expr("sum(CASE WHEN dup = 1 THEN len ELSE 0 END) * 1000000" +
+          " div sum(len)").as("dup_ratio_micro"))
+      .orderBy("source")
+  }
 }
