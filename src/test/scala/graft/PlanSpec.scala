@@ -377,4 +377,72 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"),
       s"sample agg must be ObjectHashAggregate (object buffer):\n$p")
   }
+
+  test("CMS panel (q213): the sketch builds as a map-side partial " +
+    "object aggregate and broadcasts — tokens never shuffle for it") {
+    val p = physical(Sketches.cmsTermPanel(docs, 4, 1024, 20))
+    assert(p.contains("partial_count_min_sketch"),
+      s"grid build must run a partial (map-side) stage:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"CMS agg must be ObjectHashAggregate:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the 1-row sketch must broadcast into the panel:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"panel x sketch must never be a CartesianProduct:\n$p")
+  }
+
+  test("sequential test (q214): the look frame joins its histograms " +
+    "broadcast — nothing user-grain crosses a sort-merge join") {
+    val p = physical(Experiments.sequentialReadout(
+      Tables.events(spark, sf0001), "purchase", 0.1, 0.05))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // cumulative windows run on the bounded (arm, day) frame: the only
+    // window partitions by arm (2) or orders the day frame globally —
+    // the raw event stream itself must reach no Window operator
+    assert(p.contains("Window"), s"running sums must be windows:\n$p")
+  }
+
+  test("linkage (q215): the u-moment frame broadcasts; candidates come " +
+    "from the blocked equi-join, never a CartesianProduct") {
+    val p = physical(Linkage.linkageScores(docs, 128, 50,
+      0.95, 0.9, 0.8, 0.85))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the 1-row u frame must broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the (w1, sub) candidate join must be an equi-join:\n$p")
+  }
+
+  test("association rules (q216): supports join back BROADCAST — the " +
+    "pair frame never re-shuffles for the brand-grain frames") {
+    val p = physical(Analytics.associationRules(
+      Tables.lineitem(spark, sf0001), Tables.part(spark, sf0001), 1, 50))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2,
+      s"item-support joins must broadcast (got $bhj BroadcastHashJoin):\n$p")
+  }
+
+  test("communities (q218): per-LPA-round shuffles are vertex-grain " +
+    "hash exchanges; no global sort anywhere before the final top-N") {
+    import spark.implicits._
+    val mutual = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val p = physical(Graph.labelPropagation(mutual, 2))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!"Sort \\[label".r.findFirstIn(p).isDefined,
+      s"label argmax must be an aggregate, not a sort:\n$p")
+  }
+
+  test("CDC dedup (q219): chunking is map-side (no exchange before the " +
+    "chunk-hash aggregate); canonical pick is a hash groupBy") {
+    val p = physical(Dedup.cdcDedupReport(docs, 5, 16, 128))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("gear_chunks"),
+      s"the chunker must appear as the codegen'd expression:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"chunk frame must not re-scan per stage: $scans")
+  }
 }
