@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.functions.ThetaSketch
+import graft.functions.{CountMin, ThetaSketch}
 
 /** Streaming theta-sketch audience rollup — the online face of
   * [[graft.operators.Sketches.audienceAlgebra]]'s build leg: per
@@ -54,6 +54,52 @@ object SketchStream {
           if (!java.util.Arrays.equals(before, after))
             Iterator.single(SegmentSketch(
               segment, ThetaSketch.estimateOf(after), after))
+          else Iterator.empty
+      }
+  }
+
+  final case class SegmentCms(segment: String, sketch: Array[Byte])
+
+  /** Streaming Count-Min maintenance — the online face of
+    * [[graft.operators.Sketches.cmsTermPanel]]'s build leg: per
+    * segment, the d×w frequency grid folded incrementally and
+    * re-emitted (serialized) every batch it changes. A monitoring
+    * consumer answers "how often has this term occurred so far" from
+    * the latest grid alone ([[CountMin.estimateOf]]), no stream
+    * replay.
+    *
+    * Unlike the theta sketch above, CMS addition is NOT idempotent —
+    * a replayed row increments its counters again — so this stream's
+    * exactly-once story leans on the checkpointed offsets Structured
+    * Streaming guarantees for flatMapGroupsWithState, and estimates
+    * remain UPPER bounds under any failure mode (over-count, never
+    * under: the safe direction for a frequency alarm, same argument
+    * direction as the sketch family's one-sided error). State is
+    * O(d·w) longs per segment forever.
+    *
+    * The spec pins stream == batch BYTES: elementwise-add merge makes
+    * the incremental fold land on the identical grid the one-shot
+    * aggregate builds. */
+  def segmentCms(rows: DataFrame, d: Int, w: Int): Dataset[SegmentCms] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .select(col("segment"), col("term"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SketchState, SegmentCms](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (segment, it, state: GroupState[SketchState]) =>
+          val sk = state.getOption
+            .map(s => CountMin.Cms.deserialize(s.bytes))
+            .getOrElse(new CountMin.Cms(d, w))
+          var changed = false
+          it.foreach { case (_, t) =>
+            if (t != null) { sk.add(t, 1L); changed = true }
+          }
+          val after = sk.serialize
+          state.update(SketchState(after))
+          if (changed) Iterator.single(SegmentCms(segment, after))
           else Iterator.empty
       }
   }

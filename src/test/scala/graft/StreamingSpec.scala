@@ -689,4 +689,53 @@ class StreamingSpec extends SparkSpec {
       assert(est == ThetaSketch.estimateOf(want(seg)))
     }
   }
+
+  test("streaming CMS: settled per-segment grid equals the batch " +
+    "aggregate bit-for-bit; point queries answer off the last emission") {
+    import graft.streaming.SketchStream
+    import graft.functions.CountMin
+    import org.apache.spark.sql.functions._
+    val rows = Tables.documents(spark, sf0001)
+      .select(col("lang").as("segment"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cms_stream_src"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    // two files → two micro-batches: the grid folds incrementally
+    rows.where(length(col("term")) % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Thread.sleep(1100)
+    rows.where(length(col("term")) % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = SketchStream.segmentCms(
+      spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir), 4, 256)
+      .writeStream.format("memory").queryName("cms_sink").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // total mass only grows across emissions → the max-mass row per
+    // segment is the settled grid
+    def mass(b: Array[Byte]) = CountMin.Cms.deserialize(b).tab.sum
+    val got = spark.table("cms_sink").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(mass)).toMap
+    val want = rows.groupBy("segment")
+      .agg(CountMin.cmsSketch(col("term"), 4, 256).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (seg, bytes) =>
+      assert(java.util.Arrays.equals(bytes, want(seg)),
+        s"segment $seg: streamed CMS grid diverged from batch")
+    }
+    // a point query off the settled grid upper-bounds the true count
+    val truth = rows.where(col("segment") === got.keySet.head)
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.take(20).foreach { case (t, c) =>
+      val est = CountMin.estimateOf(got(got.keySet.head),
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(est >= c, s"CMS under-counted '$t': $est < $c")
+    }
+  }
 }
