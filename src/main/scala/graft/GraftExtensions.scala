@@ -4,10 +4,17 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CharNgrams, DotProduct, L2Squared}
+import graft.functions.{CmsEstimate, CmsInnerProduct, ThetaDiffCard,
+  ThetaEstimate, ThetaIntersectCard, ThetaUnionCard}
 
-/** SQL surface for the native vector kernels: registers `vector_dot`
-  * and `vector_l2sq` so `spark.sql("SELECT vector_dot(emb, qv) ...")`
-  * works anywhere the DataFrame API does.
+/** SQL surface for the native kernels: registers `vector_dot` /
+  * `vector_l2sq` / `char_ngrams` plus the sketch-algebra scalars
+  * (`theta_estimate`, `theta_union_card`, `theta_intersect_card`,
+  * `theta_diff_card`, `cms_estimate`, `cms_inner_product`) so a SQL
+  * user can run set algebra and frequency point-queries over PERSISTED
+  * sketch columns — `spark.sql("SELECT seg, theta_estimate(sk) FROM
+  * rollup")` — without touching the Scala API. The sketch rollup
+  * tables (q194/q213 build legs) become plain SQL-servable state.
   *
   * Two entry points:
   *  - `spark.sql.extensions=graft.GraftExtensions` at session build
@@ -33,7 +40,25 @@ object GraftExtensions {
       (args: Seq[Expression]) => L2Squared(args(0), args(1))),
     (FunctionIdentifier("char_ngrams"), info("char_ngrams", classOf[CharNgrams]),
       (args: Seq[Expression]) => CharNgrams(args(0),
-        args(1).eval().asInstanceOf[Number].intValue)))
+        args(1).eval().asInstanceOf[Number].intValue)),
+    (FunctionIdentifier("theta_estimate"),
+      info("theta_estimate", classOf[ThetaEstimate]),
+      (args: Seq[Expression]) => ThetaEstimate(args(0))),
+    (FunctionIdentifier("theta_union_card"),
+      info("theta_union_card", classOf[ThetaUnionCard]),
+      (args: Seq[Expression]) => ThetaUnionCard(args(0), args(1))),
+    (FunctionIdentifier("theta_intersect_card"),
+      info("theta_intersect_card", classOf[ThetaIntersectCard]),
+      (args: Seq[Expression]) => ThetaIntersectCard(args(0), args(1))),
+    (FunctionIdentifier("theta_diff_card"),
+      info("theta_diff_card", classOf[ThetaDiffCard]),
+      (args: Seq[Expression]) => ThetaDiffCard(args(0), args(1))),
+    (FunctionIdentifier("cms_estimate"),
+      info("cms_estimate", classOf[CmsEstimate]),
+      (args: Seq[Expression]) => CmsEstimate(args(0), args(1))),
+    (FunctionIdentifier("cms_inner_product"),
+      info("cms_inner_product", classOf[CmsInnerProduct]),
+      (args: Seq[Expression]) => CmsInnerProduct(args(0), args(1))))
 
   /** Register into an existing session: SQL functions + the cosine
     * fusion optimizer rule. */

@@ -4354,6 +4354,49 @@ object OracleSql {
          |    AS significant
          |FROM run ORDER BY day""".stripMargin,
 
+    // q220: CMS join-size estimate — both grids rebuilt in SQL from
+    // key counts (the q213 md5-window contract over the keys' decimal
+    // string form), est = min over rows of the bucket-matched counter
+    // dot (guarded to 0 when any row shares no bucket), graded against
+    // the executed join.
+    "q220_join_estimate" ->
+      s"""WITH ka AS (
+         |  SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+         |  WHERE l_returnflag = '$JoinEstFlag'),
+         |kb AS (
+         |  SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+         |  WHERE o_orderpriority = '$JoinEstPrio'),
+         |ca AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM ka GROUP BY 1),
+         |cb AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM kb GROUP BY 1),
+         |rws AS (SELECT unnest(range(0, $CmsDepth)) AS i),
+         |ga AS (
+         |  SELECT r.i,
+         |    ('0x' || substr(md5(ca.k), 1 + 7 * r.i, 7))::BIGINT % $CmsJoinW
+         |      AS b,
+         |    CAST(sum(ca.c) AS BIGINT) AS bc
+         |  FROM ca CROSS JOIN rws r GROUP BY 1, 2),
+         |gb AS (
+         |  SELECT r.i,
+         |    ('0x' || substr(md5(cb.k), 1 + 7 * r.i, 7))::BIGINT % $CmsJoinW
+         |      AS b,
+         |    CAST(sum(cb.c) AS BIGINT) AS bc
+         |  FROM cb CROSS JOIN rws r GROUP BY 1, 2),
+         |rowdot AS (
+         |  SELECT ga.i, CAST(sum(ga.bc * gb.bc) AS BIGINT) AS dot
+         |  FROM ga JOIN gb ON ga.i = gb.i AND ga.b = gb.b GROUP BY 1),
+         |est AS (
+         |  SELECT CASE WHEN (SELECT count(*) FROM rowdot) < $CmsDepth
+         |    THEN 0 ELSE (SELECT CAST(min(dot) AS BIGINT) FROM rowdot)
+         |    END AS est_join),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM ka),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM kb),
+         |ex AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS exact_join
+         |  FROM ka JOIN kb USING (k))
+         |SELECT na.n_a, nb.n_b, est.est_join, ex.exact_join,
+         |  est.est_join - ex.exact_join AS overest
+         |FROM na, nb, est, ex""".stripMargin,
+
     // q195: skyline — the oracle states the textbook O(n²) NOT EXISTS
     // dominance anti-join; the Spark plan is the distributed
     // sort-and-sweep (two exchanges). Cents quantized per ROW before

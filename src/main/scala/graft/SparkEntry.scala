@@ -83,6 +83,11 @@ object SparkEntry {
                              // storage system uses 12-13 (4-8 KiB)
     val CdcMinLen = 16       // q219 chunk bounds
     val CdcMaxLen = 128
+    val CmsJoinW = 65536     // q220 grid width: collision mass
+                             // n_a·n_b/w stays a fraction of the
+                             // selective join it estimates
+    val JoinEstFlag = "R"            // q220 lineitem filter
+    val JoinEstPrio = "1-URGENT"     // q220 orders filter
     val SnippetTerm = "hash" // q179: present at every SF (shares q174's term)
     val SnippetContext = 3   // q179: tokens either side of the first match
     val CovisitCap = 15   // q178: per-user item clamp (heavy-user pair-mass bound)
@@ -1459,6 +1464,11 @@ object SparkEntry {
     "q213_cms_panel" -> ((s, d) =>
       Sketches.cmsTermPanel(Tables.documents(s, d), CmsDepth, CmsWidth,
         CmsPanelK)),
+    "q220_join_estimate" -> ((s, d) =>
+      Sketches.cmsJoinEstimate(
+        Tables.lineitem(s, d).where(col("l_returnflag") === JoinEstFlag),
+        Tables.orders(s, d).where(col("o_orderpriority") === JoinEstPrio),
+        CmsDepth, CmsJoinW)),
     "q195_pareto_customers" -> ((s, d) =>
       Skyline.bestCustomers(Tables.orders(s, d))),
     "q196_graph_distances" -> ((s, d) =>

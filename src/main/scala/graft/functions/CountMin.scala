@@ -103,6 +103,36 @@ object CountMin {
     }
   }
 
+  /** Inner-product estimate over two serialized grids of IDENTICAL
+    * (d, w): min over rows i of Σ_j A[i][j]·B[i][j] — the
+    * Cormode-Muthukrishnan §4.2 join-size estimator. For streams A, B
+    * over a shared key domain this upper-bounds Σ_k fA(k)·fB(k) = the
+    * equi-join output cardinality, with overestimate ≤ ε·N_A·N_B at
+    * the usual e^−d confidence (collisions only ADD mass — one-sided,
+    * like the point query). Codegen target. */
+  def innerProductOf(a: Array[Byte], b: Array[Byte]): Long = {
+    val ba = java.nio.ByteBuffer.wrap(a)
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val d = ba.getInt
+    val w = ba.getInt
+    require(bb.getInt == d && bb.getInt == w,
+      s"cannot inner-product CMS grids of different shapes")
+    var best = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      var s = 0L
+      var j = 0
+      while (j < w) {
+        val idx = 8 + 8 * (i * w + j)
+        s += ba.getLong(idx) * bb.getLong(idx)
+        j += 1
+      }
+      if (s < best) best = s
+      i += 1
+    }
+    best
+  }
+
   /** Point query over serialized bytes: min over the d row counters —
     * an upper bound on the true count (codegen target). */
   def estimateOf(bytes: Array[Byte], term: UTF8String): Long = {
@@ -158,6 +188,10 @@ object CountMin {
   def cmsEstimate(sketch: Column, term: Column): Column =
     SqlBridge.column(CmsEstimate(
       SqlBridge.eagerExpression(sketch), SqlBridge.eagerExpression(term)))
+
+  def cmsInnerProduct(a: Column, b: Column): Column =
+    SqlBridge.column(CmsInnerProduct(
+      SqlBridge.eagerExpression(a), SqlBridge.eagerExpression(b)))
 }
 
 /** Point-query estimate of a serialized CMS for a term — codegen'd. */
@@ -178,4 +212,25 @@ case class CmsEstimate(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CmsEstimate = copy(left = l, right = r)
   override def prettyName: String = "cms_estimate"
+}
+
+/** Join-size estimate of two same-shape serialized CMS grids — codegen'd. */
+case class CmsInnerProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (binary, binary) input, got ($l, $r)")
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CountMin.innerProductOf(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.CountMin.innerProductOf($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CmsInnerProduct = copy(left = l, right = r)
+  override def prettyName: String = "cms_inner_product"
 }

@@ -80,5 +80,42 @@ class CountMinSpec extends SparkSpec {
   test("depth beyond the md5 budget is rejected") {
     intercept[IllegalArgumentException] { new CountMin.Cms(5, 64) }
     intercept[IllegalArgumentException] { new CountMin.Cms(1, 1) }
+    // inner product refuses shape-mismatched grids
+    val a = new CountMin.Cms(2, 64).serialize
+    val b = new CountMin.Cms(2, 128).serialize
+    intercept[IllegalArgumentException] { CountMin.innerProductOf(a, b) }
+  }
+
+  test("innerProductOf: exact Σ fA·fB at wide w; never an underestimate") {
+    def grid(terms: Seq[String], w: Int): Array[Byte] = {
+      val c = new CountMin.Cms(4, w)
+      terms.foreach(c.add(_, 1L))
+      c.serialize
+    }
+    // fA = {x:3, y:2, z:1}, fB = {y:4, z:5, q:7} → Σ fA·fB = 8+5 = 13
+    val a = Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")
+    val b = Seq.fill(4)("y") ++ Seq.fill(5)("z") ++ Seq.fill(7)("q")
+    assert(CountMin.innerProductOf(grid(a, 8192), grid(b, 8192)) == 13L)
+    // narrow grid: collisions only ADD (one-sided, join-size safe side)
+    assert(CountMin.innerProductOf(grid(a, 4), grid(b, 4)) >= 13L)
+  }
+
+  test("cmsJoinEstimate (q220): est >= exact == executed join; " +
+    "disjoint key streams estimate near zero") {
+    val li = (1L to 300L).map(k => Tuple1(k % 50)).toDF("l_orderkey")
+      .withColumn("l_returnflag", lit("R"))
+    val os = (0L to 24L).map(Tuple1(_)).toDF("o_orderkey")
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+    val r = Sketches.cmsJoinEstimate(li, os, 4, 8192).head()
+    // keys 0..24 each appear 6 times in li → exact join = 150
+    assert(r.getLong(0) == 300L && r.getLong(1) == 25L)
+    assert(r.getLong(3) == 150L, s"exact join: $r")
+    assert(r.getLong(2) >= 150L && r.getLong(4) == r.getLong(2) - 150L)
+    // disjoint domains: exact 0, estimate only collision mass
+    val os2 = (1000L to 1024L).map(Tuple1(_)).toDF("o_orderkey")
+    val r2 = Sketches.cmsJoinEstimate(li, os2, 4, 8192).head()
+    assert(r2.getLong(3) == 0L)
+    assert(r2.getLong(2) <= 5L,
+      s"disjoint-stream estimate must be ~0 at wide w: $r2")
   }
 }
