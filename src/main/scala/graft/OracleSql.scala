@@ -4289,6 +4289,57 @@ object OracleSql {
          |CROSS JOIN nn
          |ORDER BY lift DESC, ant, cons LIMIT $RuleTopN""".stripMargin,
 
+    // q221: RFM segmentation — customer frame + three standard-ntile
+    // scores over mirrored (measure, custkey) tie orders (the q97
+    // cross-engine ntile precedent), exact cents.
+    "q221_rfm_segments" ->
+      s"""WITH pc AS (
+         |  SELECT o_custkey,
+         |    max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         |    CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM orders GROUP BY 1),
+         |mx AS (SELECT max(epoch_us(o_orderdate) // 86400000000)
+         |  AS corpus_day FROM orders),
+         |scored AS (
+         |  SELECT pc.*, mx.corpus_day - pc.last_day AS recency,
+         |    ntile(5) OVER (ORDER BY mx.corpus_day - pc.last_day DESC,
+         |      pc.o_custkey) AS r_score,
+         |    ntile(5) OVER (ORDER BY pc.freq ASC, pc.o_custkey) AS f_score,
+         |    ntile(5) OVER (ORDER BY pc.cents ASC, pc.o_custkey) AS m_score
+         |  FROM pc, mx)
+         |SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT)
+         |  AS f_score, CAST(m_score AS INT) AS m_score,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(cents) AS BIGINT) AS total_cents
+         |FROM scored GROUP BY 1, 2, 3
+         |ORDER BY r_score, f_score, m_score""".stripMargin,
+
+    // q222: token entropy — per-term −p·ln p floor-quantized to micro
+    // BEFORE the per-doc sum (the q38 discipline), integer rollups.
+    "q222_token_entropy" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, source, t.term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, source, ${toks()} AS ts FROM documents),
+         |  LATERAL (SELECT unnest(ts) AS term) t
+         |  GROUP BY 1, 2, 3),
+         |dl AS (
+         |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS len
+         |  FROM tf GROUP BY 1),
+         |pd AS (
+         |  SELECT tf.doc_id, tf.source,
+         |    CAST(sum(CAST(floor(
+         |      (-(CAST(tf.tf AS DOUBLE) / dl.len) *
+         |        ln(CAST(tf.tf AS DOUBLE) / dl.len)) * 1e6)
+         |      AS BIGINT)) AS BIGINT) AS ent_micro
+         |  FROM tf JOIN dl USING (doc_id) GROUP BY 1, 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ent_micro) // count(*) AS BIGINT) AS mean_entropy_micro,
+         |  CAST(min(ent_micro) AS BIGINT) AS min_entropy_micro,
+         |  CAST(max(ent_micro) AS BIGINT) AS max_entropy_micro
+         |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q214: mSPRT always-valid sequential readout — the oracle states
     // the same closed-form normal-mixture likelihood ratio over the
     // same cumulative day-grain counts (exact integers under running

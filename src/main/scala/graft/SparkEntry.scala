@@ -556,6 +556,10 @@ object SparkEntry {
     "q216_assoc_rules" -> ((s, d) =>
       Analytics.associationRules(Tables.lineitem(s, d), Tables.part(s, d),
         RuleMinSupPct, RuleTopN)),
+    "q221_rfm_segments" -> ((s, d) =>
+      Analytics.rfmSegments(Tables.orders(s, d))),
+    "q222_token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d))),
     "q179_snippets" -> ((s, d) =>
       Search.snippets(Tables.documents(s, d), SnippetTerm, SnippetContext, K)),
     "q19_asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),

@@ -1083,4 +1083,41 @@ object Analytics {
       .orderBy(col("lift").desc, col("ant"), col("cons"))
       .limit(topN)
   }
+
+  /** q221: RFM customer segmentation (Hughes' classic direct-marketing
+    * frame, the segmentation every CRM/analytics stack ships): per
+    * customer, Recency (days since last order, against the corpus's
+    * own max day), Frequency (order count), Monetary (exact cents);
+    * each scored 1-5 by quintile — 5 best (most recent / most
+    * frequent / highest spend) — and the (r, f, m) cells reported as a
+    * census with their exact monetary mass. "555" is the champions
+    * cell; "1xx" is churned.
+    *
+    * Scale shape: facts collapse to the CUSTOMER frame first (one hash
+    * exchange — the q202 experiment-grain argument); the three ntile
+    * windows then sort that frame, not the fact stream — the q97
+    * decile precedent, with deterministic (measure, custkey) tie
+    * orders mirrored by the oracle (cross-engine standard ntile:
+    * equal buckets, remainder to the first). */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = expr("unix_timestamp(o_orderdate) div 86400")
+    val perCust = orders.groupBy(col("o_custkey")).agg(
+      max(day).as("last_day"),
+      count(lit(1)).as("freq"),
+      sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val corpusDay = orders.agg(max(day).as("corpus_day"))
+    val scored = perCust.crossJoin(broadcast(corpusDay))
+      .withColumn("recency", col("corpus_day") - col("last_day"))
+      // worst first in every order, so ntile 5 = best
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency").desc, col("o_custkey"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq").asc, col("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("cents").asc, col("o_custkey"))))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("total_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
 }

@@ -429,4 +429,49 @@ object TextAnalysis {
         round(col("n_chars").cast("double") /
           greatest(col("n_subwords"), lit(1L)).cast("double"), 6).as("chars_per_subword"))
       .orderBy("lang", "source")
+
+  /** q222: unigram token-entropy quality signal — per-document Shannon
+    * entropy of the token distribution, H = −Σ_t (tf/len)·ln(tf/len),
+    * reported per source. The information-theoretic rung of the
+    * quality ladder: q35's Gopher repetition counts SPECIFIC patterns
+    * (dup lines, top-n-gram share); entropy reads the whole
+    * distribution at once — boilerplate/keyword-stuffed text scores
+    * low, diverse prose scores near ln(len), and a feed whose mean
+    * entropy drifts down is degenerating even when no single pattern
+    * trips q35.
+    *
+    * Exactness (the q38 discipline): each term's −(tf/len)·ln(tf/len)
+    * is floor-quantized to integer MICRO-nats BEFORE the per-doc sum,
+    * so the cross-engine sum is exact integer arithmetic (double
+    * addition order can never flip the hash); per-source mean is an
+    * integer division. Shape: one (doc, term)-grain exchange (the q41
+    * vocab-stats grain) + a doc rollup + a source rollup. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val perDoc = tf
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum("tf").as("len"),
+        count(lit(1)).as("n_distinct"),
+        // len is constant within doc only after the rollup — fold the
+        // per-term floor with len carried via a window-free identity:
+        // Σ tf = len, so quantize against the doc's own len below
+        collect_list(col("tf")).as("tfs"))
+      .select(col("doc_id"), col("source"), col("len"), col("n_distinct"),
+        aggregate(col("tfs"), lit(0L), (acc, t) =>
+          acc + floor((-(t.cast("double") / col("len").cast("double")) *
+            log(t.cast("double") / col("len").cast("double"))) * lit(1e6))
+            .cast("long")).as("ent_micro"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("sum(ent_micro) div count(1)").as("mean_entropy_micro"),
+        min("ent_micro").as("min_entropy_micro"),
+        max("ent_micro").as("max_entropy_micro"))
+      .orderBy("source")
+  }
 }

@@ -817,6 +817,34 @@ class AnalyticsOpsSpec extends SparkSpec {
       "confidence must condition on the antecedent's support")
   }
 
+  test("rfmSegments (q221): quintiles assign 5 to the best on every " +
+    "axis; census preserves customers and cents") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def day(d: Int) = Timestamp.valueOf(f"2026-01-${d + 1}%02d 00:00:00")
+    // customer k (1..10): last order day k, k orders, spend 100·k per
+    // order → recency/freq/monetary all rank in the same direction:
+    // customer 10 is 555, customer 1 is 111
+    val orders = (1 to 10).flatMap { k =>
+      (1 to k).map(i => (k * 100L + i, k.toLong, day(k), k * 100.0))
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = graft.operators.Analytics.rfmSegments(orders).collect()
+    val byCell = out.map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+      (r.getLong(3), r.getLong(4))).toMap
+    // 10 customers, 5 buckets of 2: customers (2k-1, 2k) share all
+    // three scores k (perfectly aligned ranks) → 5 diagonal cells
+    assert(byCell.keySet == (1 to 5).map(k => (k, k, k)).toSet,
+      s"aligned ranks must land on the diagonal: ${byCell.keySet}")
+    (1 to 5).foreach { k =>
+      val (n, cents) = byCell((k, k, k))
+      val (a, b) = (2 * k - 1, 2 * k)
+      assert(n == 2L)
+      // customer k spends k orders × 100k cents... = k·k·100·100 cents
+      assert(cents == 10000L * (a * a + b * b), s"cell $k cents: $cents")
+    }
+    assert(out.map(_.getLong(3)).sum == 10L)
+  }
+
   test("associationRules: deterministic across partitionings on the gate corpus") {
     val li = Tables.lineitem(spark, sf001)
     val pt = Tables.part(spark, sf001)

@@ -564,4 +564,44 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(zero.values.forall(_ == 0.0) && zero.size == 8, s"empty card: $zero")
   }
+
+  test("tokenEntropy (q222): hand-computed micro-nats — uniform text " +
+    "maxes out, repetition collapses to zero, rollup is exact") {
+    val docs = Seq(
+      // 4 distinct tokens, uniform → H = ln 4; per-term micro floor:
+      // floor(0.25·ln4·1e6) = floor(346573.59) = 346573, ×4
+      (1L, "a b c d", "uni"),
+      // one token repeated → p = 1 → H = 0
+      (2L, "x x x x x", "rep"),
+      // {a:2, b:2}: two TERMS, each floor(0.5·ln2·1e6) = 346573
+      (3L, "a a b b", "half"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("uni") == ((1L, 4 * 346573L, 4 * 346573L, 4 * 346573L)),
+      s"got $out")
+    assert(out("rep") == ((1L, 0L, 0L, 0L)))
+    assert(out("half") == ((1L, 2 * 346573L, 2 * 346573L, 2 * 346573L)))
+    // diverse prose must outscore keyword stuffing of the same length
+    val pair = Seq(
+      (10L, (1 to 40).map(i => s"w$i").mkString(" "), "prose"),
+      (11L, Seq.fill(40)("buy").mkString(" "), "stuffed"))
+      .toDF("doc_id", "text", "source")
+    val p = graft.operators.TextAnalysis.tokenEntropy(pair).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(p("prose") > p("stuffed") && p("stuffed") == 0L, s"$p")
+  }
+
+  test("tokenEntropy: partition-invariant on the gate corpus, " +
+    "tokenless docs excluded") {
+    val docs = Tables.documents(spark, sf001)
+    val a = graft.operators.TextAnalysis.tokenEntropy(docs).collect().toSeq
+    val b = graft.operators.TextAnalysis.tokenEntropy(docs.repartition(7))
+      .collect().toSeq
+    assert(a == b)
+    val empty = Seq((1L, "   ", "blank")).toDF("doc_id", "text", "source")
+    assert(graft.operators.TextAnalysis.tokenEntropy(empty).collect().isEmpty,
+      "a doc with no tokens has no distribution to score")
+  }
 }
