@@ -381,39 +381,47 @@ object Clusters {
       .where(col("a") =!= col("b"))
       .select(col("a"), col("b"),
         round(cosine(col("ea"), col("eb")), 6).as("sim"))
-    val knn = graft.plans.GroupedTopK.topK(dir, Seq(col("a")),
+    // The mutual filter reads the directed kNN frame TWICE (both join
+    // sides) and the census reads the edge frame three more times —
+    // without materialization the all-pairs scorer would re-run for
+    // every consumer. The kNN frame is cached only while the (small,
+    // O(k·n)-row) mutual edge list is eagerly checkpointed; everything
+    // downstream reads the checkpointed edges, so the returned plan is
+    // self-contained and the scorer runs exactly once.
+    val knnPlan = graft.plans.GroupedTopK.topK(dir, Seq(col("a")),
         Seq(col("sim").desc, col("b").asc), k)
       .select("a", "b")
-    val mutual = knn.as("x").join(knn.as("y"),
-        col("x.a") === col("y.b") && col("x.b") === col("y.a"))
-      .where(col("x.a") < col("x.b"))
-      .select(col("x.a").as("src"), col("x.b").as("dst"))
-      .persist()
+    val knn = knnPlan.persist()
+    val mutual = try {
+      knn.as("x").join(knn.as("y"),
+          col("x.a") === col("y.b") && col("x.b") === col("y.a"))
+        .where(col("x.a") < col("x.b"))
+        .select(col("x.a").as("src"), col("x.b").as("dst"))
+        .localCheckpoint(true)
+    } finally { knn.unpersist(); () }
 
-    try {
-      val labels = Graph.labelPropagation(mutual, rounds)
-      val census = Graph.communityCensus(mutual, labels)
+    val labels = Graph.labelPropagation(mutual, rounds)
+    val census = Graph.communityCensus(mutual, labels)
 
-      // majority corpus label per community: (count desc, label asc)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("community")
-        .orderBy(col("n_lab").desc, col("lab"))
-      val majority = labels
-        .join(base.select(col("vec_id").as("v"), col("label").as("lab")), "v")
-        .groupBy(col("label").as("community"), col("lab"))
-        .agg(count(lit(1)).as("n_lab"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("community"), col("lab").as("majority_label"),
-          col("n_lab").as("n_majority"))
+    // majority corpus label per community: (count desc, label asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("community")
+      .orderBy(col("n_lab").desc, col("lab"))
+    val majority = labels
+      .join(base.select(col("vec_id").as("v"), col("label").as("lab")), "v")
+      .groupBy(col("label").as("community"), col("lab"))
+      .agg(count(lit(1)).as("n_lab"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("community"), col("lab").as("majority_label"),
+        col("n_lab").as("n_majority"))
 
-      census.join(majority, "community")
-        .select(col("community"), col("n_members"), col("internal_edges"),
-          col("majority_label"),
-          expr("n_majority * 1000000 div n_members").as("purity_micro"),
-          col("modularity"))
-        .orderBy(col("n_members").desc, col("community"))
-        .limit(topN)
-    } finally { mutual.unpersist(); () }
+    census.join(majority, "community")
+      .select(col("community"), col("n_members"), col("internal_edges"),
+        col("majority_label"),
+        expr("n_majority * 1000000 div n_members").as("purity_micro"),
+        col("modularity"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(topN)
   }
 }
