@@ -20,6 +20,15 @@ object Bench {
     * spikes on unchanged code were shared-machine load, not
     * regressions — with the guard in the artifact, a spiked key under
     * `load >> cpus` or co-running JVMs self-identifies as contention. */
+  /** A sweep whose timed region STARTS above this 1-min load self-
+    * identifies as a dirty window in the artifact (r17's committed
+    * sweep started at load 8.9 — the DuckDB baseline's wake — and
+    * inflated nearly every key 50-300% vs calm re-measures; the guard
+    * recorded it but nothing FLAGGED it). Threshold ~load 5 on a
+    * 32-cpu box: the repo's own calm-window practice (BASELINE.md)
+    * re-measures under ≤ ~4. */
+  private[graft] def dirtyWindow(loadStart: Double): Boolean = loadStart > 5.0
+
   private def guardSample(): (Double, Int) = {
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
@@ -367,7 +376,9 @@ object Bench {
     val total = ok.map(_._2).sum
     val (loadEnd, jvmsEnd) = guardSample()
     val cpus0 = Runtime.getRuntime.availableProcessors()
-    val guard = s"""{"cpus":$cpus0,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"other_jvms_start":$jvmsStart,"other_jvms_end":$jvmsEnd}"""
+    val guard = s"""{"cpus":$cpus0,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"other_jvms_start":$jvmsStart,"other_jvms_end":$jvmsEnd,"dirty_window":${dirtyWindow(loadStart)}}"""
+    if (dirtyWindow(loadStart))
+      System.err.println(s"[bench] WARNING: dirty window — load_start ${f3(loadStart)} > 5; timings are contention-inflated, re-run calm before committing as the round headline")
     // reps is part of the artifact: best-of-2 and best-of-3 minima are
     // different estimators, so cross-round comparisons need to know it.
     val fullLine = s"""{"queries":$qs,"extras":$xs,"failed":$fs,"guard":$guard,"sf":"$sfDir","reps":$reps,"unit":"sec","metric":"total","value":${f3(total)}}"""

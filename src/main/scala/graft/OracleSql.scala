@@ -4482,15 +4482,32 @@ object OracleSql {
          |FROM md GROUP BY 1
          |ORDER BY harmonic_micro DESC, s_suppkey LIMIT $BfsTopN""".stripMargin,
 
-    // q218: embedding communities — exact mutual-kNN graph (rounded
-    // cosine, vec_id tie-break), LpaRounds unrolled sync-LPA rounds
-    // (the q184 unroll convention; argmax as row_number over
-    // (count desc, label)), census + label-purity + modularity as
-    // double ratios of exact integer counts (multiplication, not pow,
-    // matching Spark).
+    // q218: embedding communities — mutual-kNN graph over the
+    // multi-probe sign-LSH candidate stream (the SAME auto-sized
+    // planes/probes as the Spark path: p from the q58 pure-integer
+    // comparison, LCG hyperplanes rebuilt per (table, bit), Hamming<=1
+    // probe unions), exact rounded cosine + vec_id tie-break among
+    // candidates, LpaRounds unrolled sync-LPA rounds (the q184 unroll
+    // convention; argmax as row_number over (count desc, label)),
+    // census + label-purity + modularity as double ratios of exact
+    // integer counts (multiplication, not pow, matching Spark).
     "q218_communities" -> {
+      def planeList(t: Int) =
+        s"""[((((1664525::BIGINT * (($t * p + j) * 64 + i) + 1013904223)
+           |      % 4294967296) % 2048) - 1024) / 1024.0 for i in range(0, 64)]""".stripMargin
+      def bucket(t: Int) =
+        s"""CAST(list_sum([CASE WHEN ${dotd("embedding", planeList(t))} >= 0
+           |      THEN (1::BIGINT << j) ELSE 0 END for j in range(0, p)]) AS BIGINT)""".stripMargin
+      val bucketCols = (0 until KnnGraphTables)
+        .map(t => s"${bucket(t)} AS b$t").mkString(",\n    ")
+      val unions = (0 until KnnGraphTables).map { t =>
+        val probes = s"list_concat([b$t], [xor(b$t, 1::BIGINT << j) for j in range(0, p)])"
+        s"""SELECT l.vec_id AS a, r.vec_id AS b
+           |  FROM (SELECT vec_id, unnest($probes) AS bk FROM bucketed) l
+           |  JOIN bucketed r ON l.bk = r.b$t AND l.vec_id < r.vec_id""".stripMargin
+      }.mkString("\n  UNION\n  ")
       val rounds = (1 to LpaRounds).map { r =>
-        s"""l$r AS (
+        s"""l$r AS MATERIALIZED (
            |  SELECT v, label FROM (
            |    SELECT e.s AS v, l.label, count(*) AS c,
            |      row_number() OVER (PARTITION BY e.s
@@ -4499,47 +4516,62 @@ object OracleSql {
            |    GROUP BY e.s, l.label)
            |  WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
-      s"""WITH dir AS (
-         |  SELECT a.vec_id AS a, b.vec_id AS b,
-         |    round(${cosine("a.embedding", "b.embedding")}, 6) AS sim
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
-         |knn AS (
+      s"""WITH params AS (
+         |  SELECT coalesce(list_min(
+         |      [pp for pp in range(4, 31) if (1::BIGINT << pp) * $KnnGraphTarget >= n]), 30) AS p
+         |  FROM (SELECT count(*) AS n FROM embeddings)),
+         |bucketed AS MATERIALIZED (
+         |  SELECT vec_id, p,
+         |    $bucketCols
+         |  FROM embeddings, params WHERE len(embedding) = 64),
+         |cand AS MATERIALIZED (
+         |  $unions),
+         |cs AS MATERIALIZED (
+         |  SELECT c.a, c.b,
+         |    round(${cosine("va.embedding", "vb.embedding")}, 6) AS sim
+         |  FROM cand c
+         |  JOIN embeddings va ON va.vec_id = c.a
+         |  JOIN embeddings vb ON vb.vec_id = c.b),
+         |dir AS MATERIALIZED (
+         |  SELECT a, b, sim FROM cs
+         |  UNION ALL SELECT b AS a, a AS b, sim FROM cs),
+         |knn AS MATERIALIZED (
          |  SELECT a, b FROM (
          |    SELECT a, b,
          |      row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
          |    FROM dir)
          |  WHERE rn <= $KnnGraphK),
-         |mut AS (
+         |mut AS MATERIALIZED (
          |  SELECT x.a AS s, x.b AS t FROM knn x
          |  JOIN knn y ON x.a = y.b AND x.b = y.a
          |  WHERE x.a < x.b),
-         |eu AS (SELECT s, t FROM mut UNION ALL SELECT t AS s, s AS t FROM mut),
-         |e AS (SELECT s, t FROM eu
+         |eu AS MATERIALIZED (SELECT s, t FROM mut UNION ALL SELECT t AS s, s AS t FROM mut),
+         |e AS MATERIALIZED (SELECT s, t FROM eu
          |  UNION ALL SELECT DISTINCT s, s AS t FROM eu),
-         |l0 AS (SELECT DISTINCT s AS v, s AS label FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT s AS v, s AS label FROM e),
          |$rounds,
-         |m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM mut),
-         |deg AS (SELECT s AS v, count(*) AS deg FROM eu GROUP BY 1),
-         |ds AS (
+         |m AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM mut),
+         |deg AS MATERIALIZED (SELECT s AS v, count(*) AS deg FROM eu GROUP BY 1),
+         |ds AS MATERIALIZED (
          |  SELECT l.label AS community, CAST(sum(d.deg) AS BIGINT) AS deg_sum,
          |    CAST(count(*) AS BIGINT) AS n_members
          |  FROM l$LpaRounds l JOIN deg d USING (v) GROUP BY 1),
-         |ie AS (
+         |ie AS MATERIALIZED (
          |  SELECT la.label AS community, CAST(count(*) AS BIGINT) AS internal_edges
          |  FROM mut JOIN l$LpaRounds la ON mut.s = la.v
          |  JOIN l$LpaRounds lb ON mut.t = lb.v
          |  WHERE la.label = lb.label GROUP BY 1),
-         |per AS (
+         |per AS MATERIALIZED (
          |  SELECT ds.community, ds.n_members,
          |    COALESCE(ie.internal_edges, 0) AS internal_edges, ds.deg_sum
          |  FROM ds LEFT JOIN ie USING (community)),
-         |q AS (
+         |q AS MATERIALIZED (
          |  SELECT round(sum(
          |    CAST(internal_edges AS DOUBLE) / m.m_edges -
          |    (CAST(deg_sum AS DOUBLE) / (2.0 * m.m_edges)) *
          |    (CAST(deg_sum AS DOUBLE) / (2.0 * m.m_edges))), 6) AS modularity
          |  FROM per, m),
-         |maj AS (
+         |maj AS MATERIALIZED (
          |  SELECT community, lab AS majority_label,
          |    CAST(n_lab AS BIGINT) AS n_majority
          |  FROM (

@@ -78,6 +78,13 @@ object SparkEntry {
     val KnnGraphK = 6        // q218 mutual-kNN degree: below the
                              // 50-vector cluster size at every SF, so
                              // reciprocation stays within-cluster
+    val KnnGraphTables = 2   // q218 candidate stream: multi-probe
+                             // (Hamming<=1) sign-LSH tables — the q58
+                             // table count; probes buy the recall
+    val KnnGraphTarget = 32  // q218 autoPlanes expected occupancy:
+                             // candidate degree stays ~(p+1)*32*2 per
+                             // vector at ANY corpus size, vs n-1 for
+                             // the exact twin
     val CdcAvgBits = 5       // q219 gear mask bits: ~32B expected past
                              // the minimum — short-doc-corpus dial; a
                              // storage system uses 12-13 (4-8 KiB)
@@ -1540,8 +1547,8 @@ object SparkEntry {
     "q207_core_census" -> ((s, d) =>
       Graph.supplierCoreCensus(Tables.lineitem(s, d), TriMinCooc)),
     "q218_communities" -> ((s, d) =>
-      Clusters.embeddingCommunities(Tables.embeddings(s, d), KnnGraphK,
-        LpaRounds, LpaTopN)),
+      Clusters.embeddingCommunitiesLsh(Tables.embeddings(s, d), KnnGraphK,
+        LpaRounds, LpaTopN, KnnGraphTables, KnnGraphTarget)),
     "q205_partial_compaction" -> ((s, d) => {
       // Rows-only lifecycle (the q187 class): one healthy dir + three
       // drip-appends; ONE compact_small folds only the drips — the big

@@ -109,7 +109,14 @@ object CountMin {
     * over a shared key domain this upper-bounds Σ_k fA(k)·fB(k) = the
     * equi-join output cardinality, with overestimate ≤ ε·N_A·N_B at
     * the usual e^−d confidence (collisions only ADD mass — one-sided,
-    * like the point query). Codegen target. */
+    * like the point query). Codegen target.
+    *
+    * Overflow contract: per-row dot mass is ~N_A·N_B/w, which can
+    * exceed 2^63 when both stream cardinalities pass ~2·10^14 at the
+    * default grid — so the accumulation is EXACT arithmetic that
+    * throws ArithmeticException on overflow (the same loud failure
+    * DuckDB's BIGINT multiply raises in the mirror) instead of
+    * silently wrapping negative in the regime the estimator serves. */
   def innerProductOf(a: Array[Byte], b: Array[Byte]): Long = {
     val ba = java.nio.ByteBuffer.wrap(a)
     val bb = java.nio.ByteBuffer.wrap(b)
@@ -124,7 +131,7 @@ object CountMin {
       var j = 0
       while (j < w) {
         val idx = 8 + 8 * (i * w + j)
-        s += ba.getLong(idx) * bb.getLong(idx)
+        s = Math.addExact(s, Math.multiplyExact(ba.getLong(idx), bb.getLong(idx)))
         j += 1
       }
       if (s < best) best = s
@@ -158,6 +165,14 @@ object CountMin {
       w: Int,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[Cms] {
+    // analysis-time rejection of non-string children — without this a
+    // misuse fails at EXECUTION with a ClassCastException on the
+    // UTF8String cast in update() (ExpectsInputTypes is private[sql],
+    // so the check is spelled directly)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"cms_sketch requires a STRING column, got ${child.dataType.catalogString}")
     override def createAggregationBuffer(): Cms = new Cms(d, w)
     override def update(buffer: Cms, row: InternalRow): Cms = {
       val v = child.eval(row)

@@ -361,37 +361,95 @@ object Clusters {
     * purity × modularity is the label-agreement audit the q62/q60
     * discipline applies to community structure.
     *
-    * Scale shape: the kNN stage here is the EXACT all-pairs scorer —
-    * recall-1.0 truth at the vector-panel scales every exact-KNN key
-    * runs at (q12/q67's regime, and what makes the DuckDB oracle
-    * possible). At corpus scale the candidate stream swaps for the
-    * q15b sign-LSH buckets or IVF cell routing (both in-repo; the q44
-    * SemDeDup path already clusters through IVF cells) — the mutual
-    * filter, LPA rounds, and census are identical either way, and THEY
-    * are what this operator adds. Per LPA round: the q43/q88 shuffle
-    * pair, state O(V). */
+    * Scale shape: this entry point is the EXACT all-pairs scorer —
+    * recall-1.0 truth for spec-scale panels and the differential twin
+    * the candidate-stream path is pinned against (ClusterSpec). The
+    * SHIPPED q218 path is [[embeddingCommunitiesLsh]]: the kNN stage
+    * consumes the bounded multi-probe sign-LSH candidate stream
+    * (Dedup.lshCandidatesMultiProbe at Dedup.autoPlanes sizing —
+    * O(n·(p+1)·occupancy·tables) candidate rows, quasi-linear) instead
+    * of this O(n²) cross join. The mutual filter, LPA rounds, and
+    * census are identical either way, and THEY are what this operator
+    * adds. Per LPA round: the q43/q88 shuffle pair, state O(V). */
   def embeddingCommunities(vectors: DataFrame, k: Int, rounds: Int,
       topN: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val base = vectors.select(col("vec_id"), col("embedding"), col("label"))
-
     val dir = base.select(col("vec_id").as("a"), col("embedding").as("ea"))
       .crossJoin(broadcast(
         base.select(col("vec_id").as("b"), col("embedding").as("eb"))))
       .where(col("a") =!= col("b"))
       .select(col("a"), col("b"),
         round(cosine(col("ea"), col("eb")), 6).as("sim"))
+    communitiesFromDirected(base, dir, k, rounds, topN)
+  }
+
+  /** Candidate-stream overload — the 100 TB seam the exact path's
+    * scaladoc promises: `candidates` is any undirected bounded
+    * near-neighbor pair frame (columns `a`, `b`; a < b by convention —
+    * both directions are derived here), e.g. the q15b sign-LSH bucket
+    * pairs or IVF cell co-residents. The kNN graph becomes "top-k by
+    * exact cosine AMONG the candidates" — recall is the candidate
+    * generator's dial (tables/probes/occupancy), exactly the q60/q62
+    * discipline — and everything downstream (mutual filter, LPA,
+    * census, majority audit) is shared with the exact path. */
+  def embeddingCommunities(vectors: DataFrame, candidates: DataFrame,
+      k: Int, rounds: Int, topN: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = vectors.select(col("vec_id"), col("embedding"), col("label"))
+    communitiesFromDirected(base, candidateScores(base, candidates), k,
+      rounds, topN)
+  }
+
+  /** The shipped q218 path: communities over a multi-probe sign-LSH
+    * candidate graph with scale-matched plane count (Dedup.autoPlanes
+    * at `targetPerBucket` expected occupancy). One count job sizes the
+    * planes; candidate work stays ~n·log n as the corpus grows while
+    * the exact twin above is O(n²) by construction. */
+  def embeddingCommunitiesLsh(vectors: DataFrame, k: Int, rounds: Int,
+      topN: Int, nTables: Int, targetPerBucket: Int,
+      dim: Int = 64): DataFrame =
+    embeddingCommunities(vectors,
+      Dedup.lshCandidatesMultiProbe(vectors,
+        Dedup.autoPlanes(vectors, targetPerBucket), nTables, dim),
+      k, rounds, topN)
+
+  /** Directed exact-cosine scores over an undirected candidate frame:
+    * embeddings join back BY ID (candidates never drag arrays through
+    * their generator's shuffles), each pair emitted in both directions
+    * so per-source top-k sees every incident candidate. Cosine is
+    * symmetric and both engines sum by index, so the two directions
+    * carry the bitwise-identical rounded score. */
+  private[graft] def candidateScores(vectors: DataFrame,
+      candidates: DataFrame): DataFrame = {
+    val und = candidates.select(col("a"), col("b"))
+    val dirPairs = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val e = vectors.select(col("vec_id"), col("embedding"))
+    dirPairs
+      .join(e.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(e.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .select(col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")), 6).as("sim"))
+  }
+
+  /** Per-source top-k over a directed scored frame — the bounded-heap
+    * GroupedTopK plan (partial+final, no global sort), `(sim desc,
+    * b asc)` tie-break so both engines rank identically at 6 dp. */
+  private[graft] def directedKnn(dir: DataFrame, k: Int): DataFrame =
+    graft.plans.GroupedTopK.topK(dir, Seq(col("a")),
+        Seq(col("sim").desc, col("b").asc), k)
+      .select("a", "b")
+
+  private def communitiesFromDirected(base: DataFrame, dir: DataFrame,
+      k: Int, rounds: Int, topN: Int): DataFrame = {
     // The mutual filter reads the directed kNN frame TWICE (both join
     // sides) and the census reads the edge frame three more times —
-    // without materialization the all-pairs scorer would re-run for
-    // every consumer. The kNN frame is cached only while the (small,
+    // without materialization the scorer would re-run for every
+    // consumer. The kNN frame is cached only while the (small,
     // O(k·n)-row) mutual edge list is eagerly checkpointed; everything
     // downstream reads the checkpointed edges, so the returned plan is
     // self-contained and the scorer runs exactly once.
-    val knnPlan = graft.plans.GroupedTopK.topK(dir, Seq(col("a")),
-        Seq(col("sim").desc, col("b").asc), k)
-      .select("a", "b")
-    val knn = knnPlan.persist()
+    val knn = directedKnn(dir, k).persist()
     val mutual = try {
       knn.as("x").join(knn.as("y"),
           col("x.a") === col("y.b") && col("x.b") === col("y.a"))

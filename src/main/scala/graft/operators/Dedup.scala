@@ -406,7 +406,20 @@ object Dedup {
     * cheap; hyperplane kernels are not. Candidate verification is the
     * same exact-cosine join as [[cosineLsh]]. */
   def cosineLshMultiProbe(vectors: DataFrame, nPlanes: Int, nTables: Int,
-                          threshold: Double, dim: Int = 64): DataFrame = {
+                          threshold: Double, dim: Int = 64): DataFrame =
+    verifyCosineCandidates(vectors,
+      lshCandidatesMultiProbe(vectors, nPlanes, nTables, dim), threshold)
+
+  /** The multi-probe candidate-pair stream alone — the bounded
+    * `(a, b)` (a < b, distinct across tables) frame
+    * [[cosineLshMultiProbe]] verifies, exposed so OTHER consumers of a
+    * near-neighbor candidate graph (the q218 community kNN stage,
+    * Clusters.embeddingCommunitiesLsh) reuse this generator instead of
+    * re-deriving an all-pairs scorer. Cost is O(n · (nPlanes+1) ·
+    * occupancy · nTables) candidate rows — quasi-linear under
+    * [[autoPlanes]] sizing, vs the O(n²) cross join it replaces. */
+  def lshCandidatesMultiProbe(vectors: DataFrame, nPlanes: Int, nTables: Int,
+                              dim: Int = 64): DataFrame = {
     val all = hyperplanes(nPlanes * nTables, dim)
     val bucketCols = (0 until nTables).map { t =>
       lshBucket(col("embedding"), all.slice(t * nPlanes, (t + 1) * nPlanes)).as(s"b$t")
@@ -414,7 +427,7 @@ object Dedup {
     // same off-dim exclusion as cosineLsh (see the comment there)
     val sized = vectors.where(size(col("embedding")) === dim)
     val withB = sized.select(col("vec_id") +: bucketCols: _*)
-    val cand = (0 until nTables).map { t =>
+    (0 until nTables).map { t =>
       // probe set = exact bucket + every 1-bit flip; probing from ONE
       // side finds every Hamming<=1 pair (if buckets differ in bit j,
       // a's flip-j probe lands exactly on b's bucket), and the a<b
@@ -425,7 +438,6 @@ object Dedup {
       val r = withB.select(col(s"b$t").as("bk"), col("vec_id").as("b"))
       l.join(r, "bk").where(col("a") < col("b")).select("a", "b")
     }.reduce(_ union _).distinct()
-    verifyCosineCandidates(vectors, cand, threshold)
   }
 
   /** Scale-matched LSH plane count: fixed planes are the sign-LSH scale

@@ -609,20 +609,28 @@ object Graph {
     try {
       var labels = und.select(col("src").as("v")).distinct()
         .withColumn("label", col("v"))
-      for (_ <- 1 to rounds) {
-        labels = und
-          .join(labels, col("dst") === col("v"))
-          .groupBy(col("src"), col("label"))
-          .agg(count(lit(1)).as("cnt"))
-          .groupBy(col("src"))
-          .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl")))
-            .as("m"))
-          .select(col("src").as("v"), (-col("m.nl")).as("label"))
-      }
+      for (_ <- 1 to rounds) labels = lpaRound(und, labels)
       // materialize before unpersisting the edge cache the plan reads
       labels.localCheckpoint(true)
     } finally { und.unpersist(); () }
   }
+
+  /** One synchronous LPA round: neighbor-ballot count per (vertex,
+    * label), then argmax as min over (-count, label) — highest count,
+    * ties to the smallest label, identical to max(count, -label) for
+    * numeric ids but valid for ANY orderable label type (string vertex
+    * keys analyze fine; unary minus on the COUNT is always numeric).
+    * Exposed lazily (pre-checkpoint) so plan tests can assert the
+    * round's shuffle shape — the checkpointed loop output erases it. */
+  private[graft] def lpaRound(und: DataFrame, labels: DataFrame): DataFrame =
+    und
+      .join(labels, col("dst") === col("v"))
+      .groupBy(col("src"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("src"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+        .as("m"))
+      .select(col("src").as("v"), col("m.l").as("label"))
 
   /** Community census over an undirected (src < dst) edge list and its
     * [[labelPropagation]] labeling — per community: member count,

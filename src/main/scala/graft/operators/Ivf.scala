@@ -121,6 +121,30 @@ object Ivf {
   def build(vectors: DataFrame, step: Int): DataFrame =
     assign(vectors, centroids(vectors, step)).orderBy("vec_id")
 
+  /** IVF-routed candidate pairs: co-residents of one cell, `(a, b)`
+    * with a < b — the cell-bucketed candidate generator the SemDeDup
+    * path (q44) and the leakage-safe split (q203) already cluster
+    * through, exposed as a pair STREAM so the q218 communities
+    * overload ([[Clusters.embeddingCommunities]]'s candidates seam)
+    * can route through IVF cells instead of (or beside) the sign-LSH
+    * tables — one shared assignment pass feeds all three consumers.
+    *
+    * Scale shape: the zero-shuffle argmin assignment, then one
+    * equi-join on centroid_id — pair work is Σ|cell|² bounded by the
+    * step-sized cell occupancy (the q63 balance dial watches it), vs
+    * n² unbucketed. Recall trade vs multi-probe LSH: a true neighbor
+    * straddling a cell boundary is missed (the q156/Nsw boundary
+    * class); nprobe-style recall comes from the LSH generator or the
+    * top-2 assignment ([[assignTop2WithEmbedding]]). */
+  def cellCandidatePairs(vectors: DataFrame, step: Int): DataFrame = {
+    val assigned = assign(vectors, centroids(vectors, step))
+      .select(col("centroid_id").as("c"), col("vec_id"))
+    assigned.select(col("c"), col("vec_id").as("a"))
+      .join(assigned.select(col("c"), col("vec_id").as("b")), "c")
+      .where(col("a") < col("b"))
+      .select("a", "b")
+  }
+
   /** Assignment with the embedding riding the same narrow pass (zero
     * shuffles, no join-back) — for consumers that need
     * (vec_id, centroid_id, embedding) downstream: SemDeDup

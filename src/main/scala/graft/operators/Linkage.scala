@@ -92,8 +92,12 @@ object Linkage {
 
     val pairs = aSide.join(bSide, Seq("w1", "sub")).where(col("a") < col("b"))
       .select(Seq(col("a"), col("b")) ++ fields.map(f =>
-        (col(s"${f.name}_a") === col(s"${f.name}_b")).cast("int")
-          .as(s"agree_${f.name}")): _*)
+        // when/otherwise, not a bare boolean cast: a NULL field on
+        // either side must read DISAGREE (0), matching the oracle's
+        // CASE WHEN ... THEN 1 ELSE 0 — (a === b).cast("int") would
+        // propagate NULL and diverge on any corpus with NULL fields
+        when(col(s"${f.name}_a") === col(s"${f.name}_b"), lit(1))
+          .otherwise(lit(0)).as(s"agree_${f.name}")): _*)
       .crossJoin(broadcast(uFrame))
 
     val scored = pairs.select(

@@ -211,6 +211,66 @@ class ClusterSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("embeddingCommunitiesLsh (q218 shipped path): candidate-stream " +
+    "communities EQUAL the exact twin on planted 64-dim clusters at " +
+    "recall-sufficient dials; deterministic across partitionings") {
+    import spark.implicits._
+    // 4 clusters of 12 hugging orthogonal axes in the LSH dim (64):
+    // within-cluster cosine ≈ 1 → per-bit sign-collision ≈ 1 → the
+    // multi-probe candidate stream contains every within-cluster pair,
+    // so top-k-among-candidates == exact top-k and the two paths must
+    // agree row for row.
+    val vecs = (0 until 48).map { i =>
+      val c = i / 12
+      val v = Array.fill(64)(0.003f * ((i * 7 + 5) % 11))
+      v(c) = 10f + (i % 12) * 0.1f
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Clusters.embeddingCommunities(vecs, 6, 5, 20)
+      .collect().map(_.toString).toSeq
+    val lsh = Clusters.embeddingCommunitiesLsh(vecs, 6, 5, 20,
+      nTables = 2, targetPerBucket = 8)
+      .collect().map(_.toString).toSeq
+    assert(lsh == exact,
+      s"candidate path must match the exact twin:\nexact=$exact\nlsh=$lsh")
+    // determinism across partitionings (the exact-path test's contract
+    // extends to the shipped path)
+    val corpus = Tables.embeddings(spark, sf001)
+    val a = Clusters.embeddingCommunitiesLsh(corpus, 6, 5, 20, 2, 32)
+      .collect().map(_.toString).toSeq
+    val b = Clusters.embeddingCommunitiesLsh(corpus.repartition(11), 6, 5, 20, 2, 32)
+      .collect().map(_.toString).toSeq
+    assert(a == b, "LSH-path communities must not depend on partitioning")
+    // the candidate stream is BOUNDED: far fewer pairs than n(n-1)/2
+    val n = corpus.count()
+    val cand = graft.operators.Dedup.lshCandidatesMultiProbe(corpus,
+      graft.operators.Dedup.autoPlanes(corpus, 32), 2).count()
+    assert(cand < n * (n - 1) / 4,
+      s"candidates ($cand) must be well under all-pairs (${n * (n - 1) / 2})")
+  }
+
+  test("embeddingCommunities candidates seam is generator-agnostic: " +
+    "IVF cell co-residents recover the same planted communities as the " +
+    "exact twin (one assignment pass shared with the q44/q203 class)") {
+    import spark.implicits._
+    val vecs = (0 until 48).map { i =>
+      val c = i / 12
+      val v = Array.fill(64)(0.003f * ((i * 7 + 5) % 11))
+      v(c) = 10f + (i % 12) * 0.1f
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Clusters.embeddingCommunities(vecs, 6, 5, 20)
+      .collect().map(_.toString).toSeq
+    // step 12 → 4 seed centroids, one per planted axis cluster: every
+    // within-cluster pair is a co-resident candidate, so top-k among
+    // candidates == exact top-k
+    val ivf = Clusters.embeddingCommunities(vecs,
+      graft.operators.Ivf.cellCandidatePairs(vecs, 12), 6, 5, 20)
+      .collect().map(_.toString).toSeq
+    assert(ivf == exact,
+      s"IVF-routed candidates must match the exact twin:\nexact=$exact\nivf=$ivf")
+  }
+
   test("labelPropagation: two cliques joined by one bridge edge keep " +
     "distinct labels; a single clique converges to its min id") {
     import spark.implicits._

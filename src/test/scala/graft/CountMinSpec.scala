@@ -86,6 +86,25 @@ class CountMinSpec extends SparkSpec {
     intercept[IllegalArgumentException] { CountMin.innerProductOf(a, b) }
   }
 
+  test("innerProductOf overflows LOUDLY (ArithmeticException), never a " +
+    "silent negative wrap — the DuckDB-mirror contract at extreme mass") {
+    // two counters of 2^32 in the same cell: product = 2^64 > Long.Max
+    val c = new CountMin.Cms(2, 4)
+    val huge = c.serialize.clone()
+    val bb = java.nio.ByteBuffer.wrap(huge)
+    (0 until 8).foreach(i => bb.putLong(8 + 8 * i, 1L << 32))
+    intercept[ArithmeticException] { CountMin.innerProductOf(huge, huge) }
+  }
+
+  test("cmsSketch rejects a non-string column at ANALYSIS time, not with " +
+    "a runtime ClassCastException") {
+    import org.apache.spark.sql.functions.col
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(5).select(CountMin.cmsSketch(col("id"), 2, 64)).collect()
+    }
+    assert(e.getMessage.contains("STRING"), e.getMessage)
+  }
+
   test("innerProductOf: exact Σ fA·fB at wide w; never an underestimate") {
     def grid(terms: Seq[String], w: Int): Array[Byte] = {
       val c = new CountMin.Cms(4, w)

@@ -426,14 +426,33 @@ class PlanSpec extends SparkSpec {
       s"item-support joins must broadcast (got $bhj BroadcastHashJoin):\n$p")
   }
 
-  test("communities (q218): per-LPA-round shuffles are vertex-grain " +
-    "hash exchanges; no global sort anywhere before the final top-N") {
+  test("communities (q218): one LPA round is join + two hash aggregates " +
+    "— no cartesian, no sort (asserted PRE-checkpoint: the loop output " +
+    "is a checkpoint scan and would make this vacuous)") {
     import spark.implicits._
-    val mutual = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
-    val p = physical(Graph.labelPropagation(mutual, 2))
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val und = edges.union(edges.select($"dst".as("src"), $"src".as("dst")))
+    val labels = und.select($"src".as("v")).distinct()
+      .withColumn("label", $"v")
+    val p = physical(Graph.lpaRound(und, labels))
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(!"Sort \\[label".r.findFirstIn(p).isDefined,
       s"label argmax must be an aggregate, not a sort:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"ballot count + argmax must be hash aggregates:\n$p")
+  }
+
+  test("communities (q218 shipped path): the LSH-candidate kNN stage " +
+    "has NO cartesian/broadcast-nested-loop anywhere — candidates come " +
+    "from bucket equi-joins, top-k from the bounded-heap plan") {
+    val vecs = Tables.embeddings(spark, sf0001)
+    val dir = Clusters.candidateScores(vecs,
+      Dedup.lshCandidatesMultiProbe(vecs, 4, 2))
+    val p = physical(Clusters.directedKnn(dir, 6))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$p")
+    assert(p.contains("GroupedTopK") || p.contains("TopK"),
+      s"per-source top-k must be the bounded-heap operator:\n$p")
   }
 
   test("CDC dedup (q219): chunking is map-side (no exchange before the " +

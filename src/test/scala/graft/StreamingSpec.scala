@@ -738,4 +738,57 @@ class StreamingSpec extends SparkSpec {
       assert(est >= c, s"CMS under-counted '$t': $est < $c")
     }
   }
+
+  test("streaming community attach: a streamed vertex lands on the SAME " +
+    "label one fresh sync round over the union graph would give it; " +
+    "no-labeled-neighbor vertices are held back, replays are re-votes") {
+    import spark.implicits._
+    import graft.operators.Graph
+    import graft.streaming.CommunityStream
+    val tmp = System.getProperty("java.io.tmpdir")
+    // two planted cliques, batch LPA seeds the store
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val base = (clique(1L to 5L) ++ clique(11L to 15L)).toDF("src", "dst")
+    val labelsPath = s"$tmp/graft_community_labels"
+    val lp = new org.apache.hadoop.fs.Path(labelsPath)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(lp)) fs.delete(lp, true)
+    Graph.labelPropagation(base, 5).write.parquet(labelsPath)
+    val seeded = spark.read.parquet(labelsPath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // arriving edges: vertex 6 attaches to the left clique (two votes),
+    // vertex 16 to the right (one vote), vertex 99 touches only the
+    // UNLABELED 98 — it must be held back, not seeded
+    val delta = Seq((6L, 1L), (6L, 2L), (16L, 11L), (99L, 98L))
+      .toDF("src", "dst")
+    val deltaDir = s"$tmp/graft_community_delta"
+    delta.coalesce(1).write.mode("overwrite").parquet(deltaDir)
+    val ckpt = s"$tmp/graft_community_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    def deltaStream() = spark.readStream
+      .schema(spark.read.parquet(deltaDir).schema).parquet(deltaDir)
+    CommunityStream.attach(deltaStream(), labelsPath, Some(ckpt))
+      .awaitTermination(120000)
+
+    val after = spark.read.parquet(labelsPath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after(6L) == seeded(1L), s"vertex 6 must join the left clique: $after")
+    assert(after(16L) == seeded(11L), s"vertex 16 must join the right clique: $after")
+    assert(!after.contains(99L) && !after.contains(98L),
+      s"no-labeled-neighbor vertices must be held back: $after")
+    // equivalence pin: one fresh sync round over the union graph gives
+    // the streamed vertices the same labels (their neighbors settled)
+    val union = base.union(delta.where(col("src") =!= 99L))
+    val oneRound = Graph.labelPropagation(union, 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneRound(6L) == after(6L) && oneRound(16L) == after(16L),
+      "streamed attach diverged from the settled batch labeling")
+    // checkpointed restart: the consumed delta must not re-append
+    val n1 = spark.read.parquet(labelsPath).count()
+    CommunityStream.attach(deltaStream(), labelsPath, Some(ckpt))
+      .awaitTermination(120000)
+    assert(spark.read.parquet(labelsPath).count() == n1,
+      "checkpointed restart re-appended the attach rows")
+  }
 }
