@@ -19,6 +19,19 @@ object Explain {
     names.foreach { name =>
       println(s"\n===== $name =====")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString)
+      // q218's returned plan reads the CHECKPOINTED mutual edges, so the
+      // kNN stage — where the r18 scale rework lives — is invisible in
+      // it; dump that stage's lazy plan beside the key.
+      if (name == "q218_communities") {
+        import graft.operators.{Clusters, Dedup}
+        val vecs = Tables.embeddings(spark, sfDir)
+        val knn = Clusters.directedKnn(Clusters.candidateScores(vecs,
+          Dedup.lshCandidatesMultiProbe(vecs,
+            Dedup.autoPlanes(vecs, SparkEntry.Params.KnnGraphTarget),
+            SparkEntry.Params.KnnGraphTables)), SparkEntry.Params.KnnGraphK)
+        println(s"\n===== q218_communities / kNN stage (pre-checkpoint) =====")
+        println(knn.queryExecution.executedPlan.toString)
+      }
     }
     spark.stop()
   }
