@@ -4340,6 +4340,80 @@ object OracleSql {
          |  CAST(max(ent_micro) AS BIGINT) AS max_entropy_micro
          |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // q223: Good-Turing unseen mass — N, V, N1, N2 off one
+    // (source, term) rollup; two exact-operand ratios at 6dp.
+    "q223_good_turing" ->
+      s"""WITH tf AS (
+         |  SELECT source, t.term, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, ${toks("lower(text)")} AS ts FROM documents),
+         |  LATERAL (SELECT unnest(ts) AS term) t
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens,
+         |  CAST(count(*) AS BIGINT) AS vocab_size,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / sum(c), 6) AS p0_unseen,
+         |  round(CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0
+         |    THEN 2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+         |      / sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+         |    ELSE 0.0 END, 6) AS c1_star
+         |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q224: distinct-n diversity — per (source, n) exact distinct/total
+    // over the unioned 1/2/3-gram streams (list_slice windows mirror
+    // Spark's sequence+slice transform; len < n yields no rows on both
+    // engines).
+    "q224_ngram_diversity" -> {
+      val grams = (1 to DiversityMaxN).map { n =>
+        if (n == 1) "SELECT source, 1 AS n, unnest(t) AS gram FROM tk"
+        else
+          s"""SELECT source, $n AS n,
+             |    unnest(list_transform(range(1, len(t) - $n + 2),
+             |      i -> array_to_string(list_slice(t, i, i + $n - 1), ' '))) AS gram
+             |  FROM tk""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH tk AS (
+         |  SELECT source, ${toks("lower(text)")} AS t FROM documents),
+         |g AS (
+         |  $grams)
+         |SELECT source, n, CAST(count(*) AS BIGINT) AS total_ngrams,
+         |  CAST(count(DISTINCT ${hash60("gram")}) AS BIGINT) AS distinct_ngrams,
+         |  round(CAST(count(DISTINCT ${hash60("gram")}) AS DOUBLE) / count(*), 6) AS diversity
+         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // q225: HITS — the same integer-micro half-rounds unrolled
+    // (raw sums of exact integers, renormalized by raw*1e6 // max(raw)
+    // each half-round), MATERIALIZED so the edge CTE is built once.
+    "q225_hits_rank" -> {
+      val rounds = (1 to HitsIters).map { r =>
+        s"""ar$r AS MATERIALIZED (
+           |  SELECT e.s, CAST(sum(h.h) AS BIGINT) AS araw
+           |  FROM e JOIN h${r - 1} h ON e.c = h.c GROUP BY 1),
+           |a$r AS MATERIALIZED (
+           |  SELECT s, araw * 1000000 // (SELECT max(araw) FROM ar$r) AS a
+           |  FROM ar$r),
+           |hr$r AS MATERIALIZED (
+           |  SELECT e.c, CAST(sum(a.a) AS BIGINT) AS hraw
+           |  FROM e JOIN a$r a ON e.s = a.s GROUP BY 1),
+           |h$r AS MATERIALIZED (
+           |  SELECT c, hraw * 1000000 // (SELECT max(hraw) FROM hr$r) AS h
+           |  FROM hr$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |h0 AS MATERIALIZED (
+         |  SELECT DISTINCT c, 1000000::BIGINT AS h FROM e),
+         |$rounds,
+         |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS n_customers FROM e GROUP BY 1)
+         |SELECT a.s AS s_suppkey, CAST(a.a AS BIGINT) AS authority_micro,
+         |  deg.n_customers
+         |FROM a$HitsIters a JOIN deg USING (s)
+         |ORDER BY authority_micro DESC, s_suppkey LIMIT $HitsTopN""".stripMargin
+    },
+
     // q214: mSPRT always-valid sequential readout — the oracle states
     // the same closed-form normal-mixture likelihood ratio over the
     // same cumulative day-grain counts (exact integers under running

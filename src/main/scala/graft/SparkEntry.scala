@@ -85,6 +85,12 @@ object SparkEntry {
                              // candidate degree stays ~(p+1)*32*2 per
                              // vector at ANY corpus size, vs n-1 for
                              // the exact twin
+    val DiversityMaxN = 3    // q224 distinct-n dial: 1/2/3-grams, the
+                             // diversity-literature convention
+    val HitsIters = 2        // q225 HITS rounds: mutual reinforcement
+                             // converges fast on the dense purchase
+                             // graph; fixed count = hash-exact
+    val HitsTopN = 20        // q225 authorities reported
     val CdcAvgBits = 5       // q219 gear mask bits: ~32B expected past
                              // the minimum — short-doc-corpus dial; a
                              // storage system uses 12-13 (4-8 KiB)
@@ -567,6 +573,13 @@ object SparkEntry {
       Analytics.rfmSegments(Tables.orders(s, d))),
     "q222_token_entropy" -> ((s, d) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+    "q223_good_turing" -> ((s, d) =>
+      LanguageModel.goodTuringReport(Tables.documents(s, d))),
+    "q224_ngram_diversity" -> ((s, d) =>
+      TextAnalysis.ngramDiversity(Tables.documents(s, d), DiversityMaxN)),
+    "q225_hits_rank" -> ((s, d) =>
+      Graph.supplierAuthorities(Tables.lineitem(s, d), Tables.orders(s, d),
+        HitsIters, HitsTopN)),
     "q179_snippets" -> ((s, d) =>
       Search.snippets(Tables.documents(s, d), SnippetTerm, SnippetContext, K)),
     "q19_asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),

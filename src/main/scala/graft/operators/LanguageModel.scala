@@ -144,4 +144,39 @@ object LanguageModel {
         round(sum("lp").cast("double") / (lit(1000000.0) * count(lit(1))), 6).as("avg_logp"))
       .orderBy("doc_id")
   }
+
+  /** q223: Good-Turing unseen-mass report per source — the smoothing
+    * dial every LM built on a corpus needs read BEFORE training: the
+    * Good-Turing estimate says the probability mass of token types the
+    * corpus has NEVER seen is p₀ = N₁/N (hapax count over token
+    * count, Good 1953), and the discounted effective count of a
+    * singleton is c₁* = 2·N₂/N₁. Per source because the dial drives
+    * per-source mixing decisions (a source with high unseen mass is
+    * under-sampled relative to its domain; the q37/q95 weighting
+    * consumers read exactly this kind of signal).
+    *
+    * Exactness: N, V, N₁, N₂ are exact integers off one (source, term)
+    * rollup; the two ratios divide exact operands and round 6 dp —
+    * nothing float-order-dependent. Scale shape: the q41 vocab-stats
+    * grain — one explode + one partial-agg exchange on (source, term),
+    * then a source-grain rollup; no joins, no windows. */
+  def goodTuringReport(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("c")).as("total_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("total_tokens"), col("vocab_size"),
+        col("n1"), col("n2"),
+        round(col("n1").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("p0_unseen"),
+        round(when(col("n1") > 0,
+          lit(2.0) * col("n2").cast("double") / col("n1").cast("double"))
+          .otherwise(lit(0.0)), 6).as("c1_star"))
+      .orderBy("source")
+  }
 }

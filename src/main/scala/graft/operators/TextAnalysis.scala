@@ -474,4 +474,85 @@ object TextAnalysis {
         max("ent_micro").as("max_entropy_micro"))
       .orderBy("source")
   }
+
+  /** q224: distinct-n-gram diversity per source — the repetition dial
+    * read at the CORPUS grain instead of q35's per-document counters:
+    * the distinct-to-total ratio of 1/2/3-grams (the "distinct-n"
+    * metric of the Self-BLEU/diversity literature). A source whose
+    * trigram diversity collapses is template boilerplate even when
+    * every individual document passes the q59 gates — exactly the
+    * signal that decides "dedup harder vs drop the source" before
+    * training.
+    *
+    * Exactness: counts are exact integers (one (source, n, gram-hash)
+    * grain), the ratio divides exact operands, 6 dp. The distinct runs
+    * over the 60-bit md5 gram hash, the q14c/q36 shingle convention
+    * BOTH engines share — the exchange carries (source, n, long)
+    * triples instead of multi-word strings, which at sf1 was the whole
+    * cost of the first cut. Scale shape: one explode of ~3× the token
+    * stream into narrow rows + one partial-agg exchange for the
+    * distinct, then a (source, n) rollup — the q41/q223 grain family;
+    * no joins. */
+  def ngramDiversity(docs: DataFrame, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val t = tokens(lower(col("text")))
+    // one branch per n, unioned AFTER aggregation: each branch is a
+    // flat explode of one gram stream (no struct/flatten megaframe —
+    // the single-explode first cut ran the nested HOF interpreted over
+    // 3× the token stream and cost ~4× this shape)
+    def branch(n: Int): DataFrame = {
+      val grams =
+        if (n == 1) t
+        else when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ", slice(t, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      docs.select(col("source"), explode(grams).as("g"))
+        .select(col("source"), graft.operators.Dedup.hash60(col("g")).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("h")).as("distinct_ngrams"))
+        .select(col("source"), lit(n).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"))
+    }
+    (1 to maxN).map(branch).reduce(_ union _)
+      .select(col("source"), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"), 6).as("diversity"))
+      .orderBy("source", "n")
+  }
+
+  /** [[ngramDiversity]]'s HLL++ twin — the 100 TB path (the
+    * q41-approx/q140b convention): the exact key's cost IS the
+    * corpus-wide distinct exchange over every 1/2/3-gram (the sf1
+    * sweep's 3rd-heaviest non-image key); a diversity DIAL does not
+    * need exact cardinalities, and the sketch collapses the exchange
+    * to fixed-size HLL buffers per (source, n). rsd defaults to the
+    * Spark default 5%. */
+  def ngramDiversityApprox(docs: DataFrame, maxN: Int = 3,
+      rsd: Double = 0.05): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val t = tokens(lower(col("text")))
+    def branch(n: Int): DataFrame = {
+      val grams =
+        if (n == 1) t
+        else when(size(t) >= n,
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ", slice(t, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      docs.select(col("source"), explode(grams).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("total_ngrams"),
+          approx_count_distinct(col("g"), rsd).as("distinct_ngrams"))
+        .select(col("source"), lit(n).as("n"), col("total_ngrams"),
+          col("distinct_ngrams"))
+    }
+    (1 to maxN).map(branch).reduce(_ union _)
+      .select(col("source"), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double"), 6).as("diversity"))
+      .orderBy("source", "n")
+  }
 }

@@ -604,4 +604,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(graft.operators.TextAnalysis.tokenEntropy(empty).collect().isEmpty,
       "a doc with no tokens has no distribution to score")
   }
+
+  test("goodTuringReport (q223): hand freq-of-freqs — p0 = N1/N, " +
+    "c1* = 2 N2/N1; hapax-free source reads zero unseen mass") {
+    import spark.implicits._
+    // src A: tokens a a b c  -> N=4 V=3 N1=2(b,c) N2=1(a)
+    // src B: tokens x x y y  -> N=4 V=2 N1=0 N2=2 -> p0=0, c1*=0
+    val docs = Seq((1L, "A", "a a b c"), (2L, "B", "x x y y"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.LanguageModel.goodTuringReport(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getDouble(5), r.getDouble(6))).toMap
+    assert(out("A") == ((4L, 3L, 2L, 1L, 0.5, 1.0)), s"got ${out("A")}")
+    assert(out("B") == ((4L, 2L, 0L, 2L, 0.0, 0.0)), s"got ${out("B")}")
+  }
+
+  test("ngramDiversity (q224): hand distinct-n ratios; template " +
+    "repetition collapses trigram diversity while unigrams stay high") {
+    import spark.implicits._
+    val docs = Seq((1L, "A", "a a b")).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.ngramDiversity(docs)
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // unigrams a,a,b -> 3 total 2 distinct; bigrams "a a","a b" -> 2/2;
+    // trigram "a a b" -> 1/1
+    assert(out(1) == ((3L, 2L, 0.666667)), s"got ${out(1)}")
+    assert(out(2) == ((2L, 2L, 1.0)), s"got ${out(2)}")
+    assert(out(3) == ((1L, 1L, 1.0)), s"got ${out(3)}")
+    // a boilerplate source: same sentence repeated across docs — its
+    // trigram diversity must land far below a varied source's
+    val rep = (1 to 20).map(i => (i.toLong, "T", "the quick brown fox jumps"))
+    val varied = (1 to 20).map(i =>
+      (100L + i, "V", s"doc $i body token${i * 7 % 13} tail${i * 11 % 17}"))
+    val d2 = (rep ++ varied).toDF("doc_id", "source", "text")
+    val div = graft.operators.TextAnalysis.ngramDiversity(d2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    assert(div(("T", 3)) <= 0.05 && div(("V", 3)) > 0.5,
+      s"template source must collapse trigram diversity: $div")
+    // sub-n docs yield no n-gram rows (no phantom groups)
+    val short = Seq((1L, "S", "one two")).toDF("doc_id", "source", "text")
+    val sd = graft.operators.TextAnalysis.ngramDiversity(short).collect()
+    assert(sd.map(_.getInt(1)).toSet == Set(1, 2), s"got ${sd.mkString(";")}")
+    // the HLL twin tracks the exact dial within its rsd on a real corpus
+    val corpus = Tables.documents(spark, sf001)
+    val ex = graft.operators.TextAnalysis.ngramDiversity(corpus).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    val ap = graft.operators.TextAnalysis.ngramDiversityApprox(corpus).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    assert(ex.keySet == ap.keySet)
+    ex.foreach { case (k, v) =>
+      assert(math.abs(ap(k) - v) <= 0.15 * math.max(v, 0.01),
+        s"approx diversity drifted past 3x rsd at $k: exact $v approx ${ap(k)}")
+    }
+  }
 }

@@ -319,4 +319,33 @@ class GraphSpec extends SparkSpec {
     // node 2 (middle): d1×2, d2×2, d3×1 (node 5) → within depth 4 all 5
     assert(out(2L) == ((5L, 3333333L)), s"got $out")
   }
+
+  test("hitsAuthorities (q225): same-degree suppliers rank by their " +
+    "customers' HUBNESS, not degree; integer half-rounds hand-computed; " +
+    "partition-invariant") {
+    import spark.implicits._
+    // c1 buys s1+s2 (hub), c2 buys s1, c3 buys s3 — s2 and s3 both have
+    // degree 1, but s2's buyer is the hub.
+    val edges = Seq((1L, 101L), (1L, 102L), (2L, 101L), (3L, 103L))
+      .toDF("c", "s")
+    val out = Graph.hitsAuthorities(edges, 2, 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // round 1: araw = (s1 2e6, s2 1e6, s3 1e6) -> a = (1e6, 5e5, 5e5)
+    //          hraw = (c1 1.5e6, c2 1e6, c3 5e5) -> h = (1e6, 666666, 333333)
+    // round 2: araw = (s1 1666666, s2 1000000, s3 333333)
+    //          -> a = (1000000, 600000, 199999)
+    assert(out(101L)._1 == 1000000L, s"s1 must be the max authority: $out")
+    assert(out(102L)._1 == 600000L, s"s2 hand value: $out")
+    assert(out(103L)._1 == 199999L, s"s3 hand value: $out")
+    assert(out(102L)._1 > out(103L)._1,
+      "equal-degree suppliers must separate by buyer hubness")
+    assert(out(101L)._2 == 2L && out(102L)._2 == 1L, s"degrees: $out")
+    // determinism across partitionings (the q88 discipline)
+    val li = Tables.lineitem(spark, sf0001)
+    val or = Tables.orders(spark, sf0001)
+    val a = Graph.supplierAuthorities(li, or, 2, 20).collect().map(_.toString).toSeq
+    val b = Graph.supplierAuthorities(li.repartition(7), or.repartition(5), 2, 20)
+      .collect().map(_.toString).toSeq
+    assert(a == b, "HITS must not depend on partitioning")
+  }
 }
