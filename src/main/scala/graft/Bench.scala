@@ -20,14 +20,64 @@ object Bench {
     * spikes on unchanged code were shared-machine load, not
     * regressions — with the guard in the artifact, a spiked key under
     * `load >> cpus` or co-running JVMs self-identifies as contention. */
-  /** A sweep whose timed region STARTS above this 1-min load self-
-    * identifies as a dirty window in the artifact (r17's committed
+  /** A sweep whose timed region starts OR ends above this 1-min load
+    * self-identifies as a dirty window in the artifact (r17's committed
     * sweep started at load 8.9 — the DuckDB baseline's wake — and
     * inflated nearly every key 50-300% vs calm re-measures; the guard
-    * recorded it but nothing FLAGGED it). Threshold ~load 5 on a
-    * 32-cpu box: the repo's own calm-window practice (BASELINE.md)
+    * recorded it but nothing FLAGGED it). The end sample matters too:
+    * r18's snapshot sweep started at 4.64 — just under the bar — yet
+    * carried q99 at 25× its clean value, so a start-only check
+    * self-certified a contended window as clean. Threshold ~load 5 on
+    * a 32-cpu box: the repo's own calm-window practice (BASELINE.md)
     * re-measures under ≤ ~4. */
-  private[graft] def dirtyWindow(loadStart: Double): Boolean = loadStart > 5.0
+  private[graft] def dirtyWindow(loadStart: Double, loadEnd: Double = 0.0): Boolean =
+    math.max(loadStart, loadEnd) > 5.0
+
+  /** Extract the per-query map from a previously committed bench
+    * artifact (this program's own output format). Tolerant: any parse
+    * failure yields an empty map and the anomaly guard simply has no
+    * prior to compare against. Pass `sfDir` to require the prior sweep
+    * to have run at the SAME scale directory — sf0.1 priors are not a
+    * baseline for an sf1 sweep (every key would read ~4× and false-flag). */
+  private[graft] def parsePriorQueries(json: String, sfDir: String = ""): Map[String, Double] = {
+    if (sfDir.nonEmpty) {
+      val sfTag = "\"sf\":\""
+      val i = json.indexOf(sfTag)
+      if (i < 0) return Map.empty
+      val j = json.indexOf('"', i + sfTag.length)
+      if (j < 0 || json.substring(i + sfTag.length, j) != sfDir) return Map.empty
+    }
+    val tag = "\"queries\":"
+    val start = json.indexOf(tag)
+    if (start < 0) return Map.empty
+    val open = json.indexOf('{', start + tag.length)
+    if (open < 0) return Map.empty
+    var depth = 0; var i = open; var end = -1
+    while (i < json.length && end < 0) {
+      json.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _   =>
+      }
+      i += 1
+    }
+    if (end < 0) return Map.empty
+    val kv = """"([^"]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+    kv.findAllMatchIn(json.substring(open + 1, end))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Per-key anomaly guard (VERDICT r18 item 2): the load heuristic
+    * alone missed a window where individual keys read 25× their clean
+    * values. Any key whose prior committed timing was ≥0.5 s (below
+    * that, fixed job-overhead jitter dominates) and whose fresh timing
+    * exceeds 3× that prior is listed as `suspect` in the artifact —
+    * contention-or-regression, either way not committable unexamined. */
+  private[graft] def suspectKeys(current: Seq[(String, Double)],
+                                 prior: Map[String, Double]): Seq[String] =
+    current.collect {
+      case (k, v) if prior.get(k).exists(p => p >= 0.5 && v > 3.0 * p) => k
+    }
 
   private def guardSample(): (Double, Int) = {
     val load = java.lang.management.ManagementFactory
@@ -376,9 +426,22 @@ object Bench {
     val total = ok.map(_._2).sum
     val (loadEnd, jvmsEnd) = guardSample()
     val cpus0 = Runtime.getRuntime.availableProcessors()
-    val guard = s"""{"cpus":$cpus0,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"other_jvms_start":$jvmsStart,"other_jvms_end":$jvmsEnd,"dirty_window":${dirtyWindow(loadStart)}}"""
-    if (dirtyWindow(loadStart))
-      System.err.println(s"[bench] WARNING: dirty window — load_start ${f3(loadStart)} > 5; timings are contention-inflated, re-run calm before committing as the round headline")
+    // Per-key anomaly check against the last committed clean sweep: the
+    // prior artifact is read from disk (same default path this run will
+    // overwrite — read happens here, before the write below).
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+    val prior =
+      try parsePriorQueries(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorPath)), "UTF-8"), sfDir)
+      catch { case _: Throwable => Map.empty[String, Double] }
+    val suspect = suspectKeys(ok, prior)
+    val susJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val guard = s"""{"cpus":$cpus0,"load_start":${f3(loadStart)},"load_end":${f3(loadEnd)},"other_jvms_start":$jvmsStart,"other_jvms_end":$jvmsEnd,"dirty_window":${dirtyWindow(loadStart, loadEnd)},"suspect":$susJson}"""
+    if (dirtyWindow(loadStart, loadEnd))
+      System.err.println(s"[bench] WARNING: dirty window — load ${f3(math.max(loadStart, loadEnd))} > 5; timings are contention-inflated, re-run calm before committing as the round headline")
+    if (suspect.nonEmpty)
+      System.err.println(s"[bench] WARNING: ${suspect.size} key(s) read >3x their prior committed timing (${suspect.mkString(", ")}); re-measure before committing — contention or regression either way")
     // reps is part of the artifact: best-of-2 and best-of-3 minima are
     // different estimators, so cross-round comparisons need to know it.
     val fullLine = s"""{"queries":$qs,"extras":$xs,"failed":$fs,"guard":$guard,"sf":"$sfDir","reps":$reps,"unit":"sec","metric":"total","value":${f3(total)}}"""

@@ -43,23 +43,37 @@ object CommunityStream {
     * labeled neighbors; returns (v, label) rows for newly attached
     * vertices only. */
   def attachStep(edges: DataFrame, labels: DataFrame): DataFrame = {
+    // Vote over the DISTINCT store: duplicate (v, label) rows — e.g.
+    // left by a checkpoint-less replay that appended twice — must not
+    // double-count a neighbor's vote and flip a later majority.
+    val lab = labels.select(col("v"), col("label")).distinct()
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val votes = und
-      .join(labels.select(col("v"), col("label")), col("dst") === col("v"))
+      .join(lab, col("dst") === col("v"))
       .groupBy(col("src"), col("label"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("src"))
       .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l"))).as("m"))
       .select(col("src").as("v"), col("m.l").as("label"))
-    votes.join(labels.select(col("v")), Seq("v"), "left_anti")
+    votes.join(lab.select(col("v")), Seq("v"), "left_anti")
   }
 
   /** Start attaching streaming `edges` (columns `src`, `dst`) to the
     * label store at `labelsPath` (parquet (v, label), seeded by a
     * batch [[graft.operators.Graph.labelPropagation]] run). Processes
     * all available data then terminates (AvailableNow) — swap the
-    * trigger for continuous attach in production. */
+    * trigger for continuous attach in production.
+    *
+    * Idempotence: each batch re-reads the store and [[attachStep]]
+    * anti-joins its votes against it, so a replayed batch whose prior
+    * append committed attaches nothing new; the vote pass itself
+    * dedupes the store, so even duplicate rows left by a crashed
+    * append cannot double-count votes. ALWAYS pass a durable
+    * `checkpoint` for anything beyond a one-shot attach (the same
+    * contract as [[IndexIngest.ingest]]), and never run two attach
+    * queries against the same store concurrently — the read-vote-append
+    * cycle is per-query, not a cross-process transaction. */
   def attach(edges: DataFrame, labelsPath: String,
              checkpoint: Option[String] = None): StreamingQuery = {
     val writer = edges.writeStream

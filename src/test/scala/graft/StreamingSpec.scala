@@ -791,4 +791,28 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(labelsPath).count() == n1,
       "checkpointed restart re-appended the attach rows")
   }
+
+  test("community attach is robust to a poisoned store: duplicate " +
+    "(v,label) rows cannot double-count votes, and an already-attached " +
+    "vertex re-attaches nothing") {
+    import spark.implicits._
+    import graft.streaming.CommunityStream
+    // vertex 50's true majority is label 200 (neighbors 2 and 3) over
+    // label 100 (neighbor 1 only); a duplicated (1,100) store row —
+    // what a checkpoint-less replay's double-append leaves — would tie
+    // the naive count 2:2 and the label-asc tiebreak would flip the
+    // vote to 100
+    val poisoned = Seq((1L, 100L), (1L, 100L), (2L, 200L), (3L, 200L))
+      .toDF("v", "label")
+    val edges = Seq((50L, 1L), (50L, 2L), (50L, 3L)).toDF("src", "dst")
+    val got = CommunityStream.attachStep(edges, poisoned)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(50L -> 200L),
+      s"duplicate store rows double-counted a vote: $got")
+    // replay shape: the vertex is already in the store (possibly
+    // duplicated) — the anti-join must attach nothing
+    val replayed = poisoned.union(Seq((50L, 200L), (50L, 200L)).toDF("v", "label"))
+    assert(CommunityStream.attachStep(edges, replayed).isEmpty,
+      "replayed batch re-attached an already-labeled vertex")
+  }
 }
