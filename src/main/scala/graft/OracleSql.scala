@@ -85,6 +85,42 @@ object OracleSql {
        |    ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id)""".stripMargin
   }
 
+  /** Unrolled connected-components CTE chain — the DuckDB mirror of
+    * [[graft.operators.Clusters.connectedComponents]]'s hook+jump
+    * rounds (neighbor-min then label-of-label pointer jump), stated as
+    * 2·R MATERIALIZED per-node CTEs instead of a `WITH RECURSIVE`
+    * transitive closure. The closure's working set is Σ(component
+    * size²) — 163 s (q43) + 114 s (q203) of the r18 DuckDB sweep, 44%
+    * of its total — where this chain is per-node-linear per round (the
+    * q218 unroll convention). Each jump composes the label map with
+    * itself, so R rounds cover min-label tree depths ~2^R; dup-cluster
+    * graphs from LSH pairs are near-cliques that settle in 2-3 rounds,
+    * and the Spark side's exact-convergence check (ClusterSpec) pins
+    * the semantics both states share. Requires a CTE `lshpairs(a, b)`
+    * in scope; yields `labeled(doc_id, cluster_id)`. */
+  private def ccCtes(rounds: Int = 16): String = {
+    val rs = (1 to rounds).map { r =>
+      val prev = if (r == 1) "cc0" else s"ccj${r - 1}"
+      s"""cch$r AS MATERIALIZED (
+         |  SELECT l.v, least(l.l, coalesce(min(ln.l), l.l)) AS l
+         |  FROM $prev l
+         |  LEFT JOIN ccedges e ON e.src = l.v
+         |  LEFT JOIN $prev ln ON ln.v = e.dst
+         |  GROUP BY l.v, l.l),
+         |ccj$r AS MATERIALIZED (
+         |  SELECT a.v, least(a.l, b.l) AS l
+         |  FROM cch$r a JOIN cch$r b ON b.v = a.l)""".stripMargin
+    }.mkString(",\n")
+    s"""ccedges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM lshpairs
+       |  UNION ALL SELECT b AS src, a AS dst FROM lshpairs),
+       |cc0 AS MATERIALIZED (
+       |  SELECT src AS v, src AS l FROM ccedges GROUP BY src),
+       |$rs,
+       |labeled AS MATERIALIZED (
+       |  SELECT v AS doc_id, l AS cluster_id FROM ccj$rounds)""".stripMargin
+  }
+
   /** Product-quantization CTE blocks (q45/q45b): per subspace j a
     * codebook of stride sub-vectors and a row_number argmin encode —
     * the SQL mirror of [[graft.operators.Pq]]'s NearestCentroid-per-
@@ -1523,19 +1559,10 @@ object OracleSql {
          |ORDER BY a, b""".stripMargin,
 
     "q43_dup_clusters" ->
-      s"""WITH RECURSIVE $minhashCtes,
-         |lshpairs AS (
+      s"""WITH $minhashCtes,
+         |lshpairs AS MATERIALIZED (
          |  SELECT a, b FROM cand WHERE $minhashEst >= $MinEstJaccard),
-         |edges AS (
-         |  SELECT a AS src, b AS dst FROM lshpairs
-         |  UNION ALL
-         |  SELECT b AS src, a AS dst FROM lshpairs),
-         |reach AS (
-         |  SELECT DISTINCT src AS node, src AS r FROM edges
-         |  UNION
-         |  SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
-         |labeled AS (
-         |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |${ccCtes()},
          |sizes AS (
          |  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY 1)
          |SELECT l.doc_id, l.cluster_id, CAST(s.cluster_size AS BIGINT) AS cluster_size
@@ -4669,19 +4696,10 @@ object OracleSql {
     "q203_leakage_safe_split" -> {
       def splitOf(id: String) =
         s"CASE WHEN ${hash60(s"CAST($id AS VARCHAR)")} % 100 < $TrainPct THEN 'train' ELSE 'eval' END"
-      s"""WITH RECURSIVE $minhashCtes,
-         |lshpairs AS (
+      s"""WITH $minhashCtes,
+         |lshpairs AS MATERIALIZED (
          |  SELECT a, b FROM cand WHERE $minhashEst >= $MinEstJaccard),
-         |edges AS (
-         |  SELECT a AS src, b AS dst FROM lshpairs
-         |  UNION ALL
-         |  SELECT b AS src, a AS dst FROM lshpairs),
-         |reach AS (
-         |  SELECT DISTINCT src AS node, src AS r FROM edges
-         |  UNION
-         |  SELECT re.node, e.dst AS r FROM reach re JOIN edges e ON e.src = re.r),
-         |labeled AS (
-         |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |${ccCtes()},
          |tagged AS (
          |  SELECT d.doc_id, l.cluster_id,
          |    ${splitOf("COALESCE(l.cluster_id, d.doc_id)")} AS split,
