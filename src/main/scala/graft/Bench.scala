@@ -118,9 +118,16 @@ object Bench {
     // as args still runs them standalone (full build+serve), and Verify
     // covers their correctness unchanged.
     val saServeKeys = Set("q164_exactsubstr_coverage", "q168_exactsubstr_remove")
+    // q145 carries TWO full NSW builds (plain + boundary-spilled) by
+    // design — 11.1× at sf1, all build cost. Same discipline: the
+    // sweep reports q145_build / q145_build_spill / q145_serve extras
+    // (serve = the beam-walk audit off prebuilt graphs) instead of a
+    // headline row that re-times both builds per rep. Naming it as an
+    // arg still runs the assembled path standalone.
+    val twinBuildKeys = Set("q145_nsw_recall")
     val names =
       if (args.nonEmpty) args.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted.filterNot(saServeKeys)
+      else SparkEntry.queries.keys.toSeq.sorted.filterNot(saServeKeys ++ twinBuildKeys)
     // Warm the JVM (classloading, Janino, parquet footers) outside the
     // timed region so the first query isn't charged ~10s of one-time cost.
     Tables.all.foreach {
@@ -390,7 +397,7 @@ object Bench {
       // the hashes prebuilt (untimed). ImageHashSpec pins the two
       // paths' clusters bit-identical.
       val img: Seq[(String, Double)] =
-        if (!inScope("q181_image_dedup")) Seq.empty
+        if (!(inScope("q181_image_dedup") || inScope("q175_image_phash"))) Seq.empty
         else {
           import graft.multimodal.{ImageHash, Multimodal}
           val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir))
@@ -400,18 +407,82 @@ object Bench {
           val resized = Multimodal.resize(spark, imgs, 32, 24)
             .withColumn("doc_id", col("doc_id") + lit(2L * ImgCopyOffset))
           val corpus = media.unionByName(copies).unionByName(resized)
+          try {
+            // the synced feature sidecar (q193 schema), decode untimed:
+            // both serve rows below are pure hash/feature work
+            val sidecar = ImageHash.featurizeImages(corpus).localCheckpoint()
+            val s181 =
+              if (!inScope("q181_image_dedup")) None
+              else bestOf("q181_serve") {
+                ImageHash.dupClustersFromHashes(sidecar, ImgHamming)
+                  .write.format("noop").mode("overwrite").save()
+              }
+            // q175 off the sidecar: the pair report with ZERO decodes —
+            // the headline key re-times the cold decode by design
+            val s175 =
+              if (!inScope("q175_image_phash")) None
+              else bestOf("q175_serve") {
+                ImageHash.nearDupPairs(sidecar, ImgHamming)
+                  .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+                  .write.format("noop").mode("overwrite").save()
+              }
+            Seq(s181, s175).flatten
+          } catch { case _: Throwable => Seq.empty }
+        }
+      // q145: builds and serve timed separately (see twinBuildKeys
+      // above). The serve leg walks BOTH prebuilt graphs — the recall
+      // audit a dashboard refresh actually re-runs; each build row
+      // times one fresh graph construction.
+      val nswrec: Seq[(String, Double)] =
+        if (!inScope("q145_nsw_recall")) Seq.empty
+        else {
+          import graft.operators.{Ivf, Nsw, RecallAudit}
+          val emb = Tables.embeddings(spark, sfDir)
+          val cents = Ivf.centroids(emb, IvfStep)
+          val build = bestOf("q145_build") {
+            Nsw.build(emb, IvfStep)
+              .write.format("noop").mode("overwrite").save()
+          }
+          val buildSpill = bestOf("q145_build_spill") {
+            Nsw.buildSpilled(emb, cents, Nsw.spillEps(emb, cents))
+              .write.format("noop").mode("overwrite").save()
+          }
           val serve =
             try {
-              val hashes = ImageHash.hashImages(corpus)
-                .localCheckpoint() // the synced sidecar, decode untimed
-              bestOf("q181_serve") {
-                ImageHash.dupClustersFromHashes(hashes, ImgHamming)
+              val g = Nsw.build(emb, IvfStep).localCheckpoint()
+              val gs = Nsw.buildSpilled(emb, cents, Nsw.spillEps(emb, cents))
+                .localCheckpoint() // prebuilt, untimed — serve row only
+              bestOf("q145_serve") {
+                RecallAudit.nswRecallFor(emb, g, cents, SparkEntry.Params.RecallQueryIds,
+                    nprobe = 4, k = K)
+                  .unionByName(RecallAudit.nswRecallFor(emb, gs, cents,
+                    SparkEntry.Params.RecallQueryIds, nprobe = 4, k = K,
+                    method = "nsw_spill"))
+                  .orderBy("query_id", "method")
                   .write.format("noop").mode("overwrite").save()
               }
             } catch { case _: Throwable => None }
-          serve.toSeq
+          Seq(build, buildSpill).flatten ++ serve.toSeq
         }
-      opq ++ text ++ inc ++ nsw ++ audio ++ idxsync ++ sa ++ cls ++ img
+      // q218: the candidate seam's OTHER generator — IVF cell
+      // co-residents (one assignment pass, the q44/q203 class) feeding
+      // the same mutual-kNN + LPA pipeline the LSH headline runs. A
+      // per-sweep cost row so the LSH-vs-IVF trade stays measured at
+      // every sf; the recall side is RecallAudit.knnGraphRecall
+      // (ClusterSpec pins candidate≡exact on planted clusters).
+      val ivfSeam: Seq[(String, Double)] =
+        if (!inScope("q218_communities")) Seq.empty
+        else {
+          import graft.operators.{Clusters, Ivf}
+          val emb = Tables.embeddings(spark, sfDir)
+          bestOf("q218_ivf_seam") {
+            Clusters.embeddingCommunities(emb,
+                Ivf.cellCandidatePairs(emb, IvfStep),
+                KnnGraphK, LpaRounds, LpaTopN)
+              .write.format("noop").mode("overwrite").save()
+          }.toSeq
+        }
+      opq ++ text ++ inc ++ nsw ++ audio ++ idxsync ++ sa ++ cls ++ img ++ nswrec ++ ivfSeam
     }
     // 3-decimal timings (ms precision is all best-of-N minima carry) keep
     // the whole line compact, and the total/value fields go LAST: the

@@ -38,15 +38,15 @@ object ImageHash {
   private val GridW = 9
   private val GridH = 8
 
-  /** 64-bit dHash of a decoded raster. Integer-exact: per-cell box
-    * sums over floor-division cell boundaries (clamped so every cell
-    * holds ≥1 pixel on tiny rasters), adjacent cells compared by
-    * cross-multiplication. */
-  def dHash64(img: BufferedImage): Long = {
+  /** Per-cell luminance box sums over the 9×8 grid — the decoded
+    * FEATURE state everything downstream derives from (the hash via
+    * [[dHashFromGrid]], mean-luminance vectors via [[cellCounts]]).
+    * Floor-division cell boundaries, clamped so every cell holds ≥1
+    * pixel on tiny rasters; integer-exact on any JVM. */
+  def lumSums(img: BufferedImage): Array[Long] = {
     val w = img.getWidth
     val h = img.getHeight
     val sums = new Array[Long](GridW * GridH)
-    val cnts = new Array[Long](GridW * GridH)
     var gy = 0
     while (gy < GridH) {
       val y0 = math.min(gy * h / GridH, h - 1)
@@ -68,11 +68,40 @@ object ImageHash {
           y += 1
         }
         sums(gy * GridW + gx) = s
+        gx += 1
+      }
+      gy += 1
+    }
+    sums
+  }
+
+  /** Per-cell pixel counts for a `w`×`h` raster on the 9×8 grid —
+    * derivable from dimensions alone, so sidecars need not persist
+    * them beside the sums. Same clamped floor-division boundaries as
+    * [[lumSums]]. */
+  def cellCounts(w: Int, h: Int): Array[Long] = {
+    val cnts = new Array[Long](GridW * GridH)
+    var gy = 0
+    while (gy < GridH) {
+      val y0 = math.min(gy * h / GridH, h - 1)
+      val y1 = math.max((gy + 1) * h / GridH, y0 + 1)
+      var gx = 0
+      while (gx < GridW) {
+        val x0 = math.min(gx * w / GridW, w - 1)
+        val x1 = math.max((gx + 1) * w / GridW, x0 + 1)
         cnts(gy * GridW + gx) = (x1 - x0).toLong * (y1 - y0)
         gx += 1
       }
       gy += 1
     }
+    cnts
+  }
+
+  /** dHash bits from a persisted luminance grid + raster dims — the
+    * sidecar-serve twin of [[dHash64]]: adjacent cells compared by
+    * cross-multiplication (sumA·cntB vs sumB·cntA), exact integers. */
+  def dHashFromGrid(sums: Array[Long], w: Int, h: Int): Long = {
+    val cnts = cellCounts(w, h)
     var bits = 0L
     var b = 0
     while (b < 64) {
@@ -85,6 +114,11 @@ object ImageHash {
     }
     bits
   }
+
+  /** 64-bit dHash of a decoded raster — [[lumSums]] composed with
+    * [[dHashFromGrid]]. */
+  def dHash64(img: BufferedImage): Long =
+    dHashFromGrid(lumSums(img), img.getWidth, img.getHeight)
 
   /** (doc_id, dhash) for every image row whose payload really decodes
     * — non-image rows and undecodable payloads drop (the
@@ -107,6 +141,40 @@ object ImageHash {
         }
       }
     }.toDF("doc_id", "dhash")
+  }
+
+  /** The FULL decoded-feature row per image — hash plus the per-cell
+    * mean-luminance vector (micro-units, floor-divided exact integers)
+    * and raster dims, all from ONE decode. This is the sidecar schema
+    * [[graft.operators.IndexSync.syncImageHashes]] persists: PNG
+    * decode is the entire cost of the image-dedup family (q175 at sf1
+    * is ~linear decode), so the sidecar carries every column a re-run
+    * could need — pairs/clusters read `dhash`, drift/quality passes
+    * read `lum_micro` — and pays the decode exactly once per commit,
+    * not per query. Same degradation contract as [[hashImages]]:
+    * undecodable payloads drop. */
+  def featurizeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[Multimodal.MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.format != "png") Iterator.empty
+        else {
+          val img =
+            try ImageIO.read(new ByteArrayInputStream(r.payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) Iterator.empty
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val sums = lumSums(img)
+            val cnts = cellCounts(w, h)
+            val lum = Array.tabulate(sums.length)(i => sums(i) * 1000000L / cnts(i))
+            Iterator.single((r.doc_id, dHashFromGrid(sums, w, h), w, h, lum))
+          }
+        }
+      }
+    }.toDF("doc_id", "dhash", "width", "height", "lum_micro")
   }
 
   /** All pairs within `maxHamming` bits, by band-bucket join + exact

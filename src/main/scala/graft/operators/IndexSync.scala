@@ -157,12 +157,17 @@ object IndexSync {
     * [[sync]]'s rule applied to the image-dedup family: the decode is
     * the dominant cost (per-image PNG raster + dHash; 42.7 s at sf1 in
     * the r15 bench, linear in images), so re-deduping after an append
-    * must NOT re-decode the corpus. An append-only span hashes ONLY
-    * each snapshot's [[Snapshots.deltaOf]] rows and appends the 8-byte
-    * (doc_id, dhash) rows to `indexPath/hashes`; any other op rebuilds
-    * from the snapshot's logical content. Clustering then runs off the
-    * sidecar ([[graft.multimodal.ImageHash.dupClustersFromHashes]]) —
-    * banded pairs + CC over hashes, zero decodes.
+    * must NOT re-decode the corpus. An append-only span featurizes ONLY
+    * each snapshot's [[Snapshots.deltaOf]] rows and appends the
+    * (doc_id, dhash, width, height, lum_micro) rows
+    * ([[graft.multimodal.ImageHash.featurizeImages]]) to
+    * `indexPath/hashes`; any other op rebuilds from the snapshot's
+    * logical content. The sidecar carries the decoded FEATURE columns
+    * beside the hash — clustering reads `dhash`
+    * ([[graft.multimodal.ImageHash.dupClustersFromHashes]], banded
+    * pairs + CC), luminance-drift or quality passes read `lum_micro` —
+    * so every re-run after the sync pays zero decodes, not just the
+    * hash-only ones.
     *
     * Crash contract = [[syncText]]'s: `_sync_inflight` brackets the
     * mutation, a died-mid-append sync forces the next run to rebuild
@@ -183,12 +188,12 @@ object IndexSync {
     val mode =
       if (appendOnly) {
         span.foreach { id =>
-          graft.multimodal.ImageHash.hashImages(Snapshots.deltaOf(spark, tablePath, id))
+          graft.multimodal.ImageHash.featurizeImages(Snapshots.deltaOf(spark, tablePath, id))
             .write.mode("append").parquet(hashDir)
         }
         "append"
       } else {
-        graft.multimodal.ImageHash.hashImages(Snapshots.read(spark, tablePath))
+        graft.multimodal.ImageHash.featurizeImages(Snapshots.read(spark, tablePath))
           .write.mode("overwrite").parquet(hashDir)
         "rebuild"
       }
@@ -197,7 +202,8 @@ object IndexSync {
     (target, mode)
   }
 
-  /** The persisted (doc_id, dhash) sidecar [[syncImageHashes]] maintains. */
+  /** The persisted (doc_id, dhash, width, height, lum_micro) sidecar
+    * [[syncImageHashes]] maintains. */
   def imageHashes(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(s"$indexPath/hashes")
 

@@ -115,6 +115,50 @@ object RecallAudit {
       .orderBy("query_id", "method")
   }
 
+  /** The kNN-GRAPH stage's recall audit — the q62 discipline applied
+    * to the q218 candidate seam: how much of the exact directed
+    * cosine-kNN edge set does a bounded candidate generator
+    * ([[Dedup.lshCandidatesMultiProbe]], [[Ivf.cellCandidatePairs]])
+    * recover? Truth is exact top-k over ALL vectors for a SAMPLED
+    * source set (`vec_id % sampleMod == 0` — deterministic, any sf);
+    * the audited leg is the SAME [[Clusters.candidateScores]] →
+    * [[Clusters.directedKnn]] pipeline the communities operator runs,
+    * restricted to the sampled sources after the fact, so the audit
+    * measures the exact code path. One summary row per call:
+    * (method, k, n_sources, n_truth_edges, n_hits, recall_micro) —
+    * integer micro so the number is engine-exact.
+    *
+    * Scale shape: truth is a sample-bounded broadcast crossJoin
+    * (n × n/sampleMod scored rows through GroupedTopK heaps); the
+    * candidate leg inherits its generator's quasi-linear bound. */
+  def knnGraphRecall(vectors: DataFrame, candidates: DataFrame,
+                     sampleMod: Long, k: Int, method: String): DataFrame = {
+    val base = vectors.select(col("vec_id"), col("embedding"))
+    val sample = base
+      .where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val truth = GroupedTopK.topK(
+      base.crossJoin(broadcast(sample))
+        .where(col("vec_id") =!= col("a"))
+        .select(col("a"), col("vec_id").as("b"),
+          round(cosine(col("ea"), col("embedding")), 6).as("sim")),
+      Seq(col("a")), Seq(col("sim").desc, col("b").asc), k)
+      .select("a", "b")
+    val candKnn = Clusters.directedKnn(
+        Clusters.candidateScores(base, candidates), k)
+      .where(pmod(col("a"), lit(sampleMod)) === 0)
+    truth
+      .join(candKnn.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
+      .agg(lit(method).as("method"), lit(k).as("k"),
+        countDistinct(col("a")).as("n_sources"),
+        count(lit(1)).as("n_truth_edges"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"),
+        // integer floor-division (`div`), not `/` — the double quotient
+        // would make the audit row JVM-rounding-dependent
+        expr("coalesce(sum(hit), 0L) * 1000000 div count(1)")
+          .as("recall_micro"))
+  }
+
   /** ONE serving-audit dashboard (q152, r15): every serving family's
     * recall rows (the q62 exact/ivf/pq/ivfpq legs + the q145 graph
     * legs, plain AND boundary-spilled) full-outer-joined with the rank

@@ -33,6 +33,49 @@ class ImageHashSpec extends SparkSpec {
     assert(h1 === h2)
   }
 
+  test("luminance grid: constant raster yields exact per-cell means and " +
+    "the grid-derived hash equals the direct one on varied rasters") {
+    val flat = raster(18, 16)((_, _) => 200)
+    val sums = ImageHash.lumSums(flat)
+    val cnts = ImageHash.cellCounts(18, 16)
+    assert(sums.length === 72 && cnts.length === 72)
+    // every 2x2 cell of constant luminance 200 -> mean micro 200_000_000
+    (0 until 72).foreach { i =>
+      assert(sums(i) * 1000000L / cnts(i) === 200000000L, s"cell $i")
+    }
+    assert(cnts.sum === 18L * 16L, "cells must tile the raster exactly")
+    // the sidecar-serve hash path == the direct decode hash path
+    for (img <- Seq(flat, raster(18, 16)((x, _) => x * 14),
+        raster(37, 23)((x, y) => (x * 7 + y * 13) % 256),
+        raster(4, 3)((x, y) => x * 40 + y)))
+      assert(ImageHash.dHashFromGrid(ImageHash.lumSums(img),
+        img.getWidth, img.getHeight) === ImageHash.dHash64(img))
+  }
+
+  test("featurizeImages: dhash column matches hashImages, feature vector " +
+    "matches the driver-side grid, non-png rows drop") {
+    val imgs = media.where(col("format") === "png").orderBy("doc_id").limit(6)
+    val feats = ImageHash.featurizeImages(media.limit(24)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val hashes = ImageHash.hashImages(media.limit(24)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feats.keySet === hashes.keySet, "featurize and hash row sets differ")
+    feats.foreach { case (id, r) =>
+      assert(r.getLong(1) === hashes(id), s"dhash drift for doc $id")
+      val lum = r.getSeq[Long](4)
+      assert(lum.length === 72 && lum.forall(v => v >= 0L && v <= 255000000L),
+        s"out-of-range luminance for doc $id")
+    }
+    // driver-side recompute of one row pins the executor-side vector
+    val one = imgs.limit(1).collect()(0)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(one.getAs[Array[Byte]]("payload")))
+    val sums = ImageHash.lumSums(img)
+    val cnts = ImageHash.cellCounts(img.getWidth, img.getHeight)
+    val want = Array.tabulate(72)(i => sums(i) * 1000000L / cnts(i)).toSeq
+    assert(feats(one.getAs[Long]("doc_id")).getSeq[Long](4) === want)
+  }
+
   private def media = Multimodal.toMediaTable(Tables.documents(spark, sf0001))
 
   test("exact byte copies land at hamming 0 and every copy pair is found") {

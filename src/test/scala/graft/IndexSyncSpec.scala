@@ -154,6 +154,20 @@ class IndexSyncSpec extends SparkSpec {
       media.unionByName(copies)).collect().toSeq
     assert(synced === full, "hash-sidecar clusters drifted from full decode")
     assert(synced.nonEmpty, "rendition copies must cluster with their originals")
+    // sidecar ≡ fresh decode, FEATURE columns included: the appended
+    // rows (hashed off the delta alone) must carry the same dhash,
+    // dims, and luminance grid a cold featurize of the same logical
+    // content computes
+    def featKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getSeq[Long](4).toList)
+    val sidecarFeats = IndexSync.imageHashes(spark, iPath)
+      .select("doc_id", "dhash", "width", "height", "lum_micro")
+      .collect().map(featKey).toSet
+    val freshFeats = ImageHash.featurizeImages(media.unionByName(copies))
+      .collect().map(featKey).toSet
+    assert(sidecarFeats === freshFeats,
+      "sidecar feature columns drifted from a fresh decode")
     // a non-append commit forces the rebuild path (fresh table — the
     // mutilated one above can't serve a full read)
     val (tPath2, iPath2) = fresh("imghash2")

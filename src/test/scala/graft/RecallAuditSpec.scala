@@ -209,4 +209,35 @@ class RecallAuditSpec extends SparkSpec {
         s"ndcg out of range: $x")
     }
   }
+
+  test("knnGraphRecall (q218 candidate seam): full-coverage candidates read " +
+    "recall 1.0, a generator that misses a cluster reads the exact deficit") {
+    import spark.implicits._
+    import graft.operators.{Clusters, Ivf}
+    // planted orthogonal clusters (the ClusterSpec fixture): 4 clusters
+    // of 12, every true neighbor is a within-cluster co-resident
+    val vecs = (0 until 48).map { i =>
+      val c = i / 12
+      val v = Array.fill(64)(0.003f * ((i * 7 + 5) % 11))
+      v(c) = 10f + (i % 12) * 0.1f
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val k = 6
+    // IVF cells at step 12 == the planted clusters → full recall
+    val full = RecallAudit.knnGraphRecall(vecs,
+      Ivf.cellCandidatePairs(vecs, 12), sampleMod = 2L, k, "ivf_cells").head()
+    assert(full.getString(0) == "ivf_cells" && full.getInt(1) == k)
+    assert(full.getLong(2) == 24L, s"n_sources: $full")
+    assert(full.getLong(3) == 24L * k, s"n_truth_edges: $full")
+    assert(full.getLong(4) == full.getLong(3) && full.getLong(5) == 1000000L,
+      s"full-coverage candidates must read recall 1.0: $full")
+    // a generator missing cluster 0 entirely: its 6 sampled sources
+    // (even ids 0..10) contribute zero hits → recall = 18/24 exactly
+    val partial = RecallAudit.knnGraphRecall(vecs,
+      Ivf.cellCandidatePairs(vecs.where(col("vec_id") >= 12L), 12)
+        .unionByName(Seq((0L, 1L)).toDF("a", "b").where(lit(false))),
+      sampleMod = 2L, k, "degraded").head()
+    assert(partial.getLong(4) == 18L * k && partial.getLong(5) == 750000L,
+      s"missing-cluster generator must read exactly 18/24 recall: $partial")
+  }
 }
