@@ -85,6 +85,8 @@ object SparkEntry {
                              // candidate degree stays ~(p+1)*32*2 per
                              // vector at ANY corpus size, vs n-1 for
                              // the exact twin
+    val KnnSeamSources = 128L // q226 audit panel: target sampled-source
+                             // count — truth cost stays n×128 at any sf
     val DiversityMaxN = 3    // q224 distinct-n dial: 1/2/3-grams, the
                              // diversity-literature convention
     val HitsIters = 2        // q225 HITS rounds: mutual reinforcement
@@ -580,6 +582,22 @@ object SparkEntry {
     "q225_hits_rank" -> ((s, d) =>
       Graph.supplierAuthorities(Tables.lineitem(s, d), Tables.orders(s, d),
         HitsIters, HitsTopN)),
+    "q226_knn_seam_recall" -> ((s, d) => {
+      // Rows-only (exact-truth audit over a sampled panel): the q218
+      // candidate seam's measured recall dial — one row per generator
+      // (multi-probe LSH stream vs IVF cell co-residents), exact
+      // integer micro. The sample modulus scales with the corpus so
+      // truth cost stays ~n × KnnSeamSources at any sf.
+      val emb = Tables.embeddings(s, d)
+      val mod = math.max(1L, emb.count() / KnnSeamSources)
+      RecallAudit.knnGraphRecall(emb,
+          Dedup.lshCandidatesMultiProbe(emb,
+            Dedup.autoPlanes(emb, KnnGraphTarget), KnnGraphTables),
+          mod, KnnGraphK, "lsh_multiprobe")
+        .unionByName(RecallAudit.knnGraphRecall(emb,
+          Ivf.cellCandidatePairs(emb, IvfStep), mod, KnnGraphK, "ivf_cells"))
+        .orderBy("method")
+    }),
     "q179_snippets" -> ((s, d) =>
       Search.snippets(Tables.documents(s, d), SnippetTerm, SnippetContext, K)),
     "q19_asof_join" -> ((s, d) => AsOf.purchaseAttribution(Tables.events(s, d))),

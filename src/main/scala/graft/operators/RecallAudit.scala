@@ -132,8 +132,13 @@ object RecallAudit {
     * (n × n/sampleMod scored rows through GroupedTopK heaps); the
     * candidate leg inherits its generator's quasi-linear bound. */
   def knnGraphRecall(vectors: DataFrame, candidates: DataFrame,
-                     sampleMod: Long, k: Int, method: String): DataFrame = {
+                     sampleMod: Long, k: Int, method: String,
+                     dim: Int = 64): DataFrame = {
+    // audit over the in-dimension universe both generators operate on —
+    // off-dim/null rows belong to no bucket and no cell, and counting
+    // them as missed truth would deflate every method identically
     val base = vectors.select(col("vec_id"), col("embedding"))
+      .where(size(col("embedding")) === dim)
     val sample = base
       .where(pmod(col("vec_id"), lit(sampleMod)) === 0)
       .select(col("vec_id").as("a"), col("embedding").as("ea"))
