@@ -4413,6 +4413,29 @@ object OracleSql {
     // q225: HITS — the same integer-micro half-rounds unrolled
     // (raw sums of exact integers, renormalized by raw*1e6 // max(raw)
     // each half-round), MATERIALIZED so the edge CTE is built once.
+    // q227: Q21-shape wait-fault attribution — one grouped rollup to
+    // (order, supplier, last_ship), the EXISTS/NOT-EXISTS correlation
+    // stated as one windowed pass (supplier count, order max, at-max
+    // count), then the strict-unique-last filter and the top-N.
+    "q227_wait_blockers" ->
+      s"""WITH sd AS (
+         |  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+         |  FROM lineitem GROUP BY 1, 2),
+         |w AS (
+         |  SELECT l_orderkey, l_suppkey, last_ship,
+         |    count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+         |    max(last_ship) OVER (PARTITION BY l_orderkey) AS dmax
+         |  FROM sd),
+         |m AS (
+         |  SELECT *, sum(CASE WHEN last_ship = dmax THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY l_orderkey) AS n_at_max
+         |  FROM w)
+         |SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+         |FROM m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+         |WHERE n_supp >= 2 AND n_at_max = 1 AND last_ship = dmax
+         |GROUP BY 1, 2
+         |ORDER BY numwait DESC, s_name LIMIT $WaitTopN""".stripMargin,
+
     "q225_hits_rank" -> {
       val rounds = (1 to HitsIters).map { r =>
         s"""ar$r AS MATERIALIZED (

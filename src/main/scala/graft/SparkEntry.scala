@@ -87,6 +87,9 @@ object SparkEntry {
                              // the exact twin
     val KnnSeamSources = 128L // q226 audit panel: target sampled-source
                              // count — truth cost stays n×128 at any sf
+    val WaitTopN = 25        // q227 wait-fault suppliers reported
+                             // (Q21 reports 100; 25 keeps the report
+                             // within this corpus's supplier count)
     val DiversityMaxN = 3    // q224 distinct-n dial: 1/2/3-grams, the
                              // diversity-literature convention
     val HitsIters = 2        // q225 HITS rounds: mutual reinforcement
@@ -582,6 +585,9 @@ object SparkEntry {
     "q225_hits_rank" -> ((s, d) =>
       Graph.supplierAuthorities(Tables.lineitem(s, d), Tables.orders(s, d),
         HitsIters, HitsTopN)),
+    "q227_wait_blockers" -> ((s, d) =>
+      Analytics.waitBlockers(Tables.lineitem(s, d), Tables.supplier(s, d),
+        WaitTopN)),
     "q226_knn_seam_recall" -> ((s, d) => {
       // Rows-only (exact-truth audit over a sampled panel): the q218
       // candidate seam's measured recall dial — one row per generator

@@ -1120,4 +1120,42 @@ object Analytics {
       .agg(count(lit(1)).as("n_customers"), sum("cents").as("total_cents"))
       .orderBy("r_score", "f_score", "m_score")
   }
+
+  /** Suppliers who held up multi-supplier orders (q227, TPC-H Q21
+    * shape re-expressed on this schema — no commit/receipt dates here,
+    * so "kept the order waiting" = UNIQUELY last to ship): for every
+    * order with ≥2 suppliers, the supplier whose latest line ship date
+    * is the strict maximum across the order's suppliers (Q21's
+    * "exists another earlier, not exists another as-late" correlation)
+    * is charged one wait fault; report the top-N by fault count.
+    *
+    * Spark shape: lineitem collapses to one (order, supplier,
+    * last_ship) row first (one hash exchange), then ONE window
+    * exchange on l_orderkey computes supplier count, order max, and
+    * at-max count in a single pass — the EXISTS/NOT-EXISTS pair of
+    * the classic formulation without two correlated re-scans of the
+    * fact table. The supplier join is broadcast (dim-sized); the
+    * top-N is a TakeOrdered, never a global sort. */
+  def waitBlockers(lineitem: DataFrame, supplier: DataFrame,
+                   topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sd = lineitem.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val marked = sd
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("dmax", max(col("last_ship")).over(w))
+      .withColumn("n_at_max",
+        sum(when(col("last_ship") === col("dmax"), 1L).otherwise(0L)).over(w))
+    marked
+      .where(col("n_supp") >= 2 && col("n_at_max") === 1 &&
+        col("last_ship") === col("dmax"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(topN)
+  }
 }

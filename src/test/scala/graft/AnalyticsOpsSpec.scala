@@ -856,4 +856,37 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(a.nonEmpty && a.forall(_.getDouble(4) >= a.last.getDouble(4)),
       "rules must arrive lift-descending")
   }
+
+  test("waitBlockers (q227): only the UNIQUELY-last supplier of a " +
+    "multi-supplier order is charged; ties and single-supplier orders " +
+    "charge nobody") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    // order 1: A ships last alone → A charged. order 2: A/B tie at the
+    // max → nobody. order 3: single supplier → nobody. order 4: B last
+    // among three (two lines for B — the per-supplier max matters) → B.
+    val li = Seq(
+      (1L, 10L, d("2024-01-05")), (1L, 20L, d("2024-01-03")),
+      (2L, 10L, d("2024-01-05")), (2L, 20L, d("2024-01-05")),
+      (3L, 30L, d("2024-01-09")),
+      (4L, 10L, d("2024-01-02")), (4L, 20L, d("2024-01-01")),
+      (4L, 20L, d("2024-01-04")), (4L, 30L, d("2024-01-01"))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supp = Seq((10L, "alpha"), (20L, "beta"), (30L, "gamma"))
+      .toDF("s_suppkey", "s_name")
+    val out = graft.operators.Analytics.waitBlockers(li, supp, 25)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // numwait ties broken by name: alpha before beta
+    assert(out === Seq((10L, "alpha", 1L), (20L, "beta", 1L)), s"got $out")
+  }
+
+  test("waitBlockers: deterministic across partitionings on the gate corpus") {
+    val li = Tables.lineitem(spark, sf001)
+    val supp = Tables.supplier(spark, sf001)
+    val a = graft.operators.Analytics.waitBlockers(li, supp, 25).collect().toSeq
+    val b = graft.operators.Analytics.waitBlockers(li.repartition(7), supp, 25)
+      .collect().toSeq
+    assert(a == b)
+  }
 }
