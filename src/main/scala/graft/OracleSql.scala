@@ -4413,6 +4413,53 @@ object OracleSql {
     // q225: HITS — the same integer-micro half-rounds unrolled
     // (raw sums of exact integers, renormalized by raw*1e6 // max(raw)
     // each half-round), MATERIALIZED so the edge CTE is built once.
+    // q228: IVF-routed MaxSim — q48's cents/assigned/probed derivation
+    // (round-6 L2, centroid-id tie-break) composed with q122's exact
+    // micro-unit MaxSim scorer, restricted to candidate docs (any doc
+    // with a token resident in a cell probed by any query token).
+    "q228_maxsim_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id // $IvfStep AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id % $IvfStep = 0 AND ${cleanEmb("embedding")}),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |  WHERE vec_id // $MaxSimTokensPerDoc = $MaxSimQueryDoc),
+         |probed AS (
+         |  SELECT DISTINCT centroid_id FROM (
+         |    SELECT q.q_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(${l2sq("c.c_emb", "q.qv")}, 6), c.centroid_id) AS rn
+         |    FROM q CROSS JOIN cents c)
+         |  WHERE rn <= $MaxSimNProbe),
+         |scored AS (
+         |  SELECT v.vec_id, c.centroid_id,
+         |    round(${l2sq("v.embedding", "c.c_emb")}, 6) AS dist
+         |  FROM embeddings v CROSS JOIN cents c
+         |  WHERE ${cleanEmb("v.embedding")}),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+         |    FROM scored) WHERE rn = 1),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id // $MaxSimTokensPerDoc AS mdoc_id
+         |  FROM assigned a JOIN probed p USING (centroid_id)),
+         |toks AS (
+         |  SELECT vec_id // $MaxSimTokensPerDoc AS mdoc_id, vec_id, embedding
+         |  FROM embeddings),
+         |scoredm AS (
+         |  SELECT t.mdoc_id, q.q_id,
+         |    CAST(round(round(${dotd("t.embedding", "q.qv")}, 6) * 1000000) AS BIGINT) AS dot_micro
+         |  FROM toks t JOIN cand USING (mdoc_id) CROSS JOIN q),
+         |best AS (
+         |  SELECT mdoc_id, q_id, max(dot_micro) AS best_micro
+         |  FROM scoredm GROUP BY 1, 2)
+         |SELECT mdoc_id,
+         |  CAST(sum(best_micro) AS BIGINT) AS maxsim_micro,
+         |  CAST(count(*) AS BIGINT) AS n_qtokens
+         |FROM best GROUP BY mdoc_id
+         |ORDER BY maxsim_micro DESC, mdoc_id LIMIT $MaxSimTopN""".stripMargin,
+
     // q227: Q21-shape wait-fault attribution — one grouped rollup to
     // (order, supplier, last_ship), the EXISTS/NOT-EXISTS correlation
     // stated as one windowed pass (supplier count, order max, at-max

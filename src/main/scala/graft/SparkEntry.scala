@@ -394,6 +394,8 @@ object SparkEntry {
                                 // (contains QueryVecId, the reference's
                                 // sample query vector)
     val MaxSimTopN = 20         // q122 report depth (the reference's K)
+    val MaxSimNProbe = 4        // q228 routed serve: cells probed per
+                                // query token (the q12c probe budget)
     val MaxSimPanel = Seq(0L, 1L, 2L) // q122b query-doc panel (the
                                 // RecallQueryIds convention: a bounded
                                 // set present at every SF)
@@ -585,6 +587,9 @@ object SparkEntry {
     "q225_hits_rank" -> ((s, d) =>
       Graph.supplierAuthorities(Tables.lineitem(s, d), Tables.orders(s, d),
         HitsIters, HitsTopN)),
+    "q228_maxsim_ivf" -> ((s, d) =>
+      Knn.maxSimIvf(Tables.embeddings(s, d), MaxSimTokensPerDoc,
+        MaxSimQueryDoc, MaxSimTopN, IvfStep, MaxSimNProbe)),
     "q227_wait_blockers" -> ((s, d) =>
       Analytics.waitBlockers(Tables.lineitem(s, d), Tables.supplier(s, d),
         WaitTopN)),

@@ -247,6 +247,54 @@ object Knn {
       .orderBy(col("q_doc"), desc("maxsim_micro"), asc("mdoc_id"))
   }
 
+  /** IVF-routed late-interaction serve (q228) — the PLAID idea
+    * (Santhanam et al. 2022) distilled onto the [[Ivf]] machinery:
+    * [[maxSim]]'s full-corpus token scan is the EXACT twin, and at
+    * 100 TB the serving path must not score every doc per query.
+    * Route: each query token probes its `nprobe` nearest cells of the
+    * token-vector index (broadcast centroids, GroupedTopK heap); any
+    * document with ≥1 token resident in a probed cell becomes a
+    * candidate; exact MaxSim (the SAME micro-unit scorer) then runs
+    * over candidate docs' FULL token sets only.
+    *
+    * Scale shape: token→cell assignment is the q09 zero-shuffle
+    * broadcast argmin riding the corpus scan; the candidate cut is one
+    * semi-join on mdoc_id; the scoring crossJoin shrinks from
+    * |corpus| × |qtokens| to |candidate tokens| × |qtokens| — the
+    * probe dial trades recall for exactly that factor. A query doc is
+    * ALWAYS its own candidate (each query token's rank-1 probe is its
+    * own assigned cell), so self-retrieval recall is structural. */
+  def maxSimIvf(vectors: DataFrame, tokensPerDoc: Int, queryDocId: Long,
+                topN: Int, step: Int, nprobe: Int): DataFrame = {
+    import graft.plans.GroupedTopK
+    val cents = Ivf.centroids(vectors, step)
+    val posted = Ivf.inlinePostings(vectors, cents)
+      .select(expr(s"vec_id DIV $tokensPerDoc").as("mdoc_id"),
+        col("centroid_id"), col("embedding"))
+    val qTokens = vectors
+      .where(expr(s"vec_id DIV $tokensPerDoc") === queryDocId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val qc = qTokens.crossJoin(broadcast(cents))
+      .where(Pq.cleanCentroid(col("c_emb"), size(col("qv"))))
+      .select(col("q_id"), col("centroid_id"),
+        round(l2Sq(col("c_emb"), col("qv")), 6).as("cdist"))
+    val probed = GroupedTopK.topK(qc, Seq(col("q_id")),
+        Seq(col("cdist").asc, col("centroid_id").asc), nprobe)
+      .select("centroid_id").distinct()
+    val candDocs = posted.join(broadcast(probed), "centroid_id")
+      .select("mdoc_id").distinct()
+    posted.join(candDocs, Seq("mdoc_id"), "left_semi")
+      .crossJoin(broadcast(qTokens))
+      .select(col("mdoc_id"), col("q_id"),
+        round(round(dot(col("embedding"), col("qv")), 6) * 1e6).cast("long")
+          .as("dot_micro"))
+      .groupBy("mdoc_id", "q_id").agg(max("dot_micro").as("best_micro"))
+      .groupBy("mdoc_id")
+      .agg(sum("best_micro").as("maxsim_micro"), count(lit(1)).as("n_qtokens"))
+      .orderBy(desc("maxsim_micro"), asc("mdoc_id"))
+      .limit(topN)
+  }
+
   /** (query_id, qv, qlabel) panel from corpus ids — the labeled input
     * shape [[hardNegatives]] mines against. */
   def labeledPanel(vectors: DataFrame, ids: Seq[Long]): DataFrame =

@@ -60,4 +60,31 @@ class MaxSimSpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.head.getLong(0) == 0L, "query doc must retrieve itself at rank 1")
   }
+
+  test("maxSimIvf (q228): full probe equals the exact scan bit for bit; " +
+    "default probe self-retrieves at rank 1 and scores candidates exactly") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val step = SparkEntry.Params.IvfStep
+    val nCells = graft.operators.Ivf.centroids(emb, step).count().toInt
+    // probe every cell → every doc is a candidate → exact maxSim
+    val full = Knn.maxSimIvf(emb, 16, 0L, 20, step, nprobe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = Knn.maxSim(emb, 16, 0L, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(full == exact, "full-probe routed serve drifted from the exact scan")
+    // default probe: the query doc is structurally its own candidate
+    // (each query token's rank-1 probe is its own assigned cell), and
+    // every returned doc carries its EXACT full-token-set score
+    val routed = Knn.maxSimIvf(emb, 16, 0L, 20, step,
+        SparkEntry.Params.MaxSimNProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(routed.nonEmpty && routed.head._1 == 0L,
+      "query doc must retrieve itself at rank 1 under default probes")
+    val exactByDoc = Knn.maxSim(emb, 16, 0L, Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    routed.foreach { case (doc, micro, n) =>
+      assert(exactByDoc(doc) == ((micro, n)),
+        s"candidate doc $doc scored ($micro, $n) != exact ${exactByDoc(doc)}")
+    }
+  }
 }
