@@ -3301,6 +3301,110 @@ object OracleSql {
          |  round(CAST(sum(lp) AS DOUBLE) / (1000000.0 * count(*)), 6) AS avg_logp
          |FROM scoredbg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // q230: LOO source valuation — the q38 model restated at the
+    // (source, bg) grain; every per-source model is count SUBTRACTION
+    // off the same CTEs the Spark side derives, and both score legs
+    // keep the q38 micro-unit discipline (floor(ln·1e6) BIGINTs,
+    // eval-count weighting, integer sums).
+    "q230_source_influence" ->
+      s"""WITH tagged AS (
+         |  SELECT doc_id, source, text,
+         |    CASE WHEN ${hash60("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
+         |         THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents),
+         |bg AS (
+         |  SELECT source, split, substr(text, CAST(i AS INT), 2) AS bg
+         |  FROM (SELECT source, split, text,
+         |        unnest(range(1, len(text))) AS i FROM tagged)),
+         |srccnt AS (SELECT source, bg, count(*) AS cnt_s FROM bg
+         |           WHERE split = 'train' GROUP BY 1, 2),
+         |gtab AS (SELECT bg, sum(cnt_s) AS cnt FROM srccnt GROUP BY 1),
+         |ctxs AS (SELECT source, substr(bg, 1, 1) AS c, sum(cnt_s) AS ctx_s
+         |         FROM srccnt GROUP BY 1, 2),
+         |ctx AS (SELECT substr(bg, 1, 1) AS c, sum(cnt) AS ctx_cnt
+         |        FROM gtab GROUP BY 1),
+         |globu AS (SELECT substr(bg, 2, 1) AS u, sum(cnt) AS u_cnt
+         |          FROM gtab GROUP BY 1),
+         |srcu AS (SELECT source, substr(bg, 2, 1) AS u, sum(cnt_s) AS u_s
+         |         FROM srccnt GROUP BY 1, 2),
+         |v AS (SELECT count(*) AS vs FROM globu),
+         |vloo AS (SELECT source, count(*) AS lost_u
+         |         FROM srcu JOIN globu USING (u)
+         |         WHERE u_s = u_cnt GROUP BY 1),
+         |evalbg AS (SELECT bg, count(*) AS ecnt FROM bg
+         |           WHERE split = 'eval' GROUP BY 1),
+         |neval AS (SELECT sum(ecnt) AS n_eval FROM evalbg),
+         |fullm AS (
+         |  SELECT CAST(sum(ecnt * CAST(floor(ln(
+         |      CAST(coalesce(g.cnt, 0) + 1 AS DOUBLE)
+         |      / (coalesce(x.ctx_cnt, 0) + vs)) * 1000000.0) AS BIGINT))
+         |    AS BIGINT) AS sum_logp_full_micro
+         |  FROM evalbg e
+         |  LEFT JOIN gtab g USING (bg)
+         |  LEFT JOIN ctx x ON substr(e.bg, 1, 1) = x.c
+         |  CROSS JOIN v),
+         |srcs AS (SELECT DISTINCT source FROM documents),
+         |loo AS (
+         |  SELECT s.source, vs - coalesce(l.lost_u, 0) AS v_loo,
+         |    CAST(sum(e.ecnt * CAST(floor(ln(
+         |      CAST(coalesce(g.cnt, 0) - coalesce(sc.cnt_s, 0) + 1 AS DOUBLE)
+         |      / (coalesce(x.ctx_cnt, 0) - coalesce(cs.ctx_s, 0)
+         |         + (vs - coalesce(l.lost_u, 0)))) * 1000000.0) AS BIGINT))
+         |      AS BIGINT) AS sum_logp_loo_micro
+         |  FROM srcs s CROSS JOIN evalbg e
+         |  LEFT JOIN srccnt sc ON sc.source = s.source AND sc.bg = e.bg
+         |  LEFT JOIN gtab g ON g.bg = e.bg
+         |  LEFT JOIN ctxs cs ON cs.source = s.source
+         |    AND cs.c = substr(e.bg, 1, 1)
+         |  LEFT JOIN ctx x ON x.c = substr(e.bg, 1, 1)
+         |  LEFT JOIN vloo l ON l.source = s.source
+         |  CROSS JOIN v
+         |  GROUP BY 1, 2),
+         |tm AS (SELECT source, sum(cnt_s) AS n_train_bigrams
+         |       FROM srccnt GROUP BY 1)
+         |SELECT loo.source,
+         |  CAST(coalesce(tm.n_train_bigrams, 0) AS BIGINT) AS n_train_bigrams,
+         |  CAST(v_loo AS BIGINT) AS v_loo,
+         |  sum_logp_full_micro,
+         |  sum_logp_loo_micro,
+         |  CAST(sum_logp_loo_micro - sum_logp_full_micro AS BIGINT) AS delta_micro,
+         |  round(CAST(sum_logp_loo_micro - sum_logp_full_micro AS DOUBLE)
+         |    / (1000000.0 * n_eval), 6) AS avg_delta
+         |FROM loo LEFT JOIN tm USING (source)
+         |CROSS JOIN fullm CROSS JOIN neval
+         |ORDER BY source""".stripMargin,
+
+    // q231: Pearson χ² independence over the FULL lang×source grid —
+    // absent cells count 0 via the margin cross join; the numerator
+    // difference o·N − r·c clears to exact integers before the one
+    // double division, then order-immune micro BIGINT sums.
+    "q231_strata_chisq" ->
+      """WITH obs AS (SELECT lang AS rv, source AS cv, count(*) AS o
+        |             FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT rv, sum(o) AS r FROM obs GROUP BY 1),
+        |ct AS (SELECT cv, sum(o) AS c FROM obs GROUP BY 1),
+        |nn AS (SELECT sum(o) AS n FROM obs),
+        |grid AS (
+        |  SELECT rt.rv, ct.cv, coalesce(obs.o, 0) AS o, rt.r, ct.c, nn.n
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN obs ON obs.rv = rt.rv AND obs.cv = ct.cv
+        |  CROSS JOIN nn),
+        |cells AS (
+        |  SELECT rv, cv, o, r, c,
+        |    CAST(floor(CAST(r AS DOUBLE) * c * 1000000.0 / n) AS BIGINT)
+        |      AS expected_micro,
+        |    CAST(floor(CAST(o * n - r * c AS DOUBLE)
+        |        * CAST(o * n - r * c AS DOUBLE) * 1000000.0
+        |        / (CAST(n AS DOUBLE) * r * c)) AS BIGINT) AS contrib_micro
+        |  FROM grid),
+        |tot AS (SELECT CAST(sum(contrib_micro) AS BIGINT) AS chi2_micro,
+        |  CAST((count(DISTINCT rv) - 1) * (count(DISTINCT cv) - 1) AS BIGINT)
+        |    AS df FROM cells)
+        |SELECT rv AS lang, cv AS source, CAST(o AS BIGINT) AS obs,
+        |  CAST(r AS BIGINT) AS row_total, CAST(c AS BIGINT) AS col_total,
+        |  expected_micro, contrib_micro, chi2_micro, df
+        |FROM cells CROSS JOIN tot ORDER BY lang, source""".stripMargin,
+
     // q155: word-bigram Stupid Backoff — the pair stream, both count
     // tables, and both micro-unit score legs mirrored verbatim; the
     // len >= 2 gate matches the Spark side's pre-sequence filter.

@@ -101,6 +101,10 @@ object SparkEntry {
                              // storage system uses 12-13 (4-8 KiB)
     val CdcMinLen = 16       // q219 chunk bounds
     val CdcMaxLen = 128
+    val CoresetK = 16        // q229 k-center picks: above the 10-label
+                             // cluster count at every SF, so coverage
+                             // reaches every cluster with room to
+                             // split the wide ones
     val CmsJoinW = 65536     // q220 grid width: collision mass
                              // n_a·n_b/w stays a fraction of the
                              // selective join it estimates
@@ -590,6 +594,12 @@ object SparkEntry {
     "q228_maxsim_ivf" -> ((s, d) =>
       Knn.maxSimIvf(Tables.embeddings(s, d), MaxSimTokensPerDoc,
         MaxSimQueryDoc, MaxSimTopN, IvfStep, MaxSimNProbe)),
+    "q229_kcenter_coreset" -> ((s, d) =>
+      Sampling.kCenterCoreset(Tables.embeddings(s, d), CoresetK)),
+    "q230_source_influence" -> ((s, d) =>
+      LanguageModel.sourceInfluence(Tables.documents(s, d), TrainPct)),
+    "q231_strata_chisq" -> ((s, d) =>
+      Profile.strataChiSq(Tables.documents(s, d), "lang", "source")),
     "q227_wait_blockers" -> ((s, d) =>
       Analytics.waitBlockers(Tables.lineitem(s, d), Tables.supplier(s, d),
         WaitTopN)),

@@ -145,6 +145,109 @@ object LanguageModel {
       .orderBy("doc_id")
   }
 
+  /** q230: leave-one-source-out data valuation of the char-bigram LM —
+    * "which source is my held-out quality coming from?", the
+    * data-attribution dial (Data Shapley's first-order cousin) a
+    * mixing/curation loop reads before re-weighting: for every source
+    * s, how much worse (or better) does the [[lmScore]] model score a
+    * FIXED eval slice when s's training contribution is removed?
+    *
+    * The naive form retrains |sources| models — |S| full corpus
+    * passes. The Spark-first form exploits that the model IS additive
+    * count tables: LOO counts are SUBTRACTION, cnt₋ₛ(bg) = cnt(bg) −
+    * cntₛ(bg), ctx₋ₛ(c) = ctx(c) − ctxₛ(c), and the LOO vocabulary is
+    * V₋ₛ = V − |{u : glob(u) = srcₛ(u)}| (second-chars whose ENTIRE
+    * global mass came from s). So ONE bigram pass builds the
+    * (source, bg) grain, every per-source model derives by algebra on
+    * alphabet²-bounded frames, and scoring is the distinct-eval-bigram
+    * grid × |S| — broadcast joins end to end, no second corpus scan,
+    * no per-source retrain. At 100 TB this is |S| retrains → one scan
+    * + KB-scale arithmetic.
+    *
+    * Same micro-unit exactness as [[lmScore]]: per-bigram
+    * floor(ln(p)·1e6) BIGINTs, weighted by exact eval counts, integer
+    * sums (order-immune); delta_micro = sum_loo − sum_full, NEGATIVE =
+    * removing the source hurts (it was contributing mass the eval
+    * slice needed), so the most valuable source has the most negative
+    * delta. avg_delta divides two exact operands at the end. */
+  def sourceInfluence(docs: DataFrame, trainPct: Int = 90): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    import graft.functions.CharNgrams
+    val rows = docs.withColumn("split", CorpusPipeline.splitCol(trainPct))
+      .select(col("source"), col("split"),
+        explode(SqlBridge.column(CharNgrams(
+          SqlBridge.expression(col("text")), 2))).as("bg"))
+    // (source, bg) train grain — everything below derives from it
+    val srcCnt = rows.where(col("split") === "train")
+      .groupBy("source", "bg").agg(count(lit(1)).as("cnt_s"))
+    val glob = srcCnt.groupBy("bg").agg(sum("cnt_s").as("cnt"))
+    val ctxS = srcCnt.groupBy(col("source"),
+        substring(col("bg"), 1, 1).as("c"))
+      .agg(sum("cnt_s").as("ctx_s"))
+    val ctx = glob.groupBy(substring(col("bg"), 1, 1).as("c"))
+      .agg(sum("cnt").as("ctx_cnt"))
+    // LOO vocabulary: V minus second-chars monopolized by the source
+    val globU = glob.groupBy(substring(col("bg"), 2, 1).as("u"))
+      .agg(sum("cnt").as("u_cnt"))
+    val srcU = srcCnt.groupBy(col("source"),
+        substring(col("bg"), 2, 1).as("u"))
+      .agg(sum("cnt_s").as("u_s"))
+    val v = globU.agg(count(lit(1)).as("vs"))
+    val vLoo = srcU.join(broadcast(globU), Seq("u"))
+      .where(col("u_s") === col("u_cnt"))
+      .groupBy("source").agg(count(lit(1)).as("lost_u"))
+    // fixed eval slice, reduced to its distinct-bigram grid
+    val evalBg = rows.where(col("split") === "eval")
+      .groupBy("bg").agg(count(lit(1)).as("ecnt"))
+    val nEval = evalBg.agg(sum("ecnt").as("n_eval"))
+    def lpMicro(cnt: org.apache.spark.sql.Column,
+                ctxCnt: org.apache.spark.sql.Column,
+                vocab: org.apache.spark.sql.Column) =
+      floor(log((cnt + 1L).cast("double") / (ctxCnt + vocab)) * 1000000.0)
+        .cast("long")
+    // full-model score of the eval slice (one BIGINT)
+    val full = evalBg
+      .join(broadcast(glob), Seq("bg"), "left")
+      .join(broadcast(ctx), substring(col("bg"), 1, 1) === col("c"), "left")
+      .crossJoin(broadcast(v))
+      .select((col("ecnt") * lpMicro(coalesce(col("cnt"), lit(0L)),
+        coalesce(col("ctx_cnt"), lit(0L)), col("vs"))).as("w"))
+      .agg(sum("w").as("sum_logp_full_micro"))
+    // every source × the eval grid: LOO counts by subtraction
+    val sources = docs.select(col("source")).distinct()
+    val loo = sources.crossJoin(evalBg)
+      .join(broadcast(srcCnt), Seq("source", "bg"), "left")
+      .join(broadcast(glob), Seq("bg"), "left")
+      .withColumn("c", substring(col("bg"), 1, 1))
+      .join(broadcast(ctxS), Seq("source", "c"), "left")
+      .join(broadcast(ctx), Seq("c"), "left")
+      .join(broadcast(vLoo), Seq("source"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("v_loo", col("vs") - coalesce(col("lost_u"), lit(0L)))
+      .select(col("source"), col("v_loo"),
+        (col("ecnt") * lpMicro(
+          coalesce(col("cnt"), lit(0L)) - coalesce(col("cnt_s"), lit(0L)),
+          coalesce(col("ctx_cnt"), lit(0L)) - coalesce(col("ctx_s"), lit(0L)),
+          col("v_loo"))).as("w"))
+      .groupBy("source", "v_loo")
+      .agg(sum("w").as("sum_logp_loo_micro"))
+    val trainMass = srcCnt.groupBy("source")
+      .agg(sum("cnt_s").as("n_train_bigrams"))
+    loo
+      .join(broadcast(trainMass), Seq("source"), "left")
+      .crossJoin(broadcast(full))
+      .crossJoin(broadcast(nEval))
+      .select(col("source"),
+        coalesce(col("n_train_bigrams"), lit(0L)).as("n_train_bigrams"),
+        col("v_loo"),
+        col("sum_logp_full_micro"),
+        col("sum_logp_loo_micro"),
+        (col("sum_logp_loo_micro") - col("sum_logp_full_micro")).as("delta_micro"),
+        round((col("sum_logp_loo_micro") - col("sum_logp_full_micro"))
+          .cast("double") / (lit(1000000.0) * col("n_eval")), 6).as("avg_delta"))
+      .orderBy("source")
+  }
+
   /** q223: Good-Turing unseen-mass report per source — the smoothing
     * dial every LM built on a corpus needs read BEFORE training: the
     * Good-Turing estimate says the probability mass of token types the

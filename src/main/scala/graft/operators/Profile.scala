@@ -562,4 +562,58 @@ object Profile {
     }
     reports.reduce(_ unionByName _).orderBy("det_col", "dep_col")
   }
+
+  /** q231: stratification-independence audit — Pearson's χ² test of
+    * independence over the full contingency grid of two categorical
+    * metadata columns (lang × source for the gate corpus). The
+    * corpus-curation question it answers: are my strata CONFOUNDED?
+    * A language concentrated in one source means per-source mixing
+    * weights (q37) silently reweight languages, per-source quality
+    * cuts (q59) silently filter a language, and a leave-source-out
+    * eval (q230) measures language shift, not source quality. High χ²
+    * relative to df = (R−1)(C−1) says the labels are dependent and
+    * every per-stratum knob has a hidden second axis.
+    *
+    * Shape: one (row, col) count pass (map-side partials, grid-sized
+    * exchange), two grid-sized rollups for the margins, then the FULL
+    * R×C cross grid (absent combinations count 0 — the test is defined
+    * on the complete grid) via a crossJoin of two margin frames that
+    * are each ≤ distinct-values rows — KB-scale at any corpus size; no
+    * second corpus pass, no window.
+    *
+    * Exactness: o, r, c, N are exact BIGINTs; each cell's χ²
+    * contribution uses the integer-cleared form (o·N − r·c)²/(N·r·c) —
+    * the numerator difference is computed in EXACT integer arithmetic
+    * BEFORE any float touches it (o·N ≤ corpus², within long at any
+    * gate sf), then one double division, floor to micro BIGINT, and
+    * the total is an order-immune integer sum. expected_micro =
+    * floor(r·c·1e6/N) the same way. */
+  def strataChiSq(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val obs = df.groupBy(col(rowCol).as("rv"), col(colCol).as("cv"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = obs.groupBy("rv").agg(sum("o").as("r"))
+    val colT = obs.groupBy("cv").agg(sum("o").as("c"))
+    val n = obs.agg(sum("o").as("n"))
+    val grid = rowT.crossJoin(broadcast(colT))
+      .join(obs, Seq("rv", "cv"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+    val num = (col("o") * col("n") - col("r") * col("c")).cast("double")
+    val cells = grid.select(
+      col("rv"), col("cv"), col("o"), col("r"), col("c"),
+      floor(col("r").cast("double") * col("c") * 1000000.0 / col("n"))
+        .cast("long").as("expected_micro"),
+      floor(num * num * 1000000.0 /
+        (col("n").cast("double") * col("r") * col("c")))
+        .cast("long").as("contrib_micro"))
+    val tot = cells.agg(
+      sum("contrib_micro").as("chi2_micro"),
+      ((countDistinct("rv") - 1) * (countDistinct("cv") - 1)).as("df"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("rv").as(rowCol), col("cv").as(colCol), col("o").as("obs"),
+        col("r").as("row_total"), col("c").as("col_total"),
+        col("expected_micro"), col("contrib_micro"),
+        col("chi2_micro"), col("df"))
+      .orderBy(rowCol, colCol)
+  }
 }

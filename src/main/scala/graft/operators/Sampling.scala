@@ -301,4 +301,124 @@ object Sampling {
       .select(col("centroid_id"), col("vec_id"), col("dist"))
       .orderBy("centroid_id", "vec_id")
   }
+
+  /** Farthest-first (Gonzalez 1985) k-center picks over an in-memory
+    * point set: seed at the smallest vec_id, then repeatedly take the
+    * point with the MAXIMUM distance to its nearest already-chosen
+    * center (ties to the smallest vec_id). Squared L2 throughout —
+    * monotone in true distance, so the pick sequence is identical and
+    * no sqrt runs in the O(k·n) loop. Deterministic: no RNG anywhere;
+    * the result is a pure function of the (id, vector) multiset. */
+  private[operators] def farthestFirst(
+      pts: Array[(Long, Array[Float])], k: Int): Array[(Long, Array[Float])] = {
+    if (pts.isEmpty || k <= 0) return Array.empty
+    val n = pts.length
+    val picks = new Array[Int](math.min(k, n))
+    // nearest-chosen-center distance per point, maintained incrementally
+    val minD = Array.fill(n)(Double.MaxValue)
+    var seed = 0
+    var i = 1
+    while (i < n) { if (pts(i)._1 < pts(seed)._1) seed = i; i += 1 }
+    picks(0) = seed
+    var p = 1
+    while (p < picks.length) {
+      val c = pts(picks(p - 1))._2
+      var best = -1
+      i = 0
+      while (i < n) {
+        val v = pts(i)._2
+        var d = 0.0
+        var j = 0
+        val m = math.min(v.length, c.length)
+        while (j < m) {
+          val t = v(j).toDouble - c(j).toDouble; d += t * t; j += 1
+        }
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > 0.0 &&
+            (best < 0 || minD(i) > minD(best) ||
+             (minD(i) == minD(best) && pts(i)._1 < pts(best)._1)))
+          best = i
+        i += 1
+      }
+      if (best < 0) return picks.take(p).map(pts) // all remaining coincide with a center
+      picks(p) = best
+      minD(best) = 0.0
+      p += 1
+    }
+    picks.map(pts)
+  }
+
+  /** q229: k-center coreset selection — the farthest-first coverage
+    * complement of the DENSITY-respecting samplers above: where
+    * stratified/PPS/temperature sampling draw proportionally (and so
+    * starve sparse regions), k-center greedy MAXIMIZES coverage — every
+    * corpus point ends within the returned radius of some pick — which
+    * is the active-learning / dataset-distillation selection rule
+    * (coreset literature: Sener & Savarese 2018 select exactly this
+    * way) and the 2-approximation of the optimal k-center cover
+    * (Gonzalez 1985).
+    *
+    * The greedy is inherently sequential (pick i depends on picks
+    * 1..i-1), so the distributed shape is the COMPOSABLE-CORESET
+    * two-round pattern (Indyk et al. 2014): (1) every partition runs
+    * farthest-first locally over its own rows — one `mapPartitions`,
+    * zero shuffles, O(k·|part|) work, k·dim state — emitting k local
+    * picks; (2) the ≤ partitions·k candidates (KB-scale at any corpus
+    * size: 1000 executors × k=32 × 64 floats ≈ 8 MB) reduce by the
+    * SAME rule on the driver; (3) one broadcast argmin pass
+    * ([[graft.functions.NearestCentroid]], codegen'd, zero shuffles —
+    * the IVF-assignment kernel) assigns every point to its pick and
+    * folds per-pick occupancy + radius in map-side partials. Composing
+    * greedy-over-greedy-picks keeps the coverage guarantee to a
+    * constant factor of the one-machine greedy (the composable-coreset
+    * bound); CoresetSpec pins single-partition ≡ driver-exact and the
+    * multi-partition radius within that constant.
+    *
+    * Output: one row per pick in pick order — pick, vec_id, label,
+    * n_assigned (argmin occupancy, ties to earlier pick via smaller
+    * centroid id), sum_d2_micro / max_d2_micro (floor(1e6·round6(‖x−c‖²))
+    * per point, exact-integer folds; max over ALL rows = the cover
+    * radius²). Rows-only key: the k-step greedy is not expressible as
+    * one SQL statement. */
+  def kCenterCoreset(vectors: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val pts = vectors.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<float>"))
+    // round 1: per-partition farthest-first, zero shuffles
+    val cand = pts.as[(Long, Array[Float])]
+      .mapPartitions(it => farthestFirst(it.toArray, k).iterator)
+      .collect()
+    // round 2: the same rule over the candidate union; sort first so
+    // the reduce is independent of partition arrival order (the rule
+    // itself only reads (id, vector), but keep the input canonical)
+    val centers = farthestFirst(cand.sortBy(_._1), k)
+    val cs = graft.functions.CentroidSet(
+      centers.indices.map(_.toLong).toArray,
+      centers.map(_._2.map(_.toDouble)))
+    val pickId = centers.map(_._1).zipWithIndex
+      .map { case (id, p) => (p.toLong, id) }.toSeq
+      .toDF("pick", "vec_id")
+    // round 3: broadcast argmin assignment + exact-integer radius folds
+    import org.apache.spark.sql.graftbridge.SqlBridge
+    val nearest = SqlBridge.column(graft.functions.NearestCentroid(
+      SqlBridge.expression(col("embedding").cast("array<float>")),
+      spark.sparkContext.broadcast(cs)))
+    val d2Micro = floor(col("a.dist") * 1000000.0).cast("long")
+    val cells = vectors.select(col("vec_id"), nearest.as("a"))
+      .where(col("a").isNotNull)
+      .select(col("a.centroid_id").as("pick"), d2Micro.as("d2"))
+      .groupBy("pick")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum("d2").as("sum_d2_micro"),
+        max("d2").as("max_d2_micro"))
+      .join(broadcast(pickId), Seq("pick"))
+    // label lookup: the k-row side broadcasts, the corpus side streams
+    vectors.select(col("vec_id"), col("label"))
+      .join(broadcast(cells), Seq("vec_id"))
+      .select(col("pick"), col("vec_id"), col("label"),
+        col("n_assigned"), col("sum_d2_micro"), col("max_d2_micro"))
+      .orderBy("pick")
+  }
 }

@@ -106,6 +106,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("B") == ((3L, 5L, 0L, 0L)), s"group B: ${out("B")}")
   }
 
+  test("strataChiSq: exact-independence grid scores 0, perfect association " +
+    "scores N, absent cells enter the grid as zeros, df = (R-1)(C-1)") {
+    // product distribution: o(r,c) = rowShare·colShare·N exactly →
+    // every o·N − r·c = 0 → chi2 = 0
+    val indep = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(40)(("b", "y")))
+      .toDF("lang", "source")
+    val oi = Profile.strataChiSq(indep, "lang", "source").collect()
+    assert(oi.length == 4)
+    assert(oi.forall(_.getLong(6) == 0L), "independent grid must score 0")
+    assert(oi.forall(_.getLong(7) == 0L) && oi.forall(_.getLong(8) == 1L))
+    // perfect association on a 2×2: χ² = N; the off-diagonal cells are
+    // ABSENT from the data and must still appear with obs 0
+    val dep = (Seq.fill(6)(("a", "x")) ++ Seq.fill(4)(("b", "y")))
+      .toDF("lang", "source")
+    val od = Profile.strataChiSq(dep, "lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(od.keySet == Set(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
+    assert(od(("a", "y"))._1 == 0L && od(("b", "x"))._1 == 0L)
+    // cell (a,x): e = 6·6/10 = 3.6 → 3_600_000 micro; contribution
+    // (6·10 − 36)²/(10·6·6) = 576/360 = 1.6 → 1_600_000
+    assert(od(("a", "x"))._2 == 3600000L, s"expected: ${od(("a", "x"))}")
+    assert(od(("a", "x"))._3 == 1600000L, s"contrib: ${od(("a", "x"))}")
+    // χ² total = N = 10 → 10_000_000 micro on every row
+    assert(od.values.forall(_._4 == 10000000L), s"chi2: $od")
+    // df on a 3×2
+    val tri = (Seq(("a", "x"), ("b", "x"), ("c", "y"), ("a", "y")))
+      .toDF("lang", "source")
+    val dfv = Profile.strataChiSq(tri, "lang", "source")
+      .select("df").distinct().collect().map(_.getLong(0)).toSeq
+    assert(dfv == Seq(2L), s"df: $dfv")
+  }
+
   test("upsert: replace, insert, persist; null-key base rows survive the anti-join") {
     import graft.operators.Merge
     val base = Seq((Option(1L), "a"), (Option(2L), "b"), (Option.empty[Long], "n"))

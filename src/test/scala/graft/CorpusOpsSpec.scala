@@ -219,6 +219,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(good > bad && good <= 0.0 && bad < 0.0)
   }
 
+  test("sourceInfluence: count-subtraction LOO matches a literal retrain " +
+    "(including the lost-vocabulary term), and sign tracks source value") {
+    import graft.operators.LanguageModel
+    // A dominates the eval distribution; B is alphabet-disjoint junk;
+    // C appears ONLY in eval (no train contribution → delta must be 0).
+    val docs = Seq(
+      (trainIds(0), "srcA", "abababababab"),
+      (trainIds(1), "srcA", "babababa"),
+      (trainIds(2), "srcB", "qzqzqzqz"),
+      (evalIds(0), "srcA", "ababab"),
+      (evalIds(1), "srcC", "abba")
+    ).toDF("doc_id", "source", "text")
+    val out = LanguageModel.sourceInfluence(docs, 90).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.keySet == Set("srcA", "srcB", "srcC"))
+
+    // independent reference: literally retrain without the source
+    val trainSet = trainIds.take(3).toSet
+    val fixture = Seq(
+      (trainIds(0), "srcA", "abababababab"), (trainIds(1), "srcA", "babababa"),
+      (trainIds(2), "srcB", "qzqzqzqz"),
+      (evalIds(0), "srcA", "ababab"), (evalIds(1), "srcC", "abba"))
+    def bgs(t: String) = t.sliding(2).toSeq
+    val evalBgs = fixture.filter(f => !trainSet.contains(f._1)).flatMap(f => bgs(f._3))
+    def ref(excl: Option[String]): (Long, Long) = {
+      val cnt = fixture.filter(f => trainSet.contains(f._1) && !excl.contains(f._2))
+        .flatMap(f => bgs(f._3)).groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+      val ctx = cnt.groupBy(_._1.take(1)).map { case (c, g) => c -> g.values.sum }
+      val v = cnt.keys.map(_.substring(1)).toSet.size.toLong
+      val s = evalBgs.map { b =>
+        math.floor(math.log((cnt.getOrElse(b, 0L) + 1).toDouble /
+          (ctx.getOrElse(b.take(1), 0L) + v)) * 1e6).toLong
+      }.sum
+      (s, v)
+    }
+    val (fullSum, _) = ref(None)
+    for (src <- Seq("srcA", "srcB", "srcC")) {
+      val (refSum, refV) = ref(Some(src))
+      val (_, vLoo, fullOut, looOut, delta) = out(src)
+      assert(fullOut == fullSum, s"$src full: $fullOut vs $fullSum")
+      assert(looOut == refSum, s"$src loo: $looOut vs $refSum")
+      assert(vLoo == refV, s"$src v_loo: $vLoo vs $refV")
+      assert(delta == refSum - fullSum)
+    }
+    // removing the in-distribution source hurts; removing disjoint junk
+    // helps (its mass only dilutes); an eval-only source changes nothing
+    assert(out("srcA")._5 < 0, s"srcA delta: ${out("srcA")}")
+    assert(out("srcB")._5 > 0, s"srcB delta: ${out("srcB")}")
+    assert(out("srcC")._5 == 0 && out("srcC")._1 == 0L,
+      s"srcC must be a no-op: ${out("srcC")}")
+  }
+
   test("backoffScore: seen bigrams score cnt/ctx; unseen pairs back off " +
     "through the Laplace unigram leg; sub-2-token docs contribute nothing") {
     val docs = Seq(

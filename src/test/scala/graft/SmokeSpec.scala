@@ -22,7 +22,8 @@ class SmokeSpec extends SparkSpec {
       "q197_quality_classifier", "q198_markov_attribution",
       "q199_branch_merge", "q200_dp_release", "q205_partial_compaction",
       "q206_calibration", "q207_core_census", "q212_sketch_quantiles",
-      "q217_conformal_gate", "q219_cdc_dedup", "q226_knn_seam_recall")
+      "q217_conformal_gate", "q219_cdc_dedup", "q226_knn_seam_recall",
+      "q229_kcenter_coreset")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
     val stale = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
