@@ -279,8 +279,8 @@ object Bench {
         if (!inScope("q144_audio_stats")) Seq.empty
         else {
           import graft.multimodal.Multimodal
-          val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir))
-            .localCheckpoint() // synthesized once, untimed
+          val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir), "audio")
+            .localCheckpoint() // synthesized once, untimed; audio-only (q144 pushdown)
           val decode = bestOf("q144_decode") {
             Multimodal.audioStats(spark, media)
               .write.format("noop").mode("overwrite").save()
@@ -400,7 +400,7 @@ object Bench {
         if (!(inScope("q181_image_dedup") || inScope("q175_image_phash"))) Seq.empty
         else {
           import graft.multimodal.{ImageHash, Multimodal}
-          val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir))
+          val media = Multimodal.toMediaTable(Tables.documents(spark, sfDir), "image")
           val imgs = media.where(col("format") === "png")
             .orderBy("doc_id").limit(ImgDupK)
           val copies = imgs.withColumn("doc_id", col("doc_id") + lit(ImgCopyOffset))

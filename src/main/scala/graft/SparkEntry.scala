@@ -540,16 +540,20 @@ object SparkEntry {
       // Rows-only (binary WAV plumbing, like q18): synthesize the media
       // table, then the REAL javax.sound.sampled decode reports
       // duration/rate/RMS/clipping per clip — all integer-unit columns.
+      // audio-only synthesis: the report drops every non-WAV row, so
+      // the modality filter pushes below the payload encode (r19)
       graft.multimodal.Multimodal.audioStats(s,
-        graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d)))),
+        graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d), "audio"))),
     "q175_image_phash" -> ((s, d) => {
       // Rows-only (raster decode, the q18 class). The synthetic corpus's
       // rasters are all distinct, so the key unions RENDITIONS of the
       // first ImgDupK images under shifted ids — exact byte copies
       // (hamming 0 by construction) and Graphics2D-resized re-encodes —
       // and the perceptual report must pull each rendition back to its
-      // original. ImageHashSpec pins the exact pair sets.
-      val media = graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d))
+      // original. ImageHashSpec pins the exact pair sets. Image-only
+      // synthesis: the hash pass drops every non-PNG row, so the
+      // modality filter pushes below the payload encode (r19).
+      val media = graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d), "image")
       val imgs = media.where(col("format") === "png")
         .orderBy("doc_id").limit(ImgDupK)
       val copies = imgs.withColumn("doc_id", col("doc_id") + lit(ImgCopyOffset))
@@ -564,7 +568,8 @@ object SparkEntry {
       // Rows-only (raster decode, the q175 class): q175's rendition
       // corpus — exact copies AND resizes of the same originals, so
       // clusters are transitive chains — resolved to keeper decisions.
-      val media = graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d))
+      // Image-only synthesis (the q175 pushdown, r19).
+      val media = graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d), "image")
       val imgs = media.where(col("format") === "png")
         .orderBy("doc_id").limit(ImgDupK)
       val copies = imgs.withColumn("doc_id", col("doc_id") + lit(ImgCopyOffset))
@@ -1345,7 +1350,10 @@ object SparkEntry {
       // initial rebuild (decodes all), delta-sized append (decodes the
       // DELTA only; IndexSyncSpec proves it by deleting the base dir's
       // bytes first), idempotent noop — then clusters served hash-only.
-      val media = graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d))
+      // Image-only synthesis: every report column derives from the
+      // png-only hash sidecar, so the non-image rows never influenced
+      // the output — prune them below the encode (r19).
+      val media = graft.multimodal.Multimodal.toMediaTable(Tables.documents(s, d), "image")
       val imgs = media.where(col("format") === "png")
         .orderBy("doc_id").limit(ImgDupK)
       val copies = imgs.withColumn("doc_id", col("doc_id") + lit(ImgCopyOffset))

@@ -35,6 +35,10 @@ import org.apache.spark.sql.functions._
   */
 object ImageHash {
 
+  // See Multimodal: memory-cached ImageIO streams (identical bytes,
+  // no per-decode temp-file round trip). Idempotent global set.
+  ImageIO.setUseCache(false)
+
   private val GridW = 9
   private val GridH = 8
 
@@ -46,6 +50,10 @@ object ImageHash {
   def lumSums(img: BufferedImage): Array[Long] = {
     val w = img.getWidth
     val h = img.getHeight
+    // one bulk raster grab (identical default-RGB values to per-pixel
+    // getRGB) — the per-pixel overload pays a color-model conversion
+    // per call, the dominant decode-side cost after the stream cache
+    val px = Multimodal.rgbRows(img)
     val sums = new Array[Long](GridW * GridH)
     var gy = 0
     while (gy < GridH) {
@@ -58,9 +66,10 @@ object ImageHash {
         var s = 0L
         var y = y0
         while (y < y1) {
+          val row = y * w
           var x = x0
           while (x < x1) {
-            val rgb = img.getRGB(x, y)
+            val rgb = px(row + x)
             s += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
               (rgb & 0xff) * 114) / 1000
             x += 1

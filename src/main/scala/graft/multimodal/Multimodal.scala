@@ -45,6 +45,24 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a FILE-backed stream cache: every
+  // ImageIO.read(InputStream)/write(..., OutputStream) round-trips the
+  // payload through a temp file on disk. All payloads here are
+  // in-memory byte arrays (KB-scale), so the disk cache is pure
+  // per-row overhead — a create/write/delete syscall trio per decode
+  // and per encode. Memory-cached streams produce byte-identical
+  // results (the cache is transport, not codec). Set once per JVM at
+  // object init; executors initialize the object when the first
+  // mapPartitions closure touches it.
+  ImageIO.setUseCache(false)
+
+  /** Whole-raster RGB grab in ONE call — `getRGB(x, y)` pays a color-
+    * model conversion and bounds check per pixel; the bulk overload
+    * returns the identical default-RGB values for the full raster in
+    * row-major order. Decode-side hot loops index this array. */
+  private[multimodal] def rgbRows(img: BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
   final case class MediaRecord(
       doc_id: Long,
       media_type: String, // image | audio | video
@@ -236,12 +254,15 @@ object Multimodal {
 
   private def encodePng(docId: Long, w: Int, h: Int, buf: ByteArrayOutputStream): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // bulk setRGB: same pixels as the per-pixel loop, one raster store
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) { img.setRGB(x, y, pixel(docId, x, y)); x += 1 }
+      while (x < w) { px(y * w + x) = pixel(docId, x, y); x += 1 }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w)
     buf.reset()
     ImageIO.write(img, "png", buf)
     buf.toByteArray
@@ -282,6 +303,21 @@ object Multimodal {
           }
         }
       }.toDF()
+  }
+
+  /** [[toMediaTable]] restricted to ONE modality. The doc_id % 3
+    * routing is the table's own synthesis contract, so filtering the
+    * ids BEFORE the synthesis map prunes the other modalities' rows
+    * before their payloads are ever encoded — the row-group/predicate
+    * pushdown a real lake gives a media_type filter, applied to the
+    * synthetic stand-in (r19: the audio/image-only keys were paying
+    * full-corpus PNG+WAV+MP4 encode to then drop 2/3 of the rows).
+    * Output is bit-identical to
+    * `toMediaTable(docs).where(media_type === t)`. */
+  def toMediaTable(docs: DataFrame, mediaType: String): DataFrame = {
+    val idx = MediaTypes.indexOf(mediaType)
+    require(idx >= 0, s"unknown media type: $mediaType")
+    toMediaTable(docs.where(pmod(col("doc_id"), lit(3L)) === idx.toLong))
   }
 
   /** Byte-level payload stats shared by every branch. */
@@ -341,17 +377,15 @@ object Multimodal {
       val w = img.getWidth
       val h = img.getHeight
       val feature = new Array[Float](FeatureDim)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          feature(lum * FeatureDim / 256) += 1.0f
-          x += 1
-        }
-        y += 1
+      val px = rgbRows(img) // identical values to per-pixel getRGB
+      var i = 0
+      val np = w * h
+      while (i < np) {
+        val rgb = px(i)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        feature(lum * FeatureDim / 256) += 1.0f
+        i += 1
       }
       val n = (w * h).toFloat
       var j = 0

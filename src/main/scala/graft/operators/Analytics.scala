@@ -52,12 +52,25 @@ object Analytics {
     * emission. */
   def revenueCube(lineitem: DataFrame): DataFrame = {
     val discPrice = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
-    lineitem
+    // Pre-aggregate to the FINE grain before the cube: Expand fans
+    // every input row to its 2³ grouping-set rows, so cubing the fact
+    // table directly pays 8× the scan volume in Expand+partial-agg
+    // CPU. The fine grain here is ≤ |flags|·|statuses|·|years| (tens
+    // of rows at any scale), so one ordinary map-side-combined
+    // exchange first, then the cube's Expand runs over tens of rows
+    // instead of the corpus. Exactness is unchanged: counts re-sum,
+    // and DECIMAL partial sums re-sum associatively — the rounded
+    // emission sees the bit-identical total (r19 measured 5.3 s →
+    // sub-second at sf0.1, hash-green).
+    val fine = lineitem
       .withColumn("ship_year", year(col("l_shipdate")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(count(lit(1)).as("fine_n"), sum(discPrice).as("fine_rev"))
+    fine
       .cube(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
       .agg(grouping_id().cast("int").as("gid"),
-        count(lit(1)).as("n_rows"),
-        round(sum(discPrice).cast("double"), 6).as("revenue"))
+        sum(col("fine_n")).as("n_rows"),
+        round(sum(col("fine_rev")).cast("double"), 6).as("revenue"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
         asc_nulls_first("ship_year"), asc("gid"))
   }

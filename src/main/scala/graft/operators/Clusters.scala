@@ -86,20 +86,21 @@ object Clusters {
         .join(labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "dst_label"), "dst")
         .groupBy("src").agg(min("dst_label").as("nbr_label"))
         .withColumnRenamed("src", "node")
+      // carry the pre-round label through the step so convergence is a
+      // column compare on the CHECKPOINTED frame, not a join of next
+      // against labels — one fewer shuffle join per round (r19)
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jump: label(n) <- min(label(n), label(label(n)))
       val (next, nextIds) = checkpointTracked(stepped
         .join(stepped.select(col("node").as("label"), col("label").as("ll")), Seq("label"), "left")
-        .select(col("node"),
+        .select(col("node"), col("prev"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .where(col("label") =!= col("prev"))
-        .isEmpty
+      converged = next.where(col("label") =!= col("prev")).isEmpty
       // the previous round's labels are dead past the convergence check
       free(labelIds)
-      labels = next
+      labels = next.select("node", "label")
       labelIds = nextIds
       it += 1
     }

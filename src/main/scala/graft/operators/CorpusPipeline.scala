@@ -100,12 +100,16 @@ object CorpusPipeline {
     def splitOf(idCol: org.apache.spark.sql.Column) =
       when(pmod(Dedup.hash60(idCol.cast("string")), lit(100L)) < trainPct,
         "train").otherwise("eval")
-    val tagged = docs.select(col("doc_id"))
-      .join(labeled, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), col("cluster_id"),
-        splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"),
-        splitOf(col("doc_id")).as("naive_split"))
+    // materialized once: the two leak dials and the final census each
+    // re-ran the docs-side join unmaterialized (3 passes, r19); the
+    // frame is 4 narrow columns per doc
+    val tagged = org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint(
+      docs.select(col("doc_id"))
+        .join(labeled, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("cluster_id"),
+          splitOf(coalesce(col("cluster_id"), col("doc_id"))).as("split"),
+          splitOf(col("doc_id")).as("naive_split")))
     // global leak dials: clusters whose members straddle the boundary
     // under each rule (safe is 0 by construction — reported as proof)
     def leaky(splitCol: String) = tagged.where(col("cluster_id").isNotNull)
@@ -201,8 +205,13 @@ object CorpusPipeline {
                               flagFrac: Double = 0.25, mBits: Int = 0,
                               nProbes: Int = 5): DataFrame = {
     val tagged = docs.withColumn("split", splitCol(trainPct))
-    val evalSh = Dedup.shingleRows(tagged.where(col("split") === "eval"), k)
-      .select(col("doc_id"), Dedup.hash60(col("s")).as("h"))
+    // ONE shingle pass over the eval slice, materialized: the sizing
+    // estimate, the Bloom build, and the final per-doc join all read
+    // these narrow (doc_id, h) rows — unmaterialized, each consumer
+    // re-ran the shingle explode+hash scan (3 passes total, r19)
+    val evalSh = org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint(
+      Dedup.shingleRows(tagged.where(col("split") === "eval"), k)
+        .select(col("doc_id"), Dedup.hash60(col("s")).as("h")))
 
     val m =
       if (mBits > 0) mBits

@@ -542,14 +542,17 @@ object Graph {
       round += 1
       val msgs = e.join(c, e("dst") === c("node"))
         .select(e("src").as("node"), col("core").as("nc"))
+      // prev rides the checkpointed frame so the convergence count is
+      // a column compare on materialized rows, not a join back onto c
+      // — one fewer shuffle join per round (r19)
       val next = leanCheckpoint(
         msgs.groupBy("node")
           .agg(collect_list(col("nc")).as("cs"))
           .join(c, Seq("node"))
-          .select(col("node"), least(col("core"), hIndex).as("core")))
-      changed = next.join(c.withColumnRenamed("core", "prev"), Seq("node"))
-        .where(col("core") =!= col("prev")).count()
-      c = next
+          .select(col("node"), col("core").as("prev"),
+            least(col("core"), hIndex).as("core")))
+      changed = next.where(col("core") =!= col("prev")).count()
+      c = next.select("node", "core")
     }
     if (changed > 0)
       throw new IllegalStateException(
@@ -732,22 +735,33 @@ object Graph {
     val e = edges.select(col("c"), col("s")).persist()
     try {
       val M = lit(1000000L)
-      var h = e.select(col("c")).distinct().withColumn("h", M)
-        .localCheckpoint(true)
+      var h: DataFrame = null
       var a: DataFrame = null
-      for (_ <- 1 to iters) {
+      for (it <- 1 to iters) {
         // only the renormalized frames checkpoint (2 barriers/round):
         // a raw frame is referenced twice (its own max + the select) —
         // bounded 2× work inside one half-round, fine; what must NOT
         // happen is the raw chain crossing rounds uncheckpointed
-        val araw = e.join(h, "c").groupBy(col("s")).agg(sum(col("h")).as("araw"))
+        val araw =
+          if (it == 1)
+            // h₀ is the constant 10⁶ on every customer, so the first
+            // authority half-round is algebraically indegree·10⁶ — a
+            // plain degree count, no join against an all-constant
+            // score frame (r19; sum of M over the group == M·count)
+            e.groupBy(col("s")).agg((count(lit(1)) * M).as("araw"))
+          else e.join(h, "c").groupBy(col("s")).agg(sum(col("h")).as("araw"))
         a = araw.crossJoin(broadcast(araw.agg(max(col("araw")).as("amax"))))
           .select(col("s"), expr("araw * 1000000 div amax").as("a"))
           .localCheckpoint(true)
-        val hraw = e.join(a, "s").groupBy(col("c")).agg(sum(col("a")).as("hraw"))
-        h = hraw.crossJoin(broadcast(hraw.agg(max(col("hraw")).as("hmax"))))
-          .select(col("c"), expr("hraw * 1000000 div hmax").as("h"))
-          .localCheckpoint(true)
+        // the hub half-round only feeds the NEXT round's authorities;
+        // the report reads `a` alone, so the last round's h is dead
+        // work — skip it (r19)
+        if (it < iters) {
+          val hraw = e.join(a, "s").groupBy(col("c")).agg(sum(col("a")).as("hraw"))
+          h = hraw.crossJoin(broadcast(hraw.agg(max(col("hraw")).as("hmax"))))
+            .select(col("c"), expr("hraw * 1000000 div hmax").as("h"))
+            .localCheckpoint(true)
+        }
       }
       val deg = e.groupBy(col("s")).agg(count(lit(1)).as("n_customers"))
       a.join(deg, "s")

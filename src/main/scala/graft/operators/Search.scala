@@ -448,9 +448,14 @@ object Search {
     * argmax is a |sources|-bounded GroupedTopK-class window over each
     * doc's score list. */
   def sourceConfusion(docs: DataFrame): DataFrame = {
-    val terms = docs
+    // Materialized once: idf, the per-source profiles, the doc norms
+    // and the score join all consume this grain, and their differing
+    // projections defeat exchange reuse — unmaterialized, the plan
+    // re-ran the tokenize+explode+aggregate subtree per consumer (24
+    // parquet scans in the r19 before-plan; 4 after)
+    val terms = org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint(docs
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf")))
     val n = docs.select(countDistinct("doc_id").as("n"))
     val idf = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
       .crossJoin(broadcast(n))

@@ -781,7 +781,7 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   test("revenue cube: the subtotal lattice is additive and gid separates " +
-    "rolled-up dimensions from literal values; one Expand, one exchange") {
+    "rolled-up dimensions from literal values; Expand above the pre-aggregate") {
     val li = Tables.lineitem(spark, sf0001)
     val out = Analytics.revenueCube(li).collect()
     // grand total row: all dims null, gid = 7 (all three rolled up)
@@ -795,11 +795,18 @@ class AnalyticsOpsSpec extends SparkSpec {
     // the finest cells (gid=0) carry no nulls
     assert(out.filter(_.getInt(3) == 0)
       .forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)))
-    // plan: ONE Expand + one hash exchange — the single-pass lattice
+    // plan (r19 shape): the Expand must sit ABOVE the fine-grain
+    // pre-aggregate — cubing the raw fact table fans every input row
+    // ×2³ through Expand; pre-aggregated, Expand fans tens of group
+    // rows. Two hash exchanges total (fine grain + lattice), and the
+    // subtree below Expand must already aggregate.
     val p = Analytics.revenueCube(li).queryExecution.executedPlan.toString
     assert(p.contains("Expand"), s"cube must plan an Expand:\n$p")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(shuffles == 1, s"expected 1 exchange, got $shuffles:\n$p")
+    assert(shuffles == 2, s"expected 2 exchanges (pre-agg + lattice), got $shuffles:\n$p")
+    val expandIdx = p.indexOf("Expand")
+    val aggBelow = p.indexOf("HashAggregate", expandIdx)
+    assert(aggBelow > 0, s"Expand must read the pre-aggregated grain:\n$p")
   }
 
   test("functionalDeps (q201): a key FD, a violated FD, NULL groups as a value") {
