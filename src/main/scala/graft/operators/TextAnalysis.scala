@@ -495,11 +495,16 @@ object TextAnalysis {
     * no joins. */
   def ngramDiversity(docs: DataFrame, maxN: Int = 3): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    val t = tokens(lower(col("text")))
-    // one branch per n, unioned AFTER aggregation: each branch is a
-    // flat explode of one gram stream (no struct/flatten megaframe —
-    // the single-explode first cut ran the nested HOF interpreted over
-    // 3× the token stream and cost ~4× this shape)
+    // Tokenize ONCE and materialize the (source, token-array) frame:
+    // the per-n branches below each re-ran the full text scan +
+    // regex tokenize unmaterialized (maxN passes over the corpus,
+    // r19). The branch shape itself stays the flat explode-per-n —
+    // no struct/flatten megaframe; the single-explode first cut ran
+    // the nested HOF interpreted over 3× the token stream and cost
+    // ~4× this shape.
+    val tok = org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint(
+      docs.select(col("source"), tokens(lower(col("text"))).as("t")))
+    val t = col("t")
     def branch(n: Int): DataFrame = {
       val grams =
         if (n == 1) t
@@ -507,7 +512,7 @@ object TextAnalysis {
           transform(sequence(lit(1), size(t) - (n - 1)),
             i => concat_ws(" ", slice(t, i, lit(n)))))
           .otherwise(array().cast("array<string>"))
-      docs.select(col("source"), explode(grams).as("g"))
+      tok.select(col("source"), explode(grams).as("g"))
         .select(col("source"), graft.operators.Dedup.hash60(col("g")).as("h"))
         .groupBy("source")
         .agg(count(lit(1)).as("total_ngrams"),
