@@ -489,10 +489,14 @@ object CorpusPipeline {
       .select(col("doc_id"), tokens(col("text")).as("__ts"))
       .select(col("doc_id"), size(col("__ts")).as("n_tokens"), col("__ts"))
       .where(col("n_tokens") > 0)
-    val wins = base
+    // materialized once (r19): the duplicate-hash census and the hit
+    // join consume these narrow (doc_id, pos, h) rows under different
+    // projections, which defeats exchange reuse — unmaterialized, the
+    // tokenize + window-explode + hash pass ran twice
+    val wins = org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint(base
       .select(col("doc_id"),
         posexplode(TextAnalysis.ngramsOf(col("__ts"), windowTokens)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos"), Dedup.hash60(col("g")).as("h"))
+      .select(col("doc_id"), col("pos"), Dedup.hash60(col("g")).as("h")))
     val dupH = wins.groupBy("h").agg(count(lit(1)).as("n_sites"))
       .where(col("n_sites") >= 2).select("h")
     val hits = wins.join(dupH, "h").select(col("doc_id"), col("pos"))

@@ -225,8 +225,12 @@ object Dedup {
     // instead of k-word strings (~4× less volume), and intersection
     // COUNTS are unchanged (distinct shingles ↔ distinct hashes;
     // 2⁻⁶⁰ collisions would be deterministic and caught by the gate).
-    val ex = shingleRows(docs, k, "lang", "source")
-      .select(col("lang"), col("source"), col("doc_id"), hash60(col("s")).as("h"))
+    // Materialized once (r19, the containmentPairs fix): the size
+    // census aggregates on a different key than the pair join, so the
+    // shingle pass ran twice unmaterialized.
+    val ex = org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint(
+      shingleRows(docs, k, "lang", "source")
+        .select(col("lang"), col("source"), col("doc_id"), hash60(col("s")).as("h")))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val l = ex.select(col("lang"), col("source"), col("doc_id").as("a"), col("h"))
     val r = ex.select(col("lang"), col("source"), col("doc_id").as("b"), col("h"))
@@ -262,8 +266,12 @@ object Dedup {
     * threshold: the consumer reads which side is the contained (shorter)
     * document directly off the row. */
   def containmentPairs(docs: DataFrame, k: Int = 3, minContainment: Double = 0.5): DataFrame = {
-    val ex = shingleRows(docs, k, "lang", "source")
-      .select(col("lang"), col("source"), col("doc_id"), hash60(col("s")).as("h"))
+    // materialized once (r19): the per-doc size census aggregates on a
+    // different key than the pair join's exchange, so the shingle
+    // explode + hash pass ran twice unmaterialized
+    val ex = org.apache.spark.sql.graftbridge.SqlBridge.leanCheckpoint(
+      shingleRows(docs, k, "lang", "source")
+        .select(col("lang"), col("source"), col("doc_id"), hash60(col("s")).as("h")))
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val l = ex.select(col("lang"), col("source"), col("doc_id").as("a"), col("h"))
     val r = ex.select(col("lang"), col("source"), col("doc_id").as("b"), col("h"))

@@ -439,11 +439,23 @@ object Graph {
     * builder [[supplierTriangles]] and the q196 neighborhood reports
     * share (one wedge-free equi-join + one count gate). */
   def supplierCoEdges(lineitem: DataFrame, minCount: Long): DataFrame = {
-    val li = lineitem.select(col("l_orderkey"), col("l_suppkey")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+    // One exchange on the order key collects each order's DISTINCT
+    // supplier set; the (src < dst) pairs then explode MAP-SIDE from
+    // the sorted set — suppliers-per-order is bounded (single digits
+    // at any TPC-H scale), so the per-order pair fan-out is tiny. This
+    // replaces the previous distinct + self-join wedge (3 corpus-sized
+    // exchanges: the (order, supplier) distinct, then BOTH join sides
+    // re-hashed on the order key) with groupBy + explode + the final
+    // (src, dst) count — 2 exchanges, no join (r19, guide §2.3-2.4).
+    // Pair set and counts are identical: sort_array makes src < dst
+    // exactly the old a.suppkey < b.suppkey, collect_set dedups
+    // exactly the old (orderkey, suppkey) distinct.
+    val sets = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .groupBy("l_orderkey").agg(sort_array(collect_set(col("l_suppkey"))).as("ss"))
+    sets.select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
       .select("src", "dst")
@@ -604,7 +616,10 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val dirBoth = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    // self-loop ballots — see the oscillation note above
+    // self-loop ballots — see the oscillation note above. (r19 note: a
+    // dst-pre-partitioned cache variant measured SLOWER on q218 — the
+    // per-round join plans the label side as the build anyway, so the
+    // forced repartition only added an exchange.)
     val und = dirBoth
       .union(dirBoth.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))
