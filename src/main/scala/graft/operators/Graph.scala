@@ -328,7 +328,12 @@ object Graph {
     var pr = nodes.withColumn("pr_micro",
       when(seedCol, lit(1000000L / seeds.length)).otherwise(lit(0L)))
     (1 to iters).foreach { _ =>
-      val sums = pr.as("p")
+      // frontier pruning (r19): zero-mass nodes contribute 0 to every
+      // neighbor sum, so dropping them BEFORE the edge join is exact —
+      // and in early rounds the walk is sparse (round 1 joins |seeds|
+      // rows, not the node universe), the personalization-vector
+      // locality PPR exists for
+      val sums = pr.where(col("pr_micro") > 0).as("p")
         .join(e.as("ed"), col("p.node_id") === col("ed.src"))
         .join(deg.as("dg"), col("ed.src") === col("dg.src"))
         .select(col("ed.dst").as("node_id"),

@@ -16,6 +16,27 @@ class MultimodalSpec extends SparkSpec {
       .forall(s.fieldNames.contains))
   }
 
+  test("modality-filtered synthesis ≡ full synthesis filtered after (r19 pushdown)") {
+    // the single-modality keys synthesize only their modality's rows;
+    // the pushdown must be invisible in the bytes
+    for (t <- Seq("image", "audio", "video")) {
+      val pushed = Multimodal.toMediaTable(Tables.documents(spark, sf0001), t)
+        .orderBy("doc_id").collect()
+      val full = media.where(col("media_type") === t)
+        .orderBy("doc_id").collect()
+      assert(pushed.length === full.length && pushed.nonEmpty, s"$t row count")
+      pushed.zip(full).foreach { case (a, b) =>
+        assert(a.getLong(0) === b.getLong(0), s"$t doc_id")
+        assert(java.util.Arrays.equals(
+          a.getAs[Array[Byte]]("payload"), b.getAs[Array[Byte]]("payload")),
+          s"$t payload bytes for doc ${a.getLong(0)}")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.toMediaTable(Tables.documents(spark, sf0001), "hologram")
+    }
+  }
+
   test("feature extraction emits fixed-width vectors, one row per input") {
     val feats = Multimodal.extractFeatures(spark, media)
     assert(feats.count() === media.count())
